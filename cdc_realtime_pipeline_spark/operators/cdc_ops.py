@@ -1,0 +1,92 @@
+"""CDC envelope queries: synthesize → parse round-trip, oracle-gated.
+
+``cdc_roundtrip`` drives the full Debezium-envelope path on fixture
+data: events → Debezium-shaped JSON strings (inserts + deletes) →
+``parse_cdc_events`` → typed rows. The DuckDB oracle recomputes the
+expected output directly from ``events``, so the parser's envelope
+unwrap, op routing (delete reads ``before``), decimal-string casts and
+latency derivation are all verified against an independent engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.cdc.envelope import (
+    parse_cdc_events,
+    synthesize_cdc_json_from_events,
+)
+from cdc_realtime_pipeline_spark.session import load_table
+
+
+def cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    raw = synthesize_cdc_json_from_events(events)
+    parsed = parse_cdc_events(raw)
+    return parsed.select(
+        "trade_id",
+        "market",
+        F.round("trade_price", 4).alias("trade_price"),
+        F.round("trade_volume", 4).alias("trade_volume"),
+        F.round("trade_amount", 4).alias("trade_amount"),
+        "ask_bid",
+        "upbit_timestamp",
+        "sequential_id",
+        "op",
+        "cdc_latency_ms",
+    ).orderBy("trade_id")
+
+
+# Mirrors synthesize_cdc_json_from_events' field mapping exactly:
+# op = 'd' for error events (image read from `before`), else 'c';
+# cdc_ts − source_ts = event_id % 10 by construction.
+CDC_ROUNDTRIP_SQL = """
+SELECT event_id AS trade_id,
+       'M-' || CAST(user_id AS VARCHAR) AS market,
+       round(value, 4) AS trade_price,
+       round(CAST(json_extract_string(props, '$.k') AS DOUBLE), 4) AS trade_volume,
+       round(value * CAST(json_extract_string(props, '$.k') AS DOUBLE), 4) AS trade_amount,
+       CASE WHEN event_type IN ('click','purchase') THEN 'BID' ELSE 'ASK' END AS ask_bid,
+       epoch_ms(ts) AS upbit_timestamp,
+       event_id AS sequential_id,
+       CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+       event_id % 10 AS cdc_latency_ms
+FROM events ORDER BY trade_id
+"""
+
+
+def cdc_op_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 op-type filters over parsed CDC events: per-op counts +
+    insert-only aggregate (the dashboard's ``WHERE op='c'`` shape)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_cdc_events(synthesize_cdc_json_from_events(events))
+    return (
+        parsed.filter(F.col("op").isin("c", "u", "d"))
+        .groupBy("op")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("trade_amount"), 2).alias("sum_amount"),
+        )
+        .orderBy("op")
+    )
+
+
+CDC_OP_FILTERED_COUNTS_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+       count(*) AS n,
+       round(sum(value * CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS sum_amount
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES = {
+    "cdc_roundtrip": cdc_roundtrip,
+    "cdc_op_filtered_counts": cdc_op_filtered_counts,
+}
+
+ORACLES = {
+    "cdc_roundtrip": CDC_ROUNDTRIP_SQL,
+    "cdc_op_filtered_counts": CDC_OP_FILTERED_COUNTS_SQL,
+}

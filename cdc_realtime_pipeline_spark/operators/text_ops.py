@@ -1,0 +1,146 @@
+"""Text-analysis queries over the ``documents`` fixture.
+
+Table-level entry points for functions/text.py, each with a DuckDB
+oracle. One narrow parquet scan (doc_id, text, …) → per-row scalar
+expressions — embarrassingly parallel, no shuffle except final order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.functions import text as TX
+from cdc_realtime_pipeline_spark.session import load_table
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts and char length per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_actual"),
+        TX.ws_token_count(t).alias("n_ws_tokens"),
+        TX.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TX.BPE_ISH_REGEX}')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filtering features + composite score per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.round(TX.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(F.size(F.array_distinct(words)) / F.greatest(F.size(words), F.lit(1)), 4).alias(
+            "distinct_ratio"
+        ),
+        TX.quality_score(t).alias("quality"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = r"""
+WITH feat AS (
+  SELECT doc_id,
+         text,
+         length(text) AS n,
+         string_split_regex(lower(trim(text)), '\s+') AS words,
+         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+           / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+), feat2 AS (
+  SELECT doc_id, n, punct_ratio,
+         len(list_distinct(words)) / greatest(len(words), 1) AS distinct_ratio,
+         greatest(len(words), 1) AS n_words
+  FROM feat
+)
+SELECT doc_id,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(distinct_ratio, 4) AS distinct_ratio,
+       round(0.4 * least(CAST(n AS DOUBLE) / 200.0, CAST(1.0 AS DOUBLE))
+             + 0.3 * distinct_ratio
+             + 0.2 * (CASE WHEN n / n_words >= 3 AND n / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+             + 0.1 * (1 - punct_ratio) + 1e-9, 4) AS quality
+FROM feat2 ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted language vs labeled language per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), TX.lang_id(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def _marker_score_sql(markers: list[str]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return (
+        rf"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w IN ({in_list})))"
+        rf" / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)"
+    )
+
+
+TEXT_LANG_ID_SQL = rf"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         {_marker_score_sql(TX.LANG_MARKERS['en'])} AS s_en,
+         {_marker_score_sql(TX.LANG_MARKERS['de'])} AS s_de,
+         {_marker_score_sql(TX.LANG_MARKERS['es'])} AS s_es,
+         {_marker_score_sql(TX.LANG_MARKERS['fr'])} AS s_fr,
+         (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+           / greatest(length(text), 1) AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+       lang AS labeled_lang,
+       CASE WHEN s_en <= 0 AND s_de <= 0 AND s_es <= 0 AND s_fr <= 0 AND s_zh <= 0 THEN 'en'
+            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM scores ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprint over normalized text per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.content_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_lang_id": TEXT_LANG_ID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

@@ -1,0 +1,143 @@
+"""5-minute keyed tumbling-window aggregate — the reference's core operator.
+
+Re-expresses TradeAggregator.java:23-91 + WindowEnricher
+(TradeAggregator.java:97-107) as one declarative
+``groupBy(window(ts, '5 minutes'), key).agg(...)``:
+
+* trade_count, conditional bid_count/ask_count (TradeAggregator.java:43-61)
+* total_amount, total_volume, avg/min/max price (…:63-77)
+* vwap = Σamount/Σvolume guarded against zero (…:75)
+* zeros (not nulls) on degenerate groups (…:72-74)
+* window start/end attached from the ``window`` struct — replaces the
+  ProcessWindowFunction metadata step
+
+Spark's HashAggregateExec runs the same partial→merge→final phases the
+reference hand-codes as accumulator add/merge/getResult (SURVEY.md §4),
+with map-side combine before the key shuffle — the property that makes
+this one-shuffle at any scale. The same expression runs unchanged under
+Structured Streaming (streaming/job.py) — reference divergence note:
+Flink used *processing time* with no watermarks (CdcPipelineJob.java:62,70);
+we use event time + watermark, the Spark idiom (SURVEY.md §2.4 W1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.session import load_table
+
+
+def trade_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "market",
+    price_col: str = "price",
+    volume_col: str = "volume",
+    amount_col: str = "amount",
+    bid_col: str = "is_bid",
+    window_duration: str = "5 minutes",
+) -> DataFrame:
+    """Generic keyed tumbling-window trade aggregate (A1-A3).
+
+    Works on any DataFrame exposing the trade shape; batch or streaming.
+    """
+    bid = F.sum(F.when(F.col(bid_col), 1).otherwise(0))
+    vol_sum = F.sum(volume_col)
+    amt_sum = F.sum(amount_col)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("trade_count"),
+            bid.alias("bid_count"),
+            (F.count("*") - bid).alias("ask_count"),
+            amt_sum.alias("total_amount"),
+            vol_sum.alias("total_volume"),
+            F.coalesce(F.avg(price_col), F.lit(0.0)).alias("avg_price"),
+            F.coalesce(F.min(price_col), F.lit(0.0)).alias("min_price"),
+            F.coalesce(F.max(price_col), F.lit(0.0)).alias("max_price"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "trade_count",
+            "bid_count",
+            "ask_count",
+            "total_amount",
+            "total_volume",
+            "avg_price",
+            "min_price",
+            "max_price",
+            # vwap guarded against zero volume (TradeAggregator.java:75)
+            F.when(F.col("total_volume") > 0, F.col("total_amount") / F.col("total_volume"))
+            .otherwise(F.lit(0.0))
+            .alias("vwap"),
+        )
+    )
+
+
+def events_window_agg_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3 over the driver ``events`` fixture (FIXTURES.md §B mapping).
+
+    price ≙ value, volume ≙ props.k (exercises JSON extraction,
+    SURVEY §1.2's nested-JSON row), amount ≙ price×volume, BID ≙
+    click/purchase. Doubles rounded for oracle comparison.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("double").alias("volume"),
+        F.col("event_type").isin("click", "purchase").alias("is_bid"),
+    )
+    ev = ev.withColumn("amount", F.col("price") * F.col("volume"))
+    out = trade_window_agg(ev, key_col="market")
+    return out.select(
+        "market",
+        "window_start",
+        "window_end",
+        "trade_count",
+        "bid_count",
+        "ask_count",
+        F.round("total_amount", 4).alias("total_amount"),
+        F.round("total_volume", 4).alias("total_volume"),
+        F.round("avg_price", 4).alias("avg_price"),
+        F.round("min_price", 4).alias("min_price"),
+        F.round("max_price", 4).alias("max_price"),
+        F.round("vwap", 4).alias("vwap"),
+    ).orderBy("market", "window_start")
+
+
+# Spark tumbling windows are epoch-aligned; floor(epoch/300)*300 is the
+# identical bucketing in portable SQL.
+EVENTS_WINDOW_AGG_5M_SQL = """
+WITH ev AS (
+  SELECT ts,
+         user_id AS market,
+         value AS price,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume,
+         event_type IN ('click','purchase') AS is_bid,
+         value * CAST(json_extract_string(props, '$.k') AS DOUBLE) AS amount
+  FROM events
+)
+SELECT market,
+       make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS window_start,
+       make_timestamp((CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) + 300) * 1000000) AS window_end,
+       count(*) AS trade_count,
+       count(CASE WHEN is_bid THEN 1 END) AS bid_count,
+       count(*) - count(CASE WHEN is_bid THEN 1 END) AS ask_count,
+       round(sum(amount), 4) AS total_amount,
+       round(sum(volume), 4) AS total_volume,
+       round(coalesce(avg(price), 0.0), 4) AS avg_price,
+       round(coalesce(min(price), 0.0), 4) AS min_price,
+       round(coalesce(max(price), 0.0), 4) AS max_price,
+       round(CASE WHEN sum(volume) > 0 THEN sum(amount) / sum(volume) ELSE 0.0 END, 4) AS vwap
+FROM ev
+GROUP BY 1, 2, 3
+ORDER BY market, window_start
+"""
+
+
+QUERIES = {"window_agg_5m": events_window_agg_5m}
+ORACLES = {"window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL}

@@ -1,0 +1,91 @@
+"""SparkSession factory.
+
+Local test posture: single JVM, ``local[N]`` threads, AQE on, shuffle
+partitions sized to cores (not the 200 default). At cluster scale the
+same builder applies — only master/memory/shuffle-partition values
+change; every operator in this package is partition-parallel and free
+of driver-side collects, so the plans carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cdc_realtime_pipeline_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for core count. Pins session timezone
+    to UTC so results are comparable with the DuckDB oracle (DuckDB
+    timestamps are UTC-naive).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver fixtures store ns-precision timestamps; read as long and
+        # convert in load_table (Spark timestamps are µs)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    # Memory: only meaningful in local mode when the JVM hasn't started yet.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    builder = builder.config("spark.driver.memory", driver_mem)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver-generated parquet tables.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as a
+    long (``nanosAsLong``); convert to a proper µs TimestampType here
+    (fixture values are µs-aligned, so the division is exact).
+    """
+    return convert_ns_timestamps(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
+
+
+def convert_ns_timestamps(df):
+    """ns-longs (``nanosAsLong``) → µs TimestampType via integer ``div``
+    (double division would lose precision above 2^53 ns)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def raw_schema(spark: SparkSession, sf_dir: str, name: str):
+    """Parquet schema as Spark reads it (ts stays LongType ns) — for
+    file-stream sources, which need the pre-conversion schema."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema

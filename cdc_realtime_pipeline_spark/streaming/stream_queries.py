@@ -1,0 +1,159 @@
+"""Driver-facing streaming queries — run a real streaming query
+synchronously and return its result as a DataFrame.
+
+Each entry materializes fixture data as a file-backed CDC stream (or
+file stream), runs Structured Streaming to completion
+(``availableNow`` trigger), and returns the sink contents. Because the
+input is finite and deterministic, two of them are *oracle-gated
+streaming queries*: the streaming windowed aggregate must equal the
+batch answer DuckDB computes — the strongest cross-engine check the
+streaming runtime can get.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.cdc.envelope import (
+    parse_cdc_events,
+    synthesize_cdc_json_from_events,
+)
+from cdc_realtime_pipeline_spark.session import convert_ns_timestamps, load_table, raw_schema
+from cdc_realtime_pipeline_spark.sources.cdc_file_source import write_cdc_json_files
+from cdc_realtime_pipeline_spark.streaming.anomaly_stateful import apply_anomaly_detector
+
+
+def _memory_sink(df: DataFrame, output_mode: str) -> DataFrame:
+    name = "q_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+def stream_window_agg_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1-A3 window aggregate under Structured Streaming.
+
+    Same expression as the batch ``window_agg_5m`` (one groupBy over
+    ``window(ts, '5 min')``), fed by a parquet file *stream*, complete
+    output mode — the result must match the batch/DuckDB answer
+    exactly, which is this query's oracle.
+    """
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = events_stream.select(
+        "ts",
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("double").alias("volume"),
+        F.col("event_type").isin("click", "purchase").alias("is_bid"),
+    ).withColumn("amount", F.col("price") * F.col("volume"))
+    bid = F.sum(F.when(F.col("is_bid"), 1).otherwise(0))
+    agg = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "market")
+        .agg(
+            F.count("*").alias("trade_count"),
+            bid.alias("bid_count"),
+            (F.count("*") - bid).alias("ask_count"),
+            F.sum("amount").alias("total_amount"),
+            F.sum("volume").alias("total_volume"),
+            F.avg("price").alias("avg_price"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+    )
+    res = _memory_sink(agg, "complete")
+    return res.select(
+        "market",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "trade_count",
+        "bid_count",
+        "ask_count",
+        F.round("total_amount", 4).alias("total_amount"),
+        F.round("total_volume", 4).alias("total_volume"),
+        F.round(F.coalesce("avg_price", F.lit(0.0)), 4).alias("avg_price"),
+        F.round(F.coalesce("min_price", F.lit(0.0)), 4).alias("min_price"),
+        F.round(F.coalesce("max_price", F.lit(0.0)), 4).alias("max_price"),
+        F.round(
+            F.when(F.col("total_volume") > 0, F.col("total_amount") / F.col("total_volume"))
+            .otherwise(0.0),
+            4,
+        ).alias("vwap"),
+    ).orderBy("market", "window_start")
+
+
+def stream_cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC envelope parse running as a stream over JSON files.
+
+    Oracle-gated: the streamed parse must equal the batch round-trip
+    (same projection as ``cdc_roundtrip``).
+    """
+    events = load_table(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="cdc_stream_")
+    write_cdc_json_files(synthesize_cdc_json_from_events(events), stream_dir)
+    raw = spark.readStream.format("text").load(stream_dir)
+    parsed = parse_cdc_events(raw)
+    res = _memory_sink(parsed, "append")
+    return res.select(
+        "trade_id",
+        "market",
+        F.round("trade_price", 4).alias("trade_price"),
+        F.round("trade_volume", 4).alias("trade_volume"),
+        F.round("trade_amount", 4).alias("trade_amount"),
+        "ask_bid",
+        "upbit_timestamp",
+        "sequential_id",
+        "op",
+        "cdc_latency_ms",
+    ).orderBy("trade_id")
+
+
+def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful anomaly detector over the synthesized CDC stream.
+
+    Rows-only driver check (per-key sequential state semantics are not
+    SQL-expressible); tests/test_streaming.py asserts rule-level
+    equivalence against hand-computed fixtures.
+    """
+    events = load_table(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="cdc_alerts_")
+    write_cdc_json_files(synthesize_cdc_json_from_events(events), stream_dir)
+    raw = spark.readStream.format("text").load(stream_dir)
+    parsed = parse_cdc_events(raw)
+    alerts = apply_anomaly_detector(parsed)
+    res = _memory_sink(alerts, "append")
+    return res.orderBy("market", "trade_id", "alert_type")
+
+
+# stream_window_agg_5m shares the batch window-agg oracle;
+# stream_cdc_parse shares the batch round-trip oracle.
+from cdc_realtime_pipeline_spark.operators.cdc_ops import CDC_ROUNDTRIP_SQL  # noqa: E402
+from cdc_realtime_pipeline_spark.operators.window_agg import (  # noqa: E402
+    EVENTS_WINDOW_AGG_5M_SQL,
+)
+
+QUERIES = {
+    "stream_window_agg_5m": stream_window_agg_5m,
+    "stream_cdc_parse": stream_cdc_parse,
+    "stream_anomaly_alerts": stream_anomaly_alerts,  # rows-only
+}
+
+ORACLES = {
+    "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
+    "stream_cdc_parse": CDC_ROUNDTRIP_SQL,
+}
