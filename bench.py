@@ -1,0 +1,82 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the engine's representative query set (scan/agg, star joins,
+window functions, CDC parse, dedup, text, similarity) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query executes fully via the ``noop`` write format (distributed
+execution, no driver-side collect — measures the plan, not py4j
+transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family, weighted toward the plans that
+# dominate at scale (joins, window aggs, text/dedup pipelines).
+BENCH_QUERIES = [
+    "tpch_q1",
+    "revenue_top_orders",
+    "region_revenue",
+    "top_parts_per_supplier",
+    "monthly_order_stats",
+    "window_agg_5m",
+    "dash_latency_per_minute",
+    "dash_bid_ask_ranking",
+    "alerts_price_spike",
+    "alerts_rapid_trades",
+    "cdc_roundtrip",
+    "dedup_events_exact",
+    "dedup_docs_exact",
+    "text_quality",
+    "text_lang_id",
+    "similarity_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from cdc_realtime_pipeline_spark.session import get_spark
+    from cdc_realtime_pipeline_spark.plans.registry import all_queries
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # JVM/codegen warmup on a tiny query so q1 doesn't pay startup costs.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,8 +30,13 @@ from cdc_realtime_pipeline_spark.schemas import ENVELOPE_SCHEMA
 
 
 def _num(col: Column, default: float = 0.0) -> Column:
-    """Decimal-string (or bare number) → double with 0.0 fallback."""
-    return F.coalesce(col.cast("double"), F.lit(default))
+    """Decimal-string (or bare number) → double with 0.0 fallback.
+
+    ``try_cast`` (not ``cast``): ANSI mode would throw on garbage input,
+    but the reference drops to a default instead
+    (CdcEventParser.java:104-115).
+    """
+    return F.coalesce(col.try_cast("double"), F.lit(default))
 
 
 def parse_cdc_events(raw: DataFrame, value_col: str = "value") -> DataFrame:

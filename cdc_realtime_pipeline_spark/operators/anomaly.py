@@ -80,7 +80,6 @@ def alerts_large_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("threshold"),
             F.col("ts").alias("detected_at"),
         )
-        .orderBy("trade_id")
     )
 
 
@@ -100,7 +99,6 @@ SELECT 'LARGE_TRADE' AS alert_type,
        threshold,
        ts AS detected_at
 FROM ev WHERE value >= threshold
-ORDER BY trade_id
 """
 
 
@@ -126,7 +124,6 @@ def alerts_price_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("threshold"),
             F.col("ts").alias("detected_at"),
         )
-        .orderBy("trade_id")
     )
 
 
@@ -146,7 +143,6 @@ SELECT 'PRICE_SPIKE' AS alert_type,
 FROM ev
 WHERE prev_price IS NOT NULL AND prev_price > 0
   AND abs(value - prev_price) / prev_price >= threshold
-ORDER BY trade_id
 """
 
 
@@ -199,7 +195,6 @@ def alerts_volume_surge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(_SURGE_MULT) * F.col("ema_prev"), 4).alias("threshold"),
             F.col("ts").alias("detected_at"),
         )
-        .orderBy("trade_id")
     )
 
 
@@ -236,7 +231,6 @@ SELECT 'VOLUME_SURGE' AS alert_type,
        ts AS detected_at
 FROM lagged
 WHERE rn > {_SURGE_MIN_SAMPLES} AND ema_prev > 0 AND vol >= {_SURGE_MULT} * ema_prev
-ORDER BY trade_id
 """
 
 
@@ -263,7 +257,6 @@ def alerts_rapid_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(_RAPID_COUNT)).alias("threshold"),
             F.col("ts").alias("detected_at"),
         )
-        .orderBy("detected_at", "trade_id")
     )
 
 
@@ -281,7 +274,6 @@ SELECT 'RAPID_TRADES' AS alert_type,
        CAST({_RAPID_COUNT} AS DOUBLE) AS threshold,
        ts AS detected_at
 FROM ev WHERE cnt = {_RAPID_COUNT}
-ORDER BY detected_at, trade_id
 """
 
 

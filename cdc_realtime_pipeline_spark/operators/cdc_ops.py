@@ -20,8 +20,16 @@ from cdc_realtime_pipeline_spark.cdc.envelope import (
 from cdc_realtime_pipeline_spark.session import load_table
 
 
+def _parallel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events is a single small parquet file → one input split; the JSON
+    # encode/decode chain is per-row-heavy, so spread it across cores
+    # first (at cluster scale the source would already be many splits).
+    n = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf_dir, "events").repartition(n)
+
+
 def cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = _parallel_events(spark, sf_dir)
     raw = synthesize_cdc_json_from_events(events)
     parsed = parse_cdc_events(raw)
     return parsed.select(
@@ -35,7 +43,7 @@ def cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sequential_id",
         "op",
         "cdc_latency_ms",
-    ).orderBy("trade_id")
+    )  # no final sort: order-insensitive compare; global sorts don't scale
 
 
 # Mirrors synthesize_cdc_json_from_events' field mapping exactly:
@@ -52,14 +60,14 @@ SELECT event_id AS trade_id,
        event_id AS sequential_id,
        CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
        event_id % 10 AS cdc_latency_ms
-FROM events ORDER BY trade_id
+FROM events
 """
 
 
 def cdc_op_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 op-type filters over parsed CDC events: per-op counts +
     insert-only aggregate (the dashboard's ``WHERE op='c'`` shape)."""
-    events = load_table(spark, sf_dir, "events")
+    events = _parallel_events(spark, sf_dir)
     parsed = parse_cdc_events(synthesize_cdc_json_from_events(events))
     return (
         parsed.filter(F.col("op").isin("c", "u", "d"))

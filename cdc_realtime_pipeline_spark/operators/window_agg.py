@@ -106,7 +106,7 @@ def events_window_agg_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_price", 4).alias("min_price"),
         F.round("max_price", 4).alias("max_price"),
         F.round("vwap", 4).alias("vwap"),
-    ).orderBy("market", "window_start")
+    )
 
 
 # Spark tumbling windows are epoch-aligned; floor(epoch/300)*300 is the
@@ -135,7 +135,6 @@ SELECT market,
        round(CASE WHEN sum(volume) > 0 THEN sum(amount) / sum(volume) ELSE 0.0 END, 4) AS vwap
 FROM ev
 GROUP BY 1, 2, 3
-ORDER BY market, window_start
 """
 
 

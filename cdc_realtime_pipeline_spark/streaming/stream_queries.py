@@ -94,7 +94,7 @@ def stream_window_agg_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0.0),
             4,
         ).alias("vwap"),
-    ).orderBy("market", "window_start")
+    )
 
 
 def stream_cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +120,7 @@ def stream_cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sequential_id",
         "op",
         "cdc_latency_ms",
-    ).orderBy("trade_id")
+    )
 
 
 def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +137,7 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_cdc_events(raw)
     alerts = apply_anomaly_detector(parsed)
     res = _memory_sink(alerts, "append")
-    return res.orderBy("market", "trade_id", "alert_type")
+    return res
 
 
 # stream_window_agg_5m shares the batch window-agg oracle;

@@ -1,0 +1,115 @@
+"""Dedup family: planted exact/near duplicates must be found; unrelated
+documents must not collide (the unit-level guarantee behind the
+rows-only MinHash/SimHash driver checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.operators.dedup import (
+    dedup_docs_jaccard,
+    dedup_docs_minhash,
+    dedup_keep_min,
+    docs_with_dupes,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+
+
+def test_dedup_keep_min_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, payload string"
+    )
+    out = {r["k"]: r["payload"] for r in dedup_keep_min(df, ["k"], "payload").collect()}
+    assert out == {1: "a", 2: "c"}  # lowest payload survives, always
+
+
+def test_planted_exact_copies_share_signature(spark, sf_dir):
+    # doc_id+100000 rows are byte-identical copies — every MinHash slot
+    # must agree
+    sig = minhash_signatures(docs_with_dupes(spark, sf_dir)).collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(16)) for r in sig}
+    copies = [d for d in by_id if d >= 100000 and d < 200000]
+    assert copies
+    for c in copies:
+        assert by_id[c] == by_id[c - 100000]
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    cand = dedup_docs_minhash(spark, sf_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in cand}
+    # all exact copies must be candidates with est_jaccard == 1
+    exact_expected = {
+        (r["doc_id"], r["doc_id"] + 100000)
+        for r in docs_with_dupes(spark, sf_dir)
+        .filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 100000))
+        .select("doc_id")
+        .collect()
+    }
+    found_exact = {p for p in pairs if p in exact_expected}
+    assert found_exact == exact_expected
+    for p in found_exact:
+        assert pairs[p] == 1.0
+
+
+def test_jaccard_scores_match_planted_structure(spark, sf_dir):
+    rows = dedup_docs_jaccard(spark, sf_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    # exact copies score 1.0
+    assert any(v == 1.0 for v in pairs.values())
+    truncated = {p: v for p, v in pairs.items() if p[1] >= 200000}
+    assert truncated
+    assert all(0.6 <= v <= 1.0 for v in truncated.values())
+    # a doc longer than the 400-char truncation really loses shingles,
+    # so its planted copy must score strictly below 1
+    from pyspark.sql import functions as F
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    long_docs = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 11 == 0) & (F.col("n_chars") > 420))
+        .collect()
+    }
+    really_truncated = {p: v for p, v in truncated.items() if p[0] in long_docs}
+    if really_truncated:  # present at every sf ≥ 0.001 in practice
+        assert all(v < 1.0 for v in really_truncated.values())
+
+
+def test_simhash_exact_copies_identical_on_fixture(spark, sf_dir):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(spark, sf_dir).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    # exact copies: distance 0; truncated copies: much closer than the
+    # corpus-wide noise floor (the fixture's shared word pool keeps all
+    # docs loosely similar, so thresholds are relative)
+    for d in [k for k in fp if 100000 <= k < 200000]:
+        assert ham(fp[d], fp[d - 100000]) == 0
+    trunc = [ham(fp[d], fp[d - 200000]) for d in fp if d >= 200000]
+    assert trunc and max(trunc) <= 10
+
+
+def test_simhash_separates_disjoint_vocabularies(spark):
+    # controlled corpus: A/A' share a vocabulary, B is disjoint —
+    # near-dups must land close, unrelated docs far
+    from cdc_realtime_pipeline_spark.operators.dedup import simhash_over
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red green blue cyan magenta yellow " * 5),
+            (2, "red green blue cyan magenta amber " * 5),
+            (3, "sort merge join scan filter project shuffle spill " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_over(docs).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(fp[1], fp[2]) < 15
+    assert ham(fp[1], fp[3]) > 15
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])

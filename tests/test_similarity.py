@@ -1,0 +1,40 @@
+"""Similarity search: brute-force exactness properties and LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+from cdc_realtime_pipeline_spark.operators.similarity import (
+    similarity_topk_bruteforce,
+    similarity_topk_lsh,
+)
+
+
+def test_bruteforce_topk_properties(spark, sf_dir):
+    rows = similarity_topk_bruteforce(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rk"])
+        # scores non-increasing, within [-1, 1], self excluded
+        scores = [r["cos"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in scores)
+        assert all(r["vec_id"] != q for r in rs)
+        assert len(rs) == 5
+
+
+def test_lsh_results_are_subset_with_exact_scores(spark, sf_dir):
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in similarity_topk_bruteforce(spark, sf_dir).collect()
+    }
+    lsh = similarity_topk_lsh(spark, sf_dir).collect()
+    assert lsh  # buckets are non-degenerate on the fixture
+    # any (q, v) the LSH path returns that brute force also ranked must
+    # carry the identical exact cosine (same rerank math)
+    overlap = [(r, brute[(r["query_id"], r["vec_id"])]) for r in lsh
+               if (r["query_id"], r["vec_id"]) in brute]
+    for r, expect in overlap:
+        assert math.isclose(r["cos"], expect, abs_tol=1e-9)

@@ -1,0 +1,138 @@
+"""Streaming runtime: fan-out job, exactly-once restart, stateful
+alerts, MV maintenance (SURVEY.md §5 item 3).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.cdc.envelope import (
+    parse_cdc_events,
+    synthesize_cdc_json_from_events,
+)
+from cdc_realtime_pipeline_spark.session import load_table
+from cdc_realtime_pipeline_spark.sources.cdc_file_source import (
+    read_cdc_batch,
+    write_cdc_json_files,
+)
+from cdc_realtime_pipeline_spark.streaming.job import (
+    read_merged_trade_agg,
+    run_alert_stream,
+    run_cdc_fanout,
+)
+from cdc_realtime_pipeline_spark.streaming.mv import (
+    compact_latency_mv,
+    latency_partials,
+    read_latency_mv,
+    start_latency_mv,
+)
+
+
+def _make_stream(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="cdc_in_")
+    write_cdc_json_files(synthesize_cdc_json_from_events(events), d)
+    return d, events.count()
+
+
+def test_fanout_raw_and_agg_sinks(spark, sf_dir):
+    stream_dir, n_events = _make_stream(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="cdc_out_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ck_")
+
+    run_cdc_fanout(spark, stream_dir, out, ckpt)
+
+    raw = spark.read.parquet(os.path.join(out, "crypto_trades"))
+    assert raw.count() == n_events  # every change event lands raw
+    assert "month" in raw.columns  # toYYYYMM-style partitioning
+
+    merged = read_merged_trade_agg(spark, out)
+    # merged partials must equal a direct batch aggregate of the parse
+    batch = parse_cdc_events(read_cdc_batch(spark, stream_dir)).withColumn(
+        "ts", F.timestamp_millis("upbit_timestamp")
+    )
+    expect = (
+        batch.filter(F.col("op").isNotNull())
+        .groupBy(F.window("ts", "5 minutes"), "market")
+        .agg(F.count("*").alias("n"), F.sum("trade_amount").alias("amt"))
+    )
+    got = merged.agg(
+        F.sum("trade_count").alias("n"), F.round(F.sum("total_amount"), 2).alias("amt")
+    ).collect()[0]
+    want = expect.agg(
+        F.sum("n").alias("n"), F.round(F.sum("amt"), 2).alias("amt")
+    ).collect()[0]
+    assert got["n"] == want["n"]
+    assert got["amt"] == want["amt"]
+
+
+def test_fanout_exactly_once_on_restart(spark, sf_dir):
+    # re-running with the same checkpoint must not duplicate output (W9)
+    stream_dir, n_events = _make_stream(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="cdc_out_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ck_")
+    run_cdc_fanout(spark, stream_dir, out, ckpt)
+    run_cdc_fanout(spark, stream_dir, out, ckpt)  # restart, nothing new
+    raw = spark.read.parquet(os.path.join(out, "crypto_trades"))
+    assert raw.count() == n_events
+
+
+def test_alert_stream_matches_pure_function(spark, sf_dir):
+    import pandas as pd
+
+    from cdc_realtime_pipeline_spark.streaming.anomaly_stateful import (
+        detect_anomalies_batch_of_key,
+    )
+
+    stream_dir, _ = _make_stream(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="cdc_out_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ck_")
+    run_alert_stream(spark, stream_dir, out, ckpt)
+    got = (
+        spark.read.parquet(os.path.join(out, "anomaly_alerts"))
+        .select("market", "alert_type", "trade_id")
+        .collect()
+    )
+    got_set = {(r["market"], r["alert_type"], r["trade_id"]) for r in got}
+
+    # reference computation: one pass per key over the full ordered data
+    batch = (
+        parse_cdc_events(read_cdc_batch(spark, stream_dir))
+        .filter(F.col("op") == "c")
+        .toPandas()
+    )
+    want_set = set()
+    for market, g in batch.groupby("market"):
+        alerts, _ = detect_anomalies_batch_of_key(market, g, {})
+        want_set |= {(a["market"], a["alert_type"], a["trade_id"]) for a in alerts}
+    assert got_set == want_set
+
+
+def test_latency_mv_merge_and_compact(spark, sf_dir):
+    stream_dir, _ = _make_stream(spark, sf_dir)
+    mv_dir = tempfile.mkdtemp(prefix="mv_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="mv_ck_")
+    parsed = parse_cdc_events(
+        spark.readStream.format("text").option("maxFilesPerTrigger", "1").load(stream_dir)
+    ).withColumn("ts", F.timestamp_millis("upbit_timestamp"))
+    start_latency_mv(spark, parsed, mv_dir, ckpt)
+
+    # merge-at-read equals a direct batch aggregate
+    batch = parse_cdc_events(read_cdc_batch(spark, stream_dir)).withColumn(
+        "ts", F.timestamp_millis("upbit_timestamp")
+    )
+    direct = latency_partials(batch)
+    mv = read_latency_mv(spark, mv_dir)
+    d = direct.agg(F.sum("sum_latency").alias("s"), F.sum("cnt").alias("c")).collect()[0]
+    m = mv.agg(F.sum(F.col("avg_latency") * F.col("n")).alias("s"), F.sum("n").alias("c")).collect()[0]
+    assert m["c"] == d["c"]
+    assert abs(m["s"] - d["s"]) < 1e-6
+
+    # background-merge parity: compaction must not change answers
+    before = {r["minute"]: r.asDict() for r in mv.collect()}
+    compact_latency_mv(spark, mv_dir)
+    after = {r["minute"]: r.asDict() for r in read_latency_mv(spark, mv_dir).collect()}
+    assert before == after
