@@ -1,0 +1,220 @@
+"""Extended analytics surface: sessionization, quantiles, scalar functions.
+
+Operators the reference doesn't have but a complete engine must
+(SURVEY.md §2.5 notes them as "free in Spark" — here they're made
+explicit, oracle-gated, and scale-shaped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_realtime_pipeline_spark.session import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag(ts) + running sum over gap>threshold.
+
+    The standard batch sessionize (guide "Common OLAP patterns"): one
+    shuffle on the user key; session ids are per-key cumulative sums, so
+    the plan is two window passes over the same partitioning — Catalyst
+    reuses the exchange.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                    > SESSION_GAP_MIN * 60
+                )
+            ).cast("int"),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(wcum))
+    )
+    return (
+        ev.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT *,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(date_trunc('second', ts))::BIGINT
+                      - epoch(date_trunc('second', prev_ts))::BIGINT > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+), sessions AS (
+  SELECT *,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 4) AS session_value
+FROM sessions
+GROUP BY 1, 2
+"""
+
+
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (ClickHouse
+    ``quantile`` surface). Exact percentile sorts within groups — fine
+    for bounded group counts; the approximate variant below is the
+    100 TB path."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/GK-sketch family) — the scale path for
+    quantiles: mergeable sketches, no per-group sort. Rows-only check
+    (approximation differs across engines by design)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("quantiles")
+    )
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface sweep: string / math / date-time / JSON /
+    conditional functions in one projection, every expression paired
+    with a portable oracle equivalent (the engine's "function library"
+    conformance query)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        # string
+        F.upper("event_type").alias("s_upper"),
+        F.substring("event_type", 1, 3).alias("s_substr"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("s_concat"),
+        F.length("props").alias("s_len"),
+        F.lpad(F.col("user_id").cast("string"), 5, "0").alias("s_lpad"),
+        F.reverse(F.col("event_type")).alias("s_reverse"),
+        F.translate("event_type", "aeiou", "AEIOU").alias("s_translate"),
+        # math
+        F.round(F.abs(F.col("value") - 100), 4).alias("m_abs"),
+        F.ceil("value").alias("m_ceil"),
+        F.floor("value").alias("m_floor"),
+        F.round(F.sqrt("value"), 6).alias("m_sqrt"),
+        F.round(F.log1p("value"), 6).alias("m_log1p"),
+        F.round(F.pow(F.col("value"), 0.25), 6).alias("m_pow"),
+        (F.col("event_id") % 7).alias("m_mod"),
+        F.sign(F.col("value") - 100).alias("m_sign"),
+        # date-time
+        F.year("ts").alias("d_year"),
+        F.month("ts").alias("d_month"),
+        F.dayofmonth("ts").alias("d_day"),
+        F.hour("ts").alias("d_hour"),
+        F.minute("ts").alias("d_minute"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d_fmt"),
+        F.unix_timestamp("ts").alias("d_epoch"),
+        # JSON + conditional
+        F.get_json_object("props", "$.k").cast("long").alias("j_k"),
+        F.when(F.col("value") > 100, "high").otherwise("low").alias("c_band"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ok")).alias("c_nullif"),
+    )
+
+
+SCALAR_FUNCTIONS_SQL = """
+SELECT event_id,
+       upper(event_type) AS s_upper,
+       substring(event_type, 1, 3) AS s_substr,
+       event_type || '-' || CAST(user_id AS VARCHAR) AS s_concat,
+       length(props) AS s_len,
+       lpad(CAST(user_id AS VARCHAR), 5, '0') AS s_lpad,
+       reverse(event_type) AS s_reverse,
+       translate(event_type, 'aeiou', 'AEIOU') AS s_translate,
+       round(abs(value - 100), 4) AS m_abs,
+       CAST(ceil(value) AS BIGINT) AS m_ceil,
+       CAST(floor(value) AS BIGINT) AS m_floor,
+       round(sqrt(value), 6) AS m_sqrt,
+       round(ln(1 + value), 6) AS m_log1p,
+       round(pow(value, 0.25), 6) AS m_pow,
+       event_id % 7 AS m_mod,
+       CAST(sign(value - 100) AS DOUBLE) AS m_sign,
+       CAST(year(ts) AS INTEGER) AS d_year,
+       CAST(month(ts) AS INTEGER) AS d_month,
+       CAST(day(ts) AS INTEGER) AS d_day,
+       CAST(hour(ts) AS INTEGER) AS d_hour,
+       CAST(minute(ts) AS INTEGER) AS d_minute,
+       strftime(ts, '%Y-%m-%d') AS d_fmt,
+       epoch(date_trunc('second', ts))::BIGINT AS d_epoch,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS j_k,
+       CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS c_band,
+       coalesce(nullif(event_type, 'error'), 'ok') AS c_nullif
+FROM events
+"""
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets over event_type × value band."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "band", F.when(F.col("value") > 100, "high").otherwise("low")
+    )
+    return ev.cube("event_type", "band").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, band, count(*) AS n, round(sum(value), 4) AS total
+FROM (SELECT *, CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS band FROM events)
+GROUP BY CUBE (event_type, band)
+"""
+
+
+QUERIES = {
+    "sessionize": sessionize,
+    "value_quantiles": value_quantiles,
+    "value_quantiles_approx": value_quantiles_approx,  # rows-only (sketch)
+    "scalar_functions": scalar_functions,
+    "events_cube": events_cube,
+}
+
+ORACLES = {
+    "sessionize": SESSIONIZE_SQL,
+    "value_quantiles": VALUE_QUANTILES_SQL,
+    "scalar_functions": SCALAR_FUNCTIONS_SQL,
+    "events_cube": EVENTS_CUBE_SQL,
+}

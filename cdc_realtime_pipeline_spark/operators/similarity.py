@@ -144,6 +144,105 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embeddings_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ τ, keep-min survivor.
+
+    Oracle-gated exact form: all-pairs on the id-ordered half-matrix
+    (a < b). At fixture scale the pair join is the honest baseline; the
+    100 TB path is the same verify step fed by LSH bucket candidates
+    (similarity_topk_lsh's signature join) instead of the full
+    half-matrix — candidates-then-verify, never a blind cross join.
+    """
+    tau = 0.95
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        # widen to double up front so the union with perturbed copies
+        # (double arithmetic) type-checks
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # The random fixture has no natural ≥τ pairs, so plant near-dups
+    # (vec_id+10000 = same vector nudged on its first coordinate) —
+    # otherwise the check is vacuously empty.
+    near = base.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.15)).otherwise(x)
+        ).alias("embedding"),
+    )
+    emb = base.unionByName(near)
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= tau)
+
+
+DEDUP_EMBEDDINGS_COSINE_SQL = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_concat([embedding[1]::DOUBLE + 0.15],
+                     list_transform(embedding[2:], x -> x::DOUBLE)) AS embedding
+  FROM embeddings WHERE vec_id % 9 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.embedding, b.embedding)
+               / (sqrt(list_dot_product(a.embedding, a.embedding))
+                  * sqrt(list_dot_product(b.embedding, b.embedding))),
+               6) AS cos
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.95
+"""
+
+
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to the nearest of K seed centroids,
+    probe only the query's cell, exact rerank inside it.
+
+    Deterministic centroids = the first K vectors by id (k-means init
+    seeds; a production build would iterate Lloyd's via repeated
+    groupBy-average — same plan shape). Rows-only check; recall
+    properties are asserted in tests/test_similarity.py.
+    """
+    k_cells = 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
+    )
+    # assign every vector to its max-cosine cell (broadcast centroids,
+    # one pass, rank window over k_cells candidates per vector)
+    scored = emb.join(F.broadcast(cents), how="cross").withColumn(
+        "cell_cos", cosine(F.col("embedding"), F.col("cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("cell_id").alias("qcell"),
+    )
+    cand = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    rer = cand.withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "vec_id", "cos")
+    )
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label norm/centroid-coordinate stats — array aggregation surface."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -173,10 +272,13 @@ GROUP BY label ORDER BY label
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_topk_lsh": similarity_topk_lsh,  # rows-only (see docstring)
+    "similarity_topk_ivf": similarity_topk_ivf,  # rows-only (see docstring)
+    "dedup_embeddings_cosine": dedup_embeddings_cosine,
     "embedding_label_stats": embedding_label_stats,
 }
 
 ORACLES = {
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,
+    "dedup_embeddings_cosine": DEDUP_EMBEDDINGS_COSINE_SQL,
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
 }

@@ -22,6 +22,7 @@ from cdc_realtime_pipeline_spark.operators import (
     cdc_ops,
     dashboard,
     dedup,
+    extended,
     multimodal,
     relational,
     similarity,
@@ -35,6 +36,7 @@ _MODULES = [
     window_agg,
     anomaly,
     relational,
+    extended,
     dedup,
     cdc_ops,
     text_ops,

@@ -123,6 +123,35 @@ def stream_cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on the natural key (W10, the INSERT IGNORE
+    analog): a CDC stream carrying ~10% re-delivered events is
+    deduplicated with streaming ``dropDuplicates`` state.
+
+    Oracle-gated: per-op counts after dedup must equal the batch
+    distinct counts DuckDB computes. (Production note: unbounded-key
+    streams bound the state with ``dropDuplicatesWithinWatermark``;
+    the fixture replay has no event-time watermark column ordering
+    guarantee, so the exact-state form is used here.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    with_dupes = events.unionAll(events.filter(F.col("event_id") % 10 == 0))
+    stream_dir = tempfile.mkdtemp(prefix="cdc_dedup_")
+    write_cdc_json_files(synthesize_cdc_json_from_events(with_dupes), stream_dir)
+    raw = spark.readStream.format("text").load(stream_dir)
+    deduped = parse_cdc_events(raw).dropDuplicates(["sequential_id"])
+    res = _memory_sink(deduped, "append")
+    return res.groupBy("op").agg(F.count("*").alias("n"))
+
+
+STREAM_DEDUP_COUNTS_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+       count(DISTINCT event_id) AS n
+FROM events
+GROUP BY 1
+"""
+
+
 def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful anomaly detector over the synthesized CDC stream.
 
@@ -150,10 +179,12 @@ from cdc_realtime_pipeline_spark.operators.window_agg import (  # noqa: E402
 QUERIES = {
     "stream_window_agg_5m": stream_window_agg_5m,
     "stream_cdc_parse": stream_cdc_parse,
+    "stream_dedup_counts": stream_dedup_counts,
     "stream_anomaly_alerts": stream_anomaly_alerts,  # rows-only
 }
 
 ORACLES = {
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     "stream_cdc_parse": CDC_ROUNDTRIP_SQL,
+    "stream_dedup_counts": STREAM_DEDUP_COUNTS_SQL,
 }

@@ -1,0 +1,57 @@
+"""TTL retention + compaction over the month-partitioned layout."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.operators.maintenance import (
+    compact_partition,
+    drop_expired_partitions,
+    list_month_partitions,
+    retention_horizon,
+)
+from cdc_realtime_pipeline_spark.session import load_table
+
+
+def _partitioned_table(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="ttl_") + "/t"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # spread fixture data over 3 synthetic months
+        "month", F.concat(F.lit("2024"), F.lpad((F.col("event_id") % 3 + 1).cast("string"), 2, "0"))
+    )
+    ev.write.partitionBy("month").parquet(out)
+    return out
+
+
+def test_ttl_drops_only_expired_months(spark, sf_dir):
+    out = _partitioned_table(spark, sf_dir)
+    months = list_month_partitions(out)
+    assert months == ["202401", "202402", "202403"]
+    keep = retention_horizon(months, keep_last=2)
+    dropped = drop_expired_partitions(out, keep)
+    assert dropped == ["202401"]
+    assert list_month_partitions(out) == ["202402", "202403"]
+    # remaining data intact and readable
+    left = spark.read.parquet(out)
+    assert left.select("month").distinct().count() == 2
+
+
+def test_ttl_idempotent(spark, sf_dir):
+    out = _partitioned_table(spark, sf_dir)
+    keep = retention_horizon(list_month_partitions(out), keep_last=2)
+    drop_expired_partitions(out, keep)
+    assert drop_expired_partitions(out, keep) == []  # second run: no-op
+
+
+def test_compaction_preserves_rows(spark, sf_dir):
+    out = _partitioned_table(spark, sf_dir)
+    part = os.path.join(out, "month=202401")
+    before = spark.read.parquet(part).count()
+    n_files = compact_partition(spark, out, "202401", target_files=1)
+    assert n_files >= 1
+    after_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(after_files) == 1
+    assert spark.read.parquet(part).count() == before

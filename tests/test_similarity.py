@@ -25,6 +25,28 @@ def test_bruteforce_topk_properties(spark, sf_dir):
         assert len(rs) == 5
 
 
+def test_ivf_results_carry_exact_scores(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.similarity import similarity_topk_ivf
+
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in similarity_topk_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = similarity_topk_ivf(spark, sf_dir).collect()
+    assert ivf
+    for r in ivf:
+        key = (r["query_id"], r["vec_id"])
+        if key in brute:
+            assert math.isclose(r["cos"], brute[key], abs_tol=1e-9)
+    # every query probes its own cell, so it must get a full top-K or
+    # the whole cell; either way ranks are 1..n contiguous
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r["rk"])
+    for rks in by_q.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
 def test_lsh_results_are_subset_with_exact_scores(spark, sf_dir):
     brute = {
         (r["query_id"], r["vec_id"]): r["cos"]
