@@ -107,5 +107,120 @@ FROM documents ORDER BY doc_id
 """
 
 
-QUERIES = {"media_features": media_features}
-ORACLES = {"media_features": MEDIA_FEATURES_SQL}
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, out_width int, out_height int, n_patches long"
+)
+
+
+def resize_and_patch(media: DataFrame, target: int = 224, patch: int = 16) -> DataFrame:
+    """Image-pipeline plumbing: resize-to-target + patch-count (the ViT
+    preprocessing shape), as an Arrow-batched transform.
+
+    The pixel work is stubbed (no image libs in this container — a real
+    deployment drops PIL into ``_resize_stub``); the aspect-ratio and
+    patch-grid math, batch iteration, and schema contract are real.
+    """
+
+    def _resize_stub(w: int, h: int, target_px: int) -> tuple[int, int]:
+        # preserve aspect ratio, short side → target (PIL.Image.resize
+        # would produce exactly these dims; bytes are not materialized).
+        # floor(x+0.5), not round(): Python round() is banker's rounding
+        # and would disagree with the SQL oracle on exact .5 halves.
+        def r(x: float) -> int:
+            return int(x + 0.5)
+
+        if w <= h:
+            return target_px, max(1, r(h * target_px / w))
+        return max(1, r(w * target_px / h)), target_px
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [_resize_stub(w, h, target) for w, h in zip(pdf["width"], pdf["height"])]
+            ow = [d[0] for d in dims]
+            oh = [d[1] for d in dims]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "out_width": ow,
+                    "out_height": oh,
+                    "n_patches": [(a // patch) * (b // patch) for a, b in dims],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/patch pipeline rolled up per media type — oracle recomputes
+    the deterministic geometry in SQL, gating the mapInPandas plumbing."""
+    out = resize_and_patch(synthesize_media(spark, sf_dir))
+    return (
+        out.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_patches").alias("total_patches"),
+            F.max("out_width").alias("max_w"),
+            F.max("out_height").alias("max_h"),
+        )
+    )
+
+
+MEDIA_RESIZE_STATS_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         CAST(doc_id % 640 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS h
+  FROM documents
+), resized AS (
+  SELECT doc_id, media_type,
+         CASE WHEN w <= h THEN 224 ELSE greatest(1, CAST(floor(w * 224.0 / h + 0.5) AS INTEGER)) END AS out_width,
+         CASE WHEN w <= h THEN greatest(1, CAST(floor(h * 224.0 / w + 0.5) AS INTEGER)) ELSE 224 END AS out_height
+  FROM m
+)
+SELECT media_type,
+       count(*) AS n,
+       CAST(sum((out_width // 16) * (out_height // 16)) AS BIGINT) AS total_patches,
+       max(out_width) AS max_w,
+       max(out_height) AS max_h
+FROM resized GROUP BY media_type
+"""
+
+
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction: ``from_json`` with a declared schema over
+    the ``props`` column (SURVEY §1.2 nested-JSON row), plus per-key
+    aggregation of the extracted field."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.withColumn("p", F.from_json("props", schema))
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+PROPS_JSON_EXTRACT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "media_features": media_features,
+    "media_resize_stats": media_resize_stats,
+    "props_json_extract": props_json_extract,
+}
+ORACLES = {
+    "media_features": MEDIA_FEATURES_SQL,
+    "media_resize_stats": MEDIA_RESIZE_STATS_SQL,
+    "props_json_extract": PROPS_JSON_EXTRACT_SQL,
+}
