@@ -64,6 +64,30 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # streaming micro-bench: full CDC fan-out (parse → raw + agg-partial
+    # sinks) over the events-derived topic, one availableNow cycle —
+    # checked against the reference's <5 s E2E target (README.md:181)
+    # at comparable batch sizes.
+    import tempfile
+
+    from cdc_realtime_pipeline_spark.cdc.envelope import synthesize_cdc_json_from_events
+    from cdc_realtime_pipeline_spark.session import load_table
+    from cdc_realtime_pipeline_spark.sources.cdc_file_source import write_cdc_json_files
+    from cdc_realtime_pipeline_spark.streaming.job import run_cdc_fanout
+
+    stream_dir = tempfile.mkdtemp(prefix="bench_stream_")
+    write_cdc_json_files(
+        synthesize_cdc_json_from_events(load_table(spark, sf_dir, "events")), stream_dir
+    )
+    t0 = time.time()
+    run_cdc_fanout(
+        spark,
+        stream_dir,
+        tempfile.mkdtemp(prefix="bench_out_"),
+        tempfile.mkdtemp(prefix="bench_ck_"),
+    )
+    timings["stream_cdc_fanout_e2e"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

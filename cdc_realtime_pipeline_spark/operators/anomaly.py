@@ -277,8 +277,52 @@ FROM ev WHERE cnt = {_RAPID_COUNT}
 """
 
 
+def alerts_large_trade_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 via a broadcast threshold-dimension join — the survey's
+    alternative to inline CASE tiers (SURVEY.md §2.2 P11): thresholds
+    live in a tiny dimension relation, joined broadcast so the fact
+    side never shuffles. The per-market-substring thresholds of the
+    reference (AnomalyDetector.java:182-196) become rows, not code.
+    """
+    thresholds = spark.createDataFrame(
+        [(0, _LARGE_T0), (1, _LARGE_T1), (2, _LARGE_DEFAULT)],
+        "tier int, threshold double",
+    )
+    ev = _events(spark, sf_dir).withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    return (
+        ev.join(F.broadcast(thresholds), "tier")
+        .filter(F.col("value") >= F.col("threshold"))
+        .select(
+            F.lit("LARGE_TRADE").alias("alert_type"),
+            F.col("user_id").alias("market"),
+            F.col("event_id").alias("trade_id"),
+            F.round("value", 4).alias("value"),
+            F.col("threshold"),
+            F.col("ts").alias("detected_at"),
+        )
+    )
+
+
+ALERTS_LARGE_TRADE_LOOKUP_SQL = f"""
+WITH thresholds(tier, threshold) AS (
+  VALUES (0, CAST({_LARGE_T0} AS DOUBLE)),
+         (1, CAST({_LARGE_T1} AS DOUBLE)),
+         (2, CAST({_LARGE_DEFAULT} AS DOUBLE))
+)
+SELECT 'LARGE_TRADE' AS alert_type,
+       user_id AS market,
+       event_id AS trade_id,
+       round(value, 4) AS value,
+       threshold,
+       ts AS detected_at
+FROM events JOIN thresholds ON CAST(user_id % 3 AS INTEGER) = tier
+WHERE value >= threshold
+"""
+
+
 QUERIES = {
     "alerts_large_trade": alerts_large_trade,
+    "alerts_large_trade_lookup_join": alerts_large_trade_lookup_join,
     "alerts_price_spike": alerts_price_spike,
     "alerts_volume_surge": alerts_volume_surge,
     "alerts_rapid_trades": alerts_rapid_trades,
@@ -286,6 +330,7 @@ QUERIES = {
 
 ORACLES = {
     "alerts_large_trade": ALERTS_LARGE_TRADE_SQL,
+    "alerts_large_trade_lookup_join": ALERTS_LARGE_TRADE_LOOKUP_SQL,
     "alerts_price_spike": ALERTS_PRICE_SPIKE_SQL,
     "alerts_volume_surge": ALERTS_VOLUME_SURGE_SQL,
     "alerts_rapid_trades": ALERTS_RAPID_TRADES_SQL,

@@ -138,6 +138,35 @@ def run_alert_stream(
     return q
 
 
+def debug_console_sink(df: DataFrame, label: str = "DEBUG", num_rows: int = 20):
+    """S6: the reference's ``.print("AGG")`` debug sinks
+    (CdcPipelineJob.java:74,85) — Spark's console format."""
+    return (
+        df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", "true")
+        .queryName(label)
+    )
+
+
+def write_sorted_at_rest(df: DataFrame, out_dir: str, month_col: str = "month") -> None:
+    """O4: MergeTree's ``ORDER BY (market, ts, id)`` physical sort-key
+    layout (clickhouse/init.sql:26) — month partitions with rows sorted
+    within each file so parquet row-group min/max stats give the same
+    range-scan locality MergeTree's primary index does."""
+    # month leads the sort so the writer's required ordering (partition
+    # columns first) is already satisfied — otherwise FileFormatWriter
+    # inserts its own non-stable sort by month and scrambles the
+    # secondary keys.
+    (
+        df.repartition(F.col(month_col))
+        .sortWithinPartitions(month_col, "market", "upbit_timestamp", "trade_id")
+        .write.mode("overwrite")
+        .partitionBy(month_col)
+        .parquet(out_dir)
+    )
+
+
 def read_merged_trade_agg(spark: SparkSession, out_base: str) -> DataFrame:
     """Merge-at-read of the fan-out's window-agg partials → final
     trade_aggregations relation (FIXTURES.md §A3 schema)."""

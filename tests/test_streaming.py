@@ -111,6 +111,54 @@ def test_alert_stream_matches_pure_function(spark, sf_dir):
     assert got_set == want_set
 
 
+def test_snapshot_union_tail_backfill(spark, sf_dir):
+    # S2: Debezium's snapshot-then-tail ≙ batch backfill ∪ streaming
+    # tail (SURVEY.md §2.1). Split the topic files in two; batch-read
+    # the "snapshot" half, stream the "tail" half, union must equal a
+    # full batch read.
+    import glob
+    import shutil
+
+    from cdc_realtime_pipeline_spark.streaming.stream_queries import _memory_sink
+
+    stream_dir, n_events = _make_stream(spark, sf_dir)
+    files = sorted(glob.glob(os.path.join(stream_dir, "part-*")))
+    assert len(files) >= 2
+    snap_dir = tempfile.mkdtemp(prefix="snap_")
+    tail_dir = tempfile.mkdtemp(prefix="tail_")
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(f, snap_dir)
+    for f in files[half:]:
+        shutil.copy(f, tail_dir)
+
+    snapshot = parse_cdc_events(read_cdc_batch(spark, snap_dir))
+    tail = parse_cdc_events(spark.readStream.format("text").load(tail_dir))
+    tail_materialized = _memory_sink(tail, "append")
+    combined = snapshot.unionByName(tail_materialized)
+    assert combined.count() == n_events
+    assert combined.select("sequential_id").distinct().count() == n_events
+
+
+def test_sorted_at_rest_layout(spark, sf_dir):
+    # O4: MergeTree ORDER BY layout — files sorted by (market, ts, id)
+    from cdc_realtime_pipeline_spark.streaming.job import write_sorted_at_rest
+
+    stream_dir, _ = _make_stream(spark, sf_dir)
+    parsed = parse_cdc_events(read_cdc_batch(spark, stream_dir)).withColumn(
+        "ts", F.timestamp_millis("upbit_timestamp")
+    )
+    out = tempfile.mkdtemp(prefix="sorted_") + "/t"
+    write_sorted_at_rest(parsed.withColumn("month", F.date_format("ts", "yyyyMM")), out)
+    # within any single file, rows must be non-decreasing on the sort key
+    import glob as g
+
+    some_file = sorted(g.glob(os.path.join(out, "month=*", "*.parquet")))[0]
+    pdf = spark.read.parquet(some_file).select("market", "upbit_timestamp").toPandas()
+    key = list(zip(pdf["market"], pdf["upbit_timestamp"]))
+    assert key == sorted(key)
+
+
 def test_latency_mv_merge_and_compact(spark, sf_dir):
     stream_dir, _ = _make_stream(spark, sf_dir)
     mv_dir = tempfile.mkdtemp(prefix="mv_") + "/t"
