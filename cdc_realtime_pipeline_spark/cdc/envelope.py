@@ -79,6 +79,44 @@ def parse_cdc_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def parse_cdc_events_with_audit(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse + audit columns instead of silent drops.
+
+    Same extraction as ``parse_cdc_events`` but every input row
+    survives, tagged ``_reject_reason ∈ {null, 'tombstone',
+    'malformed_json', 'no_row_image'}`` — the
+    ``columnNameOfCorruptRecord`` pattern (SURVEY.md §4 "lenient parse"
+    row) for pipelines that must account for every message. Filter
+    ``_reject_reason IS NULL`` to recover the strict parser's output.
+    """
+    parsed = raw.withColumn("_env", F.from_json(F.col(value_col), ENVELOPE_SCHEMA))
+    p = parsed.select(
+        F.col(value_col),
+        F.coalesce(F.col("_env.payload.op"), F.col("_env.op")).alias("op"),
+        F.coalesce(F.col("_env.payload.before"), F.col("_env.before")).alias("before"),
+        F.coalesce(F.col("_env.payload.after"), F.col("_env.after")).alias("after"),
+        F.coalesce(F.col("_env.payload.source.ts_ms"), F.col("_env.source.ts_ms")).alias(
+            "source_ts"
+        ),
+        F.coalesce(F.col("_env.payload.ts_ms"), F.col("_env.ts_ms")).alias("cdc_ts"),
+    )
+    data = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    p = p.withColumn("data", data)
+    reason = (
+        F.when(F.col(value_col).isNull(), F.lit("tombstone"))
+        .when(F.col("op").isNull() & F.col("data").isNull(), F.lit("malformed_json"))
+        .when(F.col("data").isNull(), F.lit("no_row_image"))
+        .when(F.col("op").isNull(), F.lit("malformed_json"))
+    )
+    return p.select(
+        F.coalesce(F.col("data.trade_id"), F.lit(0)).alias("trade_id"),
+        F.coalesce(F.col("data.market"), F.lit("UNKNOWN")).alias("market"),
+        _num(F.col("data.trade_price")).alias("trade_price"),
+        F.col("op"),
+        reason.alias("_reject_reason"),
+    )
+
+
 def synthesize_cdc_json_from_events(events: DataFrame) -> DataFrame:
     """Wrap driver-fixture ``events`` rows in Debezium-shaped JSON strings.
 

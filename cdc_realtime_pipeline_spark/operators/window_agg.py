@@ -138,5 +138,76 @@ GROUP BY 1, 2, 3
 """
 
 
-QUERIES = {"window_agg_5m": events_window_agg_5m}
-ORACLES = {"window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL}
+def events_window_agg_5m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same A1-A3 aggregate under hot-key salting (SURVEY §7 "salted
+    keys documented for hot markets").
+
+    Phase 1 aggregates on (window, key, salt) — a hot key's rows spread
+    over SALT_BUCKETS reducers; phase 2 merges the salt partials. All
+    aggregates are re-aggregable (counts/sums/min/max; avg carried as
+    sum+count; vwap finalized from merged sums), so the result is
+    bit-identical to the unsalted plan — it shares the same oracle.
+    The fixture's 150 uniform keys don't *need* salting; this is the
+    pattern proof for the BTC/ETH-dominated distribution the reference
+    ingests (FIXTURES.md §A1 "few hot keys").
+    """
+    salt_buckets = 8
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("double").alias("volume"),
+        F.col("event_type").isin("click", "purchase").alias("is_bid"),
+        (F.col("event_id") % salt_buckets).alias("salt"),
+    ).withColumn("amount", F.col("price") * F.col("volume"))
+    bid = F.sum(F.when(F.col("is_bid"), 1).otherwise(0))
+    phase1 = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "market", "salt")
+        .agg(
+            F.count("*").alias("cnt"),
+            bid.alias("bids"),
+            F.sum("amount").alias("amt"),
+            F.sum("volume").alias("vol"),
+            F.sum("price").alias("price_sum"),
+            F.min("price").alias("min_p"),
+            F.max("price").alias("max_p"),
+        )
+    )
+    merged = phase1.groupBy("w", "market").agg(
+        F.sum("cnt").alias("trade_count"),
+        F.sum("bids").alias("bid_count"),
+        F.sum("amt").alias("total_amount"),
+        F.sum("vol").alias("total_volume"),
+        F.sum("price_sum").alias("price_sum"),
+        F.min("min_p").alias("min_price"),
+        F.max("max_p").alias("max_price"),
+    )
+    return merged.select(
+        "market",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "trade_count",
+        "bid_count",
+        (F.col("trade_count") - F.col("bid_count")).alias("ask_count"),
+        F.round("total_amount", 4).alias("total_amount"),
+        F.round("total_volume", 4).alias("total_volume"),
+        F.round(F.col("price_sum") / F.col("trade_count"), 4).alias("avg_price"),
+        F.round("min_price", 4).alias("min_price"),
+        F.round("max_price", 4).alias("max_price"),
+        F.round(
+            F.when(F.col("total_volume") > 0, F.col("total_amount") / F.col("total_volume"))
+            .otherwise(0.0),
+            4,
+        ).alias("vwap"),
+    )
+
+
+QUERIES = {
+    "window_agg_5m": events_window_agg_5m,
+    "window_agg_5m_salted": events_window_agg_5m_salted,
+}
+ORACLES = {
+    "window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
+    # salting must not change the answer — same oracle as the unsalted plan
+    "window_agg_5m_salted": EVENTS_WINDOW_AGG_5M_SQL,
+}

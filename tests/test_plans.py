@@ -1,0 +1,68 @@
+"""Physical-plan regression tests — pin the scale properties.
+
+A correct answer from a bad plan regresses silently at 100 TB; these
+assert the properties that matter (pushdown, pruning, broadcast, no
+cartesian products, top-K without global sort) straight from
+``explain`` output, so a refactor that loses them fails CI.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from cdc_realtime_pipeline_spark.plans.registry import all_queries
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "tpch_q1", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, "dash_total_trades", sf_dir)
+    # a count over one predicate column must read exactly that column
+    assert "ReadSchema: struct<event_type:string>" in plan
+
+
+def test_star_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, "region_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dims are hinted broadcast
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, "dash_recent_alerts", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no full range sort
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    plan = _plan(spark, "window_agg_5m", sf_dir)
+    # two HashAggregate phases = map-side partial + final after shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    plan = _plan(spark, "order_priority_counts", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_no_python_eval_in_scalar_pipelines(spark, sf_dir):
+    # text/dedup/CDC hot paths must stay JVM-side: no row-at-a-time
+    # Python UDF nodes anywhere in the plan (AQE explain hides codegen
+    # stage boundaries pre-execution, so assert the absence of Python
+    # eval rather than the presence of codegen spans)
+    for name in ["text_quality", "dedup_docs_exact", "cdc_roundtrip", "text_lang_id"]:
+        plan = _plan(spark, name, sf_dir)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
