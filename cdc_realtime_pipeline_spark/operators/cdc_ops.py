@@ -89,12 +89,70 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the current-state table from a change log.
+
+    The core CDC "apply" semantics (the MySQL table the reference's
+    binlog describes): per primary key, take the latest change by
+    (cdc_ts, sequential_id); a final ``op='d'`` removes the row. On a
+    Delta/Iceberg deployment this is MERGE INTO; here it's the engine-
+    level emulation — rank window on the key, keep rank 1, drop
+    deletes (guide: "CDC / SCD2 → anti-join + union + window").
+
+    One shuffle on the key. To exercise updates, the synthesized log
+    replays every 5th event a second time with a bumped cdc_ts and
+    doubled price — apply must surface the*second* version.
+    """
+    events = _parallel_events(spark, sf_dir)
+    base = synthesize_cdc_json_from_events(events)
+    # second version of every 5th row: doubled value, later cdc_ts
+    updates = synthesize_cdc_json_from_events(
+        events.filter(F.col("event_id") % 5 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    log = parse_cdc_events(base.unionAll(updates))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("trade_id").orderBy(
+        F.desc("cdc_ts"), F.desc("sequential_id")
+    )
+    latest = log.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return (
+        latest.filter(F.col("op") != "d")
+        .select(
+            "trade_id",
+            "market",
+            F.round("trade_price", 4).alias("trade_price"),
+            "ask_bid",
+            "upbit_timestamp",
+        )
+    )
+
+
+# the oracle reconstructs apply semantics directly: non-error events
+# (op='c') survive; every 5th takes its updated (doubled) price; error
+# events are deletes and vanish.
+CDC_APPLY_CHANGES_SQL = """
+SELECT event_id AS trade_id,
+       'M-' || CAST(user_id AS VARCHAR) AS market,
+       round(CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END, 4) AS trade_price,
+       CASE WHEN event_type IN ('click','purchase') THEN 'BID' ELSE 'ASK' END AS ask_bid,
+       CASE WHEN event_id % 5 = 0 THEN epoch_ms(ts + INTERVAL 1 HOUR) ELSE epoch_ms(ts) END
+         AS upbit_timestamp
+FROM events
+WHERE event_type != 'error'
+"""
+
+
 QUERIES = {
     "cdc_roundtrip": cdc_roundtrip,
     "cdc_op_filtered_counts": cdc_op_filtered_counts,
+    "cdc_apply_changes": cdc_apply_changes,
 }
 
 ORACLES = {
     "cdc_roundtrip": CDC_ROUNDTRIP_SQL,
     "cdc_op_filtered_counts": CDC_OP_FILTERED_COUNTS_SQL,
+    "cdc_apply_changes": CDC_APPLY_CHANGES_SQL,
 }

@@ -80,6 +80,55 @@ GROUP BY 1, 2
 """
 
 
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the built-in ``session_window`` (the streaming-
+    capable form of ``sessionize`` — same gap semantics, window merging
+    handled by the engine). session end = last event + gap, so the
+    oracle derives it as max(ts) + interval.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+SESSIONIZE_NATIVE_SQL = f"""
+WITH ev AS (
+  SELECT *,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+), sessions AS (
+  SELECT *,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event_type (ClickHouse
     ``quantile`` surface). Exact percentile sorts within groups — fine
@@ -206,6 +255,7 @@ GROUP BY CUBE (event_type, band)
 
 QUERIES = {
     "sessionize": sessionize,
+    "sessionize_native": sessionize_native,
     "value_quantiles": value_quantiles,
     "value_quantiles_approx": value_quantiles_approx,  # rows-only (sketch)
     "scalar_functions": scalar_functions,
@@ -214,6 +264,7 @@ QUERIES = {
 
 ORACLES = {
     "sessionize": SESSIONIZE_SQL,
+    "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
     "scalar_functions": SCALAR_FUNCTIONS_SQL,
     "events_cube": EVENTS_CUBE_SQL,
