@@ -234,6 +234,74 @@ WHERE rn > {_SURGE_MIN_SAMPLES} AND ema_prev > 0 AND vol >= {_SURGE_MULT} * ema_
 """
 
 
+def ema_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 as a standalone operator: per-key exponential moving average
+    (α=0.05, seeded with the first value — AnomalyDetector.java:133-154),
+    final value and sample count per key.
+
+    Same closed-form-via-cumsum construction as the volume-surge rule;
+    the last row per key carries the final EMA.
+    """
+    a = _EMA_ALPHA
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("double").alias("vol"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ev = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("w_i", F.col("vol") * F.pow(F.lit(1 - a), -F.col("rn")))
+        .withColumn("cum_w", F.sum("w_i").over(wcum))
+        .withColumn("first_vol", F.first("vol").over(wcum))
+    )
+    ema_k = F.pow(F.lit(1 - a), F.col("rn") - 1) * F.col("first_vol") + F.lit(a) * (
+        F.pow(F.lit(1 - a), F.col("rn"))
+        * (F.col("cum_w") - F.col("first_vol") * F.pow(F.lit(1 - a), F.lit(-1.0)))
+    )
+    ev = ev.withColumn("ema_k", ema_k)
+    wmax = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("max_rn", F.max("rn").over(wmax))
+        .filter(F.col("rn") == F.col("max_rn"))
+        .select(
+            F.col("user_id"),
+            F.col("rn").alias("n_samples"),
+            F.round("ema_k", 6).alias("ema"),
+        )
+    )
+
+
+EMA_PER_KEY_SQL = f"""
+WITH ev AS (
+  SELECT event_id, ts, user_id,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS vol,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), cum AS (
+  SELECT *,
+         sum(vol * power({1 - _EMA_ALPHA}, -rn))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         first_value(vol)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_vol
+  FROM ev
+), ema AS (
+  SELECT *,
+         power({1 - _EMA_ALPHA}, rn - 1) * first_vol
+           + {_EMA_ALPHA} * (power({1 - _EMA_ALPHA}, rn)
+               * (cum_w - first_vol * power({1 - _EMA_ALPHA}, -1.0))) AS ema_k,
+         max(rn) OVER (PARTITION BY user_id) AS max_rn
+  FROM cum
+)
+SELECT user_id, rn AS n_samples, round(ema_k, 6) AS ema
+FROM ema WHERE rn = max_rn
+"""
+
+
 def alerts_rapid_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6: rolling count per key over a time range; fire exactly at ==N.
 
@@ -326,6 +394,7 @@ QUERIES = {
     "alerts_price_spike": alerts_price_spike,
     "alerts_volume_surge": alerts_volume_surge,
     "alerts_rapid_trades": alerts_rapid_trades,
+    "ema_per_key": ema_per_key,
 }
 
 ORACLES = {
@@ -334,4 +403,5 @@ ORACLES = {
     "alerts_price_spike": ALERTS_PRICE_SPIKE_SQL,
     "alerts_volume_surge": ALERTS_VOLUME_SURGE_SQL,
     "alerts_rapid_trades": ALERTS_RAPID_TRADES_SQL,
+    "ema_per_key": EMA_PER_KEY_SQL,
 }
