@@ -61,6 +61,33 @@ def get_spark(
     return spark
 
 
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Make any externally-created SparkSession engine-ready.
+
+    The driver contract hands us *its* session, not ours — so the
+    runtime-settable requirements are applied here, idempotently, on
+    every table load: ns-timestamp parquet reads (the fixtures store
+    TIMESTAMP(NANOS), which Spark 4 otherwise refuses), UTC session
+    timezone (oracle comparability), and AQE.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+    # Stateful streaming can't use AQE partition coalescing, so the
+    # 200-partition default burns task overhead on small state. Only
+    # touch it when it is exactly the untouched default — a deliberate
+    # cluster-tuned value passes through.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
+    return spark
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-generated parquet tables.
 
@@ -68,6 +95,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     long (``nanosAsLong``); convert to a proper µs TimestampType here
     (fixture values are µs-aligned, so the division is exact).
     """
+    ensure_engine_conf(spark)
     return convert_ns_timestamps(
         spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     )
@@ -88,4 +116,5 @@ def convert_ns_timestamps(df):
 def raw_schema(spark: SparkSession, sf_dir: str, name: str):
     """Parquet schema as Spark reads it (ts stays LongType ns) — for
     file-stream sources, which need the pre-conversion schema."""
+    ensure_engine_conf(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
