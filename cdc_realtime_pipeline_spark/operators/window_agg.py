@@ -202,12 +202,52 @@ def events_window_agg_5m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_window_agg_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window: 10-minute windows every 5 minutes —
+    each event lands in exactly two windows. ``F.window(ts, size,
+    slide)`` plans an explode over the overlapping windows then the
+    same partial+final hash aggregate; the oracle reproduces it with a
+    2-row bucket union.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            F.col("user_id").alias("market"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            "market",
+            F.col("w.start").alias("window_start"),
+            "n",
+            "total",
+        )
+    )
+
+
+EVENTS_WINDOW_AGG_SLIDING_SQL = """
+WITH buckets AS (
+  SELECT user_id AS market, value,
+         CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - off AS win_start_s
+  FROM events, (SELECT unnest([0, 300]) AS off)
+)
+SELECT market,
+       make_timestamp(win_start_s * 1000000) AS window_start,
+       count(*) AS n,
+       round(sum(value), 4) AS total
+FROM buckets
+GROUP BY market, win_start_s
+"""
+
+
 QUERIES = {
     "window_agg_5m": events_window_agg_5m,
     "window_agg_5m_salted": events_window_agg_5m_salted,
+    "window_agg_sliding": events_window_agg_sliding,
 }
 ORACLES = {
     "window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     # salting must not change the answer — same oracle as the unsalted plan
     "window_agg_5m_salted": EVENTS_WINDOW_AGG_5M_SQL,
+    "window_agg_sliding": EVENTS_WINDOW_AGG_SLIDING_SQL,
 }

@@ -26,6 +26,7 @@ from cdc_realtime_pipeline_spark.operators import (
     multimodal,
     relational,
     similarity,
+    temporal,
     text_ops,
     window_agg,
 )
@@ -37,6 +38,7 @@ _MODULES = [
     anomaly,
     relational,
     extended,
+    temporal,
     dedup,
     cdc_ops,
     text_ops,
