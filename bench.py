@@ -35,11 +35,17 @@ BENCH_QUERIES = [
     "alerts_price_spike",
     "alerts_rapid_trades",
     "cdc_roundtrip",
+    "cdc_apply_changes",
     "dedup_events_exact",
     "dedup_docs_exact",
+    "dedup_docs_jaccard",
     "text_quality",
     "text_lang_id",
     "similarity_topk_bruteforce",
+    "window_agg_sliding",
+    "sessionize_native",
+    "asof_join_last_click",
+    "bucketized_range_join",
 ]
 
 
