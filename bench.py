@@ -59,8 +59,21 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
-    # JVM/codegen warmup on a tiny query so q1 doesn't pay startup costs.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # JVM/codegen/noop-writer warmup on tiny data so the first timed
+    # query doesn't absorb one-time init costs (JIT, codegen cache,
+    # broadcast machinery).
+    from pyspark.sql import functions as F
+
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
