@@ -119,9 +119,10 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-K: probe only the query's LSH bucket, then exact rerank.
 
     8 hyperplanes → 256 buckets; recall is tunable via planes/probes.
-    Rows-only driver check (bucketing maths is pathological in the
-    oracle dialect); recall vs brute force is asserted in
-    tests/test_similarity.py.
+    Oracle-gated: the seeded hyperplanes embed as literals in the
+    oracle SQL, and both engines compute dot products in the same
+    sequential order, so bucket signatures match exactly; recall vs
+    brute force is additionally asserted in tests/test_similarity.py.
     """
     planes = _hyperplanes(8, 64)
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -206,8 +207,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic centroids = the first K vectors by id (k-means init
     seeds; a production build would iterate Lloyd's via repeated
-    groupBy-average — same plan shape). Rows-only check; recall
-    properties are asserted in tests/test_similarity.py.
+    groupBy-average — same plan shape). Oracle-gated: assignment and
+    rerank reproduce exactly in the oracle dialect; recall properties
+    are additionally asserted in tests/test_similarity.py.
     """
     k_cells = 4
     emb = load_table(spark, sf_dir, "embeddings")
@@ -269,16 +271,92 @@ GROUP BY label ORDER BY label
 """
 
 
+def _lsh_oracle_sql() -> str:
+    """Oracle for the LSH path: the hyperplanes are deterministic
+    (seeded LCG), so they embed as double literals; sign bits come from
+    the same sequential-order dot product (`list_dot_product`), making
+    signatures — and therefore buckets — identical across engines."""
+    planes = _hyperplanes(8, 64)
+    sig_expr = " || ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {sig_expr} AS sig
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, e AS qv, sig AS qsig FROM sigs WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, s.vec_id,
+         round(list_dot_product(qv, s.e)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(s.e, s.e))),
+               6) AS cos
+  FROM sigs s JOIN q ON s.sig = q.qsig AND s.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+SIMILARITY_TOPK_IVF_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell_id, e AS cent FROM emb WHERE vec_id < 4
+),
+cell_scored AS (
+  SELECT emb.vec_id, emb.e, cents.cell_id,
+         list_dot_product(e, cent)
+           / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cent, cent))) AS cell_cos
+  FROM emb CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, e, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id ASC) AS ark
+    FROM cell_scored
+  ) WHERE ark = 1
+),
+q AS (
+  SELECT vec_id AS query_id, e AS qv, cell_id AS qcell
+  FROM assigned WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(qv, a.e)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.e, a.e))),
+               6) AS cos
+  FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
-    "similarity_topk_lsh": similarity_topk_lsh,  # rows-only (see docstring)
-    "similarity_topk_ivf": similarity_topk_ivf,  # rows-only (see docstring)
+    "similarity_topk_lsh": similarity_topk_lsh,
+    "similarity_topk_ivf": similarity_topk_ivf,
     "dedup_embeddings_cosine": dedup_embeddings_cosine,
     "embedding_label_stats": embedding_label_stats,
 }
 
 ORACLES = {
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,
+    "similarity_topk_lsh": _lsh_oracle_sql(),
+    "similarity_topk_ivf": SIMILARITY_TOPK_IVF_SQL,
     "dedup_embeddings_cosine": DEDUP_EMBEDDINGS_COSINE_SQL,
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
 }
