@@ -159,6 +159,68 @@ def test_sorted_at_rest_layout(spark, sf_dir):
     assert key == sorted(key)
 
 
+def test_stateful_alert_stream_recovers_state_across_restart(spark, sf_dir):
+    # W9 for the stateful path: stop after half the input, restart from
+    # the checkpoint with the rest — alerts must equal a one-shot run
+    # (PRICE_SPIKE/EMA state crosses the restart boundary)
+    # split by event-id range (arrival order, like a time-ordered
+    # topic) — an arbitrary file split would interleave each key's
+    # sequence across batches, which no ordered transport does
+    import shutil
+
+    events = load_table(spark, sf_dir, "events")
+    median = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    first = events.filter(F.col("event_id") <= median)
+    second = events.filter(F.col("event_id") > median)
+
+    staged = tempfile.mkdtemp(prefix="staged_")
+    out = tempfile.mkdtemp(prefix="alerts_out_")
+    ckpt = tempfile.mkdtemp(prefix="alerts_ck_")
+
+    def _stage(df, tag):
+        d = tempfile.mkdtemp(prefix=f"half_{tag}_")
+        write_cdc_json_files(synthesize_cdc_json_from_events(df), d)
+        for i, f in enumerate(sorted(os.listdir(d))):
+            if not f.startswith("part-"):
+                continue
+            shutil.copy(os.path.join(d, f), os.path.join(staged, f"{tag}-{i}.txt"))
+
+    _stage(first, "a")
+    run_alert_stream(spark, staged, out, ckpt)
+    _stage(second, "b")
+    run_alert_stream(spark, staged, out, ckpt)  # restart: resumes state
+
+    restarted = {
+        (r["market"], r["alert_type"], r["trade_id"])
+        for r in spark.read.parquet(os.path.join(out, "anomaly_alerts")).collect()
+    }
+
+    out2 = tempfile.mkdtemp(prefix="alerts_once_")
+    ck2 = tempfile.mkdtemp(prefix="alerts_onceck_")
+    oneshot_dir = tempfile.mkdtemp(prefix="oneshot_src_")
+    write_cdc_json_files(synthesize_cdc_json_from_events(events), oneshot_dir)
+    run_alert_stream(spark, oneshot_dir, out2, ck2)
+    oneshot = {
+        (r["market"], r["alert_type"], r["trade_id"])
+        for r in spark.read.parquet(os.path.join(out2, "anomaly_alerts")).collect()
+    }
+    assert restarted == oneshot
+
+
+def test_corrupt_records_mid_stream_do_not_kill_the_query(spark, sf_dir):
+    # failure-injection analog (SURVEY §5): malformed JSON lines and
+    # tombstones interleaved with good events — the stream completes
+    # and parses exactly the good rows
+    from cdc_realtime_pipeline_spark.streaming.stream_queries import _memory_sink
+
+    stream_dir, n_events = _make_stream(spark, sf_dir)
+    with open(os.path.join(stream_dir, "part-corrupt.txt"), "w") as f:
+        f.write("{broken json\n\nnot json at all\n{\"payload\": null}\n")
+    parsed = parse_cdc_events(spark.readStream.format("text").load(stream_dir))
+    res = _memory_sink(parsed, "append")
+    assert res.count() == n_events  # good rows all parsed, bad rows dropped
+
+
 def test_tws_detector_matches_applyinpandas_detector(spark, sf_dir):
     # the transformWithStateInPandas implementation must emit exactly
     # the alerts the applyInPandasWithState one does
