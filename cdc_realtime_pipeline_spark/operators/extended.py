@@ -236,6 +236,73 @@ FROM events
 """
 
 
+def stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface per event_type: sample/population
+    variance and stddev, correlation, covariance. (Skewness/kurtosis
+    are exposed by the engine but not oracle-gated — Spark uses
+    population formulas where the oracle dialect bias-corrects.)"""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("double")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 6).alias("stddev_s"),
+            F.round(F.stddev_pop("value"), 6).alias("stddev_p"),
+            F.round(F.var_samp("value"), 6).alias("var_s"),
+            F.round(F.var_pop("value"), 6).alias("var_p"),
+            F.round(F.corr("value", "k"), 6).alias("corr_vk"),
+            F.round(F.covar_samp("value", "k"), 6).alias("covar_s"),
+            F.round(F.covar_pop("value", "k"), 6).alias("covar_p"),
+        )
+    )
+
+
+STATS_FUNCTIONS_SQL = """
+SELECT event_type,
+       round(stddev_samp(value), 6) AS stddev_s,
+       round(stddev_pop(value), 6) AS stddev_p,
+       round(var_samp(value), 6) AS var_s,
+       round(var_pop(value), 6) AS var_p,
+       round(corr(value, k), 6) AS corr_vk,
+       round(covar_samp(value, k), 6) AS covar_s,
+       round(covar_pop(value, k), 6) AS covar_p
+FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window-function surface: rank/dense_rank/percent_rank/
+    cume_dist/ntile over a deterministic per-key order."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+WINDOW_RANK_FUNCTIONS_SQL = """
+SELECT user_id, event_id,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM events
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+
+
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets over event_type × value band."""
     ev = load_table(spark, sf_dir, "events").withColumn(
@@ -259,6 +326,8 @@ QUERIES = {
     "value_quantiles": value_quantiles,
     "value_quantiles_approx": value_quantiles_approx,  # rows-only (sketch)
     "scalar_functions": scalar_functions,
+    "stats_functions": stats_functions,
+    "window_rank_functions": window_rank_functions,
     "events_cube": events_cube,
 }
 
@@ -267,5 +336,7 @@ ORACLES = {
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
     "scalar_functions": SCALAR_FUNCTIONS_SQL,
+    "stats_functions": STATS_FUNCTIONS_SQL,
+    "window_rank_functions": WINDOW_RANK_FUNCTIONS_SQL,
     "events_cube": EVENTS_CUBE_SQL,
 }

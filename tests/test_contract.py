@@ -1,0 +1,48 @@
+"""Driver-contract shape tests: the invariants the harness depends on."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+
+def test_every_oracle_has_a_query():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # oracle coverage stays the dominant mode — regressions here mean a
+    # query silently lost its stronger check
+    assert len(oracles) >= 0.9 * len(qs)
+
+
+def test_query_names_are_stable_identifiers():
+    for name in entrymod.queries():
+        assert name == name.lower()
+        assert " " not in name
+
+
+def test_audit_parser_accounts_for_every_input(spark):
+    from cdc_realtime_pipeline_spark.cdc.envelope import (
+        parse_cdc_events,
+        parse_cdc_events_with_audit,
+    )
+
+    import json
+
+    good = json.dumps(
+        {"payload": {"after": {"trade_id": 1, "market": "m"}, "op": "c",
+                     "ts_ms": 1, "source": {"ts_ms": 0}}}
+    )
+    no_image = json.dumps({"payload": {"op": "c", "ts_ms": 1, "source": {"ts_ms": 0}}})
+    rows = [(good,), ("{broken",), (None,), (no_image,)]
+    df = spark.createDataFrame(rows, "value string")
+    audited = parse_cdc_events_with_audit(df).collect()
+    assert len(audited) == len(rows)  # nothing silently dropped
+    reasons = sorted((r["_reject_reason"] or "ok") for r in audited)
+    assert reasons == ["malformed_json", "no_row_image", "ok", "tombstone"]
+    # strict parser ≡ audit rows with no reject reason
+    strict = parse_cdc_events(df).count()
+    assert strict == sum(1 for r in audited if r["_reject_reason"] is None)
