@@ -284,8 +284,112 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION surface: users who purchased but
+    never errored, intersected with high-value users."""
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    error_heavy = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 15)
+        .select("user_id")
+    )
+    high_value = (
+        ev.groupBy("user_id")
+        .agg(F.sum("value").alias("total"))
+        .filter(F.col("total") > 3000)
+        .select("user_id")
+    )
+    return (
+        purchasers.exceptAll(error_heavy).intersect(high_value).orderBy("user_id")
+    )
+
+
+SET_OPERATIONS_SQL = """
+(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ EXCEPT
+ SELECT user_id FROM events WHERE event_type = 'error'
+ GROUP BY user_id HAVING count(*) >= 15)
+INTERSECT
+SELECT user_id FROM events GROUP BY user_id HAVING sum(value) > 3000
+ORDER BY user_id
+"""
+
+
+def big_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: HAVING over a grouped subquery feeding a join
+    — the aggregate-then-join shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+
+
+BIG_ORDERS_HAVING_SQL = """
+SELECT o_orderkey, o_orderdate, round(o_totalprice, 4) AS o_totalprice,
+       round(total_qty, 4) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+  ON o_orderkey = big.l_orderkey
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection function surface over collected per-user event
+    types: sort, distinct, set ops, size, membership."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("types")
+    )
+    return per_user.select(
+        "user_id",
+        "types",
+        F.size("types").alias("n_types"),
+        F.array_contains("types", "error").alias("has_error"),
+        F.array_sort(
+            F.array_except("types", F.array(F.lit("click"), F.lit("view")))
+        ).alias("non_browse"),
+        F.sort_array(
+            F.array_intersect("types", F.array(F.lit("purchase"), F.lit("signup")))
+        ).alias("conversion"),
+    ).orderBy("user_id")
+
+
+ARRAY_FUNCTIONS_SQL = """
+WITH per_user AS (
+  SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+  FROM events WHERE user_id < 20 GROUP BY user_id
+)
+SELECT user_id,
+       types,
+       len(types) AS n_types,
+       list_contains(types, 'error') AS has_error,
+       list_sort(list_filter(types, t -> t NOT IN ('click', 'view'))) AS non_browse,
+       list_sort(list_filter(types, t -> t IN ('purchase', 'signup'))) AS conversion
+FROM per_user ORDER BY user_id
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
+    "set_operations": set_operations,
+    "big_orders_having": big_orders_having,
+    "array_functions": array_functions,
     "revenue_top_orders": revenue_top_orders,
     "region_revenue": region_revenue,
     "top_parts_per_supplier": top_parts_per_supplier,
@@ -298,6 +402,9 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q1": TPCH_Q1_SQL,
+    "set_operations": SET_OPERATIONS_SQL,
+    "big_orders_having": BIG_ORDERS_HAVING_SQL,
+    "array_functions": ARRAY_FUNCTIONS_SQL,
     "revenue_top_orders": REVENUE_TOP_ORDERS_SQL,
     "region_revenue": REGION_REVENUE_SQL,
     "top_parts_per_supplier": TOP_PARTS_PER_SUPPLIER_SQL,
