@@ -62,10 +62,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
 
-    from cdc_realtime_pipeline_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark("correctness_check")
+    if os.environ.get("CHECK_VANILLA_SESSION"):
+        # driver simulation: a bare session with none of our configs —
+        # the engine must self-configure (session.ensure_engine_conf)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[*]").appName("vanilla").getOrCreate()
+    else:
+        from cdc_realtime_pipeline_spark.session import get_spark
+
+        spark = get_spark("correctness_check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
