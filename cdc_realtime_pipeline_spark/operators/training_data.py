@@ -1,0 +1,217 @@
+"""End-to-end training-data preparation — the north-star composition.
+
+A complete corpus-preparation pipeline chaining the engine's text and
+dedup operators the way a real LLM-data job would
+(C4/Gopher/RefinedWeb-style public recipes):
+
+    language filter → quality filter → exact dedup (content hash)
+    → shard assignment → per-shard token accounting
+
+plus embedding preprocessing (L2-normalize + int8 quantize) for the
+retrieval side. Every stage is the JVM-side declarative form already
+oracle-gated piecewise; these queries gate the *composition*.
+
+Scale: the pipeline is filter → filter → one dedup shuffle → one shard
+shuffle; shard assignment is content-hash based (deterministic,
+resume-safe) — at 100 TB each stage streams, nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.functions import text as TX
+from cdc_realtime_pipeline_spark.operators.dedup import docs_with_dupes
+from cdc_realtime_pipeline_spark.session import load_table
+
+QUALITY_MIN = 0.5
+N_SHARDS = 8
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus: lang ∈ {en,de,es,fr}, quality ≥ threshold,
+    exact-deduped on normalized content (min doc_id survives)."""
+    docs = docs_with_dupes(spark, sf_dir)  # corpus with planted dupes
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.content_fingerprint(F.col("text")).alias("content_hash"),
+    )
+    filtered = labeled.filter(
+        F.col("pred_lang").isin("en", "de", "es", "fr")
+        & (F.col("quality") >= QUALITY_MIN)
+    )
+    deduped = (
+        filtered.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("pred_lang").alias("pred_lang"),  # constant per hash
+            F.first("quality").alias("quality"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    return deduped
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline output contract: surviving docs with shard assignment
+    and whitespace-token counts, ready to write as training shards."""
+    docs = docs_with_dupes(spark, sf_dir).select("doc_id", "text")
+    cleaned = clean_corpus(spark, sf_dir).join(docs, "doc_id")
+    return cleaned.select(
+        "doc_id",
+        "pred_lang",
+        "quality",
+        "n_copies",
+        # deterministic content-based sharding: stable under reruns and
+        # resumable — never round-robin at scale
+        (
+            F.conv(F.substring(F.col("content_hash"), 1, 7), 16, 10).cast("long")
+            % N_SHARDS
+        ).alias("shard"),
+        TX.ws_token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+CORPUS_PREP_PIPELINE_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, substring(text, 1, 400) AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+scored AS (
+  SELECT doc_id, text,
+         CASE WHEN s_en <= 0 AND s_de <= 0 AND s_es <= 0 AND s_fr <= 0 AND s_zh <= 0 THEN 'en'
+              WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END AS pred_lang,
+         round(0.4 * least(CAST(length(text) AS DOUBLE) / 200.0, CAST(1.0 AS DOUBLE))
+               + 0.3 * (len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+                        / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1))
+               + 0.2 * (CASE WHEN length(text) / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) >= 3
+                              AND length(text) / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) <= 10
+                             THEN 1.0 ELSE 0.5 END)
+               + 0.1 * (1 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+                            / greatest(length(text), 1)) + 1e-9, 4) AS quality,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g'))) AS content_hash
+  FROM (
+    SELECT *,
+           {{s_en}} AS s_en, {{s_de}} AS s_de, {{s_es}} AS s_es, {{s_fr}} AS s_fr,
+           (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')))
+             / greatest(length(text), 1) AS s_zh
+    FROM docs
+  )
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE pred_lang IN ('en','de','es','fr') AND quality >= {QUALITY_MIN}
+),
+deduped AS (
+  SELECT min(doc_id) AS doc_id,
+         first(pred_lang) AS pred_lang,
+         first(quality) AS quality,
+         count(*) AS n_copies,
+         content_hash
+  FROM filtered GROUP BY content_hash
+)
+SELECT d.doc_id, d.pred_lang, d.quality, d.n_copies,
+       ('0x' || substr(d.content_hash, 1, 7))::BIGINT % {N_SHARDS} AS shard,
+       len(string_split_regex(trim(docs.text), '\s+')) AS n_tokens
+FROM deduped d JOIN docs ON d.doc_id = docs.doc_id
+"""
+
+
+def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard accounting: docs, tokens, mean quality — the numbers a
+    training job reads before consuming shards."""
+    p = corpus_prep_pipeline(spark, sf_dir)
+    return (
+        p.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def embeddings_preprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector preprocessing for retrieval: L2-normalize then symmetric
+    int8 quantization (round(127·x) clamped) — the storage-shrink step
+    before ANN indexing. All array expressions, JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(vec, lambda x: x / norm)
+    q = F.transform(
+        unit,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x * 127 + 0.5).cast("int"))
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(norm, 6).alias("l2_norm"),
+        q.alias("q_int8"),
+        F.round(F.aggregate(q, F.lit(0), lambda a, x: a + x * x).cast("double"), 1).alias(
+            "q_energy"
+        ),
+    )
+
+
+EMBEDDINGS_PREPROCESSED_SQL = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, l2_norm,
+         list_transform(e, x -> CAST(greatest(-127, least(127, floor(x / l2_norm * 127 + 0.5))) AS INTEGER)) AS q_int8
+  FROM v
+)
+SELECT vec_id, label,
+       round(l2_norm, 6) AS l2_norm,
+       q_int8,
+       round(CAST(list_sum(list_transform(q_int8, x -> x * x)) AS DOUBLE), 1) AS q_energy
+FROM q
+"""
+
+
+def _fill_lang_scores(sql: str) -> str:
+    from cdc_realtime_pipeline_spark.operators.text_ops import _marker_score_sql
+
+    return sql.format(
+        s_en=_marker_score_sql(TX.LANG_MARKERS["en"]),
+        s_de=_marker_score_sql(TX.LANG_MARKERS["de"]),
+        s_es=_marker_score_sql(TX.LANG_MARKERS["es"]),
+        s_fr=_marker_score_sql(TX.LANG_MARKERS["fr"]),
+    )
+
+
+QUERIES = {
+    "corpus_prep_pipeline": corpus_prep_pipeline,
+    "corpus_shard_stats": corpus_shard_stats,
+    "embeddings_preprocessed": embeddings_preprocessed,
+}
+
+ORACLES = {
+    "corpus_prep_pipeline": _fill_lang_scores(CORPUS_PREP_PIPELINE_SQL),
+    "corpus_shard_stats": (
+        "SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+        "round(avg(quality), 4) AS avg_quality FROM ("
+        + _fill_lang_scores(CORPUS_PREP_PIPELINE_SQL)
+        + ") p GROUP BY shard"
+    ),
+    "embeddings_preprocessed": EMBEDDINGS_PREPROCESSED_SQL,
+}

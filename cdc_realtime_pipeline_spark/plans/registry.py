@@ -28,6 +28,7 @@ from cdc_realtime_pipeline_spark.operators import (
     similarity,
     temporal,
     text_ops,
+    training_data,
     window_agg,
 )
 from cdc_realtime_pipeline_spark.streaming import stream_queries
@@ -44,6 +45,7 @@ _MODULES = [
     text_ops,
     similarity,
     multimodal,
+    training_data,
     stream_queries,
 ]
 
