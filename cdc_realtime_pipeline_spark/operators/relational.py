@@ -284,6 +284,89 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue: pure filter-and-sum — the query
+    whose whole cost is scan efficiency (all predicates push down)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+TPCH_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def tpch_q12_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: join + conditional counts by category (the
+    reference's bid/ask split shape over a join)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(urgent, 1)).alias("high_line_count"),
+            F.count(F.when(~urgent, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+TPCH_Q12_LIKE_SQL = """
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def tpch_q14_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share — conditional-sum ratio
+    over a broadcast part join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type") == "ECONOMY"  # fixture p_type domain: ECONOMY/.../STANDARD
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.lit(100.0) * F.sum(F.when(promo, rev).otherwise(0.0)) / F.sum(rev), 4
+        ).alias("economy_revenue_pct")
+    )
+
+
+TPCH_Q14_LIKE_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+              / sum(l_extendedprice * (1 - l_discount)), 4) AS economy_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
 def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION surface: users who purchased but
     never errored, intersected with high-value users."""
@@ -387,6 +470,9 @@ FROM per_user ORDER BY user_id
 
 QUERIES = {
     "tpch_q1": tpch_q1,
+    "tpch_q6": tpch_q6,
+    "tpch_q12_like": tpch_q12_like,
+    "tpch_q14_like": tpch_q14_like,
     "set_operations": set_operations,
     "big_orders_having": big_orders_having,
     "array_functions": array_functions,
@@ -402,6 +488,9 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q1": TPCH_Q1_SQL,
+    "tpch_q6": TPCH_Q6_SQL,
+    "tpch_q12_like": TPCH_Q12_LIKE_SQL,
+    "tpch_q14_like": TPCH_Q14_LIKE_SQL,
     "set_operations": SET_OPERATIONS_SQL,
     "big_orders_having": BIG_ORDERS_HAVING_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,

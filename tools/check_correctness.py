@@ -131,7 +131,10 @@ def main() -> int:
                 print(f"   duckdb-only (cols {dcols}): {only_d}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            # a 0==0 match proves nothing — flag it (this fixture has
+            # produced vacuous passes three separate times)
+            vacuous = "  [VACUOUS: 0 rows]" if not srows else ""
+            print(f"PASS {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]{vacuous}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
