@@ -47,7 +47,9 @@ _EMA_ALPHA = 0.05
 _SURGE_MULT = 2.0  # reference: 50× (AnomalyDetector.java:71)
 _SURGE_MIN_SAMPLES = 10  # reference: ≥50 samples (AnomalyDetector.java:137)
 _RAPID_WINDOW_MS = 3_600_000  # reference: 10 s (AnomalyDetector.java:75)
-_RAPID_COUNT = 5  # reference: 100 (AnomalyDetector.java:74)
+# reference: 100 (AnomalyDetector.java:74); 3 fires ~30×/month at the
+# fixture's ~2 events/user/day density — 5 would never fire (vacuous)
+_RAPID_COUNT = 3
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
