@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # dominate at scale (joins, window aggs, text/dedup pipelines).
 BENCH_QUERIES = [
     "tpch_q1",
+    "tpch_q6",
     "revenue_top_orders",
     "region_revenue",
     "top_parts_per_supplier",
@@ -42,6 +43,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_lang_id",
     "similarity_topk_bruteforce",
+    "corpus_prep_pipeline",
+    "embeddings_preprocessed",
     "window_agg_sliding",
     "sessionize_native",
     "asof_join_last_click",

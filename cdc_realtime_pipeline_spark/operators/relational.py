@@ -474,11 +474,65 @@ FROM per_user ORDER BY user_id
 """
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated aggregate: lineitems below 50% of
+    their part's average quantity. The correlated subquery becomes a
+    per-key window average — one shuffle, no per-row subquery
+    execution (the decorrelation Catalyst would do expressed
+    directly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    return flagged.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty")).agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        F.count("*").alias("n_small"),
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH flagged AS (
+  SELECT *, avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem
+)
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly, count(*) AS n_small
+FROM flagged WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive predicate join: OR-of-ANDs over
+    part attributes x lineitem ranges — the shape that tests predicate
+    handling (each disjunct still prunes via the join key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 15)) & (F.col("p_size") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 25)) & (F.col("p_size") <= 30))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("l_quantity") >= 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size <= 20)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size <= 30)
+   OR (p_type = 'ECONOMY' AND l_quantity >= 30)
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q6": tpch_q6,
     "tpch_q12_like": tpch_q12_like,
     "tpch_q14_like": tpch_q14_like,
+    "small_quantity_revenue": small_quantity_revenue,
+    "disjunctive_revenue": disjunctive_revenue,
     "set_operations": set_operations,
     "big_orders_having": big_orders_having,
     "array_functions": array_functions,
@@ -497,6 +551,8 @@ ORACLES = {
     "tpch_q6": TPCH_Q6_SQL,
     "tpch_q12_like": TPCH_Q12_LIKE_SQL,
     "tpch_q14_like": TPCH_Q14_LIKE_SQL,
+    "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
+    "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
     "set_operations": SET_OPERATIONS_SQL,
     "big_orders_having": BIG_ORDERS_HAVING_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,
