@@ -303,6 +303,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
 """
 
 
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface over order dates: add/sub,
+    diffs, month arithmetic, boundary snapping, ISO fields."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.date_sub(d, 7).alias("minus_7d"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.quarter(d).alias("q"),
+    )
+
+
+DATE_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+       CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE) AS minus_7d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets over event_type × value band."""
     ev = load_table(spark, sf_dir, "events").withColumn(
@@ -326,6 +362,7 @@ QUERIES = {
     "value_quantiles": value_quantiles,
     "value_quantiles_approx": value_quantiles_approx,  # rows-only (sketch)
     "scalar_functions": scalar_functions,
+    "date_functions": date_functions,
     "stats_functions": stats_functions,
     "window_rank_functions": window_rank_functions,
     "events_cube": events_cube,
@@ -336,6 +373,7 @@ ORACLES = {
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
     "scalar_functions": SCALAR_FUNCTIONS_SQL,
+    "date_functions": DATE_FUNCTIONS_SQL,
     "stats_functions": STATS_FUNCTIONS_SQL,
     "window_rank_functions": WINDOW_RANK_FUNCTIONS_SQL,
     "events_cube": EVENTS_CUBE_SQL,

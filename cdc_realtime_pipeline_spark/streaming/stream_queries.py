@@ -152,6 +152,36 @@ GROUP BY 1
 """
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization under Structured Streaming:
+    ``session_window`` with watermark, complete output — merged session
+    windows must equal the batch answer, which is this query's oracle
+    (same as ``sessionize_native``)."""
+    from cdc_realtime_pipeline_spark.operators.extended import SESSION_GAP_MIN
+    from cdc_realtime_pipeline_spark.session import convert_ns_timestamps, raw_schema
+
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        events_stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+    )
+    res = _memory_sink(agg, "complete")
+    return res.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        F.round("session_value", 4).alias("session_value"),
+    )
+
+
 def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful anomaly detector over the synthesized CDC stream.
 
@@ -172,6 +202,7 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_window_agg_5m shares the batch window-agg oracle;
 # stream_cdc_parse shares the batch round-trip oracle.
 from cdc_realtime_pipeline_spark.operators.cdc_ops import CDC_ROUNDTRIP_SQL  # noqa: E402
+from cdc_realtime_pipeline_spark.operators.extended import SESSIONIZE_NATIVE_SQL  # noqa: E402
 from cdc_realtime_pipeline_spark.operators.window_agg import (  # noqa: E402
     EVENTS_WINDOW_AGG_5M_SQL,
 )
@@ -180,6 +211,7 @@ QUERIES = {
     "stream_window_agg_5m": stream_window_agg_5m,
     "stream_cdc_parse": stream_cdc_parse,
     "stream_dedup_counts": stream_dedup_counts,
+    "stream_sessionize": stream_sessionize,
     "stream_anomaly_alerts": stream_anomaly_alerts,  # rows-only
 }
 
@@ -187,4 +219,5 @@ ORACLES = {
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     "stream_cdc_parse": CDC_ROUNDTRIP_SQL,
     "stream_dedup_counts": STREAM_DEDUP_COUNTS_SQL,
+    "stream_sessionize": SESSIONIZE_NATIVE_SQL,
 }
