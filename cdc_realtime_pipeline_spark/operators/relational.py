@@ -526,6 +526,111 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size <= 20)
 """
 
 
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: the minimum-cost row per group selected via a
+    rank window over a join (correlated-min decorrelated)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    j = li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("l_extendedprice"), F.asc("l_suppkey"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_partkey",
+            "s_name",
+            F.round("l_extendedprice", 4).alias("best_price"),
+        )
+    )
+
+
+CHEAPEST_SUPPLIER_PER_PART_SQL = """
+WITH ranked AS (
+  SELECT l_partkey, s_name, l_extendedprice,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice ASC, l_suppkey ASC,
+                                     l_orderkey ASC, l_linenumber ASC) AS rk
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT l_partkey, s_name, round(l_extendedprice, 4) AS best_price
+FROM ranked WHERE rk = 1
+"""
+
+
+def revenue_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via an unpartitioned window over the aggregate
+    (two-level: group first, then a single-row-broadcast-sized window
+    over the grouped result — never a window over the raw fact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.round("rev", 4).alias("revenue"),
+        F.round(F.lit(100.0) * F.col("rev") / F.sum("rev").over(w), 4).alias("pct_of_total"),
+    )
+
+
+REVENUE_SHARE_PER_NATION_SQL = """
+WITH per_nation AS (
+  SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, round(rev, 4) AS revenue,
+       round(100.0 * rev / sum(rev) OVER (), 4) AS pct_of_total
+FROM per_nation
+"""
+
+
+def cumulative_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum per key over day buckets — the
+    running-total dashboard shape."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("day_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.round("day_value", 4).alias("day_value"),
+        F.round(F.sum("day_value").over(w), 4).alias("running_value"),
+    )
+
+
+CUMULATIVE_DAILY_VALUE_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS day_value
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       round(day_value, 4) AS day_value,
+       round(sum(day_value) OVER (PARTITION BY user_id ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM daily
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q6": tpch_q6,
@@ -533,6 +638,9 @@ QUERIES = {
     "tpch_q14_like": tpch_q14_like,
     "small_quantity_revenue": small_quantity_revenue,
     "disjunctive_revenue": disjunctive_revenue,
+    "cheapest_supplier_per_part": cheapest_supplier_per_part,
+    "revenue_share_per_nation": revenue_share_per_nation,
+    "cumulative_daily_value": cumulative_daily_value,
     "set_operations": set_operations,
     "big_orders_having": big_orders_having,
     "array_functions": array_functions,
@@ -553,6 +661,9 @@ ORACLES = {
     "tpch_q14_like": TPCH_Q14_LIKE_SQL,
     "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
     "disjunctive_revenue": DISJUNCTIVE_REVENUE_SQL,
+    "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_PER_PART_SQL,
+    "revenue_share_per_nation": REVENUE_SHARE_PER_NATION_SQL,
+    "cumulative_daily_value": CUMULATIVE_DAILY_VALUE_SQL,
     "set_operations": SET_OPERATIONS_SQL,
     "big_orders_having": BIG_ORDERS_HAVING_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,
