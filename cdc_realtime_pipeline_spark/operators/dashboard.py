@@ -289,6 +289,37 @@ FROM partials ORDER BY minute
 """
 
 
+
+# -- latest value per key per day — the "current price" panel shape
+def latest_value_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        # max_by with a deterministic composite orderer (ts then id)
+        F.expr("max_by(value, struct(ts, event_id))").alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n"),
+    )
+    return daily.select(
+        "user_id", "day", F.round("last_value", 4).alias("last_value"), "last_ts", "n"
+    )
+
+
+LATEST_VALUE_PER_DAY_SQL = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rk,
+         count(*) OVER (PARTITION BY user_id, date_trunc('day', ts)) AS n
+  FROM events WHERE user_id < 20
+)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       round(value, 4) AS last_value, ts AS last_ts, n
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "dash_total_trades": total_trades,
     "dash_volume_last_day": volume_last_day,
@@ -302,6 +333,7 @@ QUERIES = {
     "dash_recent_alerts": recent_alerts,
     "dash_live_trades": live_trades,
     "dash_latency_mv_read": latency_mv_read,
+    "dash_latest_value_per_day": latest_value_per_day,
 }
 
 ORACLES = {
@@ -317,4 +349,5 @@ ORACLES = {
     "dash_recent_alerts": RECENT_ALERTS_SQL,
     "dash_live_trades": LIVE_TRADES_SQL,
     "dash_latency_mv_read": LATENCY_MV_READ_SQL,
+    "dash_latest_value_per_day": LATEST_VALUE_PER_DAY_SQL,
 }
