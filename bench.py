@@ -40,9 +40,13 @@ BENCH_QUERIES = [
     "dedup_events_exact",
     "dedup_docs_exact",
     "dedup_docs_jaccard",
+    "dedup_docs_levenshtein",
+    "dedup_embeddings_cosine",
+    "alerts_rapid_trades_reset",
     "text_quality",
     "text_lang_id",
     "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
     "corpus_prep_pipeline",
     "embeddings_preprocessed",
     "window_agg_sliding",
@@ -111,6 +115,21 @@ def main() -> None:
     timings["stream_cdc_fanout_e2e"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Regression table vs the stored round-1 baseline (BENCH_r01.json):
+    # per-query delta in seconds (negative = faster than baseline), so
+    # each round can answer "which queries regressed" mechanically.
+    deltas: dict[str, float] = {}
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    try:
+        with open(base_path) as f:
+            base = json.load(f)["parsed"]["queries"]
+        deltas = {
+            n: round(t - base[n], 3) for n, t in timings.items() if n in base
+        }
+    except (OSError, KeyError, ValueError):
+        pass
+
     print(
         json.dumps(
             {
@@ -118,6 +137,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "delta_vs_r1": deltas,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

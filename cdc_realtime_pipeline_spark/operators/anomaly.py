@@ -347,6 +347,82 @@ FROM ev WHERE cnt = {_RAPID_COUNT}
 """
 
 
+def alerts_rapid_trades_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 with the reference's exact reset-on-expiry counter semantics
+    (AnomalyDetector.java:156-175): per key, a window anchors at the
+    first trade; each trade inside windowStart+W increments the
+    counter, a trade past it resets (counter=1, windowStart=its ts);
+    fire exactly once when the counter hits ==N.
+
+    The recurrence is inherently sequential per key (windowStart
+    depends on every prior reset), so the batch form is
+    ``applyInPandas`` — one shuffle on the key, Arrow-batched loop
+    per key (bounded group size), no driver involvement. The oracle
+    replays the identical recurrence as a recursive CTE.
+    The rolling-range analog (``alerts_rapid_trades``) stays as the
+    pure-window alternative.
+    """
+    import pandas as pd
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        rows = []
+        win_start = None
+        cnt = 0
+        for r in pdf.itertuples(index=False):
+            tms = r.ts.value // 1_000_000  # pandas ns → epoch ms
+            if win_start is None or tms > win_start + _RAPID_WINDOW_MS:
+                win_start, cnt = tms, 1
+            else:
+                cnt += 1
+            if cnt == _RAPID_COUNT:
+                rows.append((r.user_id, r.event_id, float(cnt), r.ts))
+        return pd.DataFrame(
+            rows, columns=["market", "trade_id", "value", "detected_at"]
+        )
+
+    res = ev.groupBy("user_id").applyInPandas(
+        detect, "market bigint, trade_id bigint, value double, detected_at timestamp"
+    )
+    return res.select(
+        F.lit("RAPID_TRADES").alias("alert_type"),
+        "market",
+        "trade_id",
+        "value",
+        F.lit(float(_RAPID_COUNT)).alias("threshold"),
+        "detected_at",
+    )
+
+
+ALERTS_RAPID_TRADES_RESET_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, ts, epoch_ms(ts) AS tms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, event_id, ts, tms, rn, tms AS win_start, 1 AS cnt
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_id, e.ts, e.tms, e.rn,
+         CASE WHEN e.tms > w.win_start + {_RAPID_WINDOW_MS} THEN e.tms
+              ELSE w.win_start END,
+         CASE WHEN e.tms > w.win_start + {_RAPID_WINDOW_MS} THEN 1
+              ELSE w.cnt + 1 END
+  FROM ev e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT 'RAPID_TRADES' AS alert_type,
+       user_id AS market,
+       event_id AS trade_id,
+       CAST(cnt AS DOUBLE) AS value,
+       CAST({_RAPID_COUNT} AS DOUBLE) AS threshold,
+       ts AS detected_at
+FROM walk WHERE cnt = {_RAPID_COUNT}
+"""
+
+
 def alerts_large_trade_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 via a broadcast threshold-dimension join — the survey's
     alternative to inline CASE tiers (SURVEY.md §2.2 P11): thresholds
@@ -396,6 +472,7 @@ QUERIES = {
     "alerts_price_spike": alerts_price_spike,
     "alerts_volume_surge": alerts_volume_surge,
     "alerts_rapid_trades": alerts_rapid_trades,
+    "alerts_rapid_trades_reset": alerts_rapid_trades_reset,
     "ema_per_key": ema_per_key,
 }
 
@@ -405,5 +482,6 @@ ORACLES = {
     "alerts_price_spike": ALERTS_PRICE_SPIKE_SQL,
     "alerts_volume_surge": ALERTS_VOLUME_SURGE_SQL,
     "alerts_rapid_trades": ALERTS_RAPID_TRADES_SQL,
+    "alerts_rapid_trades_reset": ALERTS_RAPID_TRADES_RESET_SQL,
     "ema_per_key": EMA_PER_KEY_SQL,
 }

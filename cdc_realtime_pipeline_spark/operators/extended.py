@@ -158,10 +158,13 @@ GROUP BY event_type
 def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL/GK-sketch family) — the scale path for
     quantiles: mergeable sketches, no per-group sort. Rows-only check
-    (approximation differs across engines by design)."""
+    (approximation differs across engines by design). One scalar column
+    per percentile — the driver canonicalizer cannot hash array values."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("quantiles")
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
     )
 
 

@@ -64,7 +64,16 @@ def compact_partition(spark: SparkSession, table_dir: str, month: str, target_fi
     n_before = sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
     df = spark.read.parquet(part_dir)
     tmp = part_dir + "__compact_tmp"
+    old = part_dir + "__compact_old"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(part_dir)
+    # Swap via rename-aside so the live path is never absent: a reader
+    # racing the swap sees either the old or the new partition, and a
+    # crash between the renames leaves the data recoverable at
+    # ``__compact_old`` rather than stranded in a tmp dir with the
+    # live path gone.
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(part_dir, old)
     os.rename(tmp, part_dir)
+    shutil.rmtree(old)
     return n_before

@@ -440,21 +440,29 @@ JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
 
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/collection function surface over collected per-user event
-    types: sort, distinct, set ops, size, membership."""
+    types: sort, distinct, set ops, size, membership. Array-typed
+    intermediates are serialized with ``array_join`` in the output —
+    the driver's pandas canonicalizer cannot hash list values."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     per_user = ev.groupBy("user_id").agg(
         F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("types")
     )
     return per_user.select(
         "user_id",
-        "types",
+        F.array_join("types", ",").alias("types"),
         F.size("types").alias("n_types"),
         F.array_contains("types", "error").alias("has_error"),
-        F.array_sort(
-            F.array_except("types", F.array(F.lit("click"), F.lit("view")))
+        F.array_join(
+            F.array_sort(
+                F.array_except("types", F.array(F.lit("click"), F.lit("view")))
+            ),
+            ",",
         ).alias("non_browse"),
-        F.sort_array(
-            F.array_intersect("types", F.array(F.lit("purchase"), F.lit("signup")))
+        F.array_join(
+            F.sort_array(
+                F.array_intersect("types", F.array(F.lit("purchase"), F.lit("signup")))
+            ),
+            ",",
         ).alias("conversion"),
     ).orderBy("user_id")
 
@@ -465,11 +473,11 @@ WITH per_user AS (
   FROM events WHERE user_id < 20 GROUP BY user_id
 )
 SELECT user_id,
-       types,
+       array_to_string(types, ',') AS types,
        len(types) AS n_types,
        list_contains(types, 'error') AS has_error,
-       list_sort(list_filter(types, t -> t NOT IN ('click', 'view'))) AS non_browse,
-       list_sort(list_filter(types, t -> t IN ('purchase', 'signup'))) AS conversion
+       array_to_string(list_sort(list_filter(types, t -> t NOT IN ('click', 'view'))), ',') AS non_browse,
+       array_to_string(list_sort(list_filter(types, t -> t IN ('purchase', 'signup'))), ',') AS conversion
 FROM per_user ORDER BY user_id
 """
 

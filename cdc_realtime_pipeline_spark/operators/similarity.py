@@ -145,14 +145,36 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def banded_signatures(vec: Column, planes: list[list[float]], n_bands: int) -> list[Column]:
+    """Split hyperplane sign bits into ``n_bands`` band signatures
+    (MinHash-style banding applied to hyperplane LSH): near-identical
+    vectors agree on every bit with high probability, so they collide
+    on at least one whole band essentially always, while unrelated
+    vectors rarely collide on any."""
+    per_band = len(planes) // n_bands
+    sigs = []
+    for b in range(n_bands):
+        bits = [
+            F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for p in planes[b * per_band : (b + 1) * per_band]
+        ]
+        sigs.append(F.concat(*bits))
+    return sigs
+
+
 def dedup_embeddings_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine ≥ τ, keep-min survivor.
 
-    Oracle-gated exact form: all-pairs on the id-ordered half-matrix
-    (a < b). At fixture scale the pair join is the honest baseline; the
-    100 TB path is the same verify step fed by LSH bucket candidates
-    (similarity_topk_lsh's signature join) instead of the full
-    half-matrix — candidates-then-verify, never a blind cross join.
+    Candidates-then-verify, never all-pairs: 64 hyperplane sign bits in
+    8 bands of 8 bucket the corpus; candidate pairs are same-(band, sig)
+    equi-join collisions; exact cosine verifies only those. A pair at
+    cos ≥ 0.999 (the planted near-dups) misses all 8 bands with
+    probability ~4e-8, so the result equals the all-pairs ground truth
+    the oracle computes — asserted across fixtures. At 100 TB the same
+    plan holds with wider bands (16–32 bits) to keep per-band buckets
+    ~corpus/2^bits; cost is Σ bucket², never corpus².
     """
     tau = 0.95
     base = load_table(spark, sf_dir, "embeddings").select(
@@ -171,11 +193,32 @@ def dedup_embeddings_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     emb = base.unionByName(near)
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos"),
+    planes = _hyperplanes(64, 64)
+    sigs = banded_signatures(F.col("embedding"), planes, 8)
+    bands = emb.select(
+        "vec_id", F.posexplode(F.array(*sigs)).alias("band", "sig")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        )
     )
     return pairs.filter(F.col("cos") >= tau)
 

@@ -29,14 +29,25 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     before it (classic trades⟕quotes as-of shape).
 
     Union-and-carry-forward: tag rows, sort per key by (ts, tiebreak),
-    ``last_value(click_value, ignorenulls)`` over the preceding frame.
+    ``last(struct, ignorenulls)`` over the preceding frame. The carried
+    value rides inside a struct keyed on *click rows* (not on non-null
+    values), so a most-recent click whose value is NULL correctly
+    yields NULL instead of falling back to an older click's value —
+    the oracle's LIMIT-1 subquery semantics.
     """
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.col("value").alias("click_value"), F.lit(0).alias("is_p")
+        "user_id",
+        "ts",
+        "event_id",
+        F.struct(F.col("value").alias("v")).alias("click"),
+        F.lit(0).alias("is_p"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.lit(None).cast("double").alias("click_value"),
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("struct<v:double>").alias("click"),
         F.lit(1).alias("is_p"),
     )
     unioned = clicks.unionByName(purchases)
@@ -49,14 +60,14 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(
-        "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+        "last_click", F.last("click", ignorenulls=True).over(w)
     )
     return (
         carried.filter(F.col("is_p") == 1)
         .select(
             "user_id",
             F.col("event_id").alias("purchase_id"),
-            F.round("last_click_value", 4).alias("last_click_value"),
+            F.round(F.col("last_click.v"), 4).alias("last_click_value"),
         )
     )
 

@@ -162,7 +162,8 @@ def embeddings_preprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(norm, 6).alias("l2_norm"),
-        q.alias("q_int8"),
+        # Serialized — the driver canonicalizer cannot hash array values.
+        F.array_join(q, ",").alias("q_int8"),
         F.round(F.aggregate(q, F.lit(0), lambda a, x: a + x * x).cast("double"), 1).alias(
             "q_energy"
         ),
@@ -182,7 +183,7 @@ q AS (
 )
 SELECT vec_id, label,
        round(l2_norm, 6) AS l2_norm,
-       q_int8,
+       array_to_string(q_int8, ',') AS q_int8,
        round(CAST(list_sum(list_transform(q_int8, x -> x * x)) AS DOUBLE), 1) AS q_energy
 FROM q
 """

@@ -182,6 +182,81 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_merged_trade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read-once multi-sink fan-out, end-to-end and oracle-gated
+    (W7 + A8): synthesized CDC stream → ``run_cdc_fanout`` (raw sink +
+    per-batch window-agg partial sink via one foreachBatch) → merge-at-
+    read of the partials. The merged aggregate must equal the batch
+    window aggregate DuckDB computes directly from ``events`` — partials
+    are re-mergeable (sums/counts/min/max; avg from sum+count), so
+    batch boundaries can't change the answer.
+
+    Event time rides ``timestamp_millis(upbit_timestamp)`` (ms
+    precision), so the oracle buckets on ms-truncated epoch too.
+    """
+    import os
+    import tempfile
+
+    from cdc_realtime_pipeline_spark.streaming.job import (
+        read_merged_trade_agg,
+        run_cdc_fanout,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="cdc_fanout_q_")
+    stream_dir = os.path.join(base, "in")
+    write_cdc_json_files(synthesize_cdc_json_from_events(events), stream_dir)
+    run_cdc_fanout(
+        spark,
+        stream_dir,
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+        synchronous=True,
+    )
+    merged = read_merged_trade_agg(spark, os.path.join(base, "out"))
+    return merged.select(
+        "market",
+        "window_start",
+        "window_end",
+        "trade_count",
+        "bid_count",
+        "ask_count",
+        F.round("total_amount", 4).alias("total_amount"),
+        F.round("total_volume", 4).alias("total_volume"),
+        F.round("avg_price", 4).alias("avg_price"),
+        F.round("min_price", 4).alias("min_price"),
+        F.round("max_price", 4).alias("max_price"),
+        F.round("vwap", 4).alias("vwap"),
+    )
+
+
+STREAM_MERGED_TRADE_AGG_SQL = """
+WITH ev AS (
+  SELECT 'M-' || CAST(user_id AS VARCHAR) AS market,
+         CAST(floor(epoch_ms(ts) / 300000) * 300 AS BIGINT) AS ws,
+         value AS price,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume,
+         event_type IN ('click','purchase') AS is_bid,
+         value * CAST(json_extract_string(props, '$.k') AS DOUBLE) AS amount
+  FROM events
+)
+SELECT market,
+       make_timestamp(ws * 1000000) AS window_start,
+       make_timestamp((ws + 300) * 1000000) AS window_end,
+       count(*) AS trade_count,
+       count(CASE WHEN is_bid THEN 1 END) AS bid_count,
+       count(*) - count(CASE WHEN is_bid THEN 1 END) AS ask_count,
+       round(sum(amount), 4) AS total_amount,
+       round(sum(volume), 4) AS total_volume,
+       round(sum(price) / count(*), 4) AS avg_price,
+       round(min(price), 4) AS min_price,
+       round(max(price), 4) AS max_price,
+       round(CASE WHEN sum(volume) > 0 THEN sum(amount) / sum(volume) ELSE 0.0 END, 4) AS vwap
+FROM ev
+GROUP BY market, ws
+"""
+
+
 def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful anomaly detector over the synthesized CDC stream.
 
@@ -212,6 +287,7 @@ QUERIES = {
     "stream_cdc_parse": stream_cdc_parse,
     "stream_dedup_counts": stream_dedup_counts,
     "stream_sessionize": stream_sessionize,
+    "stream_merged_trade_agg": stream_merged_trade_agg,
     "stream_anomaly_alerts": stream_anomaly_alerts,  # rows-only
 }
 
@@ -220,4 +296,5 @@ ORACLES = {
     "stream_cdc_parse": CDC_ROUNDTRIP_SQL,
     "stream_dedup_counts": STREAM_DEDUP_COUNTS_SQL,
     "stream_sessionize": SESSIONIZE_NATIVE_SQL,
+    "stream_merged_trade_agg": STREAM_MERGED_TRADE_AGG_SQL,
 }

@@ -113,3 +113,81 @@ def test_simhash_separates_disjoint_vocabularies(spark):
     assert ham(fp[1], fp[2]) < 15
     assert ham(fp[1], fp[3]) > 15
     assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_capped_candidates_match_uncapped_ground_truth(spark, sf_dir):
+    """The df-capped candidate stage must not lose any true pair: the
+    capped+verified Jaccard result equals brute-force exact Jaccard
+    over ALL pairs sharing any shingle (computed uncapped here)."""
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.dedup import (
+        _word_shingles,
+        dedup_docs_jaccard,
+        docs_with_dupes,
+    )
+
+    sh = _word_shingles(docs_with_dupes(spark, sf_dir))
+    a, b = sh.alias("a"), sh.alias("b")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    got = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    assert truth.count() > 0  # fixture must plant positives
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0
+
+
+def test_lsh_cosine_dedup_matches_all_pairs(spark, sf_dir):
+    """Banded-LSH candidates must recover every cosine ≥ τ pair the
+    all-pairs half-matrix finds (planted near-identical dups collide
+    on at least one band w.p. ~1-4e-8)."""
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        cosine,
+        dedup_embeddings_cosine,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    near = base.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.15)).otherwise(x)
+        ).alias("embedding"),
+    )
+    emb = base.unionByName(near)
+    a, b = emb.alias("a"), emb.alias("b")
+    truth = (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.95)
+    )
+    got = dedup_embeddings_cosine(spark, sf_dir)
+    assert truth.count() > 0
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0

@@ -66,3 +66,20 @@ def test_no_python_eval_in_scalar_pipelines(spark, sf_dir):
         plan = _plan(spark, name, sf_dir)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_embedding_dedup_never_all_pairs(spark, sf_dir):
+    # VERDICT r1 #5: the cosine near-dup must be candidates-then-verify
+    # (banded LSH equi-join), never a broadcast nested-loop over the
+    # corpus half-matrix.
+    plan = _plan(spark, "dedup_embeddings_cosine", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shingle_candidates_df_capped(spark, sf_dir):
+    # VERDICT r1 #6: Jaccard/Levenshtein candidate joins must prune
+    # hot shingles (document-frequency cap) before the self-join.
+    plan = _plan(spark, "dedup_docs_jaccard", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

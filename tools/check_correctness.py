@@ -96,6 +96,22 @@ def main() -> int:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
             continue
+        # The driver canonicalizes via pandas sort_values, which throws
+        # "unhashable type" on array/map/struct-typed columns — even for
+        # rows-only checks. Flag those here so they can't pass locally
+        # and crash at the driver (CORRECTNESS_r01: array_functions,
+        # value_quantiles_approx).
+        bad_cols = [
+            c for c, t in sdtypes.items()
+            if t.startswith(("array<", "map<", "struct<"))
+        ]
+        if bad_cols:
+            print(
+                f"FAIL {name}: non-scalar output columns {bad_cols} would "
+                f"crash the driver canonicalizer — serialize them"
+            )
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
             n_rows_only += 1
