@@ -355,35 +355,55 @@ def alerts_rapid_trades_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     fire exactly once when the counter hits ==N.
 
     The recurrence is inherently sequential per key (windowStart
-    depends on every prior reset), so the batch form is
-    ``applyInPandas`` — one shuffle on the key, Arrow-batched loop
-    per key (bounded group size), no driver involvement. The oracle
-    replays the identical recurrence as a recursive CTE.
-    The rolling-range analog (``alerts_rapid_trades``) stays as the
-    pure-window alternative.
+    depends on every prior reset), so the batch form is a Pandas
+    kernel over key-partitioned data: hash-repartition on the key,
+    sort within partitions by (key, ts, id), then one ``mapInPandas``
+    pass walking each key's contiguous run. One shuffle — identical to
+    a groupBy — but ~32 Arrow streams instead of one Arrow batch per
+    key (measured: per-group ``applyInPandas`` overhead alone was
+    ~4 s for 1500 keys at sf0.1). The oracle replays the identical
+    recurrence as a recursive CTE. The rolling-range analog
+    (``alerts_rapid_trades``) stays as the pure-window alternative.
     """
-    import pandas as pd
-
     ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    n_parts = spark.sparkContext.defaultParallelism
+    part = ev.repartition(n_parts, "user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
 
-    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    def detect(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        # a key's rows can span Arrow batches within the partition —
+        # concatenate first (partition-bounded memory, same bound a
+        # grouped UDF has for its largest key)
+        pdf = pd.concat(chunks, ignore_index=True)
+        ts_ns = pdf["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+        uids = pdf["user_id"].to_numpy()
+        ids = pdf["event_id"].to_numpy()
         rows = []
-        win_start = None
+        prev_uid = None
+        win_start = 0
         cnt = 0
-        for r in pdf.itertuples(index=False):
-            tms = r.ts.value // 1_000_000  # pandas ns → epoch ms
-            if win_start is None or tms > win_start + _RAPID_WINDOW_MS:
+        for i in range(len(pdf)):
+            tms = int(ts_ns[i]) // 1_000_000  # ns → epoch ms
+            if uids[i] != prev_uid or tms > win_start + _RAPID_WINDOW_MS:
+                if uids[i] != prev_uid:
+                    prev_uid = uids[i]
                 win_start, cnt = tms, 1
             else:
                 cnt += 1
             if cnt == _RAPID_COUNT:
-                rows.append((r.user_id, r.event_id, float(cnt), r.ts))
-        return pd.DataFrame(
+                rows.append((uids[i], ids[i], float(cnt), pdf["ts"].iloc[i]))
+        yield pd.DataFrame(
             rows, columns=["market", "trade_id", "value", "detected_at"]
         )
 
-    res = ev.groupBy("user_id").applyInPandas(
+    res = part.mapInPandas(
         detect, "market bigint, trade_id bigint, value double, detected_at timestamp"
     )
     return res.select(

@@ -145,23 +145,37 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def banded_signatures(vec: Column, planes: list[list[float]], n_bands: int) -> list[Column]:
-    """Split hyperplane sign bits into ``n_bands`` band signatures
-    (MinHash-style banding applied to hyperplane LSH): near-identical
-    vectors agree on every bit with high probability, so they collide
-    on at least one whole band essentially always, while unrelated
-    vectors rarely collide on any."""
+def banded_signatures_udf(planes: list[list[float]], n_bands: int):
+    """Vectorized band-signature kernel: one Arrow-batched pandas UDF
+    computing all hyperplane sign bits as a single numpy matmul, split
+    into ``n_bands`` band strings (MinHash-style banding applied to
+    hyperplane LSH): near-identical vectors agree on every bit with
+    high probability, so they collide on at least one whole band
+    essentially always, while unrelated vectors rarely collide on any.
+
+    A per-plane JVM expression (64 interpreted zip_with/aggregate
+    folds per row) was measured ~7 s at sf0.1; the matmul is
+    milliseconds and stays executor-side on Arrow batches. Signatures
+    feed CANDIDATE generation only — the exact-cosine verify step
+    decides membership, so kernel summation order cannot change
+    results (asserted against the all-pairs ground truth in tests).
+    """
+    import numpy as np
+    import pandas as pd
+
+    proj = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
     per_band = len(planes) // n_bands
-    sigs = []
-    for b in range(n_bands):
-        bits = [
-            F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
-            for p in planes[b * per_band : (b + 1) * per_band]
-        ]
-        sigs.append(F.concat(*bits))
-    return sigs
+
+    def _sigs(emb):
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)  # n × dim
+        bits = mat @ proj >= 0
+        out = []
+        for row in bits:
+            s = "".join("1" if b else "0" for b in row)
+            out.append([s[i * per_band : (i + 1) * per_band] for i in range(n_bands)])
+        return pd.Series(out)
+
+    return F.pandas_udf(_sigs, "array<string>")
 
 
 def dedup_embeddings_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,9 +208,9 @@ def dedup_embeddings_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = base.unionByName(near)
     planes = _hyperplanes(64, 64)
-    sigs = banded_signatures(F.col("embedding"), planes, 8)
+    sig_kernel = banded_signatures_udf(planes, 8)
     bands = emb.select(
-        "vec_id", F.posexplode(F.array(*sigs)).alias("band", "sig")
+        "vec_id", F.posexplode(sig_kernel(F.col("embedding"))).alias("band", "sig")
     )
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
