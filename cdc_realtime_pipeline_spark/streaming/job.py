@@ -31,9 +31,19 @@ from cdc_realtime_pipeline_spark.sources.cdc_file_source import read_cdc_stream
 from cdc_realtime_pipeline_spark.streaming.anomaly_stateful import apply_anomaly_detector
 
 
-def _with_event_time(parsed: DataFrame) -> DataFrame:
-    # Event time from the exchange timestamp (divergence from the
-    # reference's processing-time windows — SURVEY.md §2.4 W1 note).
+def _with_event_time(parsed: DataFrame, time_mode: str = "event") -> DataFrame:
+    # ``event`` (default): event time from the exchange timestamp —
+    # the Spark idiom, strictly stronger than the reference.
+    # ``ingest``: ingestion/processing time (current_timestamp at
+    # parse), the reference's exact W1 semantics (Flink ran
+    # processing-time windows, no watermarks — CdcPipelineJob.java:62,70).
+    # Ingest mode is non-deterministic by nature, so only the
+    # event-time path is oracle-gated; tests assert count preservation
+    # and wall-clock containment for ingest mode.
+    if time_mode == "ingest":
+        return parsed.withColumn("ts", F.current_timestamp())
+    if time_mode != "event":
+        raise ValueError(f"unknown time_mode: {time_mode!r}")
     return parsed.withColumn("ts", F.timestamp_millis(F.col("upbit_timestamp")))
 
 
@@ -44,17 +54,21 @@ def run_cdc_fanout(
     checkpoint_base: str,
     trigger_seconds: int = 3,
     synchronous: bool = True,
+    time_mode: str = "event",
 ):
     """Start the raw+agg fan-out query (and return it).
 
     trigger=3 s ≙ the reference's JDBC sink flush interval
     (ClickHouseSinks.java:19-21). ``synchronous=True`` processes all
-    available input and stops — the test/bench mode.
+    available input and stops — the test/bench mode. ``time_mode`` —
+    see ``_with_event_time`` (``ingest`` = strict reference parity).
     """
     raw_dir = os.path.join(out_base, "crypto_trades")
     agg_dir = os.path.join(out_base, "trade_agg_partials")
 
-    parsed = _with_event_time(parse_cdc_events(read_cdc_stream(spark, stream_dir)))
+    parsed = _with_event_time(
+        parse_cdc_events(read_cdc_stream(spark, stream_dir)), time_mode
+    )
 
     def fanout(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()

@@ -279,3 +279,29 @@ def test_latency_mv_merge_and_compact(spark, sf_dir):
     compact_latency_mv(spark, mv_dir)
     after = {r["minute"]: r.asDict() for r in read_latency_mv(spark, mv_dir).collect()}
     assert before == after
+
+
+def test_fanout_ingest_time_mode(spark, sf_dir):
+    """W1 strict-parity mode: processing/ingestion-time windows (the
+    reference ran processing time, no watermarks). Non-deterministic by
+    nature, so assert the invariants instead of values: every event
+    lands exactly once, and every assigned window covers wall-clock
+    time inside the run's span."""
+    import datetime
+
+    stream_dir, n_events = _make_stream(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="cdc_out_ing_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ck_ing_")
+
+    t0 = datetime.datetime.now() - datetime.timedelta(minutes=5)
+    run_cdc_fanout(spark, stream_dir, out, ckpt, time_mode="ingest")
+    t1 = datetime.datetime.now() + datetime.timedelta(minutes=5)
+
+    raw = spark.read.parquet(os.path.join(out, "crypto_trades"))
+    assert raw.count() == n_events
+    partials = spark.read.parquet(os.path.join(out, "trade_agg_partials"))
+    assert partials.agg(F.sum("trade_count")).collect()[0][0] == n_events
+    bad = partials.filter(
+        (F.col("window_end") < F.lit(t0)) | (F.col("window_start") > F.lit(t1))
+    )
+    assert bad.count() == 0
