@@ -1,0 +1,305 @@
+"""Corpus-preparation operators beyond the first-pass pipeline: the
+cluster/pack/split/profile steps a production training-data job runs
+after dedup scoring.
+
+All are declarative DataFrame plans except the connected-components
+loop, whose per-iteration step (join + min-aggregate) is itself
+declarative — the driver only steers convergence (a scalar count per
+iteration, never row data).
+
+Scale notes per operator are on the definitions; everything shuffles
+on bounded keys (doc_id / shard / label / token), no cross joins, no
+collect of row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_realtime_pipeline_spark.operators.dedup import (
+    DEDUP_DOCS_JACCARD_SQL,
+    NORMALIZE_SQL,
+    _HASH64_SQL,
+    _hash64,
+    dedup_docs_jaccard,
+    normalize_text,
+)
+from cdc_realtime_pipeline_spark.session import load_table
+
+PACK_TOKEN_BUDGET = 512
+VOCAB_TOP_K = 50
+HIST_BIN_TOKENS = 50
+HIST_MAX_BIN = 19
+
+
+def dup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of near-dup pairs → dedup clusters.
+
+    Pairwise near-dup scores (here: the Jaccard ≥ τ pairs) are not a
+    dedup decision until transitively closed — A≈B, B≈C must collapse
+    to one cluster with one survivor. Min-label propagation: every doc
+    starts labeled with its own id; each round takes the min of its
+    own and its neighbors' labels; converges to the component-minimum
+    id in ≤ diameter rounds. Each round is one join + one min-aggregate
+    (the standard large-graph CC under map/reduce — GraphX/Pregel run
+    the identical step); the driver sees only a changed-row count per
+    round, never data.
+
+    Output: (component, n_members, survivor) per cluster — survivor =
+    min doc_id, the same keep-min rule every exact dedup here uses.
+    """
+    pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # fixture diameter ≤ 3; bound defensively
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("_changed")).count()  # scalar only
+        labels = new_labels.select("doc_id", "label").persist()
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(F.count("*").alias("n_members"), F.min("doc_id").alias("survivor"))
+        .orderBy("component")
+    )
+
+
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE jac AS ({DEDUP_DOCS_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jac
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.u AS node, reach.r
+  FROM edges e JOIN reach ON e.v = reach.node
+)
+SELECT min(r) AS component, count(DISTINCT node) AS n_members,
+       min(node) AS survivor
+FROM (SELECT node, min(r) AS r FROM reach GROUP BY node)
+GROUP BY r ORDER BY component
+"""
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+
+
+_DOC_TOKENS_SQL = r"""
+doc_tokens AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+"""
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs stream in deterministic
+    order (shard, then doc_id), a running token offset assigns each doc
+    to bin = floor(start_offset / budget) — the packing a dataloader
+    applies when it concatenates documents into fixed-length training
+    sequences.
+
+    One window cumsum per shard partition (shard keys bound the
+    window's state; no global sort), then a plain group-by per bin.
+    """
+    shard = F.pmod(_hash64(F.col("doc_id").cast("string"), 7), F.lit(8)).alias("shard")
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", "n_tokens", shard)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    packed = toks.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_TOKEN_BUDGET
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+CORPUS_PACK_SEQUENCES_SQL = f"""
+WITH {_DOC_TOKENS_SQL.strip()},
+sharded AS (
+  SELECT doc_id, n_tokens,
+         (({_HASH64_SQL.format(salt=7, col="CAST(doc_id AS VARCHAR)")}) % 8 + 8) % 8 AS shard
+  FROM doc_tokens
+),
+packed AS (
+  SELECT *, CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / {PACK_TOKEN_BUDGET}) AS BIGINT) AS bin
+  FROM sharded
+)
+SELECT shard, bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc
+FROM packed GROUP BY shard, bin ORDER BY shard, bin
+"""
+
+
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (90/5/5 train/val/test) — the split must
+    be a pure function of the document identity so re-runs, different
+    cluster sizes, and incremental arrivals can never leak documents
+    across splits. Pure projection + one group-by; no shuffle of text.
+    """
+    h = F.pmod(_hash64(F.col("doc_id").cast("string"), 13), F.lit(100))
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split")
+    )
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", "n_tokens", split)
+    return (
+        toks.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+CORPUS_TRAIN_VAL_SPLIT_SQL = f"""
+WITH {_DOC_TOKENS_SQL.strip()},
+assigned AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN (({_HASH64_SQL.format(salt=13, col="CAST(doc_id AS VARCHAR)")}) % 100 + 100) % 100 < 90 THEN 'train'
+              WHEN (({_HASH64_SQL.format(salt=13, col="CAST(doc_id AS VARCHAR)")}) % 100 + 100) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM doc_tokens
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_doc
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-K tokens by frequency over
+    normalized text. Explode → count (map-side partial combine does the
+    heavy lifting) → global top-K via one final ordered limit on the
+    already-aggregated token counts — never a sort of raw tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = words.groupBy("token").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(VOCAB_TOP_K)
+
+
+CORPUS_VOCAB_TOPK_SQL = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split({NORMALIZE_SQL.format(col="text")}, ' ')) AS token
+      FROM documents)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY n DESC, token ASC LIMIT {VOCAB_TOP_K}
+"""
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (50-token bins, clamped tail bucket) —
+    the length profile that sizes padding/truncation budgets."""
+    toks = _doc_tokens(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("n_tokens") / HIST_BIN_TOKENS), F.lit(HIST_MAX_BIN)
+    ).cast("long")
+    return (
+        toks.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+CORPUS_LENGTH_HISTOGRAM_SQL = f"""
+WITH {_DOC_TOKENS_SQL.strip()}
+SELECT CAST(least(floor(n_tokens / {HIST_BIN_TOKENS}), {HIST_MAX_BIN}) AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM doc_tokens GROUP BY 1 ORDER BY 1
+"""
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per (label,
+    dimension) — the k-means/IVF training step's core aggregate.
+    ``posexplode`` turns the vector column into (dim, value) rows and a
+    plain group-by averages them: partial aggregation happens map-side
+    per (label, dim), so the shuffle carries one partial per key, not
+    vectors. Scalar output rows (no array columns driver-side).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).withColumn("dim", F.col("dim").cast("long"))
+    return (
+        exploded.filter(F.col("dim") < 8)  # profile head: first 8 dims
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, i - 1 AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+FROM embeddings,
+     LATERAL (SELECT unnest(range(1, 9)) AS i)
+GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+QUERIES = {
+    "dup_clusters_connected_components": dup_clusters_connected_components,
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_train_val_split": corpus_train_val_split,
+    "corpus_vocab_topk": corpus_vocab_topk,
+    "corpus_length_histogram": corpus_length_histogram,
+    "label_centroids": label_centroids,
+}
+
+ORACLES = {
+    "dup_clusters_connected_components": DUP_CLUSTERS_SQL,
+    "corpus_pack_sequences": CORPUS_PACK_SEQUENCES_SQL,
+    "corpus_train_val_split": CORPUS_TRAIN_VAL_SPLIT_SQL,
+    "corpus_vocab_topk": CORPUS_VOCAB_TOPK_SQL,
+    "corpus_length_histogram": CORPUS_LENGTH_HISTOGRAM_SQL,
+    "label_centroids": LABEL_CENTROIDS_SQL,
+}

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cdc_realtime_pipeline_spark.operators import (
     anomaly,
     cdc_ops,
+    corpus_ops,
     dashboard,
     dedup,
     extended,
@@ -55,6 +56,7 @@ _MODULES = [
     similarity,
     multimodal,
     training_data,
+    corpus_ops,
     stream_queries,
 ]
 
@@ -89,6 +91,12 @@ _PRIORITY = [
     "corpus_prep_pipeline",
     "corpus_shard_stats",
     "embeddings_preprocessed",
+    "dup_clusters_connected_components",
+    "corpus_pack_sequences",
+    "corpus_train_val_split",
+    "corpus_vocab_topk",
+    "corpus_length_histogram",
+    "label_centroids",
     # multimodal
     "media_features",
     "media_resize_stats",
@@ -114,14 +122,9 @@ _PRIORITY = [
     "alerts_volume_surge",
     "alerts_rapid_trades_reset",
     "ema_per_key",
-    # reference dashboard queries
-    "dash_total_trades",
-    "dash_pipeline_liveness",
-    "dash_latency_per_minute",
-    "dash_bid_ask_ranking",
-    "dash_recent_alerts",
+    # reference dashboard essential (merge-at-read MV; the remaining
+    # dashboard shapes hold round-1 green driver rows)
     "dash_latency_mv_read",
-    "dash_latest_value_per_day",
     # grouping-sets + sessionization (untested at driver in r1)
     "events_cube",
     "sessionize_native",

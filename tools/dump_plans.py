@@ -28,6 +28,10 @@ SHOWCASE = [
     ("similarity_topk_bruteforce", "broadcast queries × corpus + rank"),
     ("asof_join_last_click", "union + carry-forward as-of join"),
     ("bucketized_range_join", "interval join via bucket equi-join"),
+    ("dedup_docs_jaccard", "df-capped candidates → exact set verify"),
+    ("dedup_embeddings_cosine", "banded-LSH candidates → exact cosine verify"),
+    ("corpus_pack_sequences", "per-shard window cumsum packing"),
+    ("label_centroids", "posexplode → per-(label,dim) partial mean"),
 ]
 
 
