@@ -359,6 +359,43 @@ GROUP BY CUBE (event_type, band)
 """
 
 
+def events_rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup at three granularities (1 m / 5 m /
+    1 h) from one scan — the hypertable/materialized-rollup pattern.
+    ``explode`` fans each row to its granularities, then one shuffle
+    aggregates all three levels together (equivalent to grouping sets
+    over time buckets); at scale this replaces three separate scans of
+    the fact table with one.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fanned = ev.select(
+        "value",
+        F.explode(F.array(F.lit(60), F.lit(300), F.lit(3600))).alias("gran_s"),
+        F.col("ts"),
+    ).withColumn(
+        "bucket",
+        F.timestamp_seconds(
+            (F.floor(F.unix_timestamp("ts") / F.col("gran_s")) * F.col("gran_s")).cast(
+                "long"
+            )
+        ),
+    )
+    return (
+        fanned.groupBy("gran_s", "bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("gran_s", "bucket")
+    )
+
+
+EVENTS_ROLLUP_MULTI_GRANULARITY_SQL = """
+SELECT gran_s,
+       make_timestamp(CAST(floor(epoch(ts) / gran_s) * gran_s AS BIGINT) * 1000000) AS bucket,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events, (SELECT unnest([60, 300, 3600]) AS gran_s)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "sessionize": sessionize,
     "sessionize_native": sessionize_native,
@@ -369,6 +406,7 @@ QUERIES = {
     "stats_functions": stats_functions,
     "window_rank_functions": window_rank_functions,
     "events_cube": events_cube,
+    "events_rollup_multi_granularity": events_rollup_multi_granularity,
 }
 
 ORACLES = {
@@ -380,4 +418,5 @@ ORACLES = {
     "stats_functions": STATS_FUNCTIONS_SQL,
     "window_rank_functions": WINDOW_RANK_FUNCTIONS_SQL,
     "events_cube": EVENTS_CUBE_SQL,
+    "events_rollup_multi_granularity": EVENTS_ROLLUP_MULTI_GRANULARITY_SQL,
 }
