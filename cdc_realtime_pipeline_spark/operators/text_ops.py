@@ -131,11 +131,40 @@ FROM documents ORDER BY doc_id
 """
 
 
+def docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, labeled-lang) corpus accounting: doc counts, mean
+    recorded length, and metadata drift (rows whose recorded ``n_chars``
+    disagrees with the actual text length) — the provenance/data-quality
+    sweep run before trusting a crawl's own metadata. One group-by."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_n_chars"),
+            F.sum(
+                (F.length("text") != F.col("n_chars")).cast("long")
+            ).alias("n_chars_drift"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+DOCS_SOURCE_PROFILE_SQL = """
+SELECT source, lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_n_chars,
+       CAST(count(CASE WHEN length(text) != n_chars THEN 1 END) AS BIGINT) AS n_chars_drift
+FROM documents
+GROUP BY source, lang ORDER BY source, lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "docs_source_profile": docs_source_profile,
 }
 
 ORACLES = {
@@ -143,4 +172,5 @@ ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "docs_source_profile": DOCS_SOURCE_PROFILE_SQL,
 }
