@@ -54,19 +54,20 @@ def dup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataF
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = (
+    cached = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
+    labels = cached
     for _ in range(20):  # fixture diameter ≤ 3; bound defensively
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_cached = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -76,8 +77,12 @@ def dup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataF
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
         ).persist()
-        changed = new_labels.filter(F.col("_changed")).count()  # scalar only
-        labels = new_labels.select("doc_id", "label").persist()
+        # the changed-count action materializes new_cached, so the
+        # previous round's cache can drop without recompute risk
+        changed = new_cached.filter(F.col("_changed")).count()  # scalar only
+        cached.unpersist()
+        cached = new_cached
+        labels = new_cached.select("doc_id", "label")
         if changed == 0:
             break
     return (

@@ -639,6 +639,62 @@ FROM daily
 """
 
 
+def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key fact⋈dim join under explicit R-way salting — the manual
+    remedy when one join key holds a large fraction of the fact side
+    (AQE's skew-join split handles sort-merge cases; salting is the
+    portable form that also covers hash joins and pre-AQE engines).
+
+    A synthetic hot key (30% of fact rows collapse onto key 0) joins a
+    per-user dim: the fact side carries ``salt = event_id % R``, the
+    dim side explodes ×R, and the join runs on (key, salt) — the hot
+    key's rows spread over R reducers instead of one straggler.
+    Salting is answer-invariant, so the oracle is the plain unsalted
+    join.
+    """
+    r_salt = 8
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("event_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+        (F.col("event_id") % r_salt).alias("salt"),
+    )
+    dim = (
+        ev.groupBy(F.col("user_id").alias("k"))
+        .agg(
+            F.concat(F.lit("seg-"), (F.min("event_id") % 5).cast("string")).alias(
+                "segment"
+            )
+        )
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(r_salt)]))
+    )
+    return (
+        fact.join(dim_salted, ["k", "salt"])
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("segment")
+    )
+
+
+SKEWED_JOIN_SALTED_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN event_id % 10 < 3 THEN 0 ELSE user_id END AS k, value
+  FROM events
+),
+dim AS (
+  SELECT user_id AS k, 'seg-' || CAST(min(event_id) % 5 AS VARCHAR) AS segment
+  FROM events GROUP BY user_id
+)
+SELECT segment, count(*) AS n, round(sum(value), 4) AS total
+FROM fact JOIN dim USING (k)
+GROUP BY segment ORDER BY segment
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q6": tpch_q6,
@@ -660,6 +716,7 @@ QUERIES = {
     "monthly_order_stats": monthly_order_stats,
     "order_status_pivot": order_status_pivot,
     "lineitem_rollup": lineitem_rollup,
+    "skewed_join_salted": skewed_join_salted,
 }
 
 ORACLES = {
@@ -683,4 +740,5 @@ ORACLES = {
     "monthly_order_stats": MONTHLY_ORDER_STATS_SQL,
     "order_status_pivot": ORDER_STATUS_PIVOT_SQL,
     "lineitem_rollup": LINEITEM_ROLLUP_SQL,
+    "skewed_join_salted": SKEWED_JOIN_SALTED_SQL,
 }
