@@ -182,6 +182,116 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the CDC stream enriched against a static
+    broadcast dimension (per-tier thresholds) with a post-join filter —
+    the standard streaming enrichment shape (dim re-read per
+    micro-batch, fact side never shuffles). Oracle-gated: the static
+    dim is deterministic, so the batch answer is identical.
+    """
+    events = load_table(spark, sf_dir, "events")
+    stream_dir = tempfile.mkdtemp(prefix="cdc_enrich_")
+    write_cdc_json_files(synthesize_cdc_json_from_events(events), stream_dir)
+    raw = spark.readStream.format("text").load(stream_dir)
+    parsed = parse_cdc_events(raw)
+    tiers = spark.createDataFrame(
+        [(0, "hot", 400.0), (1, "warm", 300.0), (2, "cold", 200.0)],
+        "tier int, tier_name string, min_price double",
+    )
+    enriched = (
+        parsed.withColumn(
+            "tier", (F.col("sequential_id") % 3).cast("int")
+        )
+        .join(F.broadcast(tiers), "tier")
+        .filter(F.col("trade_price") >= F.col("min_price"))
+    )
+    res = _memory_sink(enriched, "append")
+    return res.select(
+        "trade_id",
+        "market",
+        "tier_name",
+        F.round("trade_price", 4).alias("trade_price"),
+        "min_price",
+    )
+
+
+STREAM_STATIC_ENRICH_SQL = """
+WITH tiers(tier, tier_name, min_price) AS (
+  VALUES (0, 'hot', CAST(400 AS DOUBLE)),
+         (1, 'warm', CAST(300 AS DOUBLE)),
+         (2, 'cold', CAST(200 AS DOUBLE))
+)
+SELECT event_id AS trade_id,
+       'M-' || CAST(user_id AS VARCHAR) AS market,
+       tier_name,
+       round(value, 4) AS trade_price,
+       min_price
+FROM events JOIN tiers ON CAST(event_id % 3 AS INTEGER) = tier
+WHERE value >= min_price
+"""
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joined to
+    the same user's clicks in the preceding 10 minutes. Both sides
+    carry watermarks and the join predicate bounds event-time distance,
+    so the state store can evict — the canonical bounded-state
+    stream-stream join. Finite deterministic input ⇒ oracle-gated
+    against the identical batch range join.
+    """
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+    )
+    res = _memory_sink(joined, "append")
+    return res.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("gap_s"),
+    )
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch(date_trunc('second', p.ts))::BIGINT
+         - epoch(date_trunc('second', c.ts))::BIGINT AS gap_s
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def stream_merged_trade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The read-once multi-sink fan-out, end-to-end and oracle-gated
     (W7 + A8): synthesized CDC stream → ``run_cdc_fanout`` (raw sink +
@@ -288,6 +398,8 @@ QUERIES = {
     "stream_dedup_counts": stream_dedup_counts,
     "stream_sessionize": stream_sessionize,
     "stream_merged_trade_agg": stream_merged_trade_agg,
+    "stream_static_enrich": stream_static_enrich,
+    "stream_stream_join": stream_stream_join,
     "stream_anomaly_alerts": stream_anomaly_alerts,  # rows-only
 }
 
@@ -297,4 +409,6 @@ ORACLES = {
     "stream_dedup_counts": STREAM_DEDUP_COUNTS_SQL,
     "stream_sessionize": SESSIONIZE_NATIVE_SQL,
     "stream_merged_trade_agg": STREAM_MERGED_TRADE_AGG_SQL,
+    "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
+    "stream_stream_join": STREAM_STREAM_JOIN_SQL,
 }
