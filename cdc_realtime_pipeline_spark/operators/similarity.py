@@ -402,12 +402,65 @@ ORDER BY query_id, rk
 """
 
 
+def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality report: top-K recall of the LSH and IVF paths
+    against the exact brute-force answer — the self-evaluation an ANN
+    deployment runs before trusting an index. Fully declarative: tag ∪
+    semi-join ∪ ratio against a one-row broadcast denominator (no
+    driver-side loops)."""
+    bf = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    lsh = similarity_topk_lsh(spark, sf_dir).select("query_id", "vec_id")
+    ivf = similarity_topk_ivf(spark, sf_dir).select("query_id", "vec_id")
+    methods = lsh.withColumn("method", F.lit("lsh")).unionByName(
+        ivf.withColumn("method", F.lit("ivf"))
+    )
+    hits = (
+        methods.join(bf, ["query_id", "vec_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    denom = bf.agg(F.count("*").alias("n_bf"))
+    return (
+        hits.crossJoin(F.broadcast(denom))
+        .select(
+            "method",
+            "n_hit",
+            "n_bf",
+            F.round(F.col("n_hit") / F.col("n_bf"), 4).alias("recall"),
+        )
+        .orderBy("method")
+    )
+
+
+def _recall_oracle_sql() -> str:
+    return f"""
+WITH bf AS (SELECT query_id, vec_id FROM ({SIMILARITY_TOPK_BRUTEFORCE_SQL}) t),
+lsh AS (SELECT query_id, vec_id FROM ({_lsh_oracle_sql()}) t),
+ivf AS (SELECT query_id, vec_id FROM ({SIMILARITY_TOPK_IVF_SQL}) t),
+methods AS (
+  SELECT 'lsh' AS method, query_id, vec_id FROM lsh
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, vec_id FROM ivf
+),
+hits AS (
+  SELECT method, count(*) AS n_hit
+  FROM methods m
+  WHERE EXISTS (SELECT 1 FROM bf WHERE bf.query_id = m.query_id AND bf.vec_id = m.vec_id)
+  GROUP BY method
+)
+SELECT method, n_hit, (SELECT count(*) FROM bf) AS n_bf,
+       round(n_hit::DOUBLE / (SELECT count(*) FROM bf), 4) AS recall
+FROM hits ORDER BY method
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_topk_ivf": similarity_topk_ivf,
     "dedup_embeddings_cosine": dedup_embeddings_cosine,
     "embedding_label_stats": embedding_label_stats,
+    "similarity_recall_report": similarity_recall_report,
 }
 
 ORACLES = {
@@ -416,4 +469,5 @@ ORACLES = {
     "similarity_topk_ivf": SIMILARITY_TOPK_IVF_SQL,
     "dedup_embeddings_cosine": DEDUP_EMBEDDINGS_COSINE_SQL,
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
+    "similarity_recall_report": _recall_oracle_sql(),
 }
