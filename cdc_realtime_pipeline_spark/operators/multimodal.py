@@ -214,13 +214,70 @@ GROUP BY 1
 """
 
 
+FPS = 24
+FRAME_STRIDE_S = 2  # sample one frame every 2 seconds
+MAX_FRAMES = 20
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: each video row fans out to its sampled
+    frame indices (every FRAME_STRIDE_S seconds at FPS, capped) with
+    per-frame timestamps — the dataloader step before frame decode.
+    Duration derives deterministically from the fake metadata
+    (n_bytes/1000 seconds); the index arithmetic (sequence → explode)
+    is all JVM-side, and the actual pixel decode of a sampled frame
+    is the same stubbed seam as ``decode_stub``.
+    """
+    vids = synthesize_media(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
+    duration_s = (F.col("n_bytes") / 1000.0).alias("duration_s")
+    n_frames = F.least(
+        F.floor(F.col("duration_s") / FRAME_STRIDE_S).cast("int") + 1,
+        F.lit(MAX_FRAMES),
+    )
+    fanned = (
+        vids.withColumn("duration_s", duration_s)
+        .withColumn(
+            "sample_i", F.explode(F.sequence(F.lit(0), n_frames - 1))
+        )
+        .select(
+            "doc_id",
+            F.col("sample_i").cast("long").alias("sample_i"),
+            (F.col("sample_i") * FRAME_STRIDE_S * FPS).cast("long").alias("frame_idx"),
+            (F.col("sample_i") * FRAME_STRIDE_S * 1000).cast("long").alias("frame_ts_ms"),
+        )
+    )
+    return fanned.orderBy("doc_id", "sample_i")
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+WITH vids AS (
+  SELECT doc_id, octet_length(encode(text)) / 1000.0 AS duration_s
+  FROM documents WHERE doc_id % 3 = 2
+),
+fanned AS (
+  SELECT doc_id, sample_i
+  FROM vids,
+       LATERAL (SELECT unnest(range(0,
+         least(CAST(floor(duration_s / {FRAME_STRIDE_S}) AS INTEGER) + 1, {MAX_FRAMES})
+       )) AS sample_i)
+)
+SELECT doc_id,
+       CAST(sample_i AS BIGINT) AS sample_i,
+       CAST(sample_i * {FRAME_STRIDE_S * FPS} AS BIGINT) AS frame_idx,
+       CAST(sample_i * {FRAME_STRIDE_S * 1000} AS BIGINT) AS frame_ts_ms
+FROM fanned ORDER BY doc_id, sample_i
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "media_resize_stats": media_resize_stats,
+    "media_frame_sample": media_frame_sample,
     "props_json_extract": props_json_extract,
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
     "media_resize_stats": MEDIA_RESIZE_STATS_SQL,
+    "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "props_json_extract": PROPS_JSON_EXTRACT_SQL,
 }
