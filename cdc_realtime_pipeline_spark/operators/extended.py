@@ -396,6 +396,40 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format surface: the same relation written to and read
+    back from JSONL and headered CSV (explicit schemas on read — never
+    inference in production), aggregated per format. Both format legs
+    must agree with the parquet ground truth, which is the oracle.
+    Text columns stay out of the CSV leg by design (quoting/newline
+    escapes differ across engines; parquet/JSON are the text carriers).
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    docs.write.mode("overwrite").json(base + "/jsonl")
+    docs.write.mode("overwrite").option("header", True).csv(base + "/csv")
+    schema = "doc_id long, lang string, source string"
+    j = spark.read.schema(schema).json(base + "/jsonl")
+    c = spark.read.option("header", True).schema(schema).csv(base + "/csv")
+    out = j.withColumn("fmt", F.lit("jsonl")).unionByName(
+        c.withColumn("fmt", F.lit("csv"))
+    )
+    return (
+        out.groupBy("fmt", "lang")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("fmt", "lang")
+    )
+
+
+FILE_FORMAT_ROUNDTRIP_SQL = """
+SELECT fmt, lang, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM documents, (SELECT unnest(['csv', 'jsonl']) AS fmt)
+GROUP BY fmt, lang ORDER BY fmt, lang
+"""
+
+
 QUERIES = {
     "sessionize": sessionize,
     "sessionize_native": sessionize_native,
@@ -407,6 +441,7 @@ QUERIES = {
     "window_rank_functions": window_rank_functions,
     "events_cube": events_cube,
     "events_rollup_multi_granularity": events_rollup_multi_granularity,
+    "file_format_roundtrip": file_format_roundtrip,
 }
 
 ORACLES = {
@@ -419,4 +454,5 @@ ORACLES = {
     "window_rank_functions": WINDOW_RANK_FUNCTIONS_SQL,
     "events_cube": EVENTS_CUBE_SQL,
     "events_rollup_multi_granularity": EVENTS_ROLLUP_MULTI_GRANULARITY_SQL,
+    "file_format_roundtrip": FILE_FORMAT_ROUNDTRIP_SQL,
 }
