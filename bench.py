@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "corpus_prep_pipeline",
+    "corpus_pack_sequences",
+    "label_centroids",
     "embeddings_preprocessed",
     "window_agg_sliding",
     "sessionize_native",

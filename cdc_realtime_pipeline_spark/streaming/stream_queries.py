@@ -152,6 +152,29 @@ GROUP BY 1
 """
 
 
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 with bounded state: ``dropDuplicatesWithinWatermark`` — the
+    production form for unbounded key spaces, where dedup state for a
+    key can be evicted once the watermark passes it (exact-state
+    ``dropDuplicates`` grows forever). The replayed fixture is finite
+    and processed deterministically, so the result equals the batch
+    distinct count — the oracle (shared with the exact-state twin).
+    """
+    events = load_table(spark, sf_dir, "events")
+    with_dupes = events.unionAll(events.filter(F.col("event_id") % 10 == 0))
+    stream_dir = tempfile.mkdtemp(prefix="cdc_dedup_wm_")
+    write_cdc_json_files(synthesize_cdc_json_from_events(with_dupes), stream_dir)
+    raw = spark.readStream.format("text").load(stream_dir)
+    parsed = parse_cdc_events(raw).withColumn(
+        "event_time", F.timestamp_millis(F.col("upbit_timestamp"))
+    )
+    deduped = parsed.withWatermark("event_time", "1 hour").dropDuplicatesWithinWatermark(
+        ["sequential_id"]
+    )
+    res = _memory_sink(deduped, "append")
+    return res.groupBy("op").agg(F.count("*").alias("n"))
+
+
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization under Structured Streaming:
     ``session_window`` with watermark, complete output — merged session
@@ -396,6 +419,7 @@ QUERIES = {
     "stream_window_agg_5m": stream_window_agg_5m,
     "stream_cdc_parse": stream_cdc_parse,
     "stream_dedup_counts": stream_dedup_counts,
+    "stream_dedup_watermarked": stream_dedup_watermarked,
     "stream_sessionize": stream_sessionize,
     "stream_merged_trade_agg": stream_merged_trade_agg,
     "stream_static_enrich": stream_static_enrich,
@@ -407,6 +431,7 @@ ORACLES = {
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     "stream_cdc_parse": CDC_ROUNDTRIP_SQL,
     "stream_dedup_counts": STREAM_DEDUP_COUNTS_SQL,
+    "stream_dedup_watermarked": STREAM_DEDUP_COUNTS_SQL,
     "stream_sessionize": SESSIONIZE_NATIVE_SQL,
     "stream_merged_trade_agg": STREAM_MERGED_TRADE_AGG_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
