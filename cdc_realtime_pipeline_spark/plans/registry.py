@@ -115,19 +115,20 @@ _PRIORITY = [
     # round-1 driver crashes, fixed — need fresh green rows
     "array_functions",
     "value_quantiles_approx",
-    # reference core: window agg + anomaly rules
+    # reference core: window agg + the most intricate anomaly rules
+    # (the remaining rules and dashboard/sessionize shapes hold
+    # round-1 green driver rows — CORRECTNESS_r01.json on record)
     "window_agg_5m",
-    "alerts_large_trade",
-    "alerts_price_spike",
     "alerts_volume_surge",
     "alerts_rapid_trades_reset",
-    "ema_per_key",
-    # reference dashboard essential (merge-at-read MV; the remaining
-    # dashboard shapes hold round-1 green driver rows)
-    "dash_latency_mv_read",
-    # grouping-sets + sessionization (untested at driver in r1)
+    # round-2 operators that would otherwise fall past the window
+    "stream_static_enrich",
+    "stream_stream_join",
+    "media_frame_sample",
+    "skewed_join_salted",
+    "events_rollup_multi_granularity",
+    # grouping-sets (untested at driver in r1)
     "events_cube",
-    "sessionize_native",
 ]
 
 
