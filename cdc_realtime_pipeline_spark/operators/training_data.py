@@ -200,10 +200,80 @@ def _fill_lang_scores(sql: str) -> str:
     )
 
 
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector data-quality gate: embeddings whose L2 norm deviates more
+    than 3σ from the corpus mean — the degenerate/corrupt-vector sweep
+    run before ANN indexing (zero vectors, double-normalized rows,
+    truncation artifacts all surface here). Two passes: a 1-row global
+    stats aggregate broadcast back over the corpus — no window over an
+    unpartitioned sort, no collect.
+
+    The random fixture's norms are tightly concentrated (no natural
+    3σ outliers — the check would be vacuous), so deterministic bad
+    vectors are planted: every 101st vector re-enters ×3 scaled
+    (vec_id+20000), the corrupt-row stand-in.
+    """
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    bad = base.filter(F.col("vec_id") % 101 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+    )
+    emb = base.unionByName(bad)
+    norms = emb.select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("norm"),
+    )
+    stats = norms.agg(
+        F.avg("norm").alias("mu"), F.stddev_pop("norm").alias("sigma")
+    )
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .withColumn("z", (F.col("norm") - F.col("mu")) / F.col("sigma"))
+        .filter(F.abs("z") > 3.0)
+        .select(
+            "vec_id",
+            "label",
+            F.round("norm", 6).alias("norm"),
+            F.round("z", 4).alias("z"),
+        )
+    )
+
+
+EMBEDDING_NORM_OUTLIERS_SQL = """
+WITH emb AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 20000 AS vec_id, label,
+         list_transform(embedding::DOUBLE[], x -> x * 3.0) AS e
+  FROM embeddings WHERE vec_id % 101 = 0
+),
+norms AS (
+  SELECT vec_id, label, sqrt(list_dot_product(e, e)) AS norm
+  FROM emb
+),
+stats AS (
+  SELECT avg(norm) AS mu, stddev_pop(norm) AS sigma FROM norms
+)
+SELECT vec_id, label, round(norm, 6) AS norm,
+       round((norm - mu) / sigma, 4) AS z
+FROM norms, stats
+WHERE abs((norm - mu) / sigma) > 3.0
+"""
+
+
 QUERIES = {
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "corpus_shard_stats": corpus_shard_stats,
     "embeddings_preprocessed": embeddings_preprocessed,
+    "embedding_norm_outliers": embedding_norm_outliers,
 }
 
 ORACLES = {
@@ -215,4 +285,5 @@ ORACLES = {
         + ") p GROUP BY shard"
     ),
     "embeddings_preprocessed": EMBEDDINGS_PREPROCESSED_SQL,
+    "embedding_norm_outliers": EMBEDDING_NORM_OUTLIERS_SQL,
 }
