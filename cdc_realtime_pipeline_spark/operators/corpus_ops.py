@@ -26,7 +26,7 @@ from cdc_realtime_pipeline_spark.operators.dedup import (
     dedup_docs_jaccard,
     normalize_text,
 )
-from cdc_realtime_pipeline_spark.session import load_table
+from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
 
 PACK_TOKEN_BUDGET = 512
 VOCAB_TOP_K = 50
@@ -51,14 +51,15 @@ def dup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataF
     min doc_id, the same keep-min rule every exact dedup here uses.
     """
     pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    cached = (
+    edges = tracked_persist(
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )
+    cached = tracked_persist(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
     )
     labels = cached
     for _ in range(20):  # fixture diameter ≤ 3; bound defensively
@@ -67,7 +68,9 @@ def dup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataF
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_cached = (
+        # tracked too: the FINAL round's cache must outlive this function
+        # (the returned plan reads it); release_caches() reclaims it later
+        new_cached = tracked_persist(
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -76,7 +79,7 @@ def dup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataF
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
-        ).persist()
+        )
         # the changed-count action materializes new_cached, so the
         # previous round's cache can drop without recompute risk
         changed = new_cached.filter(F.col("_changed")).count()  # scalar only

@@ -67,10 +67,8 @@ _MODULES = [
 _PRIORITY = [
     # CDC core (SURVEY §2.1-2.2)
     "cdc_roundtrip",
-    "cdc_op_filtered_counts",
     "cdc_apply_changes",
     # dedup family (W10 + LLM-pipeline)
-    "dedup_events_exact",
     "dedup_docs_exact",
     "dedup_docs_minhash",
     "dedup_docs_jaccard",
@@ -83,7 +81,6 @@ _PRIORITY = [
     "similarity_topk_ivf",
     "embedding_label_stats",
     # text analysis
-    "text_token_stats",
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
@@ -99,7 +96,6 @@ _PRIORITY = [
     "label_centroids",
     # multimodal
     "media_features",
-    "media_resize_stats",
     "props_json_extract",
     # temporal joins
     "asof_join_last_click",
@@ -115,10 +111,9 @@ _PRIORITY = [
     # round-1 driver crashes, fixed — need fresh green rows
     "array_functions",
     "value_quantiles_approx",
-    # reference core: window agg + the most intricate anomaly rules
-    # (the remaining rules and dashboard/sessionize shapes hold
-    # round-1 green driver rows — CORRECTNESS_r01.json on record)
-    "window_agg_5m",
+    # reference core: the most intricate anomaly rules
+    # (window_agg_5m and the remaining rules/dashboard/sessionize
+    # shapes hold r1+r2 green driver rows on record)
     "alerts_volume_surge",
     "alerts_rapid_trades_reset",
     # round-2 operators that would otherwise fall past the window
@@ -129,6 +124,16 @@ _PRIORITY = [
     "events_rollup_multi_granularity",
     # grouping-sets (untested at driver in r1)
     "events_cube",
+    # round-3 rotation: the five round-2 additions that fell outside
+    # the window last round (VERDICT r2 #1) — swapped in against five
+    # rows holding BOTH r1 and r2 green driver evidence
+    # (dedup_events_exact, cdc_op_filtered_counts, text_token_stats,
+    # media_resize_stats, window_agg_5m)
+    "stream_dedup_watermarked",
+    "embedding_norm_outliers",
+    "similarity_recall_report",
+    "docs_source_profile",
+    "file_format_roundtrip",
 ]
 
 

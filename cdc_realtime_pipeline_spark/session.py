@@ -113,6 +113,35 @@ def convert_ns_timestamps(df):
     return df
 
 
+# DataFrames persisted by operators while building a query plan. The
+# contract returns un-collected plans, so the operator itself can never
+# unpersist (the cache must outlive materialization by the caller);
+# instead, loops that materialize many queries in one session (bench,
+# correctness sweep) call release_caches() between queries so cached
+# shingle/edge blocks don't accumulate across ~100 invocations.
+_PERSISTED: list = []
+
+
+def tracked_persist(df):
+    """``df.persist()`` + registration for later ``release_caches()``."""
+    df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked DataFrame; returns how many were released."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
+
 def raw_schema(spark: SparkSession, sf_dir: str, name: str):
     """Parquet schema as Spark reads it (ts stays LongType ns) — for
     file-stream sources, which need the pre-conversion schema."""

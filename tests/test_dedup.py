@@ -115,15 +115,13 @@ def test_simhash_separates_disjoint_vocabularies(spark):
     assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
 
 
-def test_capped_candidates_match_uncapped_ground_truth(spark, sf_dir):
-    """The df-capped candidate stage must not lose any true pair: the
-    capped+verified Jaccard result equals brute-force exact Jaccard
-    over ALL pairs sharing any shingle (computed uncapped here)."""
+def _uncapped_jaccard_truth(spark, sf_dir, tau=0.6):
+    """Brute-force exact Jaccard over ALL pairs sharing any shingle —
+    the uncapped ground truth the candidate stage must reproduce."""
     from pyspark.sql import functions as F
 
     from cdc_realtime_pipeline_spark.operators.dedup import (
         _word_shingles,
-        dedup_docs_jaccard,
         docs_with_dupes,
     )
 
@@ -139,18 +137,43 @@ def test_capped_candidates_match_uncapped_ground_truth(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    truth = (
+    return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
         )
-        .filter(F.col("jaccard") >= 0.6)
+        .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def test_capped_candidates_match_uncapped_ground_truth(spark, sf_dir):
+    """The candidate stage must not lose any true pair: the
+    capped+verified Jaccard result equals brute-force exact Jaccard
+    over ALL pairs sharing any shingle (computed uncapped here)."""
+    truth = _uncapped_jaccard_truth(spark, sf_dir)
     got = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
     assert truth.count() > 0  # fixture must plant positives
+    assert got.exceptAll(truth).count() == 0
+    assert truth.exceptAll(got).count() == 0
+
+
+def test_minhash_backstop_survives_crippled_caps(spark, sf_dir, monkeypatch):
+    """Forced degradation: cripple the df-capped rare-shingle path
+    entirely (df cap 2, rare-shared bar unreachable) — the MinHash band
+    backstop alone must still deliver every true pair to the exact
+    verify, proving correctness no longer hinges on fixture-measured
+    cap margins. Deterministic: xxhash64 salts are fixed, so band
+    collisions are a pure function of the fixture."""
+    import cdc_realtime_pipeline_spark.operators.dedup as D
+
+    monkeypatch.setattr(D, "MAX_SHINGLE_DF", 2)
+    monkeypatch.setattr(D, "MIN_RARE_SHARED", 10**9)
+    truth = _uncapped_jaccard_truth(spark, sf_dir)
+    got = D.dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    assert truth.count() > 0
     assert got.exceptAll(truth).count() == 0
     assert truth.exceptAll(got).count() == 0
 

@@ -80,6 +80,8 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    from cdc_realtime_pipeline_spark.session import release_caches
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
@@ -96,6 +98,8 @@ def main() -> int:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
             continue
+        finally:
+            release_caches()  # per-query scratch caches must not accumulate
         # The driver canonicalizes via pandas sort_values, which throws
         # "unhashable type" on array/map/struct-typed columns — even for
         # rows-only checks. Flag those here so they can't pass locally
