@@ -104,11 +104,27 @@ DISTINCT_USERS_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``uniq()`` parity — HLL-family approximate distinct.
 
-    No oracle entry: approximation differs across engines by design
-    (driver records the rows-only check).
+    No oracle entry: the approximate VALUE differs across engines by
+    design (driver records the rows-only check). The row still carries
+    a self-checking invariant (VERDICT r2 #6): the exact twin rides
+    along with the relative error and a flag asserting it sits inside
+    5× the sketch's configured rsd — a regression that breaks the
+    sketch (wrong column, wrong rsd, broken merge) flips
+    ``within_bound`` to false even under a rows-only gate.
     """
-    return _events(spark, sf_dir).agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    rsd = 0.01
+    agg = _events(spark, sf_dir).agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("n_users_approx"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    rel_err = F.abs(F.col("n_users_approx") - F.col("n_users_exact")) / F.col(
+        "n_users_exact"
+    )
+    return agg.select(
+        "n_users_approx",
+        "n_users_exact",
+        F.round(rel_err, 6).alias("rel_err"),
+        (rel_err <= 5 * rsd).alias("within_bound"),
     )
 
 

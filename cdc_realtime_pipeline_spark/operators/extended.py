@@ -158,13 +158,47 @@ GROUP BY event_type
 def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL/GK-sketch family) — the scale path for
     quantiles: mergeable sketches, no per-group sort. Rows-only check
-    (approximation differs across engines by design). One scalar column
-    per percentile — the driver canonicalizer cannot hash array values."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    (approximate VALUES differ across engines by design). One scalar
+    column per percentile — the driver canonicalizer cannot hash array
+    values.
+
+    Self-checking invariant (VERDICT r2 #6): each percentile also
+    carries its measured RANK error — the fraction of the group's rows
+    ≤ the sketch's answer minus the target percentile — and a flag
+    bounding it by the sketch guarantee (≤ 1/accuracy) plus one rank
+    step (1/n, the best any answer can do on discrete data). A broken
+    sketch flips ``within_bound`` under a rows-only gate.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("p50"),
         F.percentile_approx("value", 0.9, 10000).alias("p90"),
         F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )
+    # rank of each approx answer inside its own group: one broadcast
+    # join of the tiny per-group agg back onto the events, no sort
+    j = ev.join(F.broadcast(agg), "event_type")
+    errs = j.groupBy("event_type", "p50", "p90", "p99").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.abs(
+                F.avg((F.col("value") <= F.col(c)).cast("double")) - F.lit(p)
+            ).alias(f"_err_{c}")
+            for c, p in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+        ],
+    )
+    bound = F.lit(1.0 / 10000) + 1.0 / F.col("_n")
+    return errs.select(
+        "event_type",
+        "p50",
+        "p90",
+        "p99",
+        *[F.round(F.col(f"_err_{c}"), 6).alias(f"rank_err_{c}") for c in ["p50", "p90", "p99"]],
+        (
+            (F.col("_err_p50") <= bound)
+            & (F.col("_err_p90") <= bound)
+            & (F.col("_err_p99") <= bound)
+        ).alias("within_bound"),
     )
 
 
@@ -403,16 +437,33 @@ def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree with the parquet ground truth, which is the oracle.
     Text columns stay out of the CSV leg by design (quoting/newline
     escapes differ across engines; parquet/JSON are the text carriers).
+
+    Scratch discipline (ADVICE r2): one per-session dir, overwritten in
+    place on re-invocation and removed at exit — repeated gate/bench
+    runs don't leak temp dirs. CSV null handling is pinned explicitly
+    (``nullValue='\\\\N'`` on write AND read): a null and an empty
+    string round-trip distinguishably, so equality with the parquet
+    ground truth doesn't depend on the fixture containing neither.
     """
-    import tempfile
+    from cdc_realtime_pipeline_spark.session import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    base = scratch_dir("fmt_roundtrip")
     docs.write.mode("overwrite").json(base + "/jsonl")
-    docs.write.mode("overwrite").option("header", True).csv(base + "/csv")
+    (
+        docs.write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .csv(base + "/csv")
+    )
     schema = "doc_id long, lang string, source string"
     j = spark.read.schema(schema).json(base + "/jsonl")
-    c = spark.read.option("header", True).schema(schema).csv(base + "/csv")
+    c = (
+        spark.read.option("header", True)
+        .option("nullValue", "\\N")
+        .schema(schema)
+        .csv(base + "/csv")
+    )
     out = j.withColumn("fmt", F.lit("jsonl")).unionByName(
         c.withColumn("fmt", F.lit("csv"))
     )

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_realtime_pipeline_spark.session import load_table
+from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
 
 TOP_K = 5
 N_QUERIES = 3  # vec_id < 3 are the query vectors
@@ -115,24 +115,75 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
-def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-K: probe only the query's LSH bucket, then exact rerank.
+def _multi_probe(queries: DataFrame, n_bits: int) -> DataFrame:
+    """Multi-probe LSH probe set: each query row fans out to its own
+    bucket plus every Hamming-distance-1 and -2 variant (1 + n +
+    n(n−1)/2 rows; 37 for n=8). Near neighbors that land one or two
+    sign-bits away from the query's bucket are still probed, lifting
+    recall without touching the corpus side — the fan-out multiplies
+    only the (tiny, broadcast) query relation, so the candidate join
+    stays a broadcast equi-join on the corpus signature. Probes are
+    computed as one char-wise XOR of ``qsig`` against a literal mask
+    array (NOT one deep string-surgery expression per probe — that
+    form added ~10 s of codegen at 37 probes). All probes of one query
+    are distinct, so a corpus vector matches at most one probe — no
+    duplicate candidates, no distinct needed."""
+    masks = [
+        format(m, f"0{n_bits}b")
+        for m in range(1 << n_bits)
+        if bin(m).count("1") <= 2
+    ]
+    fanned = queries.select(
+        "query_id",
+        "q",
+        "qsig",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+    )
 
-    8 hyperplanes → 256 buckets; recall is tunable via planes/probes.
-    Oracle-gated: the seeded hyperplanes embed as literals in the
-    oracle SQL, and both engines compute dot products in the same
-    sequential order, so bucket signatures match exactly; recall vs
-    brute force is additionally asserted in tests/test_similarity.py.
+    def xor_char(i: int) -> Column:
+        keep = F.substring("qsig", i + 1, 1)
+        return F.when(
+            F.substring("mask", i + 1, 1) == "1",
+            F.when(keep == "1", F.lit("0")).otherwise(F.lit("1")),
+        ).otherwise(keep)
+
+    return fanned.select(
+        "query_id", "q", F.concat(*[xor_char(i) for i in range(n_bits)]).alias("qsig")
+    )
+
+
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-K: probe the query's LSH bucket and every bucket within
+    Hamming distance 2 of it (multi-probe), then exact rerank.
+
+    8 hyperplanes → 256 buckets, 37 probes per query. Single-probe
+    recall on this corpus (random vectors, so true neighbors sit at
+    modest cosine where each sign bit flips with prob ≈ acos(c)/π) was
+    measured 1/15; H≤2 multi-probe covers a ball around the query
+    bucket and recalls the large majority (floor pinned in
+    tests/test_similarity.py). Oracle-gated: the seeded hyperplanes
+    embed as literals in the oracle SQL, and both engines compute dot
+    products in the same sequential order, so bucket signatures — and
+    the probe set — match exactly.
     """
     planes = _hyperplanes(8, 64)
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "sig", lsh_signature(F.col("embedding"), planes)
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), F.col("sig").alias("qsig")
+    # persist the (tiny) query relation: without this barrier Catalyst
+    # collapse-projects the 8-fold signature expression into every
+    # substring reference inside the probe XOR (≈8 s of analysis/
+    # codegen for a plan that executes in 0.3 s)
+    queries = tracked_persist(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.col("sig").alias("qsig"),
+        )
     )
+    probes = _multi_probe(queries, 8)
     cand = emb.join(
-        F.broadcast(queries),
+        F.broadcast(probes),
         (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cand.withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
@@ -178,17 +229,35 @@ def banded_signatures_udf(planes: list[list[float]], n_bands: int):
     return F.pandas_udf(_sigs, "array<string>")
 
 
-def dedup_embeddings_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embeddings_cosine(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine ≥ τ, keep-min survivor.
 
-    Candidates-then-verify, never all-pairs: 64 hyperplane sign bits in
-    8 bands of 8 bucket the corpus; candidate pairs are same-(band, sig)
-    equi-join collisions; exact cosine verifies only those. A pair at
-    cos ≥ 0.999 (the planted near-dups) misses all 8 bands with
-    probability ~4e-8, so the result equals the all-pairs ground truth
-    the oracle computes — asserted across fixtures. At 100 TB the same
-    plan holds with wider bands (16–32 bits) to keep per-band buckets
-    ~corpus/2^bits; cost is Σ bucket², never corpus².
+    Candidates-then-verify, never all-pairs: 128 hyperplane sign bits
+    in 16 bands of 8 bucket the corpus; candidate pairs are same-
+    (band, sig) equi-join collisions; exact cosine verifies only those
+    (so candidates affect recall only, never precision).
+
+    Recall bound as a function of the pair's true cosine c (ADVICE r2):
+    each sign bit disagrees with probability p(c) = acos(c)/π, a band
+    of R bits matches w.p. q = (1−p)^R, and the pair is missed only if
+    all B bands miss: miss(c) = (1 − (1−p(c))^R)^B. With R=8, B=16:
+
+        c = 0.95 (τ itself) → miss ≈ 1.4e-4
+        c = 0.97            → miss ≈ 7e-6
+        c = 0.999 (planted) → miss ≈ 2e-15
+
+    i.e. the bound now holds at the decision threshold, not just for
+    the planted near-identical pairs (B=8 gave ~1.2 % at τ). Unrelated
+    pairs (c≈0, p≈0.5) collide per band w.p. 2⁻⁸ — band-bucket join
+    cost is Σ bucket², never corpus². At 100 TB widen bands to 16-32
+    bits to hold per-band buckets at ~corpus/2^bits.
+
+    ``exact=True`` is the exactness escape hatch: skip LSH and verify
+    every (a < b) pair — O(n²), for audits and small corpora only;
+    the oracle SQL is exactly this form, so the default banded path is
+    continually differentially tested against it at the gate.
     """
     tau = 0.95
     base = load_table(spark, sf_dir, "embeddings").select(
@@ -207,22 +276,27 @@ def dedup_embeddings_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     emb = base.unionByName(near)
-    planes = _hyperplanes(64, 64)
-    sig_kernel = banded_signatures_udf(planes, 8)
-    bands = emb.select(
-        "vec_id", F.posexplode(sig_kernel(F.col("embedding"))).alias("band", "sig")
-    )
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
+    if exact:
+        ea = emb.select(F.col("vec_id").alias("vec_a"))
+        eb = emb.select(F.col("vec_id").alias("vec_b"))
+        cand = ea.join(eb, F.col("vec_a") < F.col("vec_b"))
+    else:
+        planes = _hyperplanes(128, 64)
+        sig_kernel = banded_signatures_udf(planes, 16)
+        bands = emb.select(
+            "vec_id", F.posexplode(sig_kernel(F.col("embedding"))).alias("band", "sig")
         )
-        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
-        .distinct()
-    )
+        x, y = bands.alias("x"), bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.sig") == F.col("y.sig"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+            .distinct()
+        )
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = (
@@ -347,12 +421,31 @@ WITH sigs AS (
 q AS (
   SELECT vec_id AS query_id, e AS qv, sig AS qsig FROM sigs WHERE vec_id < {N_QUERIES}
 ),
+probes AS (
+  -- multi-probe H<=2 ball around the query bucket, mirroring
+  -- _probe_sigs: the bucket itself, all 1-bit flips, all 2-bit flips
+  SELECT query_id, qv, qsig AS probe FROM q
+  UNION ALL
+  SELECT query_id, qv,
+         substr(qsig, 1, CAST(i AS INT))
+           || (CASE substr(qsig, CAST(i AS INT) + 1, 1) WHEN '1' THEN '0' ELSE '1' END)
+           || substr(qsig, CAST(i AS INT) + 2) AS probe
+  FROM q, range(0, 8) t(i)
+  UNION ALL
+  SELECT query_id, qv,
+         substr(qsig, 1, CAST(i AS INT))
+           || (CASE substr(qsig, CAST(i AS INT) + 1, 1) WHEN '1' THEN '0' ELSE '1' END)
+           || substr(qsig, CAST(i AS INT) + 2, CAST(j - i - 1 AS INT))
+           || (CASE substr(qsig, CAST(j AS INT) + 1, 1) WHEN '1' THEN '0' ELSE '1' END)
+           || substr(qsig, CAST(j AS INT) + 2) AS probe
+  FROM q, range(0, 8) t(i), range(0, 8) u(j) WHERE j > i
+),
 scored AS (
-  SELECT q.query_id, s.vec_id,
-         round(list_dot_product(qv, s.e)
-               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(s.e, s.e))),
+  SELECT p.query_id, s.vec_id,
+         round(list_dot_product(p.qv, s.e)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.e, s.e))),
                6) AS cos
-  FROM sigs s JOIN q ON s.sig = q.qsig AND s.vec_id != q.query_id
+  FROM sigs s JOIN probes p ON s.sig = p.probe AND s.vec_id != p.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk

@@ -107,7 +107,10 @@ _PRIORITY = [
     "stream_dedup_counts",
     "stream_sessionize",
     "stream_merged_trade_agg",
-    "stream_anomaly_alerts",
+    # oracle-gated twin of stream_anomaly_alerts (which stays
+    # registered rows-only after the window): per-rule counts +
+    # trade-id checksum vs a recursive-CTE replay of the detector
+    "stream_anomaly_rule_counts",
     # round-1 driver crashes, fixed — need fresh green rows
     "array_functions",
     "value_quantiles_approx",

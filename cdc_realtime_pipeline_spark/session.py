@@ -142,6 +142,27 @@ def release_caches() -> int:
     return n
 
 
+# Per-session scratch directories, one per tag, removed at interpreter
+# exit — query functions must not leak a new mkdtemp per invocation
+# (ADVICE r2: gate/bench loops invoke each query repeatedly).
+_SCRATCH: dict = {}
+
+
+def scratch_dir(tag: str) -> str:
+    """Stable per-session scratch dir for ``tag`` (created lazily,
+    rmtree'd via atexit). Callers overwrite in place on re-invocation
+    instead of leaking fresh temp dirs."""
+    if tag not in _SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"sg_{tag}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _SCRATCH[tag] = d
+    return _SCRATCH[tag]
+
+
 def raw_schema(spark: SparkSession, sf_dir: str, name: str):
     """Parquet schema as Spark reads it (ts stays LongType ns) — for
     file-stream sources, which need the pre-conversion schema."""
