@@ -1,0 +1,402 @@
+"""Corpus-curation operators — the filtering/mixing stages a
+large-scale training-data pipeline runs between raw ingest and
+tokenization, beyond what ``corpus_ops``/``text_ops`` already cover:
+
+* benchmark decontamination (n-gram overlap vs an eval set)
+* intra-document repetition scoring (spam/generated-text signal)
+* stratified source sampling (domain mixing with deterministic keep)
+* corpus-trained unigram-LM scoring (CCNet-style quality proxy)
+
+All four are pure DataFrame plans with DuckDB oracles. Scale shapes:
+decontamination broadcasts only the (small) benchmark shingle set and
+streams the corpus past it; repetition and LM scoring are two
+map-side-combinable aggregations; sampling is a pure projection on a
+portable hash — no text ever shuffles except the (doc_id, shingle)
+pairs that aggregation itself needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.operators.dedup import (
+    NORMALIZE_SQL,
+    _hash64,
+    _HASH64_SQL,
+    normalize_text,
+)
+from cdc_realtime_pipeline_spark.session import load_table
+
+# Every ~97th document stands in for a held-out benchmark/eval set
+# (deterministic, so both engines and every round agree on it). In a
+# real deployment this is the external eval corpus.
+_BENCH_MOD = 97
+# A training doc is contaminated when it shares at least this many
+# distinct 3-gram shingles with any benchmark doc.
+_CONTAM_MIN_SHARED = 2
+
+
+def _all_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc → word n-gram shingles, one row per OCCURRENCE (duplicates
+    kept — repetition scoring needs multiplicity; decontamination
+    dedups downstream). Same narrow transform/slice plan as
+    ``dedup._word_shingles`` minus the distinct."""
+    wdf = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("words")
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size("words") - n, F.lit(0)))
+    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("words", i + 1, n)))
+    return (
+        wdf.withColumn("shingle", F.explode(shingle))
+        .filter(F.length("shingle") > 0)
+        .select("doc_id", "shingle")
+    )
+
+
+# occurrence-preserving shingle CTE (mirrors _all_shingles; the
+# dedup module's _SHINGLES_SQL has DISTINCT baked in)
+_ALL_SHINGLES_SQL = """
+shingled AS (
+  SELECT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           list_aggregate(words[i : i + 2], 'string_agg', ' ') AS shingle
+    FROM (SELECT doc_id,
+                 string_split({norm}, ' ') AS words
+          FROM documents),
+         LATERAL (SELECT unnest(range(1, greatest(len(words) - 2, 1) + 1)) AS i)
+  )
+  WHERE length(shingle) > 0
+)
+"""
+
+
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose text
+    overlaps a held-out eval set — the step that keeps test questions
+    out of the training corpus.
+
+    Every doc with ``doc_id % 97 == 0`` plays the benchmark; a
+    training doc is flagged when it shares ≥ 2 distinct 3-gram
+    shingles with any benchmark doc. Output: flagged doc_id, how many
+    distinct shingles leaked, how many benchmark docs it collides
+    with.
+
+    Scale shape: the benchmark relation is small by nature (an eval
+    set, not a corpus), so its shingle set is broadcast — the 100 TB
+    training side streams past it in one narrow pass + one aggregation
+    on (doc_id); the corpus never self-joins and never shuffles text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # shingle each side from a pre-filtered scan: the bench side
+    # shingles only its own (tiny) docs, and the train side needs NO
+    # distinct — the final countDistinct dedups, so the corpus never
+    # pays a full (doc_id, shingle) shuffle before the bench join
+    # prunes it down to the (rare) overlapping rows
+    bench = (
+        _all_shingles(docs.filter(F.col("doc_id") % _BENCH_MOD == 0))
+        .distinct()
+        .select(F.col("doc_id").alias("bench_doc"), "shingle")
+    )
+    train = _all_shingles(docs.filter(F.col("doc_id") % _BENCH_MOD != 0))
+    hits = train.join(F.broadcast(bench), "shingle")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= _CONTAM_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_VS_BENCHMARK_SQL = f"""
+WITH {_ALL_SHINGLES_SQL.format(norm=NORMALIZE_SQL.format(col='text')).strip()},
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+bench AS (
+  SELECT doc_id AS bench_doc, shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+),
+train AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} != 0)
+SELECT t.doc_id,
+       count(DISTINCT t.shingle) AS n_shared_shingles,
+       count(DISTINCT b.bench_doc) AS n_bench_docs
+FROM train t JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.shingle) >= {_CONTAM_MIN_SHARED}
+ORDER BY t.doc_id
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition profile — the standard spam /
+    boilerplate / degenerate-generation signal: what fraction of a
+    doc's 3-grams are repeats, and how dominant is its single most
+    repeated 3-gram.
+
+    Two aggregations, both map-side combinable: (doc, shingle) counts,
+    then per-doc totals. ``dup_ngram_frac`` = 1 − distinct/total;
+    ``top_ngram_frac`` = max-count/total.
+    """
+    sh = _all_shingles(load_table(spark, sf_dir, "documents"))
+    per = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_distinct",
+            F.round(1 - F.col("n_distinct") / F.col("n_ngrams") + 1e-9, 4).alias(
+                "dup_ngram_frac"
+            ),
+            F.round(F.col("top_count") / F.col("n_ngrams") + 1e-9, 4).alias(
+                "top_ngram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH {_ALL_SHINGLES_SQL.format(norm=NORMALIZE_SQL.format(col='text')).strip()},
+per AS (
+  SELECT doc_id, shingle, count(*) AS c FROM shingled GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_ngrams,
+       count(*) AS n_distinct,
+       round(1 - count(*) / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS dup_ngram_frac,
+       round(max(c) / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS top_ngram_frac
+FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# Domain-mixing weights by source tier: a deterministic portable hash
+# of the source name picks one of four keep rates. (In production the
+# weight table is curated per domain; the MECHANISM — per-source rate,
+# per-doc deterministic keep — is what scales.)
+_SAMPLE_RATES = [0.25, 0.5, 0.75, 1.0]
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified source sampling (domain mixing): each source gets a
+    target keep-rate; each doc is kept iff a portable hash of its id
+    falls under the rate — a pure projection, so re-runs, cluster
+    resizes, and incremental arrivals keep EXACTLY the same documents
+    (no RNG state, no sort). Returns the per-source audit the curation
+    pipeline reports: target vs achieved rate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tier = F.pmod(_hash64(F.col("source"), 17), F.lit(4))
+    rate = (
+        F.when(tier == 0, _SAMPLE_RATES[0])
+        .when(tier == 1, _SAMPLE_RATES[1])
+        .when(tier == 2, _SAMPLE_RATES[2])
+        .otherwise(_SAMPLE_RATES[3])
+    )
+    keep = F.pmod(_hash64(F.col("doc_id").cast("string"), 19), F.lit(10000)) < (
+        rate * 10000
+    )
+    d = docs.select("doc_id", "source", rate.alias("target_rate"), keep.alias("keep"))
+    return (
+        d.groupBy("source", "target_rate")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.min(F.when(F.col("keep"), F.col("doc_id"))).alias("min_kept_doc"),
+        )
+        .withColumn(
+            "achieved_rate", F.round(F.col("n_kept") / F.col("n_docs") + 1e-9, 4)
+        )
+        .orderBy("source")
+    )
+
+
+_TIER_SQL = f"(({_HASH64_SQL.format(salt=17, col='source')}) % 4 + 4) % 4"
+_KEEP_SQL = (
+    f"(({_HASH64_SQL.format(salt=19, col='CAST(doc_id AS VARCHAR)')}) % 10000 + 10000) % 10000"
+)
+
+CORPUS_STRATIFIED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE {_TIER_SQL}
+              WHEN 0 THEN {_SAMPLE_RATES[0]} WHEN 1 THEN {_SAMPLE_RATES[1]}
+              WHEN 2 THEN {_SAMPLE_RATES[2]} ELSE {_SAMPLE_RATES[3]} END AS target_rate,
+         ({_KEEP_SQL}) < CASE {_TIER_SQL}
+              WHEN 0 THEN {_SAMPLE_RATES[0]} WHEN 1 THEN {_SAMPLE_RATES[1]}
+              WHEN 2 THEN {_SAMPLE_RATES[2]} ELSE {_SAMPLE_RATES[3]} END * 10000 AS keep
+  FROM documents
+)
+SELECT source, target_rate,
+       count(*) AS n_docs,
+       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+       min(CASE WHEN keep THEN doc_id END) AS min_kept_doc,
+       round(count(CASE WHEN keep THEN 1 END) / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+         AS achieved_rate
+FROM d GROUP BY source, target_rate ORDER BY source
+"""
+
+
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score (the cheap end of the
+    CCNet perplexity-filter family): p(w) = corpus frequency, each doc
+    scored by its mean token negative log-probability. Gibberish and
+    rare-vocabulary docs score high, templated/common text scores low.
+
+    Two shuffles total: token counts (map-side combinable) and the
+    word-keyed join of docs' tokens against the vocabulary — the LM
+    "table" stays distributed (no driver collect; at 100 TB the vocab
+    is itself large). Per-token logs are rounded to 8 decimals before
+    averaging so the float sum is association-insensitive across
+    engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    totals = words.agg(F.count("*").alias("n_total"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("c"))
+    scored = (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c") / F.col("n_total")), 8).alias("neg_logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("neg_logp") + 1e-9, 4).alias("avg_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_UNIGRAM_LM_SCORE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id,
+               unnest(string_split({NORMALIZE_SQL.format(col='text')}, ' ')) AS word
+        FROM documents)
+  WHERE length(word) > 0
+),
+vocab AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+totals AS (SELECT count(*) AS n_total FROM words),
+scored AS (
+  SELECT doc_id, round(-ln(c / CAST(n_total AS DOUBLE)), 8) AS neg_logp
+  FROM words JOIN vocab USING (word) CROSS JOIN totals
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(neg_logp) + 1e-9, 4) AS avg_neg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# PII patterns, verified byte-identical between Java regex (Spark) and
+# RE2 (DuckDB) on the shapes below. ORDER MATTERS and is fixed in both
+# engines: emails first (their local parts may contain digits), then
+# IPs (a dotted quad like 192.168.255.254 would otherwise match the
+# phone pattern), then phones.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+_PII_PHONE = r"\+?[0-9][0-9()\s.-]{7,}[0-9]"
+
+
+def _with_planted_pii(docs: DataFrame) -> Column:
+    """The random fixture contains no natural PII, so plant a
+    deterministic contact line on every 11th doc (same expression in
+    the oracle) — otherwise the scrub is vacuously tested."""
+    pii = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), pii)).otherwise(
+        F.col("text")
+    )
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass — emails, IPv4 addresses, phone-shaped digit
+    runs replaced by typed placeholder tokens; per-doc counts plus an
+    md5 of the scrubbed text so the gate verifies the REDACTED BYTES,
+    not just the counts. Pure per-row regex projection: narrow,
+    codegen'd, scales with the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = _with_planted_pii(docs)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), F.lit(_PII_IP)).alias(
+            "n_ips"
+        ),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+            ),
+            F.lit(_PII_PHONE),
+        ).alias("n_phones"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+_PII_T_SQL = (
+    "CASE WHEN doc_id % 11 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE text END"
+)
+
+TEXT_PII_SCRUB_SQL = rf"""
+WITH t AS (SELECT doc_id, {_PII_T_SQL} AS t FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1,
+              len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails FROM t),
+s2 AS (SELECT doc_id, n_emails,
+              regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2,
+              len(regexp_extract_all(t1, '{_PII_IP}')) AS n_ips FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+              regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3,
+              len(regexp_extract_all(t2, '{_PII_PHONE}')) AS n_phones FROM s2)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       length(t3) AS scrubbed_len, md5(t3) AS scrubbed_md5
+FROM s3 ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "decontaminate_vs_benchmark": decontaminate_vs_benchmark,
+    "text_repetition": text_repetition,
+    "corpus_stratified_sample": corpus_stratified_sample,
+    "text_unigram_lm_score": text_unigram_lm_score,
+    "text_pii_scrub": text_pii_scrub,
+}
+
+ORACLES = {
+    "decontaminate_vs_benchmark": DECONTAMINATE_VS_BENCHMARK_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "corpus_stratified_sample": CORPUS_STRATIFIED_SAMPLE_SQL,
+    "text_unigram_lm_score": TEXT_UNIGRAM_LM_SCORE_SQL,
+    "text_pii_scrub": TEXT_PII_SCRUB_SQL,
+}

@@ -30,6 +30,7 @@ from cdc_realtime_pipeline_spark.operators import (
     anomaly,
     cdc_ops,
     corpus_ops,
+    curation,
     dashboard,
     dedup,
     extended,
@@ -57,6 +58,7 @@ _MODULES = [
     multimodal,
     training_data,
     corpus_ops,
+    curation,
     stream_queries,
 ]
 
@@ -111,13 +113,19 @@ _PRIORITY = [
     # registered rows-only after the window): per-rule counts +
     # trade-id checksum vs a recursive-CTE replay of the detector
     "stream_anomaly_rule_counts",
-    # round-1 driver crashes, fixed — need fresh green rows
-    "array_functions",
+    # approx sketch row: new self-check bound columns need fresh
+    # driver evidence (array_functions rotated out on r1+r2 evidence)
     "value_quantiles_approx",
-    # reference core: the most intricate anomaly rules
-    # (window_agg_5m and the remaining rules/dashboard/sessionize
-    # shapes hold r1+r2 green driver rows on record)
-    "alerts_volume_surge",
+    # round-3 curation operators (decontamination + repetition take
+    # the slots of array_functions / alerts_volume_surge, both
+    # r1+r2-evidenced; the other two — corpus_stratified_sample,
+    # text_unigram_lm_score — ride after the window on local-harness
+    # evidence and rotate in next round)
+    "decontaminate_vs_benchmark",
+    "text_repetition",
+    # reference core: the most intricate anomaly rule shape
+    # (window_agg_5m, alerts_volume_surge and the remaining rules/
+    # dashboard/sessionize shapes hold r1+r2 green driver rows)
     "alerts_rapid_trades_reset",
     # round-2 operators that would otherwise fall past the window
     "stream_static_enrich",

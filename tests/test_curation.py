@@ -1,0 +1,57 @@
+"""Invariant tests for the corpus-curation operators (the DuckDB
+differential gate checks exact values; these pin semantic properties
+that must hold on any corpus, not just this fixture)."""
+
+from __future__ import annotations
+
+from cdc_realtime_pipeline_spark.operators.curation import (
+    _BENCH_MOD,
+    _CONTAM_MIN_SHARED,
+    _SAMPLE_RATES,
+    corpus_stratified_sample,
+    decontaminate_vs_benchmark,
+    text_repetition,
+    text_unigram_lm_score,
+)
+
+
+def test_decontamination_never_flags_benchmark_docs(spark, sf_dir):
+    rows = decontaminate_vs_benchmark(spark, sf_dir).collect()
+    assert rows, "fixture must contain at least one contaminated doc"
+    for r in rows:
+        assert r["doc_id"] % _BENCH_MOD != 0  # eval docs are not training docs
+        assert r["n_shared_shingles"] >= _CONTAM_MIN_SHARED
+        assert r["n_bench_docs"] >= 1
+
+
+def test_repetition_fractions_are_consistent(spark, sf_dir):
+    rows = text_repetition(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_ngrams"]
+        assert 0.0 <= r["dup_ngram_frac"] < 1.0
+        # the dominant n-gram covers at least 1/n and at most all of it
+        assert r["top_ngram_frac"] >= round(1.0 / r["n_ngrams"], 4) - 1e-9
+        assert r["top_ngram_frac"] <= 1.0 + 1e-9
+
+
+def test_stratified_sample_is_deterministic_and_near_target(spark, sf_dir):
+    a = {r["source"]: r for r in corpus_stratified_sample(spark, sf_dir).collect()}
+    b = {r["source"]: r for r in corpus_stratified_sample(spark, sf_dir).collect()}
+    assert a.keys() == b.keys() and len(a) > 1
+    for s in a:
+        assert a[s]["n_kept"] == b[s]["n_kept"]  # pure-hash keep: no RNG drift
+        assert 0 <= a[s]["n_kept"] <= a[s]["n_docs"]
+        assert a[s]["target_rate"] in _SAMPLE_RATES
+        # law of large numbers check, loose (fixture sources are small)
+        if a[s]["n_docs"] >= 20:
+            assert abs(a[s]["achieved_rate"] - a[s]["target_rate"]) <= 0.25
+
+
+def test_unigram_lm_scores_are_positive_and_total(spark, sf_dir):
+    rows = text_unigram_lm_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] >= 1
+        # -ln p > 0 strictly unless one word IS the whole corpus
+        assert r["avg_neg_logp"] > 0.0

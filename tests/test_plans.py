@@ -110,3 +110,20 @@ def test_shingle_verify_join_not_forced_broadcast(spark, sf_dir):
     physical = pairs._jdf.queryExecution().executedPlan().toString()
     for m in re.finditer(r"BroadcastExchange[^\n]*", physical):
         assert "collect_list" not in m.group(0)
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    # the benchmark shingle set is small by nature and must broadcast;
+    # the (100 TB) training side must NOT be the built/broadcast side
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        decontaminate_vs_benchmark,
+    )
+
+    plan = (
+        decontaminate_vs_benchmark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
