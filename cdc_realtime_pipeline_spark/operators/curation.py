@@ -385,15 +385,168 @@ FROM s3 ORDER BY doc_id
 """
 
 
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL — every stage of the cleaning pipeline
+    composed in declared order, reporting how many documents survive
+    each cumulative stage (the audit table every large-scale corpus
+    build publishes):
+
+        total → declared-lang keep → length window → low repetition
+        → decontaminated (incl. dropping the benchmark docs
+        themselves) → stratified source sample → exact-dedup survivor
+
+    One pass computes all stage flags per doc (repetition and
+    contamination arrive via their operators' aggregations); the
+    survivor stage ranks content hashes WITHIN the prior stage's
+    survivors (dedup after filtering, the canonical order — a dropped
+    doc must not shadow a kept duplicate). A single aggregate emits
+    the funnel as one row, unpivoted via ``stack`` — the corpus is
+    never scanned once per stage.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = text_repetition(spark, sf_dir).select("doc_id", "dup_ngram_frac")
+    contam = decontaminate_vs_benchmark(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_contaminated")
+    )
+    tier = F.pmod(_hash64(F.col("source"), 17), F.lit(4))
+    rate = (
+        F.when(tier == 0, _SAMPLE_RATES[0])
+        .when(tier == 1, _SAMPLE_RATES[1])
+        .when(tier == 2, _SAMPLE_RATES[2])
+        .otherwise(_SAMPLE_RATES[3])
+    )
+    keep = F.pmod(_hash64(F.col("doc_id").cast("string"), 19), F.lit(10000)) < (
+        rate * 10000
+    )
+    d = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "source",
+            F.md5(normalize_text(F.col("text"))).alias("content_hash"),
+        )
+        .join(rep, "doc_id", "left")
+        .join(F.broadcast(contam), "doc_id", "left")
+    )
+    f1 = F.col("lang").isin("en", "de", "es")
+    f2 = f1 & F.col("n_chars").between(100, 10000)
+    f3 = f2 & (F.coalesce(F.col("dup_ngram_frac"), F.lit(0.0)) <= 0.5)
+    f4 = f3 & F.coalesce(~F.col("_contaminated"), F.lit(True)) & (
+        F.col("doc_id") % _BENCH_MOD != 0
+    )
+    f5 = f4 & keep
+    flagged = d.select(
+        "doc_id",
+        "content_hash",
+        f1.alias("f1"),
+        f2.alias("f2"),
+        f3.alias("f3"),
+        f4.alias("f4"),
+        f5.alias("f5"),
+    )
+    wmin = Window.partitionBy("content_hash")
+    survivor = F.col("f5") & (
+        F.col("doc_id") == F.min(F.when(F.col("f5"), F.col("doc_id"))).over(wmin)
+    )
+    flagged = flagged.withColumn("f6", survivor)
+    one = flagged.agg(
+        F.count("*").alias("n0"),
+        *[F.sum(F.col(f"f{i}").cast("long")).alias(f"n{i}") for i in range(1, 7)],
+    )
+    return one.selectExpr(
+        "stack(7, "
+        "0, 'total', n0, "
+        "1, 'lang_keep', n1, "
+        "2, 'length_ok', n2, "
+        "3, 'low_repetition', n3, "
+        "4, 'decontaminated', n4, "
+        "5, 'sampled', n5, "
+        "6, 'dedup_survivor', n6"
+        ") AS (stage_idx, stage, n_docs)"
+    ).orderBy("stage_idx")
+
+
+CORPUS_CURATION_FUNNEL_SQL = f"""
+WITH {_ALL_SHINGLES_SQL.format(norm=NORMALIZE_SQL.format(col='text')).strip()},
+rep AS (
+  SELECT doc_id,
+         round(1 - count(*) / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS dup_ngram_frac
+  FROM (SELECT doc_id, shingle, count(*) AS c FROM shingled GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+bench AS (
+  SELECT doc_id AS bench_doc, shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+),
+contam AS (
+  SELECT t.doc_id FROM (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} != 0) t
+  JOIN bench b ON t.shingle = b.shingle
+  GROUP BY t.doc_id
+  HAVING count(DISTINCT t.shingle) >= {_CONTAM_MIN_SHARED}
+),
+d AS (
+  SELECT doc_id, lang, n_chars, source,
+         md5({NORMALIZE_SQL.format(col='text')}) AS content_hash,
+         coalesce(r.dup_ngram_frac, 0.0) AS dup_frac,
+         (doc_id IN (SELECT doc_id FROM contam)) AS contaminated,
+         ({_KEEP_SQL}) < CASE {_TIER_SQL}
+              WHEN 0 THEN {_SAMPLE_RATES[0]} WHEN 1 THEN {_SAMPLE_RATES[1]}
+              WHEN 2 THEN {_SAMPLE_RATES[2]} ELSE {_SAMPLE_RATES[3]} END * 10000 AS keep
+  FROM documents LEFT JOIN rep r USING (doc_id)
+),
+flags AS (
+  SELECT doc_id, content_hash,
+         (lang IN ('en', 'de', 'es')) AS f1,
+         (lang IN ('en', 'de', 'es') AND n_chars BETWEEN 100 AND 10000) AS f2,
+         (lang IN ('en', 'de', 'es') AND n_chars BETWEEN 100 AND 10000
+          AND dup_frac <= 0.5) AS f3,
+         (lang IN ('en', 'de', 'es') AND n_chars BETWEEN 100 AND 10000
+          AND dup_frac <= 0.5 AND NOT contaminated
+          AND doc_id % {_BENCH_MOD} != 0) AS f4,
+         (lang IN ('en', 'de', 'es') AND n_chars BETWEEN 100 AND 10000
+          AND dup_frac <= 0.5 AND NOT contaminated
+          AND doc_id % {_BENCH_MOD} != 0 AND keep) AS f5
+  FROM d
+),
+withmin AS (
+  SELECT *,
+         min(CASE WHEN f5 THEN doc_id END) OVER (PARTITION BY content_hash)
+           AS min_kept
+  FROM flags
+),
+agg AS (
+  SELECT count(*) AS n0,
+         CAST(count(CASE WHEN f1 THEN 1 END) AS BIGINT) AS n1,
+         CAST(count(CASE WHEN f2 THEN 1 END) AS BIGINT) AS n2,
+         CAST(count(CASE WHEN f3 THEN 1 END) AS BIGINT) AS n3,
+         CAST(count(CASE WHEN f4 THEN 1 END) AS BIGINT) AS n4,
+         CAST(count(CASE WHEN f5 THEN 1 END) AS BIGINT) AS n5,
+         CAST(count(CASE WHEN f5 AND doc_id = min_kept THEN 1 END) AS BIGINT) AS n6
+  FROM withmin
+)
+SELECT stage_idx, stage, n_docs FROM agg,
+LATERAL (VALUES (0, 'total', n0), (1, 'lang_keep', n1), (2, 'length_ok', n2),
+                (3, 'low_repetition', n3), (4, 'decontaminated', n4),
+                (5, 'sampled', n5), (6, 'dedup_survivor', n6))
+        AS v(stage_idx, stage, n_docs)
+ORDER BY stage_idx
+"""
+
+
 QUERIES = {
     "decontaminate_vs_benchmark": decontaminate_vs_benchmark,
     "text_repetition": text_repetition,
     "corpus_stratified_sample": corpus_stratified_sample,
     "text_unigram_lm_score": text_unigram_lm_score,
     "text_pii_scrub": text_pii_scrub,
+    "corpus_curation_funnel": corpus_curation_funnel,
 }
 
 ORACLES = {
+    "corpus_curation_funnel": CORPUS_CURATION_FUNNEL_SQL,
     "decontaminate_vs_benchmark": DECONTAMINATE_VS_BENCHMARK_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "corpus_stratified_sample": CORPUS_STRATIFIED_SAMPLE_SQL,

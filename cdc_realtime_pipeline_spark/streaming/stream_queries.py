@@ -417,6 +417,55 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus INGEST gate — the curation funnel's front
+    stages run as documents arrive (file-stream parquet source):
+    declared-lang + length gate, then streaming exact-dedup on
+    (source, content_hash) with ``dropDuplicates`` state, then
+    per-source audit counts.
+
+    Dedup keys on (source, content_hash) — not content alone — so the
+    per-source counts are deterministic regardless of which replica
+    arrives first across sources. The audit carries a ``bit_xor`` of
+    the surviving content-hash int64s: order- and survivor-insensitive,
+    overflow-free, and it pins WHICH contents survived, not just how
+    many. Oracle: the batch equivalent over the same table.
+    """
+    import os
+
+    from cdc_realtime_pipeline_spark.operators.dedup import _hash64, normalize_text
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    # the file-stream source requires a DIRECTORY; expose the fixture
+    # file through a per-session scratch dir via symlink (no copy)
+    d = os.path.join(
+        scratch_dir("docs_stream"), f"{abs(hash(sf_dir)) % 10**8:08d}"
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    sch = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(sch).parquet(d)
+    gated = raw.filter(
+        F.col("lang").isin("en", "de", "es") & F.col("n_chars").between(100, 10000)
+    ).select(
+        "source",
+        F.md5(normalize_text(F.col("text"))).alias("content_hash"),
+    )
+    deduped = gated.dropDuplicates(["source", "content_hash"])
+    res = _memory_sink(deduped, "append")
+    return (
+        res.withColumn("h", _hash64(F.col("content_hash"), 23))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_unique_docs"),
+            F.expr("bit_xor(h)").alias("content_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
 def stream_anomaly_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-rule alert counts + trade-id checksum from the REAL
     streaming detector run — the oracle-gated twin of
@@ -462,6 +511,26 @@ from cdc_realtime_pipeline_spark.operators.extended import SESSIONIZE_NATIVE_SQL
 from cdc_realtime_pipeline_spark.operators.window_agg import (  # noqa: E402
     EVENTS_WINDOW_AGG_5M_SQL,
 )
+
+# Oracle for stream_docs_quality_gate: batch equivalent of the
+# streamed gate + (source, content)-keyed dedup + audit. The md5→int64
+# derivation matches dedup._hash64 (salt 23).
+STREAM_DOCS_QUALITY_GATE_SQL = """
+WITH gated AS (
+  SELECT source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+  WHERE lang IN ('en', 'de', 'es') AND n_chars BETWEEN 100 AND 10000
+),
+ded AS (SELECT DISTINCT source, content_hash FROM gated)
+SELECT source,
+       count(*) AS n_unique_docs,
+       bit_xor(('0x' || substr(md5('s23:' || content_hash), 1, 15))::BIGINT)
+         AS content_checksum
+FROM ded GROUP BY source ORDER BY source
+"""
+
 
 # Oracle for stream_anomaly_rule_counts: replay the detector's per-key
 # sequential loop (anomaly_stateful.detect_anomalies_batch_of_key) as
@@ -535,6 +604,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_anomaly_alerts": stream_anomaly_alerts,  # rows-only
     "stream_anomaly_rule_counts": stream_anomaly_rule_counts,
+    "stream_docs_quality_gate": stream_docs_quality_gate,
 }
 
 ORACLES = {
@@ -547,4 +617,5 @@ ORACLES = {
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_anomaly_rule_counts": STREAM_ANOMALY_RULE_COUNTS_SQL,
+    "stream_docs_quality_gate": STREAM_DOCS_QUALITY_GATE_SQL,
 }

@@ -55,3 +55,19 @@ def test_unigram_lm_scores_are_positive_and_total(spark, sf_dir):
         assert r["n_tokens"] >= 1
         # -ln p > 0 strictly unless one word IS the whole corpus
         assert r["avg_neg_logp"] > 0.0
+
+
+def test_funnel_is_monotone_and_anchored(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.curation import corpus_curation_funnel
+
+    rows = sorted(
+        corpus_curation_funnel(spark, sf_dir).collect(), key=lambda r: r["stage_idx"]
+    )
+    assert [r["stage"] for r in rows] == [
+        "total", "lang_keep", "length_ok", "low_repetition",
+        "decontaminated", "sampled", "dedup_survivor",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts[0] > 0
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # funnel never grows
+    assert counts[-1] > 0  # something must survive the whole pipeline
