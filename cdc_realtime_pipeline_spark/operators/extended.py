@@ -430,6 +430,33 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def docs_lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot operator surface: per-source document counts spread into
+    one column per language (the wide matrix a corpus dashboard
+    renders). The pivot value list is EXPLICIT — with an inferred list
+    Spark must run an extra distinct job and the output schema becomes
+    data-dependent, which breaks at 100 TB and under schema contracts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .count()
+        .na.fill(0, _PIVOT_LANGS)
+        .orderBy("source")
+    )
+
+
+DOCS_LANG_SOURCE_PIVOT_SQL = f"""
+SELECT source,
+       {', '.join(f"count(CASE WHEN lang = '{lg}' THEN 1 END) AS {lg}" for lg in _PIVOT_LANGS)}
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-format surface: the same relation written to and read
     back from JSONL and headered CSV (explicit schemas on read — never
@@ -492,10 +519,12 @@ QUERIES = {
     "window_rank_functions": window_rank_functions,
     "events_cube": events_cube,
     "events_rollup_multi_granularity": events_rollup_multi_granularity,
+    "docs_lang_source_pivot": docs_lang_source_pivot,
     "file_format_roundtrip": file_format_roundtrip,
 }
 
 ORACLES = {
+    "docs_lang_source_pivot": DOCS_LANG_SOURCE_PIVOT_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
