@@ -429,7 +429,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(normalize_text(F.col("text"))).alias("content_hash"),
         )
         .join(rep, "doc_id", "left")
-        .join(F.broadcast(contam), "doc_id", "left")
+        # no broadcast hint: the contaminated set is corpus-derived —
+        # normally tiny, but a pathological corpus could make it large;
+        # the equi-join lets AQE broadcast only when actually small
+        .join(contam, "doc_id", "left")
     )
     f1 = F.col("lang").isin("en", "de", "es")
     f2 = f1 & F.col("n_chars").between(100, 10000)

@@ -32,6 +32,10 @@ SHOWCASE = [
     ("dedup_embeddings_cosine", "banded-LSH candidates → exact cosine verify"),
     ("corpus_pack_sequences", "per-shard window cumsum packing"),
     ("label_centroids", "posexplode → per-(label,dim) partial mean"),
+    ("decontaminate_vs_benchmark", "broadcast benchmark shingles, corpus streams past"),
+    ("corpus_curation_funnel", "all-stage flags + single agg + stack unpivot"),
+    ("text_unigram_lm_score", "distributed vocab join + per-doc mean"),
+    ("similarity_topk_lsh", "multi-probe H≤2 broadcast probes over corpus sigs"),
 ]
 
 
