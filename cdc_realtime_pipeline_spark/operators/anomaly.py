@@ -122,7 +122,10 @@ def alerts_price_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("PRICE_SPIKE").alias("alert_type"),
             F.col("user_id").alias("market"),
             F.col("event_id").alias("trade_id"),
-            F.round(rate, 4).alias("value"),
+            # +1e-9: Spark rounds half-up, DuckDB half-even — a rate
+            # landing exactly on .xxxx5 diverges without the nudge
+            # (caught by the sf0.1 sweep)
+            F.round(rate + 1e-9, 4).alias("value"),
             F.col("threshold"),
             F.col("ts").alias("detected_at"),
         )
@@ -139,7 +142,7 @@ WITH ev AS (
 SELECT 'PRICE_SPIKE' AS alert_type,
        user_id AS market,
        event_id AS trade_id,
-       round(abs(value - prev_price) / prev_price, 4) AS value,
+       round(abs(value - prev_price) / prev_price + 1e-9, 4) AS value,
        threshold,
        ts AS detected_at
 FROM ev

@@ -278,11 +278,16 @@ def latency_mv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_latency"),
         )
     )
+    # +1e-9 nudges: Σ-order and half-rounding differ across engines;
+    # an avg landing on a round-4 boundary diverges without them
+    # (caught by the sf0.1 sweep)
     return partials.select(
         "minute",
-        F.round(F.col("sum_latency") / F.col("cnt_latency"), 4).alias("avg_latency"),
-        F.round("min_latency", 4).alias("min_latency"),
-        F.round("max_latency", 4).alias("max_latency"),
+        F.round(F.col("sum_latency") / F.col("cnt_latency") + 1e-9, 4).alias(
+            "avg_latency"
+        ),
+        F.round(F.col("min_latency") + 1e-9, 4).alias("min_latency"),
+        F.round(F.col("max_latency") + 1e-9, 4).alias("max_latency"),
         F.col("cnt_latency").alias("n"),
     ).orderBy("minute")
 
@@ -297,9 +302,9 @@ WITH partials AS (
   GROUP BY 1
 )
 SELECT minute,
-       round(sum_latency / cnt_latency, 4) AS avg_latency,
-       round(min_latency, 4) AS min_latency,
-       round(max_latency, 4) AS max_latency,
+       round(sum_latency / cnt_latency + 1e-9, 4) AS avg_latency,
+       round(min_latency + 1e-9, 4) AS min_latency,
+       round(max_latency + 1e-9, 4) AS max_latency,
        cnt_latency AS n
 FROM partials ORDER BY minute
 """

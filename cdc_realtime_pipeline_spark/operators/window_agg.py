@@ -93,6 +93,15 @@ def events_window_agg_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = ev.withColumn("amount", F.col("price") * F.col("volume"))
     out = trade_window_agg(ev, key_col="market")
+    # Cross-engine float discipline (caught by the sf0.1 sweep, not
+    # sf0.01): Σ-order differs between engines, so a ratio of raw sums
+    # can straddle a round-4 boundary (one window's vwap read .55375±ε
+    # from opposite sides). vwap is therefore finalized from the
+    # ROUNDED sums — both engines then divide identical inputs — and
+    # every rounded double carries the shared +1e-9 tie nudge.
+    ra, rv = F.round(F.col("total_amount") + 1e-9, 4), F.round(
+        F.col("total_volume") + 1e-9, 4
+    )
     return out.select(
         "market",
         "window_start",
@@ -100,12 +109,14 @@ def events_window_agg_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trade_count",
         "bid_count",
         "ask_count",
-        F.round("total_amount", 4).alias("total_amount"),
-        F.round("total_volume", 4).alias("total_volume"),
-        F.round("avg_price", 4).alias("avg_price"),
-        F.round("min_price", 4).alias("min_price"),
-        F.round("max_price", 4).alias("max_price"),
-        F.round("vwap", 4).alias("vwap"),
+        ra.alias("total_amount"),
+        rv.alias("total_volume"),
+        F.round(F.col("avg_price") + 1e-9, 4).alias("avg_price"),
+        F.round(F.col("min_price") + 1e-9, 4).alias("min_price"),
+        F.round(F.col("max_price") + 1e-9, 4).alias("max_price"),
+        F.round(
+            F.when(rv > 0, ra / rv).otherwise(F.lit(0.0)) + 1e-9, 4
+        ).alias("vwap"),
     )
 
 
@@ -127,12 +138,14 @@ SELECT market,
        count(*) AS trade_count,
        count(CASE WHEN is_bid THEN 1 END) AS bid_count,
        count(*) - count(CASE WHEN is_bid THEN 1 END) AS ask_count,
-       round(sum(amount), 4) AS total_amount,
-       round(sum(volume), 4) AS total_volume,
-       round(coalesce(avg(price), 0.0), 4) AS avg_price,
-       round(coalesce(min(price), 0.0), 4) AS min_price,
-       round(coalesce(max(price), 0.0), 4) AS max_price,
-       round(CASE WHEN sum(volume) > 0 THEN sum(amount) / sum(volume) ELSE 0.0 END, 4) AS vwap
+       round(sum(amount) + 1e-9, 4) AS total_amount,
+       round(sum(volume) + 1e-9, 4) AS total_volume,
+       round(coalesce(avg(price), 0.0) + 1e-9, 4) AS avg_price,
+       round(coalesce(min(price), 0.0) + 1e-9, 4) AS min_price,
+       round(coalesce(max(price), 0.0) + 1e-9, 4) AS max_price,
+       round(CASE WHEN round(sum(volume) + 1e-9, 4) > 0
+                  THEN round(sum(amount) + 1e-9, 4) / round(sum(volume) + 1e-9, 4)
+                  ELSE 0.0 END + 1e-9, 4) AS vwap
 FROM ev
 GROUP BY 1, 2, 3
 """
@@ -182,6 +195,11 @@ def events_window_agg_5m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_p").alias("min_price"),
         F.max("max_p").alias("max_price"),
     )
+    # same tie discipline as the unsalted finalize: rounded-sum ratio
+    # + shared 1e-9 nudge (see events_window_agg_5m)
+    ra, rv = F.round(F.col("total_amount") + 1e-9, 4), F.round(
+        F.col("total_volume") + 1e-9, 4
+    )
     return merged.select(
         "market",
         F.col("w.start").alias("window_start"),
@@ -189,14 +207,13 @@ def events_window_agg_5m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trade_count",
         "bid_count",
         (F.col("trade_count") - F.col("bid_count")).alias("ask_count"),
-        F.round("total_amount", 4).alias("total_amount"),
-        F.round("total_volume", 4).alias("total_volume"),
-        F.round(F.col("price_sum") / F.col("trade_count"), 4).alias("avg_price"),
-        F.round("min_price", 4).alias("min_price"),
-        F.round("max_price", 4).alias("max_price"),
+        ra.alias("total_amount"),
+        rv.alias("total_volume"),
+        F.round(F.col("price_sum") / F.col("trade_count") + 1e-9, 4).alias("avg_price"),
+        F.round(F.col("min_price") + 1e-9, 4).alias("min_price"),
+        F.round(F.col("max_price") + 1e-9, 4).alias("max_price"),
         F.round(
-            F.when(F.col("total_volume") > 0, F.col("total_amount") / F.col("total_volume"))
-            .otherwise(0.0),
+            F.when(rv > 0, ra / rv).otherwise(0.0) + 1e-9,
             4,
         ).alias("vwap"),
     )

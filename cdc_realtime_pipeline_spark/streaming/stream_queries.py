@@ -107,6 +107,11 @@ def stream_window_agg_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     res = _memory_sink(agg, "complete")
+    # same tie discipline as the batch finalize: rounded-sum ratio +
+    # shared 1e-9 nudge (events_window_agg_5m)
+    ra, rv = F.round(F.col("total_amount") + 1e-9, 4), F.round(
+        F.col("total_volume") + 1e-9, 4
+    )
     return res.select(
         "market",
         F.col("w.start").alias("window_start"),
@@ -114,14 +119,13 @@ def stream_window_agg_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trade_count",
         "bid_count",
         "ask_count",
-        F.round("total_amount", 4).alias("total_amount"),
-        F.round("total_volume", 4).alias("total_volume"),
-        F.round(F.coalesce("avg_price", F.lit(0.0)), 4).alias("avg_price"),
-        F.round(F.coalesce("min_price", F.lit(0.0)), 4).alias("min_price"),
-        F.round(F.coalesce("max_price", F.lit(0.0)), 4).alias("max_price"),
+        ra.alias("total_amount"),
+        rv.alias("total_volume"),
+        F.round(F.coalesce("avg_price", F.lit(0.0)) + 1e-9, 4).alias("avg_price"),
+        F.round(F.coalesce("min_price", F.lit(0.0)) + 1e-9, 4).alias("min_price"),
+        F.round(F.coalesce("max_price", F.lit(0.0)) + 1e-9, 4).alias("max_price"),
         F.round(
-            F.when(F.col("total_volume") > 0, F.col("total_amount") / F.col("total_volume"))
-            .otherwise(0.0),
+            F.when(rv > 0, ra / rv).otherwise(0.0) + 1e-9,
             4,
         ).alias("vwap"),
     )
@@ -360,6 +364,11 @@ def stream_merged_trade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synchronous=True,
     )
     merged = read_merged_trade_agg(spark, os.path.join(base, "out"))
+    # rounded-sum ratio + shared 1e-9 nudge (same tie discipline as
+    # the batch window-agg finalize)
+    ra, rv = F.round(F.col("total_amount") + 1e-9, 4), F.round(
+        F.col("total_volume") + 1e-9, 4
+    )
     return merged.select(
         "market",
         "window_start",
@@ -367,12 +376,14 @@ def stream_merged_trade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trade_count",
         "bid_count",
         "ask_count",
-        F.round("total_amount", 4).alias("total_amount"),
-        F.round("total_volume", 4).alias("total_volume"),
-        F.round("avg_price", 4).alias("avg_price"),
-        F.round("min_price", 4).alias("min_price"),
-        F.round("max_price", 4).alias("max_price"),
-        F.round("vwap", 4).alias("vwap"),
+        ra.alias("total_amount"),
+        rv.alias("total_volume"),
+        F.round(F.col("avg_price") + 1e-9, 4).alias("avg_price"),
+        F.round(F.col("min_price") + 1e-9, 4).alias("min_price"),
+        F.round(F.col("max_price") + 1e-9, 4).alias("max_price"),
+        F.round(
+            F.when(rv > 0, ra / rv).otherwise(0.0) + 1e-9, 4
+        ).alias("vwap"),
     )
 
 
@@ -392,12 +403,14 @@ SELECT market,
        count(*) AS trade_count,
        count(CASE WHEN is_bid THEN 1 END) AS bid_count,
        count(*) - count(CASE WHEN is_bid THEN 1 END) AS ask_count,
-       round(sum(amount), 4) AS total_amount,
-       round(sum(volume), 4) AS total_volume,
-       round(sum(price) / count(*), 4) AS avg_price,
-       round(min(price), 4) AS min_price,
-       round(max(price), 4) AS max_price,
-       round(CASE WHEN sum(volume) > 0 THEN sum(amount) / sum(volume) ELSE 0.0 END, 4) AS vwap
+       round(sum(amount) + 1e-9, 4) AS total_amount,
+       round(sum(volume) + 1e-9, 4) AS total_volume,
+       round(sum(price) / count(*) + 1e-9, 4) AS avg_price,
+       round(min(price) + 1e-9, 4) AS min_price,
+       round(max(price) + 1e-9, 4) AS max_price,
+       round(CASE WHEN round(sum(volume) + 1e-9, 4) > 0
+                  THEN round(sum(amount) + 1e-9, 4) / round(sum(volume) + 1e-9, 4)
+                  ELSE 0.0 END + 1e-9, 4) AS vwap
 FROM ev
 GROUP BY market, ws
 """
