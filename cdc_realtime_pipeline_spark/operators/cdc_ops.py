@@ -145,14 +145,137 @@ WHERE event_type != 'error'
 """
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history table from the change log — every non-delete change
+    becomes a VERSION row with a validity interval: ``valid_from_ms`` =
+    its cdc_ts, ``valid_to_ms`` = the key's next change's cdc_ts (NULL
+    = still current; a trailing delete closes the last interval, so a
+    deleted key has no current version). The other half of the CDC
+    story next to ``cdc_apply_changes``' latest-state view: the
+    dimension-history warehouses keep.
+
+    Same synthesized log as apply (base ∪ doubled-price replay of
+    every 5th event at +1 h). One shuffle on the key (lead window).
+    """
+    events = _parallel_events(spark, sf_dir)
+    base = synthesize_cdc_json_from_events(events)
+    updates = synthesize_cdc_json_from_events(
+        events.filter(F.col("event_id") % 5 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    log = parse_cdc_events(base.unionAll(updates))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("trade_id").orderBy("cdc_ts", "sequential_id")
+    versions = log.withColumn("valid_to_ms", F.lead("cdc_ts").over(w))
+    return (
+        versions.filter(F.col("op") != "d")
+        .select(
+            "trade_id",
+            "market",
+            F.round("trade_price", 4).alias("trade_price"),
+            F.col("cdc_ts").alias("valid_from_ms"),
+            "valid_to_ms",
+            F.col("valid_to_ms").isNull().alias("is_current"),
+        )
+    )
+
+
+# log reconstruction mirrors synthesize + the apply updates: cdc_ts =
+# epoch_ms + event_id % 10; replayed rows shift +1 h and double price.
+CDC_SCD2_HISTORY_SQL = """
+WITH log AS (
+  SELECT event_id AS trade_id,
+         'M-' || CAST(user_id AS VARCHAR) AS market,
+         value AS price,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+         epoch_ms(ts) + event_id % 10 AS cdc_ts,
+         event_id AS seq
+  FROM events
+  UNION ALL
+  SELECT event_id,
+         'M-' || CAST(user_id AS VARCHAR),
+         value * 2,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END,
+         epoch_ms(ts) + 3600000 + event_id % 10,
+         event_id
+  FROM events WHERE event_id % 5 = 0
+),
+versions AS (
+  SELECT *,
+         lead(cdc_ts) OVER (PARTITION BY trade_id ORDER BY cdc_ts, seq)
+           AS valid_to_ms
+  FROM log
+)
+SELECT trade_id, market, round(price, 4) AS trade_price,
+       cdc_ts AS valid_from_ms, valid_to_ms,
+       valid_to_ms IS NULL AS is_current
+FROM versions WHERE op != 'd'
+"""
+
+
+def cdc_parse_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient-parse accounting: the audit parser variant over a topic
+    carrying deliberately broken messages — every 13th message is
+    truncated JSON, every 29th a tombstone (empty value) — grouped by
+    reject reason. The pipeline-health query a production CDC consumer
+    alarms on (a reference FlatMapFunction drops these silently;
+    SURVEY §4 prescribes the accounted variant).
+    """
+    from cdc_realtime_pipeline_spark.cdc.envelope import parse_cdc_events_with_audit
+
+    events = _parallel_events(spark, sf_dir)
+    # message stream: good messages for untouched ids, broken for the rest
+    raw = (
+        synthesize_cdc_json_from_events(
+            events.filter((F.col("event_id") % 13 != 0) & (F.col("event_id") % 29 != 0))
+        )
+        .unionAll(
+            events.filter((F.col("event_id") % 13 == 0) | (F.col("event_id") % 29 == 0))
+            .select(
+                F.when(F.col("event_id") % 29 == 0, F.lit(None).cast("string"))
+                .otherwise(
+                    F.concat(
+                        F.lit('{"payload": {"op": "c", "aft'),
+                        F.col("event_id").cast("string"),
+                    )
+                )
+                .alias("value")
+            )
+        )
+    )
+    audited = parse_cdc_events_with_audit(raw)
+    return (
+        audited.groupBy(F.coalesce("_reject_reason", F.lit("ok")).alias("reason"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("reason")
+    )
+
+
+CDC_PARSE_AUDIT_STATS_SQL = """
+WITH tagged AS (
+  SELECT CASE WHEN event_id % 29 = 0 THEN 'tombstone'
+              WHEN event_id % 13 = 0 THEN 'malformed_json'
+              ELSE 'ok' END AS reason
+  FROM events
+)
+SELECT reason, count(*) AS n FROM tagged GROUP BY reason ORDER BY reason
+"""
+
+
 QUERIES = {
     "cdc_roundtrip": cdc_roundtrip,
     "cdc_op_filtered_counts": cdc_op_filtered_counts,
     "cdc_apply_changes": cdc_apply_changes,
+    "cdc_scd2_history": cdc_scd2_history,
+    "cdc_parse_audit_stats": cdc_parse_audit_stats,
 }
 
 ORACLES = {
     "cdc_roundtrip": CDC_ROUNDTRIP_SQL,
     "cdc_op_filtered_counts": CDC_OP_FILTERED_COUNTS_SQL,
     "cdc_apply_changes": CDC_APPLY_CHANGES_SQL,
+    "cdc_scd2_history": CDC_SCD2_HISTORY_SQL,
+    "cdc_parse_audit_stats": CDC_PARSE_AUDIT_STATS_SQL,
 }
