@@ -294,6 +294,56 @@ GROUP BY label, dim ORDER BY label, dim
 """
 
 
+def label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling for a labeled training set: every
+    label keeps exactly min-class-count examples, chosen by a
+    deterministic portable hash (no RNG state — re-runs, cluster
+    resizes and incremental arrivals keep the same rows). The per-label
+    audit the balancing step reports: total vs kept, plus an
+    order-insensitive checksum of WHICH vec_ids survived.
+
+    One rank-window shuffle on label + a broadcast 1-row min; the
+    embedding vectors never move (only ids/labels shuffle).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_total"))
+    cap = counts.agg(F.min("n_total").alias("cap"))
+    w = Window.partitionBy("label").orderBy(
+        _hash64(F.col("vec_id").cast("string"), 31), "vec_id"
+    )
+    ranked = emb.withColumn("rk", F.row_number().over(w)).crossJoin(F.broadcast(cap))
+    kept = ranked.filter(F.col("rk") <= F.col("cap"))
+    return (
+        kept.groupBy("label")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.expr("bit_xor(vec_id)").alias("kept_checksum"),
+        )
+        .join(counts, "label")
+        .select("label", "n_total", "n_kept", "kept_checksum")
+        .orderBy("label")
+    )
+
+
+LABEL_BALANCED_SAMPLE_SQL = f"""
+WITH counts AS (SELECT label, count(*) AS n_total FROM embeddings GROUP BY label),
+cap AS (SELECT min(n_total) AS cap FROM counts),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY ({_HASH64_SQL.format(salt=31, col="CAST(vec_id AS VARCHAR)")}), vec_id
+         ) AS rk
+  FROM embeddings
+),
+kept AS (SELECT * FROM ranked, cap WHERE rk <= cap)
+SELECT k.label, c.n_total, count(*) AS n_kept,
+       bit_xor(k.vec_id) AS kept_checksum
+FROM kept k JOIN counts c ON k.label = c.label
+GROUP BY k.label, c.n_total ORDER BY k.label
+"""
+
+
 QUERIES = {
     "dup_clusters_connected_components": dup_clusters_connected_components,
     "corpus_pack_sequences": corpus_pack_sequences,
@@ -301,9 +351,11 @@ QUERIES = {
     "corpus_vocab_topk": corpus_vocab_topk,
     "corpus_length_histogram": corpus_length_histogram,
     "label_centroids": label_centroids,
+    "label_balanced_sample": label_balanced_sample,
 }
 
 ORACLES = {
+    "label_balanced_sample": LABEL_BALANCED_SAMPLE_SQL,
     "dup_clusters_connected_components": DUP_CLUSTERS_SQL,
     "corpus_pack_sequences": CORPUS_PACK_SEQUENCES_SQL,
     "corpus_train_val_split": CORPUS_TRAIN_VAL_SPLIT_SQL,

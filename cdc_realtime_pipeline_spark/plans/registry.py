@@ -13,7 +13,15 @@ training-data, multimodal, temporal, streaming, plus the reference's
 core window/anomaly/dashboard queries — into that window. Remaining
 queries (mostly relational/extended variants that earned green driver
 rows in round 1) follow in module order; the local harness
-(tools/check_correctness.py) still verifies all of them every round.
+(tools/check_correctness.py) still verifies all of them every round,
+at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
+
+Round-4 rotation queue (registered, local-harness green at all three
+SFs, awaiting driver evidence — swap against rows that will then hold
+two rounds of driver green): corpus_stratified_sample,
+text_unigram_lm_score, text_pii_scrub, corpus_curation_funnel,
+stream_docs_quality_gate, dedup_docs_containment,
+docs_lang_source_pivot, cdc_scd2_history, cdc_parse_audit_stats.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
