@@ -71,3 +71,35 @@ def test_funnel_is_monotone_and_anchored(spark, sf_dir):
     assert counts[0] > 0
     assert all(a >= b for a, b in zip(counts, counts[1:]))  # funnel never grows
     assert counts[-1] > 0  # something must survive the whole pipeline
+
+
+def test_all_shingles_edge_cases(spark):
+    """Kernel-level edge cases for the occurrence-preserving shingle
+    generator: empty/whitespace/punctuation-only docs vanish, short
+    docs produce their single best-effort shingle, duplicates are
+    preserved (repetition scoring depends on multiplicity)."""
+    from cdc_realtime_pipeline_spark.operators.curation import _all_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "!!! ??? ..."),
+            (4, "one"),
+            (5, "one two"),
+            (6, "one two three"),
+            (7, "a b c a b c a b c"),  # repeated trigram "a b c" etc.
+        ],
+        "doc_id long, text string",
+    )
+    rows = _all_shingles(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert 1 not in by_doc and 2 not in by_doc and 3 not in by_doc
+    assert by_doc[4] == ["one"]
+    assert by_doc[5] == ["one two"]
+    assert by_doc[6] == ["one two three"]
+    assert len(by_doc[7]) == 7  # 9 words -> 7 trigram occurrences
+    assert by_doc[7].count("a b c") == 3  # multiplicity preserved
+    assert all(s for docs_ in by_doc.values() for s in docs_)  # none empty
