@@ -695,6 +695,54 @@ GROUP BY segment ORDER BY segment
 """
 
 
+def join_types_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-type conformance sweep: row counts from every join flavor —
+    inner/left/right/full/semi/anti on customer⋈orders (fact keys),
+    cross on nation×region (dims ONLY: an unkeyed cross is dim-sized by
+    construction; facts never cross-join). One row per type, so the
+    whole join surface is pinned by a single gate row.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey")
+    on = cust.c_custkey == orders.o_custkey
+
+    def cnt(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(tag).alias("join_type"), "n"
+        )
+
+    out = (
+        cnt("1_inner", cust.join(orders, on, "inner"))
+        .unionByName(cnt("2_left", cust.join(orders, on, "left")))
+        .unionByName(cnt("3_right", cust.join(orders, on, "right")))
+        .unionByName(cnt("4_full", cust.join(orders, on, "full")))
+        .unionByName(cnt("5_semi", cust.join(orders, on, "left_semi")))
+        .unionByName(cnt("6_anti", cust.join(orders, on, "left_anti")))
+        .unionByName(cnt("7_cross", nation.crossJoin(region)))
+    )
+    return out.orderBy("join_type")
+
+
+JOIN_TYPES_CONFORMANCE_SQL = """
+SELECT '1_inner' AS join_type, count(*) AS n FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT '2_left', count(*) FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT '3_right', count(*) FROM customer c RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT '4_full', count(*) FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT '5_semi', count(*) FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT '6_anti', count(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT '7_cross', count(*) FROM nation CROSS JOIN region
+ORDER BY join_type
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q6": tpch_q6,
@@ -717,9 +765,11 @@ QUERIES = {
     "order_status_pivot": order_status_pivot,
     "lineitem_rollup": lineitem_rollup,
     "skewed_join_salted": skewed_join_salted,
+    "join_types_conformance": join_types_conformance,
 }
 
 ORACLES = {
+    "join_types_conformance": JOIN_TYPES_CONFORMANCE_SQL,
     "tpch_q1": TPCH_Q1_SQL,
     "tpch_q6": TPCH_Q6_SQL,
     "tpch_q12_like": TPCH_Q12_LIKE_SQL,
