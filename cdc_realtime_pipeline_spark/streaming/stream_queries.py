@@ -416,18 +416,28 @@ GROUP BY market, ws
 """
 
 
+# the detector's memory-sink table per sf_dir: the full stateful run
+# costs ~8 s, and two registered queries consume it (the rows-only
+# alert stream and its oracle-gated rule-count twin) — one streaming
+# execution per session serves both
+_ALERTS_CACHE: dict[str, DataFrame] = {}
+
+
 def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful anomaly detector over the synthesized CDC stream.
 
     Rows-only driver check (per-key sequential state semantics are not
-    SQL-expressible); tests/test_streaming.py asserts rule-level
-    equivalence against hand-computed fixtures.
+    SQL-expressible row-for-row; the per-rule counts + id checksum ARE
+    oracle-gated via ``stream_anomaly_rule_counts``);
+    tests/test_streaming.py asserts rule-level equivalence against
+    hand-computed fixtures.
     """
-    raw = spark.readStream.format("text").load(_cdc_topic(spark, sf_dir))
-    parsed = parse_cdc_events(raw)
-    alerts = apply_anomaly_detector(parsed)
-    res = _memory_sink(alerts, "append")
-    return res
+    if sf_dir not in _ALERTS_CACHE:
+        raw = spark.readStream.format("text").load(_cdc_topic(spark, sf_dir))
+        parsed = parse_cdc_events(raw)
+        alerts = apply_anomaly_detector(parsed)
+        _ALERTS_CACHE[sf_dir] = _memory_sink(alerts, "append")
+    return _ALERTS_CACHE[sf_dir]
 
 
 def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
