@@ -111,3 +111,30 @@ def test_bare_numeric_decimal(spark):
     rows = _parse(spark, [raw])
     assert rows[5]["trade_price"] == 42.5
     assert rows[5]["cdc_latency_ms"] == 6
+
+
+def test_envelope_tolerates_unknown_extra_fields(spark):
+    """Schema evolution at the source: a producer that adds NEW fields
+    to the envelope/payload/row image must not break the parser —
+    from_json with an explicit StructType ignores unknown fields
+    (PERMISSIVE), so known columns extract unchanged. The inverse
+    (missing known fields) is the defaults contract already covered
+    above."""
+    from cdc_realtime_pipeline_spark.cdc.envelope import parse_cdc_events
+
+    msg = (
+        '{"payload": {"op": "c", "ts_ms": 1700000001000,'
+        ' "brand_new_top_level": {"x": 1},'
+        ' "source": {"ts_ms": 1700000000000, "db": "crypto_db", "new_src_field": 7},'
+        ' "after": {"trade_id": 42, "market": "KRW-BTC", "trade_price": "100.5",'
+        '           "trade_volume": "2.0", "trade_amount": "201.0", "ask_bid": "BID",'
+        '           "upbit_timestamp": 1700000000500, "sequential_id": 9000001,'
+        '           "brand_new_row_field": "ignored"}}}'
+    )
+    df = spark.createDataFrame([(msg,)], "value string")
+    [row] = parse_cdc_events(df).collect()
+    assert row["trade_id"] == 42
+    assert row["market"] == "KRW-BTC"
+    assert row["trade_price"] == 100.5
+    assert row["op"] == "c"
+    assert row["cdc_latency_ms"] == 1000
