@@ -302,6 +302,55 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty per document: the fraction of a doc's distinct
+    3-grams whose FIRST appearance (by doc_id, the ingestion order) is
+    in that doc — the corpus-diversity signal curation uses to spot
+    late-arriving redundancy (novelty → 0 as a source starts repeating
+    what the corpus already holds).
+
+    Two aggregations: min-owner per shingle (map-side combinable),
+    then per-doc ratio via one equi-join back on the shingle. No text
+    shuffles — only (shingle-hash, doc_id) pairs move.
+    """
+    # shingles stay as strings (not 64-bit hashes): min-owner semantics
+    # must match the string-keyed oracle exactly, and a hash collision
+    # here would be output-visible (it merges two shingles' owners)
+    sh = _all_shingles(load_table(spark, sf_dir, "documents")).distinct()
+    first_owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_ngrams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_distinct_ngrams") + 1e-9, 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_NGRAM_NOVELTY_SQL = f"""
+WITH {_ALL_SHINGLES_SQL.format(norm=NORMALIZE_SQL.format(col='text')).strip()},
+sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+first_owner AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       count(*) AS n_distinct_ngrams,
+       CAST(count(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+       round(count(CASE WHEN f.first_doc = s.doc_id THEN 1 END)
+             / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS novelty
+FROM sh s JOIN first_owner f ON s.shingle = f.shingle
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
 # PII patterns, verified byte-identical between Java regex (Spark) and
 # RE2 (DuckDB) on the shapes below. ORDER MATTERS and is fixed in both
 # engines: emails first (their local parts may contain digits), then
@@ -546,10 +595,12 @@ QUERIES = {
     "text_unigram_lm_score": text_unigram_lm_score,
     "text_pii_scrub": text_pii_scrub,
     "corpus_curation_funnel": corpus_curation_funnel,
+    "docs_ngram_novelty": docs_ngram_novelty,
 }
 
 ORACLES = {
     "corpus_curation_funnel": CORPUS_CURATION_FUNNEL_SQL,
+    "docs_ngram_novelty": DOCS_NGRAM_NOVELTY_SQL,
     "decontaminate_vs_benchmark": DECONTAMINATE_VS_BENCHMARK_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "corpus_stratified_sample": CORPUS_STRATIFIED_SAMPLE_SQL,
