@@ -21,7 +21,9 @@ SFs, awaiting driver evidence — swap against rows that will then hold
 two rounds of driver green): corpus_stratified_sample,
 text_unigram_lm_score, text_pii_scrub, corpus_curation_funnel,
 stream_docs_quality_gate, dedup_docs_containment,
-docs_lang_source_pivot, cdc_scd2_history, cdc_parse_audit_stats.
+dedup_docs_incremental, docs_ngram_novelty, docs_lang_source_pivot,
+cdc_scd2_history, cdc_parse_audit_stats, label_balanced_sample,
+join_types_conformance.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
