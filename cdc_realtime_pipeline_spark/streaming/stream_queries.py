@@ -48,6 +48,15 @@ def _cdc_topic(spark: SparkSession, sf_dir: str, variant: str = "plain") -> str:
         if variant == "dupes":
             # 10% replayed rows — the dedup queries' duplicate feed
             events = events.unionAll(events.filter(F.col("event_id") % 10 == 0))
+        elif variant == "apply":
+            # the apply-changes change log: every 5th event replayed
+            # with a doubled price one hour later (mirrors
+            # cdc_ops.cdc_apply_changes' synthesis, shares its oracle)
+            events = events.unionAll(
+                events.filter(F.col("event_id") % 5 == 0)
+                .withColumn("value", F.col("value") * 2)
+                .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+            )
         out = os.path.join(
             scratch_dir("cdc_topics"),
             f"{variant}_{abs(hash(sf_dir)) % 10**8:08d}",
@@ -440,6 +449,53 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ALERTS_CACHE[sf_dir]
 
 
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the reference pipeline's end state (a
+    continuously-maintained current-rows table) as a streaming job: the
+    change log streams through ``foreachBatch``, each micro-batch
+    appends its changes to the materialized store, and the read side
+    resolves the latest version per key (rank on (cdc_ts,
+    sequential_id)) and drops deleted keys — apply-at-read, exactly the
+    MERGE-INTO emulation the batch ``cdc_apply_changes`` uses, and
+    gated against that query's oracle. On Delta/Iceberg the foreachBatch
+    body becomes a real MERGE and the read side loses the window.
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    raw = spark.readStream.format("text").load(_cdc_topic(spark, sf_dir, "apply"))
+    parsed = parse_cdc_events(raw)
+    store = os.path.join(
+        scratch_dir("cdc_apply_store"),
+        f"{abs(hash(sf_dir)) % 10**8:08d}",
+        uuid.uuid4().hex[:8],  # fresh store per run: appends accumulate
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(store)
+
+    q = (
+        parsed.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", store + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(store)
+    w = Window.partitionBy("trade_id").orderBy(
+        F.desc("cdc_ts"), F.desc("sequential_id")
+    )
+    latest = log.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return latest.filter(F.col("op") != "d").select(
+        "trade_id",
+        "market",
+        F.round("trade_price", 4).alias("trade_price"),
+        "ask_bid",
+        "upbit_timestamp",
+    )
+
+
 def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus INGEST gate — the curation funnel's front
     stages run as documents arrive (file-stream parquet source):
@@ -529,7 +585,10 @@ from cdc_realtime_pipeline_spark.operators.anomaly import (  # noqa: E402
     _SURGE_MIN_SAMPLES,
     _SURGE_MULT,
 )
-from cdc_realtime_pipeline_spark.operators.cdc_ops import CDC_ROUNDTRIP_SQL  # noqa: E402
+from cdc_realtime_pipeline_spark.operators.cdc_ops import (  # noqa: E402
+    CDC_APPLY_CHANGES_SQL,
+    CDC_ROUNDTRIP_SQL,
+)
 from cdc_realtime_pipeline_spark.operators.extended import SESSIONIZE_NATIVE_SQL  # noqa: E402
 from cdc_realtime_pipeline_spark.operators.window_agg import (  # noqa: E402
     EVENTS_WINDOW_AGG_5M_SQL,
@@ -628,6 +687,7 @@ QUERIES = {
     "stream_anomaly_alerts": stream_anomaly_alerts,  # rows-only
     "stream_anomaly_rule_counts": stream_anomaly_rule_counts,
     "stream_docs_quality_gate": stream_docs_quality_gate,
+    "stream_cdc_apply": stream_cdc_apply,
 }
 
 ORACLES = {
@@ -641,4 +701,5 @@ ORACLES = {
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_anomaly_rule_counts": STREAM_ANOMALY_RULE_COUNTS_SQL,
     "stream_docs_quality_gate": STREAM_DOCS_QUALITY_GATE_SQL,
+    "stream_cdc_apply": CDC_APPLY_CHANGES_SQL,
 }
