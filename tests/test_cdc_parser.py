@@ -138,3 +138,32 @@ def test_envelope_tolerates_unknown_extra_fields(spark):
     assert row["trade_price"] == 100.5
     assert row["op"] == "c"
     assert row["cdc_latency_ms"] == 1000
+
+
+def test_scd2_intervals_chain_per_key(spark, sf_dir):
+    """SCD2 contract: per key, version intervals CHAIN - each version's
+    valid_to equals the next change's cdc_ts, at most one current
+    version per key, and a key whose last change is a delete has no
+    current version."""
+    from collections import defaultdict
+
+    from cdc_realtime_pipeline_spark.operators.cdc_ops import cdc_scd2_history
+
+    rows = cdc_scd2_history(spark, sf_dir).collect()
+    assert rows
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["trade_id"]].append(r)
+    n_current = 0
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from_ms"])
+        currents = [v for v in versions if v["is_current"]]
+        assert len(currents) <= 1, key
+        n_current += len(currents)
+        for a, b in zip(versions, versions[1:]):
+            # chained: a's validity ends no later than b begins, and
+            # when both are versions of consecutive changes they touch
+            assert a["valid_to_ms"] is not None and a["valid_to_ms"] <= b["valid_from_ms"], key
+        for v in versions[:-1]:
+            assert not v["is_current"], key
+    assert n_current > 0  # the fixture has live keys
