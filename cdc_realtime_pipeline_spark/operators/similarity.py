@@ -495,6 +495,88 @@ ORDER BY query_id, rk
 """
 
 
+def similarity_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-impact self-check: top-K retrieval over the int8
+    corpus (the storage format ``embeddings_preprocessed`` produces) vs
+    the exact float answer — the measurement a deployment runs before
+    trusting a quantized index. Ranking on the quantized side uses
+    INTEGER dot products (identical cross-engine, no float ties) over
+    round(127·x/‖x‖) vectors, rank ties broken by vec_id.
+
+    Scale shape: identical to brute force (queries broadcast, corpus
+    never shuffles), 4× less bandwidth from int8.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    q8 = F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x / norm * 127 + 0.5).cast("int"))
+        ),
+    )
+    qemb = emb.select("vec_id", q8.alias("q8"))
+    queries = qemb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q8").alias("qq")
+    )
+    idot = F.aggregate(
+        F.zip_with("qq", "q8", lambda x, y: x * y), F.lit(0), lambda a, x: a + x
+    )
+    scored = qemb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn("idot", idot)
+    w = Window.partitionBy("query_id").orderBy(F.desc("idot"), F.asc("vec_id"))
+    topq = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    bf = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    hits = topq.join(bf, ["query_id", "vec_id"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    denom = bf.agg(F.count("*").alias("n_bf"))
+    return hits.crossJoin(F.broadcast(denom)).select(
+        F.lit("int8").alias("method"),
+        "n_hit",
+        "n_bf",
+        F.round(F.col("n_hit") / F.col("n_bf") + 1e-9, 4).alias("recall"),
+    )
+
+
+SIMILARITY_QUANTIZED_RECALL_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(greatest(-127, least(127,
+                floor(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * 127 + 0.5))) AS INTEGER)) AS q8
+  FROM embeddings
+),
+qq AS (SELECT vec_id AS query_id, q8 AS qv FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT qq.query_id, v.vec_id,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+              i -> qv[i] * v.q8[i])) AS BIGINT) AS idot
+  FROM v JOIN qq ON v.vec_id != qq.query_id
+),
+topq AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, vec_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {TOP_K}
+),
+bf AS (SELECT query_id, vec_id FROM ({SIMILARITY_TOPK_BRUTEFORCE_SQL}) t),
+hits AS (
+  SELECT count(*) AS n_hit FROM topq
+  WHERE EXISTS (SELECT 1 FROM bf WHERE bf.query_id = topq.query_id AND bf.vec_id = topq.vec_id)
+)
+SELECT 'int8' AS method, n_hit, (SELECT count(*) FROM bf) AS n_bf,
+       round(n_hit / CAST((SELECT count(*) FROM bf) AS DOUBLE) + 1e-9, 4) AS recall
+FROM hits
+"""
+
+
 def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality report: top-K recall of the LSH and IVF paths
     against the exact brute-force answer — the self-evaluation an ANN
@@ -554,6 +636,7 @@ QUERIES = {
     "dedup_embeddings_cosine": dedup_embeddings_cosine,
     "embedding_label_stats": embedding_label_stats,
     "similarity_recall_report": similarity_recall_report,
+    "similarity_quantized_recall": similarity_quantized_recall,
 }
 
 ORACLES = {
@@ -563,4 +646,5 @@ ORACLES = {
     "dedup_embeddings_cosine": DEDUP_EMBEDDINGS_COSINE_SQL,
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
     "similarity_recall_report": _recall_oracle_sql(),
+    "similarity_quantized_recall": SIMILARITY_QUANTIZED_RECALL_SQL,
 }

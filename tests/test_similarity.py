@@ -77,3 +77,15 @@ def test_ann_recall_floors(spark, sf_dir):
     assert rep["ivf"]["recall"] >= 0.95
     # denominators must be the full brute-force top-K set
     assert rep["lsh"]["n_bf"] == rep["ivf"]["n_bf"] > 0
+
+
+def test_int8_quantized_recall_floor(spark, sf_dir):
+    """int8 symmetric quantization must barely perturb top-K retrieval:
+    recall vs exact float >= 0.9 on the fixture (measured 14/15)."""
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        similarity_quantized_recall,
+    )
+
+    [row] = similarity_quantized_recall(spark, sf_dir).collect()
+    assert row["recall"] >= 0.9
+    assert row["n_bf"] > 0
