@@ -62,3 +62,25 @@ def test_approx_queries_carry_selfcheck_bounds(spark, sf_dir):
     rows = value_quantiles_approx(spark, sf_dir).collect()
     assert rows
     assert all(r["within_bound"] is True for r in rows)
+
+
+def test_observation_metrics_ride_the_plan(spark, sf_dir):
+    """Production-monitoring surface: df.observe attaches counters that
+    materialize with the action — no second scan, no collect of data.
+    The observed metrics must agree with the returned rows."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    obs = Observation("ingest")
+    ev = load_table(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("value") >= 100).cast("long")).alias("n_high"),
+    )
+    out = ev.filter(F.col("value") >= 100)
+    n_high_returned = out.count()
+    got = obs.get
+    assert got["n_high"] == n_high_returned
+    assert got["n_rows"] >= n_high_returned
