@@ -215,6 +215,90 @@ FROM versions WHERE op != 'd'
 """
 
 
+def pit_join_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the feature-store leakage guard: each query
+    event must see exactly the version of its key that was valid AT its
+    query timestamp, never a later one. Queries are the events shifted
+    +30 min (between a key's base version and its +1 h update), so
+    updated keys must resolve to their FIRST version — a query that
+    (wrongly) reads the latest version leaks the future and this
+    query's counts change.
+
+    Plan: equi-join on the key + interval predicate (versions per key
+    are few — bounded fan-out, no range-join explosion), then one
+    audit aggregate: matches, current-version matches, price checksum.
+    """
+    events = _parallel_events(spark, sf_dir)
+    base = synthesize_cdc_json_from_events(events)
+    updates = synthesize_cdc_json_from_events(
+        events.filter(F.col("event_id") % 5 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    log = parse_cdc_events(base.unionAll(updates))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("trade_id").orderBy("cdc_ts", "sequential_id")
+    versions = (
+        log.withColumn("valid_to_ms", F.lead("cdc_ts").over(w))
+        .filter(F.col("op") != "d")
+        .select(
+            "trade_id",
+            F.round("trade_price", 4).alias("v_price"),
+            F.col("cdc_ts").alias("valid_from_ms"),
+            "valid_to_ms",
+        )
+    )
+    queries = events.select(
+        F.col("event_id").alias("trade_id"),
+        (F.unix_millis("ts") + 1_800_000).alias("q_ms"),
+    )
+    pit = queries.join(versions, "trade_id").filter(
+        (F.col("valid_from_ms") <= F.col("q_ms"))
+        & (F.col("q_ms") < F.coalesce(F.col("valid_to_ms"), F.lit(2**62)))
+    )
+    return pit.agg(
+        F.count("*").alias("n_matched"),
+        F.sum(F.col("valid_to_ms").isNull().cast("long")).alias("n_on_current"),
+        F.round(F.sum("v_price") + 1e-9, 2).alias("price_checksum"),
+    )
+
+
+PIT_JOIN_VERSIONS_SQL = """
+WITH log AS (
+  SELECT event_id AS trade_id, value AS price,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+         epoch_ms(ts) + event_id % 10 AS cdc_ts, event_id AS seq
+  FROM events
+  UNION ALL
+  SELECT event_id, value * 2,
+         CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END,
+         epoch_ms(ts) + 3600000 + event_id % 10, event_id
+  FROM events WHERE event_id % 5 = 0
+),
+versions AS (
+  SELECT trade_id, round(price, 4) AS v_price, cdc_ts AS valid_from_ms,
+         lead(cdc_ts) OVER (PARTITION BY trade_id ORDER BY cdc_ts, seq) AS valid_to_ms,
+         op
+  FROM log
+),
+queries AS (
+  SELECT event_id AS trade_id, epoch_ms(ts) + 1800000 AS q_ms FROM events
+),
+pit AS (
+  SELECT v.v_price, v.valid_to_ms
+  FROM queries q JOIN versions v ON q.trade_id = v.trade_id
+  WHERE v.op != 'd'
+    AND v.valid_from_ms <= q.q_ms
+    AND q.q_ms < coalesce(v.valid_to_ms, 4611686018427387904)
+)
+SELECT count(*) AS n_matched,
+       CAST(count(CASE WHEN valid_to_ms IS NULL THEN 1 END) AS BIGINT) AS n_on_current,
+       round(sum(v_price) + 1e-9, 2) AS price_checksum
+FROM pit
+"""
+
+
 def cdc_parse_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lenient-parse accounting: the audit parser variant over a topic
     carrying deliberately broken messages — every 13th message is
@@ -270,6 +354,7 @@ QUERIES = {
     "cdc_apply_changes": cdc_apply_changes,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_parse_audit_stats": cdc_parse_audit_stats,
+    "pit_join_versions": pit_join_versions,
 }
 
 ORACLES = {
@@ -278,4 +363,5 @@ ORACLES = {
     "cdc_apply_changes": CDC_APPLY_CHANGES_SQL,
     "cdc_scd2_history": CDC_SCD2_HISTORY_SQL,
     "cdc_parse_audit_stats": CDC_PARSE_AUDIT_STATS_SQL,
+    "pit_join_versions": PIT_JOIN_VERSIONS_SQL,
 }
