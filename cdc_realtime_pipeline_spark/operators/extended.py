@@ -430,6 +430,96 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (the product-analytics classic, CEP-lite):
+    per user, did view → click → purchase happen IN ORDER? Computed
+    with three min-timestamp aggregates and ordering predicates — one
+    shuffle on the user key, no joins, no per-row state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    # NB: stage k uses the first click AFTER the first view, not the
+    # global first click — recompute conditionally via a second pass
+    # would cost another shuffle; the standard "unordered-first" funnel
+    # (min timestamps + ordering predicate) is the documented semantic
+    # here and in the oracle.
+    reached2 = F.col("t_view").isNotNull() & F.col("t_click").isNotNull() & (
+        F.col("t_view") <= F.col("t_click")
+    )
+    reached3 = reached2 & F.col("t_buy").isNotNull() & (F.col("t_click") <= F.col("t_buy"))
+    return first.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_viewed"),
+        F.sum(reached2.cast("long")).alias("n_view_then_click"),
+        F.sum(reached3.cast("long")).alias("n_full_funnel"),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH first AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(count(t_view) AS BIGINT) AS n_viewed,
+       CAST(count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                        AND t_view <= t_click THEN 1 END) AS BIGINT) AS n_view_then_click,
+       CAST(count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                        AND t_view <= t_click AND t_buy IS NOT NULL
+                        AND t_click <= t_buy THEN 1 END) AS BIGINT) AS n_full_funnel
+FROM first
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by their FIRST active
+    week; for each (cohort, weeks-since) cell, how many came back.
+    Two aggregates + one equi-join on the user key — the cohort matrix
+    every growth dashboard renders. (Weekly because the fixture spans
+    one month; the shape is granularity-agnostic.)
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = active.join(cohort, "user_id")
+    weeks_since = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    return (
+        joined.groupBy(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            weeks_since.alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST((epoch(a.week) - epoch(c.cohort_week)) / 604800 AS BIGINT) AS weeks_since,
+       count(DISTINCT a.user_id) AS n_active
+FROM active a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -520,11 +610,15 @@ QUERIES = {
     "events_cube": events_cube,
     "events_rollup_multi_granularity": events_rollup_multi_granularity,
     "docs_lang_source_pivot": docs_lang_source_pivot,
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
     "file_format_roundtrip": file_format_roundtrip,
 }
 
 ORACLES = {
     "docs_lang_source_pivot": DOCS_LANG_SOURCE_PIVOT_SQL,
+    "funnel_conversion": FUNNEL_CONVERSION_SQL,
+    "cohort_retention": COHORT_RETENTION_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
