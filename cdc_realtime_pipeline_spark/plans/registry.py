@@ -20,10 +20,11 @@ Round-4 rotation queue (registered, local-harness green at all three
 SFs, awaiting driver evidence — swap against rows that will then hold
 two rounds of driver green): corpus_stratified_sample,
 text_unigram_lm_score, text_pii_scrub, corpus_curation_funnel,
-stream_docs_quality_gate, dedup_docs_containment,
+stream_docs_quality_gate, stream_cdc_apply, dedup_docs_containment,
 dedup_docs_incremental, docs_ngram_novelty, docs_lang_source_pivot,
-cdc_scd2_history, cdc_parse_audit_stats, label_balanced_sample,
-join_types_conformance.
+cdc_scd2_history, cdc_parse_audit_stats, pit_join_versions,
+label_balanced_sample, join_types_conformance,
+similarity_quantized_recall, funnel_conversion, cohort_retention.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
