@@ -430,6 +430,62 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def null_semantics_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics conformance row — the classic cross-engine traps
+    pinned in one aggregate: null-skipping in count/avg, COALESCE /
+    NULLIF, null-safe equality (``<=>`` ≙ IS NOT DISTINCT FROM), and
+    window ordering with EXPLICIT null placement (Spark defaults nulls
+    FIRST ascending, DuckDB LAST — implicit ordering diverges, so the
+    engine contract is: always say NULLS LAST/FIRST).
+
+    Nulls are planted deterministically (every 7th value) since the
+    fixture is fully dense.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    w = Window.orderBy(F.asc_nulls_last("v"), F.asc("event_id"))
+    ranked = ev.withColumn("rk", F.row_number().over(w))
+    last_ranked = ranked.agg(
+        F.max(F.when(F.col("rk") == 1, F.col("event_id"))).alias("first_id_nulls_last")
+    )
+    agg = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_not_null"),  # count(col) skips nulls
+        F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+        F.round(F.avg("v") + 1e-9, 4).alias("avg_skips_nulls"),
+        F.round(F.sum(F.coalesce("v", F.lit(-1.0))) + 1e-9, 2).alias("sum_coalesced"),
+        F.count(F.nullif(F.col("event_type"), F.lit("view"))).alias("n_not_view"),
+        F.sum(F.col("v").eqNullSafe(F.lit(None).cast("double")).cast("long")).alias(
+            "n_nullsafe_eq_null"
+        ),
+    )
+    return agg.crossJoin(last_ranked)
+
+
+NULL_SEMANTICS_CONFORMANCE_SQL = """
+WITH ev AS (
+  SELECT *, CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+),
+ranked AS (
+  SELECT event_id, row_number() OVER (ORDER BY v ASC NULLS LAST, event_id ASC) AS rk
+  FROM ev
+)
+SELECT count(*) AS n_rows,
+       count(v) AS n_not_null,
+       CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_null,
+       round(avg(v) + 1e-9, 4) AS avg_skips_nulls,
+       round(sum(coalesce(v, -1.0)) + 1e-9, 2) AS sum_coalesced,
+       count(nullif(event_type, 'view')) AS n_not_view,
+       CAST(count(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 END) AS BIGINT)
+         AS n_nullsafe_eq_null,
+       (SELECT max(CASE WHEN rk = 1 THEN event_id END) FROM ranked)
+         AS first_id_nulls_last
+FROM ev
+"""
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (the product-analytics classic, CEP-lite):
     per user, did view → click → purchase happen IN ORDER? Computed
@@ -612,6 +668,7 @@ QUERIES = {
     "docs_lang_source_pivot": docs_lang_source_pivot,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "null_semantics_conformance": null_semantics_conformance,
     "file_format_roundtrip": file_format_roundtrip,
 }
 
@@ -619,6 +676,7 @@ ORACLES = {
     "docs_lang_source_pivot": DOCS_LANG_SOURCE_PIVOT_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "null_semantics_conformance": NULL_SEMANTICS_CONFORMANCE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
