@@ -486,6 +486,42 @@ FROM ev
 """
 
 
+def decimal_arithmetic_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal (money) arithmetic — the reference carries prices
+    as Debezium decimal STRINGS precisely because float money drifts;
+    this row pins scaled-integer semantics across engines: DECIMAL
+    sums/avgs are exact (no 1e-9 nudges needed anywhere here), scale
+    propagation through multiplication, and round-half-up at scale 2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").cast("decimal(18,4)").alias("dv"),
+        (F.col("value").cast("decimal(18,4)") * F.lit(3).cast("decimal(3,0)")).alias(
+            "dv3"
+        ),
+    )
+    return d.agg(
+        F.sum("dv").cast("decimal(38,4)").alias("sum_exact"),
+        F.round(F.avg("dv"), 4).cast("decimal(38,4)").alias("avg_exact"),
+        F.sum("dv3").cast("decimal(38,4)").alias("sum_times3"),
+        F.sum(F.round(F.col("dv"), 2)).cast("decimal(38,2)").alias("sum_rounded2"),
+    )
+
+
+DECIMAL_ARITHMETIC_CONFORMANCE_SQL = """
+WITH d AS (
+  SELECT CAST(value AS DECIMAL(18,4)) AS dv,
+         CAST(value AS DECIMAL(18,4)) * CAST(3 AS DECIMAL(3,0)) AS dv3
+  FROM events
+)
+SELECT CAST(sum(dv) AS DECIMAL(38,4)) AS sum_exact,
+       CAST(round(avg(dv), 4) AS DECIMAL(38,4)) AS avg_exact,
+       CAST(sum(dv3) AS DECIMAL(38,4)) AS sum_times3,
+       CAST(sum(round(dv, 2)) AS DECIMAL(38,2)) AS sum_rounded2
+FROM d
+"""
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (the product-analytics classic, CEP-lite):
     per user, did view → click → purchase happen IN ORDER? Computed
@@ -669,6 +705,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "null_semantics_conformance": null_semantics_conformance,
+    "decimal_arithmetic_conformance": decimal_arithmetic_conformance,
     "file_format_roundtrip": file_format_roundtrip,
 }
 
@@ -677,6 +714,7 @@ ORACLES = {
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "null_semantics_conformance": NULL_SEMANTICS_CONFORMANCE_SQL,
+    "decimal_arithmetic_conformance": DECIMAL_ARITHMETIC_CONFORMANCE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
