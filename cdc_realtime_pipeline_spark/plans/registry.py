@@ -24,7 +24,8 @@ stream_docs_quality_gate, stream_cdc_apply, dedup_docs_containment,
 dedup_docs_incremental, docs_ngram_novelty, docs_lang_source_pivot,
 cdc_scd2_history, cdc_parse_audit_stats, pit_join_versions,
 label_balanced_sample, join_types_conformance,
-similarity_quantized_recall, funnel_conversion, cohort_retention.
+similarity_quantized_recall, funnel_conversion, cohort_retention,
+null_semantics_conformance, decimal_arithmetic_conformance.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
