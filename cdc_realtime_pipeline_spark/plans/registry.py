@@ -16,16 +16,17 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-4 rotation queue (registered, local-harness green at all three
-SFs, awaiting driver evidence — swap against rows that will then hold
-two rounds of driver green): corpus_stratified_sample,
-text_unigram_lm_score, text_pii_scrub, corpus_curation_funnel,
-stream_docs_quality_gate, stream_cdc_apply, dedup_docs_containment,
-dedup_docs_incremental, docs_ngram_novelty, docs_lang_source_pivot,
-cdc_scd2_history, cdc_parse_audit_stats, pit_join_versions,
-label_balanced_sample, join_types_conformance,
-similarity_quantized_recall, funnel_conversion, cohort_retention,
-null_semantics_conformance, decimal_arithmetic_conformance.
+Round-4 window composition (no round-3 CORRECTNESS file was delivered,
+so the round-3 rotation rows are retained until a driver row confirms
+them): [A] the 20-query round-3 rotation queue, all local-harness green
+at sf0.001/0.01/0.1; [B] the 8 rows first windowed in round 3 (driver
+evidence unconfirmed); [C] 10 rows whose implementation changed since
+their round-2 green row (band-backstopped dedup candidates, multi-probe
+LSH, the c78b6cb cross-engine tie-rounding discipline, approx
+self-check columns) — stale evidence does not cover changed code;
+[D] 12 unchanged family representatives for continuity. Rows dropped
+this round all hold r1 and/or r2 green evidence with unchanged code and
+stay under the local harness; they re-rotate in future rounds.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -74,89 +75,71 @@ _MODULES = [
     stream_queries,
 ]
 
-# The 50 names the driver is guaranteed to check, in order. One entry
-# per operator family capability; low-information variants (salted
-# twin, lookup-join twin, extra dashboard/relational shapes) stay
-# registered but ride after the window on round-1 driver evidence.
+# The 50 names the driver is guaranteed to check, in order. See the
+# module docstring for this round's composition rationale.
 _PRIORITY = [
-    # CDC core (SURVEY §2.1-2.2)
-    "cdc_roundtrip",
-    "cdc_apply_changes",
-    # dedup family (W10 + LLM-pipeline)
-    "dedup_docs_exact",
-    "dedup_docs_minhash",
-    "dedup_docs_jaccard",
-    "dedup_docs_levenshtein",
-    "docs_simhash",
-    "dedup_embeddings_cosine",
-    # similarity search
-    "similarity_topk_bruteforce",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "embedding_label_stats",
-    # text analysis
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    # training-data pipeline
-    "corpus_prep_pipeline",
-    "corpus_shard_stats",
-    "embeddings_preprocessed",
-    "dup_clusters_connected_components",
-    "corpus_pack_sequences",
-    "corpus_train_val_split",
-    "corpus_vocab_topk",
-    "corpus_length_histogram",
-    "label_centroids",
-    # multimodal
-    "media_features",
-    "props_json_extract",
-    # temporal joins
-    "asof_join_last_click",
-    "quantity_band_join",
-    "bucketized_range_join",
-    # streaming (real Structured Streaming runs)
-    "stream_window_agg_5m",
-    "stream_cdc_parse",
-    "stream_dedup_counts",
-    "stream_sessionize",
-    "stream_merged_trade_agg",
-    # oracle-gated twin of stream_anomaly_alerts (which stays
-    # registered rows-only after the window): per-rule counts +
-    # trade-id checksum vs a recursive-CTE replay of the detector
-    "stream_anomaly_rule_counts",
-    # approx sketch row: new self-check bound columns need fresh
-    # driver evidence (array_functions rotated out on r1+r2 evidence)
-    "value_quantiles_approx",
-    # round-3 curation operators (decontamination + repetition take
-    # the slots of array_functions / alerts_volume_surge, both
-    # r1+r2-evidenced; the other two — corpus_stratified_sample,
-    # text_unigram_lm_score — ride after the window on local-harness
-    # evidence and rotate in next round)
+    # --- [A] round-3 rotation queue: first driver look (20) ---
+    # corpus curation family (operators/curation.py)
+    "corpus_stratified_sample",
+    "corpus_curation_funnel",
+    "text_unigram_lm_score",
+    "text_pii_scrub",
     "decontaminate_vs_benchmark",
+    # dedup extensions
+    "dedup_docs_containment",
+    "dedup_docs_incremental",
+    "docs_ngram_novelty",
+    # CDC/SCD2/PIT family
+    "cdc_scd2_history",
+    "cdc_parse_audit_stats",
+    "pit_join_versions",
+    "stream_cdc_apply",
+    # product analytics
+    "funnel_conversion",
+    "cohort_retention",
+    "docs_lang_source_pivot",
+    # conformance sweeps
+    "join_types_conformance",
+    "null_semantics_conformance",
+    "decimal_arithmetic_conformance",
+    # sampling / quantized-index quality
+    "label_balanced_sample",
+    "similarity_quantized_recall",
+    # --- [B] windowed in round 3, driver evidence unconfirmed (8) ---
+    "stream_anomaly_rule_counts",
     "text_repetition",
-    # reference core: the most intricate anomaly rule shape
-    # (window_agg_5m, alerts_volume_surge and the remaining rules/
-    # dashboard/sessionize shapes hold r1+r2 green driver rows)
-    "alerts_rapid_trades_reset",
-    # round-2 operators that would otherwise fall past the window
-    "stream_static_enrich",
-    "stream_stream_join",
-    "media_frame_sample",
-    "skewed_join_salted",
-    "events_rollup_multi_granularity",
-    # grouping-sets (untested at driver in r1)
-    "events_cube",
-    # round-3 rotation: the five round-2 additions that fell outside
-    # the window last round (VERDICT r2 #1) — swapped in against five
-    # rows holding BOTH r1 and r2 green driver evidence
-    # (dedup_events_exact, cdc_op_filtered_counts, text_token_stats,
-    # media_resize_stats, window_agg_5m)
     "stream_dedup_watermarked",
     "embedding_norm_outliers",
     "similarity_recall_report",
     "docs_source_profile",
     "file_format_roundtrip",
+    "stream_docs_quality_gate",
+    # --- [C] implementation changed since last green row (10) ---
+    # band-backstopped candidate stage (dedup.py) + multi-probe LSH
+    # (similarity.py) + c78b6cb tie-rounding + approx self-check cols
+    "dedup_docs_jaccard",
+    "dedup_docs_levenshtein",
+    "dedup_embeddings_cosine",
+    "similarity_topk_lsh",
+    "window_agg_5m",
+    "stream_window_agg_5m",
+    "stream_merged_trade_agg",
+    "dash_latency_mv_read",
+    "alerts_price_spike",
+    "value_quantiles_approx",
+    # --- [D] unchanged family representatives, continuity (12) ---
+    "cdc_roundtrip",
+    "cdc_apply_changes",
+    "dedup_docs_exact",
+    "dedup_docs_minhash",
+    "docs_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "corpus_prep_pipeline",
+    "dup_clusters_connected_components",
+    "asof_join_last_click",
+    "stream_cdc_parse",
+    "media_features",
 ]
 
 
