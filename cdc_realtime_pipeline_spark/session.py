@@ -42,6 +42,10 @@ def get_spark(
         # driver fixtures store ns-precision timestamps; read as long and
         # convert in load_table (Spark timestamps are µs)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixtures are tz-naive; read as session-tz TIMESTAMP (UTC below)
+        # so time functions (unix_millis, window) apply and DuckDB's
+        # naive-timestamp oracle semantics match
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
@@ -72,6 +76,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
     ):
@@ -102,14 +107,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
 
 def convert_ns_timestamps(df):
-    """ns-longs (``nanosAsLong``) → µs TimestampType via integer ``div``
-    (double division would lose precision above 2^53 ns)."""
+    """Normalize fixture timestamps to µs TimestampType.
+
+    Two storage generations exist: ns-precision (read as long via
+    ``nanosAsLong``; integer ``div`` — double division would lose
+    precision above 2^53 ns) and µs-precision tz-naive (read as
+    TIMESTAMP_NTZ when NTZ inference is on, e.g. a driver session built
+    before ``ensure_engine_conf`` ran; cast is exact under the UTC
+    session timezone)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 
