@@ -1,0 +1,345 @@
+"""Tick time-series operators: OHLC bars, TWAP, gap-fill/LOCF resample.
+
+The reference's dashboard family aggregates trades into 5-minute
+buckets (TradeAggregator.java:23-91 computes count/sum/avg/min/max/
+vwap); what it never provides — and what every market-data or
+metrics-over-CDC user reaches for next — are candlestick bars
+(open/high/low/close), *time*-weighted averages over irregular ticks,
+and resampling onto a regular grid with last-observation-carried-
+forward. All three are classic streaming-warehouse operators
+(TimescaleDB `time_bucket_gapfill`/`locf`, kdb `xbar`/`wavg`), here
+re-expressed as declarative Spark plans:
+
+* **OHLC** — one ``groupBy(window, key)`` with ``min_by``/``max_by``
+  on a deterministic (ts, event_id) sort key: single shuffle, partial
+  aggregation map-side, no per-key sort. The sort key is a fixed-width
+  zero-padded string so first/last ties break identically in any
+  engine (struct keys aren't portable to every SQL dialect's
+  ``arg_min``).
+* **TWAP** — each tick's price weighted by its holding time
+  ``min(next_tick, bar_end) − ts``; one window pass per key for
+  ``lead(ts)``, then an ordinary grouped sum. One shuffle on (key),
+  weights in seconds so double Σ stays well under round-4 noise.
+* **gap-fill/LOCF** — per-key bucket aggregate, per-key grid via
+  ``sequence()``+``explode`` (grid size = keys × buckets, orders of
+  magnitude below tick count at any scale), left join, then
+  ``last(value, ignorenulls)`` over the preceding frame. The standard
+  partition-parallel LOCF that avoids any driver-side loop.
+
+Fixture mapping per FIXTURES.md §B: market ≙ user_id, price ≙ value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_realtime_pipeline_spark.session import load_table
+
+
+def _r4(c):
+    """Shared cross-engine rounding discipline (see window_agg.py):
+    round half-up boundary ties are nudged off the representation edge
+    identically in Spark and the DuckDB oracle."""
+    return F.round(c + 1e-9, 4)
+
+
+def _tick_sort_key(ts_col: str = "ts", id_col: str = "event_id"):
+    """Deterministic total order for first/last-in-bucket: fixed-width
+    ``<epoch_µs>-<event_id>`` string. Lexicographic == chronological
+    because both fields are zero-padded; portable to any oracle whose
+    ``arg_min`` lacks struct keys."""
+    return F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "market",
+    price_col: str = "price",
+    id_col: str = "event_id",
+    bar: str = "5 minutes",
+) -> DataFrame:
+    """Candlestick bars per key: open/high/low/close + tick count.
+
+    Single ``groupBy(window, key)`` — ``min_by``/``max_by`` carry the
+    open/close through partial aggregation, so the plan is one shuffle
+    with map-side combine regardless of ticks-per-bar skew (no
+    row_number sort-within-group pass).
+    """
+    k = _tick_sort_key(ts_col, id_col)
+    return (
+        df.groupBy(F.window(F.col(ts_col), bar).alias("w"), F.col(key_col))
+        .agg(
+            F.min_by(F.col(price_col), k).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(F.col(price_col), k).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )
+
+
+def ohlc_bars_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute OHLC candles over the events fixture (market ≙ user_id,
+    price ≙ value). Prices rounded under the shared tie discipline."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_id",
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+    )
+    out = ohlc_bars(ev)
+    return out.select(
+        "market",
+        "bar_start",
+        _r4(F.col("open")).alias("open"),
+        _r4(F.col("high")).alias("high"),
+        _r4(F.col("low")).alias("low"),
+        _r4(F.col("close")).alias("close"),
+        "n_ticks",
+    )
+
+
+OHLC_BARS_5M_SQL = """
+WITH t AS (
+  SELECT user_id AS market,
+         value AS price,
+         make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS bar_start,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+           lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+  FROM events
+)
+SELECT market,
+       bar_start,
+       round(arg_min(price, k) + 1e-9, 4) AS open,
+       round(max(price) + 1e-9, 4) AS high,
+       round(min(price) + 1e-9, 4) AS low,
+       round(arg_max(price, k) + 1e-9, 4) AS close,
+       count(*) AS n_ticks
+FROM t
+GROUP BY market, bar_start
+"""
+
+
+def twap(
+    df: DataFrame,
+    bar_seconds: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "market",
+    price_col: str = "price",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average price per key per bar.
+
+    Irregular ticks: each price holds from its own timestamp until the
+    next tick (or the end of the bar, whichever is first), so sparse
+    quiet periods aren't washed out the way a plain tick-count avg
+    washes them out. Weight = holding seconds; simultaneous ticks get
+    weight 0 (the later-keyed tick wins the interval, matching the
+    sort order used everywhere else).
+
+    Plan: one window shuffle on (key) for ``lead(ts)``, then an
+    ordinary grouped agg on (key, bar) — partial-aggregated, no
+    second sort. Ratio is taken over identically-rounded sums on both
+    engines (the vwap discipline; window_agg.py:100-105): Σw is µs
+    (integer-exact), Σpw is seconds-scaled so double noise sits ~9
+    orders below the 4-dp rounding step.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    epoch_sec = (F.unix_micros(F.col(ts_col)) / 1_000_000).cast("long")
+    bar_start = F.timestamp_seconds(epoch_sec - (epoch_sec % bar_seconds))
+    ticks = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(price_col).alias("price"),
+        bar_start.alias("bar_start"),
+        F.lead(ts_col).over(w).alias("next_ts"),
+    )
+    bar_end = F.col("bar_start") + F.expr(f"INTERVAL {bar_seconds} SECONDS")
+    held_us = (
+        F.unix_micros(F.least(F.coalesce(F.col("next_ts"), bar_end), bar_end))
+        - F.unix_micros(F.col(ts_col))
+    )
+    # a tick whose successor precedes it only via tie gets weight 0;
+    # negatives are impossible (lead is ordered) but clamp anyway
+    held_us = F.greatest(held_us, F.lit(0))
+    weighted = ticks.select(
+        key_col,
+        "bar_start",
+        held_us.alias("w_us"),
+        (F.col("price") * held_us / 1_000_000.0).alias("pw_sec"),
+    )
+    agg = weighted.groupBy(key_col, "bar_start").agg(
+        F.sum("w_us").alias("w_us"),
+        F.sum("pw_sec").alias("pw_sec"),
+    )
+    rw = _r4(F.col("w_us") / 1_000_000.0)
+    rpw = _r4(F.col("pw_sec"))
+    return agg.select(
+        key_col,
+        "bar_start",
+        rw.alias("held_sec"),
+        _r4(F.when(rw > 0, rpw / rw).otherwise(F.lit(0.0))).alias("twap"),
+    )
+
+
+def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly TWAP over the events fixture (market ≙ user_id,
+    price ≙ value)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_id",
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+    )
+    return twap(ev).withColumnRenamed("bar_start", "hour_start")
+
+
+TWAP_HOURLY_SQL = """
+WITH ticks AS (
+  SELECT user_id AS market,
+         ts,
+         event_id,
+         value AS price,
+         make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS hour_start,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+weighted AS (
+  SELECT market,
+         hour_start,
+         greatest(
+           epoch_us(least(coalesce(next_ts, hour_start + INTERVAL 1 HOUR),
+                          hour_start + INTERVAL 1 HOUR)) - epoch_us(ts),
+           0) AS w_us,
+         price * greatest(
+           epoch_us(least(coalesce(next_ts, hour_start + INTERVAL 1 HOUR),
+                          hour_start + INTERVAL 1 HOUR)) - epoch_us(ts),
+           0) / 1000000.0 AS pw_sec
+  FROM ticks
+),
+agg AS (
+  SELECT market, hour_start, sum(w_us) AS w_us, sum(pw_sec) AS pw_sec
+  FROM weighted GROUP BY market, hour_start
+)
+SELECT market,
+       hour_start,
+       round(w_us / 1000000.0 + 1e-9, 4) AS held_sec,
+       round(CASE WHEN round(w_us / 1000000.0 + 1e-9, 4) > 0
+                  THEN round(pw_sec + 1e-9, 4) / round(w_us / 1000000.0 + 1e-9, 4)
+                  ELSE 0.0 END + 1e-9, 4) AS twap
+FROM agg
+"""
+
+
+def resample_locf(
+    df: DataFrame,
+    bucket_seconds: int = 900,
+    ts_col: str = "ts",
+    key_col: str = "market",
+    price_col: str = "price",
+) -> DataFrame:
+    """Regular-grid resample per key with LOCF gap-fill.
+
+    Every key gets a dense bucket grid spanning its own [first, last]
+    tick; buckets with no ticks inherit the previous bucket's avg
+    price and are flagged ``is_gap=1``. The grid is built
+    executor-side (``sequence``+``explode`` from a 2-column bounds
+    row per key) — |keys|×|buckets| rows, which at 100 TB of ticks is
+    still orders of magnitude smaller than the input; nothing touches
+    the driver. LOCF is ``last(value, ignorenulls)`` over the
+    preceding frame — one partition-parallel pass, the same idiom the
+    as-of join uses (temporal.py:27).
+    """
+    epoch_sec = (F.unix_micros(F.col(ts_col)) / 1_000_000).cast("long")
+    ticks = df.select(
+        F.col(key_col),
+        F.col(price_col).alias("price"),
+        F.timestamp_seconds(epoch_sec - (epoch_sec % bucket_seconds)).alias(
+            "bucket"
+        ),
+    )
+    per_bucket = ticks.groupBy(key_col, "bucket").agg(
+        _r4(F.avg("price")).alias("price_obs")
+    )
+    grid = (
+        per_bucket.groupBy(key_col)
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {bucket_seconds} SECONDS"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(per_bucket, [key_col, "bucket"], "left")
+    locf = Window.partitionBy(key_col).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return joined.select(
+        key_col,
+        "bucket",
+        F.last("price_obs", ignorenulls=True).over(locf).alias("price"),
+        F.col("price_obs").isNull().cast("int").alias("is_gap"),
+    )
+
+
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute LOCF resample over the events fixture (market ≙
+    user_id, price ≙ value)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+    )
+    return resample_locf(ev)
+
+
+GAP_FILL_LOCF_SQL = """
+WITH b AS (
+  SELECT user_id AS market,
+         make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000) AS bucket,
+         round(avg(value) + 1e-9, 4) AS price_obs
+  FROM events
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT market,
+         unnest(generate_series(min(bucket), max(bucket), INTERVAL 15 MINUTE)) AS bucket
+  FROM b GROUP BY market
+)
+SELECT g.market,
+       g.bucket,
+       last_value(b.price_obs IGNORE NULLS)
+         OVER (PARTITION BY g.market ORDER BY g.bucket) AS price,
+       CASE WHEN b.price_obs IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM grid g LEFT JOIN b ON g.market = b.market AND g.bucket = b.bucket
+"""
+
+
+QUERIES = {
+    "ohlc_bars_5m": ohlc_bars_5m,
+    "twap_hourly": twap_hourly,
+    "gap_fill_locf": gap_fill_locf,
+}
+
+ORACLES = {
+    "ohlc_bars_5m": OHLC_BARS_5M_SQL,
+    "twap_hourly": TWAP_HOURLY_SQL,
+    "gap_fill_locf": GAP_FILL_LOCF_SQL,
+}

@@ -52,6 +52,7 @@ from cdc_realtime_pipeline_spark.operators import (
     similarity,
     temporal,
     text_ops,
+    timeseries,
     training_data,
     window_agg,
 )
@@ -64,6 +65,7 @@ _MODULES = [
     relational,
     extended,
     temporal,
+    timeseries,
     dedup,
     cdc_ops,
     text_ops,
