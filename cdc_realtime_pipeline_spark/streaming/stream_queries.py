@@ -28,6 +28,7 @@ from cdc_realtime_pipeline_spark.session import (
     raw_schema,
     scratch_dir,
 )
+from cdc_realtime_pipeline_spark.operators import timeseries as _ts_oracles
 from cdc_realtime_pipeline_spark.sources.cdc_file_source import write_cdc_json_files
 from cdc_realtime_pipeline_spark.streaming.anomaly_stateful import apply_anomaly_detector
 
@@ -675,8 +676,44 @@ FROM (
 ) GROUP BY 1 ORDER BY 1
 """
 
+def stream_ohlc_bars_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars under Structured Streaming.
+
+    Same single ``groupBy(window, key)`` plan as the batch
+    ``ohlc_bars_5m`` (timeseries.py) — ``min_by``/``max_by`` carry
+    open/close through the streaming state store's partial merges just
+    as they ride batch map-side combine, so the finite-stream result
+    must equal the batch/DuckDB answer exactly (shared oracle).
+    """
+    from cdc_realtime_pipeline_spark.operators.timeseries import _r4, ohlc_bars
+
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = events_stream.select(
+        "ts",
+        "event_id",
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+    )
+    out = _memory_sink(ohlc_bars(ev), "complete")
+    return out.select(
+        "market",
+        "bar_start",
+        _r4(F.col("open")).alias("open"),
+        _r4(F.col("high")).alias("high"),
+        _r4(F.col("low")).alias("low"),
+        _r4(F.col("close")).alias("close"),
+        "n_ticks",
+    )
+
+
 QUERIES = {
     "stream_window_agg_5m": stream_window_agg_5m,
+    "stream_ohlc_bars_5m": stream_ohlc_bars_5m,
     "stream_cdc_parse": stream_cdc_parse,
     "stream_dedup_counts": stream_dedup_counts,
     "stream_dedup_watermarked": stream_dedup_watermarked,
@@ -692,6 +729,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
+    "stream_ohlc_bars_5m": _ts_oracles.OHLC_BARS_5M_SQL,
     "stream_cdc_parse": CDC_ROUNDTRIP_SQL,
     "stream_dedup_counts": STREAM_DEDUP_COUNTS_SQL,
     "stream_dedup_watermarked": STREAM_DEDUP_COUNTS_SQL,
