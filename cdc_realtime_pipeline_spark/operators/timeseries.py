@@ -45,15 +45,22 @@ def _r4(c):
     return F.round(c + 1e-9, 4)
 
 
+# decimal(38,0) tick key = epoch_µs × 10¹² + event_id. Numeric (not a
+# padded string) so min_by/max_by keep a fixed-width mutable buffer and
+# the planner stays on HashAggregate — a string key demotes the whole
+# bar aggregate to Sort+SortAggregate, an O(n log n) per-partition sort
+# of every tick (test_plans.py::test_ohlc_single_shuffle_no_sort pins
+# this). Room for 10¹² tick ids; integers are exact in decimal/HUGEINT
+# on both engines so ties break identically.
+_TICK_ID_SPAN = 1_000_000_000_000
+
+
 def _tick_sort_key(ts_col: str = "ts", id_col: str = "event_id"):
-    """Deterministic total order for first/last-in-bucket: fixed-width
-    ``<epoch_µs>-<event_id>`` string. Lexicographic == chronological
-    because both fields are zero-padded; portable to any oracle whose
-    ``arg_min`` lacks struct keys."""
-    return F.concat(
-        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
-        F.lit("-"),
-        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+    """Deterministic total order for first/last-in-bucket (see above)."""
+    return (
+        F.unix_micros(F.col(ts_col)).cast("decimal(24,0)")
+        * F.lit(_TICK_ID_SPAN).cast("decimal(13,0)")
+        + F.col(id_col).cast("decimal(38,0)")
     )
 
 
@@ -120,8 +127,7 @@ WITH t AS (
   SELECT user_id AS market,
          value AS price,
          make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS bar_start,
-         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
-           lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+         CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id AS k
   FROM events
 )
 SELECT market,

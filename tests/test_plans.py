@@ -127,3 +127,33 @@ def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_single_shuffle_no_sort(spark, sf_dir):
+    # open/close via min_by/max_by must stay inside one partial→final
+    # hash aggregate: exactly one Exchange (formatted explain prints
+    # each node twice: tree + detail), and no sort-within-group pass —
+    # a row_number formulation would show Sort + Window here and shuffle
+    # twice as much at 100 TB.
+    plan = _plan(spark, "ohlc_bars_5m", sf_dir)
+    assert plan.count("Exchange") // 2 == 1
+    assert "(Sort" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_twap_reuses_key_partitioning(spark, sf_dir):
+    # lead() shuffles on (market); the following (market, hour) agg is
+    # satisfied by that same clustering, so the whole plan carries ONE
+    # exchange — a second would double the shuffle volume for nothing.
+    plan = _plan(spark, "twap_hourly", sf_dir)
+    assert plan.count("Exchange") // 2 == 1
+
+
+def test_gap_fill_grid_is_executor_side(spark, sf_dir):
+    # the dense bucket grid must come from sequence()+explode on the
+    # per-key bounds row — never a driver-side collect or a Python
+    # node; LOCF is a window pass, not an iterative loop.
+    plan = _plan(spark, "gap_fill_locf", sf_dir)
+    assert "Generate" in plan  # explode(sequence(...))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
