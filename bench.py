@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "text_unigram_lm_score",
     "text_pii_scrub",
     "corpus_curation_funnel",
+    # round-3 tick time-series family
+    "ohlc_bars_5m",
+    "twap_hourly",
+    "gap_fill_locf",
 ]
 
 

@@ -36,6 +36,9 @@ SHOWCASE = [
     ("corpus_curation_funnel", "all-stage flags + single agg + stack unpivot"),
     ("text_unigram_lm_score", "distributed vocab join + per-doc mean"),
     ("similarity_topk_lsh", "multi-probe H≤2 broadcast probes over corpus sigs"),
+    ("ohlc_bars_5m", "one-pass min_by/max_by candle bars, single shuffle"),
+    ("twap_hourly", "lead() window + clustering-reuse agg, one shuffle"),
+    ("gap_fill_locf", "per-key sequence+explode grid, LOCF window pass"),
 ]
 
 
