@@ -1,0 +1,177 @@
+"""Data-quality monitoring: per-column audit profile + PSI drift.
+
+Two operators a 100 TB ingest pipeline runs on every batch before the
+data is allowed downstream — the observability layer next to the
+curation funnel's filter stages (curation.py):
+
+* **column profile** — per-column null count and exact distinct count
+  over a table, emitted as audit rows. One pass for the null counts
+  (conditional aggregates, map-side combinable); distincts per column
+  are separate hash aggregates that AQE runs off a shared scan. All
+  outputs are integers — exactly portable, no float discipline needed.
+* **PSI drift** — Population Stability Index of the `value`
+  distribution, first half of the time range vs second half, per
+  event_type: ``Σ (p_i − q_i) ln(p_i / q_i)`` over 10 equal-width
+  bins. The midpoint/bin-edge arithmetic is the identical IEEE double
+  expression on both engines, so binning is deterministic; ε-smoothing
+  keeps empty bins finite. PSI ≥ 0.2 is the conventional "investigate"
+  threshold — emitted as a flag, not a filter, so the gate row pins
+  the full per-type report. One scan → one (type, bin) agg → one
+  (type) agg: bounded-key shuffles only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.session import load_table
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def orders_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column DQ audit over ``orders``: rows of
+    (column, n_rows, n_null, n_distinct).
+
+    Null counts ride one shared scan+agg; each exact distinct is its
+    own hash agg (the exact twin of the approx-sketch profile —
+    ``dash_approx_distinct_users`` holds the sketch side). Integer
+    outputs only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    n_rows = F.count("*")
+    profiles = None
+    for c in _PROFILE_COLS:
+        row = orders.agg(
+            F.lit(c).alias("column"),
+            n_rows.alias("n_rows"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias("n_null"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+        )
+        profiles = row if profiles is None else profiles.unionByName(row)
+    return profiles
+
+
+ORDERS_DQ_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+       count(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+_PSI_BINS = 10
+_PSI_EPS = 1e-6
+
+
+def value_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the events ``value`` distribution, first half vs second
+    half of the observed time range, per event_type.
+
+    The classic deploy-time drift monitor: p = early share per bin,
+    q = late share per bin, PSI = Σ (p−q)·ln(p/q) with ε-smoothed
+    shares. Bin edges span the global [min, max] — computed once,
+    broadcast as a 1-row join (no collect), identical double
+    arithmetic on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    bounds = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min("us").alias("tmin"),
+        F.max("us").alias("tmax"),
+    )
+    # 1-row bounds side: broadcast cross join, never a driver collect
+    j = ev.crossJoin(F.broadcast(bounds))
+    binned = j.select(
+        "event_type",
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / ((F.col("vmax") - F.col("vmin")) / _PSI_BINS)
+            ).cast("int"),
+        ).alias("bin"),
+        # strictly-before-midpoint ⇒ early half; integer µs arithmetic
+        # so the split point is exact on both engines
+        (F.col("us") * 2 < F.col("tmin") + F.col("tmax")).alias("early"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("early"), 1)).alias("n_early"),
+        F.count(F.when(~F.col("early"), 1)).alias("n_late"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_early").alias("tot_early"),
+        F.sum("n_late").alias("tot_late"),
+    )
+    p = F.col("n_early") / F.col("tot_early") + _PSI_EPS
+    q = F.col("n_late") / F.col("tot_late") + _PSI_EPS
+    psi = (
+        counts.join(totals, "event_type")
+        .select("event_type", ((p - q) * F.log(p / q)).alias("term"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("term") + 1e-9, 6).alias("psi"))
+    )
+    return psi.select(
+        "event_type",
+        "psi",
+        (F.col("psi") >= 0.2).cast("int").alias("drift_flag"),
+    )
+
+
+VALUE_DISTRIBUTION_PSI_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS us FROM events
+),
+bounds AS (
+  SELECT min(value) AS vmin, max(value) AS vmax,
+         min(us) AS tmin, max(us) AS tmax FROM ev
+),
+binned AS (
+  SELECT event_type,
+         least({_PSI_BINS - 1},
+               CAST(floor((value - vmin) / ((vmax - vmin) / {_PSI_BINS})) AS INT)) AS bin,
+         us * 2 < tmin + tmax AS early
+  FROM ev CROSS JOIN bounds
+),
+counts AS (
+  SELECT event_type, bin,
+         count(CASE WHEN early THEN 1 END) AS n_early,
+         count(CASE WHEN NOT early THEN 1 END) AS n_late
+  FROM binned GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, sum(n_early) AS tot_early, sum(n_late) AS tot_late
+  FROM counts GROUP BY 1
+),
+psi AS (
+  SELECT c.event_type,
+         round(sum((n_early / tot_early + {_PSI_EPS} - n_late / tot_late - {_PSI_EPS})
+                   * ln((n_early / tot_early + {_PSI_EPS})
+                        / (n_late / tot_late + {_PSI_EPS}))) + 1e-9, 6) AS psi
+  FROM counts c JOIN totals t ON c.event_type = t.event_type
+  GROUP BY 1
+)
+SELECT event_type, psi, CASE WHEN psi >= 0.2 THEN 1 ELSE 0 END AS drift_flag
+FROM psi
+"""
+
+
+QUERIES = {
+    "orders_dq_profile": orders_dq_profile,
+    "value_distribution_psi": value_distribution_psi,
+}
+
+ORACLES = {
+    "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,
+    "value_distribution_psi": VALUE_DISTRIBUTION_PSI_SQL,
+}

@@ -338,14 +338,101 @@ FROM grid g LEFT JOIN b ON g.market = b.market AND g.bucket = b.bucket
 """
 
 
+_BAND_N = 20  # rolling window length (ticks)
+_BAND_K = 2.0  # σ multiplier
+
+
+def rolling_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-style rolling bands: per market, mean ± 2σ over the
+    preceding 20 ticks; emit only band-breakout ticks.
+
+    The bounded ``ROWS BETWEEN 19 PRECEDING AND CURRENT ROW`` frame is
+    the one window-frame class the conformance sweeps didn't cover
+    (cumulative = unbounded-preceding, rank = no frame). One shuffle
+    on (market); the frame is O(N) state per partition stream, never
+    materialized. Warm-up ticks (fewer than 20 in frame) are excluded
+    — σ needs a full window to mean anything. Both engines evaluate
+    the identical ordered frame, so stddev_samp diverges only in
+    ulp-order float noise, absorbed by the shared rounding discipline.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_id",
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+    )
+    w = (
+        Window.partitionBy("market")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_BAND_N - 1), 0)
+    )
+    banded = ev.select(
+        "market",
+        "ts",
+        "event_id",
+        "price",
+        F.count("*").over(w).alias("n_in_frame"),
+        F.avg("price").over(w).alias("mid"),
+        F.stddev_samp("price").over(w).alias("sd"),
+    ).filter(F.col("n_in_frame") == _BAND_N)
+    # breakout decided on ROUNDED operands (c78b6cb discipline): the
+    # two engines' frame stddevs agree only to ulp order, so an
+    # unrounded `price > mid + 2sd` could flip for a tick sitting on
+    # the band itself
+    upper = _r4(F.col("mid") + _BAND_K * F.col("sd"))
+    lower = _r4(F.col("mid") - _BAND_K * F.col("sd"))
+    price_r = _r4(F.col("price"))
+    return (
+        banded.filter((price_r > upper) | (price_r < lower))
+        .select(
+            "market",
+            "event_id",
+            _r4(F.col("price")).alias("price"),
+            _r4(F.col("mid")).alias("mid"),
+            _r4(F.col("sd")).alias("sd"),
+            F.when(price_r > upper, F.lit("UP"))
+            .otherwise(F.lit("DOWN"))
+            .alias("breakout"),
+        )
+    )
+
+
+ROLLING_PRICE_BANDS_SQL = f"""
+WITH framed AS (
+  SELECT user_id AS market,
+         event_id,
+         value AS price,
+         count(*) OVER w AS n_in_frame,
+         avg(value) OVER w AS mid,
+         stddev_samp(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_BAND_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT market,
+       event_id,
+       round(price + 1e-9, 4) AS price,
+       round(mid + 1e-9, 4) AS mid,
+       round(sd + 1e-9, 4) AS sd,
+       CASE WHEN round(price + 1e-9, 4) > round(mid + {_BAND_K} * sd + 1e-9, 4)
+            THEN 'UP' ELSE 'DOWN' END AS breakout
+FROM framed
+WHERE n_in_frame = {_BAND_N}
+  AND (round(price + 1e-9, 4) > round(mid + {_BAND_K} * sd + 1e-9, 4)
+       OR round(price + 1e-9, 4) < round(mid - {_BAND_K} * sd + 1e-9, 4))
+"""
+
+
 QUERIES = {
     "ohlc_bars_5m": ohlc_bars_5m,
     "twap_hourly": twap_hourly,
     "gap_fill_locf": gap_fill_locf,
+    "rolling_price_bands": rolling_price_bands,
 }
 
 ORACLES = {
     "ohlc_bars_5m": OHLC_BARS_5M_SQL,
     "twap_hourly": TWAP_HOURLY_SQL,
     "gap_fill_locf": GAP_FILL_LOCF_SQL,
+    "rolling_price_bands": ROLLING_PRICE_BANDS_SQL,
 }

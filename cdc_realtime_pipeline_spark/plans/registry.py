@@ -51,6 +51,7 @@ from cdc_realtime_pipeline_spark.operators import (
     curation,
     dashboard,
     dedup,
+    dq,
     extended,
     multimodal,
     relational,
@@ -79,6 +80,7 @@ _MODULES = [
     training_data,
     corpus_ops,
     curation,
+    dq,
     stream_queries,
 ]
 

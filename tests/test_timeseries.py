@@ -97,6 +97,41 @@ def test_locf_fills_interior_gaps_only(spark):
     assert [r["is_gap"] for r in out] == [0, 1, 0]
 
 
+def test_rolling_bands_need_full_frame_and_flag_direction(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.timeseries import (
+        _BAND_K,
+        _BAND_N,
+        rolling_price_bands,
+    )
+
+    out = rolling_price_bands(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        # every emitted tick actually breaks its (rounded) band
+        if r["breakout"] == "UP":
+            assert r["price"] > round(r["mid"] + _BAND_K * r["sd"], 4) - 1e-9
+        else:
+            assert r["price"] < round(r["mid"] - _BAND_K * r["sd"], 4) + 1e-9
+    # warm-up exclusion: a market's first N-1 ticks can never appear.
+    # event ids are globally ordered only per market, so check via a
+    # direct recount: no emitted event may be among its market's first
+    # N-1 events.
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("market"), "event_id", "ts"
+    )
+    from pyspark.sql.window import Window as W
+
+    rn = ev.withColumn(
+        "rn", F.row_number().over(W.partitionBy("market").orderBy("ts", "event_id"))
+    ).filter(F.col("rn") < _BAND_N)
+    early = {(r["market"], r["event_id"]) for r in rn.collect()}
+    emitted = {(r["market"], r["event_id"]) for r in rows}
+    assert not (early & emitted)
+
+
 def test_locf_grid_is_per_key(spark):
     # key 2's grid must not extend to key 1's range
     rows = [
