@@ -136,19 +136,25 @@ _PRIORITY = [
     "dash_latency_mv_read",
     "alerts_price_spike",
     "value_quantiles_approx",
-    # --- [D] unchanged family representatives, continuity (12) ---
+    # --- [D] unchanged family representatives, continuity (5) ---
     "cdc_roundtrip",
     "cdc_apply_changes",
-    "dedup_docs_exact",
-    "dedup_docs_minhash",
-    "docs_simhash",
-    "similarity_topk_bruteforce",
     "similarity_topk_ivf",
-    "corpus_prep_pipeline",
     "dup_clusters_connected_components",
-    "asof_join_last_click",
     "stream_cdc_parse",
-    "media_features",
+    # --- [E] landed after the round-3 window froze: first driver
+    # look for the tick time-series + DQ monitoring families (7).
+    # Displaced [D] rows (dedup_docs_exact/minhash, docs_simhash,
+    # similarity_topk_bruteforce, corpus_prep_pipeline,
+    # asof_join_last_click, media_features) hold r1+r2 green rows on
+    # unchanged code and stay under the local 3-SF harness. ---
+    "ohlc_bars_5m",
+    "stream_ohlc_bars_5m",
+    "twap_hourly",
+    "gap_fill_locf",
+    "rolling_price_bands",
+    "orders_dq_profile",
+    "value_distribution_psi",
 ]
 
 
