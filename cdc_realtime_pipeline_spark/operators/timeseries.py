@@ -423,14 +423,61 @@ WHERE n_in_frame = {_BAND_N}
 """
 
 
+_TRAIL_US = 10 * 60 * 1_000_000  # 10-minute trailing range frame
+
+
+def trailing_10min_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 10-minute value sum per market — the RANGE
+    (value-bounded) window-frame class, complementing the bounded-ROWS
+    frame (`rolling_price_bands`), cumulative (unbounded) and rank
+    (no-frame) classes already gated.
+
+    The frame is defined over integer µs, so membership is exact on
+    both engines even with timestamp ties (a RANGE frame admits *all*
+    peers at the boundary value — the semantics ROWS can't express).
+    One shuffle on (market); sliding-frame sums are O(1) per row in
+    both engines' window implementations.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("market"),
+        "event_id",
+        F.col("value"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("market")
+        .orderBy("us")
+        .rangeBetween(-_TRAIL_US, 0)
+    )
+    return ev.select(
+        "market",
+        "event_id",
+        _r4(F.sum("value").over(w)).alias("trailing_value"),
+        F.count("*").over(w).alias("trailing_n"),
+    )
+
+
+TRAILING_10MIN_VALUE_SQL = f"""
+SELECT user_id AS market,
+       event_id,
+       round(sum(value) OVER w + 1e-9, 4) AS trailing_value,
+       count(*) OVER w AS trailing_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "ohlc_bars_5m": ohlc_bars_5m,
     "twap_hourly": twap_hourly,
     "gap_fill_locf": gap_fill_locf,
     "rolling_price_bands": rolling_price_bands,
+    "trailing_10min_value": trailing_10min_value,
 }
 
 ORACLES = {
+    "trailing_10min_value": TRAILING_10MIN_VALUE_SQL,
     "ohlc_bars_5m": OHLC_BARS_5M_SQL,
     "twap_hourly": TWAP_HOURLY_SQL,
     "gap_fill_locf": GAP_FILL_LOCF_SQL,

@@ -29,9 +29,9 @@ this round all hold r1 and/or r2 green evidence with unchanged code and
 stay under the local harness; they re-rotate in future rounds.
 
 Round-4 rotation candidates (never driver-checked, local-green at all
-three SFs): the tick time-series family (`ohlc_bars_5m`,
-`stream_ohlc_bars_5m`, `twap_hourly`, `gap_fill_locf`) plus any
-round-3 additions landed after this window was frozen.
+three SFs): `trailing_10min_value` (RANGE-frame conformance, landed
+after the [E] block was appended) plus the displaced [D] rows named in
+the [E] comment below.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
