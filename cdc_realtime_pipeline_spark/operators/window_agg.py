@@ -257,14 +257,112 @@ GROUP BY market, win_start_s
 """
 
 
+def events_window_agg_1h_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly aggregate rolled up FROM the 5-minute partials — the
+    continuous-aggregate / hypertable-rollup pattern: coarser grains
+    re-aggregate finer partials instead of re-scanning raw ticks,
+    which at 100 TB is the difference between touching 12 rows per
+    market-hour and touching every tick again. Composition rules:
+    count/sum/min/max merge directly; avg finalizes from price_sum ÷
+    count; vwap from the merged rounded sums (the shared discipline).
+    The oracle aggregates the RAW table at 1 h directly — proving the
+    two-level rollup is exactly the single-level answer.
+
+    Same re-aggregability contract the MV analog (streaming/mv.py)
+    and the salted variant rely on; this query pins it across a grain
+    change.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+        F.get_json_object("props", "$.k").cast("double").alias("volume"),
+        F.col("event_type").isin("click", "purchase").alias("is_bid"),
+    ).withColumn("amount", F.col("price") * F.col("volume"))
+    bid = F.sum(F.when(F.col("is_bid"), 1).otherwise(0))
+    partials_5m = ev.groupBy(
+        F.window("ts", "5 minutes").alias("w"), "market"
+    ).agg(
+        F.count("*").alias("cnt"),
+        bid.alias("bids"),
+        F.sum("amount").alias("amt"),
+        F.sum("volume").alias("vol"),
+        F.sum("price").alias("price_sum"),
+        F.min("price").alias("min_p"),
+        F.max("price").alias("max_p"),
+    )
+    # 5-min windows are epoch-aligned, so flooring the window START to
+    # the hour assigns each partial to exactly one parent window
+    hour = F.timestamp_seconds(
+        (F.unix_micros(F.col("w.start")) / 1_000_000).cast("long")
+        - ((F.unix_micros(F.col("w.start")) / 1_000_000).cast("long") % 3600)
+    )
+    merged = partials_5m.groupBy(hour.alias("hour_start"), F.col("market")).agg(
+        F.sum("cnt").alias("trade_count"),
+        F.sum("bids").alias("bid_count"),
+        F.sum("amt").alias("total_amount"),
+        F.sum("vol").alias("total_volume"),
+        F.sum("price_sum").alias("price_sum"),
+        F.min("min_p").alias("min_price"),
+        F.max("max_p").alias("max_price"),
+    )
+    ra, rv = F.round(F.col("total_amount") + 1e-9, 4), F.round(
+        F.col("total_volume") + 1e-9, 4
+    )
+    return merged.select(
+        "market",
+        "hour_start",
+        "trade_count",
+        "bid_count",
+        (F.col("trade_count") - F.col("bid_count")).alias("ask_count"),
+        ra.alias("total_amount"),
+        rv.alias("total_volume"),
+        F.round(F.col("price_sum") / F.col("trade_count") + 1e-9, 4).alias("avg_price"),
+        F.round(F.col("min_price") + 1e-9, 4).alias("min_price"),
+        F.round(F.col("max_price") + 1e-9, 4).alias("max_price"),
+        F.round(F.when(rv > 0, ra / rv).otherwise(0.0) + 1e-9, 4).alias("vwap"),
+    )
+
+
+EVENTS_WINDOW_AGG_1H_SQL = """
+WITH ev AS (
+  SELECT ts,
+         user_id AS market,
+         value AS price,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume,
+         event_type IN ('click','purchase') AS is_bid,
+         value * CAST(json_extract_string(props, '$.k') AS DOUBLE) AS amount
+  FROM events
+)
+SELECT market,
+       make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS hour_start,
+       count(*) AS trade_count,
+       count(CASE WHEN is_bid THEN 1 END) AS bid_count,
+       count(*) - count(CASE WHEN is_bid THEN 1 END) AS ask_count,
+       round(sum(amount) + 1e-9, 4) AS total_amount,
+       round(sum(volume) + 1e-9, 4) AS total_volume,
+       round(sum(price) / count(*) + 1e-9, 4) AS avg_price,
+       round(min(price) + 1e-9, 4) AS min_price,
+       round(max(price) + 1e-9, 4) AS max_price,
+       round(CASE WHEN round(sum(volume) + 1e-9, 4) > 0
+                  THEN round(sum(amount) + 1e-9, 4) / round(sum(volume) + 1e-9, 4)
+                  ELSE 0.0 END + 1e-9, 4) AS vwap
+FROM ev
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "window_agg_5m": events_window_agg_5m,
     "window_agg_5m_salted": events_window_agg_5m_salted,
     "window_agg_sliding": events_window_agg_sliding,
+    "window_agg_1h_rollup": events_window_agg_1h_rollup,
 }
 ORACLES = {
     "window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     # salting must not change the answer — same oracle as the unsalted plan
     "window_agg_5m_salted": EVENTS_WINDOW_AGG_5M_SQL,
     "window_agg_sliding": EVENTS_WINDOW_AGG_SLIDING_SQL,
+    # the rollup must equal the direct 1 h aggregate over raw rows
+    "window_agg_1h_rollup": EVENTS_WINDOW_AGG_1H_SQL,
 }
