@@ -468,16 +468,59 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def hourly_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles: median and IQR of price per
+    (market, hour) — the sort-based exact-percentile class next to the
+    global exact (`value_quantiles`) and sketch
+    (`value_quantiles_approx`) rows.
+
+    ``percentile(col, p)`` is Spark's exact continuous-interpolation
+    aggregate (sorted rank p·(n−1), linear interpolation — the same
+    definition as the oracle's ``quantile_cont``). Exact percentiles
+    buffer each group's values — right for bounded groups like
+    market-hours (≤ a few thousand ticks); for unbounded groups the
+    sketch row is the scale path. One shuffle on (market, hour).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+        F.timestamp_seconds(
+            (F.unix_micros(F.col("ts")) / 1_000_000).cast("long")
+            - ((F.unix_micros(F.col("ts")) / 1_000_000).cast("long") % 3600)
+        ).alias("hour_start"),
+    )
+    return ev.groupBy("market", "hour_start").agg(
+        F.count("*").alias("n_ticks"),
+        _r4(F.expr("percentile(price, 0.5)")).alias("median_price"),
+        _r4(
+            F.expr("percentile(price, 0.75) - percentile(price, 0.25)")
+        ).alias("iqr"),
+    )
+
+
+HOURLY_MEDIAN_IQR_SQL = """
+SELECT user_id AS market,
+       make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS hour_start,
+       count(*) AS n_ticks,
+       round(quantile_cont(value, 0.5) + 1e-9, 4) AS median_price,
+       round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25) + 1e-9, 4) AS iqr
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ohlc_bars_5m": ohlc_bars_5m,
     "twap_hourly": twap_hourly,
     "gap_fill_locf": gap_fill_locf,
     "rolling_price_bands": rolling_price_bands,
     "trailing_10min_value": trailing_10min_value,
+    "hourly_median_iqr": hourly_median_iqr,
 }
 
 ORACLES = {
     "trailing_10min_value": TRAILING_10MIN_VALUE_SQL,
+    "hourly_median_iqr": HOURLY_MEDIAN_IQR_SQL,
     "ohlc_bars_5m": OHLC_BARS_5M_SQL,
     "twap_hourly": TWAP_HOURLY_SQL,
     "gap_fill_locf": GAP_FILL_LOCF_SQL,
