@@ -66,6 +66,13 @@ BENCH_QUERIES = [
     "ohlc_bars_5m",
     "twap_hourly",
     "gap_fill_locf",
+    "rolling_price_bands",
+    "trailing_10min_value",
+    "window_agg_1h_rollup",
+    "hourly_median_iqr",
+    # round-3 DQ monitoring family
+    "orders_dq_profile",
+    "value_distribution_psi",
 ]
 
 

@@ -28,6 +28,7 @@ from cdc_realtime_pipeline_spark.session import (
     raw_schema,
     scratch_dir,
 )
+from cdc_realtime_pipeline_spark.operators import dq as _dq_oracles
 from cdc_realtime_pipeline_spark.operators import timeseries as _ts_oracles
 from cdc_realtime_pipeline_spark.sources.cdc_file_source import write_cdc_json_files
 from cdc_realtime_pipeline_spark.streaming.anomaly_stateful import apply_anomaly_detector
@@ -711,9 +712,91 @@ def stream_ohlc_bars_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-data drift monitor as a streaming job: live events bin
+    against a STATIC reference profile (bounds + early-half shares,
+    computed batch-side and broadcast), the stream aggregates late-half
+    bin counts, and PSI finalizes at the sink read.
+
+    The production shape: the reference window is a static artifact
+    (yesterday's profile); only the live half flows through the
+    stream — a stream-static broadcast join plus one streaming agg on
+    (event_type, bin), so state is |types|×|bins| rows regardless of
+    stream volume. Bins the live half never hits are restored by a
+    full-outer join with the static profile at finalize (they carry
+    early mass and must count toward PSI). Shares the batch
+    ``value_distribution_psi`` oracle: over this finite stream the
+    live half IS the late half.
+    """
+    from cdc_realtime_pipeline_spark.operators.dq import _PSI_BINS, _PSI_EPS
+
+    ev_batch = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    bounds = ev_batch.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min("us").alias("tmin"),
+        F.max("us").alias("tmax"),
+    )
+    bin_expr = F.least(
+        F.lit(_PSI_BINS - 1),
+        F.floor(
+            (F.col("value") - F.col("vmin"))
+            / ((F.col("vmax") - F.col("vmin")) / _PSI_BINS)
+        ).cast("int"),
+    ).alias("bin")
+    early_counts = (
+        ev_batch.crossJoin(F.broadcast(bounds))
+        .filter(F.col("us") * 2 < F.col("tmin") + F.col("tmax"))
+        .select("event_type", bin_expr)
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n_early"))
+    )
+
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).select("event_type", "value", F.unix_micros("ts").alias("us"))
+    late_counts = (
+        events_stream.crossJoin(F.broadcast(bounds))
+        .filter(F.col("us") * 2 >= F.col("tmin") + F.col("tmax"))
+        .select("event_type", bin_expr)
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n_late"))
+    )
+    live = _memory_sink(late_counts, "complete")
+
+    merged = early_counts.join(live, ["event_type", "bin"], "full_outer").select(
+        "event_type",
+        F.coalesce("n_early", F.lit(0)).alias("n_early"),
+        F.coalesce("n_late", F.lit(0)).alias("n_late"),
+    )
+    totals = merged.groupBy("event_type").agg(
+        F.sum("n_early").alias("tot_early"),
+        F.sum("n_late").alias("tot_late"),
+    )
+    p = F.col("n_early") / F.col("tot_early") + _PSI_EPS
+    q = F.col("n_late") / F.col("tot_late") + _PSI_EPS
+    psi = (
+        merged.join(totals, "event_type")
+        .select("event_type", ((p - q) * F.log(p / q)).alias("term"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("term") + 1e-9, 6).alias("psi"))
+    )
+    return psi.select(
+        "event_type",
+        "psi",
+        (F.col("psi") >= 0.2).cast("int").alias("drift_flag"),
+    )
+
+
 QUERIES = {
     "stream_window_agg_5m": stream_window_agg_5m,
     "stream_ohlc_bars_5m": stream_ohlc_bars_5m,
+    "stream_value_drift_gate": stream_value_drift_gate,
     "stream_cdc_parse": stream_cdc_parse,
     "stream_dedup_counts": stream_dedup_counts,
     "stream_dedup_watermarked": stream_dedup_watermarked,
@@ -730,6 +813,8 @@ QUERIES = {
 ORACLES = {
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     "stream_ohlc_bars_5m": _ts_oracles.OHLC_BARS_5M_SQL,
+    # over the finite stream the live half == the batch query's late half
+    "stream_value_drift_gate": _dq_oracles.VALUE_DISTRIBUTION_PSI_SQL,
     "stream_cdc_parse": CDC_ROUNDTRIP_SQL,
     "stream_dedup_counts": STREAM_DEDUP_COUNTS_SQL,
     "stream_dedup_watermarked": STREAM_DEDUP_COUNTS_SQL,
