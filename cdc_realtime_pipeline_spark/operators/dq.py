@@ -166,9 +166,56 @@ FROM psi
 """
 
 
+def daily_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL user sketches union into a
+    global distinct estimate — the pattern that makes count-distinct
+    re-aggregable at 100 TB (daily partials persist; any date-range
+    distinct is a union of sketches, never a re-scan; the same
+    contract the MV analog pins for sum/count partials).
+
+    ``hll_sketch_agg`` per day, ``hll_union_agg`` across days
+    (DataSketches HLL — actual mergeable binary sketches, not the
+    HyperLogLog++ scalar of ``approx_count_distinct``). Self-checking
+    (VERDICT r2 #6 pattern): emits the exact distinct alongside, the
+    relative error, and a bound flag at 3× the configured sketch's
+    standard error — a rows-only gate row that still carries a
+    machine-checkable invariant. No SQL oracle: sketch internals are
+    engine-specific by nature.
+    """
+    lg_k = 12  # 2^12 buckets → ~1.04/sqrt(2^12) ≈ 1.6% standard error
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.count("*").alias("n_days"),
+    )
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    out = merged.crossJoin(F.broadcast(exact))
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return out.select(
+        "n_days",
+        F.col("approx_users").cast("long").alias("approx_users"),
+        "exact_users",
+        F.round(rel_err + 1e-9, 6).alias("rel_err"),
+        (rel_err <= 3 * 1.04 / (2 ** (lg_k / 2))).cast("int").alias("within_bound"),
+    )
+
+
 QUERIES = {
     "orders_dq_profile": orders_dq_profile,
     "value_distribution_psi": value_distribution_psi,
+    # rows-only by design: sketch binaries are engine-specific; the
+    # within_bound self-check column carries the invariant instead
+    "daily_users_hll_rollup": daily_users_hll_rollup,
 }
 
 ORACLES = {

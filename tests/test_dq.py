@@ -41,6 +41,16 @@ def test_psi_is_symmetric_bounded_and_flags_correctly(spark, sf_dir):
         assert r["drift_flag"] == int(r["psi"] >= 0.2)
 
 
+def test_hll_rollup_within_sketch_bound(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.dq import daily_users_hll_rollup
+
+    [r] = daily_users_hll_rollup(spark, sf_dir).collect()
+    assert r["within_bound"] == 1
+    assert r["n_days"] > 0
+    # unioned sketch estimate must be in the ballpark of exact
+    assert r["rel_err"] <= 0.05
+
+
 def test_psi_near_zero_for_identical_halves(spark):
     # synthetic: the same uniform value distribution in both halves →
     # every bin's p == q → PSI ~ 0 (exactly 0 up to ε-smoothing noise)
