@@ -41,23 +41,29 @@ def orders_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column DQ audit over ``orders``: rows of
     (column, n_rows, n_null, n_distinct).
 
-    Null counts ride one shared scan+agg; each exact distinct is its
-    own hash agg (the exact twin of the approx-sketch profile —
-    ``dash_approx_distinct_users`` holds the sketch side). Integer
+    ONE statement — all six columns' null counts and exact distincts
+    in a single agg (Catalyst plans the multi-distinct via Expand:
+    one table scan multiplied 6×, instead of six scans; scan IO
+    dominates at 100 TB so Expand wins), then a ``stack`` unpivot to
+    audit rows. The exact twin of the approx-sketch profile
+    (``dash_approx_distinct_users`` holds the sketch side). Integer
     outputs only.
     """
     orders = load_table(spark, sf_dir, "orders")
-    n_rows = F.count("*")
-    profiles = None
+    aggs = [F.count("*").alias("n_rows")]
     for c in _PROFILE_COLS:
-        row = orders.agg(
-            F.lit(c).alias("column"),
-            n_rows.alias("n_rows"),
-            F.count(F.when(F.col(c).isNull(), 1)).alias("n_null"),
-            F.count_distinct(F.col(c)).alias("n_distinct"),
-        )
-        profiles = row if profiles is None else profiles.unionByName(row)
-    return profiles
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column, n_null, n_distinct)"
+        ),
+        "n_rows",
+    ).select("column", "n_rows", "n_null", "n_distinct")
 
 
 ORDERS_DQ_PROFILE_SQL = "\nUNION ALL\n".join(

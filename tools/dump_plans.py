@@ -39,6 +39,9 @@ SHOWCASE = [
     ("ohlc_bars_5m", "one-pass min_by/max_by candle bars, single shuffle"),
     ("twap_hourly", "lead() window + clustering-reuse agg, one shuffle"),
     ("gap_fill_locf", "per-key sequence+explode grid, LOCF window pass"),
+    ("rolling_price_bands", "bounded-ROWS frame bands, rounded-operand breakout"),
+    ("window_agg_1h_rollup", "hourly re-aggregation of 5-min partials"),
+    ("value_distribution_psi", "broadcast 1-row bounds, (type,bin)→(type) aggs"),
 ]
 
 
