@@ -187,20 +187,32 @@ def twap(
     weighted = ticks.select(
         key_col,
         "bar_start",
+        "price",
         held_us.alias("w_us"),
         (F.col("price") * held_us / 1_000_000.0).alias("pw_sec"),
     )
     agg = weighted.groupBy(key_col, "bar_start").agg(
         F.sum("w_us").alias("w_us"),
         F.sum("pw_sec").alias("pw_sec"),
+        F.avg("price").alias("avg_price"),
     )
-    rw = _r4(F.col("w_us") / 1_000_000.0)
+    # Σw_us is an INTEGER sum — exact and order-independent in both
+    # engines, so the ratio divides the exact weight; only Σpw needs
+    # the rounded-sum discipline. (Rounding the weight too distorted
+    # small bars: error ≈ price·5e-5/w_sec, ~1% for a 100 ms bar.)
+    # Residual twap distortion is bounded by 5e-5/w_sec from the pw
+    # rounding alone. A zero-weight bar (all ticks at the bar's final
+    # µs) has no time-weighting information — fall back to the plain
+    # tick average so twap stays inside the bar's price range.
     rpw = _r4(F.col("pw_sec"))
+    w_sec = F.col("w_us") / 1_000_000.0
     return agg.select(
         key_col,
         "bar_start",
-        rw.alias("held_sec"),
-        _r4(F.when(rw > 0, rpw / rw).otherwise(F.lit(0.0))).alias("twap"),
+        _r4(w_sec).alias("held_sec"),
+        _r4(
+            F.when(F.col("w_us") > 0, rpw / w_sec).otherwise(F.col("avg_price"))
+        ).alias("twap"),
     )
 
 
@@ -229,6 +241,7 @@ WITH ticks AS (
 weighted AS (
   SELECT market,
          hour_start,
+         price,
          greatest(
            epoch_us(least(coalesce(next_ts, hour_start + INTERVAL 1 HOUR),
                           hour_start + INTERVAL 1 HOUR)) - epoch_us(ts),
@@ -240,15 +253,16 @@ weighted AS (
   FROM ticks
 ),
 agg AS (
-  SELECT market, hour_start, sum(w_us) AS w_us, sum(pw_sec) AS pw_sec
+  SELECT market, hour_start, sum(w_us) AS w_us, sum(pw_sec) AS pw_sec,
+         avg(price) AS avg_price
   FROM weighted GROUP BY market, hour_start
 )
 SELECT market,
        hour_start,
        round(w_us / 1000000.0 + 1e-9, 4) AS held_sec,
-       round(CASE WHEN round(w_us / 1000000.0 + 1e-9, 4) > 0
-                  THEN round(pw_sec + 1e-9, 4) / round(w_us / 1000000.0 + 1e-9, 4)
-                  ELSE 0.0 END + 1e-9, 4) AS twap
+       round(CASE WHEN w_us > 0
+                  THEN round(pw_sec + 1e-9, 4) / (w_us / 1000000.0)
+                  ELSE avg_price END + 1e-9, 4) AS twap
 FROM agg
 """
 

@@ -97,6 +97,61 @@ def test_locf_fills_interior_gaps_only(spark):
     assert [r["is_gap"] for r in out] == [0, 1, 0]
 
 
+def test_fixture_invariants_ohlc_twap_locf(spark, sf_dir):
+    """Arithmetic invariants that must hold on ANY input, checked over
+    the full fixture: OHLC ordering, TWAP boundedness, LOCF totality."""
+    from cdc_realtime_pipeline_spark.operators.timeseries import (
+        gap_fill_locf,
+        ohlc_bars_5m,
+        twap_hourly,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    bad_ohlc = (
+        ohlc_bars_5m(spark, sf_dir)
+        .filter(
+            (F.col("low") > F.col("high"))
+            | (F.col("open") < F.col("low"))
+            | (F.col("open") > F.col("high"))
+            | (F.col("close") < F.col("low"))
+            | (F.col("close") > F.col("high"))
+            | (F.col("n_ticks") < 1)
+        )
+        .count()
+    )
+    assert bad_ohlc == 0
+
+    # twap is a convex combination of the hour's prices ⇒ bounded by
+    # the hour's min/max. Tolerance 1e-3: the rounded Σpw introduces
+    # up to 5e-5/held_sec distortion on sub-second bars (documented in
+    # the operator)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("market"),
+        F.col("value").alias("price"),
+        F.timestamp_seconds(
+            (F.unix_micros("ts") / 1_000_000).cast("long")
+            - ((F.unix_micros("ts") / 1_000_000).cast("long") % 3600)
+        ).alias("hour_start"),
+    )
+    hb = ev.groupBy("market", "hour_start").agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi")
+    )
+    bad_twap = (
+        twap_hourly(spark, sf_dir)
+        .join(hb, ["market", "hour_start"])
+        .filter(
+            (F.col("twap") < F.col("lo") - 1e-3)
+            | (F.col("twap") > F.col("hi") + 1e-3)
+        )
+        .count()
+    )
+    assert bad_twap == 0
+
+    # grid starts at each key's first observed bucket ⇒ LOCF never
+    # leaves a null price
+    assert gap_fill_locf(spark, sf_dir).filter(F.col("price").isNull()).count() == 0
+
+
 def test_rolling_bands_need_full_frame_and_flag_direction(spark, sf_dir):
     from cdc_realtime_pipeline_spark.operators.timeseries import (
         _BAND_K,
