@@ -159,8 +159,110 @@ GROUP BY source, lang ORDER BY source, lang
 """
 
 
+_TFIDF_QUERY_TERMS = ["stream", "window", "hash"]
+_TFIDF_TOPK = 20
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-retrieval ranking: TF-IDF cosine top-K docs for a fixed
+    term query — the classic inverted-index scorer next to the dense
+    (embedding ANN) retrieval family.
+
+    weight(d,w) = tf·idf with idf = ln(N/df); score = Σ_{w∈Q}
+    tf·idf² / (‖d‖·‖Q‖) where ‖d‖ spans ALL the doc's terms (true
+    cosine, not just the query slice). Everything stays distributed:
+    tf and df are map-side-combinable aggs, the vocabulary is joined
+    (never collected), and top-K is an ordered limit
+    (TakeOrderedAndProject). Cross-engine: idf rounded to 8dp before
+    use and per-term contributions to norms/scores rounded to 8dp
+    before summation (the unigram-LM discipline, curation.py:256-258);
+    final scores rounded to 6dp and ranked with doc_id tie-break.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = df.crossJoin(F.broadcast(n_docs)).select(
+        "word", F.round(F.log(F.col("n_docs") / F.col("df")), 8).alias("idf")
+    )
+    w = tf.join(idf, "word").select(
+        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("wt")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.round(F.col("wt") * F.col("wt"), 8))).alias("doc_norm")
+    )
+    q_terms = [t.lower() for t in _TFIDF_QUERY_TERMS]
+    q_norm = idf.filter(F.col("word").isin(q_terms)).agg(
+        F.sqrt(F.sum(F.round(F.col("idf") * F.col("idf"), 8))).alias("q_norm")
+    )
+    scores = (
+        w.filter(F.col("word").isin(q_terms))
+        .join(idf, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.round(F.col("wt") * F.col("idf"), 8)).alias("dot"))
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(q_norm))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.col("doc_norm") * F.col("q_norm")) + 1e-9, 6
+            ).alias("score"),
+        )
+    )
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(_TFIDF_TOPK)
+
+
+_TFIDF_IN = ", ".join(f"'{t.lower()}'" for t in _TFIDF_QUERY_TERMS)
+
+from cdc_realtime_pipeline_spark.operators.dedup import NORMALIZE_SQL as _NORM_SQL
+
+TEXT_TFIDF_TOPK_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id,
+               unnest(string_split({_NORM_SQL.format(col='text')}, ' ')) AS word
+        FROM documents)
+  WHERE length(word) > 0
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2),
+idf AS (
+  SELECT word, round(ln(n_docs / df), 8) AS idf
+  FROM (SELECT word, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN n
+),
+w AS (
+  SELECT doc_id, word, tf * idf AS wt FROM tf JOIN idf USING (word)
+),
+norms AS (
+  SELECT doc_id, sqrt(sum(round(wt * wt, 8))) AS doc_norm FROM w GROUP BY 1
+),
+qn AS (
+  SELECT sqrt(sum(round(idf * idf, 8))) AS q_norm
+  FROM idf WHERE word IN ({_TFIDF_IN})
+),
+scores AS (
+  SELECT doc_id, sum(round(wt * idf, 8)) AS dot
+  FROM w JOIN idf USING (word)
+  WHERE word IN ({_TFIDF_IN})
+  GROUP BY 1
+)
+SELECT doc_id,
+       round(dot / (doc_norm * q_norm) + 1e-9, 6) AS score
+FROM scores JOIN norms USING (doc_id) CROSS JOIN qn
+ORDER BY score DESC, doc_id ASC
+LIMIT {_TFIDF_TOPK}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_tfidf_topk": text_tfidf_topk,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -169,6 +271,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
