@@ -5,10 +5,11 @@ data is allowed downstream — the observability layer next to the
 curation funnel's filter stages (curation.py):
 
 * **column profile** — per-column null count and exact distinct count
-  over a table, emitted as audit rows. One pass for the null counts
-  (conditional aggregates, map-side combinable); distincts per column
-  are separate hash aggregates that AQE runs off a shared scan. All
-  outputs are integers — exactly portable, no float discipline needed.
+  over a table, emitted as audit rows. ONE aggregate statement for all
+  columns (Catalyst plans the multi-distinct via Expand: one scan
+  multiplied per column, instead of one scan per column) unpivoted
+  with ``stack``. All outputs are integers — exactly portable, no
+  float discipline needed.
 * **PSI drift** — Population Stability Index of the `value`
   distribution, first half of the time range vs second half, per
   event_type: ``Σ (p_i − q_i) ln(p_i / q_i)`` over 10 equal-width
@@ -100,11 +101,16 @@ def value_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.crossJoin(F.broadcast(bounds))
     binned = j.select(
         "event_type",
+        # bin width floored at 1e-12 so a constant column degenerates
+        # to "everything in bin 0, PSI 0" instead of engine-specific
+        # NaN/inf handling on a zero-width division
         F.least(
             F.lit(_PSI_BINS - 1),
             F.floor(
                 (F.col("value") - F.col("vmin"))
-                / ((F.col("vmax") - F.col("vmin")) / _PSI_BINS)
+                / F.greatest(
+                    (F.col("vmax") - F.col("vmin")) / _PSI_BINS, F.lit(1e-12)
+                )
             ).cast("int"),
         ).alias("bin"),
         # strictly-before-midpoint ⇒ early half; integer µs arithmetic
@@ -145,7 +151,8 @@ bounds AS (
 binned AS (
   SELECT event_type,
          least({_PSI_BINS - 1},
-               CAST(floor((value - vmin) / ((vmax - vmin) / {_PSI_BINS})) AS INT)) AS bin,
+               CAST(floor((value - vmin)
+                          / greatest((vmax - vmin) / {_PSI_BINS}, 1e-12)) AS INT)) AS bin,
          us * 2 < tmin + tmax AS early
   FROM ev CROSS JOIN bounds
 ),

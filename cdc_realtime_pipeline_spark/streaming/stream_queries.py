@@ -739,11 +739,12 @@ def stream_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("tmin"),
         F.max("us").alias("tmax"),
     )
+    # same degenerate-range guard as the batch query (dq.py)
     bin_expr = F.least(
         F.lit(_PSI_BINS - 1),
         F.floor(
             (F.col("value") - F.col("vmin"))
-            / ((F.col("vmax") - F.col("vmin")) / _PSI_BINS)
+            / F.greatest((F.col("vmax") - F.col("vmin")) / _PSI_BINS, F.lit(1e-12))
         ).cast("int"),
     ).alias("bin")
     early_counts = (
