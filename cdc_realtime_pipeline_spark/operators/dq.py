@@ -223,8 +223,74 @@ def daily_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust preprocessing stats: per event_type, winsorize ``value``
+    at [p1, p99] and emit clipped vs raw mean/stddev plus the clip
+    counts — the outlier-robust normalization step a feature pipeline
+    runs before scaling, with the audit columns that make silent
+    heavy-tail damage visible.
+
+    Two aggregates over one key: exact p1/p99 per type (bounded
+    groups), broadcast back by key join, then the clipped re-agg.
+    Percentile interpolation is the continuous definition both engines
+    share (see ``hourly_median_iqr``); clip boundaries are compared on
+    identically-rounded values.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01)") + 1e-9, 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99)") + 1e-9, 6).alias("p99"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+            "winsorized"
+        ),
+        (F.col("value") < F.col("p01")).cast("int").alias("clip_lo"),
+        (F.col("value") > F.col("p99")).cast("int").alias("clip_hi"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("clip_lo").alias("n_clipped_low"),
+        F.sum("clip_hi").alias("n_clipped_high"),
+        F.round(F.avg("value") + 1e-9, 4).alias("raw_mean"),
+        F.round(F.stddev_samp("value") + 1e-9, 4).alias("raw_std"),
+        F.round(F.avg("winsorized") + 1e-9, 4).alias("wins_mean"),
+        F.round(F.stddev_samp("winsorized") + 1e-9, 4).alias("wins_std"),
+    )
+
+
+VALUE_WINSORIZED_STATS_SQL = """
+WITH pct AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.01) + 1e-9, 6) AS p01,
+         round(quantile_cont(value, 0.99) + 1e-9, 6) AS p99
+  FROM events GROUP BY 1
+),
+clipped AS (
+  SELECT e.event_type,
+         value,
+         least(greatest(value, p01), p99) AS winsorized,
+         CASE WHEN value < p01 THEN 1 ELSE 0 END AS clip_lo,
+         CASE WHEN value > p99 THEN 1 ELSE 0 END AS clip_hi
+  FROM events e JOIN pct USING (event_type)
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(clip_lo) AS BIGINT) AS n_clipped_low,
+       CAST(sum(clip_hi) AS BIGINT) AS n_clipped_high,
+       round(avg(value) + 1e-9, 4) AS raw_mean,
+       round(stddev_samp(value) + 1e-9, 4) AS raw_std,
+       round(avg(winsorized) + 1e-9, 4) AS wins_mean,
+       round(stddev_samp(winsorized) + 1e-9, 4) AS wins_std
+FROM clipped GROUP BY 1
+"""
+
+
 QUERIES = {
     "orders_dq_profile": orders_dq_profile,
+    "value_winsorized_stats": value_winsorized_stats,
     "value_distribution_psi": value_distribution_psi,
     # rows-only by design: sketch binaries are engine-specific; the
     # within_bound self-check column carries the invariant instead
@@ -234,4 +300,5 @@ QUERIES = {
 ORACLES = {
     "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,
     "value_distribution_psi": VALUE_DISTRIBUTION_PSI_SQL,
+    "value_winsorized_stats": VALUE_WINSORIZED_STATS_SQL,
 }
