@@ -260,9 +260,117 @@ LIMIT {_TFIDF_TOPK}
 """
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-K for the same fixed term query as ``text_tfidf_topk``
+    — the industry-standard probabilistic ranking function (Robertson/
+    Sparck Jones), with saturation (k1) and length normalization (b)
+    the plain TF-IDF cosine lacks:
+
+        score(d,Q) = Σ_{w∈Q} idf(w) · tf·(k1+1) /
+                     (tf + k1·(1−b + b·|d|/avgdl))
+        idf(w) = ln( (N − df + 0.5)/(df + 0.5) + 1 )
+
+    Same distributed scaffolding as TF-IDF: tf/df map-side-combinable,
+    doc lengths one agg, avgdl broadcast as a 1-row join, top-K an
+    ordered limit. Per-term scores rounded to 8dp before summation,
+    totals to 6dp with doc_id tie-break — identical cross-engine.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    doclen = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    q_terms = [t.lower() for t in _TFIDF_QUERY_TERMS]
+    tf = (
+        tokens.filter(F.col("word").isin(q_terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df must count ALL docs containing the term (not just query-term
+    # survivors of some other filter) — tf above is already per
+    # (doc, term), so distinct doc_ids per term is exactly df
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = df.crossJoin(F.broadcast(n_docs)).select(
+        "word",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+            8,
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(idf, "word")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                8,
+            ).alias("term_score"),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score") + 1e-9, 6).alias("score")
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(_TFIDF_TOPK)
+
+
+TEXT_BM25_TOPK_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id,
+               unnest(string_split({{norm}}, ' ')) AS word
+        FROM documents)
+  WHERE length(word) > 0
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY 1),
+a AS (SELECT avg(dl) AS avgdl FROM doclen),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tokens
+  WHERE word IN ({{terms}})
+  GROUP BY 1, 2
+),
+idf AS (
+  SELECT word,
+         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 8) AS idf
+  FROM (SELECT word, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN n
+),
+scored AS (
+  SELECT doc_id,
+         round(idf * (tf * ({_BM25_K1} + 1))
+               / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)),
+               8) AS term_score
+  FROM tf JOIN idf USING (word) JOIN doclen USING (doc_id) CROSS JOIN a
+)
+SELECT doc_id, round(sum(term_score) + 1e-9, 6) AS score
+FROM scored GROUP BY 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {_TFIDF_TOPK}
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_bm25_topk": text_bm25_topk,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -272,6 +380,9 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
+    "text_bm25_topk": TEXT_BM25_TOPK_SQL.format(
+        norm=_NORM_SQL.format(col="text"), terms=_TFIDF_IN
+    ),
     "text_quality": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
