@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     # round-3 DQ monitoring family
     "orders_dq_profile",
     "value_distribution_psi",
+    # round-3 sparse retrieval pair
+    "text_tfidf_topk",
+    "text_bm25_topk",
 ]
 
 

@@ -31,9 +31,9 @@ stay under the local harness; they re-rotate in future rounds.
 Round-4 rotation candidates (never driver-checked, local-green at all
 three SFs): `trailing_10min_value`, `hourly_median_iqr`,
 `window_agg_1h_rollup`, `stream_value_drift_gate`,
-`daily_users_hll_rollup`, `text_tfidf_topk`, `value_winsorized_stats`
-(all landed after the [E] block was appended) plus the displaced [D]
-rows named in the [E] comment below.
+`daily_users_hll_rollup`, `text_tfidf_topk`, `text_bm25_topk`,
+`value_winsorized_stats` (all landed after the [E] block was appended)
+plus the displaced [D] rows named in the [E] comment below.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
