@@ -125,18 +125,24 @@ def value_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_early").alias("tot_early"),
         F.sum("n_late").alias("tot_late"),
     )
+    # eps only inside the ln ratio; the difference term is written as
+    # plain p - q on BOTH engines ((p+eps)-(q+eps) associates
+    # differently in IEEE despite being mathematically equal — ADVICE
+    # r3 #2), and drift_flag maps a NULL psi (an empty time half) to 0
+    # exactly like the oracle's CASE (ADVICE r3 #1).
+    diff = F.col("n_early") / F.col("tot_early") - F.col("n_late") / F.col("tot_late")
     p = F.col("n_early") / F.col("tot_early") + _PSI_EPS
     q = F.col("n_late") / F.col("tot_late") + _PSI_EPS
     psi = (
         counts.join(totals, "event_type")
-        .select("event_type", ((p - q) * F.log(p / q)).alias("term"))
+        .select("event_type", (diff * F.log(p / q)).alias("term"))
         .groupBy("event_type")
         .agg(F.round(F.sum("term") + 1e-9, 6).alias("psi"))
     )
     return psi.select(
         "event_type",
         "psi",
-        (F.col("psi") >= 0.2).cast("int").alias("drift_flag"),
+        F.when(F.col("psi") >= 0.2, 1).otherwise(0).alias("drift_flag"),
     )
 
 
@@ -168,7 +174,7 @@ totals AS (
 ),
 psi AS (
   SELECT c.event_type,
-         round(sum((n_early / tot_early + {_PSI_EPS} - n_late / tot_late - {_PSI_EPS})
+         round(sum((n_early / tot_early - n_late / tot_late)
                    * ln((n_early / tot_early + {_PSI_EPS})
                         / (n_late / tot_late + {_PSI_EPS}))) + 1e-9, 6) AS psi
   FROM counts c JOIN totals t ON c.event_type = t.event_type

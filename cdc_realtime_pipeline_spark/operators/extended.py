@@ -489,36 +489,88 @@ FROM ev
 def decimal_arithmetic_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decimal (money) arithmetic — the reference carries prices
     as Debezium decimal STRINGS precisely because float money drifts;
-    this row pins scaled-integer semantics across engines: DECIMAL
-    sums/avgs are exact (no 1e-9 nudges needed anywhere here), scale
-    propagation through multiplication, and round-half-up at scale 2.
+    this row pins scaled-integer semantics across engines: DECIMAL sums
+    are exact, scale propagation through multiplication, round-half-up
+    (away from zero) at scale 2, and an average derived from the exact
+    integer sum with an explicit half-up formula.
+
+    The round-3 gate proved "decimal = no nudges needed" FALSE
+    (VERDICT r3 #1): DuckDB ``avg(DECIMAL)`` returns DOUBLE, so its
+    avg transits float rounding while Spark's decimal avg is
+    exact+HALF_UP — and DuckDB decimal DIVISION also returns DOUBLE,
+    so the "divide exact sums" form re-enters the same trap. Related
+    dialect landmines pinned in tests/test_conformance.py: DuckDB
+    decimal→decimal downscale casts TRUNCATE, and bare SQL numeric
+    literals are DECIMAL (probes written with them mislead). Hence:
+
+    * ``dv`` is the 4dp nudge-round of the double FIRST (the repo-wide
+      c78b6cb discipline — identical expression, identical bits), cast
+      to decimal only after the value sits ~1e-12 from a 4dp gridpoint
+      where the cast is unambiguous on both engines (the raw
+      double→decimal cast is shortest-repr half-up on both engines
+      today, but the nudge keeps this row inside the one discipline
+      every other rounded column already follows).
+    * ``avg_exact`` never transits a decimal/float divide on either
+      engine: with ``u = dv·10⁴`` exact integer units, half-up(su/n)
+      = sign(su)·((2·|su|+n) div (2·n)) in pure integer arithmetic
+      (trunc==floor on the positive operand), then one unambiguous
+      grid-point cast back to DECIMAL(38,4). Spark's own decimal
+      ``avg`` is deliberately NOT used: it rounds at scale+4 first,
+      a double-rounding vs the oracle's single 4dp round.
+
+    ``test_extended.py::test_decimal_round_half_ties`` pins the .xx5
+    tie behavior (Spark HALF_UP == DuckDB round = half-away-from-zero
+    on DECIMAL) with planted literals.
     """
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
-        F.col("value").cast("decimal(18,4)").alias("dv"),
-        (F.col("value").cast("decimal(18,4)") * F.lit(3).cast("decimal(3,0)")).alias(
-            "dv3"
-        ),
+        F.round(F.col("value") + 1e-9, 4).cast("decimal(18,4)").alias("dv")
+    ).select(
+        "dv",
+        (F.col("dv") * F.lit(3).cast("decimal(3,0)")).alias("dv3"),
+        (F.col("dv") * 10000).cast("long").alias("u"),
     )
-    return d.agg(
+    agg = d.agg(
         F.sum("dv").cast("decimal(38,4)").alias("sum_exact"),
-        F.round(F.avg("dv"), 4).cast("decimal(38,4)").alias("avg_exact"),
+        F.sum("u").alias("su"),
+        F.count("*").alias("n"),
         F.sum("dv3").cast("decimal(38,4)").alias("sum_times3"),
         F.sum(F.round(F.col("dv"), 2)).cast("decimal(38,2)").alias("sum_rounded2"),
+    )
+    au = F.signum("su").cast("long") * F.expr("(2 * abs(su) + n) div (2 * n)")
+    return agg.select(
+        "sum_exact",
+        (au / 10000).cast("decimal(38,4)").alias("avg_exact"),
+        "sum_times3",
+        "sum_rounded2",
     )
 
 
 DECIMAL_ARITHMETIC_CONFORMANCE_SQL = """
 WITH d AS (
-  SELECT CAST(value AS DECIMAL(18,4)) AS dv,
-         CAST(value AS DECIMAL(18,4)) * CAST(3 AS DECIMAL(3,0)) AS dv3
-  FROM events
+  SELECT CAST(round(value + 1e-9, 4) AS DECIMAL(18,4)) AS dv FROM events
+),
+d2 AS (
+  SELECT dv,
+         dv * CAST(3 AS DECIMAL(3,0)) AS dv3,
+         CAST(dv * 10000 AS BIGINT) AS u
+  FROM d
+),
+agg AS (
+  SELECT CAST(sum(dv) AS DECIMAL(38,4)) AS sum_exact,
+         CAST(sum(u) AS BIGINT) AS su,
+         count(*) AS n,
+         CAST(sum(dv3) AS DECIMAL(38,4)) AS sum_times3,
+         CAST(sum(round(dv, 2)) AS DECIMAL(38,2)) AS sum_rounded2
+  FROM d2
 )
-SELECT CAST(sum(dv) AS DECIMAL(38,4)) AS sum_exact,
-       CAST(round(avg(dv), 4) AS DECIMAL(38,4)) AS avg_exact,
-       CAST(sum(dv3) AS DECIMAL(38,4)) AS sum_times3,
-       CAST(sum(round(dv, 2)) AS DECIMAL(38,2)) AS sum_rounded2
-FROM d
+SELECT sum_exact,
+       CAST(CAST(sign(su) AS BIGINT)
+            * ((2 * abs(su) + n) // (2 * n)) / 10000 AS DECIMAL(38,4))
+         AS avg_exact,
+       sum_times3,
+       sum_rounded2
+FROM agg
 """
 
 

@@ -779,18 +779,21 @@ def stream_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_early").alias("tot_early"),
         F.sum("n_late").alias("tot_late"),
     )
+    # mirrors the batch operator exactly (see dq.py — ADVICE r3 #1/#2):
+    # eps only inside the ln ratio, NULL psi gates to 0 like the CASE
+    diff = F.col("n_early") / F.col("tot_early") - F.col("n_late") / F.col("tot_late")
     p = F.col("n_early") / F.col("tot_early") + _PSI_EPS
     q = F.col("n_late") / F.col("tot_late") + _PSI_EPS
     psi = (
         merged.join(totals, "event_type")
-        .select("event_type", ((p - q) * F.log(p / q)).alias("term"))
+        .select("event_type", (diff * F.log(p / q)).alias("term"))
         .groupBy("event_type")
         .agg(F.round(F.sum("term") + 1e-9, 6).alias("psi"))
     )
     return psi.select(
         "event_type",
         "psi",
-        (F.col("psi") >= 0.2).cast("int").alias("drift_flag"),
+        F.when(F.col("psi") >= 0.2, 1).otherwise(0).alias("drift_flag"),
     )
 
 
