@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_docs_jaccard",
     "dedup_docs_levenshtein",
     "dedup_docs_incremental",
+    "dedup_candidates_audit",
     "dedup_embeddings_cosine",
     "alerts_rapid_trades_reset",
     "text_quality",

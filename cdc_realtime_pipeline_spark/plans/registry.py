@@ -16,24 +16,25 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-4 window composition (no round-3 CORRECTNESS file was delivered,
-so the round-3 rotation rows are retained until a driver row confirms
-them): [A] the 20-query round-3 rotation queue, all local-harness green
-at sf0.001/0.01/0.1; [B] the 8 rows first windowed in round 3 (driver
-evidence unconfirmed); [C] 10 rows whose implementation changed since
-their round-2 green row (band-backstopped dedup candidates, multi-probe
-LSH, the c78b6cb cross-engine tie-rounding discipline, approx
-self-check columns) — stale evidence does not cover changed code;
-[D] 12 unchanged family representatives for continuity. Rows dropped
-this round all hold r1 and/or r2 green evidence with unchanged code and
-stay under the local harness; they re-rotate in future rounds.
+Round-4 window composition (the round-3 gate returned 48 green +
+1 rows-only + 1 hash-fail; 127/135 oracle-gated queries now hold a
+green driver row): [A] 3 rows whose implementation changed this round
+— the repaired `decimal_arithmetic_conformance` (scaled-integer
+half-up avg, VERDICT r3 #1) and the PSI pair (NULL drift_flag +
+associativity, ADVICE r3 #1/#2); [B] the 7 remaining never-driver-
+checked rows (VERDICT r3 #2 — `stream_value_drift_gate`, the 8th, is
+already in [A]); [C] new round-4 operators taking their first driver
+look; [D] the oldest-evidence rotation — rows green in round 1 only
+and untouched since, cycling through per the staleness policy. Rows
+dropped this round hold r1/r2/r3 green evidence on unchanged code and
+stay under the local 3-SF harness.
 
-Round-4 rotation candidates (never driver-checked, local-green at all
-three SFs): `trailing_10min_value`, `hourly_median_iqr`,
-`window_agg_1h_rollup`, `stream_value_drift_gate`,
-`daily_users_hll_rollup`, `text_tfidf_topk`, `text_bm25_topk`,
-`value_winsorized_stats` (all landed after the [E] block was appended)
-plus the displaced [D] rows named in the [E] comment below.
+Round-5 rotation queue (deferred from the r1-only pool this round,
+plus twins displaced by [C]): `value_quantiles`, `sessionize_native`,
+`window_agg_5m_salted`, `dash_approx_distinct_users`, and the r2-green
+block (media_*, corpus_* pack/split/vocab, stream_static_enrich,
+stream_stream_join, asof_join_last_click, bucketized_range_join,
+skewed_join_salted) — oldest evidence first.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -89,74 +90,62 @@ _MODULES = [
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
 _PRIORITY = [
-    # --- [A] round-3 rotation queue: first driver look (20) ---
-    # corpus curation family (operators/curation.py)
-    "corpus_stratified_sample",
-    "corpus_curation_funnel",
-    "text_unigram_lm_score",
-    "text_pii_scrub",
-    "decontaminate_vs_benchmark",
-    # dedup extensions
-    "dedup_docs_containment",
-    "dedup_docs_incremental",
-    "docs_ngram_novelty",
-    # CDC/SCD2/PIT family
-    "cdc_scd2_history",
-    "cdc_parse_audit_stats",
-    "pit_join_versions",
-    "stream_cdc_apply",
-    # product analytics
-    "funnel_conversion",
-    "cohort_retention",
-    "docs_lang_source_pivot",
-    # conformance sweeps
-    "join_types_conformance",
-    "null_semantics_conformance",
+    # --- [A] implementation changed this round (3) ---
     "decimal_arithmetic_conformance",
-    # sampling / quantized-index quality
-    "label_balanced_sample",
-    "similarity_quantized_recall",
-    # --- [B] windowed in round 3, driver evidence unconfirmed (8) ---
-    "stream_anomaly_rule_counts",
-    "text_repetition",
-    "stream_dedup_watermarked",
-    "embedding_norm_outliers",
-    "similarity_recall_report",
-    "docs_source_profile",
-    "file_format_roundtrip",
-    "stream_docs_quality_gate",
-    # --- [C] implementation changed since last green row (10) ---
-    # band-backstopped candidate stage (dedup.py) + multi-probe LSH
-    # (similarity.py) + c78b6cb tie-rounding + approx self-check cols
-    "dedup_docs_jaccard",
-    "dedup_docs_levenshtein",
-    "dedup_embeddings_cosine",
-    "similarity_topk_lsh",
-    "window_agg_5m",
-    "stream_window_agg_5m",
-    "stream_merged_trade_agg",
-    "dash_latency_mv_read",
-    "alerts_price_spike",
-    "value_quantiles_approx",
-    # --- [D] unchanged family representatives, continuity (5) ---
-    "cdc_roundtrip",
-    "cdc_apply_changes",
-    "similarity_topk_ivf",
-    "dup_clusters_connected_components",
-    "stream_cdc_parse",
-    # --- [E] landed after the round-3 window froze: first driver
-    # look for the tick time-series + DQ monitoring families (7).
-    # Displaced [D] rows (dedup_docs_exact/minhash, docs_simhash,
-    # similarity_topk_bruteforce, corpus_prep_pipeline,
-    # asof_join_last_click, media_features) hold r1+r2 green rows on
-    # unchanged code and stay under the local 3-SF harness. ---
-    "ohlc_bars_5m",
-    "stream_ohlc_bars_5m",
-    "twap_hourly",
-    "gap_fill_locf",
-    "rolling_price_bands",
-    "orders_dq_profile",
     "value_distribution_psi",
+    "stream_value_drift_gate",
+    # --- [B] never driver-checked, first look (7) ---
+    "trailing_10min_value",
+    "hourly_median_iqr",
+    "window_agg_1h_rollup",
+    "daily_users_hll_rollup",
+    "text_tfidf_topk",
+    "text_bm25_topk",
+    "value_winsorized_stats",
+    # --- [C] new round-4 operators, first look (new queries displace
+    # [D] twins as they land; displaced rows join the round-5 queue) ---
+    "dedup_candidates_audit",
+    # --- [D] oldest-evidence rotation: green in round 1 only,
+    # code unchanged since (40) ---
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q12_like",
+    "tpch_q14_like",
+    "region_revenue",
+    "revenue_share_per_nation",
+    "revenue_top_orders",
+    "lineitem_rollup",
+    "monthly_order_stats",
+    "order_priority_counts",
+    "order_status_pivot",
+    "big_orders_having",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "cheapest_supplier_per_part",
+    "top_parts_per_supplier",
+    "customers_without_orders",
+    "cumulative_daily_value",
+    "set_operations",
+    "stats_functions",
+    "scalar_functions",
+    "date_functions",
+    "window_rank_functions",
+    "window_agg_sliding",
+    "sessionize",
+    "ema_per_key",
+    "alerts_large_trade",
+    "alerts_rapid_trades",
+    "dash_total_trades",
+    "dash_volume_last_day",
+    "dash_avg_latency_last_day",
+    "dash_distinct_users",
+    "dash_latency_per_minute",
+    "dash_price_per_minute_single_key",
+    "dash_latest_value_per_day",
+    "dash_live_trades",
+    "dash_pipeline_liveness",
+    "dash_recent_alerts",
+    "dash_bid_ask_ranking",
 ]
 
 
