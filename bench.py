@@ -77,6 +77,13 @@ BENCH_QUERIES = [
     # round-3 sparse retrieval pair
     "text_tfidf_topk",
     "text_bm25_topk",
+    # round-4 additions: chunking (map-side generate), last-touch
+    # attribution (per-user window), cross-source matrix + split
+    # leakage (both reuse the persisted candidate stage)
+    "docs_chunked",
+    "attribution_last_touch",
+    "dup_cross_source_matrix",
+    "split_leakage_audit",
 ]
 
 

@@ -344,8 +344,65 @@ GROUP BY k.label, c.n_total ORDER BY k.label
 """
 
 
+def _split_of(col_name: str):
+    h = F.pmod(_hash64(F.col(col_name).cast("string"), 13), F.lit(100))
+    return F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+
+
+_SPLIT_OF_SQL = (
+    "CASE WHEN (({h}) % 100 + 100) % 100 < 90 THEN 'train' "
+    "WHEN (({h}) % 100 + 100) % 100 < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-dup pairs (J ≥ 0.6) whose
+    two docs landed in DIFFERENT train/val/test splits — the leakage
+    an eval-set split must prove absent, because a val doc with a
+    training near-twin inflates every metric it touches. Composes the
+    two stages this module already owns: ``dedup_docs_jaccard``'s
+    verified pairs (persisted candidates — zero new text shuffles) ×
+    ``corpus_train_val_split``'s deterministic hash split rule.
+
+    Output is the 3×3 split matrix with pair counts; ``leaked`` = 1
+    on off-diagonal cells. The production follow-up (not a separate
+    operator — same plan shape): quarantine the val/test member of
+    each leaked pair.
+    """
+    pairs = dedup_docs_jaccard(spark, sf_dir)
+    return (
+        pairs.select(
+            _split_of("doc_a").alias("split_a"),
+            _split_of("doc_b").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).cast("int").alias("leaked"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+SPLIT_LEAKAGE_AUDIT_SQL = f"""
+WITH pairs AS ({DEDUP_DOCS_JACCARD_SQL}),
+assigned AS (
+  SELECT {_SPLIT_OF_SQL.format(h=_HASH64_SQL.format(salt=13, col="CAST(doc_a AS VARCHAR)"))} AS split_a,
+         {_SPLIT_OF_SQL.format(h=_HASH64_SQL.format(salt=13, col="CAST(doc_b AS VARCHAR)"))} AS split_b
+  FROM pairs
+)
+SELECT split_a, split_b, count(*) AS n_pairs,
+       CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS leaked
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "dup_clusters_connected_components": dup_clusters_connected_components,
+    "split_leakage_audit": split_leakage_audit,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_train_val_split": corpus_train_val_split,
     "corpus_vocab_topk": corpus_vocab_topk,
@@ -356,6 +413,7 @@ QUERIES = {
 
 ORACLES = {
     "label_balanced_sample": LABEL_BALANCED_SAMPLE_SQL,
+    "split_leakage_audit": SPLIT_LEAKAGE_AUDIT_SQL,
     "dup_clusters_connected_components": DUP_CLUSTERS_SQL,
     "corpus_pack_sequences": CORPUS_PACK_SEQUENCES_SQL,
     "corpus_train_val_split": CORPUS_TRAIN_VAL_SPLIT_SQL,

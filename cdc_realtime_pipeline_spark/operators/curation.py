@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_realtime_pipeline_spark.operators.dedup import (
     NORMALIZE_SQL,
@@ -588,6 +589,153 @@ ORDER BY stage_idx
 """
 
 
+_MIX_BUDGET_TOKENS = 2_000_000
+_CHUNK_TOKENS = 16
+_CHUNK_STRIDE = 12
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the UnifiedQA/Pile recipe,
+    α = 0.5): per-source sampling weight ∝ tokens^α, normalized, plus
+    the epochs-over-each-source a fixed token budget implies — the
+    planning table a curriculum/mixture stage emits before writing
+    dataloader manifests. Upweights small high-value sources (α < 1
+    flattens the natural distribution) without ever starving big ones.
+
+    Cross-engine float discipline: the per-source ``sqrt`` is one
+    identically-written double expression (IEEE sqrt is correctly
+    rounded, hence deterministic), 6dp-rounded, then summed as exact
+    DECIMAL — the normalizing total has NO float accumulation order to
+    diverge. The weight division and epoch expression consume only
+    already-identical operands.
+
+    Scale: one hash-agg over the corpus (map-side combinable token
+    sums), then arithmetic on a |sources|-row table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("n_tokens"),
+    )
+    s = F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast("decimal(38,6)")
+    w_all = Window.partitionBy()
+    weighted = per_src.withColumn("_s", s).withColumn(
+        "_tot", F.sum("_s").over(w_all)
+    )
+    weight = F.round(
+        F.col("_s").cast("double") / F.col("_tot").cast("double") + 1e-9, 6
+    )
+    out = weighted.withColumn("mix_weight", weight)
+    epochs = F.round(
+        F.lit(float(_MIX_BUDGET_TOKENS)) * F.col("mix_weight") / F.col("n_tokens")
+        + 1e-9,
+        6,
+    )
+    return out.select(
+        "source", "n_docs", "n_tokens", "mix_weight", epochs.alias("epochs_at_budget")
+    ).orderBy("source")
+
+
+CORPUS_MIXTURE_WEIGHTS_SQL = rf"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT *,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(38,6)) AS s
+  FROM per_src
+),
+tot AS (
+  SELECT *, sum(s) OVER () AS t FROM weighted
+),
+withw AS (
+  SELECT source, n_docs, n_tokens,
+         round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE) + 1e-9, 6) AS mix_weight
+  FROM tot
+)
+SELECT source, n_docs, n_tokens, mix_weight,
+       round({float(_MIX_BUDGET_TOKENS)} * mix_weight / n_tokens + 1e-9, 6)
+         AS epochs_at_budget
+FROM withw ORDER BY source
+"""
+
+
+def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    token windows (size {_CHUNK_TOKENS}, stride {_CHUNK_STRIDE} — the
+    constants are fixture-sized; production uses 2048/1536 with the
+    identical plan) and emit one row per chunk with a portable content
+    hash — the step that turns a document corpus into fixed-length
+    training sequences while preserving cross-boundary context.
+
+    Chunk count is pure integer arithmetic (1 + ⌈max(n−C,0)/stride⌉),
+    the window expands map-side via sequence→explode (no shuffle at
+    all — the plan is scan → project → generate), and the chunk text
+    itself collapses to an md5 before leaving the operator, so the
+    wide string never shuffles.
+    """
+    c, st = _CHUNK_TOKENS, _CHUNK_STRIDE
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.split(normalize_text(F.col("text")), " ").alias("words")
+        )
+        .withColumn(
+            "n_chunks",
+            (
+                1
+                + F.floor(
+                    (F.greatest(F.size("words") - c, F.lit(0)) + (st - 1)) / float(st)
+                )
+            ).cast("int"),
+        )
+    )
+    chunks = words.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        "words",
+    )
+    chunk_words = F.slice("words", F.col("chunk_idx") * st + 1, c)
+    # NO orderBy: the output is corpus-sized (one row per chunk) and a
+    # display sort would add the plan's only exchange; the driver's
+    # value hash is order-insensitive
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk_words).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk_words)).alias("chunk_md5"),
+    )
+
+
+DOCS_CHUNKED_SQL = rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split({NORMALIZE_SQL.format(col='text')}, ' ') AS words
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, words,
+         CAST(1 + floor((greatest(len(words) - {_CHUNK_TOKENS}, 0)
+                         + {_CHUNK_STRIDE - 1}) / {float(_CHUNK_STRIDE)}) AS INT)
+           AS n_chunks
+  FROM w
+),
+chunks AS (
+  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, words FROM sized
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       len(list_slice(words, chunk_idx * {_CHUNK_STRIDE} + 1,
+                      chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})) AS n_tokens,
+       md5(array_to_string(list_slice(words, chunk_idx * {_CHUNK_STRIDE} + 1,
+                                      chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}),
+                           ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
 QUERIES = {
     "decontaminate_vs_benchmark": decontaminate_vs_benchmark,
     "text_repetition": text_repetition,
@@ -596,6 +744,8 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "corpus_curation_funnel": corpus_curation_funnel,
     "docs_ngram_novelty": docs_ngram_novelty,
+    "corpus_mixture_weights": corpus_mixture_weights,
+    "docs_chunked": docs_chunked,
 }
 
 ORACLES = {
@@ -606,4 +756,6 @@ ORACLES = {
     "corpus_stratified_sample": CORPUS_STRATIFIED_SAMPLE_SQL,
     "text_unigram_lm_score": TEXT_UNIGRAM_LM_SCORE_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
+    "corpus_mixture_weights": CORPUS_MIXTURE_WEIGHTS_SQL,
+    "docs_chunked": DOCS_CHUNKED_SQL,
 }

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_realtime_pipeline_spark.session import load_table
 
@@ -294,10 +295,200 @@ FROM clipped GROUP BY 1
 """
 
 
+def events_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detector over the semi-structured ``props`` column:
+    per (day, json key) event counts, with keys whose first appearance
+    is after the stream's first day flagged ``is_new`` — the monitor
+    that catches an upstream producer quietly adding fields (the
+    reference's Debezium schema-change topic has no downstream
+    consumer; this is the idiomatic Spark-side answer: detect drift
+    from the data itself).
+
+    The fixture's props carry a single stable key, so drift is PLANTED
+    deterministically (the ``null_semantics_conformance`` pattern):
+    events with ``event_id % 13 == 0`` on/after 2024-01-16 gain a
+    ``beta_field`` key via engine-portable string surgery.
+
+    Scale: keys explode map-side (bounded: keys per event, not values),
+    one (day,key) hash-agg, then window mins over the tiny aggregate —
+    never over raw events.
+    """
+    drifted = F.col("event_id") % 13 == 0
+    after = F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.when(
+            drifted & after,
+            F.replace(F.col("props"), F.lit("}"), F.lit(',"beta_field":1}')),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    keyed = ev.select("day", F.explode(F.json_object_keys("props")).alias("key"))
+    counts = keyed.groupBy("day", "key").agg(F.count("*").alias("n_events"))
+    w_key = Window.partitionBy("key")
+    w_all = Window.partitionBy()
+    return (
+        counts.withColumn("first_day", F.min("day").over(w_key))
+        .withColumn("corpus_day0", F.min("day").over(w_all))
+        .select(
+            "day",
+            "key",
+            "n_events",
+            (F.col("first_day") > F.col("corpus_day0")).cast("int").alias("is_new"),
+        )
+        .orderBy("day", "key")
+    )
+
+
+EVENTS_SCHEMA_DRIFT_SQL = """
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CASE WHEN event_id % 13 = 0 AND ts >= TIMESTAMP '2024-01-16'
+              THEN replace(props, '}', ',"beta_field":1}')
+              ELSE props END AS props
+  FROM events
+),
+keyed AS (
+  SELECT day, unnest(json_keys(props)) AS key FROM ev
+),
+counts AS (
+  SELECT day, key, count(*) AS n_events FROM keyed GROUP BY 1, 2
+)
+SELECT day, key, n_events,
+       CASE WHEN min(day) OVER (PARTITION BY key) > min(day) OVER ()
+            THEN 1 ELSE 0 END AS is_new
+FROM counts ORDER BY day, key
+"""
+
+
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (NTILE) histogram of ``value``: 10 deciles with
+    exact bucket counts and boundaries — the profile a feature-scaling
+    step reads, and the conformance row pinning NTILE's remainder
+    semantics (first ``N mod k`` buckets get the extra row) across
+    engines. Total order is (value, event_id) so ties are
+    deterministic.
+
+    Scale note: exact global NTILE is a total sort — correct as a
+    conformance row, but at 100 TB the production path for decile
+    boundaries is ``approx_percentile`` (see ``value_quantiles_approx``)
+    or the per-key exact percentiles (bounded groups) elsewhere in this
+    module; this operator's job is to pin the exact semantics those
+    approximations are judged against.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value") + 1e-9, 4).alias("lo"),
+            F.round(F.max("value") + 1e-9, 4).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+VALUE_EQUIDEPTH_HISTOGRAM_SQL = """
+SELECT decile, count(*) AS n,
+       round(min(value) + 1e-9, 4) AS lo,
+       round(max(value) + 1e-9, 4) AS hi
+FROM (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+  FROM events
+)
+GROUP BY decile ORDER BY decile
+"""
+
+
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MAD (median absolute deviation):
+    per event_type, flag values whose deviation from the median
+    exceeds 3·1.4826·MAD — the robust z-score that, unlike the
+    mean/σ bands elsewhere in this repo, a single extreme value
+    cannot inflate (σ-based thresholds famously mask the very
+    outliers they hunt). The 1.4826 factor makes MAD consistent with
+    σ under normality.
+
+    Two percentile passes over the same key (median, then median of
+    deviations), each a bounded-group exact percentile broadcast back
+    by key join; the flag compares identically-rounded operands so a
+    boundary value cannot flip engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") + 1e-9, 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.round(F.abs(F.col("value") - F.col("med")) + 1e-9, 6).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dev, 0.5)") + 1e-9, 6).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (F.col("dev") > F.round(3 * 1.4826 * F.col("mad") + 1e-9, 6)).cast(
+            "long"
+        ).alias("is_out"),
+    )
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_out").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "med",
+            "mad",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n") + 1e-9, 6).alias("outlier_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5) + 1e-9, 6) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, med,
+         round(abs(value - med) + 1e-9, 6) AS dev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(dev, 0.5) + 1e-9, 6) AS mad
+  FROM dev GROUP BY 1
+),
+flagged AS (
+  SELECT d.event_type, d.med, m.mad,
+         CASE WHEN dev > round(3 * 1.4826 * mad + 1e-9, 6)
+              THEN 1 ELSE 0 END AS is_out
+  FROM dev d JOIN mad m USING (event_type)
+)
+SELECT event_type, count(*) AS n, med, mad,
+       CAST(sum(is_out) AS BIGINT) AS n_outliers,
+       round(sum(is_out) / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS outlier_frac
+FROM flagged GROUP BY event_type, med, mad ORDER BY event_type
+"""
+
+
 QUERIES = {
     "orders_dq_profile": orders_dq_profile,
+    "value_mad_outliers": value_mad_outliers,
     "value_winsorized_stats": value_winsorized_stats,
     "value_distribution_psi": value_distribution_psi,
+    "events_schema_drift": events_schema_drift,
+    "value_equidepth_histogram": value_equidepth_histogram,
     # rows-only by design: sketch binaries are engine-specific; the
     # within_bound self-check column carries the invariant instead
     "daily_users_hll_rollup": daily_users_hll_rollup,
@@ -305,6 +496,9 @@ QUERIES = {
 
 ORACLES = {
     "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,
+    "value_mad_outliers": VALUE_MAD_OUTLIERS_SQL,
     "value_distribution_psi": VALUE_DISTRIBUTION_PSI_SQL,
     "value_winsorized_stats": VALUE_WINSORIZED_STATS_SQL,
+    "events_schema_drift": EVENTS_SCHEMA_DRIFT_SQL,
+    "value_equidepth_histogram": VALUE_EQUIDEPTH_HISTOGRAM_SQL,
 }

@@ -622,6 +622,100 @@ FROM first
 """
 
 
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent click strictly before it, if that click is
+    within a 1-hour window — the other product-analytics classic next
+    to funnel/cohort. One window pass per user (running max of click
+    time over rows-preceding — no self-join, no per-row state), then a
+    daily rollup.
+
+    Cross-engine discipline: event times compare as integer
+    microseconds (``unix_micros``/``epoch_us``), the attribution lag
+    sums exactly as integer µs, and the average converts to minutes in
+    one identically-written double expression — no float accumulation.
+
+    Scale: the window partitions by user (millions of bounded
+    partitions, no global sort) and the rollup is a tiny (day) agg.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(F.when(F.col("event_type") == "click", F.col("us"))).over(w)
+    purchases = (
+        ev.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("last_click_us").isNotNull()
+            & ((F.col("us") - F.col("last_click_us")) <= 3_600_000_000),
+            (F.col("us") - F.col("last_click_us")).alias("lag_us"),
+        )
+        .toDF("day", "attributed", "lag_us")
+    )
+    agg = purchases.groupBy("day").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("attributed").cast("long")).alias("n_attributed"),
+        F.sum(F.when(F.col("attributed"), F.col("lag_us")).otherwise(0)).alias(
+            "_lag_sum_us"
+        ),
+    )
+    avg_mins = (
+        F.col("_lag_sum_us").cast("double")
+        / F.greatest(F.col("n_attributed"), F.lit(1))
+        / 60000000.0
+    )
+    return agg.select(
+        "day",
+        "n_purchases",
+        "n_attributed",
+        F.round(avg_mins + 1e-9, 4).alias("avg_mins_to_convert"),
+    ).orderBy("day")
+
+
+ATTRIBUTION_LAST_TOUCH_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us FROM events
+),
+marked AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'click' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_us
+  FROM ev
+),
+purchases AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         last_click_us IS NOT NULL
+           AND (us - last_click_us) <= 3600000000 AS attributed,
+         us - last_click_us AS lag_us
+  FROM marked WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT day, count(*) AS n_purchases,
+         CAST(count(CASE WHEN attributed THEN 1 END) AS BIGINT) AS n_attributed,
+         CAST(sum(CASE WHEN attributed THEN lag_us ELSE 0 END) AS BIGINT)
+           AS lag_sum_us
+  FROM purchases GROUP BY day
+)
+SELECT day, n_purchases, n_attributed,
+       round(CAST(lag_sum_us AS DOUBLE)
+             / greatest(n_attributed, 1) / 60000000.0 + 1e-9, 4)
+         AS avg_mins_to_convert
+FROM agg ORDER BY day
+"""
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by their FIRST active
     week; for each (cohort, weeks-since) cell, how many came back.
@@ -756,6 +850,7 @@ QUERIES = {
     "docs_lang_source_pivot": docs_lang_source_pivot,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "attribution_last_touch": attribution_last_touch,
     "null_semantics_conformance": null_semantics_conformance,
     "decimal_arithmetic_conformance": decimal_arithmetic_conformance,
     "file_format_roundtrip": file_format_roundtrip,
@@ -765,6 +860,7 @@ ORACLES = {
     "docs_lang_source_pivot": DOCS_LANG_SOURCE_PIVOT_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "attribution_last_touch": ATTRIBUTION_LAST_TOUCH_SQL,
     "null_semantics_conformance": NULL_SEMANTICS_CONFORMANCE_SQL,
     "decimal_arithmetic_conformance": DECIMAL_ARITHMETIC_CONFORMANCE_SQL,
     "sessionize": SESSIONIZE_SQL,

@@ -629,8 +629,117 @@ FROM hits ORDER BY method
 """
 
 
+_KMEANS_K = 8
+_KMEANS_SEED_MOD = 37
+
+
+def embeddings_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's assignment step — the building block of k-means /
+    IVF-centroid training at scale: K deterministic seed vectors
+    broadcast against the corpus, every vector assigned to its nearest
+    seed by squared L2, per-cluster population + dispersion emitted.
+    Iterating = re-running this step with the updated centroids from
+    ``label_centroids``'s per-dim mean shape; the driver would see only
+    per-cluster scalars per round, never vectors (the CC-loop pattern).
+
+    Cross-engine determinism, twice over: (a) squared distance is
+    assembled as dot(v,v) − 2·dot(v,s) + dot(s,s) from sequential-fold
+    dot products (identical summation order both engines), rounded to
+    6dp; (b) the argmin is an integer min over
+    ``round(d², 6)·10⁶·K + seed_rank`` — ties break on seed rank
+    inside pure integer arithmetic, and the winning distance is
+    DECODED back from the key, so the per-cluster average aggregates
+    exactly the values the argmin saw (decimal-summed, no float
+    accumulation).
+
+    Scale: seeds broadcast (K rows), corpus never shuffles for the
+    assignment (narrow fan-out ×K), one (vec_id) min-agg + one
+    (cluster) agg.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w = Window.orderBy("vec_id")
+    seeds = (
+        emb.filter(F.pmod("vec_id", F.lit(_KMEANS_SEED_MOD)) == 0)
+        .withColumn("seed_rank", F.row_number().over(w) - 1)
+        .filter(F.col("seed_rank") < _KMEANS_K)
+        .select(
+            "seed_rank",
+            F.col("vec_id").alias("seed_vec"),
+            F.col("embedding").alias("s"),
+        )
+    )
+    v, s = F.col("embedding"), F.col("s")
+    d2 = F.round(dot(v, v) - 2 * dot(v, s) + dot(s, s), 6)
+    key = (
+        F.floor(d2 * 1000000 + F.lit(0.5)).cast("long") * _KMEANS_K
+        + F.col("seed_rank")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", key.alias("key"))
+        .groupBy("vec_id")
+        .agg(F.min("key").alias("key"))
+    )
+    per_cluster = assigned.select(
+        F.pmod("key", F.lit(_KMEANS_K)).alias("cluster"),
+        # decode the argmin's own (rounded) d² from the integer key
+        (F.floor(F.col("key") / _KMEANS_K).cast("double") / 1000000).alias("d2"),
+    ).groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("d2").cast("decimal(28,6)")).alias("_d2sum"),
+    )
+    out = per_cluster.join(
+        F.broadcast(seeds.select(F.col("seed_rank").alias("cluster"), "seed_vec")),
+        "cluster",
+    )
+    return out.select(
+        "cluster",
+        "seed_vec",
+        "n_vectors",
+        F.round(F.col("_d2sum").cast("double") / F.col("n_vectors") + 1e-9, 6).alias(
+            "avg_d2"
+        ),
+    ).orderBy("cluster")
+
+
+EMBEDDINGS_KMEANS_ASSIGN_SQL = f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS seed_rank,
+         vec_id AS seed_vec, embedding::DOUBLE[] AS s
+  FROM embeddings
+  WHERE vec_id % {_KMEANS_SEED_MOD} = 0
+  QUALIFY seed_rank < {_KMEANS_K}
+),
+scored AS (
+  SELECT e.vec_id, seed_rank,
+         round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+               - 2 * list_dot_product(e.embedding::DOUBLE[], s)
+               + list_dot_product(s, s), 6) AS d2
+  FROM embeddings e CROSS JOIN seeds
+),
+assigned AS (
+  SELECT vec_id,
+         min(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) * {_KMEANS_K} + seed_rank)
+           AS key
+  FROM scored GROUP BY vec_id
+),
+per_cluster AS (
+  SELECT CAST((key % {_KMEANS_K} + {_KMEANS_K}) % {_KMEANS_K} AS BIGINT) AS cluster,
+         count(*) AS n_vectors,
+         sum(CAST(CAST(key // {_KMEANS_K} AS DOUBLE) / 1000000
+                  AS DECIMAL(28,6))) AS d2sum
+  FROM assigned GROUP BY 1
+)
+SELECT cluster, seed_vec, n_vectors,
+       round(CAST(d2sum AS DOUBLE) / n_vectors + 1e-9, 6) AS avg_d2
+FROM per_cluster JOIN seeds ON cluster = seed_rank
+ORDER BY cluster
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "embeddings_kmeans_assign": embeddings_kmeans_assign,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_topk_ivf": similarity_topk_ivf,
     "dedup_embeddings_cosine": dedup_embeddings_cosine,
@@ -641,6 +750,7 @@ QUERIES = {
 
 ORACLES = {
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,
+    "embeddings_kmeans_assign": EMBEDDINGS_KMEANS_ASSIGN_SQL,
     "similarity_topk_lsh": _lsh_oracle_sql(),
     "similarity_topk_ivf": SIMILARITY_TOPK_IVF_SQL,
     "dedup_embeddings_cosine": DEDUP_EMBEDDINGS_COSINE_SQL,

@@ -23,18 +23,28 @@ green driver row): [A] 3 rows whose implementation changed this round
 half-up avg, VERDICT r3 #1) and the PSI pair (NULL drift_flag +
 associativity, ADVICE r3 #1/#2); [B] the 7 remaining never-driver-
 checked rows (VERDICT r3 #2 — `stream_value_drift_gate`, the 8th, is
-already in [A]); [C] new round-4 operators taking their first driver
-look; [D] the oldest-evidence rotation — rows green in round 1 only
-and untouched since, cycling through per the staleness policy. Rows
-dropped this round hold r1/r2/r3 green evidence on unchanged code and
-stay under the local 3-SF harness.
+already in [A]); [C] the 11 new round-4 operators (candidate-funnel
+audit, cross-source matrix, split-leakage audit, mixture weights,
+context-window chunking, last-touch attribution, schema drift,
+equi-depth histogram, k-means assignment step, MAD outliers,
+shingle-df histogram) taking their first driver look; [D] the
+oldest-evidence rotation — 29 rows green in round 1 only and
+untouched since, cycling through per the staleness policy
+([A]3 + [B]7 + [C]11 + [D]29 = 50). Rows dropped this round hold
+r1/r2/r3 green evidence on unchanged code and stay under the local
+3-SF harness.
 
 Round-5 rotation queue (deferred from the r1-only pool this round,
 plus twins displaced by [C]): `value_quantiles`, `sessionize_native`,
-`window_agg_5m_salted`, `dash_approx_distinct_users`, and the r2-green
-block (media_*, corpus_* pack/split/vocab, stream_static_enrich,
-stream_stream_join, asof_join_last_click, bucketized_range_join,
-skewed_join_salted) — oldest evidence first.
+`window_agg_5m_salted`, `dash_approx_distinct_users`,
+`dash_recent_alerts`, `dash_live_trades`, `dash_pipeline_liveness`,
+`dash_latest_value_per_day`, `dash_price_per_minute_single_key`,
+`small_quantity_revenue`, `disjunctive_revenue`,
+`alerts_large_trade_lookup_join`, `order_status_pivot`,
+`big_orders_having`, `window_agg_sliding`, and the r2-green block (media_*,
+corpus_* pack/split/vocab, stream_static_enrich, stream_stream_join,
+asof_join_last_click, bucketized_range_join, skewed_join_salted) —
+oldest evidence first.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -102,11 +112,20 @@ _PRIORITY = [
     "text_tfidf_topk",
     "text_bm25_topk",
     "value_winsorized_stats",
-    # --- [C] new round-4 operators, first look (new queries displace
-    # [D] twins as they land; displaced rows join the round-5 queue) ---
+    # --- [C] new round-4 operators, first look (11) ---
     "dedup_candidates_audit",
+    "dup_cross_source_matrix",
+    "split_leakage_audit",
+    "corpus_mixture_weights",
+    "docs_chunked",
+    "attribution_last_touch",
+    "events_schema_drift",
+    "value_equidepth_histogram",
+    "embeddings_kmeans_assign",
+    "value_mad_outliers",
+    "shingle_df_histogram",
     # --- [D] oldest-evidence rotation: green in round 1 only,
-    # code unchanged since (40) ---
+    # code unchanged since (29) ---
     "tpch_q1",
     "tpch_q6",
     "tpch_q12_like",
@@ -117,10 +136,6 @@ _PRIORITY = [
     "lineitem_rollup",
     "monthly_order_stats",
     "order_priority_counts",
-    "order_status_pivot",
-    "big_orders_having",
-    "small_quantity_revenue",
-    "disjunctive_revenue",
     "cheapest_supplier_per_part",
     "top_parts_per_supplier",
     "customers_without_orders",
@@ -130,7 +145,6 @@ _PRIORITY = [
     "scalar_functions",
     "date_functions",
     "window_rank_functions",
-    "window_agg_sliding",
     "sessionize",
     "ema_per_key",
     "alerts_large_trade",
@@ -140,11 +154,6 @@ _PRIORITY = [
     "dash_avg_latency_last_day",
     "dash_distinct_users",
     "dash_latency_per_minute",
-    "dash_price_per_minute_single_key",
-    "dash_latest_value_per_day",
-    "dash_live_trades",
-    "dash_pipeline_liveness",
-    "dash_recent_alerts",
     "dash_bid_ask_ranking",
 ]
 

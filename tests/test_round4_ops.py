@@ -1,0 +1,146 @@
+"""Invariant tests for the round-4 operator block (the oracle harness
+checks cross-engine equality; these pin the semantic claims the
+docstrings make, on the sf0.001 fixture)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.operators.corpus_ops import split_leakage_audit
+from cdc_realtime_pipeline_spark.operators.curation import (
+    _CHUNK_TOKENS,
+    corpus_mixture_weights,
+    docs_chunked,
+)
+from cdc_realtime_pipeline_spark.operators.dedup import (
+    dedup_candidates_audit,
+    dedup_docs_jaccard,
+    dup_cross_source_matrix,
+)
+from cdc_realtime_pipeline_spark.operators.dq import events_schema_drift
+from cdc_realtime_pipeline_spark.operators.extended import attribution_last_touch
+
+
+def test_leakage_audit_partitions_jaccard_pairs(spark, sf_dir):
+    # the 3x3 split matrix must account for every verified pair exactly once
+    n_pairs = dedup_docs_jaccard(spark, sf_dir).count()
+    audit = split_leakage_audit(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in audit) == n_pairs
+    for r in audit:
+        assert r.leaked == int(r.split_a != r.split_b)
+
+
+def test_candidates_audit_matches_jaccard_count(spark, sf_dir):
+    row = dedup_candidates_audit(spark, sf_dir).collect()[0]
+    assert row.n_matches_tau == dedup_docs_jaccard(spark, sf_dir).count()
+    assert row.self_check == 1
+    # every candidate came from at least one generator
+    assert row.n_rare_path + row.n_band_only == row.n_candidates
+
+
+def test_cross_source_matrix_accounts_every_pair(spark, sf_dir):
+    n_pairs = dedup_docs_jaccard(spark, sf_dir).count()
+    m = dup_cross_source_matrix(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in m) == n_pairs
+    for r in m:
+        assert r.cross_source == int(r.source_a != r.source_b)
+        assert 0.6 <= r.avg_jaccard <= 1.0 + 1e-9
+
+
+def test_docs_chunked_window_invariants(spark, sf_dir):
+    chunks = docs_chunked(spark, sf_dir)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.min("n_tokens").alias("min_tok"),
+            F.max("n_tokens").alias("max_tok"),
+        )
+        .collect()
+    )
+    assert per_doc  # every doc yields >= 1 chunk
+    for r in per_doc:
+        assert r.max_idx == r.n_chunks - 1  # contiguous 0..n-1
+        assert 1 <= r.min_tok and r.max_tok <= _CHUNK_TOKENS
+    # all chunks except a doc's last are full-width
+    full = chunks.join(
+        chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("last_idx")), "doc_id"
+    ).filter(F.col("chunk_idx") < F.col("last_idx"))
+    assert full.filter(F.col("n_tokens") != _CHUNK_TOKENS).count() == 0
+
+
+def test_mixture_weights_normalize(spark, sf_dir):
+    rows = corpus_mixture_weights(spark, sf_dir).collect()
+    total = sum(r.mix_weight for r in rows)
+    assert abs(total - 1.0) <= len(rows) * 1e-6  # 6dp rounding per source
+    for r in rows:
+        assert r.mix_weight > 0 and r.epochs_at_budget > 0
+
+
+def test_schema_drift_flags_planted_key(spark, sf_dir):
+    rows = events_schema_drift(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    assert set(by_key) == {"k", "beta_field"}
+    assert all(r.is_new == 0 for r in by_key["k"])
+    assert all(r.is_new == 1 for r in by_key["beta_field"])
+    # planted drift starts mid-stream, so beta_field spans fewer days
+    assert len(by_key["beta_field"]) < len(by_key["k"])
+
+
+def test_attribution_bounds(spark, sf_dir):
+    rows = attribution_last_touch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_attributed <= r.n_purchases
+        assert r.avg_mins_to_convert >= 0
+        # attributed clicks are within the 1h window
+        if r.n_attributed:
+            assert r.avg_mins_to_convert <= 60 + 1e-9
+
+
+def test_kmeans_assign_partitions_corpus(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        embeddings_kmeans_assign,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    rows = embeddings_kmeans_assign(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_total  # every vector assigned once
+    assert len({r.cluster for r in rows}) == len(rows)
+    for r in rows:
+        assert r.avg_d2 >= 0
+
+
+def test_mad_outliers_bounds(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.dq import value_mad_outliers
+
+    for r in value_mad_outliers(spark, sf_dir).collect():
+        assert 0 <= r.n_outliers <= r.n
+        assert r.mad >= 0
+        # MAD flags can exceed sigma-rule rates on heavy tails but must
+        # stay a small minority on the fixture's bounded values
+        assert r.outlier_frac < 0.5
+
+
+def test_shingle_df_histogram_consistency(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        _shared_shingles,
+        shingle_df_histogram,
+    )
+
+    rows = shingle_df_histogram(spark, sf_dir).collect()
+    n_distinct = _shared_shingles(spark, sf_dir).select("shingle").distinct().count()
+    assert sum(r.n_shingles for r in rows) == n_distinct
+    for r in rows:
+        lo = 2**r.df_bucket
+        assert r.n_rare <= r.n_shingles
+        # buckets fully under the cap are all-rare; fully above, none
+        if 2 ** (r.df_bucket + 1) - 1 <= MAX_SHINGLE_DF:
+            assert r.n_rare == r.n_shingles
+        if lo > MAX_SHINGLE_DF:
+            assert r.n_rare == 0
