@@ -23,14 +23,15 @@ green driver row): [A] 3 rows whose implementation changed this round
 half-up avg, VERDICT r3 #1) and the PSI pair (NULL drift_flag +
 associativity, ADVICE r3 #1/#2); [B] the 7 remaining never-driver-
 checked rows (VERDICT r3 #2 — `stream_value_drift_gate`, the 8th, is
-already in [A]); [C] the 11 new round-4 operators (candidate-funnel
+already in [A]); [C] the 12 new round-4 operators (candidate-funnel
 audit, cross-source matrix, split-leakage audit, mixture weights,
 context-window chunking, last-touch attribution, schema drift,
 equi-depth histogram, k-means assignment step, MAD outliers,
-shingle-df histogram) taking their first driver look; [D] the
-oldest-evidence rotation — 29 rows green in round 1 only and
+shingle-df histogram, streaming decontamination gate) taking their
+first driver look; [D] the
+oldest-evidence rotation — 28 rows green in round 1 only and
 untouched since, cycling through per the staleness policy
-([A]3 + [B]7 + [C]11 + [D]29 = 50). Rows dropped this round hold
+([A]3 + [B]7 + [C]12 + [D]28 = 50). Rows dropped this round hold
 r1/r2/r3 green evidence on unchanged code and stay under the local
 3-SF harness.
 
@@ -41,7 +42,7 @@ plus twins displaced by [C]): `value_quantiles`, `sessionize_native`,
 `dash_latest_value_per_day`, `dash_price_per_minute_single_key`,
 `small_quantity_revenue`, `disjunctive_revenue`,
 `alerts_large_trade_lookup_join`, `order_status_pivot`,
-`big_orders_having`, `window_agg_sliding`, and the r2-green block (media_*,
+`big_orders_having`, `window_agg_sliding`, `order_priority_counts`, and the r2-green block (media_*,
 corpus_* pack/split/vocab, stream_static_enrich, stream_stream_join,
 asof_join_last_click, bucketized_range_join, skewed_join_salted) —
 oldest evidence first.
@@ -112,7 +113,7 @@ _PRIORITY = [
     "text_tfidf_topk",
     "text_bm25_topk",
     "value_winsorized_stats",
-    # --- [C] new round-4 operators, first look (11) ---
+    # --- [C] new round-4 operators, first look (12) ---
     "dedup_candidates_audit",
     "dup_cross_source_matrix",
     "split_leakage_audit",
@@ -124,8 +125,9 @@ _PRIORITY = [
     "embeddings_kmeans_assign",
     "value_mad_outliers",
     "shingle_df_histogram",
+    "stream_decontaminate_gate",
     # --- [D] oldest-evidence rotation: green in round 1 only,
-    # code unchanged since (29) ---
+    # code unchanged since (28) ---
     "tpch_q1",
     "tpch_q6",
     "tpch_q12_like",
@@ -135,7 +137,6 @@ _PRIORITY = [
     "revenue_top_orders",
     "lineitem_rollup",
     "monthly_order_stats",
-    "order_priority_counts",
     "cheapest_supplier_per_part",
     "top_parts_per_supplier",
     "customers_without_orders",

@@ -28,6 +28,7 @@ from cdc_realtime_pipeline_spark.session import (
     raw_schema,
     scratch_dir,
 )
+from cdc_realtime_pipeline_spark.operators import curation as _curation_oracles
 from cdc_realtime_pipeline_spark.operators import dq as _dq_oracles
 from cdc_realtime_pipeline_spark.operators import timeseries as _ts_oracles
 from cdc_realtime_pipeline_spark.sources.cdc_file_source import write_cdc_json_files
@@ -599,6 +600,63 @@ from cdc_realtime_pipeline_spark.operators.window_agg import (  # noqa: E402
 # Oracle for stream_docs_quality_gate: batch equivalent of the
 # streamed gate + (source, content)-keyed dedup + audit. The md5→int64
 # derivation matches dedup._hash64 (salt 23).
+def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark-decontamination gate: documents are checked
+    against the held-out eval set AS THEY ARRIVE (file-stream source →
+    map-side shingling → stream-static join against the broadcast
+    benchmark shingle set), so contaminated docs are flagged at ingest
+    instead of by a later batch sweep — the streaming twin of
+    ``decontaminate_vs_benchmark``, sharing its oracle (over a finite
+    deterministic stream the answers must be identical).
+
+    Scale shape: the benchmark relation is small by nature and static
+    — broadcast once, never rebuilt per micro-batch; the stream side
+    is stateless (shingle explode + broadcast join, no watermark, no
+    state store), so throughput is scan-bound. The per-doc aggregation
+    happens on the (tiny, hits-only) sink output, exactly where the
+    batch operator aggregates.
+    """
+    import os
+
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        _BENCH_MOD,
+        _CONTAM_MIN_SHARED,
+        _all_shingles,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    d = os.path.join(
+        scratch_dir("decon_stream"), f"{abs(hash(sf_dir)) % 10**8:08d}"
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    bench = (
+        _all_shingles(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % _BENCH_MOD == 0
+            )
+        )
+        .distinct()
+        .select(F.col("doc_id").alias("bench_doc"), "shingle")
+    )
+    sch = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(sch).parquet(d)
+    train = _all_shingles(raw.filter(F.col("doc_id") % _BENCH_MOD != 0))
+    hits = train.join(F.broadcast(bench), "shingle")
+    res = _memory_sink(hits, "append")
+    return (
+        res.groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= _CONTAM_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
 STREAM_DOCS_QUALITY_GATE_SQL = """
 WITH gated AS (
   SELECT source,
@@ -811,6 +869,7 @@ QUERIES = {
     "stream_anomaly_alerts": stream_anomaly_alerts,  # rows-only
     "stream_anomaly_rule_counts": stream_anomaly_rule_counts,
     "stream_docs_quality_gate": stream_docs_quality_gate,
+    "stream_decontaminate_gate": stream_decontaminate_gate,
     "stream_cdc_apply": stream_cdc_apply,
 }
 
@@ -828,5 +887,6 @@ ORACLES = {
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_anomaly_rule_counts": STREAM_ANOMALY_RULE_COUNTS_SQL,
     "stream_docs_quality_gate": STREAM_DOCS_QUALITY_GATE_SQL,
+    "stream_decontaminate_gate": _curation_oracles.DECONTAMINATE_VS_BENCHMARK_SQL,
     "stream_cdc_apply": CDC_APPLY_CHANGES_SQL,
 }
