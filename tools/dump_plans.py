@@ -42,6 +42,11 @@ SHOWCASE = [
     ("rolling_price_bands", "bounded-ROWS frame bands, rounded-operand breakout"),
     ("window_agg_1h_rollup", "hourly re-aggregation of 5-min partials"),
     ("value_distribution_psi", "broadcast 1-row bounds, (type,bin)→(type) aggs"),
+    ("docs_chunked", "zero-exchange context-window chunking (generate, no shuffle)"),
+    ("attribution_last_touch", "per-user running-max window + day rollup"),
+    ("embeddings_kmeans_assign", "broadcast seeds ×K fan-out, integer argmin"),
+    ("shingle_df_histogram", "df agg → log2 bucket agg over shared shingles"),
+    ("events_schema_drift", "json-keys explode → (day,key) agg + window mins"),
 ]
 
 
