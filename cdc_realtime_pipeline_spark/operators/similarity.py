@@ -737,9 +737,111 @@ ORDER BY cluster
 """
 
 
+_KMEANS_ITERS = 3
+
+
+def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (three full Lloyd rounds) — the IVF-centroid
+    TRAINING loop, not just one assignment step: assign → recompute
+    mean centroids → reassign, entirely as DataFrame plans. Unlike the
+    CC loop (which must poll a convergence scalar), the fixed
+    iteration count means the driver touches NO data at all — each
+    round's assignments and centroids are persisted DataFrames that
+    the next round consumes, and the result is a union of per-round
+    1-row inertia summaries computed distributed.
+
+    Rows-only by design (iterative algorithm — no single SQL
+    equivalent; the one-step ``embeddings_kmeans_assign`` twin IS
+    oracle-gated and pins the assignment semantics). Self-check
+    (VERDICT r2 #6 pattern): Lloyd's theorem guarantees inertia is
+    non-increasing, so each row carries ``non_increasing`` computed
+    against the previous round via a lag window — a broken assignment
+    or centroid update flips it under the rows-only gate.
+    ``tests/test_similarity.py`` pins it too.
+
+    Scale: centroids stay K×dim DataFrames (broadcast into each
+    assignment); per-round cost is one corpus fan-out ×K + one
+    (vec_id) min-agg + one (cluster, dim) mean — the exact shape
+    MLlib's k-means executes per iteration.
+    """
+    emb = tracked_persist(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    w0 = Window.orderBy("vec_id")
+    centroids = (
+        emb.filter(F.pmod("vec_id", F.lit(_KMEANS_SEED_MOD)) == 0)
+        .withColumn("cluster", F.row_number().over(w0) - 1)
+        .filter(F.col("cluster") < _KMEANS_K)
+        .select("cluster", F.col("embedding").cast("array<double>").alias("c"))
+    )
+    rounds = []
+    for it in range(_KMEANS_ITERS):
+        v, c = F.col("embedding"), F.col("c")
+        d2 = F.round(dot(v, v) - 2 * dot(v, c) + dot(c, c), 6)
+        key = (
+            F.floor(d2 * 1000000 + F.lit(0.5)).cast("long") * _KMEANS_K
+            + F.col("cluster")
+        )
+        assigned = tracked_persist(
+            emb.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "embedding", key.alias("key"))
+            .groupBy("vec_id")
+            .agg(F.min("key").alias("key"), F.first("embedding").alias("embedding"))
+            .select(
+                "vec_id",
+                "embedding",
+                F.pmod("key", F.lit(_KMEANS_K)).alias("cluster"),
+                (F.floor(F.col("key") / _KMEANS_K).cast("double") / 1000000).alias(
+                    "d2"
+                ),
+            )
+        )
+        rounds.append(
+            assigned.agg(
+                F.lit(it).alias("iteration"),
+                F.count("*").alias("n_assigned"),
+                F.count_distinct("cluster").alias("n_live_clusters"),
+                F.round(
+                    F.sum(F.col("d2").cast("decimal(28,6)")).cast("double") + 1e-9, 4
+                ).alias("inertia"),
+            )
+        )
+        if it < _KMEANS_ITERS - 1:
+            # mean centroid per (cluster, dim) → re-packed double array
+            centroids = (
+                assigned.select(
+                    "cluster", F.posexplode(F.col("embedding").cast("array<double>"))
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.avg("col").alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s.m,
+                    ).alias("c")
+                )
+            )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    wlag = Window.orderBy("iteration")
+    return out.select(
+        "iteration",
+        "n_assigned",
+        "n_live_clusters",
+        "inertia",
+        (
+            F.col("inertia")
+            <= F.coalesce(F.lag("inertia").over(wlag), F.col("inertia")) + 1e-3
+        ).cast("int").alias("non_increasing"),
+    ).orderBy("iteration")
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "embeddings_kmeans_assign": embeddings_kmeans_assign,
+    "embeddings_kmeans_train": embeddings_kmeans_train,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_topk_ivf": similarity_topk_ivf,
     "dedup_embeddings_cosine": dedup_embeddings_cosine,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_realtime_pipeline_spark.functions import text as TX
 from cdc_realtime_pipeline_spark.session import load_table
@@ -367,8 +368,59 @@ LIMIT {_TFIDF_TOPK}
 """
 
 
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation matrix: declared (metadata) language vs
+    the n-gram detector's prediction, with per-cell counts and a
+    per-declared-language agreement rate — the calibration report that
+    tells a curation pipeline when to trust the metadata, when the
+    detector, and which language pairs confuse (the real failure mode
+    of marker-word detectors on short documents).
+
+    One projection (the detector is the same JVM expression tree
+    ``text_lang_id`` gates) + one (declared, pred) hash-agg + a window
+    sum over the tiny matrix. Agreement divides integers exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("declared_lang"),
+            TX.lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("declared_lang")
+    return cells.select(
+        "declared_lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("declared_lang") == F.col("pred_lang")).cast("int").alias("agree"),
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w) + 1e-9, 6
+        ).alias("cell_frac"),
+    ).orderBy("declared_lang", "pred_lang")
+
+
+LANG_CONFUSION_MATRIX_SQL = rf"""
+WITH pred AS (
+  SELECT labeled_lang AS declared_lang, pred_lang
+  FROM ({TEXT_LANG_ID_SQL.replace("ORDER BY doc_id", "")}) t
+),
+cells AS (
+  SELECT declared_lang, pred_lang, count(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT declared_lang, pred_lang, n_docs,
+       CASE WHEN declared_lang = pred_lang THEN 1 ELSE 0 END AS agree,
+       round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY declared_lang)
+                           AS DOUBLE) + 1e-9, 6) AS cell_frac
+FROM cells ORDER BY declared_lang, pred_lang
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "lang_confusion_matrix": lang_confusion_matrix,
     "text_tfidf_topk": text_tfidf_topk,
     "text_bm25_topk": text_bm25_topk,
     "text_quality": text_quality,
@@ -385,6 +437,7 @@ ORACLES = {
     ),
     "text_quality": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
+    "lang_confusion_matrix": LANG_CONFUSION_MATRIX_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "docs_source_profile": DOCS_SOURCE_PROFILE_SQL,
 }

@@ -144,3 +144,35 @@ def test_shingle_df_histogram_consistency(spark, sf_dir):
             assert r.n_rare == r.n_shingles
         if lo > MAX_SHINGLE_DF:
             assert r.n_rare == 0
+
+
+def test_kmeans_train_monotone_inertia(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        _KMEANS_ITERS,
+        embeddings_kmeans_train,
+    )
+
+    rows = embeddings_kmeans_train(spark, sf_dir).collect()
+    assert [r.iteration for r in rows] == list(range(_KMEANS_ITERS))
+    inertias = [r.inertia for r in rows]
+    assert all(b <= a + 1e-3 for a, b in zip(inertias, inertias[1:]))
+    assert all(r.non_increasing == 1 for r in rows)
+    assert len({r.n_assigned for r in rows}) == 1  # corpus never shrinks
+
+
+def test_lang_confusion_matrix_consistency(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.text_ops import (
+        lang_confusion_matrix,
+        text_lang_id,
+    )
+
+    rows = lang_confusion_matrix(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == text_lang_id(spark, sf_dir).count()
+    from collections import defaultdict
+
+    frac = defaultdict(float)
+    for r in rows:
+        frac[r.declared_lang] += r.cell_frac
+        assert r.agree == int(r.declared_lang == r.pred_lang)
+    for lang, tot in frac.items():
+        assert abs(tot - 1.0) < 1e-4, lang
