@@ -242,6 +242,81 @@ ORDER BY n DESC, token ASC LIMIT {VOCAB_TOP_K}
 """
 
 
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: per source, the fraction of token
+    OCCURRENCES falling outside the corpus top-K vocabulary — the OOV
+    rate that sizes a tokenizer's vocab budget and exposes sources
+    whose token distribution diverges from the corpus head (high OOV =
+    jargon/noise/another register; the signal behind per-domain vocab
+    decisions).
+
+    The vocabulary is the same deterministic head ``corpus_vocab_topk``
+    gates (count desc, token asc tie-break). It is small by
+    CONSTRUCTION (top-K of an aggregate), so the membership join is a
+    broadcast; token traffic aggregates to (source, token) counts
+    map-side before the join ever sees it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token"),
+    ).filter(F.length("token") > 0)
+    per_src_tok = toks.groupBy("source", "token").agg(F.count("*").alias("n"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("vn"))
+        .orderBy(F.desc("vn"), F.asc("token"))
+        .limit(VOCAB_TOP_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    j = per_src_tok.join(F.broadcast(vocab), "token", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens") + 1e-9, 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_OOV_RATE_SQL = f"""
+WITH toks AS (
+  SELECT source, token
+  FROM (SELECT source,
+               unnest(string_split({NORMALIZE_SQL.format(col="text")}, ' ')) AS token
+        FROM documents)
+  WHERE length(token) > 0
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS vn FROM toks GROUP BY token
+    ORDER BY vn DESC, token ASC LIMIT {VOCAB_TOP_K}
+  )
+),
+per AS (
+  SELECT source, t.token, count(*) AS n,
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY source, t.token, oov
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN oov = 1 THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN oov = 1 THEN n ELSE 0 END)
+             / CAST(sum(n) AS DOUBLE) + 1e-9, 6) AS oov_rate
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram (50-token bins, clamped tail bucket) —
     the length profile that sizes padding/truncation budgets."""
@@ -406,6 +481,7 @@ QUERIES = {
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_train_val_split": corpus_train_val_split,
     "corpus_vocab_topk": corpus_vocab_topk,
+    "corpus_oov_rate": corpus_oov_rate,
     "corpus_length_histogram": corpus_length_histogram,
     "label_centroids": label_centroids,
     "label_balanced_sample": label_balanced_sample,
@@ -418,6 +494,7 @@ ORACLES = {
     "corpus_pack_sequences": CORPUS_PACK_SEQUENCES_SQL,
     "corpus_train_val_split": CORPUS_TRAIN_VAL_SPLIT_SQL,
     "corpus_vocab_topk": CORPUS_VOCAB_TOPK_SQL,
+    "corpus_oov_rate": CORPUS_OOV_RATE_SQL,
     "corpus_length_histogram": CORPUS_LENGTH_HISTOGRAM_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
 }
