@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "attribution_last_touch",
     "dup_cross_source_matrix",
     "split_leakage_audit",
+    "value_mad_outliers",
+    "events_schema_drift",
+    "corpus_oov_rate",
+    "embeddings_kmeans_assign",
 ]
 
 

@@ -132,3 +132,52 @@ def test_parser_totality_0_or_1_rows_per_input(spark, cases):
         expected += 1
     df = spark.createDataFrame([(p,) for p in payloads], "value string")
     assert parse_cdc_events(df).count() == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-10**15, max_value=10**15), st.integers(min_value=1, max_value=10**9))
+def test_integer_half_up_avg_formula_property(su, n):
+    """The decimal-conformance integer formula ≡ Python's exact
+    round-half-away-from-zero of su/n (Fraction arithmetic)."""
+    from fractions import Fraction
+
+    got = (1 if su >= 0 else -1) * ((2 * abs(su) + n) // (2 * n)) if su != 0 else 0
+    x = Fraction(su, n)
+    frac = abs(x) - abs(x).numerator // abs(x).denominator  # fractional part
+    base = abs(x).numerator // abs(x).denominator
+    expect = base + (1 if frac >= Fraction(1, 2) else 0)
+    expect = expect if x >= 0 else -expect
+    assert got == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=100000))
+def test_chunk_count_formula_property(n_words):
+    """docs_chunked's closed-form chunk count ≡ the procedural
+    stride walk, for any document length."""
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+
+    c, stride = _CHUNK_TOKENS, _CHUNK_STRIDE
+    # closed form used by both engines
+    n_chunks = 1 + (max(n_words - c, 0) + stride - 1) // stride
+    # procedural reference: starts at 0, stride apart; a start is valid
+    # if it's 0 or begins before the previous chunk's end
+    starts = [0]
+    while starts[-1] + c < n_words:
+        starts.append(starts[-1] + stride)
+    assert n_chunks == len(starts)
+    # every token is covered and consecutive chunks overlap by c-stride
+    if n_words:
+        assert starts[-1] + c >= n_words
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=1, max_value=10**12))
+def test_log2_bucket_nudge_property(df):
+    """shingle_df_histogram's floor(log2(df)+1e-9) equals the exact
+    integer bit-length bucket for every df (the nudge absorbs IEEE
+    log2 landing just under an integer at exact powers of two)."""
+    assert math.floor(math.log2(df) + 1e-9) == df.bit_length() - 1
