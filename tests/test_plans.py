@@ -157,3 +157,38 @@ def test_gap_fill_grid_is_executor_side(spark, sf_dir):
     assert "Generate" in plan  # explode(sequence(...))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_docs_chunked_zero_exchange(spark, sf_dir):
+    # chunking must stay entirely map-side: scan → project → generate,
+    # with the wide chunk text collapsed to md5 before any exchange
+    plan = _plan(spark, "docs_chunked", sf_dir)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the sequence→explode window fan-out
+
+
+def test_kmeans_assign_broadcasts_seeds_not_corpus(spark, sf_dir):
+    plan = _plan(spark, "embeddings_kmeans_assign", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # corpus side never range-sorts for the assignment
+    assert plan.count("Exchange rangepartitioning") <= 1  # final orderBy only
+
+
+def test_cross_source_matrix_no_corpus_broadcast_hint(spark, sf_dir):
+    # sources attach via equi-joins; the corpus-sized pair side carries
+    # no broadcast hint (AQE may still pick broadcast at runtime —
+    # what must NOT appear is a planned cartesian)
+    plan = _plan(spark, "dup_cross_source_matrix", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_schema_drift_prunes_to_three_columns(spark, sf_dir):
+    plan = _plan(spark, "events_schema_drift", sf_dir)
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp,props:string>" in plan
+
+
+def test_oov_rate_broadcasts_vocab(spark, sf_dir):
+    plan = _plan(spark, "corpus_oov_rate", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
