@@ -574,6 +574,70 @@ FROM agg
 """
 
 
+_COLLATION_STRINGS = [
+    "banana",
+    "Apple",
+    "apple",
+    "1digit",
+    "Zürich",
+    "zebra",
+    "Ärger",
+    "café",
+    "a b",
+    "A",
+]
+
+
+def string_collation_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collation + unicode semantics pinned cross-engine: both
+    engines sort strings by CODE POINT (Spark UTF8_BINARY ≡ DuckDB
+    binary collation for BMP text — digits < uppercase < lowercase <
+    accented), length counts code points (the emoji surrogate pair is
+    ONE character), and substring/instr/reverse/translate/lpad index by
+    character, not byte, through multibyte text.
+
+    One documented exclusion: ``upper('ß')`` diverges (Java folds to
+    'SS', DuckDB to the capital sharp s 'ẞ') — locale-dependent case
+    folding is exactly the class a portable pipeline must not rely on,
+    so it is pinned OUT of the conformance surface (no ß in the
+    planted list) and called out here instead.
+    """
+    vals = F.array(*[F.lit(x) for x in _COLLATION_STRINGS])
+    rows = spark.range(1).select(F.explode(vals).alias("s"))
+    return rows.agg(
+        F.concat_ws("|", F.array_sort(F.collect_list("s"))).alias("sorted_concat"),
+        F.min("s").alias("min_s"),
+        F.max("s").alias("max_s"),
+        F.sum((F.col("s") < "b").cast("long")).alias("n_lt_b"),
+        F.upper(F.lit("café äöü")).alias("upper_unicode"),
+        F.lower(F.lit("ÄÖÜ")).alias("lower_unicode"),
+        F.length(F.lit("Äbc😀")).cast("long").alias("len_codepoints"),
+        F.substring(F.lit("Ääbc"), 2, 2).alias("substr_multibyte"),
+        F.expr("instr('caféx', 'é')").cast("long").alias("instr_multibyte"),
+        F.reverse(F.lit("Äb😀")).alias("reverse_multibyte"),
+        F.lpad(F.lit("ä"), 3, "0").alias("lpad_multibyte"),
+        F.translate(F.lit("abcä"), "aä", "xy").alias("translate_unicode"),
+    )
+
+
+STRING_COLLATION_CONFORMANCE_SQL = f"""
+WITH t(s) AS (VALUES {", ".join("('" + x + "')" for x in _COLLATION_STRINGS)})
+SELECT list_aggregate(list_sort(list(s)), 'string_agg', '|') AS sorted_concat,
+       min(s) AS min_s,
+       max(s) AS max_s,
+       CAST(count(CASE WHEN s < 'b' THEN 1 END) AS BIGINT) AS n_lt_b,
+       upper('café äöü') AS upper_unicode,
+       lower('ÄÖÜ') AS lower_unicode,
+       CAST(length('Äbc😀') AS BIGINT) AS len_codepoints,
+       substring('Ääbc', 2, 2) AS substr_multibyte,
+       CAST(instr('caféx', 'é') AS BIGINT) AS instr_multibyte,
+       reverse('Äb😀') AS reverse_multibyte,
+       lpad('ä', 3, '0') AS lpad_multibyte,
+       translate('abcä', 'aä', 'xy') AS translate_unicode
+FROM t
+"""
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (the product-analytics classic, CEP-lite):
     per user, did view → click → purchase happen IN ORDER? Computed
@@ -851,6 +915,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "attribution_last_touch": attribution_last_touch,
+    "string_collation_conformance": string_collation_conformance,
     "null_semantics_conformance": null_semantics_conformance,
     "decimal_arithmetic_conformance": decimal_arithmetic_conformance,
     "file_format_roundtrip": file_format_roundtrip,
@@ -861,6 +926,7 @@ ORACLES = {
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "attribution_last_touch": ATTRIBUTION_LAST_TOUCH_SQL,
+    "string_collation_conformance": STRING_COLLATION_CONFORMANCE_SQL,
     "null_semantics_conformance": NULL_SEMANTICS_CONFORMANCE_SQL,
     "decimal_arithmetic_conformance": DECIMAL_ARITHMETIC_CONFORMANCE_SQL,
     "sessionize": SESSIONIZE_SQL,
