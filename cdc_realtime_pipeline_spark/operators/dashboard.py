@@ -101,6 +101,48 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 DISTINCT_USERS_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
 
 
+def rolling_7d_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the retention
+    dashboard's staple, and the pattern distinct-counts force at scale:
+    COUNT(DISTINCT) is not mergeable across window frames, so the
+    rolling form materializes the (day, user) distinct pairs once
+    (events collapse map-side) and re-counts each 7-day span through a
+    bounded interval self-join (|days| × 7 fan-out of the tiny daily
+    relation — never the raw events). The HLL-sketch alternative for
+    re-aggregable approximate spans is ``daily_users_hll_rollup``.
+    """
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+    )
+    days = daily.select("day").distinct().select(F.col("day").alias("anchor"))
+    j = days.join(
+        daily,
+        (F.col("day") <= F.col("anchor"))
+        & (F.col("day") >= F.col("anchor") - F.expr("INTERVAL 6 DAYS")),
+    )
+    return (
+        j.groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+        .select(F.col("anchor").alias("day"), "dau_7d")
+        .orderBy("day")
+    )
+
+
+ROLLING_7D_DAU_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day AS anchor FROM daily)
+SELECT anchor AS day, count(DISTINCT user_id) AS dau_7d
+FROM days JOIN daily
+  ON daily.day <= anchor AND daily.day >= anchor - INTERVAL 6 DAY
+GROUP BY anchor ORDER BY anchor
+"""
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``uniq()`` parity — HLL-family approximate distinct.
 
@@ -346,6 +388,7 @@ QUERIES = {
     "dash_volume_last_day": volume_last_day,
     "dash_avg_latency_last_day": avg_latency_last_day,
     "dash_distinct_users": distinct_users,
+    "dash_rolling_7d_dau": rolling_7d_dau,
     "dash_approx_distinct_users": approx_distinct_users,
     "dash_pipeline_liveness": pipeline_liveness,
     "dash_latency_per_minute": latency_per_minute,
@@ -362,6 +405,7 @@ ORACLES = {
     "dash_volume_last_day": VOLUME_LAST_DAY_SQL,
     "dash_avg_latency_last_day": AVG_LATENCY_LAST_DAY_SQL,
     "dash_distinct_users": DISTINCT_USERS_SQL,
+    "dash_rolling_7d_dau": ROLLING_7D_DAU_SQL,
     # dash_approx_distinct_users: intentionally no oracle (approximate)
     "dash_pipeline_liveness": PIPELINE_LIVENESS_SQL,
     "dash_latency_per_minute": LATENCY_PER_MINUTE_SQL,

@@ -638,6 +638,58 @@ FROM t
 """
 
 
+def regex_functions_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function surface pinned cross-engine over real rows (the
+    events ``props`` JSON strings) plus planted backreference cases:
+    rlike/regexp_matches filters, group extraction with arithmetic on
+    the result, extract_all multiplicity, global regexp_replace, and
+    regex split counts. Dialect note pinned here: replacement
+    backreferences are ``$1`` in Spark (Java) and ``\\1`` in DuckDB,
+    and DuckDB needs the explicit ``'g'`` flag where Spark replaces
+    globally by default — the SQL text differs, the required RESULTS
+    are identical, which is exactly what the gate hashes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.sum(F.col("props").rlike(r'"k":\s*\d+').cast("long")).alias("n_like"),
+        F.sum(
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+        ).alias("k_sum"),
+        F.sum(F.size(F.regexp_extract_all(F.col("event_type"), F.lit("[aeiou]"), 0)))
+        .alias("n_vowels"),
+        F.count_distinct(
+            F.regexp_replace(F.col("event_type"), "[aeiou]", "*")
+        ).alias("n_distinct_masked"),
+        F.sum(F.size(F.split(F.col("props"), r"[:,{}]")).cast("long")).alias(
+            "n_split_parts"
+        ),
+    )
+    return agg.select(
+        "*",
+        F.regexp_replace(F.lit("ab12cd34"), r"(\d)(\d)", r"$2$1").alias("backref"),
+        F.regexp_extract(F.lit("v=42;w=7"), r"w=(\d+)", 1).cast("long").alias(
+            "extract_group"
+        ),
+    )
+
+
+REGEX_FUNCTIONS_CONFORMANCE_SQL = r"""
+SELECT CAST(count(CASE WHEN regexp_matches(props, '"k":\s*\d+') THEN 1 END)
+            AS BIGINT) AS n_like,
+       CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))
+            AS BIGINT) AS k_sum,
+       CAST(sum(len(regexp_extract_all(event_type, '[aeiou]'))) AS BIGINT)
+         AS n_vowels,
+       count(DISTINCT regexp_replace(event_type, '[aeiou]', '*', 'g'))
+         AS n_distinct_masked,
+       CAST(sum(len(string_split_regex(props, '[:,{}]'))) AS BIGINT)
+         AS n_split_parts,
+       regexp_replace('ab12cd34', '(\d)(\d)', '\2\1', 'g') AS backref,
+       CAST(regexp_extract('v=42;w=7', 'w=(\d+)', 1) AS BIGINT) AS extract_group
+FROM events
+"""
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (the product-analytics classic, CEP-lite):
     per user, did view → click → purchase happen IN ORDER? Computed
@@ -916,6 +968,7 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "attribution_last_touch": attribution_last_touch,
     "string_collation_conformance": string_collation_conformance,
+    "regex_functions_conformance": regex_functions_conformance,
     "null_semantics_conformance": null_semantics_conformance,
     "decimal_arithmetic_conformance": decimal_arithmetic_conformance,
     "file_format_roundtrip": file_format_roundtrip,
@@ -927,6 +980,7 @@ ORACLES = {
     "cohort_retention": COHORT_RETENTION_SQL,
     "attribution_last_touch": ATTRIBUTION_LAST_TOUCH_SQL,
     "string_collation_conformance": STRING_COLLATION_CONFORMANCE_SQL,
+    "regex_functions_conformance": REGEX_FUNCTIONS_CONFORMANCE_SQL,
     "null_semantics_conformance": NULL_SEMANTICS_CONFORMANCE_SQL,
     "decimal_arithmetic_conformance": DECIMAL_ARITHMETIC_CONFORMANCE_SQL,
     "sessionize": SESSIONIZE_SQL,
