@@ -736,8 +736,87 @@ FROM chunks
 """
 
 
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering (the FineWeb-style alternative to a hard
+    threshold): each doc survives with probability proportional to its
+    quality score — keep-rate = clamp(quality, 0.1, 1.0) — so
+    low-quality text is down-weighted without a cliff, and the decision
+    is a DETERMINISTIC pure function of (doc_id, score): portable hash
+    < scaled rate, no RNG state, stable under re-runs/resizes/
+    increments (the ``corpus_stratified_sample`` contract, but with a
+    per-ROW rate computed from the oracle-gated ``text_quality``
+    expression instead of a per-source constant).
+
+    Cross-engine: quality is already 4dp-rounded identically on both
+    engines, so the integer keep threshold ``floor(rate·10⁴ + 0.5)``
+    is exact; per-bucket target rates sum as exact DECIMAL.
+
+    Output: per quality-decile audit (docs, kept, achieved vs target
+    rate) — the curve a curation reviewer reads to confirm the
+    sampler's slope.
+    """
+    from cdc_realtime_pipeline_spark.operators.text_ops import text_quality
+
+    q = text_quality(spark, sf_dir).select("doc_id", "quality")
+    rate = F.least(F.greatest(F.col("quality"), F.lit(0.1)), F.lit(1.0))
+    h = F.pmod(_hash64(F.col("doc_id").cast("string"), 41), F.lit(10000))
+    kept = (h < F.floor(rate * 10000 + F.lit(0.5))).cast("long")
+    bucket = F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9))
+    agg = (
+        q.select(bucket.alias("q_decile"), rate.alias("rate"), kept.alias("kept"))
+        .groupBy("q_decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("rate").cast("decimal(18,4)")).alias("_rate_sum"),
+        )
+    )
+    return agg.select(
+        "q_decile",
+        "n_docs",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("n_docs") + 1e-9, 4).alias("achieved_rate"),
+        F.round(
+            F.col("_rate_sum").cast("double") / F.col("n_docs") + 1e-9, 4
+        ).alias("target_rate"),
+    ).orderBy("q_decile")
+
+
+from cdc_realtime_pipeline_spark.operators.text_ops import (  # noqa: E402
+    TEXT_QUALITY_SQL as _TQ_SQL,
+)
+
+CORPUS_QUALITY_WEIGHTED_SAMPLE_SQL = f"""
+WITH q AS ({_TQ_SQL}),
+scored AS (
+  SELECT doc_id, quality,
+         least(greatest(quality, 0.1), 1.0) AS rate,
+         least(CAST(floor(quality * 10) AS INT), 9) AS q_decile,
+         (({_HASH64_SQL.format(salt=41, col="CAST(doc_id AS VARCHAR)")}) % 10000
+          + 10000) % 10000 AS h
+  FROM q
+),
+flagged AS (
+  SELECT q_decile, rate,
+         CASE WHEN h < floor(rate * 10000 + 0.5) THEN 1 ELSE 0 END AS kept
+  FROM scored
+),
+agg AS (
+  SELECT q_decile, count(*) AS n_docs,
+         CAST(sum(kept) AS BIGINT) AS n_kept,
+         sum(CAST(rate AS DECIMAL(18,4))) AS rate_sum
+  FROM flagged GROUP BY 1
+)
+SELECT q_decile, n_docs, n_kept,
+       round(n_kept / CAST(n_docs AS DOUBLE) + 1e-9, 4) AS achieved_rate,
+       round(CAST(rate_sum AS DOUBLE) / n_docs + 1e-9, 4) AS target_rate
+FROM agg ORDER BY q_decile
+"""
+
+
 QUERIES = {
     "decontaminate_vs_benchmark": decontaminate_vs_benchmark,
+    "corpus_quality_weighted_sample": corpus_quality_weighted_sample,
     "text_repetition": text_repetition,
     "corpus_stratified_sample": corpus_stratified_sample,
     "text_unigram_lm_score": text_unigram_lm_score,
@@ -757,5 +836,6 @@ ORACLES = {
     "text_unigram_lm_score": TEXT_UNIGRAM_LM_SCORE_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
     "corpus_mixture_weights": CORPUS_MIXTURE_WEIGHTS_SQL,
+    "corpus_quality_weighted_sample": CORPUS_QUALITY_WEIGHTED_SAMPLE_SQL,
     "docs_chunked": DOCS_CHUNKED_SQL,
 }

@@ -23,17 +23,18 @@ green driver row): [A] 3 rows whose implementation changed this round
 half-up avg, VERDICT r3 #1) and the PSI pair (NULL drift_flag +
 associativity, ADVICE r3 #1/#2); [B] the 7 remaining never-driver-
 checked rows (VERDICT r3 #2 — `stream_value_drift_gate`, the 8th, is
-already in [A]); [C] the 18 new round-4 operators (candidate-funnel
+already in [A]); [C] the 19 new round-4 operators (candidate-funnel
 audit, cross-source matrix, split-leakage audit, mixture weights,
 context-window chunking, last-touch attribution, schema drift,
 equi-depth histogram, k-means assignment step, MAD outliers,
 shingle-df histogram, streaming decontamination gate, lang confusion
 matrix, iterative k-means (rows-only, monotone-inertia self-check),
 OOV-rate vocabulary audit, string-collation + regex conformance,
-rolling 7-day DAU) taking their first driver look; [D] the
-oldest-evidence rotation — 22 rows green in round 1 only and
+rolling 7-day DAU, quality-weighted sampling) taking their first
+driver look; [D] the
+oldest-evidence rotation — 21 rows green in round 1 only and
 untouched since, cycling through per the staleness policy
-([A]3 + [B]7 + [C]18 + [D]22 = 50). Rows dropped this round hold
+([A]3 + [B]7 + [C]19 + [D]21 = 50). Rows dropped this round hold
 r1/r2/r3 green evidence on unchanged code and stay under the local
 3-SF harness.
 
@@ -45,7 +46,8 @@ plus twins displaced by [C]): `value_quantiles`, `sessionize_native`,
 `small_quantity_revenue`, `disjunctive_revenue`,
 `alerts_large_trade_lookup_join`, `order_status_pivot`,
 `big_orders_having`, `window_agg_sliding`, `order_priority_counts`, `lineitem_rollup`, `monthly_order_stats`, `cumulative_daily_value`, `set_operations`, `revenue_share_per_nation`,
-`cheapest_supplier_per_part`, and the r2-green block (media_*,
+`cheapest_supplier_per_part`, `customers_without_orders`, and the
+r2-green block (media_*,
 corpus_* pack/split/vocab, stream_static_enrich, stream_stream_join,
 asof_join_last_click, bucketized_range_join, skewed_join_salted) —
 oldest evidence first.
@@ -116,7 +118,7 @@ _PRIORITY = [
     "text_tfidf_topk",
     "text_bm25_topk",
     "value_winsorized_stats",
-    # --- [C] new round-4 operators, first look (18) ---
+    # --- [C] new round-4 operators, first look (19) ---
     "dedup_candidates_audit",
     "dup_cross_source_matrix",
     "split_leakage_audit",
@@ -135,8 +137,9 @@ _PRIORITY = [
     "string_collation_conformance",
     "regex_functions_conformance",
     "dash_rolling_7d_dau",
+    "corpus_quality_weighted_sample",
     # --- [D] oldest-evidence rotation: green in round 1 only,
-    # code unchanged since (22) ---
+    # code unchanged since (21) ---
     "tpch_q1",
     "tpch_q6",
     "tpch_q12_like",
@@ -144,7 +147,6 @@ _PRIORITY = [
     "region_revenue",
     "revenue_top_orders",
     "top_parts_per_supplier",
-    "customers_without_orders",
     "stats_functions",
     "scalar_functions",
     "date_functions",
