@@ -88,6 +88,14 @@ BENCH_QUERIES = [
     "events_schema_drift",
     "corpus_oov_rate",
     "embeddings_kmeans_assign",
+    # round-4 second wave: skew diagnostics (keyed count + scalar
+    # re-agg), bloom semijoin reduction (bitmap broadcast prefilter),
+    # chunk-level dedup (md5-key window), correlated subqueries
+    # (Catalyst decorrelation)
+    "key_skew_profile",
+    "bloom_semijoin_reduction",
+    "chunk_dedup_stats",
+    "correlated_subquery_conformance",
 ]
 
 

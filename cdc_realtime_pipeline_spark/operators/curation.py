@@ -814,8 +814,105 @@ FROM agg ORDER BY q_decile
 """
 
 
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (sub-document) dedup audit: how much of each
+    source's chunked training data is duplicated ANYWHERE in the
+    corpus. Document-level dedup misses boilerplate shared across
+    otherwise-distinct pages (headers, licenses, templates); chunk-
+    granularity is where that mass shows up, and per-source dup ratio
+    is the number that decides which source gets a boilerplate pass.
+
+    Same chunking as ``docs_chunked`` (size {c}, stride {s}) with
+    ``source`` carried through the map-side generate, so the plan is
+    scan → project → explode → ONE shuffle on chunk_md5 (window count
+    of each chunk's global multiplicity — 16-byte keys, never the
+    chunk text) → re-agg by source (bounded keys). At 100 TB the md5
+    shuffle is the same volume exact dedup already pays; nothing else
+    moves.
+    """
+    c, st = _CHUNK_TOKENS, _CHUNK_STRIDE
+    words = load_table(spark, sf_dir, "documents").select(
+        "source", F.split(normalize_text(F.col("text")), " ").alias("words")
+    )
+    sized = words.withColumn(
+        "n_chunks",
+        (
+            1
+            + F.floor(
+                (F.greatest(F.size("words") - c, F.lit(0)) + (st - 1)) / float(st)
+            )
+        ).cast("int"),
+    )
+    chunk_words = F.slice(
+        "words", F.col("chunk_idx") * st + 1, c
+    )
+    chunks = sized.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        "words",
+    ).select("source", F.md5(F.concat_ws(" ", chunk_words)).alias("chunk_md5"))
+    mult = chunks.withColumn(
+        "multiplicity", F.count("*").over(Window.partitionBy("chunk_md5"))
+    )
+    return (
+        mult.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("multiplicity") > 1).cast("long")).alias("n_dup_chunks"),
+            F.max("multiplicity").alias("max_multiplicity"),
+            F.round(
+                F.sum((F.col("multiplicity") > 1).cast("long")) / F.count("*")
+                + 1e-9,
+                4,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+chunk_dedup_stats.__doc__ = chunk_dedup_stats.__doc__.format(
+    c=_CHUNK_TOKENS, s=_CHUNK_STRIDE
+)
+
+
+CHUNK_DEDUP_STATS_SQL = rf"""
+WITH w AS (
+  SELECT source,
+         string_split({{norm}}, ' ') AS words
+  FROM documents
+),
+sized AS (
+  SELECT source, words,
+         CAST(1 + floor((greatest(len(words) - {_CHUNK_TOKENS}, 0)
+                         + {_CHUNK_STRIDE - 1}) / {float(_CHUNK_STRIDE)}) AS INT)
+           AS n_chunks
+  FROM w
+),
+chunks AS (
+  SELECT source,
+         md5(array_to_string(
+             list_slice(words, chunk_idx * {_CHUNK_STRIDE} + 1,
+                        chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' '))
+           AS chunk_md5
+  FROM (SELECT source, unnest(range(0, n_chunks)) AS chunk_idx, words FROM sized)
+),
+mult AS (
+  SELECT source, count(*) OVER (PARTITION BY chunk_md5) AS multiplicity
+  FROM chunks
+)
+SELECT source, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN multiplicity > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(max(multiplicity) AS BIGINT) AS max_multiplicity,
+       round(sum(CASE WHEN multiplicity > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS dup_ratio
+FROM mult GROUP BY source ORDER BY source
+""".replace("{norm}", NORMALIZE_SQL.format(col="text"))
+
+
 QUERIES = {
     "decontaminate_vs_benchmark": decontaminate_vs_benchmark,
+    "chunk_dedup_stats": chunk_dedup_stats,
     "corpus_quality_weighted_sample": corpus_quality_weighted_sample,
     "text_repetition": text_repetition,
     "corpus_stratified_sample": corpus_stratified_sample,
@@ -829,6 +926,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_curation_funnel": CORPUS_CURATION_FUNNEL_SQL,
+    "chunk_dedup_stats": CHUNK_DEDUP_STATS_SQL,
     "docs_ngram_novelty": DOCS_NGRAM_NOVELTY_SQL,
     "decontaminate_vs_benchmark": DECONTAMINATE_VS_BENCHMARK_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

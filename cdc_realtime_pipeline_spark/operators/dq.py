@@ -482,8 +482,76 @@ FROM flagged GROUP BY event_type, med, mad ORDER BY event_type
 """
 
 
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostics for the shuffle key — the profile a
+    100 TB operator reads BEFORE choosing a join/agg strategy on that
+    key (broadcast vs shuffle, salt factor, AQE skew threshold). The
+    reference's analog is its hot-market concern (SURVEY.md §7: "salted
+    keys documented for hot markets"); this makes the decision
+    data-driven instead of folklore.
+
+    Per-key counts (one keyed shuffle, map-side combinable) reduce to
+    one diagnostic row: key cardinality, max/avg per-key rows,
+    ``skew_ratio`` = max/avg (AQE's skewedPartitionFactor analog on
+    the KEY level — the number that says whether the hottest key alone
+    overflows an executor partition), top-1 and top-10 key share of all
+    rows, and exact p50/p99 of the per-key distribution
+    (``percentile`` ≡ DuckDB ``quantile_cont``). The second stage
+    aggregates a key-cardinality-sized input down to a scalar —
+    at 100 TB that intermediate is ~n_keys rows, never the fact table,
+    and the top-10 share comes from a rank window over that same
+    bounded relation, not a global sort of the data.
+    """
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.avg("cnt") + 1e-9, 4).alias("avg_key_rows"),
+        F.round(F.max("cnt") / F.avg("cnt") + 1e-9, 4).alias("skew_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt") + 1e-9, 6).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 10, F.col("cnt")).otherwise(0))
+            / F.sum("cnt")
+            + 1e-9,
+            6,
+        ).alias("top10_share"),
+        F.round(F.expr("percentile(cnt, 0.5)") + 1e-9, 4).alias("p50_key_rows"),
+        F.round(F.expr("percentile(cnt, 0.99)") + 1e-9, 4).alias("p99_key_rows"),
+    )
+
+
+KEY_SKEW_PROFILE_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rk
+  FROM counts
+)
+SELECT count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+       round(avg(cnt) + 1e-9, 4) AS avg_key_rows,
+       round(max(cnt) / avg(cnt) + 1e-9, 4) AS skew_ratio,
+       round(max(cnt) / CAST(sum(cnt) AS DOUBLE) + 1e-9, 6) AS top1_share,
+       round(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END)
+             / CAST(sum(cnt) AS DOUBLE) + 1e-9, 6) AS top10_share,
+       round(quantile_cont(cnt, 0.5) + 1e-9, 4) AS p50_key_rows,
+       round(quantile_cont(cnt, 0.99) + 1e-9, 4) AS p99_key_rows
+FROM ranked
+"""
+
+
 QUERIES = {
     "orders_dq_profile": orders_dq_profile,
+    "key_skew_profile": key_skew_profile,
     "value_mad_outliers": value_mad_outliers,
     "value_winsorized_stats": value_winsorized_stats,
     "value_distribution_psi": value_distribution_psi,
@@ -496,6 +564,7 @@ QUERIES = {
 
 ORACLES = {
     "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,
+    "key_skew_profile": KEY_SKEW_PROFILE_SQL,
     "value_mad_outliers": VALUE_MAD_OUTLIERS_SQL,
     "value_distribution_psi": VALUE_DISTRIBUTION_PSI_SQL,
     "value_winsorized_stats": VALUE_WINSORIZED_STATS_SQL,

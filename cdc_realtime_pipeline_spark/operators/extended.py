@@ -690,6 +690,52 @@ FROM events
 """
 
 
+_CSQ_SQL_BODY = """
+SELECT
+  (SELECT count(*) FROM {c} c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM {c} c2
+                          WHERE c2.c_nationkey = c.c_nationkey))
+    AS n_above_nation_avg,
+  (SELECT count(*) FROM {c} c
+    WHERE EXISTS (SELECT 1 FROM {o} o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 150000))
+    AS n_with_big_order,
+  (SELECT count(*) FROM {c} c
+    WHERE NOT EXISTS (SELECT 1 FROM {o} o
+                       WHERE o.o_custkey = c.c_custkey))
+    AS n_without_orders,
+  (SELECT count(*) FROM {o} o
+    WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM {o} o2
+                                   WHERE o2.o_custkey = o.o_custkey))
+    AS n_orders_above_cust_avg
+"""
+
+
+def correlated_subquery_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery conformance row: scalar correlated subquery
+    (acctbal vs own nation's average), correlated EXISTS / NOT EXISTS
+    (customers with a >150k order / with no orders), and a
+    self-correlated scalar (orders 1.5× above their customer's own
+    average) — the decorrelation surface, pinned as one scalar row with
+    the IDENTICAL SQL text on both engines.
+
+    Scale posture: Catalyst decorrelates each subquery into an
+    aggregate + equi-join on the correlation key (verified via
+    ``.explain`` — no per-row subplan execution exists in Spark, a
+    correlated form that failed to decorrelate would be rejected at
+    analysis), so every branch is one keyed shuffle over the customer /
+    orders key — the same plan shape a hand-written groupBy+join would
+    produce, with the declarative form left to the optimizer.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("csq_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("csq_orders")
+    return spark.sql(_CSQ_SQL_BODY.format(c="csq_customer", o="csq_orders"))
+
+
+CORRELATED_SUBQUERY_CONFORMANCE_SQL = _CSQ_SQL_BODY.format(c="customer", o="orders")
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (the product-analytics classic, CEP-lite):
     per user, did view → click → purchase happen IN ORDER? Computed
@@ -971,6 +1017,7 @@ QUERIES = {
     "regex_functions_conformance": regex_functions_conformance,
     "null_semantics_conformance": null_semantics_conformance,
     "decimal_arithmetic_conformance": decimal_arithmetic_conformance,
+    "correlated_subquery_conformance": correlated_subquery_conformance,
     "file_format_roundtrip": file_format_roundtrip,
 }
 
@@ -983,6 +1030,7 @@ ORACLES = {
     "regex_functions_conformance": REGEX_FUNCTIONS_CONFORMANCE_SQL,
     "null_semantics_conformance": NULL_SEMANTICS_CONFORMANCE_SQL,
     "decimal_arithmetic_conformance": DECIMAL_ARITHMETIC_CONFORMANCE_SQL,
+    "correlated_subquery_conformance": CORRELATED_SUBQUERY_CONFORMANCE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,

@@ -31,15 +31,20 @@ shingle-df histogram, streaming decontamination gate, lang confusion
 matrix, iterative k-means (rows-only, monotone-inertia self-check),
 OOV-rate vocabulary audit, string-collation + regex conformance,
 rolling 7-day DAU, quality-weighted sampling) taking their first
-driver look; [D] the
-oldest-evidence rotation — 21 rows green in round 1 only and
-untouched since, cycling through per the staleness policy
-([A]3 + [B]7 + [C]19 + [D]21 = 50). Rows dropped this round hold
-r1/r2/r3 green evidence on unchanged code and stay under the local
-3-SF harness.
+driver look; [C2] 4 second-wave round-4 operators (key-skew profile,
+correlated-subquery conformance, bloom semijoin reduction,
+chunk-level dedup audit) windowed the session they landed so no
+never-checked debt accrues; [D] the oldest-evidence rotation —
+17 rows green in round 1 only and untouched since, cycling through
+per the staleness policy ([A]3 + [B]7 + [C]19 + [C2]4 + [D]17 = 50).
+Rows dropped this round hold r1/r2/r3 green evidence on unchanged
+code and stay under the local 3-SF harness.
 
 Round-5 rotation queue (deferred from the r1-only pool this round,
-plus twins displaced by [C]): `value_quantiles`, `sessionize_native`,
+plus twins displaced by [C]): `dash_total_trades`,
+`dash_volume_last_day`, `dash_avg_latency_last_day`,
+`dash_distinct_users` (displaced by [C2] — r1-green, unchanged,
+trivial single-agg plans), `value_quantiles`, `sessionize_native`,
 `window_agg_5m_salted`, `dash_approx_distinct_users`,
 `dash_recent_alerts`, `dash_live_trades`, `dash_pipeline_liveness`,
 `dash_latest_value_per_day`, `dash_price_per_minute_single_key`,
@@ -138,8 +143,15 @@ _PRIORITY = [
     "regex_functions_conformance",
     "dash_rolling_7d_dau",
     "corpus_quality_weighted_sample",
+    # --- [C2] second-wave round-4 operators, first look (4):
+    # landed after the first round-4 block; windowed immediately so
+    # no "never-driver-checked" debt accrues (VERDICT r3 #2 class) ---
+    "key_skew_profile",
+    "correlated_subquery_conformance",
+    "bloom_semijoin_reduction",
+    "chunk_dedup_stats",
     # --- [D] oldest-evidence rotation: green in round 1 only,
-    # code unchanged since (21) ---
+    # code unchanged since (17) ---
     "tpch_q1",
     "tpch_q6",
     "tpch_q12_like",
@@ -155,10 +167,6 @@ _PRIORITY = [
     "ema_per_key",
     "alerts_large_trade",
     "alerts_rapid_trades",
-    "dash_total_trades",
-    "dash_volume_last_day",
-    "dash_avg_latency_last_day",
-    "dash_distinct_users",
     "dash_latency_per_minute",
     "dash_bid_ask_ranking",
 ]

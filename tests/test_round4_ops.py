@@ -176,3 +176,94 @@ def test_lang_confusion_matrix_consistency(spark, sf_dir):
         assert r.agree == int(r.declared_lang == r.pred_lang)
     for lang, tot in frac.items():
         assert abs(tot - 1.0) < 1e-4, lang
+
+
+def test_key_skew_profile_invariants(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.dq import key_skew_profile
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    row = key_skew_profile(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    assert row.n_rows == ev.count()
+    assert row.n_keys == ev.select("user_id").distinct().count()
+    assert row.top1_share <= row.top10_share <= 1.0 + 1e-9
+    assert row.p50_key_rows <= row.p99_key_rows <= row.max_key_rows
+    assert row.skew_ratio >= 1.0 - 1e-9
+    # top1_share is max/total by definition
+    assert abs(row.top1_share - row.max_key_rows / row.n_rows) < 1e-5
+
+
+def test_bloom_semijoin_exact_vs_plain_semi(spark, sf_dir):
+    # the bloom is a prefilter only: output must equal the plain
+    # semi join bit-for-bit (no false negatives survive, false
+    # positives are removed by the exact join)
+    from cdc_realtime_pipeline_spark.operators.relational import (
+        bloom_semijoin_reduction,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    got = bloom_semijoin_reduction(spark, sf_dir).collect()[0]
+    hv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        li.join(hv, li.l_orderkey == hv.o_orderkey, "left_semi")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("l_orderkey").alias("o"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9,
+                2,
+            ).alias("rev"),
+        )
+        .collect()[0]
+    )
+    assert (got.n_pruned_in, got.n_orders, got.hv_revenue) == (
+        plain.n,
+        plain.o,
+        plain.rev,
+    )
+
+
+def test_chunk_dedup_stats_consistent_with_docs_chunked(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.curation import chunk_dedup_stats
+
+    rows = chunk_dedup_stats(spark, sf_dir).collect()
+    # same chunking as docs_chunked: totals must agree
+    assert sum(r.n_chunks for r in rows) == docs_chunked(spark, sf_dir).count()
+    for r in rows:
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert 0.0 <= r.dup_ratio <= 1.0 + 1e-9
+        if r.n_dup_chunks:
+            assert r.max_multiplicity >= 2
+
+
+def test_correlated_subquery_matches_decorrelated_forms(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        correlated_subquery_conformance,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    row = correlated_subquery_conformance(spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nat_avg = cust.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nav"))
+    above = (
+        cust.join(nat_avg, "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nav"))
+        .count()
+    )
+    no_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).count()
+    big = cust.join(
+        orders.filter(F.col("o_totalprice") > 150000),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).count()
+    assert row.n_above_nation_avg == above
+    assert row.n_without_orders == no_orders
+    assert row.n_with_big_order == big

@@ -5,7 +5,7 @@ DuckDB at the given sf dir, comparing row count, schema (normalized),
 and an order-insensitive value hash. Use while iterating so driver
 rounds never surprise us.
 
-    python tools/check_correctness.py [sf_dir] [name_filter]
+    python tools/check_correctness.py [sf_dir] [name_filter[,name_filter...]]
 """
 
 from __future__ import annotations
@@ -86,7 +86,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if name_filter and not any(f in name for f in name_filter.split(",")):
             continue
         t0 = time.time()
         try:
