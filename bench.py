@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "bloom_semijoin_reduction",
     "chunk_dedup_stats",
     "correlated_subquery_conformance",
+    "dup_graph_pagerank",
+    "lateral_join_topk_conformance",
 ]
 
 

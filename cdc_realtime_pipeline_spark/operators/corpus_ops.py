@@ -115,6 +115,101 @@ GROUP BY r ORDER BY component
 """
 
 
+_PAGERANK_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup graph: {iters} PageRank iterations
+    (damping {damp}) on the symmetric Jaccard-pair edges — ranks the
+    "canonical center" of each dup cluster (the doc most copies point
+    at), the survivor-selection signal beyond CC's min-id rule.
+
+    The iterative-join family's second member next to connected
+    components (dup_clusters) and k-means (embeddings_kmeans_train) —
+    but unlike CC there is NO driver steering at all: the fixed
+    iteration count unrolls into one declarative plan (per iteration:
+    contribution join on the edge key + node-keyed sum — the standard
+    map/reduce PageRank step, rank relation stays node-sized). Edges +
+    degrees are persisted so the jaccard verify stage isn't recomputed
+    per iteration. Every node has degree ≥ 1 (nodes come from edges),
+    so there is no dangling-mass term.
+
+    Cross-engine: each iteration's rank is rounded to 6dp (+1e-9
+    nudge) on BOTH engines before feeding the next, so float summation
+    order can never accumulate across iterations.
+    """
+    pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = tracked_persist(
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+    )
+    deg = tracked_persist(
+        edges.groupBy(F.col("doc_a").alias("doc_id")).agg(
+            F.count("*").alias("degree")
+        )
+    )
+    ranks = deg.select("doc_id", "degree", F.lit(1.0).alias("rank"))
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select("doc_id", "degree", "rank"),
+                edges.doc_a == F.col("doc_id"),
+            )
+            .select(F.col("doc_b").alias("doc_id"), (F.col("rank") / F.col("degree")).alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = deg.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            "degree",
+            F.round(
+                (1 - _PR_DAMP) + _PR_DAMP * F.coalesce("s", F.lit(0.0)) + 1e-9, 6
+            ).alias("rank"),
+        )
+    return ranks.select("doc_id", "degree", F.col("rank").alias("pagerank")).orderBy(
+        "doc_id"
+    )
+
+
+dup_graph_pagerank.__doc__ = dup_graph_pagerank.__doc__.format(
+    iters=_PAGERANK_ITERS, damp=_PR_DAMP
+)
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+contrib_{out} AS (
+  SELECT e.v AS node, sum(r.rank / r.degree) AS s
+  FROM edges e JOIN {prev} r ON e.u = r.node
+  GROUP BY e.v
+),
+{out} AS (
+  SELECT d.node, d.degree,
+         round({1 - _PR_DAMP} + {_PR_DAMP} * coalesce(c.s, 0) + 1e-9, 6) AS rank
+  FROM deg d LEFT JOIN contrib_{out} c ON c.node = d.node
+)"""
+
+
+DUP_GRAPH_PAGERANK_SQL = f"""
+WITH jac AS ({DEDUP_DOCS_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM jac
+),
+deg AS (
+  SELECT u AS node, count(*) AS degree FROM edges GROUP BY u
+),
+r0 AS (
+  SELECT node, degree, 1.0 AS rank FROM deg
+),{_pr_iter_sql("r0", "r1")},{_pr_iter_sql("r1", "r2")},{_pr_iter_sql("r2", "r3")}
+SELECT node AS doc_id, CAST(degree AS BIGINT) AS degree, rank AS pagerank
+FROM r3 ORDER BY doc_id
+"""
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -477,6 +572,7 @@ FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES = {
     "dup_clusters_connected_components": dup_clusters_connected_components,
+    "dup_graph_pagerank": dup_graph_pagerank,
     "split_leakage_audit": split_leakage_audit,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_train_val_split": corpus_train_val_split,
@@ -491,6 +587,7 @@ ORACLES = {
     "label_balanced_sample": LABEL_BALANCED_SAMPLE_SQL,
     "split_leakage_audit": SPLIT_LEAKAGE_AUDIT_SQL,
     "dup_clusters_connected_components": DUP_CLUSTERS_SQL,
+    "dup_graph_pagerank": DUP_GRAPH_PAGERANK_SQL,
     "corpus_pack_sequences": CORPUS_PACK_SEQUENCES_SQL,
     "corpus_train_val_split": CORPUS_TRAIN_VAL_SPLIT_SQL,
     "corpus_vocab_topk": CORPUS_VOCAB_TOPK_SQL,

@@ -736,6 +736,82 @@ def correlated_subquery_conformance(spark: SparkSession, sf_dir: str) -> DataFra
 CORRELATED_SUBQUERY_CONFORMANCE_SQL = _CSQ_SQL_BODY.format(c="customer", o="orders")
 
 
+def lateral_join_topk_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL-join conformance: per-customer top-2 orders by price via
+    a correlated LATERAL subquery with ORDER BY … LIMIT — the
+    declarative per-group top-K form (the imperative twin is the rank
+    window in `top_parts_per_supplier`). Deterministic under ties via
+    the (price DESC, orderkey ASC) compound sort key.
+
+    Scale posture (verified on the optimized plan): Catalyst
+    decorrelates the correlated LIMIT into a `row_number` window +
+    ``WindowGroupLimit`` — a map-side per-group top-2 BEFORE the
+    shuffle, then the rank filter after it; it even infers the
+    customer-side ``%10`` predicate onto the orders scan. Same single
+    correlation-key shuffle the hand-written window form pays, with
+    group-limit pushdown on top; nothing per-row, nothing nested-loop.
+    The thinning itself exists only to bound the gate row count.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        _LATERAL_TOPK_BODY.format(c="lat_customer", o="lat_orders")
+    )
+
+
+_LATERAL_TOPK_BODY = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM {c} c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {o} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+WHERE c.c_custkey % 10 = 0
+"""
+
+# DuckDB requires an explicit ON for JOIN LATERAL; Spark takes none —
+# the one syntactic divergence, semantics identical
+LATERAL_JOIN_TOPK_CONFORMANCE_SQL = (
+    _LATERAL_TOPK_BODY.format(c="customer", o="orders").replace(
+        ") t", ") t ON true"
+    )
+)
+
+
+def listagg_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg) conformance:
+    per event_type, the user_id sequence ordered by event_id — the
+    reporting-layer op whose result is ORDER-DEFINED, so both engines
+    must agree on the WITHIN GROUP ordering, not just the member set.
+    The concatenation is md5-collapsed so the gate row stays small
+    (and the hash only matches if the full ordered string matches
+    byte-for-byte). Spark 4's ``listagg … WITHIN GROUP (ORDER BY)`` ≡
+    DuckDB's ``string_agg(… ORDER BY)``; the order key (event_id) is
+    unique, so the ordering is total — engines are free to disagree on
+    ties otherwise, which is why the conformance contract requires a
+    tie-free key.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    ev.createOrReplaceTempView("la_events")
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n,
+               md5(listagg(CAST(user_id AS STRING), ',')
+                   WITHIN GROUP (ORDER BY event_id)) AS seq_md5
+        FROM la_events GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+LISTAGG_CONFORMANCE_SQL = """
+SELECT event_type, count(*) AS n,
+       md5(string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY event_id))
+         AS seq_md5
+FROM events WHERE event_id % 97 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (the product-analytics classic, CEP-lite):
     per user, did view → click → purchase happen IN ORDER? Computed
@@ -1018,6 +1094,8 @@ QUERIES = {
     "null_semantics_conformance": null_semantics_conformance,
     "decimal_arithmetic_conformance": decimal_arithmetic_conformance,
     "correlated_subquery_conformance": correlated_subquery_conformance,
+    "lateral_join_topk_conformance": lateral_join_topk_conformance,
+    "listagg_conformance": listagg_conformance,
     "file_format_roundtrip": file_format_roundtrip,
 }
 
@@ -1031,6 +1109,8 @@ ORACLES = {
     "null_semantics_conformance": NULL_SEMANTICS_CONFORMANCE_SQL,
     "decimal_arithmetic_conformance": DECIMAL_ARITHMETIC_CONFORMANCE_SQL,
     "correlated_subquery_conformance": CORRELATED_SUBQUERY_CONFORMANCE_SQL,
+    "lateral_join_topk_conformance": LATERAL_JOIN_TOPK_CONFORMANCE_SQL,
+    "listagg_conformance": LISTAGG_CONFORMANCE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,

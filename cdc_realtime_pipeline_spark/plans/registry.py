@@ -31,20 +31,23 @@ shingle-df histogram, streaming decontamination gate, lang confusion
 matrix, iterative k-means (rows-only, monotone-inertia self-check),
 OOV-rate vocabulary audit, string-collation + regex conformance,
 rolling 7-day DAU, quality-weighted sampling) taking their first
-driver look; [C2] 4 second-wave round-4 operators (key-skew profile,
-correlated-subquery conformance, bloom semijoin reduction,
-chunk-level dedup audit) windowed the session they landed so no
-never-checked debt accrues; [D] the oldest-evidence rotation —
-17 rows green in round 1 only and untouched since, cycling through
-per the staleness policy ([A]3 + [B]7 + [C]19 + [C2]4 + [D]17 = 50).
+driver look; [C2] 7 second-wave round-4 operators (key-skew profile,
+correlated-subquery / LATERAL-top-K / ordered-LISTAGG conformance,
+bloom semijoin reduction, chunk-level dedup audit, dup-graph
+PageRank) windowed the session they landed so no never-checked debt
+accrues; [D] the oldest-evidence rotation — 14 rows green in round 1
+only and untouched since, cycling through per the staleness policy
+([A]3 + [B]7 + [C]19 + [C2]7 + [D]14 = 50).
 Rows dropped this round hold r1/r2/r3 green evidence on unchanged
 code and stay under the local 3-SF harness.
 
 Round-5 rotation queue (deferred from the r1-only pool this round,
 plus twins displaced by [C]): `dash_total_trades`,
 `dash_volume_last_day`, `dash_avg_latency_last_day`,
-`dash_distinct_users` (displaced by [C2] — r1-green, unchanged,
-trivial single-agg plans), `value_quantiles`, `sessionize_native`,
+`dash_distinct_users`, `dash_latency_per_minute`,
+`scalar_functions`, `date_functions` (displaced by [C2] — r1-green,
+unchanged, trivial agg / function-sweep plans), `value_quantiles`,
+`sessionize_native`,
 `window_agg_5m_salted`, `dash_approx_distinct_users`,
 `dash_recent_alerts`, `dash_live_trades`, `dash_pipeline_liveness`,
 `dash_latest_value_per_day`, `dash_price_per_minute_single_key`,
@@ -150,6 +153,9 @@ _PRIORITY = [
     "correlated_subquery_conformance",
     "bloom_semijoin_reduction",
     "chunk_dedup_stats",
+    "dup_graph_pagerank",
+    "lateral_join_topk_conformance",
+    "listagg_conformance",
     # --- [D] oldest-evidence rotation: green in round 1 only,
     # code unchanged since (17) ---
     "tpch_q1",
@@ -160,14 +166,11 @@ _PRIORITY = [
     "revenue_top_orders",
     "top_parts_per_supplier",
     "stats_functions",
-    "scalar_functions",
-    "date_functions",
     "window_rank_functions",
     "sessionize",
     "ema_per_key",
     "alerts_large_trade",
     "alerts_rapid_trades",
-    "dash_latency_per_minute",
     "dash_bid_ask_ranking",
 ]
 

@@ -83,3 +83,27 @@ def test_vocab_topk_ordering(spark, sf_dir):
     counts = [r["n"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(c > 0 for c in counts)
+
+
+def test_pagerank_mass_conservation_and_node_set(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+        dup_clusters_connected_components,
+        dup_graph_pagerank,
+    )
+
+    rows = dup_graph_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    # no dangling nodes (every node has degree >= 1) => total rank mass
+    # is conserved at n, up to the per-iteration 6dp rounding
+    assert abs(sum(r.pagerank for r in rows) - n) < n * 1e-4
+    for r in rows:
+        assert r.pagerank >= 0.15 - 1e-9
+        assert r.degree >= 1
+    # node universe matches the CC operator's (same edge set)
+    n_cc_members = sum(
+        c.n_members
+        for c in dup_clusters_connected_components(spark, sf_dir).collect()
+    )
+    assert n == n_cc_members

@@ -267,3 +267,55 @@ def test_correlated_subquery_matches_decorrelated_forms(spark, sf_dir):
     assert row.n_above_nation_avg == above
     assert row.n_without_orders == no_orders
     assert row.n_with_big_order == big
+
+
+def test_lateral_topk_matches_window_rank_twin(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        lateral_join_topk_conformance,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    got = {
+        (r.c_custkey, r.o_orderkey)
+        for r in lateral_join_topk_conformance(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = {
+        (r.o_custkey, r.o_orderkey)
+        for r in orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_semi"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == want
+
+
+def test_listagg_md5_matches_python_ordered_concat(spark, sf_dir):
+    import hashlib
+
+    from cdc_realtime_pipeline_spark.operators.extended import listagg_conformance
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select("event_type", "event_id", "user_id")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.event_id, r.user_id))
+    rows = listagg_conformance(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        seq = ",".join(str(u) for _, u in sorted(by_type[r.event_type]))
+        assert r.n == len(by_type[r.event_type])
+        assert r.seq_md5 == hashlib.md5(seq.encode()).hexdigest()

@@ -47,6 +47,11 @@ SHOWCASE = [
     ("embeddings_kmeans_assign", "broadcast seeds ×K fan-out, integer argmin"),
     ("shingle_df_histogram", "df agg → log2 bucket agg over shared shingles"),
     ("events_schema_drift", "json-keys explode → (day,key) agg + window mins"),
+    ("key_skew_profile", "per-key counts → one diagnostic row (rank over bounded relation)"),
+    ("bloom_semijoin_reduction", "bit_or bitmap broadcast prefilter → exact semi join"),
+    ("chunk_dedup_stats", "map-side chunk generate → md5-key multiplicity window"),
+    ("lateral_join_topk_conformance", "LATERAL LIMIT decorrelated to WindowGroupLimit"),
+    ("dup_graph_pagerank", "3 unrolled rank iterations, node-sized relation"),
 ]
 
 
