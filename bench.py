@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "correlated_subquery_conformance",
     "dup_graph_pagerank",
     "lateral_join_topk_conformance",
+    "tpch_q18_like",
+    "corpus_weighted_reservoir",
 ]
 
 

@@ -910,9 +910,81 @@ FROM mult GROUP BY source ORDER BY source
 """.replace("{norm}", NORMALIZE_SQL.format(col="text"))
 
 
+_RESERVOIR_K = 5
+
+
+def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget weighted sampling: exactly K={k} docs per source,
+    drawn with probability proportional to quality — the
+    Efraimidis–Spirakis (A-ES) exponential-key scheme, the standard
+    DISTRIBUTED weighted reservoir: each doc gets key = u^(1/w)
+    (u uniform from the portable hash, w = quality), and the K largest
+    keys per stratum ARE the weighted sample. Complements
+    `corpus_quality_weighted_sample` (per-row Bernoulli, variable
+    output size) with the exact-budget form a sampling contract often
+    requires.
+
+    Determinism: u is the portable md5-derived integer (+0.5)/10⁴ —
+    no RNG state, stable under re-runs/resizes; keys are rounded to
+    6dp (+1e-9) BEFORE ranking, ties broken by doc_id, so the
+    selection is a pure function of (doc_id, quality) on both engines
+    (pow agrees across libms to ~1 ulp, absorbed by the round).
+
+    Scale posture: one hash projection + a per-source rank window —
+    Catalyst's WindowGroupLimit keeps top-K heaps per partition
+    map-side before the single stratum-key shuffle, which is exactly
+    the classical distributed-reservoir merge. w is floored at 0.05 so
+    1/w stays bounded.
+    """
+    from cdc_realtime_pipeline_spark.operators.text_ops import text_quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = text_quality(spark, sf_dir).select("doc_id", "quality")
+    u = (F.pmod(_hash64(F.col("doc_id").cast("string"), 53), F.lit(10000)) + 0.5) / 10000
+    w = F.greatest(F.col("quality"), F.lit(0.05))
+    scored = docs.join(q, "doc_id").select(
+        "source",
+        "doc_id",
+        "quality",
+        F.round(F.pow(u, 1.0 / w) + 1e-9, 6).alias("res_key"),
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("res_key"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("source", "doc_id", "quality", "res_key", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+corpus_weighted_reservoir.__doc__ = corpus_weighted_reservoir.__doc__.format(
+    k=_RESERVOIR_K
+)
+
+CORPUS_WEIGHTED_RESERVOIR_SQL = f"""
+WITH q AS ({{tq}}),
+scored AS (
+  SELECT d.source, d.doc_id, q.quality,
+         round(power(
+           ((({_HASH64_SQL.format(salt=53, col="CAST(d.doc_id AS VARCHAR)")}) % 10000
+             + 10000) % 10000 + 0.5) / 10000,
+           1.0 / greatest(q.quality, 0.05)) + 1e-9, 6) AS res_key
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY res_key DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT source, doc_id, quality, res_key, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_RESERVOIR_K} ORDER BY source, rk
+""".format(tq=_TQ_SQL)
+
+
 QUERIES = {
     "decontaminate_vs_benchmark": decontaminate_vs_benchmark,
     "chunk_dedup_stats": chunk_dedup_stats,
+    "corpus_weighted_reservoir": corpus_weighted_reservoir,
     "corpus_quality_weighted_sample": corpus_quality_weighted_sample,
     "text_repetition": text_repetition,
     "corpus_stratified_sample": corpus_stratified_sample,
@@ -927,6 +999,7 @@ QUERIES = {
 ORACLES = {
     "corpus_curation_funnel": CORPUS_CURATION_FUNNEL_SQL,
     "chunk_dedup_stats": CHUNK_DEDUP_STATS_SQL,
+    "corpus_weighted_reservoir": CORPUS_WEIGHTED_RESERVOIR_SQL,
     "docs_ngram_novelty": DOCS_NGRAM_NOVELTY_SQL,
     "decontaminate_vs_benchmark": DECONTAMINATE_VS_BENCHMARK_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

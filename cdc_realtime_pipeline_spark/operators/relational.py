@@ -810,8 +810,57 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
 """
 
 
+def tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose lineitems sum
+    past 300 units, joined back to customer detail — the
+    aggregate-subquery semijoin shape (IN over a GROUP BY … HAVING).
+
+    Scale posture: the HAVING aggregate and the detail re-aggregate
+    both shuffle on l_orderkey, so Catalyst/AQE plans the semijoin
+    between them without re-shuffling either side (same-key exchange
+    reuse); customer joins the ~0.5%-selectivity survivor set (AQE
+    broadcasts it at runtime — no hint, the survivor count is data-
+    dependent); the top-100 is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+TPCH_Q18_LIKE_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 4) AS total_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
+    "tpch_q18_like": tpch_q18_like,
     "bloom_semijoin_reduction": bloom_semijoin_reduction,
     "tpch_q6": tpch_q6,
     "tpch_q12_like": tpch_q12_like,
@@ -839,6 +888,7 @@ QUERIES = {
 ORACLES = {
     "join_types_conformance": JOIN_TYPES_CONFORMANCE_SQL,
     "bloom_semijoin_reduction": BLOOM_SEMIJOIN_REDUCTION_SQL,
+    "tpch_q18_like": TPCH_Q18_LIKE_SQL,
     "tpch_q1": TPCH_Q1_SQL,
     "tpch_q6": TPCH_Q6_SQL,
     "tpch_q12_like": TPCH_Q12_LIKE_SQL,

@@ -31,13 +31,14 @@ shingle-df histogram, streaming decontamination gate, lang confusion
 matrix, iterative k-means (rows-only, monotone-inertia self-check),
 OOV-rate vocabulary audit, string-collation + regex conformance,
 rolling 7-day DAU, quality-weighted sampling) taking their first
-driver look; [C2] 7 second-wave round-4 operators (key-skew profile,
+driver look; [C2] 9 second-wave round-4 operators (key-skew profile,
 correlated-subquery / LATERAL-top-K / ordered-LISTAGG conformance,
 bloom semijoin reduction, chunk-level dedup audit, dup-graph
-PageRank) windowed the session they landed so no never-checked debt
-accrues; [D] the oldest-evidence rotation — 14 rows green in round 1
-only and untouched since, cycling through per the staleness policy
-([A]3 + [B]7 + [C]19 + [C2]7 + [D]14 = 50).
+PageRank, TPC-H Q18 agg-subquery semijoin, A-ES weighted reservoir)
+windowed the session they landed so no never-checked debt accrues;
+[D] the oldest-evidence rotation — 12 rows green in round 1 only and
+untouched since, cycling through per the staleness policy
+([A]3 + [B]7 + [C]19 + [C2]9 + [D]12 = 50).
 Rows dropped this round hold r1/r2/r3 green evidence on unchanged
 code and stay under the local 3-SF harness.
 
@@ -45,8 +46,9 @@ Round-5 rotation queue (deferred from the r1-only pool this round,
 plus twins displaced by [C]): `dash_total_trades`,
 `dash_volume_last_day`, `dash_avg_latency_last_day`,
 `dash_distinct_users`, `dash_latency_per_minute`,
-`scalar_functions`, `date_functions` (displaced by [C2] — r1-green,
-unchanged, trivial agg / function-sweep plans), `value_quantiles`,
+`scalar_functions`, `date_functions`, `tpch_q12_like`,
+`tpch_q14_like` (displaced by [C2] — r1-green, unchanged, trivial
+agg / function-sweep / join plans), `value_quantiles`,
 `sessionize_native`,
 `window_agg_5m_salted`, `dash_approx_distinct_users`,
 `dash_recent_alerts`, `dash_live_trades`, `dash_pipeline_liveness`,
@@ -156,12 +158,12 @@ _PRIORITY = [
     "dup_graph_pagerank",
     "lateral_join_topk_conformance",
     "listagg_conformance",
+    "tpch_q18_like",
+    "corpus_weighted_reservoir",
     # --- [D] oldest-evidence rotation: green in round 1 only,
     # code unchanged since (17) ---
     "tpch_q1",
     "tpch_q6",
-    "tpch_q12_like",
-    "tpch_q14_like",
     "region_revenue",
     "revenue_top_orders",
     "top_parts_per_supplier",

@@ -319,3 +319,44 @@ def test_listagg_md5_matches_python_ordered_concat(spark, sf_dir):
         seq = ",".join(str(u) for _, u in sorted(by_type[r.event_type]))
         assert r.n == len(by_type[r.event_type])
         assert r.seq_md5 == hashlib.md5(seq.encode()).hexdigest()
+
+
+def test_tpch_q18_like_threshold_and_limit(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.relational import tpch_q18_like
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    rows = tpch_q18_like(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = {
+        r.l_orderkey: r.qty
+        for r in li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .collect()
+    }
+    for r in rows:
+        assert r.o_orderkey in sums
+        assert abs(r.total_qty - sums[r.o_orderkey]) < 1e-6
+
+
+def test_weighted_reservoir_exact_budget_and_bias(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        _RESERVOIR_K,
+        corpus_weighted_reservoir,
+    )
+    from cdc_realtime_pipeline_spark.operators.text_ops import text_quality
+
+    rows = corpus_weighted_reservoir(spark, sf_dir).collect()
+    per_source: dict = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+        assert 1 <= r.rk <= _RESERVOIR_K
+        assert 0.0 <= r.res_key <= 1.0 + 1e-6
+    for src, members in per_source.items():
+        assert len(members) == _RESERVOIR_K, src
+        assert sorted(m.rk for m in members) == list(range(1, _RESERVOIR_K + 1))
+    # weighted selection must favor quality: mean quality of the
+    # sample exceeds the corpus mean (clear margin on this fixture)
+    q = [r.quality for r in text_quality(spark, sf_dir).collect()]
+    sample_q = [r.quality for r in rows]
+    assert sum(sample_q) / len(sample_q) > sum(q) / len(q)
