@@ -855,8 +855,67 @@ def stream_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-K under streaming: per 1-hour event-time window,
+    the 3 most frequent event_types with their counts and ranks — the
+    live "what's trending" board every event pipeline serves.
+
+    Streaming aggregations cannot host rank windows (no ordering over
+    an unbounded result), so the operator splits exactly where a
+    production job would: the STREAM maintains the (window, type)
+    counts — mergeable state, complete mode — and the rank runs at
+    read over the sink, which is |windows|×|types| rows regardless of
+    input volume. Ties (equal counts) break on event_type so the
+    board is deterministic. Oracle: the batch twin over the same
+    finite input.
+    """
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = events_stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    res = _memory_sink(agg, "complete")
+    from pyspark.sql.window import Window as _W
+
+    rk = F.row_number().over(
+        _W.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        res.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("window_start", "rk")
+    )
+
+
+STREAM_TOPK_PER_WINDOW_SQL = """
+WITH counts AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type ASC) AS rk
+  FROM counts
+)
+SELECT window_start, event_type, n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY window_start, rk
+"""
+
+
 QUERIES = {
     "stream_window_agg_5m": stream_window_agg_5m,
+    "stream_topk_per_window": stream_topk_per_window,
     "stream_ohlc_bars_5m": stream_ohlc_bars_5m,
     "stream_value_drift_gate": stream_value_drift_gate,
     "stream_cdc_parse": stream_cdc_parse,
@@ -875,6 +934,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
+    "stream_topk_per_window": STREAM_TOPK_PER_WINDOW_SQL,
     "stream_ohlc_bars_5m": _ts_oracles.OHLC_BARS_5M_SQL,
     # over the finite stream the live half == the batch query's late half
     "stream_value_drift_gate": _dq_oracles.VALUE_DISTRIBUTION_PSI_SQL,

@@ -305,3 +305,26 @@ def test_fanout_ingest_time_mode(spark, sf_dir):
         (F.col("window_end") < F.lit(t0)) | (F.col("window_start") > F.lit(t1))
     )
     assert bad.count() == 0
+
+
+def test_stream_topk_per_window_board_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.session import load_table
+    from cdc_realtime_pipeline_spark.streaming.stream_queries import (
+        stream_topk_per_window,
+    )
+
+    rows = stream_topk_per_window(spark, sf_dir).collect()
+    n_types = (
+        load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    boards: dict = {}
+    for r in rows:
+        boards.setdefault(r.window_start, []).append(r)
+    for win, board in boards.items():
+        assert 1 <= len(board) <= min(3, n_types)
+        assert [b.rk for b in board] == list(range(1, len(board) + 1))
+        # counts non-increasing down the board; equal counts ordered by type
+        for a, b in zip(board, board[1:]):
+            assert a.n > b.n or (a.n == b.n and a.event_type < b.event_type)
