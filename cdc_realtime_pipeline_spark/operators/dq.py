@@ -549,9 +549,88 @@ FROM ranked
 """
 
 
+def daily_users_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct rollup via bitmaps — the exact twin of
+    `daily_users_hll_rollup`: per (day, bucket) the engine stores a
+    32 Ki-bit bitmap of user ids (``bitmap_construct_agg``), and any
+    coarser distinct count is a lossless ``bitmap_or_agg`` +
+    ``bitmap_count`` over the stored partials — never a re-scan of the
+    fact data. This is the Snowflake/ClickHouse bitmap-distinct
+    pattern: exact where HLL is approximate, at bitmap-size cost
+    (fine for dense integer keys like user ids; HLL remains the
+    arbitrary-key fallback).
+
+    Output per ISO week: the exact WAU from OR-ing the daily bitmaps,
+    Σ daily DAU (same partials, bucket-summed per day first), and the
+    revisit ratio between them. Oracle recomputes both from raw rows —
+    the bitmaps must be information-lossless for the hashes to match.
+    ``user_id+1`` keeps ids on the function family's 1-based grid.
+    Partial relation is (days × buckets) rows — at 100 TB the rollup
+    reads partials only, and daily partials merge map-side.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.col("user_id") + 1).alias("uid"),
+    )
+    daily = ev.groupBy(
+        "day", F.expr("bitmap_bucket_number(uid)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(uid))").alias("bm"))
+    week = F.date_trunc("week", F.col("day")).alias("week_start")
+    dau = (
+        daily.groupBy("day")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("dau"))
+        .groupBy(week)
+        .agg(F.sum("dau").alias("sum_daily_dau"))
+    )
+    wau = (
+        daily.groupBy(week, F.col("bkt"))
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("week_start")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("wau_exact"))
+    )
+    return (
+        wau.join(dau, "week_start")
+        .select(
+            "week_start",
+            "wau_exact",
+            "sum_daily_dau",
+            F.round(F.col("sum_daily_dau") / F.col("wau_exact") + 1e-9, 4).alias(
+                "revisit_ratio"
+            ),
+        )
+        .orderBy("week_start")
+    )
+
+
+DAILY_USERS_BITMAP_ROLLUP_SQL = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+         user_id
+  FROM events
+),
+dau AS (
+  SELECT week_start, day, count(DISTINCT user_id) AS dau
+  FROM d GROUP BY 1, 2
+),
+wk AS (
+  SELECT week_start, count(DISTINCT user_id) AS wau_exact
+  FROM d GROUP BY 1
+)
+SELECT w.week_start, w.wau_exact,
+       CAST(sum(dau.dau) AS BIGINT) AS sum_daily_dau,
+       round(sum(dau.dau) / CAST(w.wau_exact AS DOUBLE) + 1e-9, 4)
+         AS revisit_ratio
+FROM wk w JOIN dau ON dau.week_start = w.week_start
+GROUP BY w.week_start, w.wau_exact
+ORDER BY w.week_start
+"""
+
+
 QUERIES = {
     "orders_dq_profile": orders_dq_profile,
     "key_skew_profile": key_skew_profile,
+    "daily_users_bitmap_rollup": daily_users_bitmap_rollup,
     "value_mad_outliers": value_mad_outliers,
     "value_winsorized_stats": value_winsorized_stats,
     "value_distribution_psi": value_distribution_psi,
@@ -565,6 +644,7 @@ QUERIES = {
 ORACLES = {
     "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,
     "key_skew_profile": KEY_SKEW_PROFILE_SQL,
+    "daily_users_bitmap_rollup": DAILY_USERS_BITMAP_ROLLUP_SQL,
     "value_mad_outliers": VALUE_MAD_OUTLIERS_SQL,
     "value_distribution_psi": VALUE_DISTRIBUTION_PSI_SQL,
     "value_winsorized_stats": VALUE_WINSORIZED_STATS_SQL,

@@ -812,6 +812,61 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def try_functions_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic conformance: the ``try_*`` family returns
+    NULL where strict ANSI evaluation would raise — division by zero,
+    unparseable casts, 64-bit overflow. The engine contract a fault-
+    tolerant 100 TB pipeline depends on: one poisoned row must yield
+    one NULL, never a failed stage. Planted cases: denominator
+    ``event_id % 5`` (zero on every 5th row), a non-numeric string
+    cast, ``Long.MAX + event_id`` (overflows for every id > 0), and a
+    numeric round-trip through string that must survive.
+
+    The oracle expresses the identical SEMANTICS in DuckDB's dialect
+    (TRY_CAST; CASE-guarded division/overflow — DuckDB raises on
+    both, so the guard IS its try-form); the row pins results, not
+    syntax. The safe-division sum is decimal-summed from 4dp-rounded
+    quotients so float summation order can't drift.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    safe_div = F.round(F.expr("try_divide(value, event_id % 5)") + 1e-9, 4)
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr("try_divide(value, event_id % 5)").isNull().cast("long")).alias(
+            "n_div_null"
+        ),
+        F.sum(safe_div.cast("decimal(28,4)")).alias("sum_safe_div"),
+        F.sum(F.expr("try_cast(event_type AS DOUBLE)").isNull().cast("long")).alias(
+            "n_badcast_null"
+        ),
+        F.sum(
+            F.expr("try_add(9223372036854775807L, event_id)").isNull().cast("long")
+        ).alias("n_overflow_null"),
+        F.sum(
+            (
+                F.expr("try_cast(cast(value AS STRING) AS DOUBLE)") == F.col("value")
+            ).cast("long")
+        ).alias("n_roundtrip_ok"),
+    )
+
+
+TRY_FUNCTIONS_CONFORMANCE_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_null,
+       sum(CAST(round(CASE WHEN event_id % 5 = 0 THEN NULL
+                           ELSE value / (event_id % 5) END + 1e-9, 4)
+                AS DECIMAL(28,4))) AS sum_safe_div,
+       CAST(sum(CASE WHEN TRY_CAST(event_type AS DOUBLE) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast_null,
+       CAST(sum(CASE WHEN event_id > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overflow_null,
+       CAST(sum(CASE WHEN TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) = value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+FROM events
+"""
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel (the product-analytics classic, CEP-lite):
     per user, did view → click → purchase happen IN ORDER? Computed
@@ -1096,6 +1151,7 @@ QUERIES = {
     "correlated_subquery_conformance": correlated_subquery_conformance,
     "lateral_join_topk_conformance": lateral_join_topk_conformance,
     "listagg_conformance": listagg_conformance,
+    "try_functions_conformance": try_functions_conformance,
     "file_format_roundtrip": file_format_roundtrip,
 }
 
@@ -1111,6 +1167,7 @@ ORACLES = {
     "correlated_subquery_conformance": CORRELATED_SUBQUERY_CONFORMANCE_SQL,
     "lateral_join_topk_conformance": LATERAL_JOIN_TOPK_CONFORMANCE_SQL,
     "listagg_conformance": LISTAGG_CONFORMANCE_SQL,
+    "try_functions_conformance": TRY_FUNCTIONS_CONFORMANCE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,

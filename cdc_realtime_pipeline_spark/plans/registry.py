@@ -31,15 +31,16 @@ shingle-df histogram, streaming decontamination gate, lang confusion
 matrix, iterative k-means (rows-only, monotone-inertia self-check),
 OOV-rate vocabulary audit, string-collation + regex conformance,
 rolling 7-day DAU, quality-weighted sampling) taking their first
-driver look; [C2] 10 second-wave round-4 operators (key-skew
-profile, correlated-subquery / LATERAL-top-K / ordered-LISTAGG
-conformance, bloom semijoin reduction, chunk-level dedup audit,
-dup-graph PageRank, TPC-H Q18 agg-subquery semijoin, A-ES weighted
-reservoir, streaming windowed top-K) windowed the session they
-landed so no never-checked debt accrues; [D] the oldest-evidence
-rotation — 11 rows green in round 1 only and untouched since,
-cycling through per the staleness policy
-([A]3 + [B]7 + [C]19 + [C2]10 + [D]11 = 50).
+driver look; [C2] 12 second-wave round-4 operators (key-skew
+profile, correlated-subquery / LATERAL-top-K / ordered-LISTAGG /
+try-function conformance, bloom semijoin reduction, chunk-level
+dedup audit, dup-graph PageRank, TPC-H Q18 agg-subquery semijoin,
+A-ES weighted reservoir, streaming windowed top-K, exact bitmap
+distinct-rollup) windowed the session they landed so no
+never-checked debt accrues; [D] the oldest-evidence rotation —
+9 rows green in round 1 only and untouched since, cycling through
+per the staleness policy
+([A]3 + [B]7 + [C]19 + [C2]12 + [D]9 = 50).
 Rows dropped this round hold r1/r2/r3 green evidence on unchanged
 code and stay under the local 3-SF harness.
 
@@ -48,9 +49,10 @@ plus twins displaced by [C]): `dash_total_trades`,
 `dash_volume_last_day`, `dash_avg_latency_last_day`,
 `dash_distinct_users`, `dash_latency_per_minute`,
 `scalar_functions`, `date_functions`, `tpch_q12_like`,
-`tpch_q14_like`, `sessionize` (displaced by [C2] — r1-green,
-unchanged, trivial agg / function-sweep / join plans),
-`value_quantiles`, `sessionize_native`,
+`tpch_q14_like`, `sessionize`, `stats_functions`,
+`window_rank_functions` (displaced by [C2] — r1-green, unchanged,
+trivial agg / function-sweep / join plans), `value_quantiles`,
+`sessionize_native`,
 `window_agg_5m_salted`, `dash_approx_distinct_users`,
 `dash_recent_alerts`, `dash_live_trades`, `dash_pipeline_liveness`,
 `dash_latest_value_per_day`, `dash_price_per_minute_single_key`,
@@ -162,6 +164,8 @@ _PRIORITY = [
     "tpch_q18_like",
     "corpus_weighted_reservoir",
     "stream_topk_per_window",
+    "daily_users_bitmap_rollup",
+    "try_functions_conformance",
     # --- [D] oldest-evidence rotation: green in round 1 only,
     # code unchanged since (17) ---
     "tpch_q1",
@@ -169,8 +173,6 @@ _PRIORITY = [
     "region_revenue",
     "revenue_top_orders",
     "top_parts_per_supplier",
-    "stats_functions",
-    "window_rank_functions",
     "ema_per_key",
     "alerts_large_trade",
     "alerts_rapid_trades",

@@ -360,3 +360,43 @@ def test_weighted_reservoir_exact_budget_and_bias(spark, sf_dir):
     q = [r.quality for r in text_quality(spark, sf_dir).collect()]
     sample_q = [r.quality for r in rows]
     assert sum(sample_q) / len(sample_q) > sum(q) / len(q)
+
+
+def test_bitmap_rollup_exactness_and_bounds(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.dq import daily_users_bitmap_rollup
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    rows = daily_users_bitmap_rollup(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", "ts").alias("week_start"), "user_id"
+    )
+    want = {
+        r.week_start: r.n
+        for r in ev.groupBy("week_start")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r.week_start for r in rows} == set(want)
+    for r in rows:
+        # the bitmap path must be EXACT, not approximate
+        assert r.wau_exact == want[r.week_start]
+        assert r.sum_daily_dau >= r.wau_exact
+        assert r.revisit_ratio >= 1.0 - 1e-9
+
+
+def test_try_functions_null_counts(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        try_functions_conformance,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    row = try_functions_conformance(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    n_zero_den = ev.filter(F.col("event_id") % 5 == 0).count()
+    n_pos_id = ev.filter(F.col("event_id") > 0).count()
+    assert row.n_rows == n
+    assert row.n_div_null == n_zero_den
+    assert row.n_badcast_null == n  # event_type is never numeric
+    assert row.n_overflow_null == n_pos_id
+    assert row.n_roundtrip_ok == n  # double -> string -> double is lossless
