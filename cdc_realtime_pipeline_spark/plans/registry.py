@@ -151,7 +151,7 @@ _PRIORITY = [
     "regex_functions_conformance",
     "dash_rolling_7d_dau",
     "corpus_quality_weighted_sample",
-    # --- [C2] second-wave round-4 operators, first look (4):
+    # --- [C2] second-wave round-4 operators, first look (12):
     # landed after the first round-4 block; windowed immediately so
     # no "never-driver-checked" debt accrues (VERDICT r3 #2 class) ---
     "key_skew_profile",
@@ -167,7 +167,7 @@ _PRIORITY = [
     "daily_users_bitmap_rollup",
     "try_functions_conformance",
     # --- [D] oldest-evidence rotation: green in round 1 only,
-    # code unchanged since (17) ---
+    # code unchanged since (9) ---
     "tpch_q1",
     "tpch_q6",
     "region_revenue",
