@@ -627,8 +627,112 @@ ORDER BY w.week_start
 """
 
 
+_MG_K = 25  # Misra-Gries counters per partition; hitter threshold n/K
+
+
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Misra-Gries candidate pruning + exact verify —
+    the sketch path for "which keys exceed a 1/K share" when the key
+    cardinality is too large for a full groupBy (billions of
+    distinct URLs/sessions at 100 TB, where the keyed shuffle itself
+    is the bottleneck).
+
+    Two passes, candidates-then-verify like the dedup family:
+
+    1. **Per-partition MG sketch** (``mapInPandas``, K counters,
+       batch-merged: add a batch's exact ``value_counts`` into the
+       sketch, then subtract the (K+1)-th largest count and drop
+       non-positives — the mergeable-summaries merge of Agarwal,
+       Cormode, Huang, Phillips, Wei, Yi, "Mergeable Summaries",
+       PODS 2012). Guarantee: if a key's GLOBAL count exceeds n/K,
+       then on at least one partition its local count exceeds
+       n_p/K (pigeonhole over Σn_p = n), and MG with K counters
+       never evicts a key whose local count exceeds n_p/K — so the
+       union of per-partition survivors is a SUPERSET of every true
+       heavy hitter. Output of pass 1 is ≤ K·num_partitions keys.
+    2. **Exact verify**: broadcast the candidate set back over the
+       fact scan, count exactly, keep ``cnt·K > n`` (pure integer
+       compare — no float share). The emitted counts are exact, so
+       the oracle is the plain groupBy-HAVING — the sketch must be
+       lossless w.r.t. the final answer for the hash to match.
+
+    The key reuses the repo's deterministic hot-key idiom
+    (``skewed_join_salted``): ``event_id%10`` maps 30% of rows to
+    key 0 and 10% each to keys 1 and 2, the rest spread over
+    ~uniform user ids (share ≤0.9% at every SF) — so exactly keys
+    {0,1,2} clear the 1/25 = 4% bar at every SF, while the tail
+    gives MG real eviction work. Native-fixture twin: on raw
+    ``user_id`` the per-key share shrinks as cardinality grows with
+    n (key_skew_profile pins that), which is exactly why share
+    thresholds at scale are paired with a synthetic-skew proof here.
+
+    Scale posture: pass 1 is one scan, no shuffle, O(K) state per
+    partition; pass 2 is one scan + map-side broadcast semijoin and
+    a groupBy over only the candidate keys (≤ K·partitions distinct)
+    — the full key cardinality never shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 10 < 3, F.lit(0))
+        .when(F.col("event_id") % 10 == 3, F.lit(1))
+        .when(F.col("event_id") % 10 == 4, F.lit(2))
+        .otherwise(F.col("user_id") + 1000)
+        .alias("hkey")
+    )
+    k = _MG_K
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for key, c in pdf["hkey"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                thr = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    kk: v - thr for kk, v in counters.items() if v > thr
+                }
+        if counters:
+            yield pd.DataFrame({"hkey": list(counters.keys())})
+
+    cand = ev.mapInPandas(mg, "hkey long").distinct()
+    total = ev.agg(F.count("*").alias("n_total"))
+    return (
+        ev.join(F.broadcast(cand), "hkey")
+        .groupBy("hkey")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("n_total"))
+        .select(
+            "hkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total") + 1e-9, 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "hkey")
+    )
+
+
+HEAVY_HITTERS_MG_SQL = f"""
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 10 < 3 THEN 0
+              WHEN event_id % 10 = 3 THEN 1
+              WHEN event_id % 10 = 4 THEN 2
+              ELSE user_id + 1000 END AS hkey
+  FROM events
+),
+c AS (SELECT hkey, count(*) AS cnt FROM keyed GROUP BY hkey),
+t AS (SELECT count(*) AS n_total FROM keyed)
+SELECT c.hkey, c.cnt,
+       round(c.cnt / CAST(t.n_total AS DOUBLE) + 1e-9, 6) AS share
+FROM c, t
+WHERE c.cnt * {_MG_K} > t.n_total
+ORDER BY c.cnt DESC, c.hkey
+"""
+
+
 QUERIES = {
     "orders_dq_profile": orders_dq_profile,
+    "heavy_hitters_mg": heavy_hitters_mg,
     "key_skew_profile": key_skew_profile,
     "daily_users_bitmap_rollup": daily_users_bitmap_rollup,
     "value_mad_outliers": value_mad_outliers,
@@ -643,6 +747,7 @@ QUERIES = {
 
 ORACLES = {
     "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,
+    "heavy_hitters_mg": HEAVY_HITTERS_MG_SQL,
     "key_skew_profile": KEY_SKEW_PROFILE_SQL,
     "daily_users_bitmap_rollup": DAILY_USERS_BITMAP_ROLLUP_SQL,
     "value_mad_outliers": VALUE_MAD_OUTLIERS_SQL,

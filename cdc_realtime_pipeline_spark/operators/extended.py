@@ -1129,8 +1129,90 @@ GROUP BY fmt, lang ORDER BY fmt, lang
 """
 
 
+def higher_order_functions_conformance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lambda higher-order-function surface — ``transform``, ``filter``,
+    ``exists``, ``aggregate`` (fold), ``zip_with`` over arrays, and
+    ``transform_keys`` / ``transform_values`` / ``map_filter`` /
+    ``element_at`` over maps (built by ``from_json`` on the ``props``
+    payload). HOF lambdas run inside codegen'd Catalyst expressions —
+    JVM-side, no Python — which is why they're the prescribed
+    alternative to a row-at-a-time UDF for nested-collection logic.
+
+    The oracle never mirrors the HOFs themselves: every output is
+    derivable from the base columns with plain SQL (``aggregate ∘
+    transform(×2)`` ≡ ``2·sum``, ``zip_with(arr,arr,*)`` folded ≡
+    ``Σv²``, map routes ≡ json_extract arithmetic), so a wrong lambda
+    evaluation order, null rule, or overflow on the Spark side flips
+    the hash. ``floor(value·100)`` is the usual IEEE-stable bridge to
+    exact integers (DuckDB CAST(DOUBLE AS INT) rounds where Spark
+    truncates — floor first makes the cast unambiguous on both).
+
+    Scale: one scan → one keyed agg; arrays are per-user event lists
+    (bounded ~67 rows/key on this fixture; collect_list is fine where
+    group sizes are bounded — the repo's big-group paths never
+    collect).
+    """
+    m = F.from_json("props", "map<string,int>")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.element_at(m, "k").alias("k"),
+        F.element_at(F.transform_keys(m, lambda kk, _: F.upper(kk)), "K").alias(
+            "k_upper"
+        ),
+        (
+            F.element_at(F.transform_values(m, lambda _, vv: vv * 3), "k")
+        ).alias("k3"),
+        F.size(F.map_filter(m, lambda _, vv: vv > 50)).alias("n_khigh_row"),
+    )
+    arr = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("v")).alias("arr"),
+        F.sum("k").alias("sum_k"),
+        F.sum("k_upper").alias("sum_k_upper"),
+        F.sum("k3").alias("sum_k3"),
+        F.sum("n_khigh_row").alias("n_khigh"),
+    )
+    fold = lambda a: F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return arr.select(
+        "user_id",
+        F.size("arr").alias("n"),
+        fold(F.transform("arr", lambda x: x * 2)).alias("sum2"),
+        F.size(F.filter("arr", lambda x: x > 5000)).alias("n_above"),
+        F.exists("arr", lambda x: x > 9000).cast("int").alias("any_above"),
+        fold(F.zip_with("arr", "arr", lambda a, b: a * b)).alias("sumsq"),
+        "sum_k",
+        "sum_k_upper",
+        "sum_k3",
+        "n_khigh",
+    ).orderBy("user_id")
+
+
+HIGHER_ORDER_FUNCTIONS_CONFORMANCE_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(value * 100) AS BIGINT) AS v,
+         CAST(json_extract(props, 'k') AS INTEGER) AS k
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n,
+       CAST(2 * sum(v) AS BIGINT) AS sum2,
+       count(*) FILTER (WHERE v > 5000) AS n_above,
+       CAST(bool_or(v > 9000) AS INTEGER) AS any_above,
+       CAST(sum(v * v) AS BIGINT) AS sumsq,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k_upper,
+       CAST(3 * sum(k) AS BIGINT) AS sum_k3,
+       count(*) FILTER (WHERE k > 50) AS n_khigh
+FROM base GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "sessionize": sessionize,
+    "higher_order_functions_conformance": higher_order_functions_conformance,
     "sessionize_native": sessionize_native,
     "value_quantiles": value_quantiles,
     "value_quantiles_approx": value_quantiles_approx,  # rows-only (sketch)
@@ -1157,6 +1239,7 @@ QUERIES = {
 
 ORACLES = {
     "docs_lang_source_pivot": DOCS_LANG_SOURCE_PIVOT_SQL,
+    "higher_order_functions_conformance": HIGHER_ORDER_FUNCTIONS_CONFORMANCE_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "attribution_last_touch": ATTRIBUTION_LAST_TOUCH_SQL,

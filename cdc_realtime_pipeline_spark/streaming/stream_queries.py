@@ -347,6 +347,105 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the outer twin of
+    ``stream_stream_join``, pinning the part inner joins never
+    exercise: **null-padded emission is watermark-gated**. An
+    unmatched purchase can only be declared click-less once the
+    global watermark passes its event time (its latest possible
+    matching click has ``c_ts == p_ts``), so outer rows trail the
+    matched rows by the watermark delay, and purchases inside the
+    final watermark window are *never* emitted — state that is still
+    open when the query stops is withheld, not null-flushed.
+
+    The oracle encodes exactly that semantics: matched pairs are the
+    plain batch range join; null rows are unmatched purchases with
+    ``p_ts < W`` where ``W = min(max click ts, max purchase ts) − 10
+    min`` — Spark's min-policy global watermark after the final
+    batch. ``availableNow`` runs trailing no-data batches until
+    stateful cleanup settles, so the final watermark does get applied
+    before termination (without that, rows between the batch-1
+    watermark and W would be withheld too, and the hash would
+    mismatch — this row proves the no-data-batch eviction behavior).
+
+    Scale posture: identical to the inner form — both sides keyed by
+    user, state bounded by the 10-minute event-time range, RocksDB
+    store; the outer pass adds no extra shuffle, only the eviction
+    scan that emits the null side.
+    """
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    res = _memory_sink(joined, "append")
+    return res.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("gap_s"),
+    )
+
+
+STREAM_STREAM_LEFT_OUTER_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+wm AS (
+  SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+         - INTERVAL 10 MINUTE AS w
+)
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch(date_trunc('second', p.ts))::BIGINT
+         - epoch(date_trunc('second', c.ts))::BIGINT AS gap_s
+FROM p
+JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+UNION ALL
+SELECT p.user_id, p.event_id, NULL, NULL
+FROM p, wm
+WHERE p.ts < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND c.ts <= p.ts
+      AND c.ts >= p.ts - INTERVAL 10 MINUTE
+  )
+"""
+
+
 def stream_merged_trade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The read-once multi-sink fan-out, end-to-end and oracle-gated
     (W7 + A8): synthesized CDC stream → ``run_cdc_fanout`` (raw sink +
@@ -925,6 +1024,7 @@ QUERIES = {
     "stream_merged_trade_agg": stream_merged_trade_agg,
     "stream_static_enrich": stream_static_enrich,
     "stream_stream_join": stream_stream_join,
+    "stream_stream_left_outer": stream_stream_left_outer,
     "stream_anomaly_alerts": stream_anomaly_alerts,  # rows-only
     "stream_anomaly_rule_counts": stream_anomaly_rule_counts,
     "stream_docs_quality_gate": stream_docs_quality_gate,
@@ -945,6 +1045,7 @@ ORACLES = {
     "stream_merged_trade_agg": STREAM_MERGED_TRADE_AGG_SQL,
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+    "stream_stream_left_outer": STREAM_STREAM_LEFT_OUTER_SQL,
     "stream_anomaly_rule_counts": STREAM_ANOMALY_RULE_COUNTS_SQL,
     "stream_docs_quality_gate": STREAM_DOCS_QUALITY_GATE_SQL,
     "stream_decontaminate_gate": _curation_oracles.DECONTAMINATE_VS_BENCHMARK_SQL,
