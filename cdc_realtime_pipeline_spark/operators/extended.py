@@ -7,7 +7,7 @@ explicit, oracle-gated, and scale-shaped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1129,6 +1129,73 @@ GROUP BY fmt, lang ORDER BY fmt, lang
 """
 
 
+def timezone_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion surface — the reference's event times are
+    exchange-local (Upbit = Asia/Seoul) while the engine stores UTC;
+    this row pins the conversion semantics cross-engine:
+    ``from_utc_timestamp`` / ``to_utc_timestamp`` against DuckDB's
+    ICU ``timezone(tz, ·)`` pair (naive→tstz→naive composition, which
+    is session-timezone-independent on both engines).
+
+    Fixture timestamps sit in January, so the two DST edges are pinned
+    with planted literals instead: the 2024-03-10 America/New_York
+    spring-forward (07:30 UTC lands at 03:30 EDT — the 02:xx hour does
+    not exist) and the 2024-11-03 fall-back (05:30 and 06:30 UTC both
+    land at 01:30 local — once EDT, once EST). ``roundtrip_ok`` pins
+    that to_utc∘from_utc is the identity for a DST-free zone (Seoul).
+
+    Scale: narrow projection, codegen'd; timezone math never leaves
+    the JVM.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    seoul = F.from_utc_timestamp("ts", "Asia/Seoul")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+
+    def _dst(lit_ts: str) -> Column:
+        return F.from_utc_timestamp(
+            F.lit(lit_ts).cast("timestamp"), "America/New_York"
+        )
+
+    return ev.select(
+        "event_id",
+        F.col("ts").alias("ts_utc"),
+        seoul.alias("seoul_local"),
+        ny.alias("ny_local"),
+        F.to_date(seoul).alias("seoul_day"),
+        F.hour(ny).alias("ny_hour"),
+        (F.to_utc_timestamp(seoul, "Asia/Seoul") == F.col("ts"))
+        .cast("int")
+        .alias("roundtrip_ok"),
+        _dst("2024-03-10 07:30:00").alias("dst_spring_fwd"),
+        _dst("2024-11-03 05:30:00").alias("dst_fall_first"),
+        _dst("2024-11-03 06:30:00").alias("dst_fall_second"),
+    ).orderBy("event_id")
+
+
+TIMEZONE_CONFORMANCE_SQL = """
+SELECT event_id,
+       ts AS ts_utc,
+       timezone('Asia/Seoul', timezone('UTC', ts)) AS seoul_local,
+       timezone('America/New_York', timezone('UTC', ts)) AS ny_local,
+       CAST(timezone('Asia/Seoul', timezone('UTC', ts)) AS DATE) AS seoul_day,
+       CAST(hour(timezone('America/New_York', timezone('UTC', ts))) AS INTEGER)
+         AS ny_hour,
+       CASE WHEN timezone('UTC', timezone('Asia/Seoul',
+                 timezone('Asia/Seoul', timezone('UTC', ts)))) = ts
+            THEN 1 ELSE 0 END AS roundtrip_ok,
+       timezone('America/New_York',
+                timezone('UTC', TIMESTAMP '2024-03-10 07:30:00'))
+         AS dst_spring_fwd,
+       timezone('America/New_York',
+                timezone('UTC', TIMESTAMP '2024-11-03 05:30:00'))
+         AS dst_fall_first,
+       timezone('America/New_York',
+                timezone('UTC', TIMESTAMP '2024-11-03 06:30:00'))
+         AS dst_fall_second
+FROM events WHERE event_id % 37 = 0 ORDER BY event_id
+"""
+
+
 def higher_order_functions_conformance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1213,6 +1280,7 @@ FROM base GROUP BY user_id ORDER BY user_id
 QUERIES = {
     "sessionize": sessionize,
     "higher_order_functions_conformance": higher_order_functions_conformance,
+    "timezone_conformance": timezone_conformance,
     "sessionize_native": sessionize_native,
     "value_quantiles": value_quantiles,
     "value_quantiles_approx": value_quantiles_approx,  # rows-only (sketch)
@@ -1240,6 +1308,7 @@ QUERIES = {
 ORACLES = {
     "docs_lang_source_pivot": DOCS_LANG_SOURCE_PIVOT_SQL,
     "higher_order_functions_conformance": HIGHER_ORDER_FUNCTIONS_CONFORMANCE_SQL,
+    "timezone_conformance": TIMEZONE_CONFORMANCE_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "attribution_last_touch": ATTRIBUTION_LAST_TOUCH_SQL,

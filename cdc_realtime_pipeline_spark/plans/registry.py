@@ -40,10 +40,11 @@ distinct-rollup) windowed the session they landed so no
 never-checked debt accrues; [C3] 3 third-wave operators
 (Misra-Gries heavy-hitter candidate pruning, lambda higher-order-
 function conformance, watermark-gated LEFT OUTER stream-stream
-join), same same-session-window policy; [D] the oldest-evidence
+join, timezone/DST conversion conformance — 4 total), same
+same-session-window policy; [D] the oldest-evidence
 rotation — rows green in round 1 only and untouched since, cycling
 through per the staleness policy
-([A]3 + [B]7 + [C]19 + [C2]12 + [C3]3 + [D]6 = 50).
+([A]3 + [B]7 + [C]19 + [C2]12 + [C3]4 + [D]5 = 50).
 Rows dropped this round hold r1/r2/r3 green evidence on unchanged
 code and stay under the local 3-SF harness.
 
@@ -52,7 +53,8 @@ plus twins displaced by [C]): `dash_total_trades`,
 `dash_volume_last_day`, `dash_avg_latency_last_day`,
 `dash_distinct_users`, `dash_latency_per_minute`,
 `scalar_functions`, `date_functions`,
-`top_parts_per_supplier`, `ema_per_key`, `dash_bid_ask_ranking`
+`top_parts_per_supplier`, `ema_per_key`, `dash_bid_ask_ranking`,
+`region_revenue`
 (displaced by [C3] — r1-green, unchanged), `tpch_q12_like`,
 `tpch_q14_like`, `sessionize`, `stats_functions`,
 `window_rank_functions` (displaced by [C2] — r1-green, unchanged,
@@ -171,17 +173,18 @@ _PRIORITY = [
     "stream_topk_per_window",
     "daily_users_bitmap_rollup",
     "try_functions_conformance",
-    # --- [C3] third-wave round-4 operators, first look (3):
+    # --- [C3] third-wave round-4 operators, first look (4):
     # MG heavy-hitter candidate pruning, lambda-HOF conformance,
-    # watermark-gated left-outer stream-stream join ---
+    # watermark-gated left-outer stream-stream join, timezone/DST
+    # conversion conformance ---
     "heavy_hitters_mg",
     "higher_order_functions_conformance",
     "stream_stream_left_outer",
+    "timezone_conformance",
     # --- [D] oldest-evidence rotation: green in round 1 only,
-    # code unchanged since (6) ---
+    # code unchanged since (5) ---
     "tpch_q1",
     "tpch_q6",
-    "region_revenue",
     "revenue_top_orders",
     "alerts_large_trade",
     "alerts_rapid_trades",

@@ -192,3 +192,22 @@ def test_oov_rate_broadcasts_vocab(spark, sf_dir):
     plan = _plan(spark, "corpus_oov_rate", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_verify_is_broadcast_semijoin(spark, sf_dir):
+    # pass 2 must broadcast the candidate set over the fact scan — the
+    # full key domain shuffling would defeat the sketch's purpose
+    plan = _plan(spark, "heavy_hitters_mg", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one Python stage: the MG kernel itself (tree line; the
+    # formatted detail section repeats the name once more)
+    assert plan.count("MapInPandas (") == 1
+
+
+def test_hof_conformance_stays_jvm_side(spark, sf_dir):
+    # lambda HOFs are Catalyst expressions — no Python eval anywhere
+    plan = _plan(spark, "higher_order_functions_conformance", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -52,6 +52,8 @@ SHOWCASE = [
     ("chunk_dedup_stats", "map-side chunk generate → md5-key multiplicity window"),
     ("lateral_join_topk_conformance", "LATERAL LIMIT decorrelated to WindowGroupLimit"),
     ("dup_graph_pagerank", "3 unrolled rank iterations, node-sized relation"),
+    ("heavy_hitters_mg", "MG sketch candidates → broadcast semijoin exact verify"),
+    ("higher_order_functions_conformance", "codegen'd lambda HOFs, one keyed agg"),
 ]
 
 

@@ -1,0 +1,241 @@
+"""Scale-curvature probe — measure how the headline plans scale with
+input volume, instead of asserting it.
+
+Builds m× volume variants of the sf0.1 fixture (m ∈ 1, 3, 10 — the
+10× point is "sf1-equivalent" volume) under a /tmp scratch dir and
+times a representative query per plan family at each m, fitting the
+scaling exponent α = log(t_m / t_1) / log(m). Reading the curve:
+
+    α ≈ 1.0   linear — scan/shuffle-bound, the shape that survives
+              a 1000-executor 100 TB deployment
+    α < 1.0   fixed overhead still amortizing at this volume
+    α > 1.2   superlinear — a quadratic candidate set, a collapsing
+              partition, or a driver bottleneck: investigate
+
+**Volume model.** A bigger corpus is more keys, not more rows per
+key (the fixtures themselves behave this way across sf0.001→0.1:
+user/doc cardinality grows ~10× per sf step while per-key rows stay
+~constant — key_skew_profile pins it). So copy i shifts every key
+domain (user/doc/order/part/supp/cust/vec ids) by i·max_id, keeping
+per-key row counts, join fan-outs, and group sizes constant while
+key cardinality and row volume grow m×.
+
+Near-dup corpora need one extra step: verbatim text copies would
+create m-sized duplicate CLUSTERS (candidate pairs ∝ m², a property
+of the fixture, not the engine), so each copy's word stream is
+vocabulary-tagged (`w` → `w_i`), making copies shingle-disjoint:
+the dup structure WITHIN each copy is preserved, cross-copy pairs
+are impossible, and a near-linear α is the correct target for the
+banded candidate generators. Embedding copies likewise get one
+coordinate nudged per copy so cosine-duplicate clusters don't scale
+with m.
+
+Usage:  python3 tools/scale_probe.py [--multipliers 1,3,10] [--out SCALING.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = "/tmp/scale_probe"
+
+# (query name, plan family it represents)
+PROBE_QUERIES = [
+    ("tpch_q1", "scan + hash aggregate"),
+    ("window_agg_5m", "keyed time-window aggregate"),
+    ("top_parts_per_supplier", "star join + per-group top-K"),
+    ("dedup_docs_exact", "normalize + fingerprint groupBy"),
+    ("dedup_docs_jaccard", "banded candidates + exact verify"),
+    ("text_quality", "JVM expression pipeline over text"),
+    ("similarity_topk_lsh", "LSH-bucketed ANN top-K"),
+    ("sessionize_native", "per-key ordered window (2 passes)"),
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# key columns to shift per copy, per table (col -> stride table)
+_SHIFTS = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "__users"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+
+
+def _build(spark, m: int) -> str:
+    """Materialize the m× variant (cached across runs)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCRATCH, f"m{m}")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    # strides: one per key domain, from the base fixture
+    strides: dict[str, int] = {}
+    for t in ["customer", "supplier", "part", "orders", "events",
+              "documents", "embeddings"]:
+        df = spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet"))
+        key = {
+            "customer": "c_custkey", "supplier": "s_suppkey",
+            "part": "p_partkey", "orders": "o_orderkey",
+            "events": "event_id", "documents": "doc_id",
+            "embeddings": "vec_id",
+        }[t]
+        strides[t] = df.agg(F.max(key)).collect()[0][0] + 1
+    strides["__users"] = (
+        spark.read.parquet(os.path.join(BASE_SF, "events.parquet"))
+        .agg(F.max("user_id")).collect()[0][0] + 1
+    )
+
+    for t in TABLES:
+        src = spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet"))
+        if t in ("region", "nation") or m == 1:
+            df = src
+        else:
+            copies = src.crossJoin(
+                spark.range(m).select(F.col("id").alias("__copy"))
+            )
+            df = copies
+            for col, domain in _SHIFTS.get(t, {}).items():
+                df = df.withColumn(
+                    col, F.col(col) + F.col("__copy") * strides[domain]
+                )
+            if t == "documents":
+                # vocabulary-tag each copy's words with the copy index:
+                # copies become pairwise shingle-disjoint (module doc)
+                tag = F.col("__copy").cast("string")
+                df = df.withColumn(
+                    "text",
+                    F.when(F.col("__copy") == 0, F.col("text")).otherwise(
+                        F.array_join(
+                            F.transform(
+                                F.split("text", r"\s+"),
+                                lambda w: F.concat(w, F.lit("_"), tag),
+                            ),
+                            " ",
+                        )
+                    ),
+                )
+            if t == "embeddings":
+                # nudge one coordinate per copy so copies aren't
+                # cosine-duplicates of each other
+                df = df.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: x
+                        + (
+                            F.col("__copy")
+                            * F.when(
+                                j == (F.col("vec_id") % F.size("embedding")), 0.05
+                            ).otherwise(0.0)
+                        ).cast("float"),
+                    ),
+                )
+            df = df.drop("__copy")
+        df.coalesce(max(1, m)).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    open(marker, "w").write("ok")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multipliers", default="1,3,10")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    ms = [int(x) for x in args.multipliers.split(",")]
+
+    from cdc_realtime_pipeline_spark.plans.registry import all_queries
+    from cdc_realtime_pipeline_spark.session import get_spark, release_caches
+
+    spark = get_spark("scale_probe")
+    queries = all_queries()
+
+    dirs = {}
+    for m in ms:
+        t0 = time.time()
+        dirs[m] = _build(spark, m)
+        print(f"built m={m} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    results: dict[str, dict[int, float]] = {}
+    for name, family in PROBE_QUERIES:
+        results[name] = {}
+        for m in ms:
+            t0 = time.time()
+            queries[name](spark, dirs[m]).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            results[name][m] = round(time.time() - t0, 2)
+            release_caches()
+            print(f"{name} m={m}: {results[name][m]}s", file=sys.stderr)
+
+    lo, hi = min(ms), max(ms)
+    rows = []
+    for name, family in PROBE_QUERIES:
+        r = results[name]
+        alpha = math.log(r[hi] / r[lo]) / math.log(hi / lo)
+        rows.append((name, family, r, round(alpha, 2)))
+
+    out = {
+        "metric": "scale_probe",
+        "base": BASE_SF,
+        "multipliers": ms,
+        "alpha": {n: a for n, _, _, a in rows},
+        "sec": {n: r for n, _, r, _ in rows},
+    }
+    print(json.dumps(out))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(
+                "# SCALING — measured scale curvature of the headline plans\n\n"
+                "Generated by `tools/scale_probe.py`: each query timed at "
+                f"1×/{ '/'.join(str(m)+'×' for m in ms[1:]) } the sf0.1 volume "
+                "(10× ≈ sf1), volume grown by key-domain-shifted copies so "
+                "per-key row counts, join fan-outs and duplicate-cluster "
+                "sizes stay constant (see the tool docstring for the volume "
+                "model). α = log-time / log-volume slope; α ≈ 1 is "
+                "scan/shuffle-bound linear scaling — the shape that holds "
+                "at 100 TB. Sub-linear α means fixed overhead (session, "
+                "planning, Python worker warm-up) still dominates at this "
+                "volume.\n\n"
+                "| query | plan family | " +
+                " | ".join(f"t({m}×) s" for m in ms) + " | α |\n"
+                "|---|---|" + "---|" * (len(ms) + 1) + "\n"
+            )
+            for name, family, r, a in rows:
+                f.write(
+                    f"| {name} | {family} | "
+                    + " | ".join(str(r[m]) for m in ms)
+                    + f" | {a} |\n"
+                )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
