@@ -730,9 +730,129 @@ ORDER BY c.cnt DESC, c.hkey
 """
 
 
+_Z_BITS = 8  # bits per dimension in the interleave; z is 16 bits
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6  # keep the top 6 z-bits → 64 buckets
+_EPOCH_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+def _zvalue_spark(x, y):
+    """Bit-interleaved Morton/Z-value of two 16-bit dimensions."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimensional clustering — the data-layout
+    operator behind Delta/Iceberg ``ZORDER BY``: interleave the bits
+    of two scan dimensions (user id × minute-of-range) so that a
+    range-partition on the z-value bounds BOTH dimensions within each
+    file, and min/max footer pruning works for predicates on either
+    column. A single-column sort bounds one dimension and leaves the
+    other spanning the full domain in every file; the z-curve bounds
+    each z-bucket to a ~2^(bits-k/2) × 2^(bits-k/2) rectangle.
+
+    Both dimensions are first normalized to the observed 0..255 grid
+    with pure integer arithmetic (``(v−min)·256 div (max−min+1)`` —
+    bit-identical cross-engine, and the reason the curve stays square
+    at every SF even though raw user-id and minute ranges differ by
+    orders of magnitude; un-normalized Morton degenerates to a sort
+    on the wider dimension). The query emits per-z-bucket stats (row
+    count + integer min/max spans of both normalized dims — exactly
+    portable, no float discipline): the oracle recomputes the
+    identical interleave (both expression trees are generated from
+    the same Python loop, `_zvalue_spark` / `_zvalue_sql`), so a
+    wrong bit anywhere flips the hash. Each of the 64 buckets is a
+    ≤32×32 rectangle of the 256×256 grid — a single-column sort
+    would bound one dim and span ~256 on the other.
+    ``test_round4b_ops.py`` additionally proves the layout property
+    on real parquet files: `repartitionByRange(z)` + write, then
+    per-file spans of BOTH dims ≪ the domain.
+
+    Scale: the z-value is a codegen'd projection over broadcast
+    1-row bounds (the PSI pattern — no collect); the production
+    write path is one `repartitionByRange` on z — the same single
+    exchange a plain sorted write costs.
+    """
+    raw = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        ((F.col("ts").cast("long") - F.lit(_EPOCH_2024)) / F.lit(60))
+        .cast("long")
+        .alias("m"),
+    )
+    bounds = raw.agg(
+        F.min("u").alias("u_lo"),
+        F.max("u").alias("u_hi"),
+        F.min("m").alias("m_lo"),
+        F.max("m").alias("m_hi"),
+    )
+    grid = 1 << _Z_BITS
+    # integer DIV on both engines — never a float transit
+    ev = raw.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"((u - u_lo) * {grid}) DIV (u_hi - u_lo + 1)").alias("xu"),
+        F.expr(f"((m - m_lo) * {grid}) DIV (m_hi - m_lo + 1)").alias("ym"),
+    )
+    z = _zvalue_spark(F.col("xu"), F.col("ym"))
+    return (
+        ev.withColumn("bucket", F.shiftright(z, _Z_BUCKET_SHIFT))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("xu") - F.min("xu") + 1).alias("span_user"),
+            (F.max("ym") - F.min("ym") + 1).alias("span_minute"),
+            F.min("xu").alias("min_user"),
+            F.min("ym").alias("min_minute"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ZORDER_LAYOUT_STATS_SQL = f"""
+WITH raw AS (
+  SELECT user_id AS u,
+         (CAST(floor(epoch(ts)) AS BIGINT) - {_EPOCH_2024}) // 60 AS m
+  FROM events
+),
+bounds AS (
+  SELECT min(u) AS u_lo, max(u) AS u_hi, min(m) AS m_lo, max(m) AS m_hi
+  FROM raw
+),
+dims AS (
+  SELECT ((u - u_lo) * {1 << _Z_BITS}) // (u_hi - u_lo + 1) AS xu,
+         ((m - m_lo) * {1 << _Z_BITS}) // (m_hi - m_lo + 1) AS ym
+  FROM raw, bounds
+),
+zed AS (
+  SELECT xu, ym, ({_zvalue_sql("xu", "ym")}) >> {_Z_BUCKET_SHIFT} AS bucket
+  FROM dims
+)
+SELECT bucket,
+       count(*) AS n,
+       max(xu) - min(xu) + 1 AS span_user,
+       max(ym) - min(ym) + 1 AS span_minute,
+       min(xu) AS min_user,
+       min(ym) AS min_minute
+FROM zed GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "orders_dq_profile": orders_dq_profile,
     "heavy_hitters_mg": heavy_hitters_mg,
+    "zorder_layout_stats": zorder_layout_stats,
     "key_skew_profile": key_skew_profile,
     "daily_users_bitmap_rollup": daily_users_bitmap_rollup,
     "value_mad_outliers": value_mad_outliers,
@@ -748,6 +868,7 @@ QUERIES = {
 ORACLES = {
     "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,
     "heavy_hitters_mg": HEAVY_HITTERS_MG_SQL,
+    "zorder_layout_stats": ZORDER_LAYOUT_STATS_SQL,
     "key_skew_profile": KEY_SKEW_PROFILE_SQL,
     "daily_users_bitmap_rollup": DAILY_USERS_BITMAP_ROLLUP_SQL,
     "value_mad_outliers": VALUE_MAD_OUTLIERS_SQL,

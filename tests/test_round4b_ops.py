@@ -125,3 +125,59 @@ def test_left_outer_extends_inner_with_watermark_gated_nulls(spark, sf_dir):
         ).collect()
     }
     assert all(r.purchase_id not in late_purchases for r in nulls)
+
+
+def test_zorder_layout_bounds_both_dims(spark, sf_dir, tmp_path):
+    # write events repartitionByRange on the z-value; every parquet
+    # file must bound BOTH normalized dims well below the 256 domain
+    # (a single-column sort bounds one and spans ~256 on the other)
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.dq import (
+        _EPOCH_2024,
+        _zvalue_spark,
+    )
+
+    raw = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        ((F.col("ts").cast("long") - F.lit(_EPOCH_2024)) / F.lit(60))
+        .cast("long")
+        .alias("m"),
+    )
+    bounds = raw.agg(
+        F.min("u").alias("u_lo"),
+        F.max("u").alias("u_hi"),
+        F.min("m").alias("m_lo"),
+        F.max("m").alias("m_hi"),
+    )
+    dims = raw.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((u - u_lo) * 256) DIV (u_hi - u_lo + 1)").alias("xu"),
+        F.expr("((m - m_lo) * 256) DIV (m_hi - m_lo + 1)").alias("ym"),
+    )
+    # tile-aligned buckets: 2^12 consecutive z-values = one 64x64
+    # Morton tile (power-of-4 blocks are contiguous on the z-curve);
+    # 32 range partitions over 16 distinct bucket values gives each
+    # occupied tile its own file — arbitrary range cuts on raw z may
+    # straddle quadrant boundaries and span wide in one dim
+    zed = dims.withColumn(
+        "zb", F.shiftright(_zvalue_spark(F.col("xu"), F.col("ym")), 12)
+    )
+    out = str(tmp_path / "zorder")
+    zed.repartitionByRange(32, "zb").write.parquet(out)
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name())
+        .agg(
+            (F.max("xu") - F.min("xu")).alias("span_u"),
+            (F.max("ym") - F.min("ym")).alias("span_m"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 8
+    # both dims bounded: every file stays inside one 64x64 tile
+    assert all(r.span_u <= 64 and r.span_m <= 64 for r in per_file)
+    # and the layout is genuinely 2-D: total area covered is far less
+    # than files x full-domain
+    assert sum((r.span_u + 1) * (r.span_m + 1) for r in per_file) < len(
+        per_file
+    ) * 256 * 256 / 4
