@@ -100,6 +100,13 @@ BENCH_QUERIES = [
     "lateral_join_topk_conformance",
     "tpch_q18_like",
     "corpus_weighted_reservoir",
+    # round-4 third wave: sketch-pruned heavy hitters (MapInPandas MG +
+    # broadcast verify), codegen'd lambda-HOF pipeline, Z-order
+    # projection, SemDeDup within-cluster dedup
+    "heavy_hitters_mg",
+    "higher_order_functions_conformance",
+    "zorder_layout_stats",
+    "dedup_embeddings_semantic",
 ]
 
 

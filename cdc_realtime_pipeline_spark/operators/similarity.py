@@ -838,8 +838,145 @@ def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("iteration")
 
 
+def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas, Tirumala, Simig, Ganguli,
+    Morcos, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", 2023): k-means-cluster the corpus, then
+    search near-duplicate pairs only WITHIN each cluster — the
+    partition-then-verify alternative to the LSH banding of
+    ``dedup_embeddings_cosine``, trading a documented miss class
+    (pairs split across cluster boundaries — the paper's own
+    tradeoff, recall floor pinned in tests/test_similarity.py against
+    the exact all-pairs truth) for candidate generation that needs no
+    signatures at all.
+
+    Deterministic pieces are shared with the neighbors: the planted
+    near-dup corpus of `dedup_embeddings_cosine` (the random fixture
+    has no natural ≥τ pairs) and the seed/assignment arithmetic of
+    `embeddings_kmeans_assign` (fold-order dot products, 6dp round,
+    integer argmin key with seed-rank tiebreak — bit-identical in the
+    oracle dialect).
+
+    Scale: seeds broadcast; one corpus pass assigns; the only shuffle
+    is the cluster-key self-join whose cost is Σ cluster² — at 100 TB
+    K grows with the corpus (SemDeDup uses ~100k clusters for LAION)
+    to hold cluster sizes bounded, exactly the bucket-size lever the
+    LSH path documents for its bands.
+    """
+    tau = 0.95
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    near = base.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.15)).otherwise(x)
+        ).alias("embedding"),
+    )
+    emb = base.unionByName(near)
+    w = Window.orderBy("vec_id")
+    seeds = (
+        base.filter(F.pmod("vec_id", F.lit(_KMEANS_SEED_MOD)) == 0)
+        .withColumn("seed_rank", F.row_number().over(w) - 1)
+        .filter(F.col("seed_rank") < _KMEANS_K)
+        .select("seed_rank", F.col("embedding").alias("s"))
+    )
+    v, s = F.col("embedding"), F.col("s")
+    d2 = F.round(dot(v, v) - 2 * dot(v, s) + dot(s, s), 6)
+    key = (
+        F.floor(d2 * 1000000 + F.lit(0.5)).cast("long") * _KMEANS_K
+        + F.col("seed_rank")
+    )
+    clustered = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", key.alias("key"))
+        .groupBy("vec_id")
+        .agg(
+            F.min("key").alias("key"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.pmod("key", F.lit(_KMEANS_K)).alias("cluster"),
+        )
+    )
+    a = clustered.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = clustered.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("cluster_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    ).select(
+        "cluster",
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= tau).orderBy("cluster", "vec_a", "vec_b")
+
+
+DEDUP_EMBEDDINGS_SEMANTIC_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_concat([embedding[1]::DOUBLE + 0.15],
+                     list_transform(embedding[2:], x -> x::DOUBLE)) AS embedding
+  FROM embeddings WHERE vec_id % 9 = 0
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS seed_rank,
+         embedding::DOUBLE[] AS s
+  FROM embeddings
+  WHERE vec_id % {_KMEANS_SEED_MOD} = 0
+  QUALIFY seed_rank < {_KMEANS_K}
+),
+scored AS (
+  SELECT e.vec_id, seed_rank,
+         round(list_dot_product(e.embedding, e.embedding)
+               - 2 * list_dot_product(e.embedding, s)
+               + list_dot_product(s, s), 6) AS d2
+  FROM emb e CROSS JOIN seeds
+),
+assigned AS (
+  SELECT vec_id,
+         min(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) * {_KMEANS_K} + seed_rank)
+           AS key
+  FROM scored GROUP BY vec_id
+),
+clustered AS (
+  SELECT e.vec_id, e.embedding,
+         CAST((key % {_KMEANS_K} + {_KMEANS_K}) % {_KMEANS_K} AS BIGINT)
+           AS cluster
+  FROM emb e JOIN assigned ON e.vec_id = assigned.vec_id
+),
+pairs AS (
+  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.embedding, b.embedding)
+               / (sqrt(list_dot_product(a.embedding, a.embedding))
+                  * sqrt(list_dot_product(b.embedding, b.embedding))),
+               6) AS cos
+  FROM clustered a
+  JOIN clustered b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT cluster, vec_a, vec_b, cos FROM pairs WHERE cos >= 0.95
+ORDER BY cluster, vec_a, vec_b
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "dedup_embeddings_semantic": dedup_embeddings_semantic,
     "embeddings_kmeans_assign": embeddings_kmeans_assign,
     "embeddings_kmeans_train": embeddings_kmeans_train,
     "similarity_topk_lsh": similarity_topk_lsh,
@@ -856,6 +993,7 @@ ORACLES = {
     "similarity_topk_lsh": _lsh_oracle_sql(),
     "similarity_topk_ivf": SIMILARITY_TOPK_IVF_SQL,
     "dedup_embeddings_cosine": DEDUP_EMBEDDINGS_COSINE_SQL,
+    "dedup_embeddings_semantic": DEDUP_EMBEDDINGS_SEMANTIC_SQL,
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
     "similarity_recall_report": _recall_oracle_sql(),
     "similarity_quantized_recall": SIMILARITY_QUANTIZED_RECALL_SQL,

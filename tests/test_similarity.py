@@ -89,3 +89,25 @@ def test_int8_quantized_recall_floor(spark, sf_dir):
     [row] = similarity_quantized_recall(spark, sf_dir).collect()
     assert row["recall"] >= 0.9
     assert row["n_bf"] > 0
+
+
+def test_semantic_dedup_subset_and_recall(spark, sf_dir):
+    # SemDeDup finds only within-cluster pairs — every pair must exist
+    # in the exact all-pairs truth with the same cosine, and the
+    # cross-cluster miss class must stay small on the planted fixture
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        dedup_embeddings_cosine,
+        dedup_embeddings_semantic,
+    )
+
+    truth = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in dedup_embeddings_cosine(spark, sf_dir, exact=True).collect()
+    }
+    sem = dedup_embeddings_semantic(spark, sf_dir).collect()
+    assert len(sem) > 0
+    for r in sem:
+        assert truth[(r.vec_a, r.vec_b)] == r.cos  # subset, exact scores
+    # recall floor: a planted near-identical pair lands in the same
+    # cluster unless the nudge crosses a Voronoi boundary — rare
+    assert len(sem) / len(truth) >= 0.8
