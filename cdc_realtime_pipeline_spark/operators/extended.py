@@ -1129,6 +1129,66 @@ GROUP BY fmt, lang ORDER BY fmt, lang
 """
 
 
+def variant_json_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured surface — ``parse_json`` →
+    binary variant, path extraction with ``variant_get`` (typed),
+    NULL-on-missing via ``try_variant_get``, and a struct→json→variant
+    round-trip — the engine's answer to open-schema event payloads
+    (the modern replacement for stringly get_json_object chains, with
+    shredded columnar storage at rest).
+
+    The oracle expresses the same semantics in DuckDB's JSON type
+    (json_extract + casts); every output is a plain aggregate so the
+    variant layer must be value-lossless for the hash to match.
+    ``is_object`` pins schema_of_variant's kind detection without
+    coupling to its engine-specific string format.
+
+    Scale: narrow projection + one keyed agg; variant decode is
+    JVM-side (no Python), and at rest VARIANT shreds to columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+            F.expr("try_variant_get(parse_json(props), '$.missing', 'int')").alias(
+                "miss"
+            ),
+            F.expr("schema_of_variant(parse_json(props))")
+            .startswith("OBJECT")
+            .cast("int")
+            .alias("is_obj"),
+            F.expr(
+                "variant_get(parse_json(to_json(named_struct("
+                "'user_id', user_id, 'event_type', event_type))),"
+                " '$.user_id', 'long')"
+            ).alias("uid_rt"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count("miss").alias("n_miss_nonnull"),
+            F.min("is_obj").alias("all_objects"),
+            F.sum("uid_rt").alias("sum_uid_roundtrip"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_JSON_CONFORMANCE_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, 'k') AS INTEGER)) AS BIGINT) AS sum_k,
+       count(CAST(json_extract(props, 'missing') AS INTEGER))
+         AS n_miss_nonnull,
+       CAST(min(CASE WHEN json_type(props::JSON) = 'OBJECT' THEN 1 ELSE 0 END)
+            AS INTEGER) AS all_objects,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid_roundtrip
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def timezone_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timezone conversion surface — the reference's event times are
     exchange-local (Upbit = Asia/Seoul) while the engine stores UTC;
@@ -1281,6 +1341,7 @@ QUERIES = {
     "sessionize": sessionize,
     "higher_order_functions_conformance": higher_order_functions_conformance,
     "timezone_conformance": timezone_conformance,
+    "variant_json_conformance": variant_json_conformance,
     "sessionize_native": sessionize_native,
     "value_quantiles": value_quantiles,
     "value_quantiles_approx": value_quantiles_approx,  # rows-only (sketch)
@@ -1309,6 +1370,7 @@ ORACLES = {
     "docs_lang_source_pivot": DOCS_LANG_SOURCE_PIVOT_SQL,
     "higher_order_functions_conformance": HIGHER_ORDER_FUNCTIONS_CONFORMANCE_SQL,
     "timezone_conformance": TIMEZONE_CONFORMANCE_SQL,
+    "variant_json_conformance": VARIANT_JSON_CONFORMANCE_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "attribution_last_touch": ATTRIBUTION_LAST_TOUCH_SQL,
