@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "higher_order_functions_conformance",
     "zorder_layout_stats",
     "dedup_embeddings_semantic",
+    "timeseries_pattern_topk",
 ]
 
 

@@ -838,6 +838,10 @@ def embeddings_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("iteration")
 
 
+_SEM_K = 32  # SemDeDup cluster count — sized so cluster ~ corpus/K
+_SEM_SEED_MOD = 11  # seed stride (>=K seeds available at every SF)
+
+
 def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas, Tirumala, Simig, Ganguli,
     Morcos, "SemDeDup: Data-efficient learning at web-scale through
@@ -877,18 +881,20 @@ def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = base.unionByName(near)
     w = Window.orderBy("vec_id")
     seeds = (
-        base.filter(F.pmod("vec_id", F.lit(_KMEANS_SEED_MOD)) == 0)
+        base.filter(F.pmod("vec_id", F.lit(_SEM_SEED_MOD)) == 0)
         .withColumn("seed_rank", F.row_number().over(w) - 1)
-        .filter(F.col("seed_rank") < _KMEANS_K)
+        .filter(F.col("seed_rank") < _SEM_K)
         .select("seed_rank", F.col("embedding").alias("s"))
     )
     v, s = F.col("embedding"), F.col("s")
     d2 = F.round(dot(v, v) - 2 * dot(v, s) + dot(s, s), 6)
     key = (
-        F.floor(d2 * 1000000 + F.lit(0.5)).cast("long") * _KMEANS_K
+        F.floor(d2 * 1000000 + F.lit(0.5)).cast("long") * _SEM_K
         + F.col("seed_rank")
     )
-    clustered = (
+    # persisted: the a/b self-join below would otherwise execute the
+    # whole assignment subtree twice (same barrier the LSH probes use)
+    clustered = tracked_persist(
         emb.crossJoin(F.broadcast(seeds))
         .select("vec_id", "embedding", key.alias("key"))
         .groupBy("vec_id")
@@ -899,18 +905,24 @@ def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
-            F.pmod("key", F.lit(_KMEANS_K)).alias("cluster"),
+            # norm precomputed per vector (bit-identical to the
+            # per-pair recompute: same fold, same inputs) — 1 fold
+            # per pair below instead of 3
+            l2_norm(F.col("embedding")).alias("nrm"),
+            F.pmod("key", F.lit(_SEM_K)).alias("cluster"),
         )
     )
     a = clustered.select(
         F.col("cluster"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = clustered.select(
         F.col("cluster").alias("cluster_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(
         b,
@@ -920,7 +932,9 @@ def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         "vec_a",
         "vec_b",
-        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        F.round(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= tau).orderBy("cluster", "vec_a", "vec_b")
 
@@ -938,8 +952,8 @@ seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS seed_rank,
          embedding::DOUBLE[] AS s
   FROM embeddings
-  WHERE vec_id % {_KMEANS_SEED_MOD} = 0
-  QUALIFY seed_rank < {_KMEANS_K}
+  WHERE vec_id % {_SEM_SEED_MOD} = 0
+  QUALIFY seed_rank < {_SEM_K}
 ),
 scored AS (
   SELECT e.vec_id, seed_rank,
@@ -950,13 +964,13 @@ scored AS (
 ),
 assigned AS (
   SELECT vec_id,
-         min(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) * {_KMEANS_K} + seed_rank)
+         min(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) * {_SEM_K} + seed_rank)
            AS key
   FROM scored GROUP BY vec_id
 ),
 clustered AS (
   SELECT e.vec_id, e.embedding,
-         CAST((key % {_KMEANS_K} + {_KMEANS_K}) % {_KMEANS_K} AS BIGINT)
+         CAST((key % {_SEM_K} + {_SEM_K}) % {_SEM_K} AS BIGINT)
            AS cluster
   FROM emb e JOIN assigned ON e.vec_id = assigned.vec_id
 ),

@@ -523,8 +523,120 @@ GROUP BY 1, 2
 """
 
 
+_PATTERN_L = 16  # query-pattern / window length (series points)
+_PATTERN_TOPK = 10
+
+
+def _ramp_pattern() -> list[float]:
+    """Z-normalized rising-ramp query pattern, generated once in Python
+    so Spark literals and oracle-SQL literals are the same floats
+    (repr round-trips exactly on both engines)."""
+    L = _PATTERN_L
+    mean = (L - 1) / 2.0
+    var = sum((i - mean) ** 2 for i in range(L)) / L
+    sd = var**0.5
+    return [(i - mean) / sd for i in range(L)]
+
+
+def timeseries_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series pattern similarity search — find the top-K windows
+    of the minute-resampled value series most correlated with a
+    broadcast query shape (a z-normalized rising ramp): the
+    subsequence-matching primitive behind distributed trajectory /
+    streaming-similarity systems (e.g. "Time Series Similarity Search
+    for Streaming Data in Distributed Systems", EDBT 2019 — PAPERS.md).
+
+    Pearson correlation against a zero-mean unit-σ pattern p reduces
+    to ``dot(x, p) / (L·σ_x)``: three sequential folds per window
+    (Σx, Σx², dot(x,p)) in the repo's established fold-order-identical
+    idiom (= DuckDB ``list_dot_product``), so scores agree bit-for-bit
+    cross-engine before the shared round+nudge. Windows are L
+    consecutive points of the per-minute mean series (missing minutes
+    compress out — subsequence semantics over the observed series,
+    identical on both engines); ties broken on start minute after
+    rounding.
+
+    Scale: the series is a (minute) aggregate of the fact table —
+    bounded rows thereafter; windowing is one ordered pass
+    (`collect_list` over a 16-row frame on an already-small relation);
+    per-key variants shard by series key. The pattern is a literal —
+    nothing broadcast-joins the fact table.
+    """
+    L, p = _PATTERN_L, _ramp_pattern()
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(
+            F.floor(F.col("ts").cast("long") / 60).cast("long").alias("minute")
+        )
+        .agg((F.sum("value") / F.count("*")).alias("x"))
+    )
+    w = Window.orderBy("minute").rowsBetween(0, L - 1)
+    windows = series.select(
+        "minute",
+        F.collect_list("x").over(w).alias("xs"),
+    ).filter(F.size("xs") == L)
+    pat = F.array(*[F.lit(float(v)) for v in p])
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+    s1 = fold(F.col("xs"))
+    s2 = fold(F.zip_with(F.col("xs"), F.col("xs"), lambda a, b: a * b))
+    dp = fold(F.zip_with(F.col("xs"), pat, lambda a, b: a * b))
+    sd = F.sqrt(s2 / L - (s1 / L) * (s1 / L))
+    scored = windows.select(
+        F.col("minute").alias("start_minute"),
+        F.round(
+            F.when(sd > 0, dp / (F.lit(float(L)) * sd)).otherwise(0.0) + 1e-9, 6
+        ).alias("corr"),
+    )
+    rk = Window.orderBy(F.desc("corr"), F.asc("start_minute"))
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= _PATTERN_TOPK)
+        .select("rk", "start_minute", "corr")
+    )
+
+
+def _pattern_topk_sql() -> str:
+    p = _ramp_pattern()
+    lit = "[" + ", ".join(repr(v) for v in p) + "]"
+    L, K = _PATTERN_L, _PATTERN_TOPK
+    return f"""
+WITH series AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+         sum(value) / count(*) AS x
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT minute,
+         list(x) OVER (ORDER BY minute
+                       ROWS BETWEEN CURRENT ROW AND {L - 1} FOLLOWING) AS xs
+  FROM series
+),
+full_win AS (SELECT * FROM win WHERE len(xs) = {L}),
+scored AS (
+  SELECT minute AS start_minute,
+         list_dot_product(xs, xs) AS s2,
+         list_dot_product(xs, [{", ".join(["1.0"] * L)}]::DOUBLE[]) AS s1,
+         list_dot_product(xs, {lit}::DOUBLE[]) AS dp
+  FROM full_win
+),
+corr AS (
+  SELECT start_minute,
+         round(CASE WHEN sqrt(s2 / {L} - (s1 / {L}) * (s1 / {L})) > 0
+                    THEN dp / ({float(L)!r} * sqrt(s2 / {L} - (s1 / {L}) * (s1 / {L})))
+                    ELSE 0.0 END + 1e-9, 6) AS corr
+  FROM scored
+)
+SELECT row_number() OVER (ORDER BY corr DESC, start_minute ASC) AS rk,
+       start_minute, corr
+FROM corr
+ORDER BY corr DESC, start_minute ASC
+LIMIT {K}
+"""
+
+
 QUERIES = {
     "ohlc_bars_5m": ohlc_bars_5m,
+    "timeseries_pattern_topk": timeseries_pattern_topk,
     "twap_hourly": twap_hourly,
     "gap_fill_locf": gap_fill_locf,
     "rolling_price_bands": rolling_price_bands,
@@ -534,6 +646,7 @@ QUERIES = {
 
 ORACLES = {
     "trailing_10min_value": TRAILING_10MIN_VALUE_SQL,
+    "timeseries_pattern_topk": _pattern_topk_sql(),
     "hourly_median_iqr": HOURLY_MEDIAN_IQR_SQL,
     "ohlc_bars_5m": OHLC_BARS_5M_SQL,
     "twap_hourly": TWAP_HOURLY_SQL,
