@@ -1189,6 +1189,81 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def cep_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style strict-contiguity pattern detection — the batch analog
+    of Flink CEP's ``begin('view').next('click').next('purchase')
+    .within(24 h)`` (the reference's native ecosystem exposes this
+    as a first-class library; Spark expresses it as lag-chains over
+    the per-key ordered stream, and SQL engines as MATCH_RECOGNIZE):
+    emit every STRICTLY consecutive view→click→purchase triple per
+    user completing within 24 hours (sized to the fixture's ~10 h
+    median per-user inter-event gap; a tick-dense feed would use
+    minutes). Strict contiguity (``next``,
+    not ``followedBy``) is the semantics a lag-chain pins exactly: any
+    intervening event of another type breaks the match — the relaxed
+    form is `funnel_conversion`'s min-timestamp ordering, already
+    covered.
+
+    Oracle: identical LAG window chain in DuckDB; second-truncated
+    epoch difference (the stream-join gap idiom) keeps the span
+    integer-exact cross-engine.
+
+    Scale: one keyed window shuffle; state is two lagged rows per
+    partition stream — the same frame WindowExec streams through, no
+    buffering beyond the frame.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.lag("ts", 2).over(w).alias("t1"),
+        F.lag("event_id", 2).over(w).alias("start_id"),
+    )
+    hit = lagged.filter(
+        (F.col("e1") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("event_type") == "purchase")
+        & (F.col("ts").cast("long") - F.col("t1").cast("long") <= 86400)
+    )
+    return hit.select(
+        "user_id",
+        F.col("start_id").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts").cast("long") - F.col("t1").cast("long")).alias("span_s"),
+    ).orderBy("user_id", "purchase_id")
+
+
+CEP_FUNNEL_SEQUENCE_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type, 2) OVER w AS e1,
+         lag(event_type, 1) OVER w AS e2,
+         lag(ts, 2)         OVER w AS t1,
+         lag(event_id, 2)   OVER w AS start_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       start_id AS view_id,
+       event_id AS purchase_id,
+       epoch(date_trunc('second', ts))::BIGINT
+         - epoch(date_trunc('second', t1))::BIGINT AS span_s
+FROM lagged
+WHERE e1 = 'view' AND e2 = 'click' AND event_type = 'purchase'
+  AND epoch(date_trunc('second', ts))::BIGINT
+      - epoch(date_trunc('second', t1))::BIGINT <= 86400
+ORDER BY user_id, purchase_id
+"""
+
+
 def timezone_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timezone conversion surface — the reference's event times are
     exchange-local (Upbit = Asia/Seoul) while the engine stores UTC;
@@ -1342,6 +1417,7 @@ QUERIES = {
     "higher_order_functions_conformance": higher_order_functions_conformance,
     "timezone_conformance": timezone_conformance,
     "variant_json_conformance": variant_json_conformance,
+    "cep_funnel_sequence": cep_funnel_sequence,
     "sessionize_native": sessionize_native,
     "value_quantiles": value_quantiles,
     "value_quantiles_approx": value_quantiles_approx,  # rows-only (sketch)
@@ -1371,6 +1447,7 @@ ORACLES = {
     "higher_order_functions_conformance": HIGHER_ORDER_FUNCTIONS_CONFORMANCE_SQL,
     "timezone_conformance": TIMEZONE_CONFORMANCE_SQL,
     "variant_json_conformance": VARIANT_JSON_CONFORMANCE_SQL,
+    "cep_funnel_sequence": CEP_FUNNEL_SEQUENCE_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "attribution_last_touch": ATTRIBUTION_LAST_TOUCH_SQL,

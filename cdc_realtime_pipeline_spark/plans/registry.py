@@ -37,16 +37,17 @@ try-function conformance, bloom semijoin reduction, chunk-level
 dedup audit, dup-graph PageRank, TPC-H Q18 agg-subquery semijoin,
 A-ES weighted reservoir, streaming windowed top-K, exact bitmap
 distinct-rollup) windowed the session they landed so no
-never-checked debt accrues; [C3] 8 third-wave operators
+never-checked debt accrues; [C3] 9 third-wave operators
 (Misra-Gries heavy-hitter candidate pruning, lambda higher-order-
 function conformance, watermark-gated LEFT OUTER stream-stream
 join, timezone/DST conversion conformance, Z-order multi-dim
 layout stats, SemDeDup cluster-partitioned embedding dedup,
 Spark-4 VARIANT semi-structured conformance, time-series
-pattern-correlation top-K — 8 total), same same-session-window policy; [D] the oldest-evidence
+pattern-correlation top-K, CEP strict-contiguity sequence
+detection — 9 total), same same-session-window policy; [D] the oldest-evidence
 rotation — rows green in round 1 only and untouched since, cycling
 through per the staleness policy
-([A]3 + [B]7 + [C]19 + [C2]12 + [C3]8 + [D]1 = 50).
+([A]3 + [B]7 + [C]19 + [C2]12 + [C3]9 + [D]0 = 50).
 Rows dropped this round hold r1/r2/r3 green evidence on unchanged
 code and stay under the local 3-SF harness.
 
@@ -57,7 +58,7 @@ plus twins displaced by [C]): `dash_total_trades`,
 `scalar_functions`, `date_functions`,
 `top_parts_per_supplier`, `ema_per_key`, `dash_bid_ask_ranking`,
 `region_revenue`, `revenue_top_orders`, `tpch_q6`,
-`alerts_large_trade`, `alerts_rapid_trades`
+`alerts_large_trade`, `alerts_rapid_trades`, `tpch_q1`
 (displaced by [C3] — r1-green, unchanged), `tpch_q12_like`,
 `tpch_q14_like`, `sessionize`, `stats_functions`,
 `window_rank_functions` (displaced by [C2] — r1-green, unchanged,
@@ -176,12 +177,12 @@ _PRIORITY = [
     "stream_topk_per_window",
     "daily_users_bitmap_rollup",
     "try_functions_conformance",
-    # --- [C3] third-wave round-4 operators, first look (8):
+    # --- [C3] third-wave round-4 operators, first look (9):
     # MG heavy-hitter candidate pruning, lambda-HOF conformance,
     # watermark-gated left-outer stream-stream join, timezone/DST
     # conversion conformance, Z-order layout stats, SemDeDup,
     # Spark-4 VARIANT semi-structured conformance, time-series
-    # pattern-correlation top-K ---
+    # pattern-correlation top-K, CEP strict-contiguity sequence ---
     "heavy_hitters_mg",
     "higher_order_functions_conformance",
     "stream_stream_left_outer",
@@ -190,9 +191,10 @@ _PRIORITY = [
     "dedup_embeddings_semantic",
     "variant_json_conformance",
     "timeseries_pattern_topk",
-    # --- [D] oldest-evidence rotation: green in round 1 only,
-    # code unchanged since (1) ---
-    "tpch_q1",
+    "cep_funnel_sequence",
+    # --- [D] oldest-evidence rotation: exhausted this round — every
+    # r1-only row now sits in the round-5 queue; [C3] same-session
+    # windowing of new operators took the remaining slots ---
 ]
 
 
