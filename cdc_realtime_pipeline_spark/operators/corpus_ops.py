@@ -231,6 +231,101 @@ FROM r3 ORDER BY doc_id
 """
 
 
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the near-dup
+    graph — the graph family's third member next to connected
+    components (cluster membership) and PageRank (centrality):
+    triangles measure how *transitive* the duplicate relation is (a
+    near-dup cluster from one source is clique-like, clustering → 1;
+    chained paraphrase drift is path-like, clustering → 0).
+
+    The classic two-join count on id-oriented edges: every edge is
+    stored once as (a < b), and a triangle a<b<c is found exactly once
+    as e(a,b) ⋈ e(b,c) ⋈ e(a,c) — no duplicate counting, no
+    symmetrization. At web scale the standard refinement is to orient
+    edges by DEGREE instead of id (each triangle charged to its
+    lowest-degree vertex, bounding the join fan-out of hub nodes);
+    id-orientation keeps the oracle trivially portable and the fixture
+    graphs are bounded-degree. Wedges Σ d(d−1)/2 come from one
+    degree aggregate; the coefficient is 3·triangles / wedges.
+
+    Edges are ``localCheckpoint``-ed like PageRank's: the plan
+    references them three times and each reference would otherwise
+    re-embed the full candidate-generation lineage.
+    """
+    pairs = (
+        dedup_docs_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    e2 = pairs.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        pairs.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionAll(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+        F.count("*").alias("n_nodes"),
+    )
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    return (
+        n_edges.crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(0.0)
+                + 1e-9,
+                6,
+            ).alias("clustering_coef"),
+        )
+    )
+
+
+DUP_GRAPH_TRIANGLES_SQL = f"""
+WITH jac AS ({DEDUP_DOCS_JACCARD_SQL}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM jac),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node
+),
+w AS (
+  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+         count(*) AS n_nodes
+  FROM deg
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       w.n_nodes,
+       tri.n_triangles,
+       w.n_wedges,
+       round(CASE WHEN w.n_wedges > 0
+                  THEN 3.0 * tri.n_triangles / w.n_wedges
+                  ELSE 0.0 END + 1e-9, 6) AS clustering_coef
+FROM tri, w
+"""
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -592,6 +687,7 @@ FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 
 
 QUERIES = {
+    "dup_graph_triangles": dup_graph_triangles,
     "dup_clusters_connected_components": dup_clusters_connected_components,
     "dup_graph_pagerank": dup_graph_pagerank,
     "split_leakage_audit": split_leakage_audit,
@@ -605,6 +701,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dup_graph_triangles": DUP_GRAPH_TRIANGLES_SQL,
     "label_balanced_sample": LABEL_BALANCED_SAMPLE_SQL,
     "split_leakage_audit": SPLIT_LEAKAGE_AUDIT_SQL,
     "dup_clusters_connected_components": DUP_CLUSTERS_SQL,
