@@ -54,6 +54,11 @@ SHOWCASE = [
     ("dup_graph_pagerank", "3 unrolled rank iterations, node-sized relation"),
     ("heavy_hitters_mg", "MG sketch candidates → broadcast semijoin exact verify"),
     ("higher_order_functions_conformance", "codegen'd lambda HOFs, one keyed agg"),
+    ("zorder_layout_stats", "broadcast bounds → Morton projection → bucket agg"),
+    ("dedup_embeddings_semantic", "k-means partition → within-cluster verify"),
+    ("timeseries_pattern_topk", "minute agg → 16-row frame windows → fold dots"),
+    ("cep_funnel_sequence", "per-key lag-chain strict-contiguity match"),
+    ("dup_graph_triangles", "two-join triangle count, checkpointed edges"),
 ]
 
 

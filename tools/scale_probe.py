@@ -58,6 +58,9 @@ PROBE_QUERIES = [
     ("text_quality", "JVM expression pipeline over text"),
     ("similarity_topk_lsh", "LSH-bucketed ANN top-K"),
     ("sessionize_native", "per-key ordered window (2 passes)"),
+    ("heavy_hitters_mg", "MG sketch pass + broadcast-semijoin verify"),
+    ("dedup_embeddings_semantic", "k-means partition + within-cluster verify"),
+    ("timeseries_pattern_topk", "minute agg + frame windows + fold dots"),
 ]
 
 TABLES = [
