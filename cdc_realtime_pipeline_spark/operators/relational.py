@@ -810,6 +810,80 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
 """
 
 
+def tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    textbook DOUBLE-correlated subquery: lineitems of finished orders
+    where this supplier shipped late (> 60 days after the order
+    date), ``EXISTS`` another supplier on the same order, ``NOT
+    EXISTS`` another LATE supplier on the same order; count per
+    supplier, top 20.
+
+    Deliberately NOT a translation of the SQL shape: per order, one
+    aggregation computes (distinct suppliers, distinct late
+    suppliers, the late supplier's key when unique), and the
+    EXISTS/NOT-EXISTS pair collapses to ``n_sup > 1 AND n_late = 1``
+    — Q21's classic 4-way self-join becomes ONE l_orderkey shuffle.
+    The oracle runs the textbook correlated form, so the gate proves
+    the aggregate rewrite semantically equivalent to the
+    EXISTS/NOT-EXISTS original, cross-engine.
+
+    Scale: one fact join (orders broadcast-eligible per AQE), one
+    keyed agg, one supplier-count agg + TakeOrdered(20).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    l = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        ).alias("late"),
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sup"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_sup"),
+    )
+    return (
+        per_order.filter((F.col("n_sup") > 1) & (F.col("n_late") == 1))
+        .groupBy(F.col("late_sup").alias("l_suppkey"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q21_LIKE_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate AS DATE) >
+           CAST(o_orderdate AS DATE) + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT l1.l_suppkey, count(DISTINCT l1.l_orderkey) AS numwait
+FROM l l1
+WHERE l1.late
+  AND EXISTS (
+    SELECT 1 FROM l l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM l l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late
+  )
+GROUP BY l1.l_suppkey
+ORDER BY numwait DESC, l1.l_suppkey ASC
+LIMIT 20
+"""
+
+
 def tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): orders whose lineitems sum
     past 300 units, joined back to customer detail — the
@@ -859,6 +933,7 @@ LIMIT 100
 
 
 QUERIES = {
+    "tpch_q21_like": tpch_q21_like,
     "tpch_q1": tpch_q1,
     "tpch_q18_like": tpch_q18_like,
     "bloom_semijoin_reduction": bloom_semijoin_reduction,
@@ -886,6 +961,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q21_like": TPCH_Q21_LIKE_SQL,
     "join_types_conformance": JOIN_TYPES_CONFORMANCE_SQL,
     "bloom_semijoin_reduction": BLOOM_SEMIJOIN_REDUCTION_SQL,
     "tpch_q18_like": TPCH_Q18_LIKE_SQL,
