@@ -1190,6 +1190,49 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 
+def bitwise_functions_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface — ``bit_and`` / ``bit_or`` / ``bit_xor``
+    aggregates, ``bit_count``, and shift/mask scalars — the substrate
+    the engine's bitmap-distinct rollup (`daily_users_bitmap_rollup`),
+    bloom prefilter (`bloom_semijoin_reduction`) and Z-order interleave
+    (`zorder_layout_stats`) are built from, pinned per event_type
+    against the identical DuckDB expressions. ``xor_fold`` doubles as
+    an order-insensitive content checksum (XOR is commutative — the
+    idiom for shuffle-order-independent integrity checks).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") + 1).alias("u"),
+        F.col("event_id").alias("e"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and("u").alias("and_all"),
+            F.bit_or("u").alias("or_all"),
+            F.bit_xor("u").alias("xor_fold"),
+            F.sum(F.bit_count("u")).alias("sum_popcount"),
+            F.bit_xor(
+                F.shiftleft(F.col("u"), 7).bitwiseXOR(
+                    F.shiftright(F.col("e"), 3)
+                )
+            ).alias("mix_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BITWISE_FUNCTIONS_CONFORMANCE_SQL = """
+SELECT event_type,
+       bit_and(user_id + 1) AS and_all,
+       bit_or(user_id + 1) AS or_all,
+       bit_xor(user_id + 1) AS xor_fold,
+       CAST(sum(bit_count(user_id + 1)) AS BIGINT) AS sum_popcount,
+       bit_xor(xor((user_id + 1) << 7, event_id >> 3)) AS mix_checksum
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def cep_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP-style strict-contiguity pattern detection — the batch analog
     of Flink CEP's ``begin('view').next('click').next('purchase')
@@ -1418,6 +1461,7 @@ QUERIES = {
     "timezone_conformance": timezone_conformance,
     "variant_json_conformance": variant_json_conformance,
     "cep_funnel_sequence": cep_funnel_sequence,
+    "bitwise_functions_conformance": bitwise_functions_conformance,
     "sessionize_native": sessionize_native,
     "value_quantiles": value_quantiles,
     "value_quantiles_approx": value_quantiles_approx,  # rows-only (sketch)
@@ -1448,6 +1492,7 @@ ORACLES = {
     "timezone_conformance": TIMEZONE_CONFORMANCE_SQL,
     "variant_json_conformance": VARIANT_JSON_CONFORMANCE_SQL,
     "cep_funnel_sequence": CEP_FUNNEL_SEQUENCE_SQL,
+    "bitwise_functions_conformance": BITWISE_FUNCTIONS_CONFORMANCE_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "attribution_last_touch": ATTRIBUTION_LAST_TOUCH_SQL,
