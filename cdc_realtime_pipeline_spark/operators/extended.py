@@ -1233,6 +1233,48 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def unpivot_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT/melt — the inverse of `order_status_pivot`
+    and the report-to-audit-rows reshaping the DQ profile uses via
+    ``stack``; here the first-class ``DataFrame.unpivot`` (Spark 3.4+
+    melt) is pinned against DuckDB's native ``UNPIVOT`` clause. The
+    wide side is a per-type aggregate (4 metric columns), so the
+    unpivot multiplies a bounded relation — at scale this reshaping
+    always happens AFTER aggregation, never on the fact table.
+
+    The metric columns are rounded BEFORE unpivoting on both engines
+    (one shared rounding site — unpivot must not re-touch values).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.round(F.avg("value") + 1e-9, 4).alias("avg_v"),
+        F.round(F.max("value") + 1e-9, 4).alias("max_v"),
+        F.round(F.min("value") + 1e-9, 4).alias("min_v"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["avg_v", "max_v", "min_v", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).orderBy("event_type", "metric")
+
+
+UNPIVOT_CONFORMANCE_SQL = """
+WITH wide AS (
+  SELECT event_type,
+         round(avg(value) + 1e-9, 4) AS avg_v,
+         round(max(value) + 1e-9, 4) AS max_v,
+         round(min(value) + 1e-9, 4) AS min_v,
+         CAST(count(*) AS DOUBLE) AS n_rows
+  FROM events GROUP BY event_type
+)
+SELECT event_type, metric, val
+FROM wide UNPIVOT (val FOR metric IN (avg_v, max_v, min_v, n_rows))
+ORDER BY event_type, metric
+"""
+
+
 def cep_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP-style strict-contiguity pattern detection — the batch analog
     of Flink CEP's ``begin('view').next('click').next('purchase')
@@ -1462,6 +1504,7 @@ QUERIES = {
     "variant_json_conformance": variant_json_conformance,
     "cep_funnel_sequence": cep_funnel_sequence,
     "bitwise_functions_conformance": bitwise_functions_conformance,
+    "unpivot_conformance": unpivot_conformance,
     "sessionize_native": sessionize_native,
     "value_quantiles": value_quantiles,
     "value_quantiles_approx": value_quantiles_approx,  # rows-only (sketch)
@@ -1493,6 +1536,7 @@ ORACLES = {
     "variant_json_conformance": VARIANT_JSON_CONFORMANCE_SQL,
     "cep_funnel_sequence": CEP_FUNNEL_SEQUENCE_SQL,
     "bitwise_functions_conformance": BITWISE_FUNCTIONS_CONFORMANCE_SQL,
+    "unpivot_conformance": UNPIVOT_CONFORMANCE_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "attribution_last_touch": ATTRIBUTION_LAST_TOUCH_SQL,

@@ -211,3 +211,12 @@ def test_hof_conformance_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q21_aggregate_rewrite_shape(spark, sf_dir):
+    # the double-correlated EXISTS pair must have collapsed into keyed
+    # aggregations — no cartesian, no self-join explosion, and the
+    # top-20 runs as TakeOrderedAndProject (per-partition heaps)
+    plan = _plan(spark, "tpch_q21_like", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
