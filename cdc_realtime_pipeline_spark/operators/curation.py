@@ -303,6 +303,55 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", 2020): per language, split the corpus into head / middle /
+    tail terciles by LM score (here the unigram-LM proxy of
+    `text_unigram_lm_score`) — the standard curation move that keeps
+    the head, samples the middle, and drops the tail. Emits per
+    (lang, bucket): population and score stats.
+
+    ``ntile(3)`` runs per-language ordered by (score, doc_id) — the
+    doc_id tiebreak makes tercile boundaries deterministic
+    cross-engine even when scores tie. One extra shuffle over the LM
+    scorer (per-lang window on a doc-count-sized relation).
+    """
+    scores = text_unigram_lm_score(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+    bucketed = (
+        scores.join(langs, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("avg_neg_logp") + 1e-9, 4).alias("mean_score"),
+            F.min("avg_neg_logp").alias("min_score"),
+            F.max("avg_neg_logp").alias("max_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+CORPUS_PERPLEXITY_BUCKETS_SQL = f"""
+WITH lm AS ({TEXT_UNIGRAM_LM_SCORE_SQL}),
+bucketed AS (
+  SELECT d.lang, lm.avg_neg_logp,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY lm.avg_neg_logp, lm.doc_id) AS bucket
+  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       round(avg(avg_neg_logp) + 1e-9, 4) AS mean_score,
+       min(avg_neg_logp) AS min_score,
+       max(avg_neg_logp) AS max_score
+FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
 def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty per document: the fraction of a doc's distinct
     3-grams whose FIRST appearance (by doc_id, the ingestion order) is
@@ -982,6 +1031,7 @@ FROM ranked WHERE rk <= {_RESERVOIR_K} ORDER BY source, rk
 
 
 QUERIES = {
+    "corpus_perplexity_buckets": corpus_perplexity_buckets,
     "decontaminate_vs_benchmark": decontaminate_vs_benchmark,
     "chunk_dedup_stats": chunk_dedup_stats,
     "corpus_weighted_reservoir": corpus_weighted_reservoir,
@@ -997,6 +1047,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_perplexity_buckets": CORPUS_PERPLEXITY_BUCKETS_SQL,
     "corpus_curation_funnel": CORPUS_CURATION_FUNNEL_SQL,
     "chunk_dedup_stats": CHUNK_DEDUP_STATS_SQL,
     "corpus_weighted_reservoir": CORPUS_WEIGHTED_RESERVOIR_SQL,

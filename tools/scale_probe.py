@@ -61,6 +61,10 @@ PROBE_QUERIES = [
     ("heavy_hitters_mg", "MG sketch pass + broadcast-semijoin verify"),
     ("dedup_embeddings_semantic", "k-means partition + within-cluster verify"),
     ("timeseries_pattern_topk", "minute agg + frame windows + fold dots"),
+    # full Structured Streaming query (availableNow over the file
+    # stream): measures the streaming runtime's volume scaling, not
+    # just the batch planner's
+    ("stream_window_agg_5m", "streaming windowed agg, availableNow E2E"),
 ]
 
 TABLES = [
