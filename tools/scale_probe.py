@@ -163,9 +163,21 @@ def _build(spark, m: int) -> str:
                     ),
                 )
             df = df.drop("__copy")
-        df.coalesce(max(1, m)).write.mode("overwrite").parquet(
-            os.path.join(out, f"{t}.parquet")
-        )
+        if t == "events":
+            # the streaming queries read {dir}/events.parquet through a
+            # pathGlobFilter that expects the driver fixture's FLAT-FILE
+            # layout — a directory write here silently streams 0 rows
+            import glob as _glob
+
+            tmp = os.path.join(out, "_events_tmp")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(out, "events.parquet"))
+            shutil.rmtree(tmp)
+        else:
+            df.coalesce(max(1, m)).write.mode("overwrite").parquet(
+                os.path.join(out, f"{t}.parquet")
+            )
     open(marker, "w").write("ok")
     return out
 
