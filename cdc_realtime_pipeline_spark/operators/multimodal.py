@@ -269,14 +269,90 @@ FROM fanned ORDER BY doc_id, sample_i
 """
 
 
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level media dedup — content-hash the BINARY payload
+    (md5 over the raw bytes; in production the object-store ETag is the
+    free precomputed equivalent), group, and report per media type how
+    many assets are redundant re-crawls and how many bytes
+    deduplication reclaims. Decode-free by design: at 100 TB the win
+    is that identical images/audio dedupe on bytes alone — one
+    content-hash shuffle of (16-byte md5, n_bytes), the payloads
+    themselves never re-shuffle.
+
+    Runs over the planted-duplicate corpus (`docs_with_dupes`, the
+    dedup family's shared fixture — replica payloads are byte-equal by
+    construction), so the reclaimable-bytes column is non-vacuous and
+    oracle-checkable: DuckDB's ``md5(text)`` hashes the same UTF-8
+    bytes the Spark side encodes.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import docs_with_dupes
+
+    media = docs_with_dupes(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    grp = media.groupBy(
+        "media_type", F.md5("payload").alias("content_md5")
+    ).agg(
+        F.count("*").alias("c"),
+        F.max(F.length("payload")).cast("long").alias("nb"),
+    )
+    return (
+        grp.groupBy("media_type")
+        .agg(
+            F.sum("c").alias("n_assets"),
+            F.count("*").alias("n_unique"),
+            F.sum(F.col("c") - 1).alias("n_dup_assets"),
+            F.sum((F.col("c") - 1) * F.col("nb")).alias("bytes_reclaimable"),
+        )
+        .orderBy("media_type")
+    )
+
+
+MEDIA_DEDUP_EXACT_SQL = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, substring(text, 1, 400) AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+media AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         md5(text) AS content_md5,
+         octet_length(CAST(text AS BLOB)) AS nb
+  FROM docs
+),
+grp AS (
+  SELECT media_type, content_md5, count(*) AS c, max(nb) AS nb
+  FROM media GROUP BY 1, 2
+)
+SELECT media_type,
+       CAST(sum(c) AS BIGINT) AS n_assets,
+       count(*) AS n_unique,
+       CAST(sum(c - 1) AS BIGINT) AS n_dup_assets,
+       CAST(sum((c - 1) * nb) AS BIGINT) AS bytes_reclaimable
+FROM grp GROUP BY media_type ORDER BY media_type
+"""
+
+
 QUERIES = {
     "media_features": media_features,
+    "media_dedup_exact": media_dedup_exact,
     "media_resize_stats": media_resize_stats,
     "media_frame_sample": media_frame_sample,
     "props_json_extract": props_json_extract,
 }
 ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
+    "media_dedup_exact": MEDIA_DEDUP_EXACT_SQL,
     "media_resize_stats": MEDIA_RESIZE_STATS_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "props_json_extract": PROPS_JSON_EXTRACT_SQL,

@@ -53,7 +53,8 @@ code and stay under the local 3-SF harness.
 
 Round-5 rotation queue — FIRST `dup_graph_triangles`,
 `tpch_q21_like`, `bitwise_functions_conformance`,
-`unpivot_conformance`, `corpus_perplexity_buckets` (landed after the
+`unpivot_conformance`, `corpus_perplexity_buckets`,
+`media_dedup_exact` (landed after the
 50-slot window filled; the round's never-driver-checked rows, to be
 windowed first next round), then (deferred from the
 r1-only pool this round, plus twins displaced by [C]): `dash_total_trades`,
