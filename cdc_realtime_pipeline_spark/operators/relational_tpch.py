@@ -1,0 +1,497 @@
+"""TPC-H shape completion: the 8 classic query shapes not yet covered.
+
+relational.py already carries Q1/Q2/Q3/Q4/Q5/Q6/Q12/Q14/Q17/Q18/Q19/Q21
+analogs; this module adds the remaining shapes — Q7 (bilateral volume),
+Q9 (profit by nation/year), Q10 (returned-item ranking), Q13
+(distribution of counts via left outer + two-level agg), Q15 (argmax vs
+a scalar-subquery max), Q16 (distinct-count with null-aware NOT IN
+exclusion), Q20 (nested quantity-share semijoin) and Q22 (global scalar
+threshold + anti join) — so every one of the 22 TPC-H query shapes has
+a driver-oracle-gated representative. The reference engine itself has
+no joins (SURVEY.md §2.5); this is the "complete engine" surface a
+switching user expects.
+
+The fixtures have no partsupp table; Q9/Q16/Q20 use the distinct
+(l_partkey, l_suppkey) pairs observed in lineitem as the part-supplier
+relation and p_retailprice-derived cost in place of ps_supplycost —
+the plan shapes (nested aggregate semijoins, null-aware anti join)
+are the point, not the exact TPC-H predicate constants.
+
+Scale posture (same discipline as relational.py):
+* nation/supplier/part dims and sub-aggregates over them are
+  ``F.broadcast``-hinted — the lineitem fact never re-shuffles for a
+  dim lookup;
+* equality-vs-max (Q15) and above-global-threshold (Q22) use a
+  broadcast 1-row aggregate crossJoin, not a global window — no
+  single-partition sort at 100 TB;
+* sums feeding cross-engine comparisons are rounded with the repo's
+  ``+ 1e-9`` half-up nudge on BOTH engines (memory: 4dp discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.session import load_table
+
+
+def tpch_q7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two trading
+    blocs (supplier bloc ↔ customer bloc, both directions).
+
+    lineitem ⋈ supplier-bloc ⋈ orders ⋈ customer-bloc, restricted to
+    the (AFRICA, AMERICA) region pair in both directions, revenue by
+    (supp_nation, cust_nation, year). Q7's literal two-nation pair is
+    vacuous at sf0.001 (10 suppliers across 25 nations — the pair has
+    no trades), so the bloc form keeps the exact plan shape — two
+    dim-side provenance maps, a disjunctive cross-filter, a 3-key
+    aggregate — non-degenerate at every SF. Both nation-mapped dims
+    are broadcast; the only shuffle is lineitem ⋈ orders on the
+    orderkey, then the small grouped aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    ndim = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name", "r_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(ndim), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("supp_nation"),
+            F.col("r_name").alias("supp_region"),
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(ndim), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("cust_nation"),
+            F.col("r_name").alias("cust_region"),
+        )
+    )
+    pair = (
+        (F.col("supp_region") == "AFRICA") & (F.col("cust_region") == "AMERICA")
+    ) | ((F.col("supp_region") == "AMERICA") & (F.col("cust_region") == "AFRICA"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(rev) + 1e-9, 4).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_LIKE_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume) + 1e-9, 4) AS revenue,
+       count(*) AS n_lineitems
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+  WHERE (rs.r_name = 'AFRICA' AND rc.r_name = 'AMERICA')
+     OR (rs.r_name = 'AMERICA' AND rc.r_name = 'AFRICA')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and year.
+
+    Profit per lineitem = discounted revenue minus a retail-price-
+    derived cost (no ps_supplycost in the fixtures); parts restricted
+    by a name predicate (``p_name LIKE '%red%'`` — the Q9 colored-part
+    filter). part and supplier-nation are broadcast; one fact scan,
+    one grouped aggregate on a (25 nations × ~7 years) key space.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit) + 1e-9, 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+TPCH_Q9_LIKE_SQL = """
+SELECT nation, o_year, round(sum(amount) + 1e-9, 4) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(l_shipdate) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.6 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def tpch_q10_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking, top 20 customers.
+
+    One quarter of orders, lineitems with ``l_returnflag = 'R'``,
+    revenue grouped per customer and joined to the customer/nation
+    dims; top-20 via TakeOrderedAndProject (c_custkey tiebreak keeps
+    the cut deterministic cross-engine). The grouped aggregate keys on
+    c_custkey BEFORE joining dims, so the dim join sees one row per
+    customer, not one per lineitem.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    rev_per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 4).alias(
+                "revenue"
+            )
+        )
+    )
+    return (
+        rev_per_cust.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"), "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_LIKE_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation, revenue
+FROM (
+  SELECT o_custkey,
+         round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY o_custkey
+) r
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def tpch_q13_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count.
+
+    LEFT OUTER customer ⋈ orders with an extra join-side predicate
+    (non-urgent orders only — the predicate must live in the join
+    condition, not a WHERE, or customers with only urgent orders
+    silently drop instead of counting 0), then a two-level aggregate:
+    orders per customer → customers per order-count. Exercises the
+    left-outer null-count path (``count(o_orderkey)`` skips nulls).
+    Both aggregates are map-side combinable; the second one's key
+    space is tiny (distinct order counts).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+TPCH_Q13_LIKE_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def tpch_q15_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the maximum (scalar-subquery max, ties kept).
+
+    The revenue-per-supplier aggregate is computed once and compared
+    against its own broadcast 1-row max via crossJoin — NOT a global
+    window (``Window.partitionBy()`` funnels every row through one
+    task; the broadcast scalar keeps the comparison embarrassingly
+    parallel at any supplier count). Revenue is rounded to 2dp on both
+    engines BEFORE the max/equality so float sum-order divergence
+    can't flip the argmax row.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_LIKE_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def tpch_q16_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier diversity per part attribute group,
+    excluding black-listed suppliers via null-aware NOT IN.
+
+    The part-supplier relation is the distinct (l_partkey, l_suppkey)
+    pairs observed in lineitem (no partsupp fixture). Suppliers with
+    ``s_acctbal < 100`` play the Q16 complaints subquery; the NOT IN
+    compiles to a left-anti join against a broadcast side. Distinct
+    supplier count per (p_brand, p_size) over non-ECONOMY parts —
+    count(DISTINCT) shuffles once on the small group key space.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "ECONOMY")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 100)
+        .select("s_suppkey")
+    )
+    partsupp = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        partsupp.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+TPCH_Q16_LIKE_SQL = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) partsupp
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'ECONOMY'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominated ≥2 parts' 1997 volume.
+
+    Nested aggregate semijoin: per-(part, supplier) shipped quantity
+    vs per-part total — pairs with a >80% share survive, and a HAVING
+    keeps suppliers dominating at least 2 distinct parts (~56/100 on
+    the fixtures; the plain >50%-of-any-part form selected every
+    supplier — no selectivity, nothing to verify). The per-part total
+    is a ``sum OVER (PARTITION BY l_partkey)`` window over the
+    per-pair aggregate — NOT a join back against a re-aggregation,
+    which would make Catalyst scan lineitem twice (it does not share
+    subtrees across a self-join; pinned by test_tpch_rest). One fact
+    scan, then two shuffles of the already-pair-sized aggregate; the
+    window partition key is a part (bounded fan-out — no skew funnel).
+    The 0.8·part_qty comparison is exact cross-engine: l_quantity is
+    integer-valued in the fixtures, so both sums are exact doubles and
+    both engines evaluate the identical multiply.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    part_w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_pair.withColumn("part_qty", F.sum("pair_qty").over(part_w))
+        .filter(F.col("pair_qty") > 0.8 * F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated"))
+        .filter(F.col("n_dominated") >= 2)
+    )
+    return (
+        dominant.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominated")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q20_LIKE_SQL = """
+WITH per_pair AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+  FROM lineitem
+  WHERE year(l_shipdate) = 1997
+  GROUP BY l_partkey, l_suppkey
+), shared AS (
+  SELECT l_suppkey, pair_qty,
+         sum(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+  FROM per_pair
+)
+SELECT s_suppkey, s_name, n_dominated
+FROM (
+  SELECT l_suppkey, count(*) AS n_dominated
+  FROM shared
+  WHERE pair_qty > 0.8 * part_qty
+  GROUP BY l_suppkey
+  HAVING count(*) >= 2
+) dom
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY s_suppkey
+"""
+
+
+def tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-idle customers by "country code".
+
+    The country code is the last-two-digits slice of c_name (the
+    fixtures carry no phone column). Threshold = global average of
+    positive account balances — a broadcast 1-row aggregate crossJoin,
+    same no-global-window posture as Q15 — and "idle" = LEFT ANTI
+    against RECENT orders (since 2000-01-01; the fixtures' order
+    density gives every customer lifetime orders, so Q22's plain
+    no-orders-ever predicate is vacuous — recency keeps ~55 rich-idle
+    customers at sf0.01 and scales by construction). Group by code:
+    count + summed balance. The anti join shuffles on custkey;
+    everything after is dim-sized.
+    """
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring("c_name", 17, 2)
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal") + 1e-9, 4).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+TPCH_Q22_LIKE_SQL = """
+SELECT cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal) + 1e-9, 4) AS totacctbal
+FROM (
+  SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+) rich
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+QUERIES = {
+    "tpch_q7_like": tpch_q7_like,
+    "tpch_q9_like": tpch_q9_like,
+    "tpch_q10_like": tpch_q10_like,
+    "tpch_q13_like": tpch_q13_like,
+    "tpch_q15_like": tpch_q15_like,
+    "tpch_q16_like": tpch_q16_like,
+    "tpch_q20_like": tpch_q20_like,
+    "tpch_q22_like": tpch_q22_like,
+}
+
+ORACLES = {
+    "tpch_q7_like": TPCH_Q7_LIKE_SQL,
+    "tpch_q9_like": TPCH_Q9_LIKE_SQL,
+    "tpch_q10_like": TPCH_Q10_LIKE_SQL,
+    "tpch_q13_like": TPCH_Q13_LIKE_SQL,
+    "tpch_q15_like": TPCH_Q15_LIKE_SQL,
+    "tpch_q16_like": TPCH_Q16_LIKE_SQL,
+    "tpch_q20_like": TPCH_Q20_LIKE_SQL,
+    "tpch_q22_like": TPCH_Q22_LIKE_SQL,
+}

@@ -54,7 +54,11 @@ code and stay under the local 3-SF harness.
 Round-5 rotation queue — FIRST `dup_graph_triangles`,
 `tpch_q21_like`, `bitwise_functions_conformance`,
 `unpivot_conformance`, `corpus_perplexity_buckets`,
-`media_dedup_exact` (landed after the
+`media_dedup_exact`, the TPC-H completion block
+(`tpch_q7_like` `tpch_q9_like` `tpch_q10_like` `tpch_q13_like`
+`tpch_q15_like` `tpch_q16_like` `tpch_q20_like` `tpch_q22_like`)
+and the other post-window round-4 operators listed at the end of
+this paragraph (landed after the
 50-slot window filled; the round's never-driver-checked rows, to be
 windowed first next round), then (deferred from the
 r1-only pool this round, plus twins displaced by [C]): `dash_total_trades`,
@@ -103,6 +107,7 @@ from cdc_realtime_pipeline_spark.operators import (
     extended,
     multimodal,
     relational,
+    relational_tpch,
     similarity,
     temporal,
     text_ops,
@@ -117,6 +122,7 @@ _MODULES = [
     window_agg,
     anomaly,
     relational,
+    relational_tpch,
     extended,
     temporal,
     timeseries,
