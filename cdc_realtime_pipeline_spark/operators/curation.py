@@ -1030,7 +1030,146 @@ FROM ranked WHERE rk <= {_RESERVOIR_K} ORDER BY source, rk
 """.format(tq=_TQ_SQL)
 
 
+_DSIR_BUCKETS = 256
+
+# The target-domain reference sample: a small skewed token multiset
+# standing in for DSIR's held-out target corpus (Wikipedia/books in
+# the paper). It must be EXTERNAL to the raw corpus: the fixtures'
+# languages all draw from one near-uniform token pool, so any
+# within-corpus slice (lang, source, length) has λ_target ≈ λ_raw and
+# the importance weight degenerates to smoothing noise — planting the
+# reference follows the _with_planted_pii / pattern-literal precedent.
+_DSIR_TARGET_TOKENS = (
+    ["vector"] * 6 + ["data"] * 5 + ["query"] * 4 + ["stream"] * 3
+    + ["window"] * 2 + ["group"]
+)
+
+
+def _dsir_bucket_py(token: str) -> int:
+    """Python twin of ``_hash64(col, salt=777) % _DSIR_BUCKETS`` —
+    byte-identical md5 slice so the literal target model lands in the
+    same buckets both engines compute for corpus words."""
+    import hashlib
+
+    return int(hashlib.md5(f"s777:{token}".encode()).hexdigest()[:15], 16) % _DSIR_BUCKETS
+
+
+def _dsir_target_counts() -> list[tuple[int, int]]:
+    counts: dict[int, int] = {}
+    for t in _DSIR_TARGET_TOKENS:
+        b = _dsir_bucket_py(t)
+        counts[b] = counts.get(b, 0) + 1
+    return sorted(counts.items())
+
+
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed n-gram importance scoring (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", 2023):
+    score every raw document by how target-like its hashed unigram
+    feature distribution is. The target model comes from a small
+    reference token sample (see ``_DSIR_TARGET_TOKENS``) — exactly
+    DSIR's asymmetry: the target fits in a broadcast literal, the raw
+    model is a corpus-scale aggregate. Resampling then keeps the
+    high-weight head — the sampling step itself is the already-covered
+    weighted-reservoir / quality-weighted-sample family.
+
+    Per word: bucket = portable 60-bit md5 hash mod 256 (the Python
+    twin generates the identical buckets for the target literals).
+    Add-one-smoothed bucket unigram models over integer counts (all
+    arithmetic stays integral until ONE division, so both engines see
+    identical doubles): λ_t[b] = (tc+1)/(t_tot+B) from the literal
+    counts, λ_r[b] = (rc+1)/(r_tot+B) from the corpus; per-word
+    log-ratio ln(λ_t/λ_r) rounded to 8dp before the per-doc average
+    (the association-insensitivity discipline from
+    text_unigram_lm_score). Docs rich in target-domain tokens score
+    higher — pinned in tests via quartile separation. The final score
+    carries a ``+ 0.0`` AFTER the round on both engines: DuckDB's
+    round propagates IEEE −0.0 for tiny negative averages while
+    Spark's HALF_UP round returns +0.0, and the driver's value hash
+    distinguishes the two (sf0.1 had 38 such docs — a failure class
+    no earlier query hit).
+
+    Scale shape: ONE corpus-side bucket aggregate (256 rows —
+    broadcast), one explode of the corpus into words, no word-keyed
+    shuffle at all (the per-word model join is against a broadcast
+    256-row dim; contrast the LM scorer's distributed vocab join —
+    DSIR's whole point is that hashed features keep the model small
+    regardless of corpus size).
+    """
+    t_tot = len(_DSIR_TARGET_TOKENS)
+    tgt = spark.createDataFrame(
+        _dsir_target_counts(), "bucket long, tc long"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    words = words.withColumn(
+        "bucket", _hash64(F.col("word"), salt=777) % _DSIR_BUCKETS
+    )
+    raw = words.groupBy("bucket").agg(F.count("*").alias("rc"))
+    r_tot = words.agg(F.count("*").alias("r_tot"))
+    model = (
+        raw.join(F.broadcast(tgt), "bucket", "left")
+        .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.col("tc") + 1) * (F.col("r_tot") + _DSIR_BUCKETS)).cast("double")
+                    / ((F.col("rc") + 1) * F.lit(t_tot + _DSIR_BUCKETS)).cast("double")
+                ),
+                8,
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        words.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.round(F.avg("log_ratio") + 1e-9, 4) + 0.0).alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_target_values_sql() -> str:
+    return ", ".join(f"({b}, {c})" for b, c in _dsir_target_counts())
+
+
+CORPUS_DSIR_IMPORTANCE_SQL = f"""
+WITH words AS (
+  SELECT doc_id,
+         {_HASH64_SQL.format(salt=777, col='word')} % {_DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id,
+               unnest(string_split({NORMALIZE_SQL.format(col='text')}, ' ')) AS word
+        FROM documents)
+  WHERE length(word) > 0
+),
+tgt(bucket, tc) AS (VALUES {_dsir_target_values_sql()}),
+raw AS (SELECT bucket, count(*) AS rc FROM words GROUP BY bucket),
+r_tot AS (SELECT count(*) AS r_tot FROM words),
+model AS (
+  SELECT bucket,
+         round(ln(CAST((coalesce(tc, 0) + 1) * (r_tot + {_DSIR_BUCKETS}) AS DOUBLE)
+                  / CAST((rc + 1) * {len(_DSIR_TARGET_TOKENS) + _DSIR_BUCKETS} AS DOUBLE)), 8)
+           AS log_ratio
+  FROM raw LEFT JOIN tgt USING (bucket)
+  CROSS JOIN r_tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(log_ratio) + 1e-9, 4) + 0.0 AS dsir_score
+FROM words JOIN model USING (bucket)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "corpus_dsir_importance": corpus_dsir_importance,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
     "decontaminate_vs_benchmark": decontaminate_vs_benchmark,
     "chunk_dedup_stats": chunk_dedup_stats,
@@ -1047,6 +1186,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_dsir_importance": CORPUS_DSIR_IMPORTANCE_SQL,
     "corpus_perplexity_buckets": CORPUS_PERPLEXITY_BUCKETS_SQL,
     "corpus_curation_funnel": CORPUS_CURATION_FUNNEL_SQL,
     "chunk_dedup_stats": CHUNK_DEDUP_STATS_SQL,

@@ -4,6 +4,8 @@ that must hold on any corpus, not just this fixture)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cdc_realtime_pipeline_spark.operators.curation import (
     _BENCH_MOD,
     _CONTAM_MIN_SHARED,
@@ -103,3 +105,57 @@ def test_all_shingles_edge_cases(spark):
     assert len(by_doc[7]) == 7  # 9 words -> 7 trigram occurrences
     assert by_doc[7].count("a b c") == 3  # multiplicity preserved
     assert all(s for docs_ in by_doc.values() for s in docs_)  # none empty
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark, sf_dir):
+    """The importance weight is a log-likelihood ratio target/raw:
+    docs with a higher fraction of target-domain tokens must score
+    higher. Compare the mean score of the top vs bottom doc quartile
+    by target-token fraction, and require every score finite
+    (smoothing covers buckets absent from the target sample)."""
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        _DSIR_TARGET_TOKENS,
+        corpus_dsir_importance,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    out = corpus_dsir_importance(spark, sf_dir)
+    assert out.filter(F.isnan("dsir_score") | F.col("dsir_score").isNull()).count() == 0
+
+    target_vocab = sorted(set(_DSIR_TARGET_TOKENS))
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    frac = words.groupBy("doc_id").agg(
+        (
+            F.count(F.when(F.col("word").isin(target_vocab), 1)) / F.count("*")
+        ).alias("target_frac")
+    )
+    joined = out.join(frac, "doc_id")
+    q1, q3 = joined.approxQuantile("target_frac", [0.25, 0.75], 0.0)
+    top = joined.filter(F.col("target_frac") >= q3).agg(F.avg("dsir_score")).collect()[0][0]
+    bot = joined.filter(F.col("target_frac") <= q1).agg(F.avg("dsir_score")).collect()[0][0]
+    assert top > bot, (top, bot)
+
+
+def test_dsir_model_join_is_broadcast_no_word_shuffle(spark, sf_dir):
+    """DSIR's point is a corpus-size-independent model: the per-word
+    bucket join must be against a broadcast 256-row dim, never a
+    word- or bucket-keyed shuffle of the exploded corpus."""
+    import io
+    from contextlib import redirect_stdout
+
+    from cdc_realtime_pipeline_spark.operators.curation import corpus_dsir_importance
+
+    df = corpus_dsir_importance(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed are the tiny bucket/total aggregates
+    # and the final doc_id aggregate — no SortMergeJoin of word rows
+    assert "SortMergeJoin" not in plan
