@@ -566,14 +566,15 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.filter(F.col("dim") < 8)  # profile head: first 8 dims
         .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+        # centroid coords straddle zero: + 0.0 kills DuckDB's IEEE -0.0
+        .agg((F.round(F.avg(F.col("x").cast("double")), 6) + 0.0).alias("centroid"))
         .orderBy("label", "dim")
     )
 
 
 LABEL_CENTROIDS_SQL = """
 SELECT label, i - 1 AS dim,
-       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) + 0.0 AS centroid
 FROM embeddings,
      LATERAL (SELECT unnest(range(1, 9)) AS i)
 GROUP BY label, dim ORDER BY label, dim

@@ -288,9 +288,12 @@ def stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_pop("value"), 6).alias("stddev_p"),
             F.round(F.var_samp("value"), 6).alias("var_s"),
             F.round(F.var_pop("value"), 6).alias("var_p"),
-            F.round(F.corr("value", "k"), 6).alias("corr_vk"),
-            F.round(F.covar_samp("value", "k"), 6).alias("covar_s"),
-            F.round(F.covar_pop("value", "k"), 6).alias("covar_p"),
+            # signed, can round to zero: + 0.0 normalizes DuckDB's
+            # IEEE -0.0 (Spark HALF_UP never emits it; the driver's
+            # value hash distinguishes the signs)
+            (F.round(F.corr("value", "k"), 6) + 0.0).alias("corr_vk"),
+            (F.round(F.covar_samp("value", "k"), 6) + 0.0).alias("covar_s"),
+            (F.round(F.covar_pop("value", "k"), 6) + 0.0).alias("covar_p"),
         )
     )
 
@@ -301,9 +304,9 @@ SELECT event_type,
        round(stddev_pop(value), 6) AS stddev_p,
        round(var_samp(value), 6) AS var_s,
        round(var_pop(value), 6) AS var_p,
-       round(corr(value, k), 6) AS corr_vk,
-       round(covar_samp(value, k), 6) AS covar_s,
-       round(covar_pop(value, k), 6) AS covar_p
+       round(corr(value, k), 6) + 0.0 AS corr_vk,
+       round(covar_samp(value, k), 6) + 0.0 AS covar_s,
+       round(covar_pop(value, k), 6) + 0.0 AS covar_p
 FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events)
 GROUP BY event_type
 """

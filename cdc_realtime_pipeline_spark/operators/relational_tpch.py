@@ -142,13 +142,15 @@ def tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", F.year("l_shipdate").alias("o_year"))
-        .agg(F.round(F.sum(profit) + 1e-9, 4).alias("sum_profit"))
+        # profit is signed; + 0.0 kills DuckDB's IEEE -0.0 on a
+        # hypothetical near-zero cell of a regenerated fixture
+        .agg((F.round(F.sum(profit) + 1e-9, 4) + 0.0).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 TPCH_Q9_LIKE_SQL = """
-SELECT nation, o_year, round(sum(amount) + 1e-9, 4) AS sum_profit
+SELECT nation, o_year, round(sum(amount) + 1e-9, 4) + 0.0 AS sum_profit
 FROM (
   SELECT n_name AS nation, year(l_shipdate) AS o_year,
          l_extendedprice * (1 - l_discount)

@@ -386,7 +386,8 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(F.avg("norm"), 4).alias("avg_norm"),
-            F.round(F.avg("first_dim"), 4).alias("avg_first_dim"),
+            # signed near-zero mean: + 0.0 kills DuckDB's IEEE -0.0
+            (F.round(F.avg("first_dim"), 4) + 0.0).alias("avg_first_dim"),
         )
         .orderBy("label")
     )
@@ -396,7 +397,7 @@ EMBEDDING_LABEL_STATS_SQL = """
 SELECT label,
        count(*) AS n,
        round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
-       round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first_dim
+       round(avg(CAST(embedding[1] AS DOUBLE)), 4) + 0.0 AS avg_first_dim
 FROM embeddings
 GROUP BY label ORDER BY label
 """

@@ -156,6 +156,33 @@ def main() -> int:
             vacuous = "  [VACUOUS: 0 rows]" if not srows else ""
             print(f"PASS {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]{vacuous}")
             n_pass += 1
+            # Fixture-sensitivity probe (VERDICT r3 #3 / the -0.0
+            # class corpus_dsir_importance hit): a PASS today can flip
+            # on a regenerated fixture if either engine emits IEEE
+            # -0.0 (DuckDB round keeps the sign, Spark HALF_UP does
+            # not — add `+ 0.0` after the round on both engines), or
+            # if a signed rounded column crosses zero (the next
+            # fixture may land a cell in the -0.0 window). WARN-only.
+            import math as _math
+
+            def _negzero(rows):
+                return any(
+                    isinstance(v, float) and v == 0.0 and _math.copysign(1, v) < 0
+                    for r in rows for v in r
+                )
+
+            if _negzero(srows) or _negzero(drows):
+                print(f"   TIEWARN {name}: emits IEEE -0.0 — add '+ 0.0' after the round")
+            else:
+                for ci in range(len(dcols)):
+                    vals = [r[ci] for r in drows if isinstance(r[ci], float)]
+                    if vals and any(v < 0 for v in vals) and any(
+                        v == 0.0 for v in vals
+                    ):
+                        print(
+                            f"   TIEWARN {name}.{dcols[ci]}: signed column "
+                            f"crosses zero — guard with '+ 0.0' on both engines"
+                        )
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 
