@@ -108,6 +108,14 @@ BENCH_QUERIES = [
     "zorder_layout_stats",
     "dedup_embeddings_semantic",
     "timeseries_pattern_topk",
+    # round-4 fourth wave: TPC-H shape completion representatives (the
+    # join-shape outliers: left-outer two-level agg, nested
+    # window-share semijoin, anti-join + scalar threshold) and DSIR
+    # broadcast-model scoring
+    "tpch_q13_like",
+    "tpch_q20_like",
+    "tpch_q22_like",
+    "corpus_dsir_importance",
 ]
 
 

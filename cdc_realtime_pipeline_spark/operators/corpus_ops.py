@@ -453,6 +453,72 @@ ORDER BY n DESC, token ASC LIMIT {VOCAB_TOP_K}
 """
 
 
+BPE_TOP_PAIRS = 50
+
+
+def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary-induction statistic (Sennrich et al. 2016): the
+    adjacent-symbol-pair frequencies over the word-frequency table —
+    the quantity each BPE training iteration maximizes to pick its
+    next merge. Emits the top pairs by corpus count, i.e. the first
+    merges a tokenizer trained on this corpus would learn.
+
+    Spark-first shape: the pair statistic aggregates the VOCABULARY
+    (distinct words + counts), not the token stream — pair counts per
+    word are computed once and weighted by word frequency, so the
+    explode is |vocab|×avg_word_len, corpus-size-independent once the
+    word-count aggregate (map-side combinable) is done. Pair
+    extraction is a JVM-side ``transform(sequence(...))`` over 2-char
+    substrings — no Python in the loop. The full BPE training loop
+    applies the winning merge and re-counts — the iterative
+    join+agg-per-round pattern of dup_clusters_connected_components /
+    dup_graph_pagerank; one iteration is the oracle-checkable unit
+    (later iterations depend on re-tokenization state, not new
+    operator shapes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+TOKENIZER_BPE_PAIR_COUNTS_SQL = f"""
+WITH words AS (
+  SELECT word, count(*) AS wc
+  FROM (SELECT unnest(string_split({NORMALIZE_SQL.format(col="text")}, ' ')) AS word
+        FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, wc
+  FROM words, LATERAL (SELECT unnest(range(1, length(word))) AS i)
+)
+SELECT pair, sum(wc) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage audit: per source, the fraction of token
     OCCURRENCES falling outside the corpus top-K vocabulary — the OOV
@@ -699,6 +765,7 @@ QUERIES = {
     "corpus_length_histogram": corpus_length_histogram,
     "label_centroids": label_centroids,
     "label_balanced_sample": label_balanced_sample,
+    "tokenizer_bpe_pair_counts": tokenizer_bpe_pair_counts,
 }
 
 ORACLES = {
@@ -713,4 +780,5 @@ ORACLES = {
     "corpus_oov_rate": CORPUS_OOV_RATE_SQL,
     "corpus_length_histogram": CORPUS_LENGTH_HISTOGRAM_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
+    "tokenizer_bpe_pair_counts": TOKENIZER_BPE_PAIR_COUNTS_SQL,
 }

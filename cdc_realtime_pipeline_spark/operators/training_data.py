@@ -269,7 +269,106 @@ WHERE abs((norm - mu) / sigma) > 3.0
 """
 
 
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 16
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic Rademacher ±1 from the portable md5 idiom — the
+    projection matrix is a pure function of (i, j), so every executor
+    (and the DuckDB oracle's literal) regenerates it identically; no
+    matrix is stored or shuffled."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def _jl_matrix() -> list[list[int]]:
+    # column-major: _jl_matrix()[j][i] = sign for output dim j, input dim i
+    return [
+        [_jl_sign(i, j) for i in range(_JL_IN_DIM)] for j in range(_JL_OUT_DIM)
+    ]
+
+
+def embeddings_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims with a
+    Rademacher (Achlioptas 2003) sign matrix: the dimensionality-
+    reduction step run before ANN indexing / clustering at scale —
+    16 dims cost 4× less to shuffle, store and compare, and the JL
+    lemma bounds the norm/distance distortion. Emits the per-vector
+    distortion audit: original norm, projected norm (×1/√k scaling),
+    and their ratio — concentrated around 1.0 (pinned in tests; the
+    corpus-level mean-ratio bound is the practical JL certificate).
+
+    Scale shape: the projection matrix is DERIVED (md5 of (i,j)), not
+    stored — zero broadcast, zero shuffle; each output dim is one
+    JVM-side ``zip_with``/``aggregate`` fold over the embedding array,
+    so the whole operator is a narrow map over the corpus. The
+    sequential left-fold order of ``F.aggregate`` matches DuckDB's
+    ``list_dot_product`` accumulation, making the doubles bit-identical
+    cross-engine before the final round.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    mat = _jl_matrix()
+    scale = 1.0 / (_JL_OUT_DIM ** 0.5)
+    y = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in mat[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        * scale
+        for j in range(_JL_OUT_DIM)
+    ]
+    orig_norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    proj_sq = y[0] * y[0]
+    for j in range(1, _JL_OUT_DIM):
+        proj_sq = proj_sq + y[j] * y[j]
+    proj_norm = F.sqrt(proj_sq)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(orig_norm, 6).alias("l2_norm"),
+        F.round(proj_norm, 6).alias("jl_norm"),
+        F.round(proj_norm / orig_norm + 1e-9, 4).alias("distortion"),
+    ).orderBy("vec_id")
+
+
+def _jl_sql() -> str:
+    mat = _jl_matrix()
+    scale = 1.0 / (_JL_OUT_DIM ** 0.5)
+    dots = [
+        f"list_dot_product(e, [{', '.join(f'{s}.0' for s in mat[j])}]) * {scale!r}"
+        for j in range(_JL_OUT_DIM)
+    ]
+    proj_sq = " + ".join(f"y{j} * y{j}" for j in range(_JL_OUT_DIM))
+    ys = ", ".join(f"{d} AS y{j}" for j, d in enumerate(dots))
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm
+  FROM embeddings
+),
+p AS (SELECT vec_id, label, l2_norm, {ys} FROM v)
+SELECT vec_id, label,
+       round(l2_norm, 6) AS l2_norm,
+       round(sqrt({proj_sq}), 6) AS jl_norm,
+       round(sqrt({proj_sq}) / l2_norm + 1e-9, 4) AS distortion
+FROM p ORDER BY vec_id
+"""
+
+
+EMBEDDINGS_JL_PROJECTION_SQL = _jl_sql()
+
+
 QUERIES = {
+    "embeddings_jl_projection": embeddings_jl_projection,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "corpus_shard_stats": corpus_shard_stats,
     "embeddings_preprocessed": embeddings_preprocessed,
@@ -277,6 +376,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embeddings_jl_projection": EMBEDDINGS_JL_PROJECTION_SQL,
     "corpus_prep_pipeline": _fill_lang_scores(CORPUS_PREP_PIPELINE_SQL),
     "corpus_shard_stats": (
         "SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "

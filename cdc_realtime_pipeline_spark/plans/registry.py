@@ -56,9 +56,12 @@ Round-5 rotation queue — FIRST `dup_graph_triangles`,
 `unpivot_conformance`, `corpus_perplexity_buckets`,
 `media_dedup_exact`, the TPC-H completion block
 (`tpch_q7_like` `tpch_q9_like` `tpch_q10_like` `tpch_q13_like`
-`tpch_q15_like` `tpch_q16_like` `tpch_q20_like` `tpch_q22_like`)
-and the other post-window round-4 operators listed at the end of
-this paragraph (landed after the
+`tpch_q15_like` `tpch_q16_like` `tpch_q20_like` `tpch_q22_like`),
+`corpus_dsir_importance`, `tokenizer_bpe_pair_counts`,
+`embeddings_jl_projection`, and the implementation-changed trio
+`stats_functions` / `embedding_label_stats` / `label_centroids`
+(the -0.0 guard epsilon-changed their green code paths — staleness
+policy says re-window) (landed/changed after the
 50-slot window filled; the round's never-driver-checked rows, to be
 windowed first next round), then (deferred from the
 r1-only pool this round, plus twins displaced by [C]): `dash_total_trades`,

@@ -111,3 +111,33 @@ def test_semantic_dedup_subset_and_recall(spark, sf_dir):
     # recall floor: a planted near-identical pair lands in the same
     # cluster unless the nudge crosses a Voronoi boundary — rare
     assert len(sem) / len(truth) >= 0.8
+
+
+def test_jl_projection_distortion_concentrates(spark, sf_dir):
+    """JL certificate: with k=16 Rademacher dims the norm ratio is
+    within [0.5, 1.5] for ~all vectors and its mean is near 1 — the
+    bound that justifies running ANN/clustering on the projected
+    vectors. Also: zero Exchange in the plan (pure narrow map)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.training_data import (
+        embeddings_jl_projection,
+    )
+
+    out = embeddings_jl_projection(spark, sf_dir)
+    rows = out.agg(
+        F.avg("distortion").alias("m"),
+        F.count(F.when((F.col("distortion") < 0.5) | (F.col("distortion") > 1.5), 1)).alias("bad"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert 0.85 < rows["m"] < 1.15, rows["m"]
+    assert rows["bad"] / rows["n"] < 0.05
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange hashpartitioning" not in plan
