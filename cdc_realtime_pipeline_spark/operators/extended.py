@@ -226,7 +226,9 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log1p("value"), 6).alias("m_log1p"),
         F.round(F.pow(F.col("value"), 0.25), 6).alias("m_pow"),
         (F.col("event_id") % 7).alias("m_mod"),
-        F.sign(F.col("value") - 100).alias("m_sign"),
+        # + 0.0: sign() emits exact {-1,0,1} but a -0.0 input (legal in
+        # parquet) would surface as -0.0 on DuckDB only — cheap guard
+        (F.sign(F.col("value") - 100) + 0.0).alias("m_sign"),
         # date-time
         F.year("ts").alias("d_year"),
         F.month("ts").alias("d_month"),
@@ -258,7 +260,7 @@ SELECT event_id,
        round(ln(1 + value), 6) AS m_log1p,
        round(pow(value, 0.25), 6) AS m_pow,
        event_id % 7 AS m_mod,
-       CAST(sign(value - 100) AS DOUBLE) AS m_sign,
+       CAST(sign(value - 100) AS DOUBLE) + 0.0 AS m_sign,
        CAST(year(ts) AS INTEGER) AS d_year,
        CAST(month(ts) AS INTEGER) AS d_month,
        CAST(day(ts) AS INTEGER) AS d_day,

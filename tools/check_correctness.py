@@ -58,6 +58,20 @@ def value_hash(rows, colnames) -> str:
     return h.hexdigest()[:16]
 
 
+# Zero-crossing signed columns that already carry the `+ 0.0` IEEE
+# negative-zero guard on both engines — audited, warning suppressed.
+_TIE_AUDITED = {
+    "scalar_functions.m_sign",
+    "stats_functions.corr_vk",
+    "stats_functions.covar_s",
+    "stats_functions.covar_p",
+    "embedding_label_stats.avg_first_dim",
+    "label_centroids.centroid",
+    "tpch_q9_like.sum_profit",
+    "corpus_dsir_importance.dsir_score",
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -175,6 +189,8 @@ def main() -> int:
                 print(f"   TIEWARN {name}: emits IEEE -0.0 — add '+ 0.0' after the round")
             else:
                 for ci in range(len(dcols)):
+                    if f"{name}.{dcols[ci]}" in _TIE_AUDITED:
+                        continue  # already carries the + 0.0 guard
                     vals = [r[ci] for r in drows if isinstance(r[ci], float)]
                     if vals and any(v < 0 for v in vals) and any(
                         v == 0.0 for v in vals
