@@ -59,6 +59,13 @@ SHOWCASE = [
     ("timeseries_pattern_topk", "minute agg → 16-row frame windows → fold dots"),
     ("cep_funnel_sequence", "per-key lag-chain strict-contiguity match"),
     ("dup_graph_triangles", "two-join triangle count, checkpointed edges"),
+    ("tpch_q13_like", "LEFT OUTER with join-side predicate → two-level agg"),
+    ("tpch_q15_like", "argmax vs broadcast 1-row max (no global window)"),
+    ("tpch_q20_like", "window share on pair agg — one fact scan"),
+    ("tpch_q22_like", "broadcast scalar threshold + LeftAnti idle filter"),
+    ("corpus_dsir_importance", "broadcast 256-row model join — no word shuffle"),
+    ("tokenizer_bpe_pair_counts", "vocab-sized pair explode after word-count agg"),
+    ("embeddings_jl_projection", "derived Rademacher matrix, zero-exchange map"),
 ]
 
 
