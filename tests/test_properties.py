@@ -181,3 +181,88 @@ def test_log2_bucket_nudge_property(df):
     integer bit-length bucket for every df (the nudge absorbs IEEE
     log2 landing just under an integer at exact powers of two)."""
     assert math.floor(math.log2(df) + 1e-9) == df.bit_length() - 1
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=2, max_size=8),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_bpe_pair_count_formula_property(words):
+    """Pure-Python twin of the BPE pair statistic: summing per-word
+    pair multisets weighted by word frequency equals counting pairs
+    over the raw token stream — the vocabulary-aggregation rewrite
+    the operator relies on for corpus-size independence."""
+    from collections import Counter
+
+    stream_counts = Counter()
+    for w in words:  # token-stream form
+        for i in range(len(w) - 1):
+            stream_counts[w[i : i + 2]] += 1
+
+    vocab = Counter(words)  # vocabulary form
+    vocab_counts = Counter()
+    for w, wc in vocab.items():
+        for i in range(len(w) - 1):
+            vocab_counts[w[i : i + 2]] += wc
+
+    assert stream_counts == vocab_counts
+
+
+@given(st.integers(min_value=0, max_value=63), st.integers(min_value=0, max_value=15))
+@settings(max_examples=100, deadline=None)
+def test_jl_sign_is_deterministic_and_balanced(i, j):
+    """The derived Rademacher matrix: same (i,j) → same sign on every
+    call (executor-independence), and values are exactly ±1."""
+    from cdc_realtime_pipeline_spark.operators.training_data import _jl_sign
+
+    s1, s2 = _jl_sign(i, j), _jl_sign(i, j)
+    assert s1 == s2
+    assert s1 in (-1, 1)
+
+
+def test_jl_matrix_roughly_balanced():
+    """A Rademacher matrix whose signs are heavily imbalanced is a
+    broken hash, not a projection: each output dim's 64 signs should
+    be within a generous binomial band around 32/32."""
+    from cdc_realtime_pipeline_spark.operators.training_data import _jl_matrix
+
+    for row in _jl_matrix():
+        pos = sum(1 for s in row if s == 1)
+        assert 16 <= pos <= 48, pos
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=5),
+)
+@settings(max_examples=50, deadline=None)
+def test_dsir_log_ratio_sums_to_kl_sign_property(raw_buckets, tgt_buckets):
+    """DSIR smoke property on the smoothed models: the expected
+    log-ratio under the TARGET bucket distribution is ≥ the expected
+    log-ratio under the RAW distribution (Gibbs' inequality applied
+    to the two smoothed models) — the ordering that makes importance
+    resampling select target-like data."""
+    from collections import Counter
+
+    B = 256
+    rc, tc = Counter(raw_buckets), Counter(tgt_buckets)
+    r_tot, t_tot = len(raw_buckets), len(tgt_buckets)
+
+    def lam_t(b):
+        return (tc.get(b, 0) + 1) / (t_tot + B)
+
+    def lam_r(b):
+        return (rc.get(b, 0) + 1) / (r_tot + B)
+
+    def expect_under(dist_counts, tot):
+        return sum(
+            c / tot * math.log(lam_t(b) / lam_r(b)) for b, c in dist_counts.items()
+        )
+
+    e_t = expect_under(tc, t_tot)
+    e_r = expect_under(rc, r_tot)
+    assert e_t >= e_r - 1e-9
