@@ -1109,7 +1109,12 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", _hash64(F.col("word"), salt=777) % _DSIR_BUCKETS
     )
     raw = words.groupBy("bucket").agg(F.count("*").alias("rc"))
-    r_tot = words.agg(F.count("*").alias("r_tot"))
+    # total from the 256-row aggregate, NOT a second corpus pass —
+    # Σ rc ≡ count(*) over words, and the model subtree then costs one
+    # corpus explode instead of two (the final scoring join is the
+    # only other pass; recomputing beats caching a token-sized
+    # relation at 100 TB)
+    r_tot = raw.agg(F.sum("rc").alias("r_tot"))
     model = (
         raw.join(F.broadcast(tgt), "bucket", "left")
         .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
@@ -1151,7 +1156,7 @@ WITH words AS (
 ),
 tgt(bucket, tc) AS (VALUES {_dsir_target_values_sql()}),
 raw AS (SELECT bucket, count(*) AS rc FROM words GROUP BY bucket),
-r_tot AS (SELECT count(*) AS r_tot FROM words),
+r_tot AS (SELECT sum(rc) AS r_tot FROM raw),
 model AS (
   SELECT bucket,
          round(ln(CAST((coalesce(tc, 0) + 1) * (r_tot + {_DSIR_BUCKETS}) AS DOUBLE)
