@@ -1502,7 +1502,69 @@ FROM base GROUP BY user_id ORDER BY user_id
 """
 
 
+def custom_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-aggregate extension seam: a 10-90% trimmed mean per
+    event type as an Arrow-batched GROUPED_AGG pandas UDF — the
+    PySpark-native re-expression of Flink's user-defined
+    ``AggregateFunction`` (SURVEY §2.6; every RE-USED reference
+    aggregate maps to built-ins, this row pins the seam users extend
+    when theirs doesn't). Trimmed mean is the honest demo: it is NOT
+    a single built-in aggregate (needs per-group quantiles then a
+    filtered mean — a window + re-agg two-pass in pure SQL), exactly
+    when a custom aggregate earns its place.
+
+    Scale shape: Arrow transfers each group's values once; grouped-agg
+    pandas UDFs materialize ONE GROUP per batch in worker memory, so
+    the pattern fits bounded-cardinality/bounded-size groups (5 event
+    types here). For high-cardinality or giant groups the two-pass
+    built-in form (per-group percentile broadcast back, then filtered
+    avg — the value_mad_outliers shape) is the 100 TB route; this row
+    is the API-surface contract, priced accordingly. The oracle runs
+    the two-pass form in DuckDB (quantile_cont is pandas-'linear'
+    type-7 interpolation — same definition), proving the UDF and the
+    declarative rewrite agree to the hash.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG eval type: this module's
+    # `from __future__ import annotations` stringifies type hints, so
+    # pandas_udf's hint-based inference can't see (pd.Series -> float)
+    def _trimmed(v):
+        lo, hi = v.quantile(0.1), v.quantile(0.9)
+        return float(v[(v >= lo) & (v <= hi)].mean())
+
+    trimmed_mean = pandas_udf(_trimmed, "double", PandasUDFType.GROUPED_AGG)
+
+    ev = load_table(spark, sf_dir, "events")
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM
+    # aggregates in one agg() — the integer row count rides a second
+    # tiny aggregate joined on the 5-key group column
+    trimmed = ev.groupBy("event_type").agg(
+        F.round(trimmed_mean(F.col("value")) + 1e-9, 4).alias("trimmed_mean_value")
+    )
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return trimmed.join(F.broadcast(counts), "event_type").orderBy("event_type")
+
+
+CUSTOM_AGG_TRIMMED_MEAN_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.1) AS q10,
+         quantile_cont(value, 0.9) AS q90
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(avg(value) FILTER (WHERE value >= q10 AND value <= q90) + 1e-9, 4)
+         AS trimmed_mean_value,
+       count(*) AS n
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES = {
+    "custom_agg_trimmed_mean": custom_agg_trimmed_mean,
     "sessionize": sessionize,
     "higher_order_functions_conformance": higher_order_functions_conformance,
     "timezone_conformance": timezone_conformance,
@@ -1553,6 +1615,7 @@ ORACLES = {
     "lateral_join_topk_conformance": LATERAL_JOIN_TOPK_CONFORMANCE_SQL,
     "listagg_conformance": LISTAGG_CONFORMANCE_SQL,
     "try_functions_conformance": TRY_FUNCTIONS_CONFORMANCE_SQL,
+    "custom_agg_trimmed_mean": CUSTOM_AGG_TRIMMED_MEAN_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
