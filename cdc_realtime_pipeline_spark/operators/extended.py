@@ -1563,8 +1563,74 @@ ORDER BY e.event_type
 """
 
 
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function extension seam: the context-window chunker
+    re-implemented as a Spark 4 Python UDTF and LATERAL-joined over
+    the corpus — the PySpark-native re-expression of Flink's
+    user-defined ``TableFunction`` (SURVEY §2.6), completing the
+    extension-seam pair with `custom_agg_trimmed_mean` (UDAF seam).
+    The oracle is the SAME SQL that gates the declarative
+    `docs_chunked` — so the per-row Python implementation, the
+    JVM sequence→explode implementation, and DuckDB must all agree to
+    the value hash (chunk math, slice bounds, md5, and the Python twin
+    of normalize_text included).
+
+    Priced honestly: a Python UDTF runs row-at-a-time in a Python
+    worker — this row is the API-surface contract for logic that
+    genuinely can't be expressed declaratively; `docs_chunked` (scan →
+    project → generate, zero Python, zero shuffle) is the production
+    path and the bench carries it, not this.
+    """
+    from pyspark.sql.functions import udtf
+
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+    )
+
+    c, st = _CHUNK_TOKENS, _CHUNK_STRIDE
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens int, chunk_md5 string")
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            import hashlib
+            import re
+
+            norm = (text or "").lower()
+            norm = re.sub(r"[^a-z0-9\s]", " ", norm)
+            norm = re.sub(r"\s+", " ", norm).strip()
+            words = norm.split(" ")  # '' → [''] — mirrors F.split
+            n = len(words)
+            n_chunks = 1 + (max(n - c, 0) + (st - 1)) // st
+            for idx in range(n_chunks):
+                cw = words[idx * st : idx * st + c]
+                yield (
+                    doc_id,
+                    idx,
+                    len(cw),
+                    hashlib.md5(" ".join(cw).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5 "
+        "FROM _udtf_docs, LATERAL chunk_doc_udtf(doc_id, text) c"
+    )
+
+
+def _udtf_chunk_oracle() -> str:
+    from cdc_realtime_pipeline_spark.operators.curation import DOCS_CHUNKED_SQL
+
+    return DOCS_CHUNKED_SQL
+
+
+_UDTF_CHUNK_DOCUMENTS_SQL = _udtf_chunk_oracle()
+
+
 QUERIES = {
     "custom_agg_trimmed_mean": custom_agg_trimmed_mean,
+    "udtf_chunk_documents": udtf_chunk_documents,
     "sessionize": sessionize,
     "higher_order_functions_conformance": higher_order_functions_conformance,
     "timezone_conformance": timezone_conformance,
@@ -1616,6 +1682,9 @@ ORACLES = {
     "listagg_conformance": LISTAGG_CONFORMANCE_SQL,
     "try_functions_conformance": TRY_FUNCTIONS_CONFORMANCE_SQL,
     "custom_agg_trimmed_mean": CUSTOM_AGG_TRIMMED_MEAN_SQL,
+    # deliberately the SAME oracle as docs_chunked: the UDTF and the
+    # declarative chunker must both match DuckDB to the hash
+    "udtf_chunk_documents": _UDTF_CHUNK_DOCUMENTS_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
