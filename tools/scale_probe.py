@@ -65,6 +65,11 @@ PROBE_QUERIES = [
     # stream): measures the streaming runtime's volume scaling, not
     # just the batch planner's
     ("stream_window_agg_5m", "streaming windowed agg, availableNow E2E"),
+    # round-4 fifth wave
+    ("tpch_q13_like", "left-outer fact join + two-level agg"),
+    ("tpch_q20_like", "pair agg + part-partition window share"),
+    ("corpus_dsir_importance", "explode + broadcast 256-row model join"),
+    ("embeddings_jl_projection", "derived-matrix narrow projection"),
 ]
 
 TABLES = [
