@@ -77,3 +77,49 @@ def compact_partition(spark: SparkSession, table_dir: str, month: str, target_fi
     os.rename(tmp, part_dir)
     shutil.rmtree(old)
     return n_before
+
+
+def backfill_partition(spark: SparkSession, table_dir: str, month: str, df) -> int:
+    """Idempotent single-partition backfill — the reprocessing job that
+    recomputes ONE month and swaps it in without touching neighbors
+    (the lake analog of `INSERT OVERWRITE ... PARTITION (month=m)`;
+    on Spark-managed tables the same contract is
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``).
+
+    Uses the identical staged-rename protocol as ``compact_partition``
+    so a racing reader sees either the old or the new partition, never
+    a half state, and a crash leaves data recoverable. Returns the row
+    count written.
+
+    ``df`` must contain exactly the recomputed rows for ``month`` —
+    the caller filters; keeping the horizon outside makes the job
+    re-runnable (same input → same bytes, safe under scheduler
+    retries).
+    """
+    import shutil
+
+    part_dir = os.path.join(table_dir, f"month={month}")
+    tmp = part_dir + "__backfill_tmp"
+    old = part_dir + "__backfill_old"
+    n = df.count()
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(part_dir):
+        os.rename(part_dir, old)
+    os.rename(tmp, part_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
+def read_with_schema_evolution(spark: SparkSession, table_dir: str):
+    """Read a directory whose parquet files carry EVOLVED schemas
+    (columns added over time — the normal life of a 100 TB lake table)
+    into one unified DataFrame: ``mergeSchema`` unions the file
+    footers' schemas and null-fills columns absent from older files.
+
+    The read-side contract that lets writers add columns without a
+    table-wide rewrite; pair with events_schema_drift (detection) and
+    the CDC envelope's unknown-field tolerance (ingest side).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(table_dir)

@@ -55,3 +55,51 @@ def test_compaction_preserves_rows(spark, sf_dir):
     after_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
     assert len(after_files) == 1
     assert spark.read.parquet(part).count() == before
+
+
+def test_backfill_replaces_one_month_only(spark, tmp_path):
+    from cdc_realtime_pipeline_spark.operators.maintenance import (
+        backfill_partition,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "202401"), (2, "202401"), (3, "202402")], "id long, month string"
+    )
+    df.write.partitionBy("month").parquet(t)
+
+    fixed = spark.createDataFrame([(20, "202401"), (21, "202401"), (22, "202401")],
+                                  "id long, month string").drop("month")
+    n = backfill_partition(spark, t, "202401", fixed)
+    assert n == 3
+
+    out = spark.read.parquet(t)
+    jan = {r["id"] for r in out.filter("month = '202401'").collect()}
+    feb = {r["id"] for r in out.filter("month = '202402'").collect()}
+    assert jan == {20, 21, 22}  # replaced
+    assert feb == {3}  # untouched
+
+    # idempotent: running the same backfill again yields the same state
+    backfill_partition(spark, t, "202401", fixed)
+    out2 = spark.read.parquet(t)
+    assert {r["id"] for r in out2.filter("month = '202401'").collect()} == {20, 21, 22}
+
+
+def test_schema_evolution_read_merges_and_nullfills(spark, tmp_path):
+    from cdc_realtime_pipeline_spark.operators.maintenance import (
+        read_with_schema_evolution,
+    )
+
+    t = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        t + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(t + "/batch=2")
+
+    out = read_with_schema_evolution(spark, t)
+    assert set(out.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] is None  # null-filled for the old file
+    assert rows[2]["score"] == 9.5
