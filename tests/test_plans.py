@@ -220,3 +220,42 @@ def test_q21_aggregate_rewrite_shape(spark, sf_dir):
     plan = _plan(spark, "tpch_q21_like", sf_dir)
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_repo_wide_no_cartesian_no_rowwise_python(spark):
+    """Global anti-pattern sweep: EVERY registered batch query must
+    plan without a CartesianProduct and without row-at-a-time Python
+    evaluation (BatchEvalPython) — the two regressions that pass a
+    correctness gate and then die at 100 TB. Streaming queries are
+    excluded (building them runs the stream); iterative operators
+    execute a few tiny rounds at sf0.001, which is why this sweep
+    pins the smallest fixture.
+
+    Allowlist: `udtf_chunk_documents` IS the deliberate Python
+    table-function conformance row (BatchEvalPythonUDTF by design);
+    `alerts_rapid_trades_reset` is the documented exact-semantics
+    batch conformance twin of the streaming stateful detector.
+    """
+    import io
+    from contextlib import redirect_stdout
+
+    sf001 = "/root/testdata/sf0.001"
+    allow_python = {"udtf_chunk_documents", "alerts_rapid_trades_reset"}
+    bad = []
+    for name, fn in all_queries().items():
+        if name.startswith("stream_"):
+            continue
+        try:
+            df = fn(spark, sf001)
+        except Exception as e:  # noqa: BLE001 - collect and report below
+            bad.append((name, f"build error: {e}"))
+            continue
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan and name not in allow_python:
+            bad.append((name, "row-at-a-time BatchEvalPython"))
+    assert not bad, bad
