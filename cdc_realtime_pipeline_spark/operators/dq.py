@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_realtime_pipeline_spark.session import load_table
+from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
 
 _PROFILE_COLS = [
     "o_orderkey",
@@ -627,6 +627,98 @@ ORDER BY w.week_start
 """
 
 
+_OVERLAP_PAIRS = [("click", "purchase"), ("view", "click"), ("view", "purchase")]
+
+
+def audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap via bitmap inclusion-exclusion — "how
+    many users did A AND B" for event-type pairs, computed from the
+    SAME per-(type, bucket) bitmap partials the distinct-rollup family
+    stores. Spark ships no bitmap AND aggregate, so the intersection
+    is |A| + |B| − |A∪B| with the union from ``bitmap_or_agg`` —
+    every term lossless, never a fact re-scan (the Theta-sketch
+    set-operation workload, exact on dense integer keys). Emits per
+    pair: both audience sizes, union, overlap, and Jaccard.
+
+    Scale shape: ONE events scan builds the persisted (3 × buckets)
+    bitmap relation; the three pair plans re-aggregate those partials
+    (bucket-keyed OR then a scalar sum each). The tracked persist is
+    released by the harness's ``release_caches`` after the query.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin([a for p in _OVERLAP_PAIRS for a in p])
+    )
+    per = tracked_persist(
+        ev.select("event_type", (F.col("user_id") + 1).alias("uid"))
+        .groupBy("event_type", F.expr("bitmap_bucket_number(uid)").alias("bkt"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(uid))").alias("bm"))
+    )
+    counts = per.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n")
+    )
+    pair_rows = []
+    for a, b in _OVERLAP_PAIRS:
+        uni = (
+            per.filter(F.col("event_type").isin([a, b]))
+            .groupBy("bkt")
+            .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+            .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_union"))
+            .select(
+                F.lit(a).alias("type_a"), F.lit(b).alias("type_b"), "n_union"
+            )
+        )
+        pair_rows.append(uni)
+    pairs = pair_rows[0]
+    for p in pair_rows[1:]:
+        pairs = pairs.unionByName(p)
+    ca = counts.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .withColumn("n_overlap", F.col("n_a") + F.col("n_b") - F.col("n_union"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_union").cast("double")
+                + 1e-9,
+                4,
+            ),
+        )
+    )
+    return out.select(
+        "type_a", "type_b", "n_a", "n_b", "n_union", "n_overlap", "jaccard"
+    ).orderBy("type_a", "type_b")
+
+
+AUDIENCE_OVERLAP_BITMAP_SQL = """
+WITH pairs(type_a, type_b) AS (
+  VALUES ('click', 'purchase'), ('view', 'click'), ('view', 'purchase')
+),
+u AS (SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('view', 'click', 'purchase'))
+SELECT type_a, type_b,
+       (SELECT count(*) FROM u WHERE event_type = type_a) AS n_a,
+       (SELECT count(*) FROM u WHERE event_type = type_b) AS n_b,
+       (SELECT count(DISTINCT user_id) FROM u
+         WHERE event_type IN (type_a, type_b)) AS n_union,
+       (SELECT count(*) FROM
+          (SELECT user_id FROM u WHERE event_type = type_a
+           INTERSECT
+           SELECT user_id FROM u WHERE event_type = type_b)) AS n_overlap,
+       round(
+         CAST((SELECT count(*) FROM
+                (SELECT user_id FROM u WHERE event_type = type_a
+                 INTERSECT
+                 SELECT user_id FROM u WHERE event_type = type_b)) AS DOUBLE)
+         / CAST((SELECT count(DISTINCT user_id) FROM u
+                  WHERE event_type IN (type_a, type_b)) AS DOUBLE)
+         + 1e-9, 4) AS jaccard
+FROM pairs
+ORDER BY type_a, type_b
+"""
+
+
 _MG_K = 25  # Misra-Gries counters per partition; hitter threshold n/K
 
 
@@ -850,6 +942,7 @@ FROM zed GROUP BY bucket ORDER BY bucket
 
 
 QUERIES = {
+    "audience_overlap_bitmap": audience_overlap_bitmap,
     "orders_dq_profile": orders_dq_profile,
     "heavy_hitters_mg": heavy_hitters_mg,
     "zorder_layout_stats": zorder_layout_stats,
@@ -866,6 +959,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "audience_overlap_bitmap": AUDIENCE_OVERLAP_BITMAP_SQL,
     "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,
     "heavy_hitters_mg": HEAVY_HITTERS_MG_SQL,
     "zorder_layout_stats": ZORDER_LAYOUT_STATS_SQL,
