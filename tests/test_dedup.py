@@ -214,3 +214,28 @@ def test_lsh_cosine_dedup_matches_all_pairs(spark, sf_dir):
     assert truth.count() > 0
     assert got.exceptAll(truth).count() == 0
     assert truth.exceptAll(got).count() == 0
+
+
+def test_span_stats_planted_truncations_have_long_runs(spark, sf_dir):
+    """The planted 80%-truncated near-dups (doc_id+200000) share their
+    whole prefix with the original: their longest duplicated run must
+    cover ~all their grams, and docs with no duplicate anywhere must
+    read 0. Exact copies (doc_id+100000) are fully duplicated runs."""
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.dedup import dedup_span_stats
+
+    out = dedup_span_stats(spark, sf_dir)
+    near = out.filter(F.col("doc_id") >= 200000)
+    # every planted truncation's longest run spans ≥80% of its grams
+    frac = near.select(
+        (F.col("longest_dup_run") / F.col("n_grams")).alias("f")
+    )
+    assert frac.filter(F.col("f") < 0.8).count() == 0
+    exact = out.filter(
+        (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+    )
+    assert exact.filter(F.col("longest_dup_run") != F.col("n_grams")).count() == 0
+    # and zero-run docs exist (the fixture corpus is mostly unique)
+    base = out.filter(F.col("doc_id") < 100000)
+    assert base.filter(F.col("longest_dup_run") == 0).count() > 0
