@@ -90,6 +90,84 @@ ORDER BY query_id, rk
 """
 
 
+_HARDNEG_K = 3
+
+
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor vector, the top-1 same-label neighbor (the positive)
+    and the K highest-cosine DIFFERENT-label vectors (the hard
+    negatives — near the anchor yet semantically wrong, the examples
+    that move a contrastive loss; random negatives are trivially easy
+    at scale). Emits (anchor, role, rank, vec_id, cos) triplet rows —
+    the manifest a dataloader consumes.
+
+    Same scale shape as the exact ANN baseline: anchors broadcast,
+    corpus streamed once, per-anchor top-K via rank window on the
+    broadcast-multiplied relation; the label predicate rides the join
+    condition so same-label pairs never reach the negatives window.
+    The banded-LSH/IVF candidate generators are the documented
+    at-scale substitute for the corpus pass, exactly as for
+    similarity_topk_*.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q"),
+    )
+    corpus = emb.select("vec_id", "label", "embedding")
+    scored = corpus.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    ).withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+    w_pos = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    positives = (
+        scored.filter(F.col("label") == F.col("anchor_label"))
+        .withColumn("rk", F.row_number().over(w_pos))
+        .filter(F.col("rk") == 1)
+        .select("anchor_id", F.lit("pos").alias("role"), "rk", "vec_id", "cos")
+    )
+    negatives = (
+        scored.filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("rk", F.row_number().over(w_pos))
+        .filter(F.col("rk") <= _HARDNEG_K)
+        .select("anchor_id", F.lit("neg").alias("role"), "rk", "vec_id", "cos")
+    )
+    return positives.unionByName(negatives).orderBy("anchor_id", "role", "rk")
+
+
+CONTRASTIVE_HARD_NEGATIVES_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+         round(list_dot_product(qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+               6) AS cos
+  FROM embeddings e JOIN a ON e.vec_id != a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, 'pos' AS role, rk, vec_id, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos DESC, vec_id ASC) AS rk
+    FROM scored WHERE label = anchor_label
+  ) WHERE rk = 1
+),
+neg AS (
+  SELECT anchor_id, 'neg' AS role, rk, vec_id, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos DESC, vec_id ASC) AS rk
+    FROM scored WHERE label != anchor_label
+  ) WHERE rk <= {_HARDNEG_K}
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+ORDER BY anchor_id, role, rk
+"""
+
+
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (seeded LCG —
     reproducible across engines/runs without numpy RNG state)."""
@@ -990,6 +1068,7 @@ ORDER BY cluster, vec_a, vec_b
 
 
 QUERIES = {
+    "contrastive_hard_negatives": contrastive_hard_negatives,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "dedup_embeddings_semantic": dedup_embeddings_semantic,
     "embeddings_kmeans_assign": embeddings_kmeans_assign,
@@ -1003,6 +1082,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,
     "embeddings_kmeans_assign": EMBEDDINGS_KMEANS_ASSIGN_SQL,
     "similarity_topk_lsh": _lsh_oracle_sql(),
