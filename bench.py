@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "tpch_q20_like",
     "tpch_q22_like",
     "corpus_dsir_importance",
+    "dedup_span_stats",
+    "audience_overlap_bitmap",
+    "tokenizer_bpe_pair_counts",
+    "embeddings_jl_projection",
 ]
 
 

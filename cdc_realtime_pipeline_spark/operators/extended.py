@@ -1619,6 +1619,90 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nan_inf_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE special-value semantics conformance: NaN, ±Infinity and
+    NULL planted deterministically (event_id mod 5) through the
+    aggregate surface. Pins the behaviors a numeric pipeline silently
+    depends on, where engines COULD diverge but Spark and DuckDB
+    agree: NaN sorts greatest (max → NaN even with +Inf present), NaN
+    is absorbed by avg/sum, NaN compares equal to itself in
+    grouping/distinct (one group, not one per row), -Inf sorts least,
+    and the zero-divisor NULL contract: Spark 4 runs ANSI (plain ``/``
+    RAISES on a zero divisor — ``try_divide`` is the NULL form) while
+    DuckDB's plain double division already yields NULL, so the row
+    pins try_divide ≡ DuckDB ``/`` — NULL, never Inf. The finite twin
+    columns (max/avg over isnan/isinf-filtered values) are the
+    recovery idiom the DQ layer prescribes after this row proves the
+    special values' blast radius.
+    """
+    nan, inf = float("nan"), float("inf")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    m = F.col("event_id") % 5
+    v = (
+        F.when(m == 0, F.lit(nan))
+        .when(m == 1, F.lit(inf))
+        .when(m == 2, F.lit(-inf))
+        .when(m == 3, F.col("value"))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    planted = ev.withColumn("v", v).withColumn(
+        "div0", F.try_divide(F.col("value"), (F.col("event_id") % 2).cast("double"))
+    )
+    finite = ~F.isnan("v") & (F.col("v") != inf) & (F.col("v") != -inf)
+    return (
+        planted.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.isnan("v"), 1)).alias("n_nan"),
+            F.count(F.when(F.col("v") == inf, 1)).alias("n_posinf"),
+            F.count(F.when(F.col("v") == -inf, 1)).alias("n_neginf"),
+            F.count(F.when(F.col("v").isNull(), 1)).alias("n_null"),
+            F.count_distinct("v").alias("n_distinct_v"),
+            F.max("v").alias("max_v"),
+            F.min("v").alias("min_v"),
+            F.round(F.max(F.when(finite, F.col("v"))) + 1e-9, 4).alias("max_finite"),
+            F.round(F.avg(F.when(finite, F.col("v"))) + 1e-9, 4).alias("avg_finite"),
+            F.count(F.when(F.col("div0").isNull() & (F.col("event_id") % 2 == 0), 1)).alias(
+                "n_div0_null"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+NAN_INF_CONFORMANCE_SQL = """
+WITH planted AS (
+  SELECT event_type, event_id,
+         CASE event_id % 5
+           WHEN 0 THEN 'nan'::DOUBLE
+           WHEN 1 THEN 'inf'::DOUBLE
+           WHEN 2 THEN '-inf'::DOUBLE
+           WHEN 3 THEN value
+           ELSE NULL
+         END AS v,
+         value / CAST(event_id % 2 AS DOUBLE) AS div0
+  FROM events
+)
+SELECT event_type,
+       count(CASE WHEN isnan(v) THEN 1 END) AS n_nan,
+       count(CASE WHEN v = 'inf'::DOUBLE THEN 1 END) AS n_posinf,
+       count(CASE WHEN v = '-inf'::DOUBLE THEN 1 END) AS n_neginf,
+       count(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+       count(DISTINCT v) AS n_distinct_v,
+       max(v) AS max_v,
+       min(v) AS min_v,
+       round(max(CASE WHEN NOT isnan(v) AND NOT isinf(v) THEN v END) + 1e-9, 4)
+         AS max_finite,
+       round(avg(CASE WHEN NOT isnan(v) AND NOT isinf(v) THEN v END) + 1e-9, 4)
+         AS avg_finite,
+       count(CASE WHEN div0 IS NULL AND event_id % 2 = 0 THEN 1 END) AS n_div0_null
+FROM planted
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def _udtf_chunk_oracle() -> str:
     from cdc_realtime_pipeline_spark.operators.curation import DOCS_CHUNKED_SQL
 
@@ -1630,6 +1714,7 @@ _UDTF_CHUNK_DOCUMENTS_SQL = _udtf_chunk_oracle()
 
 QUERIES = {
     "custom_agg_trimmed_mean": custom_agg_trimmed_mean,
+    "nan_inf_conformance": nan_inf_conformance,
     "udtf_chunk_documents": udtf_chunk_documents,
     "sessionize": sessionize,
     "higher_order_functions_conformance": higher_order_functions_conformance,
@@ -1685,6 +1770,7 @@ ORACLES = {
     # deliberately the SAME oracle as docs_chunked: the UDTF and the
     # declarative chunker must both match DuckDB to the hash
     "udtf_chunk_documents": _UDTF_CHUNK_DOCUMENTS_SQL,
+    "nan_inf_conformance": NAN_INF_CONFORMANCE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
