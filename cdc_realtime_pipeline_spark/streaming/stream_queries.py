@@ -1012,7 +1012,51 @@ FROM ranked WHERE rk <= 3 ORDER BY window_start, rk
 """
 
 
+def stream_daily_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming distinct via bitmap partials in stream state —
+    the streaming twin of ``daily_users_bitmap_rollup``: the stateful
+    aggregate keeps one 32 Ki-bit bitmap per (day, bucket) in the
+    state store (``bitmap_construct_agg`` is a typed declarative
+    aggregate, so its binary buffer merges map-side AND in state like
+    any sum), and the at-read rollup ORs the partials into exact
+    per-day DAU. Complete mode over the finite file stream must equal
+    the batch count-distinct — the oracle. At 100 TB/day the state per
+    day is (buckets × 4 KiB), independent of event volume: the
+    mergeable-partial property is what lets an exact distinct survive
+    as STREAM state where a raw user-id set would not.
+    """
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    daily = (
+        events_stream.select(
+            F.date_trunc("day", "ts").alias("day"),
+            (F.col("user_id") + 1).alias("uid"),
+        )
+        .groupBy("day", F.expr("bitmap_bucket_number(uid)").alias("bkt"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(uid))").alias("bm"))
+    )
+    partials = _memory_sink(daily, "complete")
+    return (
+        partials.groupBy("day")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("dau_exact"))
+        .orderBy("day")
+    )
+
+
+STREAM_DAILY_USERS_BITMAP_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(DISTINCT user_id) AS dau_exact
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+
 QUERIES = {
+    "stream_daily_users_bitmap": stream_daily_users_bitmap,
     "stream_window_agg_5m": stream_window_agg_5m,
     "stream_topk_per_window": stream_topk_per_window,
     "stream_ohlc_bars_5m": stream_ohlc_bars_5m,
@@ -1033,6 +1077,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_daily_users_bitmap": STREAM_DAILY_USERS_BITMAP_SQL,
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     "stream_topk_per_window": STREAM_TOPK_PER_WINDOW_SQL,
     "stream_ohlc_bars_5m": _ts_oracles.OHLC_BARS_5M_SQL,
