@@ -348,7 +348,107 @@ SELECT reason, count(*) AS n FROM tagged GROUP BY reason ORDER BY reason
 """
 
 
+def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-to-checkpoint diff — "what changed since yesterday"
+    over two applied CDC snapshots (the Delta CDF / audit-feed
+    workload): snapshot₁ applies the base log, snapshot₂ applies
+    base ∪ a second day's traffic (updates: every 5th key re-priced
+    ×2; deletes: every 13th-not-5th key tombstoned; inserts: every
+    17th key cloned to a new id), then a full-outer key join
+    classifies added / removed / changed / unchanged and aggregates
+    per class. The oracle is the CLOSED FORM of the same day-2 rules
+    straight off events — so the whole envelope→parse→apply→diff
+    machinery must reproduce ground truth, not just itself.
+
+    The delete predicate excludes %5 keys: a same-key update and
+    tombstone would carry the identical (cdc_ts, seq) and the apply
+    rank would tie nondeterministically — the generator avoids the
+    ambiguity the way a real binlog can't contain it (one op per key
+    per position). Scale: two rank windows + one full-outer key
+    join, all on the trade_id shuffle; class agg is 4 rows.
+    """
+    from pyspark.sql.window import Window
+
+    events = _parallel_events(spark, sf_dir)
+    base = synthesize_cdc_json_from_events(events)
+    upd = synthesize_cdc_json_from_events(
+        events.filter(F.col("event_id") % 5 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    dele = synthesize_cdc_json_from_events(
+        events.filter(
+            (F.col("event_id") % 13 == 0) & (F.col("event_id") % 5 != 0)
+        )
+        .withColumn("event_type", F.lit("error"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    ins = synthesize_cdc_json_from_events(
+        events.filter(F.col("event_id") % 17 == 0)
+        .withColumn("event_id", F.col("event_id") + 1000000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+
+    def _apply(log_json):
+        log = parse_cdc_events(log_json)
+        w = Window.partitionBy("trade_id").orderBy(
+            F.desc("cdc_ts"), F.desc("sequential_id")
+        )
+        latest = log.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") == 1
+        )
+        return latest.filter(F.col("op") != "d").select(
+            "trade_id", "trade_price"
+        )
+
+    s1 = _apply(base)
+    s2 = _apply(base.unionAll(upd).unionAll(dele).unionAll(ins))
+    j = s1.withColumnRenamed("trade_price", "p1").join(
+        s2.withColumnRenamed("trade_price", "p2"), "trade_id", "full_outer"
+    )
+    cls = (
+        F.when(F.col("p1").isNull(), "added")
+        .when(F.col("p2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+    )
+    price = F.coalesce(F.col("p2"), F.col("p1"))
+    return (
+        j.select(cls.alias("change_type"), price.alias("price"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.round(F.sum("price") + 1e-9, 4).alias("sum_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# Closed form of the day-2 rules straight off events: non-error rows
+# are live keys; the tombstoned/inserted/re-priced populations follow
+# the same mod predicates the generator uses. "removed" carries its
+# snapshot-1 price, everything else its snapshot-2 price.
+CDC_DIFF_SNAPSHOTS_SQL = """
+WITH live AS (
+  SELECT event_id, value FROM events WHERE event_type != 'error'
+),
+classes AS (
+  SELECT CASE WHEN event_id % 13 = 0 AND event_id % 5 != 0 THEN 'removed'
+              WHEN event_id % 5 = 0 THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS price
+  FROM live
+  UNION ALL
+  SELECT 'added', value FROM live WHERE event_id % 17 = 0
+)
+SELECT change_type, count(*) AS n_keys,
+       round(sum(price) + 1e-9, 4) AS sum_price
+FROM classes GROUP BY change_type ORDER BY change_type
+"""
+
+
 QUERIES = {
+    "cdc_diff_snapshots": cdc_diff_snapshots,
     "cdc_roundtrip": cdc_roundtrip,
     "cdc_op_filtered_counts": cdc_op_filtered_counts,
     "cdc_apply_changes": cdc_apply_changes,
@@ -358,6 +458,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cdc_diff_snapshots": CDC_DIFF_SNAPSHOTS_SQL,
     "cdc_roundtrip": CDC_ROUNDTRIP_SQL,
     "cdc_op_filtered_counts": CDC_OP_FILTERED_COUNTS_SQL,
     "cdc_apply_changes": CDC_APPLY_CHANGES_SQL,
