@@ -66,6 +66,12 @@ SHOWCASE = [
     ("corpus_dsir_importance", "broadcast 256-row model join — no word shuffle"),
     ("tokenizer_bpe_pair_counts", "vocab-sized pair explode after word-count agg"),
     ("embeddings_jl_projection", "derived Rademacher matrix, zero-exchange map"),
+    ("dedup_span_stats", "positional gram df join → gaps-and-islands runs"),
+    ("audience_overlap_bitmap", "persisted bitmap partials → inclusion-exclusion"),
+    ("contrastive_hard_negatives", "broadcast anchors, label-split rank windows"),
+    ("cdc_diff_snapshots", "two applied snapshots → full-outer class diff"),
+    ("custom_agg_trimmed_mean", "Arrow GROUPED_AGG seam + broadcast count join"),
+    ("nan_inf_conformance", "planted IEEE specials through the agg surface"),
 ]
 
 
