@@ -1619,6 +1619,112 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COPURCHASE_TOP = 25
+
+
+def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top part pairs that ship on the
+    same order (the co-occurrence statistic behind "bought together"
+    recommenders and association-rule mining's support count). The
+    self-join keys on l_orderkey with an id-ordering predicate
+    (p_a < p_b) so each unordered pair counts once per order.
+
+    Scale shape: per-order DISTINCT parts first (collapses line-level
+    multiplicity BEFORE the pair join), then the self-equi-join on the
+    order key — pair fan-out is Σ items_per_order², bounded by basket
+    size (~4 here), never corpus²; the count aggregate is map-side
+    combinable and top-K is TakeOrderedAndProject. Hot "milk-and-eggs"
+    baskets at retail scale are the skew case — AQE skew-join handles
+    the orderkey shuffle, and a distinct-parts cap per order is the
+    documented guard for pathological baskets.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "p_a", "p_b")
+        .limit(_COPURCHASE_TOP)
+    )
+
+
+COPURCHASE_PAIRS_TOPK_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, count(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY p_a, p_b
+ORDER BY n_orders DESC, p_a, p_b
+LIMIT {_COPURCHASE_TOP}
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition matrix — the first-order Markov
+    view of user journeys (the statistic behind path/Sankey analysis
+    and "what do users do after X"). One ordered window pass per user
+    produces (state, next_state) pairs; the aggregate emits counts and
+    the row-normalized transition probability.
+
+    Tie discipline: the per-user ordering key is (ts, event_id) —
+    event_id breaks simultaneous-timestamp ties so both engines walk
+    the identical sequence. One user-key window shuffle + a
+    |types|²-row aggregate; probabilities divide two counts from the
+    same aggregate (window sum over the tiny matrix), so no second
+    pass over the data.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    row_tot = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(row_tot).cast("double")
+                + 1e-9,
+                4,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) + 1e-9, 4) AS p
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
 def nan_inf_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IEEE special-value semantics conformance: NaN, ±Infinity and
     NULL planted deterministically (event_id mod 5) through the
@@ -1715,6 +1821,8 @@ _UDTF_CHUNK_DOCUMENTS_SQL = _udtf_chunk_oracle()
 QUERIES = {
     "custom_agg_trimmed_mean": custom_agg_trimmed_mean,
     "nan_inf_conformance": nan_inf_conformance,
+    "copurchase_pairs_topk": copurchase_pairs_topk,
+    "event_transition_matrix": event_transition_matrix,
     "udtf_chunk_documents": udtf_chunk_documents,
     "sessionize": sessionize,
     "higher_order_functions_conformance": higher_order_functions_conformance,
@@ -1771,6 +1879,8 @@ ORACLES = {
     # declarative chunker must both match DuckDB to the hash
     "udtf_chunk_documents": _UDTF_CHUNK_DOCUMENTS_SQL,
     "nan_inf_conformance": NAN_INF_CONFORMANCE_SQL,
+    "copurchase_pairs_topk": COPURCHASE_PAIRS_TOPK_SQL,
+    "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,
