@@ -1619,6 +1619,82 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the warehouse-classic customer scoring:
+    Recency (days since last order, against the corpus max date),
+    Frequency (order count), Monetary (total spend), each quintiled
+    into a 1-5 score, reported as the 125-cell segment grid with
+    population and average spend (the marketing-facing output; the
+    per-customer table is its input relation).
+
+    Determinism: every ntile orders with a c_custkey tiebreak —
+    quintile boundaries on tied values are otherwise engine-dependent.
+    Recency ranks DESCENDING on recency days (most recent buyers score
+    5, matching F/M where bigger is better). Scale: one orders scan →
+    per-customer agg (key shuffle), then three GLOBAL ntile windows —
+    a deliberate total sort of the CUSTOMER-sized aggregate (dims are
+    orders÷frequency smaller than the fact table; same conformance
+    trade as value_equidepth_histogram, which documents it), never of
+    the fact table; the 100 TB form replaces exact quintiles with
+    approx_percentile boundary broadcasts. The global max date rides
+    a broadcast 1-row crossJoin.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice") + 1e-9, 2).alias("monetary"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("max_date"))
+    rfm = per_cust.crossJoin(F.broadcast(maxd)).withColumn(
+        "recency_days", F.datediff("max_date", "last_order")
+    )
+    w_r = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.asc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.asc("monetary"), F.asc("o_custkey"))
+    scored = (
+        rfm.withColumn("r_score", F.ntile(5).over(w_r))
+        .withColumn("f_score", F.ntile(5).over(w_f))
+        .withColumn("m_score", F.ntile(5).over(w_m))
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("monetary") + 1e-9, 2).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice) + 1e-9, 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+maxd AS (SELECT max(o_orderdate) AS max_date FROM orders),
+rfm AS (
+  SELECT o_custkey, frequency, monetary,
+         datediff('day', last_order, max_date) AS recency_days
+  FROM per_cust CROSS JOIN maxd
+),
+scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days DESC, o_custkey ASC) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
+         ntile(5) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       round(avg(monetary) + 1e-9, 2) AS avg_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
 _COPURCHASE_TOP = 25
 
 
@@ -1822,6 +1898,7 @@ QUERIES = {
     "custom_agg_trimmed_mean": custom_agg_trimmed_mean,
     "nan_inf_conformance": nan_inf_conformance,
     "copurchase_pairs_topk": copurchase_pairs_topk,
+    "customer_rfm_segments": customer_rfm_segments,
     "event_transition_matrix": event_transition_matrix,
     "udtf_chunk_documents": udtf_chunk_documents,
     "sessionize": sessionize,
@@ -1880,6 +1957,7 @@ ORACLES = {
     "udtf_chunk_documents": _UDTF_CHUNK_DOCUMENTS_SQL,
     "nan_inf_conformance": NAN_INF_CONFORMANCE_SQL,
     "copurchase_pairs_topk": COPURCHASE_PAIRS_TOPK_SQL,
+    "customer_rfm_segments": CUSTOMER_RFM_SEGMENTS_SQL,
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,

@@ -63,7 +63,8 @@ Round-5 rotation queue — FIRST `dup_graph_triangles`,
 `dedup_span_stats`, `contrastive_hard_negatives`,
 `nan_inf_conformance`, `stream_daily_users_bitmap`,
 `cdc_diff_snapshots`, `copurchase_pairs_topk`,
-`event_transition_matrix`, and the implementation-changed trio
+`event_transition_matrix`, `customer_rfm_segments`,
+and the implementation-changed trio
 `stats_functions` / `embedding_label_stats` / `label_centroids`
 (the -0.0 guard epsilon-changed their green code paths — staleness
 policy says re-window) (landed/changed after the
