@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "audience_overlap_bitmap",
     "tokenizer_bpe_pair_counts",
     "embeddings_jl_projection",
+    "copurchase_pairs_topk",
+    "event_transition_matrix",
+    "cdc_diff_snapshots",
 ]
 
 
