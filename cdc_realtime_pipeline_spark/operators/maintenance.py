@@ -123,3 +123,43 @@ def read_with_schema_evolution(spark: SparkSession, table_dir: str):
     the CDC envelope's unknown-field tolerance (ingest side).
     """
     return spark.read.option("mergeSchema", "true").parquet(table_dir)
+
+
+class AuditFailure(Exception):
+    """Raised by write_audit_publish when an audit rejects the staged
+    data; the live table is untouched."""
+
+
+def write_audit_publish(spark: SparkSession, df, table_dir: str, audits) -> int:
+    """Write-Audit-Publish — the staged-promotion protocol (Netflix's
+    WAP / Iceberg branch-commit pattern): materialize the new table
+    version to a staging path, run every audit callable against the
+    STAGED data, and only then atomically promote it over the live
+    path (same rename-aside protocol as compaction/backfill). A
+    failing audit raises :class:`AuditFailure` and leaves the live
+    table byte-identical — bad data is never readable, which is the
+    entire point versus validate-after-write.
+
+    ``audits`` is an iterable of callables ``(DataFrame) -> bool``
+    over the staged read; returns the published row count. At scale
+    the staging write is the same cost as the direct write — WAP buys
+    the gate for free modulo one rename.
+    """
+    import shutil
+
+    tmp = table_dir + "__wap_stage"
+    old = table_dir + "__wap_old"
+    df.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    for audit in audits:
+        if not audit(staged):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise AuditFailure(f"audit {getattr(audit, '__name__', audit)!r} rejected staged data")
+    n = staged.count()
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(table_dir):
+        os.rename(table_dir, old)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

@@ -103,3 +103,35 @@ def test_schema_evolution_read_merges_and_nullfills(spark, tmp_path):
     rows = {r["id"]: r for r in out.collect()}
     assert rows[1]["score"] is None  # null-filled for the old file
     assert rows[2]["score"] == 9.5
+
+
+def test_wap_publishes_only_after_audits_pass(spark, tmp_path):
+    import pytest
+
+    from cdc_realtime_pipeline_spark.operators.maintenance import (
+        AuditFailure,
+        write_audit_publish,
+    )
+
+    t = str(tmp_path / "wap")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    n = write_audit_publish(
+        spark, v1, t, [lambda d: d.count() == 2, lambda d: d.filter("id is null").count() == 0]
+    )
+    assert n == 2
+
+    # a failing audit must leave v1 live and readable
+    v2_bad = spark.createDataFrame([(3, None)], "id long, name string")
+
+    def no_null_names(d):
+        return d.filter("name is null").count() == 0
+
+    with pytest.raises(AuditFailure):
+        write_audit_publish(spark, v2_bad, t, [no_null_names])
+    live = {r["id"] for r in spark.read.parquet(t).collect()}
+    assert live == {1, 2}
+
+    # a passing second version promotes
+    v2 = spark.createDataFrame([(3, "c")], "id long, name string")
+    assert write_audit_publish(spark, v2, t, [no_null_names]) == 1
+    assert {r["id"] for r in spark.read.parquet(t).collect()} == {3}
