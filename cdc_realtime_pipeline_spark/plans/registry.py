@@ -64,9 +64,10 @@ Round-5 rotation queue — FIRST `dup_graph_triangles`,
 `nan_inf_conformance`, `stream_daily_users_bitmap`,
 `cdc_diff_snapshots`, `copurchase_pairs_topk`,
 `event_transition_matrix`, `customer_rfm_segments`,
-and the implementation-changed trio
-`stats_functions` / `embedding_label_stats` / `label_centroids`
-(the -0.0 guard epsilon-changed their green code paths — staleness
+and the implementation-changed quartet
+`stats_functions` / `embedding_label_stats` / `label_centroids` /
+`scalar_functions`
+(the -0.0 guards epsilon-changed their green code paths — staleness
 policy says re-window) (landed/changed after the
 50-slot window filled; the round's never-driver-checked rows, to be
 windowed first next round), then (deferred from the
