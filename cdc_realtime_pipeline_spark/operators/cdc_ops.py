@@ -17,7 +17,7 @@ from cdc_realtime_pipeline_spark.cdc.envelope import (
     parse_cdc_events,
     synthesize_cdc_json_from_events,
 )
-from cdc_realtime_pipeline_spark.session import load_table
+from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
 
 
 def _parallel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,15 +364,25 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombstone would carry the identical (cdc_ts, seq) and the apply
     rank would tie nondeterministically — the generator avoids the
     ambiguity the way a real binlog can't contain it (one op per key
-    per position). Scale: two rank windows + one full-outer key
+    per position). Two ADVICE r4 hardenings: (a) the insert-clone
+    offset is ``max(event_id) + 1`` (a broadcast scalar), provably
+    disjoint from live keys at ANY fixture scale instead of the old
+    fixed 1e6; (b) the update generator skips ``value = 0`` rows
+    (value·2 == value would make the driver's genuine ``p1 != p2``
+    diff say "unchanged" while a mod-rule oracle says "changed" —
+    excluding the degenerate keys keeps the driver a TRUE value
+    diff and the closed form exact). Scale: base events persisted
+    once (VERDICT r4 #5 — one scan feeds all four synthesized logs
+    plus the offset agg), two rank windows + one full-outer key
     join, all on the trade_id shuffle; class agg is 4 rows.
     """
     from pyspark.sql.window import Window
 
-    events = _parallel_events(spark, sf_dir)
+    events = tracked_persist(_parallel_events(spark, sf_dir))
+    off = events.agg((F.max("event_id") + 1).alias("_ins_off"))
     base = synthesize_cdc_json_from_events(events)
     upd = synthesize_cdc_json_from_events(
-        events.filter(F.col("event_id") % 5 == 0)
+        events.filter((F.col("event_id") % 5 == 0) & (F.col("value") != 0))
         .withColumn("value", F.col("value") * 2)
         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
     )
@@ -385,7 +395,9 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ins = synthesize_cdc_json_from_events(
         events.filter(F.col("event_id") % 17 == 0)
-        .withColumn("event_id", F.col("event_id") + 1000000)
+        .crossJoin(F.broadcast(off))
+        .withColumn("event_id", F.col("event_id") + F.col("_ins_off"))
+        .drop("_ins_off")
         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
     )
 
@@ -434,9 +446,10 @@ WITH live AS (
 ),
 classes AS (
   SELECT CASE WHEN event_id % 13 = 0 AND event_id % 5 != 0 THEN 'removed'
-              WHEN event_id % 5 = 0 THEN 'changed'
+              WHEN event_id % 5 = 0 AND value != 0 THEN 'changed'
               ELSE 'unchanged' END AS change_type,
-         CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS price
+         CASE WHEN event_id % 5 = 0 AND value != 0 THEN value * 2
+              ELSE value END AS price
   FROM live
   UNION ALL
   SELECT 'added', value FROM live WHERE event_id % 17 = 0

@@ -1839,8 +1839,13 @@ def nan_inf_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping/distinct (one group, not one per row), -Inf sorts least,
     and the zero-divisor NULL contract: Spark 4 runs ANSI (plain ``/``
     RAISES on a zero divisor — ``try_divide`` is the NULL form) while
-    DuckDB's plain double division already yields NULL, so the row
-    pins try_divide ≡ DuckDB ``/`` — NULL, never Inf. The finite twin
+    the oracle writes the NULL-on-zero-divisor contract as an explicit
+    ``CASE WHEN divisor = 0 THEN NULL`` (ADVICE r4: DuckDB ≤1.0 plain
+    double ``/`` happens to yield NULL but ≥1.1 defaults
+    ``ieee_floating_point_ops=true`` and returns Inf/NaN — the
+    explicit CASE is version-proof where the bare ``/`` was not). The
+    row thus pins try_divide ≡ guarded division — NULL, never Inf.
+    The finite twin
     columns (max/avg over isnan/isinf-filtered values) are the
     recovery idiom the DQ layer prescribes after this row proves the
     special values' blast radius.
@@ -1891,7 +1896,8 @@ WITH planted AS (
            WHEN 3 THEN value
            ELSE NULL
          END AS v,
-         value / CAST(event_id % 2 AS DOUBLE) AS div0
+         CASE WHEN event_id % 2 = 0 THEN NULL
+              ELSE value / CAST(event_id % 2 AS DOUBLE) END AS div0
   FROM events
 )
 SELECT event_type,

@@ -66,11 +66,14 @@ def compact_partition(spark: SparkSession, table_dir: str, month: str, target_fi
     tmp = part_dir + "__compact_tmp"
     old = part_dir + "__compact_old"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    # Swap via rename-aside so the live path is never absent: a reader
-    # racing the swap sees either the old or the new partition, and a
-    # crash between the renames leaves the data recoverable at
-    # ``__compact_old`` rather than stranded in a tmp dir with the
-    # live path gone.
+    # Swap via rename-aside: crash-recoverable (a failure between the
+    # renames leaves the data intact at ``__compact_old`` rather than
+    # stranded in a tmp dir), at the cost of a BRIEF read-unavailability
+    # window — between the two renames the live path does not exist, so
+    # a reader racing the swap can fail with path-not-found and must
+    # retry. Directory rename is also only atomic within one POSIX
+    # filesystem; on an object store use a manifest/symlink swap or a
+    # table format's metadata commit (Delta/Iceberg) instead.
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(part_dir, old)
@@ -86,10 +89,11 @@ def backfill_partition(spark: SparkSession, table_dir: str, month: str, df) -> i
     on Spark-managed tables the same contract is
     ``spark.sql.sources.partitionOverwriteMode=dynamic``).
 
-    Uses the identical staged-rename protocol as ``compact_partition``
-    so a racing reader sees either the old or the new partition, never
-    a half state, and a crash leaves data recoverable. Returns the row
-    count written.
+    Uses the identical staged-rename protocol as ``compact_partition``:
+    crash-recoverable (never a PARTIAL partition on the live path —
+    a reader sees complete-old, complete-new, or a retryable
+    path-not-found during the brief between-renames window; see the
+    atomicity caveats noted there). Returns the row count written.
 
     ``df`` must contain exactly the recomputed rows for ``month`` —
     the caller filters; keeping the horizon outside makes the job
@@ -134,8 +138,10 @@ def write_audit_publish(spark: SparkSession, df, table_dir: str, audits) -> int:
     """Write-Audit-Publish — the staged-promotion protocol (Netflix's
     WAP / Iceberg branch-commit pattern): materialize the new table
     version to a staging path, run every audit callable against the
-    STAGED data, and only then atomically promote it over the live
-    path (same rename-aside protocol as compaction/backfill). A
+    STAGED data, and only then promote it over the live path (same
+    rename-aside protocol as compaction/backfill — crash-recoverable
+    with a brief read-unavailability window between the renames; see
+    ``compact_partition`` for the POSIX/object-store caveats). A
     failing audit raises :class:`AuditFailure` and leaves the live
     table byte-identical — bad data is never readable, which is the
     entire point versus validate-after-write.
