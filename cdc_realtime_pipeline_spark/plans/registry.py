@@ -16,84 +16,44 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-4 window composition (the round-3 gate returned 48 green +
-1 rows-only + 1 hash-fail; 127/135 oracle-gated queries now hold a
-green driver row): [A] 3 rows whose implementation changed this round
-— the repaired `decimal_arithmetic_conformance` (scaled-integer
-half-up avg, VERDICT r3 #1) and the PSI pair (NULL drift_flag +
-associativity, ADVICE r3 #1/#2); [B] the 7 remaining never-driver-
-checked rows (VERDICT r3 #2 — `stream_value_drift_gate`, the 8th, is
-already in [A]); [C] the 19 new round-4 operators (candidate-funnel
-audit, cross-source matrix, split-leakage audit, mixture weights,
-context-window chunking, last-touch attribution, schema drift,
-equi-depth histogram, k-means assignment step, MAD outliers,
-shingle-df histogram, streaming decontamination gate, lang confusion
-matrix, iterative k-means (rows-only, monotone-inertia self-check),
-OOV-rate vocabulary audit, string-collation + regex conformance,
-rolling 7-day DAU, quality-weighted sampling) taking their first
-driver look; [C2] 12 second-wave round-4 operators (key-skew
-profile, correlated-subquery / LATERAL-top-K / ordered-LISTAGG /
-try-function conformance, bloom semijoin reduction, chunk-level
-dedup audit, dup-graph PageRank, TPC-H Q18 agg-subquery semijoin,
-A-ES weighted reservoir, streaming windowed top-K, exact bitmap
-distinct-rollup) windowed the session they landed so no
-never-checked debt accrues; [C3] 9 third-wave operators
-(Misra-Gries heavy-hitter candidate pruning, lambda higher-order-
-function conformance, watermark-gated LEFT OUTER stream-stream
-join, timezone/DST conversion conformance, Z-order multi-dim
-layout stats, SemDeDup cluster-partitioned embedding dedup,
-Spark-4 VARIANT semi-structured conformance, time-series
-pattern-correlation top-K, CEP strict-contiguity sequence
-detection — 9 total), same same-session-window policy; [D] the oldest-evidence
-rotation — rows green in round 1 only and untouched since, cycling
-through per the staleness policy
-([A]3 + [B]7 + [C]19 + [C2]12 + [C3]9 + [D]0 = 50).
-Rows dropped this round hold r1/r2/r3 green evidence on unchanged
-code and stay under the local 3-SF harness.
+Round-5 window composition (the round-4 gate returned 46 green + 3
+rows-only + 1 hash-fail; across all rounds 172 queries held a green
+driver row entering round 5, 28 landed too late for a window slot):
+[A] 2 implementation-changed rows — `decimal_arithmetic_conformance`
+(the round-5 bit-identical floor-grid repair of the two-round-red
+hash row, VERDICT r4 #1) and `dedup_embeddings_semantic`
+(corpus-sized K + IVF two-level multi-probe assignment, VERDICT r4
+#3); [B] all 28 round-4-late never-driver-checked queries exactly as
+staged (VERDICT r4 #2) — the graph/conformance/TPC-H-completion/
+LLM-pipeline block, including `cdc_diff_snapshots` and
+`nan_inf_conformance` whose implementations ALSO changed this round
+(ADVICE r4 #1-#3); [A2] the -0.0-guard quartet (`stats_functions`,
+`embedding_label_stats`, `label_centroids`, `scalar_functions`) —
+green code paths epsilon-changed after their last driver look, so
+the staleness policy re-windows them; [D] 16 oldest-evidence
+rotation slots from the r1-only pool
+([A]2 + [B]28 + [A2]4 + [D]16 = 50).
+Rows dropped this round hold r1-r4 green evidence on unchanged code
+and stay under the local 3-SF harness.
 
-Round-5 rotation queue — FIRST `dup_graph_triangles`,
-`tpch_q21_like`, `bitwise_functions_conformance`,
-`unpivot_conformance`, `corpus_perplexity_buckets`,
-`media_dedup_exact`, the TPC-H completion block
-(`tpch_q7_like` `tpch_q9_like` `tpch_q10_like` `tpch_q13_like`
-`tpch_q15_like` `tpch_q16_like` `tpch_q20_like` `tpch_q22_like`),
-`corpus_dsir_importance`, `tokenizer_bpe_pair_counts`,
-`embeddings_jl_projection`, `custom_agg_trimmed_mean`,
-`udtf_chunk_documents`, `audience_overlap_bitmap`,
-`dedup_span_stats`, `contrastive_hard_negatives`,
-`nan_inf_conformance`, `stream_daily_users_bitmap`,
-`cdc_diff_snapshots`, `copurchase_pairs_topk`,
-`event_transition_matrix`, `customer_rfm_segments`,
-and the implementation-changed quartet
-`stats_functions` / `embedding_label_stats` / `label_centroids` /
-`scalar_functions`
-(the -0.0 guards epsilon-changed their green code paths — staleness
-policy says re-window) (landed/changed after the
-50-slot window filled; the round's never-driver-checked rows, to be
-windowed first next round), then (deferred from the
-r1-only pool this round, plus twins displaced by [C]): `dash_total_trades`,
-`dash_volume_last_day`, `dash_avg_latency_last_day`,
-`dash_distinct_users`, `dash_latency_per_minute`,
-`scalar_functions`, `date_functions`,
-`top_parts_per_supplier`, `ema_per_key`, `dash_bid_ask_ranking`,
-`region_revenue`, `revenue_top_orders`, `tpch_q6`,
-`alerts_large_trade`, `alerts_rapid_trades`, `tpch_q1`
-(displaced by [C3] — r1-green, unchanged), `tpch_q12_like`,
-`tpch_q14_like`, `sessionize`, `stats_functions`,
-`window_rank_functions` (displaced by [C2] — r1-green, unchanged,
-trivial agg / function-sweep / join plans), `value_quantiles`,
-`sessionize_native`,
-`window_agg_5m_salted`, `dash_approx_distinct_users`,
-`dash_recent_alerts`, `dash_live_trades`, `dash_pipeline_liveness`,
+Round-6 rotation queue — any operator added later in round 5 windows
+same-session by displacing [D] tail entries (policy unchanged), then
+the remaining r1-only pool continues oldest-first:
+`tpch_q14_like`, `sessionize`, `window_rank_functions`,
+`value_quantiles`, `sessionize_native`, `window_agg_5m_salted`,
+`dash_approx_distinct_users`, `dash_recent_alerts`,
+`dash_live_trades`, `dash_pipeline_liveness`,
 `dash_latest_value_per_day`, `dash_price_per_minute_single_key`,
 `small_quantity_revenue`, `disjunctive_revenue`,
 `alerts_large_trade_lookup_join`, `order_status_pivot`,
-`big_orders_having`, `window_agg_sliding`, `order_priority_counts`, `lineitem_rollup`, `monthly_order_stats`, `cumulative_daily_value`, `set_operations`, `revenue_share_per_nation`,
+`big_orders_having`, `window_agg_sliding`, `order_priority_counts`,
+`lineitem_rollup`, `monthly_order_stats`, `cumulative_daily_value`,
+`set_operations`, `revenue_share_per_nation`,
 `cheapest_supplier_per_part`, `customers_without_orders`, and the
-r2-green block (media_*,
-corpus_* pack/split/vocab, stream_static_enrich, stream_stream_join,
-asof_join_last_click, bucketized_range_join, skewed_join_salted) —
-oldest evidence first.
+r2-green block (media_*, corpus_* pack/split/vocab,
+stream_static_enrich, stream_stream_join, asof_join_last_click,
+bucketized_range_join, skewed_join_salted) — oldest evidence first,
+plus any round-5 [D] entries displaced by late round-5 operators.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -151,71 +111,69 @@ _MODULES = [
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
 _PRIORITY = [
-    # --- [A] implementation changed this round (3) ---
+    # --- [A] implementation changed this round-5 session (2 here;
+    # cdc_diff_snapshots and nan_inf_conformance also changed but
+    # already sit in [B]): the decimal row's round-5 bit-identical
+    # floor-grid repair (VERDICT r4 #1 — red two rounds running) and
+    # SemDeDup's corpus-sized-K + IVF two-level assignment
+    # (VERDICT r4 #3) ---
     "decimal_arithmetic_conformance",
-    "value_distribution_psi",
-    "stream_value_drift_gate",
-    # --- [B] never driver-checked, first look (7) ---
-    "trailing_10min_value",
-    "hourly_median_iqr",
-    "window_agg_1h_rollup",
-    "daily_users_hll_rollup",
-    "text_tfidf_topk",
-    "text_bm25_topk",
-    "value_winsorized_stats",
-    # --- [C] new round-4 operators, first look (19) ---
-    "dedup_candidates_audit",
-    "dup_cross_source_matrix",
-    "split_leakage_audit",
-    "corpus_mixture_weights",
-    "docs_chunked",
-    "attribution_last_touch",
-    "events_schema_drift",
-    "value_equidepth_histogram",
-    "embeddings_kmeans_assign",
-    "value_mad_outliers",
-    "shingle_df_histogram",
-    "stream_decontaminate_gate",
-    "lang_confusion_matrix",
-    "embeddings_kmeans_train",
-    "corpus_oov_rate",
-    "string_collation_conformance",
-    "regex_functions_conformance",
-    "dash_rolling_7d_dau",
-    "corpus_quality_weighted_sample",
-    # --- [C2] second-wave round-4 operators, first look (12):
-    # landed after the first round-4 block; windowed immediately so
-    # no "never-driver-checked" debt accrues (VERDICT r3 #2 class) ---
-    "key_skew_profile",
-    "correlated_subquery_conformance",
-    "bloom_semijoin_reduction",
-    "chunk_dedup_stats",
-    "dup_graph_pagerank",
-    "lateral_join_topk_conformance",
-    "listagg_conformance",
-    "tpch_q18_like",
-    "corpus_weighted_reservoir",
-    "stream_topk_per_window",
-    "daily_users_bitmap_rollup",
-    "try_functions_conformance",
-    # --- [C3] third-wave round-4 operators, first look (9):
-    # MG heavy-hitter candidate pruning, lambda-HOF conformance,
-    # watermark-gated left-outer stream-stream join, timezone/DST
-    # conversion conformance, Z-order layout stats, SemDeDup,
-    # Spark-4 VARIANT semi-structured conformance, time-series
-    # pattern-correlation top-K, CEP strict-contiguity sequence ---
-    "heavy_hitters_mg",
-    "higher_order_functions_conformance",
-    "stream_stream_left_outer",
-    "timezone_conformance",
-    "zorder_layout_stats",
     "dedup_embeddings_semantic",
-    "variant_json_conformance",
-    "timeseries_pattern_topk",
-    "cep_funnel_sequence",
-    # --- [D] oldest-evidence rotation: exhausted this round — every
-    # r1-only row now sits in the round-5 queue; [C3] same-session
-    # windowing of new operators took the remaining slots ---
+    # --- [B] the 28 round-4-late queries, never driver-checked
+    # (VERDICT r4 #2): all local-3-SF green since they landed ---
+    "dup_graph_triangles",
+    "tpch_q21_like",
+    "bitwise_functions_conformance",
+    "unpivot_conformance",
+    "corpus_perplexity_buckets",
+    "media_dedup_exact",
+    "tpch_q7_like",
+    "tpch_q9_like",
+    "tpch_q10_like",
+    "tpch_q13_like",
+    "tpch_q15_like",
+    "tpch_q16_like",
+    "tpch_q20_like",
+    "tpch_q22_like",
+    "corpus_dsir_importance",
+    "tokenizer_bpe_pair_counts",
+    "embeddings_jl_projection",
+    "custom_agg_trimmed_mean",
+    "udtf_chunk_documents",
+    "audience_overlap_bitmap",
+    "dedup_span_stats",
+    "contrastive_hard_negatives",
+    "nan_inf_conformance",
+    "stream_daily_users_bitmap",
+    "cdc_diff_snapshots",
+    "copurchase_pairs_topk",
+    "event_transition_matrix",
+    "customer_rfm_segments",
+    # --- [A2] the round-4 -0.0-guard quartet: green code paths
+    # epsilon-changed after their last driver look — staleness
+    # policy says re-window (4) ---
+    "stats_functions",
+    "embedding_label_stats",
+    "label_centroids",
+    "scalar_functions",
+    # --- [D] oldest-evidence rotation (16): r1-only rows, oldest
+    # first, from the deferred pool ---
+    "dash_total_trades",
+    "dash_volume_last_day",
+    "dash_avg_latency_last_day",
+    "dash_distinct_users",
+    "dash_latency_per_minute",
+    "date_functions",
+    "top_parts_per_supplier",
+    "ema_per_key",
+    "dash_bid_ask_ranking",
+    "region_revenue",
+    "revenue_top_orders",
+    "tpch_q6",
+    "alerts_large_trade",
+    "alerts_rapid_trades",
+    "tpch_q1",
+    "tpch_q12_like",
 ]
 
 
