@@ -1173,7 +1173,106 @@ ORDER BY doc_id
 """
 
 
+def corpus_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first token-budget selection — the mixture-building step
+    after scoring: each source contributes its BEST documents until a
+    per-source token budget (half the source's total tokens) is
+    exhausted, the greedy knapsack every "train on the top-q% by
+    quality" recipe runs at corpus scale.
+
+    Shape: one doc-level join (quality ⋈ token counts), then TWO
+    window functions over the SAME (source) partitioning — a running
+    token sum ordered by (quality DESC, doc_id) and the partition
+    total — so Catalyst plans ONE shuffle and consecutive WindowExec
+    nodes; the kept/cut decision ``2·cum ≤ total`` is pure BIGINT
+    arithmetic (no float threshold to diverge cross-engine). Per-source
+    sort is the intrinsic cost of "take the best under a budget"; at
+    100 TB the partition key is the source (bounded cardinality), and
+    a skewed mega-source would shard via the same quality-bucket
+    pre-aggregation trick as `customer_rfm_segments` documents.
+
+    Output: per-source packing audit — docs/tokens kept vs total, the
+    achieved token fraction, and the quality cut-line (the lowest
+    quality that still fit the budget).
+    """
+    from cdc_realtime_pipeline_spark.functions import text as TX
+    from cdc_realtime_pipeline_spark.operators.text_ops import text_quality
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    q = text_quality(spark, sf_dir).select("doc_id", "quality")
+    j = docs.join(q, "doc_id")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    flagged = j.select(
+        "source",
+        "n_tokens",
+        "quality",
+        (F.sum("n_tokens").over(w_cum) * 2 <= F.sum("n_tokens").over(w_all)).alias(
+            "kept"
+        ),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("kept"), F.lit(1))).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "tokens_kept"
+            ),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.round(
+                F.min(F.when(F.col("kept"), F.col("quality"))) + 1e-9, 4
+            ).alias("quality_cutline"),
+        )
+        .withColumn(
+            "kept_token_frac",
+            F.round(F.col("tokens_kept") / F.col("tokens_total") + 1e-9, 4),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_TOKEN_BUDGET_PACK_SQL = f"""
+WITH q AS ({_TQ_SQL}),
+d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+j AS (
+  SELECT d.source, d.n_tokens, q.quality, d.doc_id
+  FROM d JOIN q ON d.doc_id = q.doc_id
+),
+flagged AS (
+  SELECT source, n_tokens, quality,
+         2 * sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           <= sum(n_tokens) OVER (PARTITION BY source) AS kept
+  FROM j
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN kept THEN 1 END) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       round(min(CASE WHEN kept THEN quality END) + 1e-9, 4) AS quality_cutline,
+       round(sum(CASE WHEN kept THEN n_tokens ELSE 0 END)
+             / CAST(sum(n_tokens) AS DOUBLE) + 1e-9, 4) AS kept_token_frac
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_token_budget_pack": corpus_token_budget_pack,
     "corpus_dsir_importance": corpus_dsir_importance,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
     "decontaminate_vs_benchmark": decontaminate_vs_benchmark,
@@ -1191,6 +1290,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_token_budget_pack": CORPUS_TOKEN_BUDGET_PACK_SQL,
     "corpus_dsir_importance": CORPUS_DSIR_IMPORTANCE_SQL,
     "corpus_perplexity_buckets": CORPUS_PERPLEXITY_BUCKETS_SQL,
     "corpus_curation_funnel": CORPUS_CURATION_FUNNEL_SQL,

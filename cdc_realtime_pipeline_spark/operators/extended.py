@@ -1928,7 +1928,202 @@ def _udtf_chunk_oracle() -> str:
 _UDTF_CHUNK_DOCUMENTS_SQL = _udtf_chunk_oracle()
 
 
+def grouping_sets_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + ``grouping_id`` — the third member of
+    the multi-granularity family next to `events_cube` (full lattice)
+    and `events_rollup_multi_granularity` (prefix hierarchy): an
+    ARBITRARY, non-lattice set list ((type, month), (type), (month),
+    ()) that neither cube nor rollup can express, pinned against
+    DuckDB's native GROUPING SETS with the same grouping-bit layout.
+
+    Uses Spark 4's first-class ``DataFrame.groupingSets`` (one Expand
+    node — each input row fans to exactly 4 set-rows, then ONE hash
+    aggregate; at scale this beats 4 separate aggregates because the
+    fact is scanned once and partial aggregation absorbs the fan-out
+    map-side). Sums are rounded with the shared +1e-9 nudge; grouping
+    keys are null-filled to sentinels AFTER grouping so the sentinel
+    can never collide with a real key.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("month", "ts").alias("month"), "value"
+    )
+    g = ev.groupingSets(
+        [["event_type", "month"], ["event_type"], ["month"], []],
+        "event_type",
+        "month",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+    )
+    return g.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("month").cast("date"), F.lit("1900-01-01").cast("date")).alias(
+            "month"
+        ),
+        "gid",
+        "n",
+        "sum_value",
+    ).orderBy("gid", "event_type", "month")
+
+
+GROUPING_SETS_CONFORMANCE_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(month AS DATE), DATE '1900-01-01') AS month,
+       grouping_id(event_type, month) AS gid,
+       count(*) AS n,
+       round(sum(value) + 1e-9, 4) AS sum_value
+FROM (SELECT event_type, date_trunc('month', ts) AS month, value FROM events) e
+GROUP BY GROUPING SETS ((event_type, month), (event_type), (month), ())
+ORDER BY gid, event_type, month
+"""
+
+
+def interval_datetime_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface — INTERVAL addition, calendar
+    truncation (week/quarter), ``last_day``, day-diff vs a fixed
+    anchor, and end-of-month flags — the primitives every retention /
+    TTL / partition-pruning expression in the engine builds from
+    (maintenance TTL, SCD2 validity, cohort offsets), pinned against
+    DuckDB's equivalents per derived bucket.
+
+    Everything is integer/date-valued (no float surface at all); the
+    single aggregate keys on a bounded (type × quarter) space. The
+    week bucket uses Monday-start truncation on both engines; Spark's
+    ``date_trunc`` returns TIMESTAMP and DuckDB's DATE, normalized by
+    an explicit DATE cast on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    enriched = ev.select(
+        "event_type",
+        F.date_trunc("quarter", "ts").cast("date").alias("quarter"),
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        F.last_day(F.col("ts").cast("date")).alias("month_end"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_anchor"
+        ),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).cast("date").alias("shifted_day"),
+    )
+    return (
+        enriched.groupBy("event_type", "quarter")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("week_start").alias("n_weeks"),
+            F.max("days_since_anchor").alias("max_day_offset"),
+            F.min("days_since_anchor").alias("min_day_offset"),
+            F.count(
+                F.when(F.col("shifted_day") > F.col("month_end"), F.lit(1))
+            ).alias("n_spill_next_month"),
+        )
+        .orderBy("event_type", "quarter")
+    )
+
+
+INTERVAL_DATETIME_CONFORMANCE_SQL = """
+SELECT event_type,
+       CAST(date_trunc('quarter', ts) AS DATE) AS quarter,
+       count(*) AS n,
+       count(DISTINCT CAST(date_trunc('week', ts) AS DATE)) AS n_weeks,
+       max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS max_day_offset,
+       min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS min_day_offset,
+       count(CASE WHEN CAST(ts + INTERVAL 90 MINUTE AS DATE)
+                       > last_day(CAST(ts AS DATE)) THEN 1 END) AS n_spill_next_month
+FROM events
+GROUP BY event_type, CAST(date_trunc('quarter', ts) AS DATE)
+ORDER BY event_type, quarter
+"""
+
+
+def map_functions_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface — ``map_from_arrays`` /
+    ``map_filter`` / ``transform_values`` / ``map_concat`` /
+    ``map_keys`` — exercised end-to-end and then FLATTENED to sorted
+    key=value strings for the cross-engine hash (DuckDB's MAP is a
+    different physical type with different function names, so the
+    oracle derives the identical flattened strings from first
+    principles — the conformance target is the *values*, not the
+    intermediate container).
+
+    Per event: build {type: n_chars_of_props, day: day-of-month},
+    drop entries with odd values via ``map_filter``, double the
+    survivors via ``transform_values``, merge a constant tag map via
+    ``map_concat``, then emit sorted "k=v" joined entries. The map
+    ops run row-local inside whole-stage codegen (no shuffle until
+    the final bounded groupBy over flattened strings).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.map_from_arrays(
+            F.array(F.col("event_type"), F.lit("day")),
+            F.array(
+                F.length("props").cast("long"), F.dayofmonth("ts").cast("long")
+            ),
+        ).alias("m0"),
+    ).select(
+        "event_type",
+        F.map_concat(
+            F.transform_values(
+                F.map_filter(F.col("m0"), lambda _k, v: v % 2 == 0),
+                lambda _k, v: v * 2,
+            ),
+            F.create_map(F.lit("src"), F.lit(1).cast("long")),
+        ).alias("m1"),
+    )
+    flat = m.select(
+        "event_type",
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries("m1"),
+                    lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+                )
+            ),
+            ",",
+        ).alias("entries"),
+    )
+    return (
+        flat.groupBy("event_type", "entries")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "entries")
+    )
+
+
+MAP_FUNCTIONS_CONFORMANCE_SQL = """
+WITH base AS (
+  SELECT event_type,
+         length(props) AS props_len,
+         day(CAST(ts AS DATE)) AS day_num
+  FROM events
+), flattened AS (
+  SELECT event_type,
+         array_to_string(
+           list_sort(
+             list_concat(
+               list_concat(
+                 CASE WHEN props_len % 2 = 0
+                      THEN [event_type || '=' || CAST(props_len * 2 AS VARCHAR)]
+                      ELSE [] END,
+                 CASE WHEN day_num % 2 = 0
+                      THEN ['day=' || CAST(day_num * 2 AS VARCHAR)]
+                      ELSE [] END
+               ),
+               ['src=1']
+             )
+           ), ',') AS entries
+  FROM base
+)
+SELECT event_type, entries, count(*) AS n
+FROM flattened
+GROUP BY event_type, entries
+ORDER BY event_type, entries
+"""
+
+
 QUERIES = {
+    "grouping_sets_conformance": grouping_sets_conformance,
+    "interval_datetime_conformance": interval_datetime_conformance,
+    "map_functions_conformance": map_functions_conformance,
     "custom_agg_trimmed_mean": custom_agg_trimmed_mean,
     "nan_inf_conformance": nan_inf_conformance,
     "copurchase_pairs_topk": copurchase_pairs_topk,
@@ -1967,6 +2162,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "grouping_sets_conformance": GROUPING_SETS_CONFORMANCE_SQL,
+    "interval_datetime_conformance": INTERVAL_DATETIME_CONFORMANCE_SQL,
+    "map_functions_conformance": MAP_FUNCTIONS_CONFORMANCE_SQL,
     "docs_lang_source_pivot": DOCS_LANG_SOURCE_PIVOT_SQL,
     "higher_order_functions_conformance": HIGHER_ORDER_FUNCTIONS_CONFORMANCE_SQL,
     "timezone_conformance": TIMEZONE_CONFORMANCE_SQL,

@@ -1,13 +1,14 @@
-"""TPC-H shape completion: the 8 classic query shapes not yet covered.
+"""TPC-H shape completion: the 10 classic query shapes not yet covered.
 
 relational.py already carries Q1/Q2/Q3/Q4/Q5/Q6/Q12/Q14/Q17/Q18/Q19/Q21
 analogs; this module adds the remaining shapes — Q7 (bilateral volume),
-Q9 (profit by nation/year), Q10 (returned-item ranking), Q13
-(distribution of counts via left outer + two-level agg), Q15 (argmax vs
-a scalar-subquery max), Q16 (distinct-count with null-aware NOT IN
-exclusion), Q20 (nested quantity-share semijoin) and Q22 (global scalar
-threshold + anti join) — so every one of the 22 TPC-H query shapes has
-a driver-oracle-gated representative. The reference engine itself has
+Q8 (market-share CASE ratio), Q9 (profit by nation/year), Q10
+(returned-item ranking), Q11 (grouped value vs global-fraction scalar
+threshold), Q13 (distribution of counts via left outer + two-level
+agg), Q15 (argmax vs a scalar-subquery max), Q16 (distinct-count with
+null-aware NOT IN exclusion), Q20 (nested quantity-share semijoin) and
+Q22 (global scalar threshold + anti join) — so ALL 22 TPC-H query
+shapes have a driver-oracle-gated representative. The reference engine itself has
 no joins (SURVEY.md §2.5); this is the "complete engine" surface a
 switching user expects.
 
@@ -476,8 +477,136 @@ ORDER BY cntrycode
 """
 
 
+def tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the share of a market's
+    yearly volume supplied by one trading bloc.
+
+    Market = ASIA-region customers buying PROMO parts; per order year,
+    ``mkt_share`` = AFRICA-bloc suppliers' volume / total volume.
+    Q8's literal single-nation share is vacuous at sf0.001 (10
+    suppliers over 25 nations), so — exactly like the Q7 analog above
+    — the supplier *bloc* keeps the plan shape (conditional-sum ratio
+    over a 5-way star) non-degenerate at every SF.
+
+    Plan shape (the Q8 point): one lineitem ⋈ orders shuffle on the
+    orderkey; part filter, customer-region filter and supplier
+    provenance are all broadcast dims; the CASE-ratio folds into ONE
+    grouped aggregate (two sums, one pass) — no second scan, no join
+    back. Ratio + addends are rounded with the repo's +1e-9 half-up
+    nudge on both engines (4dp discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    ndim = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "r_name")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(ndim), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(ndim), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    bloc_vol = F.when(F.col("supp_region") == "AFRICA", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(bloc_vol) + 1e-9, 4).alias("bloc_volume"),
+            F.round(F.sum(vol) + 1e-9, 4).alias("total_volume"),
+            F.round(F.sum(bloc_vol) / F.sum(vol) + 1e-9, 4).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_LIKE_SQL = """
+SELECT o_year,
+       round(sum(bloc_vol) + 1e-9, 4) AS bloc_volume,
+       round(sum(vol) + 1e-9, 4) AS total_volume,
+       round(sum(bloc_vol) / sum(vol) + 1e-9, 4) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         CASE WHEN rs.r_name = 'AFRICA'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS bloc_vol
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region rc ON nc.n_regionkey = rc.r_regionkey AND rc.r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+) mkt
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important-stock identification — grouped value
+    with a HAVING threshold derived from the GLOBAL total by scalar
+    subquery.
+
+    The fixtures carry no partsupp, so part value = Σ l_quantity ×
+    l_extendedprice over lineitem (same grouped-value semantics);
+    "important" = value > 1.25× the mean per-part value. TPC-H's
+    literal 0.0001/SF fraction degenerates both ways with fixture size,
+    while 1.25× the mean holds a stable ~12-15% selectivity at every
+    SF (measured 25/289/2996 rows at sf0.001/0.01/0.1; the fixture
+    part values are near-uniform, so 2× the mean selects nothing).
+
+    Plan shape (the Q11 point): ONE keyed aggregate over the fact,
+    re-aggregated to a 1-row global (mean of the part values), then a
+    broadcast crossJoin + filter — Catalyst reuses the keyed aggregate
+    for both branches (self-reuse via ReusedExchange), no global
+    window, no second fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("raw_value")
+    )
+    threshold = per_part.agg((F.avg("raw_value") * 1.25).alias("value_floor"))
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("raw_value") > F.col("value_floor"))
+        .select(
+            "l_partkey",
+            F.round(F.col("raw_value") + 1e-9, 4).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+TPCH_Q11_LIKE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_quantity * l_extendedprice) AS raw_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(raw_value + 1e-9, 4) AS part_value
+FROM per_part
+WHERE raw_value > (SELECT avg(raw_value) * 1.25 FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
 QUERIES = {
     "tpch_q7_like": tpch_q7_like,
+    "tpch_q8_like": tpch_q8_like,
+    "tpch_q11_like": tpch_q11_like,
     "tpch_q9_like": tpch_q9_like,
     "tpch_q10_like": tpch_q10_like,
     "tpch_q13_like": tpch_q13_like,
@@ -489,6 +618,8 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q7_like": TPCH_Q7_LIKE_SQL,
+    "tpch_q8_like": TPCH_Q8_LIKE_SQL,
+    "tpch_q11_like": TPCH_Q11_LIKE_SQL,
     "tpch_q9_like": TPCH_Q9_LIKE_SQL,
     "tpch_q10_like": TPCH_Q10_LIKE_SQL,
     "tpch_q13_like": TPCH_Q13_LIKE_SQL,

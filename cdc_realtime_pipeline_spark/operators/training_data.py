@@ -367,7 +367,59 @@ FROM p ORDER BY vec_id
 EMBEDDINGS_JL_PROJECTION_SQL = _jl_sql()
 
 
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension activation statistics over the embedding corpus —
+    the whitening / PCA-prep pass (dimension means for centering,
+    variances for scaling) and the collapsed-dimension detector
+    (near-zero variance ⇒ the encoder ignores that coordinate;
+    saturation fraction ⇒ clipping): the standard audit before
+    training an ANN index or a projection head on 100 TB of vectors.
+
+    Shape: ``posexplode`` fans each row into 64 (dim, x) pairs, then
+    ONE hash aggregate on a 64-key space — partial aggregation
+    absorbs the 64× fan-out map-side, so the shuffle carries exactly
+    64 × n_partitions partial rows regardless of corpus size. No
+    Python, no window, no driver loop.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        )
+    ).select((F.col("pos") + 1).alias("dim"), "x")
+    return (
+        pairs.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            (F.round(F.avg("x") + 1e-9, 4) + 0.0).alias("mean_x"),
+            (F.round(F.stddev_pop("x") + 1e-9, 4) + 0.0).alias("std_x"),
+            (F.round(F.min("x") + 1e-9, 4) + 0.0).alias("min_x"),
+            (F.round(F.max("x") + 1e-9, 4) + 0.0).alias("max_x"),
+            F.count(F.when(F.abs("x") > 0.5, F.lit(1))).alias("n_saturated"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMBEDDINGS_DIM_STATS_SQL = """
+SELECT i AS dim,
+       count(*) AS n,
+       round(avg(x) + 1e-9, 4) + 0.0 AS mean_x,
+       round(stddev_pop(x) + 1e-9, 4) + 0.0 AS std_x,
+       round(min(x) + 1e-9, 4) + 0.0 AS min_x,
+       round(max(x) + 1e-9, 4) + 0.0 AS max_x,
+       count(CASE WHEN abs(x) > 0.5 THEN 1 END) AS n_saturated
+FROM (
+  SELECT i, list_extract(embedding::DOUBLE[], i) AS x
+  FROM embeddings CROSS JOIN range(1, 65) r(i)
+) pairs
+GROUP BY i
+ORDER BY i
+"""
+
+
 QUERIES = {
+    "embeddings_dim_stats": embeddings_dim_stats,
     "embeddings_jl_projection": embeddings_jl_projection,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "corpus_shard_stats": corpus_shard_stats,
@@ -376,6 +428,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embeddings_dim_stats": EMBEDDINGS_DIM_STATS_SQL,
     "embeddings_jl_projection": EMBEDDINGS_JL_PROJECTION_SQL,
     "corpus_prep_pipeline": _fill_lang_scores(CORPUS_PREP_PIPELINE_SQL),
     "corpus_shard_stats": (
