@@ -20,10 +20,12 @@ from pyspark.sql.window import Window
 
 from cdc_realtime_pipeline_spark.operators.dedup import (
     DEDUP_DOCS_JACCARD_SQL,
+    DOCS_WITH_DUPES_CTE,
     NORMALIZE_SQL,
     _HASH64_SQL,
     _hash64,
     dedup_docs_jaccard,
+    docs_with_dupes,
     normalize_text,
 )
 from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
@@ -50,6 +52,18 @@ def dup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataF
     Output: (component, n_members, survivor) per cluster — survivor =
     min doc_id, the same keep-min rule every exact dedup here uses.
     """
+    labels = _dup_component_labels(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(F.count("*").alias("n_members"), F.min("doc_id").alias("survivor"))
+        .orderBy("component")
+    )
+
+
+def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label-propagation CC over the Jaccard near-dup edges →
+    (doc_id, label) for every doc touching an edge. Shared by the
+    cluster summary above and the canonical-selection audit below."""
     pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = tracked_persist(
         pairs.unionByName(
@@ -88,11 +102,7 @@ def dup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataF
         labels = new_cached.select("doc_id", "label")
         if changed == 0:
             break
-    return (
-        labels.groupBy(F.col("label").alias("component"))
-        .agg(F.count("*").alias("n_members"), F.min("doc_id").alias("survivor"))
-        .orderBy("component")
-    )
+    return labels
 
 
 DUP_CLUSTERS_SQL = f"""
@@ -112,6 +122,81 @@ SELECT min(r) AS component, count(DISTINCT node) AS n_members,
        min(node) AS survivor
 FROM (SELECT node, min(r) AS r FROM reach GROUP BY node)
 GROUP BY r ORDER BY component
+"""
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection inside each near-dup cluster — the
+    decision step after transitive closure: every cluster keeps its
+    LONGEST member (truncated crawls and partial copies lose to the
+    full text; public near-dup recipes keep longest or highest-quality
+    — length is the deterministic variant), tie → min doc_id.
+
+    Shape: the shared CC labels (one keyed join + min-agg per
+    propagation round, see `_dup_component_labels`) joined to the doc
+    lengths, then ONE ``row_number`` window per component — the window
+    partitions on the component key, so at 100 TB the sort is
+    per-cluster (clusters are small by construction; a pathological
+    mega-cluster is itself the signal to fix the τ threshold).
+
+    Output per component: the canonical pick, members, and how many
+    chars of duplicated text the cluster drops — the "bytes saved"
+    number a dedup run reports.
+    """
+    labels = _dup_component_labels(spark, sf_dir)
+    lens = docs_with_dupes(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    ranked = labels.join(lens, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(F.desc("n_chars"), "doc_id")
+        ),
+    )
+    return (
+        ranked.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(F.lit(0))).alias(
+                "dropped_chars"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
+DEDUP_CLUSTER_CANONICAL_SQL = f"""
+WITH RECURSIVE jac AS ({DEDUP_DOCS_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jac
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.u AS node, reach.r
+  FROM edges e JOIN reach ON e.v = reach.node
+),
+labels AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+{DOCS_WITH_DUPES_CTE.strip()},
+ranked AS (
+  SELECT l.component, l.doc_id, length(d.text) AS n_chars,
+         row_number() OVER (
+           PARTITION BY l.component ORDER BY length(d.text) DESC, l.doc_id
+         ) AS rn
+  FROM labels l JOIN docs d ON l.doc_id = d.doc_id
+)
+SELECT component,
+       count(*) AS n_members,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
+       CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+FROM ranked
+GROUP BY component
+ORDER BY component
 """
 
 
@@ -756,6 +841,7 @@ FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES = {
     "dup_graph_triangles": dup_graph_triangles,
     "dup_clusters_connected_components": dup_clusters_connected_components,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
     "dup_graph_pagerank": dup_graph_pagerank,
     "split_leakage_audit": split_leakage_audit,
     "corpus_pack_sequences": corpus_pack_sequences,
@@ -773,6 +859,7 @@ ORACLES = {
     "label_balanced_sample": LABEL_BALANCED_SAMPLE_SQL,
     "split_leakage_audit": SPLIT_LEAKAGE_AUDIT_SQL,
     "dup_clusters_connected_components": DUP_CLUSTERS_SQL,
+    "dedup_cluster_canonical": DEDUP_CLUSTER_CANONICAL_SQL,
     "dup_graph_pagerank": DUP_GRAPH_PAGERANK_SQL,
     "corpus_pack_sequences": CORPUS_PACK_SEQUENCES_SQL,
     "corpus_train_val_split": CORPUS_TRAIN_VAL_SPLIT_SQL,

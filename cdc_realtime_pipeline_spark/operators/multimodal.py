@@ -343,7 +343,130 @@ FROM grp GROUP BY media_type ORDER BY media_type
 """
 
 
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for media — the image-side
+    twin of MinHash banding: a 60-bit pHash per asset, 4×15-bit band
+    blocking (a hamming-≤k pair must agree on ≥ 4−k bands, so every
+    distance-≤3 pair is guaranteed a candidate), exact hamming verify
+    via ``bit_count(xor)`` on candidates only. In production the pHash
+    is the DCT-mean signature of the decoded image (the decode stub
+    boundary, see module docstring); here it derives deterministically
+    from payload bytes so the BANDING + VERIFY machinery — the part
+    that must scale — is oracle-gated end-to-end.
+
+    Near-dup fixtures are planted as single-bit-flipped variants
+    (re-encoded / resized re-crawls in production): every 9th doc
+    re-enters at +300000 with bit (doc_id mod 15) flipped — hamming 1;
+    byte-identical replicas from the shared dup corpus land at
+    hamming 0.
+
+    Scale: the only fan-out is 4 band rows per asset (16-byte keys —
+    payloads never shuffle); the band self-join keys on 15-bit values
+    whose groups are duplicate-cluster-sized; verification touches
+    candidates, never the n² pair space.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import _hash64, docs_with_dupes
+
+    base = docs_with_dupes(spark, sf_dir).select(
+        "doc_id", _hash64(F.col("text"), 97).alias("phash")
+    )
+    variants = base.filter((F.col("doc_id") % 9 == 0) & (F.col("doc_id") < 100000)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.col("phash")
+        .bitwiseXOR(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 15 AS INT)) AS BIGINT)")
+        )
+        .alias("phash"),
+    )
+    assets = base.unionByName(variants)
+    bands = assets.select(
+        "doc_id",
+        "phash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_id"),
+    ).withColumn(
+        "band_val",
+        F.expr("CAST(shiftrightunsigned(phash, CAST(band_id * 15 AS INT)) AS BIGINT)")
+        % F.lit(32768).cast("long"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band_id", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band_id", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    pairs = cand.withColumn(
+        "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    ).filter(F.col("hamming") <= 3)
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_a").alias("n_left_docs"),
+            F.count(F.when(F.col("doc_b") >= 300000, F.lit(1))).alias(
+                "n_planted_variant_pairs"
+            ),
+        )
+        .orderBy("hamming")
+    )
+
+
+def _media_phash_sql() -> str:
+    from cdc_realtime_pipeline_spark.operators.dedup import (
+        DOCS_WITH_DUPES_CTE,
+        _HASH64_SQL,
+    )
+
+    phash = _HASH64_SQL.format(salt=97, col="text")
+    return f"""
+WITH {DOCS_WITH_DUPES_CTE.strip()},
+base AS (
+  SELECT doc_id, {phash} AS phash FROM docs
+),
+assets AS (
+  SELECT doc_id, phash FROM base
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         xor(phash, CAST(1 AS BIGINT) << CAST(doc_id % 15 AS INT)) AS phash
+  FROM base WHERE doc_id % 9 = 0 AND doc_id < 100000
+),
+bands AS (
+  SELECT doc_id, phash, band_id,
+         (phash >> (band_id * 15)) & 32767 AS band_val
+  FROM assets CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_id) g
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b, bit_count(xor(ph_a, ph_b)) AS hamming
+  FROM cand
+)
+SELECT hamming,
+       count(*) AS n_pairs,
+       count(DISTINCT doc_a) AS n_left_docs,
+       count(CASE WHEN doc_b >= 300000 THEN 1 END) AS n_planted_variant_pairs
+FROM pairs
+WHERE hamming <= 3
+GROUP BY hamming
+ORDER BY hamming
+"""
+
+
+MEDIA_PHASH_NEAR_DUP_SQL = _media_phash_sql()
+
+
 QUERIES = {
+    "media_phash_near_dup": media_phash_near_dup,
     "media_features": media_features,
     "media_dedup_exact": media_dedup_exact,
     "media_resize_stats": media_resize_stats,
@@ -351,6 +474,7 @@ QUERIES = {
     "props_json_extract": props_json_extract,
 }
 ORACLES = {
+    "media_phash_near_dup": MEDIA_PHASH_NEAR_DUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_dedup_exact": MEDIA_DEDUP_EXACT_SQL,
     "media_resize_stats": MEDIA_RESIZE_STATS_SQL,

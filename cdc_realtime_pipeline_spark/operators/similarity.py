@@ -90,6 +90,76 @@ ORDER BY query_id, rk
 """
 
 
+_RANGE_TAU = 0.25
+
+
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the other half of the ANN API beside
+    top-K: every corpus vector within cosine ≥ τ of each query, used
+    for near-dup sweeps ("everything this similar is a copy") and
+    recall-oriented retrieval where the result SIZE is data-dependent.
+
+    Per query: match count, the tighter-radius (τ+0.15) subset count,
+    and the best/mean cosine over the in-range set — the curve a
+    caller reads to pick τ. Cosines are rounded to 6dp BEFORE the
+    threshold compare on both engines, so the cut is on identical
+    values (same discipline as the top-K family).
+
+    Scale: queries broadcast (bounded working set per task); ONE
+    corpus scan, no window, no pair materialization beyond in-range
+    hits — at 100 TB this is the brute-force baseline the LSH/IVF
+    variants above prune; range semantics compose with the same
+    bucketing (probe only colliding buckets).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+        .filter(F.col("cos") >= _RANGE_TAU)
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_in_range"),
+            F.count(F.when(F.col("cos") >= _RANGE_TAU + 0.15, F.lit(1))).alias(
+                "n_tight"
+            ),
+            F.round(F.max("cos") + 1e-9, 4).alias("best_cos"),
+            F.round(F.avg("cos") + 1e-9, 4).alias("mean_cos"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SIMILARITY_RANGE_SEARCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id,
+         round(list_dot_product(qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+               6) AS cos
+  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+)
+SELECT query_id,
+       count(*) AS n_in_range,
+       count(CASE WHEN cos >= {_RANGE_TAU} + 0.15 THEN 1 END) AS n_tight,
+       round(max(cos) + 1e-9, 4) AS best_cos,
+       round(avg(cos) + 1e-9, 4) AS mean_cos
+FROM scored
+WHERE cos >= {_RANGE_TAU}
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 _HARDNEG_K = 3
 
 
@@ -1223,6 +1293,7 @@ ORDER BY cluster, vec_a, vec_b
 QUERIES = {
     "contrastive_hard_negatives": contrastive_hard_negatives,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_range_search": similarity_range_search,
     "dedup_embeddings_semantic": dedup_embeddings_semantic,
     "embeddings_kmeans_assign": embeddings_kmeans_assign,
     "embeddings_kmeans_train": embeddings_kmeans_train,
@@ -1237,6 +1308,7 @@ QUERIES = {
 ORACLES = {
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,
+    "similarity_range_search": SIMILARITY_RANGE_SEARCH_SQL,
     "embeddings_kmeans_assign": EMBEDDINGS_KMEANS_ASSIGN_SQL,
     "similarity_topk_lsh": _lsh_oracle_sql(),
     "similarity_topk_ivf": SIMILARITY_TOPK_IVF_SQL,

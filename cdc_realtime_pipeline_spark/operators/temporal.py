@@ -160,14 +160,122 @@ GROUP BY a.user_id
 """
 
 
+_ASOF_TOL_MS = 30 * 60 * 1000
+
+
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join with tolerance — ``pd.merge_asof(...,
+    direction='nearest', tolerance=30min)`` semantics, but as TWO
+    window carries over ONE sort instead of a per-group Python loop:
+    for each purchase, the closest click within ±30 min in either
+    direction (tie → the earlier / backward click).
+
+    Union-and-carry both ways: the backward candidate is the standard
+    last-non-null over the preceding frame; the forward candidate is
+    first-non-null over the following frame. Both windows share
+    partitioning (user) AND ordering, so Catalyst plans one Exchange +
+    one Sort feeding two Window nodes — the whole bidirectional
+    nearest join costs the same shuffle as the backward-only as-of.
+    Equal-timestamp clicks sort before the purchase (is_p ASC) and are
+    therefore backward candidates at distance 0, matching the oracle's
+    ``<=`` / ``>`` split.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    click_struct = F.struct(
+        F.col("ts").alias("cts"), F.col("event_id").alias("cid"),
+        F.col("value").alias("v"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        click_struct.alias("click"), F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("struct<cts:timestamp,cid:bigint,v:double>").alias("click"),
+        F.lit(1).alias("is_p"),
+    )
+    unioned = clicks.unionByName(purchases)
+    order = [F.col("ts"), F.col("is_p"), F.col("event_id")]
+    w_b = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "user_id", "ts", "event_id", "is_p",
+        F.last("click", ignorenulls=True).over(w_b).alias("bwd"),
+        F.first("click", ignorenulls=True).over(w_f).alias("fwd"),
+    )
+    p = carried.filter(F.col("is_p") == 1)
+    bwd_diff = F.unix_millis("ts") - F.unix_millis("bwd.cts")
+    fwd_diff = F.unix_millis("fwd.cts") - F.unix_millis("ts")
+    b_ok = F.col("bwd").isNotNull() & (bwd_diff <= _ASOF_TOL_MS)
+    f_ok = F.col("fwd").isNotNull() & (fwd_diff <= _ASOF_TOL_MS)
+    use_b = b_ok & (~f_ok | (bwd_diff <= fwd_diff))
+    use_f = f_ok & ~use_b
+    return p.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.when(use_b, F.lit("b")).when(use_f, F.lit("f")).alias("direction"),
+        F.when(use_b, F.col("bwd.cid")).when(use_f, F.col("fwd.cid")).alias(
+            "click_id"
+        ),
+        F.when(use_b, bwd_diff).when(use_f, fwd_diff).alias("gap_ms"),
+        F.round(
+            F.when(use_b, F.col("bwd.v")).when(use_f, F.col("fwd.v")), 4
+        ).alias("click_value"),
+    )
+
+
+ASOF_JOIN_NEAREST_SQL = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT p.user_id, p.event_id AS purchase_id,
+         (SELECT {'cid': c.event_id, 'gap': epoch_ms(p.ts) - epoch_ms(c.ts), 'v': c.value}
+          FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS b,
+         (SELECT {'cid': c.event_id, 'gap': epoch_ms(c.ts) - epoch_ms(p.ts), 'v': c.value}
+          FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.ts
+          ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS f
+  FROM p
+),
+flags AS (
+  SELECT user_id, purchase_id, b, f,
+         b IS NOT NULL AND b['gap'] <= __TOL__ AS b_ok,
+         f IS NOT NULL AND f['gap'] <= __TOL__ AS f_ok
+  FROM cand
+),
+chosen AS (
+  SELECT user_id, purchase_id, b, f, b_ok, f_ok,
+         b_ok AND (NOT f_ok OR b['gap'] <= f['gap']) AS use_b,
+         f_ok AND NOT (b_ok AND (NOT f_ok OR b['gap'] <= f['gap'])) AS use_f
+  FROM flags
+)
+SELECT user_id, purchase_id,
+       CASE WHEN use_b THEN 'b' WHEN use_f THEN 'f' END AS direction,
+       CASE WHEN use_b THEN b['cid'] WHEN use_f THEN f['cid'] END AS click_id,
+       CASE WHEN use_b THEN b['gap'] WHEN use_f THEN f['gap'] END AS gap_ms,
+       round(CASE WHEN use_b THEN b['v'] WHEN use_f THEN f['v'] END, 4)
+         AS click_value
+FROM chosen
+""".replace("__TOL__", str(_ASOF_TOL_MS))
+
+
 QUERIES = {
     "asof_join_last_click": asof_join_last_click,
+    "asof_join_nearest": asof_join_nearest,
     "quantity_band_join": quantity_band_join,
     "bucketized_range_join": bucketized_range_join,
 }
 
 ORACLES = {
     "asof_join_last_click": ASOF_JOIN_LAST_CLICK_SQL,
+    "asof_join_nearest": ASOF_JOIN_NEAREST_SQL,
     "quantity_band_join": QUANTITY_BAND_JOIN_SQL,
     "bucketized_range_join": BUCKETIZED_RANGE_JOIN_SQL,
 }

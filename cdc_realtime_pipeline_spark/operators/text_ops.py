@@ -418,7 +418,81 @@ FROM cells ORDER BY declared_lang, pred_lang
 """
 
 
+def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy per document — the
+    gibberish/boilerplate detector in public quality-filter stacks
+    (random bytes score high, templated/repeated text scores low,
+    natural language sits in a stable band; the Gopher-style
+    repetition signals in `text_repetition` catch exact repeats,
+    entropy catches statistical degeneracy).
+
+    H = log2(N) − Σ c·log2(c)/N over trigram counts — computed in
+    that single-division form on BOTH engines so the float path is
+    identical (one log per distinct gram, one division at the end).
+
+    Shape: position-explode to trigrams (``sequence`` + ``transform``
+    — JVM codegen, no Python), count per (doc, gram), re-aggregate
+    per doc: two keyed shuffles on doc-sized keys, both absorbing
+    map-side partials; gram strings are 3 bytes, so the shuffled
+    payload is a fraction of the corpus even at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct_grams"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct_grams",
+            F.round(
+                F.log2("n_grams") - F.col("_clogc") / F.col("n_grams") + 1e-9, 4
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_CHAR_NGRAM_ENTROPY_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         substring(text, CAST(i AS INT), 3) AS gram
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - 1, 1))) AS i
+    FROM documents
+  )
+),
+counts AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       count(*) AS n_distinct_grams,
+       round(log2(CAST(sum(c) AS DOUBLE))
+             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c) + 1e-9, 4)
+         AS entropy_bits
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_char_ngram_entropy": text_char_ngram_entropy,
     "text_token_stats": text_token_stats,
     "lang_confusion_matrix": lang_confusion_matrix,
     "text_tfidf_topk": text_tfidf_topk,
@@ -430,6 +504,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_char_ngram_entropy": TEXT_CHAR_NGRAM_ENTROPY_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,
     "text_bm25_topk": TEXT_BM25_TOPK_SQL.format(

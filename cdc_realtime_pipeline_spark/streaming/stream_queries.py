@@ -690,6 +690,7 @@ from cdc_realtime_pipeline_spark.operators.anomaly import (  # noqa: E402
 from cdc_realtime_pipeline_spark.operators.cdc_ops import (  # noqa: E402
     CDC_APPLY_CHANGES_SQL,
     CDC_ROUNDTRIP_SQL,
+    CDC_SCD2_HISTORY_SQL,
 )
 from cdc_realtime_pipeline_spark.operators.extended import SESSIONIZE_NATIVE_SQL  # noqa: E402
 from cdc_realtime_pipeline_spark.operators.window_agg import (  # noqa: E402
@@ -1055,6 +1056,59 @@ FROM events GROUP BY 1 ORDER BY 1
 
 
 
+
+def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance — the dimension-HISTORY twin of
+    `stream_cdc_apply`: the same change log streams through
+    ``foreachBatch`` appends into the version store, and the read side
+    closes validity intervals with a lead window per key — every
+    non-delete change is a version row (valid_from/valid_to/
+    is_current), a trailing delete closes the key's last interval.
+    Gated against the batch `cdc_scd2_history` oracle (identical log
+    synthesis: base ∪ every-5th replayed at +1 h with doubled price).
+
+    On Delta/Iceberg the foreachBatch body becomes the classic SCD2
+    MERGE (match on key + is_current → expire, insert new version);
+    apply-at-read keeps the store append-only here, which is also the
+    honest shape at 100 TB — closing intervals at read is one keyed
+    window over versions-per-key (small), while closing them at write
+    rewrites files on every batch.
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    raw = spark.readStream.format("text").load(_cdc_topic(spark, sf_dir, "apply"))
+    parsed = parse_cdc_events(raw)
+    store = os.path.join(
+        scratch_dir("cdc_scd2_store"),
+        f"{abs(hash(sf_dir)) % 10**8:08d}",
+        uuid.uuid4().hex[:8],
+    )
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(store)
+
+    q = (
+        parsed.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", store + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(store)
+    w = Window.partitionBy("trade_id").orderBy("cdc_ts", "sequential_id")
+    versions = log.withColumn("valid_to_ms", F.lead("cdc_ts").over(w))
+    return versions.filter(F.col("op") != "d").select(
+        "trade_id",
+        "market",
+        F.round("trade_price", 4).alias("trade_price"),
+        F.col("cdc_ts").alias("valid_from_ms"),
+        "valid_to_ms",
+        F.col("valid_to_ms").isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
     "stream_daily_users_bitmap": stream_daily_users_bitmap,
     "stream_window_agg_5m": stream_window_agg_5m,
@@ -1074,6 +1128,7 @@ QUERIES = {
     "stream_docs_quality_gate": stream_docs_quality_gate,
     "stream_decontaminate_gate": stream_decontaminate_gate,
     "stream_cdc_apply": stream_cdc_apply,
+    "stream_cdc_scd2": stream_cdc_scd2,
 }
 
 ORACLES = {
@@ -1095,4 +1150,5 @@ ORACLES = {
     "stream_docs_quality_gate": STREAM_DOCS_QUALITY_GATE_SQL,
     "stream_decontaminate_gate": _curation_oracles.DECONTAMINATE_VS_BENCHMARK_SQL,
     "stream_cdc_apply": CDC_APPLY_CHANGES_SQL,
+    "stream_cdc_scd2": CDC_SCD2_HISTORY_SQL,
 }
