@@ -123,6 +123,20 @@ BENCH_QUERIES = [
     "copurchase_pairs_topk",
     "event_transition_matrix",
     "cdc_diff_snapshots",
+    # round-5 wave: TPC-H completion pair, canonical dedup selection
+    # (reuses the CC label cache), media pHash banding, trigram
+    # entropy (position explode), token-budget packing (two windows,
+    # one sort), nearest as-of (two carries, one sort), per-dim
+    # embedding stats, radius search
+    "tpch_q8_like",
+    "tpch_q11_like",
+    "dedup_cluster_canonical",
+    "media_phash_near_dup",
+    "text_char_ngram_entropy",
+    "corpus_token_budget_pack",
+    "asof_join_nearest",
+    "embeddings_dim_stats",
+    "similarity_range_search",
 ]
 
 

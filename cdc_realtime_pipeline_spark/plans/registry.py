@@ -30,14 +30,22 @@ LLM-pipeline block, including `cdc_diff_snapshots` and
 (ADVICE r4 #1-#3); [A2] the -0.0-guard quartet (`stats_functions`,
 `embedding_label_stats`, `label_centroids`, `scalar_functions`) —
 green code paths epsilon-changed after their last driver look, so
-the staleness policy re-windows them; [D] 16 oldest-evidence
-rotation slots from the r1-only pool
-([A]2 + [B]28 + [A2]4 + [D]16 = 50).
+the staleness policy re-windows them; [E] the 13 operators ADDED in
+round 5 (TPC-H Q8/Q11 completion, grouping-sets/interval/map
+conformance, per-dimension embedding stats, token-budget packing,
+canonical dedup selection, media pHash banding, similarity range
+search, trigram entropy, streaming SCD2, nearest as-of) — new
+operators displace rotation slots per policy; [D] the 3 remaining
+oldest-evidence rotation slots from the r1-only pool
+([A]2 + [B]28 + [A2]4 + [E]13 + [D]3 = 50).
 Rows dropped this round hold r1-r4 green evidence on unchanged code
 and stay under the local 3-SF harness.
 
-Round-6 rotation queue — any operator added later in round 5 windows
-same-session by displacing [D] tail entries (policy unchanged), then
+Round-6 rotation queue — the 13 [D] entries displaced by [E] this
+round (dash_distinct_users, dash_latency_per_minute, date_functions,
+top_parts_per_supplier, ema_per_key, dash_bid_ask_ranking,
+region_revenue, revenue_top_orders, tpch_q6, alerts_large_trade,
+alerts_rapid_trades, tpch_q1, tpch_q12_like) lead, then
 the remaining r1-only pool continues oldest-first:
 `tpch_q14_like`, `sessionize`, `window_rank_functions`,
 `value_quantiles`, `sessionize_native`, `window_agg_5m_salted`,
@@ -156,24 +164,27 @@ _PRIORITY = [
     "embedding_label_stats",
     "label_centroids",
     "scalar_functions",
-    # --- [D] oldest-evidence rotation (16): r1-only rows, oldest
-    # first, from the deferred pool ---
+    # --- [E] round-5 NEW operators (13) — never driver-checked, so
+    # they displace [D] rotation slots per the documented policy
+    # (new evidence > refreshed evidence) ---
+    "tpch_q8_like",
+    "tpch_q11_like",
+    "grouping_sets_conformance",
+    "interval_datetime_conformance",
+    "map_functions_conformance",
+    "embeddings_dim_stats",
+    "corpus_token_budget_pack",
+    "dedup_cluster_canonical",
+    "media_phash_near_dup",
+    "similarity_range_search",
+    "text_char_ngram_entropy",
+    "stream_cdc_scd2",
+    "asof_join_nearest",
+    # --- [D] oldest-evidence rotation (3 slots left after [E]):
+    # r1-only rows, oldest first, from the deferred pool ---
     "dash_total_trades",
     "dash_volume_last_day",
     "dash_avg_latency_last_day",
-    "dash_distinct_users",
-    "dash_latency_per_minute",
-    "date_functions",
-    "top_parts_per_supplier",
-    "ema_per_key",
-    "dash_bid_ask_ranking",
-    "region_revenue",
-    "revenue_top_orders",
-    "tpch_q6",
-    "alerts_large_trade",
-    "alerts_rapid_trades",
-    "tpch_q1",
-    "tpch_q12_like",
 ]
 
 
