@@ -70,6 +70,11 @@ PROBE_QUERIES = [
     ("tpch_q20_like", "pair agg + part-partition window share"),
     ("corpus_dsir_importance", "explode + broadcast 256-row model join"),
     ("embeddings_jl_projection", "derived-matrix narrow projection"),
+    # round-5 wave
+    ("text_char_ngram_entropy", "position-explode + two keyed aggs"),
+    ("media_phash_near_dup", "pHash band join + bit_count verify"),
+    ("dedup_cluster_canonical", "CC label loop + per-cluster window"),
+    ("corpus_token_budget_pack", "per-source sort, two windows"),
 ]
 
 TABLES = [
