@@ -374,13 +374,19 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff and the closed form exact). Scale: base events persisted
     once (VERDICT r4 #5 — one scan feeds all four synthesized logs
     plus the offset agg), two rank windows + one full-outer key
-    join, all on the trade_id shuffle; class agg is 4 rows.
+    join, all on the trade_id shuffle; class agg is 4 rows. The
+    PARSED base log is persisted too — both snapshots read it, and
+    without the cache the corpus-sized synth→parse chain runs twice
+    (measured 5.6 → ~4 s warm at sf0.1; the day-2 logs stay inline,
+    they are ~1/3 of the corpus combined).
     """
     from pyspark.sql.window import Window
 
     events = tracked_persist(_parallel_events(spark, sf_dir))
     off = events.agg((F.max("event_id") + 1).alias("_ins_off"))
-    base = synthesize_cdc_json_from_events(events)
+    base = tracked_persist(
+        parse_cdc_events(synthesize_cdc_json_from_events(events))
+    )
     upd = synthesize_cdc_json_from_events(
         events.filter((F.col("event_id") % 5 == 0) & (F.col("value") != 0))
         .withColumn("value", F.col("value") * 2)
@@ -401,8 +407,7 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
     )
 
-    def _apply(log_json):
-        log = parse_cdc_events(log_json)
+    def _apply(log):
         w = Window.partitionBy("trade_id").orderBy(
             F.desc("cdc_ts"), F.desc("sequential_id")
         )
@@ -413,8 +418,9 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trade_id", "trade_price"
         )
 
+    day2 = parse_cdc_events(upd.unionAll(dele).unionAll(ins))
     s1 = _apply(base)
-    s2 = _apply(base.unionAll(upd).unionAll(dele).unionAll(ins))
+    s2 = _apply(base.unionAll(day2))
     j = s1.withColumnRenamed("trade_price", "p1").join(
         s2.withColumnRenamed("trade_price", "p2"), "trade_id", "full_outer"
     )

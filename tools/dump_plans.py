@@ -72,6 +72,15 @@ SHOWCASE = [
     ("cdc_diff_snapshots", "two applied snapshots → full-outer class diff"),
     ("custom_agg_trimmed_mean", "Arrow GROUPED_AGG seam + broadcast count join"),
     ("nan_inf_conformance", "planted IEEE specials through the agg surface"),
+    # round-5 wave
+    ("tpch_q8_like", "CASE-ratio market share in ONE grouped agg, dims broadcast"),
+    ("tpch_q11_like", "keyed value agg reused for broadcast scalar HAVING floor"),
+    ("grouping_sets_conformance", "one Expand (4-way) + one hash aggregate"),
+    ("media_phash_near_dup", "pHash band equi-join → bit_count(xor) verify"),
+    ("text_char_ngram_entropy", "position explode → two keyed aggs, 3-byte grams"),
+    ("corpus_token_budget_pack", "two windows over one sort (cum + total)"),
+    ("asof_join_nearest", "two carries (last/first) sharing one Exchange+Sort"),
+    ("embeddings_dim_stats", "posexplode absorbed map-side into 64-key agg"),
 ]
 
 
