@@ -941,7 +941,116 @@ FROM zed GROUP BY bucket ORDER BY bucket
 """
 
 
+def dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (the dbt-test / Great-Expectations
+    workload): six rule KINDS — not-null, uniqueness, accepted values,
+    numeric range, regex format, freshness — evaluated over orders in
+    ONE aggregate pass, emitting per-rule (checked, failed, passed)
+    audit rows.
+
+    Violations are PLANTED so every rule kind is exercised non-
+    vacuously (the norm-outlier precedent): every 997th order re-enters
+    once with a NULL custkey, its own orderkey (a duplicate), status
+    'X', price ×1000 and priority '9-BOGUS' — one corrupted row trips
+    five rules at once; freshness compares max(o_orderdate) against a
+    fixed anchor and passes.
+
+    Scale: all six rules fold into one scan + one aggregate —
+    conditional counts combine map-side, uniqueness rides the same
+    Expand as the DQ profile's exact distinct, and the result is six
+    constant-size audit rows via ``stack``. Adding a rule adds a
+    column, never a scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    corrupt = orders.filter(F.col("o_orderkey") % 997 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1000).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("9-BOGUS").alias("o_orderpriority"),
+    )
+    full = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ).unionByName(corrupt)
+    anchor = F.lit("2001-09-01").cast("date")
+    wide = full.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("f_notnull"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("f_unique"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("P", "O", "F"), 1)
+        ).alias("f_accepted"),
+        F.count(
+            F.when(
+                (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 500000), 1
+            )
+        ).alias("f_range"),
+        F.count(
+            F.when(~F.col("o_orderpriority").rlike("^[1-5]-"), 1)
+        ).alias("f_format"),
+        F.when(
+            F.datediff(anchor, F.max(F.col("o_orderdate").cast("date"))) > 60, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("f_fresh"),
+    )
+    rules = wide.select(
+        F.expr(
+            "stack(6,"
+            " 'not_null_custkey', n, f_notnull,"
+            " 'unique_orderkey', n, f_unique,"
+            " 'accepted_status', n, f_accepted,"
+            " 'price_in_range', n, f_range,"
+            " 'priority_format', n, f_format,"
+            " 'orders_fresh_60d', CAST(1 AS BIGINT), f_fresh"
+            ") AS (rule, n_checked, n_failed)"
+        )
+    )
+    return rules.select(
+        "rule", "n_checked", "n_failed", (F.col("n_failed") == 0).alias("passed")
+    ).orderBy("rule")
+
+
+DQ_RULE_ENGINE_SQL = """
+WITH full_rel AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, NULL AS o_custkey, 'X' AS o_orderstatus,
+         o_totalprice * 1000 AS o_totalprice, o_orderdate,
+         '9-BOGUS' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 997 = 0
+),
+wide AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN o_custkey IS NULL THEN 1 END) AS f_notnull,
+         count(*) - count(DISTINCT o_orderkey) AS f_unique,
+         count(CASE WHEN o_orderstatus NOT IN ('P','O','F') THEN 1 END) AS f_accepted,
+         count(CASE WHEN o_totalprice <= 0 OR o_totalprice > 500000 THEN 1 END) AS f_range,
+         count(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END) AS f_format,
+         CAST(CASE WHEN date_diff('day', CAST(max(o_orderdate) AS DATE),
+                                  DATE '2001-09-01') > 60
+                   THEN 1 ELSE 0 END AS BIGINT) AS f_fresh
+  FROM full_rel
+)
+SELECT rule, n_checked, n_failed, n_failed = 0 AS passed FROM (
+  SELECT 'not_null_custkey' AS rule, n AS n_checked, f_notnull AS n_failed FROM wide
+  UNION ALL SELECT 'unique_orderkey', n, f_unique FROM wide
+  UNION ALL SELECT 'accepted_status', n, f_accepted FROM wide
+  UNION ALL SELECT 'price_in_range', n, f_range FROM wide
+  UNION ALL SELECT 'priority_format', n, f_format FROM wide
+  UNION ALL SELECT 'orders_fresh_60d', CAST(1 AS BIGINT), f_fresh FROM wide
+)
+ORDER BY rule
+"""
+
+
 QUERIES = {
+    "dq_rule_engine": dq_rule_engine,
     "audience_overlap_bitmap": audience_overlap_bitmap,
     "orders_dq_profile": orders_dq_profile,
     "heavy_hitters_mg": heavy_hitters_mg,
@@ -959,6 +1068,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dq_rule_engine": DQ_RULE_ENGINE_SQL,
     "audience_overlap_bitmap": AUDIENCE_OVERLAP_BITMAP_SQL,
     "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,
     "heavy_hitters_mg": HEAVY_HITTERS_MG_SQL,

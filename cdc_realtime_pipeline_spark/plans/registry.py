@@ -34,15 +34,16 @@ the staleness policy re-windows them; [E] the 13 operators ADDED in
 round 5 (TPC-H Q8/Q11 completion, grouping-sets/interval/map
 conformance, per-dimension embedding stats, token-budget packing,
 canonical dedup selection, media pHash banding, similarity range
-search, trigram entropy, streaming SCD2, nearest as-of) — new
-operators displace rotation slots per policy; [D] the 3 remaining
-oldest-evidence rotation slots from the r1-only pool
-([A]2 + [B]28 + [A2]4 + [E]13 + [D]3 = 50).
+search, trigram entropy, streaming SCD2, nearest as-of, declarative
+DQ rule engine) — new operators displace rotation slots per policy;
+[D] the 2 remaining oldest-evidence rotation slots from the r1-only
+pool ([A]2 + [B]28 + [A2]4 + [E]14 + [D]2 = 50).
 Rows dropped this round hold r1-r4 green evidence on unchanged code
 and stay under the local 3-SF harness.
 
-Round-6 rotation queue — the 13 [D] entries displaced by [E] this
-round (dash_distinct_users, dash_latency_per_minute, date_functions,
+Round-6 rotation queue — the 14 [D] entries displaced by [E] this
+round (dash_avg_latency_last_day, dash_distinct_users,
+dash_latency_per_minute, date_functions,
 top_parts_per_supplier, ema_per_key, dash_bid_ask_ranking,
 region_revenue, revenue_top_orders, tpch_q6, alerts_large_trade,
 alerts_rapid_trades, tpch_q1, tpch_q12_like) lead, then
@@ -164,7 +165,7 @@ _PRIORITY = [
     "embedding_label_stats",
     "label_centroids",
     "scalar_functions",
-    # --- [E] round-5 NEW operators (13) — never driver-checked, so
+    # --- [E] round-5 NEW operators (14) — never driver-checked, so
     # they displace [D] rotation slots per the documented policy
     # (new evidence > refreshed evidence) ---
     "tpch_q8_like",
@@ -180,11 +181,11 @@ _PRIORITY = [
     "text_char_ngram_entropy",
     "stream_cdc_scd2",
     "asof_join_nearest",
-    # --- [D] oldest-evidence rotation (3 slots left after [E]):
+    "dq_rule_engine",
+    # --- [D] oldest-evidence rotation (2 slots left after [E]):
     # r1-only rows, oldest first, from the deferred pool ---
     "dash_total_trades",
     "dash_volume_last_day",
-    "dash_avg_latency_last_day",
 ]
 
 

@@ -137,3 +137,24 @@ def test_dim_stats_covers_all_dims(spark, sf_dir):
         assert r.min_x <= r.mean_x <= r.max_x
         assert r.std_x >= 0.0
         assert 0 <= r.n_saturated <= r.n
+
+
+def test_dq_rule_engine_catches_planted_violations(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.dq import dq_rule_engine
+
+    rows = {r.rule: r for r in dq_rule_engine(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "not_null_custkey", "unique_orderkey", "accepted_status",
+        "price_in_range", "priority_format", "orders_fresh_60d",
+    }
+    n_planted = rows["not_null_custkey"].n_failed
+    assert n_planted > 0  # the corrupted rows exist at sf0.001
+    # one corrupted row trips all five row-level rules identically
+    # (x1000 pushes every fixture price past the 500k ceiling)
+    for rule in (
+        "unique_orderkey", "accepted_status", "priority_format", "price_in_range"
+    ):
+        assert rows[rule].n_failed == n_planted
+    assert rows["orders_fresh_60d"].passed
+    for r in rows.values():
+        assert r.passed == (r.n_failed == 0)
