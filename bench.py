@@ -137,6 +137,14 @@ BENCH_QUERIES = [
     "asof_join_nearest",
     "embeddings_dim_stats",
     "similarity_range_search",
+    # round-5 late wave: Spark-4 recursive CTE (iterative union loop),
+    # matrix-free PCA power iteration (2 corpus passes × 3 unrolled
+    # iterations), 2-D skyline sort-sweep, algebraic regr_* moments
+    "recursive_cte_conformance",
+    "embeddings_pca_power",
+    "pareto_frontier_customers",
+    "regr_aggregates_conformance",
+    "stream_cep_funnel",
 ]
 
 

@@ -2120,6 +2120,168 @@ ORDER BY event_type, entries
 """
 
 
+def recursive_cte_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:1999 ``WITH RECURSIVE`` surface — new engine capability in
+    Spark 4.0 (SPARK-24497), exercised as a hierarchy walk: the
+    distinct ``user_id`` space forms an implicit binary-heap forest
+    (``parent = uid DIV 2``), anchors at ``uid <= 1``, and the
+    recursion labels every node with its depth; the output is the
+    per-depth subtree census. Integer-only outputs — zero float
+    surface, so no rounding/tie discipline needed.
+
+    Scale: Spark executes the recursion as an iterative union loop —
+    one join per level against the distinct-key relation, and depth is
+    bounded by ``log2(max uid)`` (~27 levels at 100M users), so the
+    loop count is logarithmic in corpus size, each step a
+    broadcast-able join on the previous level's frontier (frontier
+    size ≤ key count). The same shape computes org charts, thread
+    trees, and BOM explosions — the one query class pre-4.0 Spark
+    had to driver-loop.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_rcte_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE r AS (
+          SELECT uid, 0 AS depth
+          FROM (SELECT DISTINCT user_id AS uid FROM _rcte_events)
+          WHERE uid <= 1
+          UNION ALL
+          SELECT u.uid, r.depth + 1
+          FROM (SELECT DISTINCT user_id AS uid FROM _rcte_events) u
+          JOIN r ON u.uid DIV 2 = r.uid AND u.uid > 1
+        )
+        SELECT depth, count(*) AS n_nodes, sum(uid) AS sum_id,
+               min(uid) AS min_id, max(uid) AS max_id
+        FROM r GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+RECURSIVE_CTE_CONFORMANCE_SQL = """
+WITH RECURSIVE u AS (SELECT DISTINCT user_id AS uid FROM events),
+r AS (
+  SELECT uid, 0 AS depth FROM u WHERE uid <= 1
+  UNION ALL
+  SELECT u.uid, r.depth + 1 FROM u JOIN r ON u.uid // 2 = r.uid AND u.uid > 1
+)
+SELECT depth, count(*) AS n_nodes, sum(uid) AS sum_id,
+       min(uid) AS min_id, max(uid) AS max_id
+FROM r GROUP BY depth ORDER BY depth
+"""
+
+
+def regr_aggregates_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate surface (``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` / ``regr_count``, Spark 3.4+)
+    plus arg-extrema (``max_by`` / ``min_by``) per event_type, with
+    ``value`` regressed on the ``props.k`` JSON field. Both engines
+    skip rows where either regressand is NULL (``regr_count`` pins the
+    pair count so a NULL-handling divergence flips an integer, not
+    just a rounded double). ``max_by``/``min_by`` order on the UNIQUE
+    ``event_id`` so arg-extrema are deterministic on both engines —
+    ordering on a non-unique column is engine-arbitrary under ties
+    (same reason ``mode()`` is excluded: tie resolution is
+    implementation-defined in both dialects).
+
+    Scale: single hash aggregate over 5 keys; regr_* are algebraic
+    (sum/sum-of-products moments), so partial aggregation pushes the
+    whole computation map-side — the shuffle carries 5 × n_partitions
+    moment tuples regardless of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("double")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            (F.round(F.regr_slope("value", "k"), 6) + 0.0).alias("slope"),
+            (F.round(F.regr_intercept("value", "k"), 6) + 0.0).alias("icept"),
+            (F.round(F.regr_r2("value", "k"), 6) + 0.0).alias("r2"),
+            F.regr_count("value", "k").alias("n_pairs"),
+            F.max_by("user_id", "event_id").alias("last_user"),
+            F.min_by("user_id", "event_id").alias("first_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+REGR_AGGREGATES_CONFORMANCE_SQL = """
+SELECT event_type,
+       round(regr_slope(value, k), 6) + 0.0 AS slope,
+       round(regr_intercept(value, k), 6) + 0.0 AS icept,
+       round(regr_r2(value, k), 6) + 0.0 AS r2,
+       regr_count(value, k) AS n_pairs,
+       max_by(user_id, event_id) AS last_user,
+       min_by(user_id, event_id) AS first_user
+FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def pareto_frontier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of customers on two maximize
+    objectives — total revenue and order count: keep a customer iff no
+    other customer is ≥ on both and > on at least one (Börzsönyi 2001
+    "The Skyline Operator" semantics; duplicate objective pairs do not
+    dominate each other, so ties all survive).
+
+    Spark-first shape: NOT the textbook quadratic self-join — the 2-D
+    skyline reduces to a sort sweep: per-revenue-group max count, a
+    running max of count over strictly-higher revenue (window with a
+    ``1 PRECEDING`` rows frame over the per-group relation), then a
+    point survives iff its count beats every higher-revenue count AND
+    is its own revenue-group's max. O(n log n) — one aggregate + one
+    window over the GROUP-sized relation + one broadcast join back,
+    vs the oracle's intentionally-quadratic NOT EXISTS twin (safe at
+    oracle scale, C² on the customer aggregate). At 100 TB the sweep
+    runs on the customer-sized aggregate, not the raw fact table, and
+    the per-rev-group relation it windows over is ≤ customer-count
+    rows; a single-partition global window on that reduced relation is
+    the standard frontier trade (same class as the RFM global ntile,
+    documented there).
+    """
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    per_rev = agg.groupBy("rev").agg(F.max("cnt").alias("grp_max"))
+    w = Window.orderBy(F.col("rev").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runm = per_rev.withColumn("hmax", F.max("grp_max").over(w))
+    return (
+        agg.join(F.broadcast(runm), "rev")
+        .filter(
+            (F.col("hmax").isNull() | (F.col("hmax") < F.col("cnt")))
+            & (F.col("grp_max") == F.col("cnt"))
+        )
+        .select("custkey", "rev", "cnt")
+        .orderBy(F.col("rev").desc())
+    )
+
+
+PARETO_FRONTIER_CUSTOMERS_SQL = """
+WITH agg AS (
+  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS rev,
+         count(*) AS cnt
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, rev, cnt FROM agg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM agg b
+  WHERE b.rev >= a.rev AND b.cnt >= a.cnt
+    AND (b.rev > a.rev OR b.cnt > a.cnt)
+)
+ORDER BY rev DESC
+"""
+
+
 QUERIES = {
     "grouping_sets_conformance": grouping_sets_conformance,
     "interval_datetime_conformance": interval_datetime_conformance,
@@ -2159,9 +2321,15 @@ QUERIES = {
     "listagg_conformance": listagg_conformance,
     "try_functions_conformance": try_functions_conformance,
     "file_format_roundtrip": file_format_roundtrip,
+    "recursive_cte_conformance": recursive_cte_conformance,
+    "regr_aggregates_conformance": regr_aggregates_conformance,
+    "pareto_frontier_customers": pareto_frontier_customers,
 }
 
 ORACLES = {
+    "recursive_cte_conformance": RECURSIVE_CTE_CONFORMANCE_SQL,
+    "regr_aggregates_conformance": REGR_AGGREGATES_CONFORMANCE_SQL,
+    "pareto_frontier_customers": PARETO_FRONTIER_CUSTOMERS_SQL,
     "grouping_sets_conformance": GROUPING_SETS_CONFORMANCE_SQL,
     "interval_datetime_conformance": INTERVAL_DATETIME_CONFORMANCE_SQL,
     "map_functions_conformance": MAP_FUNCTIONS_CONFORMANCE_SQL,

@@ -1290,8 +1290,111 @@ ORDER BY cluster, vec_a, vec_b
 """
 
 
+def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via THREE
+    unrolled power iterations on the (uncentered) second-moment matrix
+    — the data-aware counterpart to the data-oblivious JL projection
+    (`embeddings_jl_projection`): JL preserves distances blindly, the
+    power method finds the direction the corpus actually varies in
+    (PCA whitening prep / top-eigenvector diagnostics before training
+    a projection head).
+
+    The d×d moment matrix is NEVER materialized: C·v = Σᵢ xᵢ(xᵢ·v),
+    so each iteration is two keyed aggregates over the posexploded
+    (vec_id, dim, val) relation — s_i = xᵢ·v (join the broadcast
+    64-row v on dim, sum per vec_id) then w_j = Σ xᵢⱼ·sᵢ (join s back
+    on vec_id, sum per dim) — and the normalizer is a 1-row broadcast.
+    Fixed iteration count ⇒ the whole 3-step loop unrolls into ONE
+    declarative plan, no driver data touch (the k-means-train
+    pattern). Output: 64 loadings (5 dp, ``+ 0.0`` −0.0 guard, sign
+    pinned by the deterministic all-positive v₀) + the mean Rayleigh
+    eigenvalue. Oracle: the identical unrolled algebra as chained
+    DuckDB CTEs — both engines run the same three matrix-free steps.
+
+    Scale: per iteration the corpus-sized relation is touched twice
+    with map-side partial aggregation (shuffle carries d ×
+    n_partitions partials); v stays a 64-row broadcast. d=64 here;
+    at d=4096 the same plan shuffles 4096 partials per partition —
+    still flat in corpus size. Convergence gap closes as (λ₂/λ₁)^k —
+    3 iterations is a diagnostic-grade estimate, not ML training.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = tracked_persist(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.transform("embedding", lambda c: c.cast("double"))
+            ).alias("p", "val"),
+        ).select("vec_id", (F.col("p") + 1).alias("pos"), "val")
+    )
+    n = emb.select(F.count("*").alias("n_vec"))
+    # v0 = uniform unit vector (1/sqrt(64)) — deterministic, all
+    # positive, so the returned eigenvector's sign is pinned
+    v = spark.range(1, 65).select(
+        F.col("id").alias("pos"), F.lit(1.0 / 8.0).alias("vv")
+    )
+    for it in range(3):
+        s = (
+            x.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("vv")).alias("s"))
+        )
+        w = (
+            x.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l"))
+        if it < 2:
+            v = w.crossJoin(F.broadcast(norm)).select(
+                "pos", (F.col("w") / F.col("l")).alias("vv")
+            )
+    return (
+        w.crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("pos").alias("dim"),
+            (F.round(F.col("w") / F.col("l") + 1e-9, 5) + 0.0).alias("loading"),
+            (F.round(F.col("l") / F.col("n_vec") + 1e-9, 4) + 0.0).alias(
+                "lambda_mean"
+            ),
+        )
+        .orderBy("dim")
+    )
+
+
+EMBEDDINGS_PCA_POWER_SQL = """
+WITH x AS (
+  SELECT vec_id, i AS pos, list_extract(embedding::DOUBLE[], i) AS val
+  FROM embeddings CROSS JOIN range(1, 65) r(i)
+),
+v0 AS (SELECT i AS pos, 1.0 / sqrt(64.0) AS val FROM range(1, 65) r(i)),
+s1 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
+       FROM x JOIN v0 v USING (pos) GROUP BY x.vec_id),
+w1 AS (SELECT x.pos, sum(x.val * s1.s) AS w
+       FROM x JOIN s1 USING (vec_id) GROUP BY x.pos),
+v1 AS (SELECT pos, w / (SELECT sqrt(sum(w*w)) FROM w1) AS val FROM w1),
+s2 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
+       FROM x JOIN v1 v USING (pos) GROUP BY x.vec_id),
+w2 AS (SELECT x.pos, sum(x.val * s2.s) AS w
+       FROM x JOIN s2 USING (vec_id) GROUP BY x.pos),
+v2 AS (SELECT pos, w / (SELECT sqrt(sum(w*w)) FROM w2) AS val FROM w2),
+s3 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
+       FROM x JOIN v2 v USING (pos) GROUP BY x.vec_id),
+w3 AS (SELECT x.pos, sum(x.val * s3.s) AS w
+       FROM x JOIN s3 USING (vec_id) GROUP BY x.pos),
+lam AS (SELECT sqrt(sum(w*w)) AS l FROM w3)
+SELECT pos AS dim,
+       round(w / (SELECT l FROM lam) + 1e-9, 5) + 0.0 AS loading,
+       round((SELECT l FROM lam) / (SELECT count(*) FROM embeddings)
+             + 1e-9, 4) + 0.0 AS lambda_mean
+FROM w3 ORDER BY dim
+"""
+
+
 QUERIES = {
     "contrastive_hard_negatives": contrastive_hard_negatives,
+    "embeddings_pca_power": embeddings_pca_power,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_range_search": similarity_range_search,
     "dedup_embeddings_semantic": dedup_embeddings_semantic,
@@ -1307,6 +1410,7 @@ QUERIES = {
 
 ORACLES = {
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,
+    "embeddings_pca_power": EMBEDDINGS_PCA_POWER_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,
     "similarity_range_search": SIMILARITY_RANGE_SEARCH_SQL,
     "embeddings_kmeans_assign": EMBEDDINGS_KMEANS_ASSIGN_SQL,

@@ -36,12 +36,16 @@ conformance, per-dimension embedding stats, token-budget packing,
 canonical dedup selection, media pHash banding, similarity range
 search, trigram entropy, streaming SCD2, nearest as-of, declarative
 DQ rule engine) — new operators displace rotation slots per policy;
-[D] the 2 remaining oldest-evidence rotation slots from the r1-only
-pool ([A]2 + [B]28 + [A2]4 + [E]14 + [D]2 = 50).
+[E2] the 2 late-round-5 operators that fit (recursive CTE, PCA
+power iteration; their 2 siblings queue for round 6)
+([A]2 + [B]28 + [A2]4 + [E]14 + [E2]2 = 50).
 Rows dropped this round hold r1-r4 green evidence on unchanged code
 and stay under the local 3-SF harness.
 
-Round-6 rotation queue — the 14 [D] entries displaced by [E] this
+Round-6 rotation queue — first the 3 never-checked late-round-5
+operators (`regr_aggregates_conformance`, `pareto_frontier_customers`,
+`stream_cep_funnel`) and the [D] pair they displaced
+(dash_total_trades, dash_volume_last_day), then the 14 [D] entries displaced by [E] this
 round (dash_avg_latency_last_day, dash_distinct_users,
 dash_latency_per_minute, date_functions,
 top_parts_per_supplier, ema_per_key, dash_bid_ask_ranking,
@@ -182,10 +186,15 @@ _PRIORITY = [
     "stream_cdc_scd2",
     "asof_join_nearest",
     "dq_rule_engine",
-    # --- [D] oldest-evidence rotation (2 slots left after [E]):
-    # r1-only rows, oldest first, from the deferred pool ---
-    "dash_total_trades",
-    "dash_volume_last_day",
+    # --- [E2] late-round-5 operators (2 of 4 fit; policy: new
+    # evidence > refreshed, so they take the last two [D] slots):
+    # recursive CTE (Spark-4-new engine capability) and PCA power
+    # iteration (the round's highest-float-risk algebra — driver
+    # evidence is worth most where divergence risk is highest).
+    # `regr_aggregates_conformance` and `pareto_frontier_customers`
+    # lead the round-6 queue with the displaced [D] pair ---
+    "recursive_cte_conformance",
+    "embeddings_pca_power",
 ]
 
 

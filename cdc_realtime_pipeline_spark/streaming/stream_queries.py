@@ -17,6 +17,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 from cdc_realtime_pipeline_spark.cdc.envelope import (
     parse_cdc_events,
@@ -692,7 +694,10 @@ from cdc_realtime_pipeline_spark.operators.cdc_ops import (  # noqa: E402
     CDC_ROUNDTRIP_SQL,
     CDC_SCD2_HISTORY_SQL,
 )
-from cdc_realtime_pipeline_spark.operators.extended import SESSIONIZE_NATIVE_SQL  # noqa: E402
+from cdc_realtime_pipeline_spark.operators.extended import (  # noqa: E402
+    CEP_FUNNEL_SEQUENCE_SQL,
+    SESSIONIZE_NATIVE_SQL,
+)
 from cdc_realtime_pipeline_spark.operators.window_agg import (  # noqa: E402
     EVENTS_WINDOW_AGG_5M_SQL,
 )
@@ -1109,8 +1114,128 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cep_triples_of_key(pdf, st: dict):
+    """Pure per-key CEP step (pandas in, matches + new state out) —
+    strict-contiguity view→click→purchase within 24 h, the exact
+    semantics of the batch lag-chain. State carries the last TWO
+    events of the key's ordered stream so a pattern spanning a
+    micro-batch boundary still fires; that 2-tuple is the entire
+    per-key state (pattern length − 1), the CEP state-size invariant
+    Flink's NFA runtime shares."""
+    matches: list[dict] = []
+    pdf = pdf.sort_values(["ts_s", "event_id"])
+    prev = list(st.get("prev", []))
+    for row in pdf.itertuples(index=False):
+        cur = (str(row.event_type), int(row.ts_s), int(row.event_id))
+        if len(prev) == 2:
+            (e1, t1, id1), (e2, _t2, _id2) = prev
+            if (
+                e1 == "view"
+                and e2 == "click"
+                and cur[0] == "purchase"
+                and cur[1] - t1 <= 86400
+            ):
+                matches.append(
+                    dict(
+                        user_id=int(row.user_id),
+                        view_id=id1,
+                        purchase_id=cur[2],
+                        span_s=cur[1] - t1,
+                    )
+                )
+        prev = (prev + [cur])[-2:]
+    st["prev"] = prev
+    return matches, st
+
+
+_CEP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_id", T.LongType()),
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("span_s", T.LongType()),
+    ]
+)
+
+# last two events of the key's stream: (type, ts_s, event_id) × 2,
+# flattened (NULLs when fewer than two seen)
+_CEP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("e1_type", T.StringType()),
+        T.StructField("e1_ts", T.LongType()),
+        T.StructField("e1_id", T.LongType()),
+        T.StructField("e2_type", T.StringType()),
+        T.StructField("e2_ts", T.LongType()),
+        T.StructField("e2_id", T.LongType()),
+    ]
+)
+
+
+def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern detection as a STREAMING stateful operator — the
+    runtime form of `cep_funnel_sequence` (Flink CEP's
+    ``begin('view').next('click').next('purchase').within(24h)``):
+    ``groupBy(user).applyInPandasWithState`` where the per-key state
+    is just the last two events (pattern length − 1 — the NFA
+    state-size invariant), so a triple spanning a micro-batch
+    boundary still fires. Shares the batch lag-chain's DuckDB oracle:
+    the streaming NFA walk and the declarative window chain must
+    produce the identical match set — the strongest check a
+    sequential streaming operator can get.
+
+    Per-key ordering: within a micro-batch the key's rows are sorted
+    by (ts, event_id) before the walk (the same SURVEY §4 NEEDS-CARE
+    discipline as the anomaly detector); across batches the
+    availableNow file stream delivers in file order, monotone here.
+
+    Scale: state is O(2 events × #users) in RocksDB regardless of
+    stream length; throughput is Arrow-batched per key. The batch twin
+    stays the backfill path — this is the tail path of the classic
+    lambda split.
+    """
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = events_stream.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+
+    def _walk(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        if state.exists:
+            e1t, e1s, e1i, e2t, e2s, e2i = state.get
+            prev = [(e1t, e1s, e1i), (e2t, e2s, e2i)]
+            prev = [p for p in prev if p[0] is not None]
+        else:
+            prev = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        matches, st = cep_triples_of_key(pdf, {"prev": prev})
+        p = st["prev"]
+        flat = (list(p) + [(None, None, None)] * 2)[:2]
+        state.update(tuple(flat[0]) + tuple(flat[1]))
+        if matches:
+            yield pd.DataFrame(matches)
+
+    hits = ev.groupBy("user_id").applyInPandasWithState(
+        _walk,
+        outputStructType=_CEP_OUT_SCHEMA,
+        stateStructType=_CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _memory_sink(hits, "append").orderBy("user_id", "purchase_id")
+
+
 QUERIES = {
     "stream_daily_users_bitmap": stream_daily_users_bitmap,
+    "stream_cep_funnel": stream_cep_funnel,
     "stream_window_agg_5m": stream_window_agg_5m,
     "stream_topk_per_window": stream_topk_per_window,
     "stream_ohlc_bars_5m": stream_ohlc_bars_5m,
@@ -1133,6 +1258,9 @@ QUERIES = {
 
 ORACLES = {
     "stream_daily_users_bitmap": STREAM_DAILY_USERS_BITMAP_SQL,
+    # deliberately the SAME oracle as the batch lag-chain: the
+    # streaming NFA walk must reproduce the declarative match set
+    "stream_cep_funnel": CEP_FUNNEL_SEQUENCE_SQL,
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     "stream_topk_per_window": STREAM_TOPK_PER_WINDOW_SQL,
     "stream_ohlc_bars_5m": _ts_oracles.OHLC_BARS_5M_SQL,

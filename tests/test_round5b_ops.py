@@ -1,0 +1,158 @@
+"""Invariant tests for the late-round-5 operator block (recursive CTE,
+regr aggregates, Pareto frontier, PCA power iteration). The oracle
+harness checks cross-engine equality; these pin the semantic claims
+the docstrings make, on the sf0.001 fixture."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.operators.extended import (
+    pareto_frontier_customers,
+    recursive_cte_conformance,
+    regr_aggregates_conformance,
+)
+from cdc_realtime_pipeline_spark.operators.similarity import embeddings_pca_power
+from cdc_realtime_pipeline_spark.session import load_table
+
+
+def test_cep_state_carries_pattern_across_batch_boundary():
+    import pandas as pd
+
+    from cdc_realtime_pipeline_spark.streaming.stream_queries import (
+        cep_triples_of_key,
+    )
+
+    # view, click in batch 1 — purchase arrives in batch 2: the match
+    # must fire from carried state, and a 24h+ gap must not
+    b1 = pd.DataFrame(
+        dict(
+            user_id=[7, 7],
+            event_id=[1, 2],
+            event_type=["view", "click"],
+            ts_s=[100, 200],
+        )
+    )
+    m1, st = cep_triples_of_key(b1, {})
+    assert m1 == []
+    assert [p[0] for p in st["prev"]] == ["view", "click"]
+    b2 = pd.DataFrame(
+        dict(user_id=[7], event_id=[3], event_type=["purchase"], ts_s=[300])
+    )
+    m2, _ = cep_triples_of_key(b2, dict(st))
+    assert m2 == [dict(user_id=7, view_id=1, purchase_id=3, span_s=200)]
+    # same triple but outside the 24h window → no match
+    late = pd.DataFrame(
+        dict(user_id=[7], event_id=[3], event_type=["purchase"], ts_s=[100 + 86401])
+    )
+    m3, _ = cep_triples_of_key(late, dict(st))
+    assert m3 == []
+    # an intervening event breaks strict contiguity
+    b2b = pd.DataFrame(
+        dict(
+            user_id=[7, 7],
+            event_id=[3, 4],
+            event_type=["view", "purchase"],
+            ts_s=[250, 300],
+        )
+    )
+    m4, _ = cep_triples_of_key(b2b, dict(st))
+    assert m4 == []
+
+
+def test_recursive_cte_walks_the_full_heap_forest(spark, sf_dir):
+    rows = recursive_cte_conformance(spark, sf_dir).collect()
+    assert rows
+    # depth-d stratum of the binary-heap forest is exactly the uid
+    # range [2^d, 2^(d+1)) (anchors {0,1} at depth 0), so id bounds
+    # prove the recursion labelled every node at the right level
+    for r in rows:
+        if r.depth == 0:
+            assert r.min_id == 0 and r.max_id == 1
+        else:
+            assert r.min_id >= 2**r.depth
+            assert r.max_id < 2 ** (r.depth + 1)
+    # ... and the strata partition the whole distinct-uid space: the
+    # recursion reached every node exactly once
+    n_total = sum(r.n_nodes for r in rows)
+    n_distinct = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert n_total == n_distinct
+
+
+def test_regr_intercept_matches_moment_identity(spark, sf_dir):
+    rows = regr_aggregates_conformance(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("double"))
+        .filter(F.col("k").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.avg("value").alias("my"),
+            F.avg("k").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    moments = {r.event_type: r for r in ev}
+    for r in rows:
+        m = moments[r.event_type]
+        # OLS identity: the fit line passes through (x̄, ȳ)
+        assert abs(r.icept - (m.my - r.slope * m.mx)) < 1e-3
+        assert 0.0 <= r.r2 <= 1.0
+        assert r.n_pairs == m.n
+
+
+def test_pareto_frontier_is_exactly_the_nondominated_set(spark, sf_dir):
+    pts = [
+        (r.rev, r.cnt)
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"), F.count("*").alias("cnt"))
+        .collect()
+    ]
+
+    def dominated(a):
+        return any(
+            b[0] >= a[0] and b[1] >= a[1] and (b[0] > a[0] or b[1] > a[1])
+            for b in pts
+        )
+
+    expected = sorted(p for p in pts if not dominated(p))
+    frontier = sorted(
+        (r.rev, r.cnt) for r in pareto_frontier_customers(spark, sf_dir).collect()
+    )
+    # the window sweep must reproduce the quadratic definition exactly
+    assert frontier == expected
+    assert frontier, "frontier can never be empty on non-empty input"
+
+
+def test_pca_loading_is_unit_norm_and_matches_numpy_power_method(spark, sf_dir):
+    out = embeddings_pca_power(spark, sf_dir).collect()
+    assert len(out) == 64
+    loadings = np.array([r.loading for r in sorted(out, key=lambda r: r.dim)])
+    assert abs(float(np.sum(loadings**2)) - 1.0) < 1e-3  # unit vector
+    lam = out[0].lambda_mean
+    assert lam > 0
+    # replicate the exact 3-step power method in numpy — the plan must
+    # be the same algebra, not merely "a" principal direction
+    X = np.array(
+        [
+            list(r.embedding)
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    v = np.full(64, 1.0 / 8.0)
+    for _ in range(3):
+        w = X.T @ (X @ v)
+        nrm = float(np.linalg.norm(w))
+        v = w / nrm
+    assert float(np.max(np.abs(loadings - v))) < 1e-4
+    assert abs(lam - nrm / X.shape[0]) < 1e-3

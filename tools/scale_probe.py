@@ -75,6 +75,9 @@ PROBE_QUERIES = [
     ("media_phash_near_dup", "pHash band join + bit_count verify"),
     ("dedup_cluster_canonical", "CC label loop + per-cluster window"),
     ("corpus_token_budget_pack", "per-source sort, two windows"),
+    # round-5 late wave
+    ("embeddings_pca_power", "matrix-free power iteration, 2 passes x3"),
+    ("recursive_cte_conformance", "iterative union loop, log-depth joins"),
 ]
 
 TABLES = [
