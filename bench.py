@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "pareto_frontier_customers",
     "regr_aggregates_conformance",
     "stream_cep_funnel",
+    "dp_noised_release",
+    "k_anonymity_audit",
 ]
 
 

@@ -1049,8 +1049,189 @@ ORDER BY rule
 """
 
 
+def _hex_uniform(prefix: str, key_col: str):
+    """Deterministic uniform in [0,1) from md5(prefix || key) — the
+    seeded-noise idiom: the first 8 hex nibbles become an exact dyadic
+    rational (each term is a ≤32-bit dyadic fraction, so the sum is
+    EXACT in double — no accumulation-order sensitivity), and the same
+    expression tree evaluates bit-identically in the oracle dialect
+    (strpos on the same nibble alphabet)."""
+    m = F.md5(F.concat(F.lit(prefix), F.col(key_col)))
+    terms = [
+        (F.instr(F.lit("0123456789abcdef"), F.substring(m, i, 1)) - 1).cast(
+            "double"
+        )
+        * F.lit(16.0 ** -i)
+        for i in range(1, 9)
+    ]
+    u = terms[0]
+    for t in terms[1:]:
+        u = u + t
+    return u
+
+
+def _hex_uniform_sql(prefix: str, key_expr: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{prefix}' || {key_expr}), {i}, 1)) - 1) * {16.0 ** -i!r}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
+def dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-style aggregate release with SEEDED
+    Laplace noise — the publishable-stats pass a training-data
+    pipeline runs before sharing corpus composition externally
+    (Dwork-McSherry-Nissim-Smith 2006: calibrate noise to sensitivity/ε).
+    Per event_type: a noised count (sensitivity 1, ε=1 ⇒ b=1) and a
+    noised sum of value CLAMPED to [0,100] (clamping bounds the
+    per-row contribution, so sensitivity=100, b=100/ε) — clamp-then-
+    noise is the standard bounded-contribution recipe.
+
+    The noise is deterministic: u = md5(tag‖group-key) → exact dyadic
+    uniform (no float-order sensitivity), Laplace via inverse CDF
+    −b·sign(u−½)·ln(1−2|u−½|). Seeded noise is how production DP
+    releases stay auditable/reproducible across reruns — the privacy
+    accounting treats the seed as the mechanism's randomness. Both
+    engines evaluate the identical expression tree, so this is also a
+    conformance row for md5/strpos/ln parity.
+
+    Scale: ONE hash aggregate (counts + clamped sums combine
+    map-side); the noise is a per-group scalar expression on the
+    5-row aggregate — cost is independent of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    eps = 1.0
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n_true"),
+        F.sum(F.greatest(F.lit(0.0), F.least(F.lit(100.0), F.col("value")))).alias(
+            "sum_clamped"
+        ),
+    )
+    def lap(u, b):
+        t = F.greatest(F.lit(1e-12), F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+        return -F.lit(b) * F.signum(u - 0.5) * F.log(t)
+
+    u_c = _hex_uniform("ct|", "event_type")
+    u_s = _hex_uniform("sm|", "event_type")
+    return agg.select(
+        "event_type",
+        F.lit(eps).alias("eps"),
+        (F.round(F.col("n_true") + lap(u_c, 1.0 / eps) + 1e-9, 4) + 0.0).alias(
+            "n_noised"
+        ),
+        (
+            F.round(F.col("sum_clamped") + lap(u_s, 100.0 / eps) + 1e-9, 4) + 0.0
+        ).alias("sum_noised"),
+    ).orderBy("event_type")
+
+
+DP_NOISED_RELEASE_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n_true,
+         sum(greatest(0.0, least(100.0, value))) AS sum_clamped
+  FROM events GROUP BY event_type
+),
+seeded AS (
+  SELECT *,
+         {_hex_uniform_sql("ct|", "event_type")} AS u_c,
+         {_hex_uniform_sql("sm|", "event_type")} AS u_s
+  FROM agg
+)
+SELECT event_type,
+       1.0 AS eps,
+       round(n_true
+             + (-1.0) * sign(u_c - 0.5)
+               * ln(greatest(1e-12, 1.0 - 2.0 * abs(u_c - 0.5)))
+             + 1e-9, 4) + 0.0 AS n_noised,
+       round(sum_clamped
+             + (-100.0) * sign(u_s - 0.5)
+               * ln(greatest(1e-12, 1.0 - 2.0 * abs(u_s - 0.5)))
+             + 1e-9, 4) + 0.0 AS sum_noised
+FROM seeded
+ORDER BY event_type
+"""
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    review a dataset gets before release (Sweeney 2002): group by the
+    QI (event_type × value decile band × day-of-week), measure each
+    equivalence class's size k, and report how many classes/rows sit
+    in each re-identification risk band (k=1 unique → directly
+    re-identifiable; k<5 the conventional release floor). The
+    actionable output is the % of ROWS below the floor — the mass that
+    must be generalized or suppressed.
+
+    Scale: two hash aggregates — corpus → QI classes (map-side
+    combine), classes → 4 risk bands. The QI-class relation is the
+    only shuffle and is bounded by the QI domain, not the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # dow via epoch days (1970-01-01 = Thursday = 4): engine-proof —
+    # dayofweek() numbering differs across dialects
+    dow = F.pmod(F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) + 4, F.lit(7))
+    qi = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10).alias("value_band"),
+        dow.alias("dow"),
+    ).agg(F.count("*").alias("k"))
+    band = (
+        F.when(F.col("k") == 1, "1_unique")
+        .when(F.col("k") < 5, "2_under_floor")
+        .when(F.col("k") < 10, "3_small")
+        .otherwise("4_safe")
+    )
+    total = qi.agg(F.sum("k").alias("tot"))
+    return (
+        qi.select(band.alias("risk_band"), "k")
+        .groupBy("risk_band")
+        .agg(F.count("*").alias("n_classes"), F.sum("k").alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "risk_band",
+            "n_classes",
+            "n_rows",
+            (F.round(F.col("n_rows") / F.col("tot") + 1e-9, 4) + 0.0).alias(
+                "pct_rows"
+            ),
+        )
+        .orderBy("risk_band")
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = """
+WITH qi AS (
+  SELECT event_type,
+         CAST(floor(value / 10) AS BIGINT) AS value_band,
+         (CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 AS dow,
+         count(*) AS k
+  FROM events GROUP BY 1, 2, 3
+),
+banded AS (
+  SELECT CASE WHEN k = 1 THEN '1_unique'
+              WHEN k < 5 THEN '2_under_floor'
+              WHEN k < 10 THEN '3_small'
+              ELSE '4_safe' END AS risk_band,
+         k
+  FROM qi
+)
+SELECT risk_band,
+       count(*) AS n_classes,
+       sum(k) AS n_rows,
+       round(sum(k) / (SELECT CAST(sum(k) AS DOUBLE) FROM qi) + 1e-9, 4) + 0.0
+         AS pct_rows
+FROM banded
+GROUP BY risk_band
+ORDER BY risk_band
+"""
+
+
 QUERIES = {
     "dq_rule_engine": dq_rule_engine,
+    "dp_noised_release": dp_noised_release,
+    "k_anonymity_audit": k_anonymity_audit,
     "audience_overlap_bitmap": audience_overlap_bitmap,
     "orders_dq_profile": orders_dq_profile,
     "heavy_hitters_mg": heavy_hitters_mg,
@@ -1068,6 +1249,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dp_noised_release": DP_NOISED_RELEASE_SQL,
+    "k_anonymity_audit": K_ANONYMITY_AUDIT_SQL,
     "dq_rule_engine": DQ_RULE_ENGINE_SQL,
     "audience_overlap_bitmap": AUDIENCE_OVERLAP_BITMAP_SQL,
     "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,

@@ -81,6 +81,13 @@ SHOWCASE = [
     ("corpus_token_budget_pack", "two windows over one sort (cum + total)"),
     ("asof_join_nearest", "two carries (last/first) sharing one Exchange+Sort"),
     ("embeddings_dim_stats", "posexplode absorbed map-side into 64-key agg"),
+    # round-5 late wave
+    ("recursive_cte_conformance", "Spark-4 UnionLoop recursion, frontier joins"),
+    ("embeddings_pca_power", "3 unrolled power steps, 64-row broadcast v"),
+    ("pareto_frontier_customers", "skyline sort-sweep on customer aggregate"),
+    ("regr_aggregates_conformance", "algebraic regr_* moments, map-side partials"),
+    ("dp_noised_release", "seeded-Laplace scalar noise on 5-row aggregate"),
+    ("k_anonymity_audit", "QI-class agg → risk-band re-agg, broadcast total"),
 ]
 
 
