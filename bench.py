@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "stream_cep_funnel",
     "dp_noised_release",
     "k_anonymity_audit",
+    "window_funnel_depth",
 ]
 
 

@@ -2282,8 +2282,106 @@ ORDER BY rev DESC
 """
 
 
+def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(24h)(ts, view, click, purchase)``
+    semantics — the RELAXED-order companion to the strict-contiguity
+    CEP lag-chain: from every 'view' anchor, the chain advances to the
+    EARLIEST later 'click', then the earliest later 'purchase', all
+    within 24 h of the anchor; intervening events of other types do
+    not break the chain. Output: users bucketed by their maximum
+    reached depth (the windowFunnel return value). The reference's
+    analytics store is ClickHouse, where this is the standard funnel
+    primitive (`funnel_conversion` = unordered lifetime variant,
+    `cep_funnel_sequence` = strict-next variant — the three canonical
+    funnel semantics).
+
+    NOT a per-user self-join (quadratic in a power user's events):
+    two passes over ONE per-user window sort — (1) each row's
+    min-future-purchase, (2) each row's first-future-click carrying
+    that purchase value as a struct min (struct orders by click time
+    first, so the min IS the earliest click with its own
+    min-later-purchase) — then the depth CASE is a scalar expression
+    on 'view' rows. Event time is composited with event_id
+    (``t·10⁷ + id``, integer arithmetic throughout — the composite
+    exceeds 2⁵³, so division back to seconds must be integer ``div``)
+    making the order total and strict '>' comparisons tie-free on
+    both engines; the oracle is the intentionally-quadratic
+    correlated-subquery transcription of the ClickHouse definition.
+
+    Scale: one Exchange+Sort per user key reused by both window
+    passes; state per row is two scalars — linear in events, the
+    shape windowFunnel itself has inside ClickHouse.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("t"),
+        (F.col("ts").cast("long") * 10000000 + F.col("event_id")).alias("tt"),
+    )
+    wfut = Window.partitionBy("user_id").orderBy("tt").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    base = ev.withColumn(
+        "mp_after",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("tt"))).over(wfut),
+    )
+    first_click = F.min(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("tt").alias("ct"), F.col("mp_after").alias("pm")),
+        )
+    ).over(wfut)
+    anchors = base.withColumn("fclick", first_click).filter(
+        F.col("event_type") == "view"
+    )
+    in_window = lambda x: F.expr(f"{x} div 10000000") - F.col("t") <= 86400
+    depth = (
+        F.when(F.col("fclick.ct").isNull() | ~in_window("fclick.ct"), F.lit(1))
+        .when(F.col("fclick.pm").isNull() | ~in_window("fclick.pm"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        anchors.select("user_id", depth.alias("depth"))
+        .groupBy("user_id")
+        .agg(F.max("depth").alias("max_depth"))
+        .groupBy("max_depth")
+        .agg(F.count("*").alias("n_users"), F.sum("user_id").alias("user_id_chk"))
+        .orderBy("max_depth")
+    )
+
+
+WINDOW_FUNNEL_DEPTH_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch(ts)::BIGINT AS t,
+         epoch(ts)::BIGINT * 10000000 + event_id AS tt
+  FROM events
+),
+anchors AS (
+  SELECT v.user_id, v.t AS t1,
+    (SELECT min(c.tt) FROM e c
+      WHERE c.user_id = v.user_id AND c.event_type = 'click'
+        AND c.tt > v.tt AND (c.tt // 10000000) - v.t <= 86400) AS t2tt
+  FROM e v WHERE v.event_type = 'view'
+),
+depth3 AS (
+  SELECT a.user_id,
+    CASE WHEN a.t2tt IS NULL THEN 1
+         WHEN (SELECT min(p.tt) FROM e p
+                WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
+                  AND p.tt > a.t2tt
+                  AND (p.tt // 10000000) - a.t1 <= 86400) IS NULL THEN 2
+         ELSE 3 END AS depth
+  FROM anchors a
+),
+per_user AS (SELECT user_id, max(depth) AS max_depth FROM depth3 GROUP BY user_id)
+SELECT max_depth, count(*) AS n_users, sum(user_id) AS user_id_chk
+FROM per_user GROUP BY max_depth ORDER BY max_depth
+"""
+
+
 QUERIES = {
     "grouping_sets_conformance": grouping_sets_conformance,
+    "window_funnel_depth": window_funnel_depth,
     "interval_datetime_conformance": interval_datetime_conformance,
     "map_functions_conformance": map_functions_conformance,
     "custom_agg_trimmed_mean": custom_agg_trimmed_mean,
@@ -2327,6 +2425,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_funnel_depth": WINDOW_FUNNEL_DEPTH_SQL,
     "recursive_cte_conformance": RECURSIVE_CTE_CONFORMANCE_SQL,
     "regr_aggregates_conformance": REGR_AGGREGATES_CONFORMANCE_SQL,
     "pareto_frontier_customers": PARETO_FRONTIER_CUSTOMERS_SQL,

@@ -19,6 +19,31 @@ from cdc_realtime_pipeline_spark.operators.similarity import embeddings_pca_powe
 from cdc_realtime_pipeline_spark.session import load_table
 
 
+def test_window_funnel_dominates_strict_cep(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        cep_funnel_sequence,
+        window_funnel_depth,
+    )
+
+    out = window_funnel_depth(spark, sf_dir).collect()
+    # greedy earliest-next dominates: any strict view→click→purchase
+    # triple implies relaxed depth 3 for that user
+    strict_users = {
+        r.user_id for r in cep_funnel_sequence(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    # users bucketed by max depth partition the users with ≥1 view
+    n_view_users = (
+        ev.filter(F.col("event_type") == "view").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in out) == n_view_users
+    if strict_users:
+        depth3 = {r.max_depth for r in out}
+        assert 3 in depth3
+        d3_row = next(r for r in out if r.max_depth == 3)
+        assert d3_row.n_users >= len(strict_users)
+
+
 def test_dp_noise_is_bounded_and_seed_stable(spark, sf_dir):
     from cdc_realtime_pipeline_spark.operators.dq import dp_noised_release
 

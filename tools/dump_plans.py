@@ -88,6 +88,7 @@ SHOWCASE = [
     ("regr_aggregates_conformance", "algebraic regr_* moments, map-side partials"),
     ("dp_noised_release", "seeded-Laplace scalar noise on 5-row aggregate"),
     ("k_anonymity_audit", "QI-class agg → risk-band re-agg, broadcast total"),
+    ("window_funnel_depth", "two window passes, struct-min chain — no self-join"),
 ]
 
 
