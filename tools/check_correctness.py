@@ -69,6 +69,12 @@ _TIE_AUDITED = {
     "label_centroids.centroid",
     "tpch_q9_like.sum_profit",
     "corpus_dsir_importance.dsir_score",
+    # guards added with the operators; surfaced at sf0.1 volume
+    "embeddings_dim_stats.mean_x",
+    "embeddings_dim_stats.min_x",
+    "embeddings_pca_power.loading",
+    "dp_noised_release.n_noised",
+    "dp_noised_release.sum_noised",
 }
 
 
