@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "dp_noised_release",
     "k_anonymity_audit",
     "window_funnel_depth",
+    "corpus_zipf_fit",
+    "value_benford_digits",
 ]
 
 

@@ -538,6 +538,68 @@ ORDER BY n DESC, token ASC LIMIT {VOCAB_TOP_K}
 """
 
 
+ZIPF_FIT_HEAD = 1000  # fit on the frequency head; the tail bends off the law
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary — the standard
+    sanity diagnostic for a text corpus (natural language reads slope
+    ≈ −1 on log-frequency vs log-rank; a corpus of boilerplate/
+    machine-generated text bends away from it). Token counts → rank
+    by (count desc, token) → OLS of ln(count) on ln(rank) over the
+    head (tail ranks always deviate), via the same algebraic
+    ``regr_*`` moments the conformance row pins — slope, intercept,
+    and R² in ONE aggregate over the head relation.
+
+    Scale: the corpus-sized work is the map-side-combined token
+    count; ranking runs on the VOCAB-sized aggregate (the bounded
+    relation — same trade as the RFM global ntile, documented there),
+    and the regression consumes ``ZIPF_FIT_HEAD`` rows. Tie-free
+    cross-engine: rank order is (n desc, token asc) — total on the
+    vocabulary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = words.groupBy("token").agg(F.count("*").alias("n"))
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))),
+    ).filter(F.col("rank") <= ZIPF_FIT_HEAD)
+    ln_n, ln_r = F.log(F.col("n").cast("double")), F.log(
+        F.col("rank").cast("double")
+    )
+    return ranked.agg(
+        F.count("*").alias("n_fit"),
+        F.max("n").alias("top_count"),
+        (F.round(F.regr_slope(ln_n, ln_r), 6) + 0.0).alias("zipf_slope"),
+        (F.round(F.regr_intercept(ln_n, ln_r), 6) + 0.0).alias("zipf_icept"),
+        (F.round(F.regr_r2(ln_n, ln_r), 6) + 0.0).alias("zipf_r2"),
+    )
+
+
+CORPUS_ZIPF_FIT_SQL = f"""
+WITH counts AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split({NORMALIZE_SQL.format(col="text")}, ' ')) AS token
+        FROM documents)
+  WHERE length(token) > 0
+  GROUP BY token
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT count(*) AS n_fit,
+       max(n) AS top_count,
+       round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) + 0.0 AS zipf_slope,
+       round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) + 0.0 AS zipf_icept,
+       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) + 0.0 AS zipf_r2
+FROM ranked WHERE rank <= {ZIPF_FIT_HEAD}
+"""
+
+
 BPE_TOP_PAIRS = 50
 
 
@@ -839,6 +901,7 @@ FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 
 
 QUERIES = {
+    "corpus_zipf_fit": corpus_zipf_fit,
     "dup_graph_triangles": dup_graph_triangles,
     "dup_clusters_connected_components": dup_clusters_connected_components,
     "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -855,6 +918,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_zipf_fit": CORPUS_ZIPF_FIT_SQL,
     "dup_graph_triangles": DUP_GRAPH_TRIANGLES_SQL,
     "label_balanced_sample": LABEL_BALANCED_SAMPLE_SQL,
     "split_leakage_audit": SPLIT_LEAKAGE_AUDIT_SQL,

@@ -1078,6 +1078,105 @@ def _hex_uniform_sql(prefix: str, key_expr: str) -> str:
     return f"({terms})"
 
 
+def value_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit test over the value measure —
+    the classic forensic DQ screen (fabricated or unit-mangled data
+    drifts from the log distribution; a uniform simulated measure like
+    this fixture's deliberately FAILS it, which the χ² column shows).
+    Per digit d∈1..9: observed count/share, the Benford expectation
+    log₁₀(1+1/d) (Python-computed literal — identical constant both
+    engines), and the χ² contribution n·(obs−exp)²/exp.
+
+    The first digit comes from an explicit magnitude LADDER
+    (CASE on [0.001,1000) decade ranges, floor division only) — never
+    ``floor(log10(v))``, whose libm ULP at exact powers of ten can
+    flip the decade cross-engine, and never string formatting, whose
+    scientific-notation thresholds differ by dialect.
+
+    Scale: one conditional projection + one 9-key hash aggregate —
+    map-side combined, shuffle carries 9 partials per partition.
+    """
+    import math as _math
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0.001)
+    v = F.col("value")
+    digit = (
+        F.when(v >= 100.0, F.floor(v / 100.0))
+        .when(v >= 10.0, F.floor(v / 10.0))
+        .when(v >= 1.0, F.floor(v))
+        .when(v >= 0.1, F.floor(v * 10.0))
+        .when(v >= 0.01, F.floor(v * 100.0))
+        .otherwise(F.floor(v * 1000.0))
+    )
+    obs = ev.select(digit.cast("int").alias("digit")).filter(
+        F.col("digit").between(1, 9)
+    )
+    total = obs.agg(F.count("*").alias("tot"))
+    exp_share = F.array(
+        *[F.lit(_math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+    )
+    return (
+        obs.groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            (F.round(F.col("n_obs") / F.col("tot") + 1e-9, 6) + 0.0).alias(
+                "obs_share"
+            ),
+            F.round(F.element_at(exp_share, F.col("digit")), 6).alias("exp_share"),
+            (
+                F.round(
+                    F.col("tot")
+                    * F.pow(
+                        F.col("n_obs") / F.col("tot")
+                        - F.element_at(exp_share, F.col("digit")),
+                        2,
+                    )
+                    / F.element_at(exp_share, F.col("digit"))
+                    + 1e-9,
+                    4,
+                )
+                + 0.0
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_sql() -> str:
+    import math as _math
+
+    shares = ", ".join(repr(_math.log10(1.0 + 1.0 / d)) for d in range(1, 10))
+    return f"""
+WITH obs AS (
+  SELECT CAST(CASE WHEN value >= 100.0 THEN floor(value / 100.0)
+              WHEN value >= 10.0 THEN floor(value / 10.0)
+              WHEN value >= 1.0 THEN floor(value)
+              WHEN value >= 0.1 THEN floor(value * 10.0)
+              WHEN value >= 0.01 THEN floor(value * 100.0)
+              ELSE floor(value * 1000.0) END AS INT) AS digit
+  FROM events WHERE value > 0.001
+),
+kept AS (SELECT digit FROM obs WHERE digit BETWEEN 1 AND 9),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM kept),
+exp AS (SELECT * FROM (VALUES {", ".join(f"({d}, {repr(_math.log10(1.0 + 1.0 / d))})" for d in range(1, 10))}) e(digit, exp_share))
+SELECT k.digit,
+       count(*) AS n_obs,
+       round(count(*) / t.tot + 1e-9, 6) + 0.0 AS obs_share,
+       round(e.exp_share, 6) AS exp_share,
+       round(t.tot * pow(count(*) / t.tot - e.exp_share, 2) / e.exp_share
+             + 1e-9, 4) + 0.0 AS chi2_term
+FROM kept k CROSS JOIN tot t JOIN exp e ON k.digit = e.digit
+GROUP BY k.digit, t.tot, e.exp_share
+ORDER BY k.digit
+"""
+
+
+VALUE_BENFORD_DIGITS_SQL = _benford_sql()
+
+
 def dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private-style aggregate release with SEEDED
     Laplace noise — the publishable-stats pass a training-data
@@ -1232,6 +1331,7 @@ QUERIES = {
     "dq_rule_engine": dq_rule_engine,
     "dp_noised_release": dp_noised_release,
     "k_anonymity_audit": k_anonymity_audit,
+    "value_benford_digits": value_benford_digits,
     "audience_overlap_bitmap": audience_overlap_bitmap,
     "orders_dq_profile": orders_dq_profile,
     "heavy_hitters_mg": heavy_hitters_mg,
@@ -1251,6 +1351,7 @@ QUERIES = {
 ORACLES = {
     "dp_noised_release": DP_NOISED_RELEASE_SQL,
     "k_anonymity_audit": K_ANONYMITY_AUDIT_SQL,
+    "value_benford_digits": VALUE_BENFORD_DIGITS_SQL,
     "dq_rule_engine": DQ_RULE_ENGINE_SQL,
     "audience_overlap_bitmap": AUDIENCE_OVERLAP_BITMAP_SQL,
     "orders_dq_profile": ORDERS_DQ_PROFILE_SQL,

@@ -19,6 +19,47 @@ from cdc_realtime_pipeline_spark.operators.similarity import embeddings_pca_powe
 from cdc_realtime_pipeline_spark.session import load_table
 
 
+def test_zipf_fit_reproduces_numpy_ols():
+    import numpy as np
+
+    # the regr_slope/intercept identity on a tiny synthetic vocab —
+    # guards the ln/ln orientation (y = ln count, x = ln rank)
+    counts = np.array([100, 50, 33, 25, 20], dtype=float)
+    ranks = np.arange(1, 6, dtype=float)
+    x, y = np.log(ranks), np.log(counts)
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    # perfect Zipf 1/r ⇒ slope −1
+    assert abs(slope - (-1.0)) < 0.01
+
+
+def test_benford_shares_sum_to_one_and_ladder_is_exact(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.dq import value_benford_digits
+
+    rows = value_benford_digits(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.exp_share for r in rows) - 1.0) < 1e-3
+    # ladder vs python reference on the fixture
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select("value").collect()
+
+    def first_digit(v):
+        if v <= 0.001:
+            return None
+        while v >= 10.0:
+            v /= 10.0
+        while v < 1.0:
+            v *= 10.0
+        return int(v)
+
+    from collections import Counter
+
+    ref = Counter(d for d in (first_digit(r.value) for r in ev) if d)
+    got = {r.digit: r.n_obs for r in rows}
+    assert got == {d: n for d, n in ref.items() if 1 <= d <= 9}
+
+
 def test_window_funnel_dominates_strict_cep(spark, sf_dir):
     from cdc_realtime_pipeline_spark.operators.extended import (
         cep_funnel_sequence,

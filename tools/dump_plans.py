@@ -89,6 +89,8 @@ SHOWCASE = [
     ("dp_noised_release", "seeded-Laplace scalar noise on 5-row aggregate"),
     ("k_anonymity_audit", "QI-class agg → risk-band re-agg, broadcast total"),
     ("window_funnel_depth", "two window passes, struct-min chain — no self-join"),
+    ("corpus_zipf_fit", "map-side token count → vocab-sized rank + regr moments"),
+    ("value_benford_digits", "magnitude-ladder digit → 9-key agg + broadcast total"),
 ]
 
 
