@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "window_funnel_depth",
     "corpus_zipf_fit",
     "value_benford_digits",
+    "cdc_python_datasource_roundtrip",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Spark-4 Python DataSource for the CDC envelope "topic" — the
+custom-connector seam.
+
+The reference's source is a Kafka topic consumed by a dedicated
+connector (CdcPipelineJob.java:52-58); this environment has no broker,
+so the engine's official transport is the JSON-line file topic
+(`cdc_file_source.py`, read with the JVM text source — the production
+path). THIS module exercises the third leg of the source story: the
+Spark 4.0 **Python DataSource API** (`pyspark.sql.datasource`,
+SPARK-44076) — what a team would write for a transport Spark has no
+built-in connector for. It exposes the SAME topic directory under the
+Kafka message contract:
+
+    value STRING, source_file STRING, partition INT, offset LONG
+
+one InputPartition per topic file (≙ Kafka partition — per-file line
+order IS the per-partition order, so `offset` is the within-partition
+sequence number exactly as Kafka numbers it), and every downstream
+semantic (parse, dedup, window agg) runs unchanged on `value`.
+
+Read-path rows cross the Python worker boundary (the API's nature) —
+that is why the JVM text source stays the default transport and this
+row is a CONFORMANCE row for the extension seam, like the UDTF/UDAF
+pair (extended.py): it proves a user can plug a bespoke transport into
+this engine without touching the parse layer. Filter pushdown
+(`pushFilters`, Spark 4.1) is deliberately not implemented: the
+envelope is opaque JSON, nothing prunes below the parse.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class CdcEnvelopeDataSource(DataSource):
+    """``spark.read.format("cdc_envelope").option("path", dir)`` over a
+    JSON-line topic directory written by ``write_cdc_json_files``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_envelope"
+
+    def schema(self) -> str:
+        return "value string, source_file string, partition int, offset long"
+
+    def reader(self, schema) -> "CdcEnvelopeReader":
+        return CdcEnvelopeReader(self.options)
+
+
+class CdcEnvelopeReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("cdc_envelope requires option 'path'")
+        self._path = path
+
+    def partitions(self):
+        # one split per topic file, deterministic order — the split
+        # index IS the "Kafka partition" id
+        files = sorted(
+            f
+            for f in os.listdir(self._path)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        return [
+            InputPartition((i, os.path.join(self._path, f)))
+            for i, f in enumerate(files)
+        ]
+
+    def read(self, partition):
+        idx, fpath = partition.value
+        fname = os.path.basename(fpath)
+        with open(fpath, encoding="utf-8") as fh:
+            offset = 0
+            for line in fh:
+                line = line.rstrip("\n")
+                if line:
+                    yield (line, fname, idx, offset)
+                    offset += 1
+
+
+def register(spark) -> None:
+    """Idempotent registration of the format name."""
+    spark.dataSource.register(CdcEnvelopeDataSource)

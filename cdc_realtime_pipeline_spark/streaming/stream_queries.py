@@ -1114,6 +1114,41 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC round-trip THROUGH the Spark-4 Python DataSource
+    connector (`sources/cdc_python_datasource.py`): register the
+    custom ``cdc_envelope`` format, read the topic directory under the
+    Kafka message contract (value/source_file/partition/offset), and
+    run the UNCHANGED parse path on ``value``. Shares
+    ``cdc_roundtrip``'s oracle — the bespoke-transport leg must
+    produce byte-identical parsed rows to the JVM text-source leg,
+    which is the whole point of the connector seam (swap the
+    transport, never the semantics). The partition/offset contract
+    itself is pinned in tests (dense offsets per file, one partition
+    per topic file)."""
+    from cdc_realtime_pipeline_spark.sources.cdc_python_datasource import register
+
+    register(spark)
+    raw = (
+        spark.read.format("cdc_envelope")
+        .option("path", _cdc_topic(spark, sf_dir, "plain"))
+        .load()
+    )
+    parsed = parse_cdc_events(raw.select("value"))
+    return parsed.select(
+        "trade_id",
+        "market",
+        F.round("trade_price", 4).alias("trade_price"),
+        F.round("trade_volume", 4).alias("trade_volume"),
+        F.round("trade_amount", 4).alias("trade_amount"),
+        "ask_bid",
+        "upbit_timestamp",
+        "sequential_id",
+        "op",
+        "cdc_latency_ms",
+    )
+
+
 def cep_triples_of_key(pdf, st: dict):
     """Pure per-key CEP step (pandas in, matches + new state out) —
     strict-contiguity view→click→purchase within 24 h, the exact
@@ -1236,6 +1271,7 @@ def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_daily_users_bitmap": stream_daily_users_bitmap,
     "stream_cep_funnel": stream_cep_funnel,
+    "cdc_python_datasource_roundtrip": cdc_python_datasource_roundtrip,
     "stream_window_agg_5m": stream_window_agg_5m,
     "stream_topk_per_window": stream_topk_per_window,
     "stream_ohlc_bars_5m": stream_ohlc_bars_5m,
@@ -1261,6 +1297,8 @@ ORACLES = {
     # deliberately the SAME oracle as the batch lag-chain: the
     # streaming NFA walk must reproduce the declarative match set
     "stream_cep_funnel": CEP_FUNNEL_SEQUENCE_SQL,
+    # same oracle as cdc_roundtrip: transport swapped, semantics identical
+    "cdc_python_datasource_roundtrip": CDC_ROUNDTRIP_SQL,
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     "stream_topk_per_window": STREAM_TOPK_PER_WINDOW_SQL,
     "stream_ohlc_bars_5m": _ts_oracles.OHLC_BARS_5M_SQL,

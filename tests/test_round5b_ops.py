@@ -19,6 +19,31 @@ from cdc_realtime_pipeline_spark.operators.similarity import embeddings_pca_powe
 from cdc_realtime_pipeline_spark.session import load_table
 
 
+def test_python_datasource_kafka_contract(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.sources.cdc_python_datasource import register
+    from cdc_realtime_pipeline_spark.streaming.stream_queries import _cdc_topic
+
+    register(spark)
+    topic = _cdc_topic(spark, sf_dir, "plain")
+    raw = spark.read.format("cdc_envelope").option("path", topic).load()
+    rows = raw.collect()
+    # one partition per topic file, written as 4 by write_cdc_json_files
+    parts = {r.partition for r in rows}
+    assert parts == set(range(4))
+    # offsets are the dense within-partition sequence, Kafka-style
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[r.partition].append(r.offset)
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+    # the custom connector carries the identical payload bytes the JVM
+    # text source reads — transport swapped, contract identical
+    jvm = {r.value for r in spark.read.format("text").load(topic).collect()}
+    assert {r.value for r in rows} == jvm
+
+
 def test_zipf_fit_reproduces_numpy_ols():
     import numpy as np
 
