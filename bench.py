@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "corpus_zipf_fit",
     "value_benford_digits",
     "cdc_python_datasource_roundtrip",
+    "stream_cdc_python_datasource",
 ]
 
 

@@ -31,12 +31,22 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class CdcEnvelopeDataSource(DataSource):
     """``spark.read.format("cdc_envelope").option("path", dir)`` over a
-    JSON-line topic directory written by ``write_cdc_json_files``."""
+    JSON-line topic directory written by ``write_cdc_json_files`` —
+    batch AND streaming (``spark.readStream.format("cdc_envelope")``):
+    the streaming side tracks a replayable offset
+    (``{"files_read": n}``) exactly like a consumer-group position, so
+    restart/replay semantics come from the engine's offset log, not
+    the connector."""
 
     @classmethod
     def name(cls) -> str:
@@ -47,6 +57,9 @@ class CdcEnvelopeDataSource(DataSource):
 
     def reader(self, schema) -> "CdcEnvelopeReader":
         return CdcEnvelopeReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "CdcEnvelopeStreamReader":
+        return CdcEnvelopeStreamReader(self.options)
 
 
 class CdcEnvelopeReader(DataSourceReader):
@@ -79,6 +92,60 @@ class CdcEnvelopeReader(DataSourceReader):
                 if line:
                     yield (line, fname, idx, offset)
                     offset += 1
+
+
+class CdcEnvelopeStreamReader(SimpleDataSourceStreamReader):
+    """Streaming leg (SPARK-44076's SimpleDataSourceStreamReader): the
+    source's offset is the count of fully-consumed topic files —
+    serialized into the query's offset log, so exactly-once restart /
+    replay is the ENGINE's job (``readBetweenOffsets`` re-serves any
+    committed range deterministically, the consumer-group contract).
+    ``read`` drains to the current end of log (Kafka latest-offset
+    semantics — availableNow then terminates after one batch), and
+    every row list is MATERIALIZED (the prefetch cache deep-copies
+    entries; generators don't survive that)."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("cdc_envelope requires option 'path'")
+        self._path = path
+
+    def _files(self) -> list[str]:
+        return sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+
+    @staticmethod
+    def _emit(idx: int, fpath: str) -> list[tuple]:
+        out = []
+        with open(fpath, encoding="utf-8") as fh:
+            offset = 0
+            for line in fh:
+                line = line.rstrip("\n")
+                if line:
+                    out.append((line, os.path.basename(fpath), idx, offset))
+                    offset += 1
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"files_read": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        out: list[tuple] = []
+        for i in range(start["files_read"], len(files)):
+            out.extend(self._emit(i, files[i]))
+        return (out, {"files_read": len(files)})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        out: list[tuple] = []
+        for i in range(start["files_read"], end["files_read"]):
+            out.extend(self._emit(i, files[i]))
+        return out
 
 
 def register(spark) -> None:

@@ -1149,6 +1149,40 @@ def cdc_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def stream_cdc_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC parse as a STREAM over the custom Python DataSource —
+    the full Kafka-consumer emulation this image can run: the
+    ``cdc_envelope`` format's SimpleDataSourceStreamReader tracks a
+    replayable files-consumed offset in the query's offset log
+    (consumer-group position), availableNow drains to the latest
+    offset, and the unchanged parse path runs on ``value``. Third
+    oracle-sharing leg of the round-trip: JVM batch text
+    (`cdc_roundtrip`), JVM text stream (`stream_cdc_parse`), and this
+    bespoke-connector stream must all hash identically."""
+    from cdc_realtime_pipeline_spark.sources.cdc_python_datasource import register
+
+    register(spark)
+    raw = (
+        spark.readStream.format("cdc_envelope")
+        .option("path", _cdc_topic(spark, sf_dir, "plain"))
+        .load()
+    )
+    parsed = parse_cdc_events(raw.select("value"))
+    res = _memory_sink(parsed, "append")
+    return res.select(
+        "trade_id",
+        "market",
+        F.round("trade_price", 4).alias("trade_price"),
+        F.round("trade_volume", 4).alias("trade_volume"),
+        F.round("trade_amount", 4).alias("trade_amount"),
+        "ask_bid",
+        "upbit_timestamp",
+        "sequential_id",
+        "op",
+        "cdc_latency_ms",
+    )
+
+
 def cep_triples_of_key(pdf, st: dict):
     """Pure per-key CEP step (pandas in, matches + new state out) —
     strict-contiguity view→click→purchase within 24 h, the exact
@@ -1272,6 +1306,7 @@ QUERIES = {
     "stream_daily_users_bitmap": stream_daily_users_bitmap,
     "stream_cep_funnel": stream_cep_funnel,
     "cdc_python_datasource_roundtrip": cdc_python_datasource_roundtrip,
+    "stream_cdc_python_datasource": stream_cdc_python_datasource,
     "stream_window_agg_5m": stream_window_agg_5m,
     "stream_topk_per_window": stream_topk_per_window,
     "stream_ohlc_bars_5m": stream_ohlc_bars_5m,
@@ -1299,6 +1334,7 @@ ORACLES = {
     "stream_cep_funnel": CEP_FUNNEL_SEQUENCE_SQL,
     # same oracle as cdc_roundtrip: transport swapped, semantics identical
     "cdc_python_datasource_roundtrip": CDC_ROUNDTRIP_SQL,
+    "stream_cdc_python_datasource": CDC_ROUNDTRIP_SQL,
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     "stream_topk_per_window": STREAM_TOPK_PER_WINDOW_SQL,
     "stream_ohlc_bars_5m": _ts_oracles.OHLC_BARS_5M_SQL,

@@ -44,6 +44,29 @@ def test_python_datasource_kafka_contract(spark, sf_dir):
     assert {r.value for r in rows} == jvm
 
 
+def test_stream_datasource_offsets_replay_deterministically(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.sources.cdc_python_datasource import (
+        CdcEnvelopeStreamReader,
+    )
+    from cdc_realtime_pipeline_spark.streaming.stream_queries import _cdc_topic
+
+    topic = _cdc_topic(spark, sf_dir, "plain")
+    r = CdcEnvelopeStreamReader({"path": topic})
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert end["files_read"] == 4 and rows
+    # the consumer-group contract: any committed range re-serves the
+    # exact same rows (this is what makes engine-side exactly-once work)
+    assert r.readBetweenOffsets(start, end) == rows
+    mid = {"files_read": 2}
+    assert (
+        r.readBetweenOffsets(start, mid) + r.readBetweenOffsets(mid, end) == rows
+    )
+    # drained source yields an empty batch at the same offset
+    rows2, end2 = r.read(end)
+    assert rows2 == [] and end2 == end
+
+
 def test_zipf_fit_reproduces_numpy_ols():
     import numpy as np
 
