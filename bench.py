@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "value_benford_digits",
     "cdc_python_datasource_roundtrip",
     "stream_cdc_python_datasource",
+    "cdc_python_datasource_write_roundtrip",
 ]
 
 

@@ -42,11 +42,12 @@ power iteration; their 2 siblings queue for round 6)
 Rows dropped this round hold r1-r4 green evidence on unchanged code
 and stay under the local 3-SF harness.
 
-Round-6 rotation queue — first the 10 never-checked late-round-5
+Round-6 rotation queue — first the 11 never-checked late-round-5
 operators (`regr_aggregates_conformance`, `pareto_frontier_customers`,
 `stream_cep_funnel`, `dp_noised_release`, `k_anonymity_audit`,
 `window_funnel_depth`, `corpus_zipf_fit`, `value_benford_digits`,
-`cdc_python_datasource_roundtrip`, `stream_cdc_python_datasource`)
+`cdc_python_datasource_roundtrip`, `stream_cdc_python_datasource`,
+`cdc_python_datasource_write_roundtrip`)
 and the [D] pair they displaced
 (dash_total_trades, dash_volume_last_day), then the 14 [D] entries displaced by [E] this
 round (dash_avg_latency_last_day, dash_distinct_users,

@@ -34,8 +34,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -60,6 +62,9 @@ class CdcEnvelopeDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "CdcEnvelopeStreamReader":
         return CdcEnvelopeStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "CdcEnvelopeWriter":
+        return CdcEnvelopeWriter(self.options, overwrite)
 
 
 class CdcEnvelopeReader(DataSourceReader):
@@ -146,6 +151,60 @@ class CdcEnvelopeStreamReader(SimpleDataSourceStreamReader):
         for i in range(start["files_read"], end["files_read"]):
             out.extend(self._emit(i, files[i]))
         return out
+
+
+class _CdcCommit(WriterCommitMessage):
+    def __init__(self, tmp_name: str) -> None:
+        self.tmp_name = tmp_name
+
+
+class CdcEnvelopeWriter(DataSourceWriter):
+    """Sink leg — the task-temp + job-commit protocol every
+    transactional Spark sink implements: each task streams its rows'
+    ``value`` column to a ``.tmp-`` staging file and returns its name
+    as the commit message; ``commit`` (driver, after ALL tasks
+    succeed) renames staging → ``part-<i>`` in one pass, ``abort``
+    deletes staging — so a failed/speculated task never leaves
+    readable output, the same all-or-nothing story as
+    write-audit-publish (operators/maintenance.py). Output is
+    byte-compatible with ``write_cdc_json_files``' topic layout, so
+    the connector's own readers (batch + stream) consume it."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("cdc_envelope requires option 'path'")
+        self._path = path
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _CdcCommit:
+        import uuid as _uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        tmp = f".tmp-{_uuid.uuid4().hex}"
+        with open(os.path.join(self._path, tmp), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(row[0])
+                fh.write("\n")
+        return _CdcCommit(tmp)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self._path, f))
+        for i, m in enumerate(messages):
+            os.rename(
+                os.path.join(self._path, m.tmp_name),
+                os.path.join(self._path, f"part-{i:05d}"),
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self._path, m.tmp_name))
+            except FileNotFoundError:
+                pass
 
 
 def register(spark) -> None:

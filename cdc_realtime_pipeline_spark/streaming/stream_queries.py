@@ -1183,6 +1183,46 @@ def stream_cdc_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_python_datasource_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full connector-seam round-trip: the envelope stream is WRITTEN
+    through the custom sink (`CdcEnvelopeWriter` — task-temp files +
+    driver-side commit rename, the transactional protocol every Spark
+    sink implements; a failed task never leaves readable output), then
+    read back through the connector's own batch reader and parsed.
+    Shares ``cdc_roundtrip``'s oracle: write → read → parse must be
+    lossless through the bespoke transport in BOTH directions. The
+    commit/abort protocol itself is pytest-pinned (no visible output
+    before commit; abort removes staging)."""
+    import os
+
+    from cdc_realtime_pipeline_spark.sources.cdc_python_datasource import register
+
+    register(spark)
+    out = os.path.join(
+        scratch_dir("cdc_pyds_sink"), f"{abs(hash(sf_dir)) % 10**8:08d}"
+    )
+    events = load_table(spark, sf_dir, "events")
+    synthesize_cdc_json_from_events(events).write.format("cdc_envelope").mode(
+        "overwrite"
+    ).option("path", out).save()
+    raw = spark.read.format("cdc_envelope").option("path", out).load()
+    parsed = parse_cdc_events(raw.select("value"))
+    return parsed.select(
+        "trade_id",
+        "market",
+        F.round("trade_price", 4).alias("trade_price"),
+        F.round("trade_volume", 4).alias("trade_volume"),
+        F.round("trade_amount", 4).alias("trade_amount"),
+        "ask_bid",
+        "upbit_timestamp",
+        "sequential_id",
+        "op",
+        "cdc_latency_ms",
+    )
+
+
 def cep_triples_of_key(pdf, st: dict):
     """Pure per-key CEP step (pandas in, matches + new state out) —
     strict-contiguity view→click→purchase within 24 h, the exact
@@ -1307,6 +1347,7 @@ QUERIES = {
     "stream_cep_funnel": stream_cep_funnel,
     "cdc_python_datasource_roundtrip": cdc_python_datasource_roundtrip,
     "stream_cdc_python_datasource": stream_cdc_python_datasource,
+    "cdc_python_datasource_write_roundtrip": cdc_python_datasource_write_roundtrip,
     "stream_window_agg_5m": stream_window_agg_5m,
     "stream_topk_per_window": stream_topk_per_window,
     "stream_ohlc_bars_5m": stream_ohlc_bars_5m,
@@ -1335,6 +1376,7 @@ ORACLES = {
     # same oracle as cdc_roundtrip: transport swapped, semantics identical
     "cdc_python_datasource_roundtrip": CDC_ROUNDTRIP_SQL,
     "stream_cdc_python_datasource": CDC_ROUNDTRIP_SQL,
+    "cdc_python_datasource_write_roundtrip": CDC_ROUNDTRIP_SQL,
     "stream_window_agg_5m": EVENTS_WINDOW_AGG_5M_SQL,
     "stream_topk_per_window": STREAM_TOPK_PER_WINDOW_SQL,
     "stream_ohlc_bars_5m": _ts_oracles.OHLC_BARS_5M_SQL,

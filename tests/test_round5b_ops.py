@@ -67,6 +67,33 @@ def test_stream_datasource_offsets_replay_deterministically(spark, sf_dir):
     assert rows2 == [] and end2 == end
 
 
+def test_datasource_writer_commit_protocol(tmp_path):
+    from cdc_realtime_pipeline_spark.sources.cdc_python_datasource import (
+        CdcEnvelopeWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    w = CdcEnvelopeWriter({"path": out}, overwrite=True)
+    m1 = w.write(iter([("a",), ("b",)]))
+    m2 = w.write(iter([("c",)]))
+    import os
+
+    # before commit: staging only — nothing a reader would pick up
+    assert all(f.startswith(".tmp-") for f in os.listdir(out))
+    w.commit([m1, m2])
+    finals = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert finals == ["part-00000", "part-00001"]
+    lines = []
+    for f in finals:
+        lines += open(os.path.join(out, f)).read().splitlines()
+    assert sorted(lines) == ["a", "b", "c"]
+    # abort path: staging removed, committed output untouched
+    m3 = w.write(iter([("junk",)]))
+    w.abort([m3])
+    assert sorted(f for f in os.listdir(out) if f.startswith("part-")) == finals
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+
+
 def test_zipf_fit_reproduces_numpy_ols():
     import numpy as np
 
