@@ -47,6 +47,7 @@ def get_spark(
         # naive-timestamp oracle semantics match
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
@@ -79,6 +80,10 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # the Python DataSource connector implements pushFilters
+        # (SPARK-4.1 gates it behind this flag and ASSERTS if the
+        # reader defines the method while the flag is off)
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)

@@ -23,8 +23,13 @@ that is why the JVM text source stays the default transport and this
 row is a CONFORMANCE row for the extension seam, like the UDTF/UDAF
 pair (extended.py): it proves a user can plug a bespoke transport into
 this engine without touching the parse layer. Filter pushdown
-(`pushFilters`, Spark 4.1) is deliberately not implemented: the
-envelope is opaque JSON, nothing prunes below the parse.
+(`pushFilters`, Spark 4.1) IS implemented where it can prune I/O: the
+payload is opaque JSON (nothing semantic prunes below the parse), but
+predicates on the TRANSPORT `partition` column skip whole topic files
+before a byte is read — the consumer-side partition subscription.
+Requires ``spark.sql.python.filterPushdown.enabled`` (Spark asserts if
+a reader defines pushFilters while the flag is off), which
+``ensure_engine_conf`` sets on any session the engine touches.
 """
 
 from __future__ import annotations
@@ -73,18 +78,59 @@ class CdcEnvelopeReader(DataSourceReader):
         if not path:
             raise ValueError("cdc_envelope requires option 'path'")
         self._path = path
+        self._partition_pred = None  # (op, value) pruning on `partition`
+
+    def pushFilters(self, filters):
+        """Spark-4.1 filter pushdown (SPARK-48788 family): the payload
+        is opaque JSON — nothing semantic prunes below the parse — but
+        the TRANSPORT metadata does: an equality/range predicate on
+        ``partition`` skips whole topic files before a byte is read,
+        exactly the partition pruning a Kafka consumer gets by
+        subscribing to specific partitions. Supported filters are
+        consumed here and visible to ``partitions()``; everything else
+        is returned for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+        remaining = []
+        for f in filters:
+            kind = None
+            if isinstance(f, EqualTo):
+                kind = "="
+            elif isinstance(f, GreaterThan):
+                kind = ">"
+            elif isinstance(f, LessThan):
+                kind = "<"
+            if (
+                kind is not None
+                and tuple(f.attribute) == ("partition",)
+                and isinstance(f.value, int)
+                and self._partition_pred is None
+            ):
+                self._partition_pred = (kind, f.value)
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self):
         # one split per topic file, deterministic order — the split
-        # index IS the "Kafka partition" id
+        # index IS the "Kafka partition" id; a pushed predicate on
+        # `partition` prunes files HERE, before any read
         files = sorted(
             f
             for f in os.listdir(self._path)
             if f.startswith("part-") and not f.endswith(".crc")
         )
+        splits = list(enumerate(files))
+        if self._partition_pred is not None:
+            op, v = self._partition_pred
+            keep = {
+                "=": lambda i: i == v,
+                ">": lambda i: i > v,
+                "<": lambda i: i < v,
+            }[op]
+            splits = [(i, f) for i, f in splits if keep(i)]
         return [
-            InputPartition((i, os.path.join(self._path, f)))
-            for i, f in enumerate(files)
+            InputPartition((i, os.path.join(self._path, f))) for i, f in splits
         ]
 
     def read(self, partition):

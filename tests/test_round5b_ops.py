@@ -44,6 +44,34 @@ def test_python_datasource_kafka_contract(spark, sf_dir):
     assert {r.value for r in rows} == jvm
 
 
+def test_datasource_pushdown_prunes_files_before_read(spark, sf_dir):
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+    from cdc_realtime_pipeline_spark.sources.cdc_python_datasource import (
+        CdcEnvelopeReader,
+        register,
+    )
+    from cdc_realtime_pipeline_spark.streaming.stream_queries import _cdc_topic
+
+    topic = _cdc_topic(spark, sf_dir, "plain")
+    # reader-level: a partition predicate prunes SPLITS (files never
+    # opened); unsupported filters are handed back to Spark
+    r = CdcEnvelopeReader({"path": topic})
+    remaining = r.pushFilters([EqualTo(("partition",), 2), LessThan(("offset",), 5)])
+    assert [type(f).__name__ for f in remaining] == ["LessThan"]
+    assert len(r.partitions()) == 1
+    r2 = CdcEnvelopeReader({"path": topic})
+    r2.pushFilters([GreaterThan(("partition",), 1)])
+    assert len(r2.partitions()) == 2
+    # end-to-end: the pruned scan + Spark-side residual agree with truth
+    register(spark)
+    df = spark.read.format("cdc_envelope").option("path", topic).load()
+    got = df.filter(
+        (F.col("partition") == 1) & (F.col("offset") < 5)
+    ).collect()
+    assert {(r_.partition, r_.offset) for r_ in got} == {(1, o) for o in range(5)}
+
+
 def test_stream_datasource_offsets_replay_deterministically(spark, sf_dir):
     from cdc_realtime_pipeline_spark.sources.cdc_python_datasource import (
         CdcEnvelopeStreamReader,
