@@ -57,8 +57,10 @@ def retention_horizon(months: list[str], keep_last: int) -> list[str]:
 def compact_partition(spark: SparkSession, table_dir: str, month: str, target_files: int = 1) -> int:
     """Rewrite one month partition into ``target_files`` files.
 
-    Staged rewrite + atomic rename so readers never see a half state.
-    Returns the number of files before compaction.
+    Staged rewrite + rename-aside swap: readers see complete-old,
+    complete-new, or a retryable path-not-found during the brief
+    between-renames window — never a PARTIAL partition (caveats on the
+    swap below). Returns the number of files before compaction.
     """
     part_dir = os.path.join(table_dir, f"month={month}")
     n_before = sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
