@@ -91,6 +91,7 @@ SHOWCASE = [
     ("window_funnel_depth", "two window passes, struct-min chain — no self-join"),
     ("corpus_zipf_fit", "map-side token count → vocab-sized rank + regr moments"),
     ("value_benford_digits", "magnitude-ladder digit → 9-key agg + broadcast total"),
+    ("cdc_python_datasource_roundtrip", "BatchScan cdc_envelope → unchanged JVM parse chain"),
 ]
 
 
