@@ -156,6 +156,19 @@ BENCH_QUERIES = [
 ]
 
 
+def _engine_versions() -> dict[str, str]:
+    import pyspark
+
+    out = {"pyspark": pyspark.__version__}
+    try:
+        import duckdb
+
+        out["duckdb"] = duckdb.__version__
+    except ImportError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -279,6 +292,9 @@ def main() -> None:
         # reading deltas (host co-tenancy swings ±25-75%)
         "calib_sec": [calib_start, calib_end],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # engine versions on the record (VERDICT r5 #4): a dialect or
+        # planner change between rounds is invisible without these.
+        "versions": _engine_versions(),
     }
     print(json.dumps(payload))
 

@@ -660,7 +660,7 @@ pairs AS (
   SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, wc
   FROM words, LATERAL (SELECT unnest(range(1, length(word))) AS i)
 )
-SELECT pair, sum(wc) AS pair_count
+SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
 FROM pairs GROUP BY pair
 ORDER BY pair_count DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
 """

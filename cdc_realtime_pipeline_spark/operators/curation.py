@@ -227,9 +227,10 @@ _KEEP_SQL = (
 CORPUS_STRATIFIED_SAMPLE_SQL = f"""
 WITH d AS (
   SELECT doc_id, source,
-         CASE {_TIER_SQL}
+         CAST(CASE {_TIER_SQL}
               WHEN 0 THEN {_SAMPLE_RATES[0]} WHEN 1 THEN {_SAMPLE_RATES[1]}
-              WHEN 2 THEN {_SAMPLE_RATES[2]} ELSE {_SAMPLE_RATES[3]} END AS target_rate,
+              WHEN 2 THEN {_SAMPLE_RATES[2]} ELSE {_SAMPLE_RATES[3]} END
+              AS DOUBLE) AS target_rate,
          ({_KEEP_SQL}) < CASE {_TIER_SQL}
               WHEN 0 THEN {_SAMPLE_RATES[0]} WHEN 1 THEN {_SAMPLE_RATES[1]}
               WHEN 2 THEN {_SAMPLE_RATES[2]} ELSE {_SAMPLE_RATES[3]} END * 10000 AS keep

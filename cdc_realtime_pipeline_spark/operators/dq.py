@@ -1161,7 +1161,8 @@ WITH obs AS (
 ),
 kept AS (SELECT digit FROM obs WHERE digit BETWEEN 1 AND 9),
 tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM kept),
-exp AS (SELECT * FROM (VALUES {", ".join(f"({d}, {repr(_math.log10(1.0 + 1.0 / d))})" for d in range(1, 10))}) e(digit, exp_share))
+exp AS (SELECT digit, CAST(exp_share AS DOUBLE) AS exp_share
+        FROM (VALUES {", ".join(f"({d}, {repr(_math.log10(1.0 + 1.0 / d))})" for d in range(1, 10))}) e(digit, exp_share))
 SELECT k.digit,
        count(*) AS n_obs,
        round(count(*) / t.tot + 1e-9, 6) + 0.0 AS obs_share,
@@ -1239,7 +1240,7 @@ seeded AS (
   FROM agg
 )
 SELECT event_type,
-       1.0 AS eps,
+       CAST(1.0 AS DOUBLE) AS eps,
        round(n_true
              + (-1.0) * sign(u_c - 0.5)
                * ln(greatest(1e-12, 1.0 - 2.0 * abs(u_c - 0.5)))
@@ -1318,7 +1319,7 @@ banded AS (
 )
 SELECT risk_band,
        count(*) AS n_classes,
-       sum(k) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS n_rows,
        round(sum(k) / (SELECT CAST(sum(k) AS DOUBLE) FROM qi) + 1e-9, 4) + 0.0
          AS pct_rows
 FROM banded

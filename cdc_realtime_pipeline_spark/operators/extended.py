@@ -544,6 +544,18 @@ def decimal_arithmetic_conformance(spark: SparkSession, sf_dir: str) -> DataFram
     ``test_extended.py::test_decimal_round_half_ties`` pins the .xx5
     tie behavior (Spark HALF_UP == DuckDB round = half-away-from-zero
     on DECIMAL) with planted literals.
+
+    Round-6: the OUTPUT surface is scaled-integer BIGINT units
+    (``*_u4`` = 0.0001 units, ``*_u2`` = 0.01 units) instead of
+    DECIMAL columns (VERDICT r5 #2): the values were proven
+    byte-identical cross-engine for three rounds, but a DECIMAL /
+    HUGEINT output column is rendered differently by different result
+    hashers (Arrow decimal128 vs Python Decimal repr). The conformance
+    semantics — sum exactness, ×3 scale propagation, scale-2 re-round,
+    integer half-up average — are pinned just as hard by the integer
+    grid (the decimal math still runs internally; the final exact
+    ×10^k multiply merely re-expresses it), and BIGINT hashes
+    identically everywhere.
     """
     ev = load_table(spark, sf_dir, "events")
     unit = F.lit("0.0001").cast("decimal(5,4)")
@@ -565,11 +577,13 @@ def decimal_arithmetic_conformance(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.round(F.col("dv"), 2)).cast("decimal(38,2)").alias("sum_rounded2"),
     )
     au = F.signum("su").cast("long") * F.expr("(2 * abs(su) + n) div (2 * n)")
+    ten4 = F.lit(10000).cast("decimal(5,0)")
+    hund = F.lit(100).cast("decimal(3,0)")
     return agg.select(
-        "sum_exact",
-        (au.cast("decimal(18,0)") * unit).cast("decimal(38,4)").alias("avg_exact"),
-        "sum_times3",
-        "sum_rounded2",
+        (F.col("sum_exact") * ten4).cast("long").alias("sum_exact_u4"),
+        au.cast("long").alias("avg_exact_u4"),
+        (F.col("sum_times3") * ten4).cast("long").alias("sum_times3_u4"),
+        (F.col("sum_rounded2") * hund).cast("long").alias("sum_rounded2_u2"),
     )
 
 
@@ -596,13 +610,11 @@ agg AS (
          CAST(sum(round(dv, 2)) AS DECIMAL(38,2)) AS sum_rounded2
   FROM d2
 )
-SELECT sum_exact,
-       CAST(CAST(CAST(sign(su) AS BIGINT)
-                 * ((2 * abs(su) + n) // (2 * n)) AS DECIMAL(18,0))
-            * CAST('0.0001' AS DECIMAL(5,4)) AS DECIMAL(38,4))
-         AS avg_exact,
-       sum_times3,
-       sum_rounded2
+SELECT CAST(sum_exact * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_exact_u4,
+       CAST(CAST(sign(su) AS BIGINT) * ((2 * abs(su) + n) // (2 * n)) AS BIGINT)
+         AS avg_exact_u4,
+       CAST(sum_times3 * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS sum_times3_u4,
+       CAST(sum_rounded2 * CAST(100 AS DECIMAL(3,0)) AS BIGINT) AS sum_rounded2_u2
 FROM agg
 """
 
@@ -2164,7 +2176,7 @@ r AS (
   UNION ALL
   SELECT u.uid, r.depth + 1 FROM u JOIN r ON u.uid // 2 = r.uid AND u.uid > 1
 )
-SELECT depth, count(*) AS n_nodes, sum(uid) AS sum_id,
+SELECT depth, count(*) AS n_nodes, CAST(sum(uid) AS BIGINT) AS sum_id,
        min(uid) AS min_id, max(uid) AS max_id
 FROM r GROUP BY depth ORDER BY depth
 """
@@ -2374,7 +2386,7 @@ depth3 AS (
   FROM anchors a
 ),
 per_user AS (SELECT user_id, max(depth) AS max_depth FROM depth3 GROUP BY user_id)
-SELECT max_depth, count(*) AS n_users, sum(user_id) AS user_id_chk
+SELECT max_depth, count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS user_id_chk
 FROM per_user GROUP BY max_depth ORDER BY max_depth
 """
 

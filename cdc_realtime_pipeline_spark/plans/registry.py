@@ -128,77 +128,72 @@ _MODULES = [
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
 _PRIORITY = [
-    # --- [A] implementation changed this round-5 session (2 here;
-    # cdc_diff_snapshots and nan_inf_conformance also changed but
-    # already sit in [B]): the decimal row's round-5 bit-identical
-    # floor-grid repair (VERDICT r4 #1 — red two rounds running) and
-    # SemDeDup's corpus-sized-K + IVF two-level assignment
-    # (VERDICT r4 #3) ---
+    # --- [A] round-6 contract-surface repairs (VERDICT r5 #1): the
+    # three r5 hash-reds, all adjudicated typed-output divergence
+    # (DuckDB HUGEINT / Spark DECIMAL output columns vs the driver's
+    # hasher), all value-identical cross-engine for rounds. Fixed by
+    # CAST(sum AS BIGINT) in the oracles and, for the decimal row,
+    # emitting scaled-integer BIGINT units instead of DECIMAL columns.
+    # Must re-window to convert the fix into green driver rows ---
     "decimal_arithmetic_conformance",
-    "dedup_embeddings_semantic",
-    # --- [B] the 28 round-4-late queries, never driver-checked
-    # (VERDICT r4 #2): all local-3-SF green since they landed ---
-    "dup_graph_triangles",
-    "tpch_q21_like",
-    "bitwise_functions_conformance",
-    "unpivot_conformance",
-    "corpus_perplexity_buckets",
-    "media_dedup_exact",
-    "tpch_q7_like",
-    "tpch_q9_like",
-    "tpch_q10_like",
-    "tpch_q13_like",
-    "tpch_q15_like",
-    "tpch_q16_like",
-    "tpch_q20_like",
-    "tpch_q22_like",
-    "corpus_dsir_importance",
     "tokenizer_bpe_pair_counts",
-    "embeddings_jl_projection",
-    "custom_agg_trimmed_mean",
-    "udtf_chunk_documents",
-    "audience_overlap_bitmap",
-    "dedup_span_stats",
-    "contrastive_hard_negatives",
-    "nan_inf_conformance",
-    "stream_daily_users_bitmap",
-    "cdc_diff_snapshots",
-    "copurchase_pairs_topk",
-    "event_transition_matrix",
-    "customer_rfm_segments",
-    # --- [A2] the round-4 -0.0-guard quartet: green code paths
-    # epsilon-changed after their last driver look — staleness
-    # policy says re-window (4) ---
-    "stats_functions",
-    "embedding_label_stats",
-    "label_centroids",
-    "scalar_functions",
-    # --- [E] round-5 NEW operators (14) — never driver-checked, so
-    # they displace [D] rotation slots per the documented policy
-    # (new evidence > refreshed evidence) ---
-    "tpch_q8_like",
-    "tpch_q11_like",
-    "grouping_sets_conformance",
-    "interval_datetime_conformance",
-    "map_functions_conformance",
-    "embeddings_dim_stats",
-    "corpus_token_budget_pack",
-    "dedup_cluster_canonical",
-    "media_phash_near_dup",
-    "similarity_range_search",
-    "text_char_ngram_entropy",
-    "stream_cdc_scd2",
-    "asof_join_nearest",
-    "dq_rule_engine",
-    # --- [E2] late-round-5 operators (2 of 4 fit; policy: new
-    # evidence > refreshed, so they take the last two [D] slots):
-    # recursive CTE (Spark-4-new engine capability) and PCA power
-    # iteration (the round's highest-float-risk algebra — driver
-    # evidence is worth most where divergence risk is highest).
-    # `regr_aggregates_conformance` and `pareto_frontier_customers`
-    # lead the round-6 queue with the displaced [D] pair ---
     "recursive_cte_conformance",
-    "embeddings_pca_power",
+    # --- [B] the 11 late-round-5 operators never driver-checked
+    # (VERDICT r5 #3); window_funnel_depth and k_anonymity_audit
+    # carried the same queued HUGEINT landmine and are cast now ---
+    "regr_aggregates_conformance",
+    "pareto_frontier_customers",
+    "stream_cep_funnel",
+    "dp_noised_release",
+    "k_anonymity_audit",
+    "window_funnel_depth",
+    "corpus_zipf_fit",
+    "value_benford_digits",
+    "cdc_python_datasource_roundtrip",
+    "stream_cdc_python_datasource",
+    "cdc_python_datasource_write_roundtrip",
+    # --- [C] round-6 NEW operators displace rotation slots per the
+    # documented policy (new evidence > refreshed evidence) ---
+    # (filled as round-6 operators land)
+    # --- [D] staleness rotation, oldest driver evidence first: the
+    # r5-displaced dashboard/relational pairs, then the r1-only pool
+    # in documented queue order ---
+    "dash_total_trades",
+    "dash_volume_last_day",
+    "dash_avg_latency_last_day",
+    "dash_distinct_users",
+    "dash_latency_per_minute",
+    "date_functions",
+    "top_parts_per_supplier",
+    "ema_per_key",
+    "dash_bid_ask_ranking",
+    "region_revenue",
+    "revenue_top_orders",
+    "tpch_q6",
+    "alerts_large_trade",
+    "alerts_rapid_trades",
+    "tpch_q1",
+    "tpch_q12_like",
+    "tpch_q14_like",
+    "sessionize",
+    "window_rank_functions",
+    "value_quantiles",
+    "sessionize_native",
+    "window_agg_5m_salted",
+    "dash_approx_distinct_users",
+    "dash_recent_alerts",
+    "dash_live_trades",
+    "dash_pipeline_liveness",
+    "dash_latest_value_per_day",
+    "dash_price_per_minute_single_key",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "alerts_large_trade_lookup_join",
+    "order_status_pivot",
+    "big_orders_having",
+    "window_agg_sliding",
+    "order_priority_counts",
+    "lineitem_rollup",
 ]
 
 

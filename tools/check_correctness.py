@@ -27,22 +27,33 @@ TABLES = [
 
 
 def _norm_value(v) -> str:
+    """TYPE-FAITHFUL normalization (VERDICT r5 #2/#3).
+
+    Three rounds of driver hash-reds were typed-output divergences
+    (DuckDB HUGEINT / DECIMAL vs Spark BIGINT) that this harness used
+    to mask by collapsing every numeric to ``round(float(v), 9)``.
+    Now int / float / Decimal-with-scale hash DISTINCTLY, so a query
+    whose oracle emits decimal128 where Spark emits long goes red
+    locally — local red must predict driver red.
+    """
     import datetime
     import decimal
     import math
 
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "b:" + str(int(v))
+    if isinstance(v, int):
+        return "i:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
+            return "f:NaN"
+        return "f:" + repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
-        return repr(round(float(v), 9))
+        return "d:" + str(v)  # scale-preserving: 3.00 != 3.0000
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, bool):
-        return str(int(v))
+        return "ts:" + v.replace(tzinfo=None).isoformat()
     return str(v)
 
 
@@ -95,6 +106,19 @@ def main() -> int:
 
         spark = get_spark("correctness_check")
     con = duckdb.connect()
+    # Record the oracle environment (VERDICT r5 #4): a dialect change
+    # between local DuckDB and the driver's is a diagnosis headache
+    # unless both versions are on the record.
+    import pyspark
+
+    print(f"# engines: duckdb {duckdb.__version__}, pyspark {pyspark.__version__}")
+    try:
+        ieee = con.execute(
+            "SELECT current_setting('ieee_floating_point_ops')"
+        ).fetchone()[0]
+        print(f"# duckdb ieee_floating_point_ops={ieee}")
+    except Exception:
+        print("# duckdb ieee_floating_point_ops: setting absent (pre-1.1 dialect)")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -141,9 +165,14 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            drows = res.fetchall()
-            dcols = [d[0] for d in res.description]
+            # Fetch via Arrow to mirror the driver's path: HUGEINT
+            # arrives as decimal128→Decimal (not a silently-widened
+            # Python int like .fetchall() gives), so oracle typing
+            # divergences surface locally.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = list(tbl.column_names)
+            _dcolumns = [c.to_pylist() for c in tbl.columns]
+            drows = list(zip(*_dcolumns)) if tbl.num_rows else []
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
