@@ -153,6 +153,14 @@ BENCH_QUERIES = [
     "cdc_python_datasource_roundtrip",
     "stream_cdc_python_datasource",
     "cdc_python_datasource_write_roundtrip",
+    # round-6 wave: statistical inference & association (all algebraic-
+    # moment shapes — one hash agg + closed-form scalar solve)
+    "events_ols_two_factor",
+    "source_welch_ttest",
+    "mi_event_value_bands",
+    "value_ks_grid",
+    "events_autocorr_lag1",
+    "market_basket_rules",
 ]
 
 

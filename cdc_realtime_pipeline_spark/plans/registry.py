@@ -16,61 +16,39 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-5 window composition (the round-4 gate returned 46 green + 3
-rows-only + 1 hash-fail; across all rounds 172 queries held a green
-driver row entering round 5, 28 landed too late for a window slot):
-[A] 2 implementation-changed rows — `decimal_arithmetic_conformance`
-(the round-5 bit-identical floor-grid repair of the two-round-red
-hash row, VERDICT r4 #1) and `dedup_embeddings_semantic`
-(corpus-sized K + IVF two-level multi-probe assignment, VERDICT r4
-#3); [B] all 28 round-4-late never-driver-checked queries exactly as
-staged (VERDICT r4 #2) — the graph/conformance/TPC-H-completion/
-LLM-pipeline block, including `cdc_diff_snapshots` and
-`nan_inf_conformance` whose implementations ALSO changed this round
-(ADVICE r4 #1-#3); [A2] the -0.0-guard quartet (`stats_functions`,
-`embedding_label_stats`, `label_centroids`, `scalar_functions`) —
-green code paths epsilon-changed after their last driver look, so
-the staleness policy re-windows them; [E] the 13 operators ADDED in
-round 5 (TPC-H Q8/Q11 completion, grouping-sets/interval/map
-conformance, per-dimension embedding stats, token-budget packing,
-canonical dedup selection, media pHash banding, similarity range
-search, trigram entropy, streaming SCD2, nearest as-of, declarative
-DQ rule engine) — new operators displace rotation slots per policy;
-[E2] the 2 late-round-5 operators that fit (recursive CTE, PCA
-power iteration; their 2 siblings queue for round 6)
-([A]2 + [B]28 + [A2]4 + [E]14 + [E2]2 = 50).
-Rows dropped this round hold r1-r4 green evidence on unchanged code
-and stay under the local 3-SF harness.
+Round-6 window composition (the round-5 gate returned 47 green + 3
+hash-only reds, all three adjudicated by the judge as typed-output
+representation divergence — values identical cross-engine):
+[A] the 3 re-typed r5 reds (HUGEINT sums cast to BIGINT in the
+oracles; the decimal row's output re-expressed as scaled-integer
+BIGINT units, VERDICT r5 #1) — changed contract surface must
+re-window; [B] the 11 late-round-5 operators that never saw a
+driver window (VERDICT r5 #3), including the two whose oracles
+carried the same queued HUGEINT landmine (`window_funnel_depth`,
+`k_anonymity_audit` — cast now, before their first driver look);
+[C] the 6 round-6 NEW statistical-inference operators (closed-form
+2-factor OLS, Welch one-vs-rest t-test, mutual information,
+grid-KS, lag-1 autocorrelation, association rules with lift) — new
+operators displace rotation slots per policy; [D] 30 staleness-
+rotation slots, oldest driver evidence first (the r5-displaced
+dashboard pair, then the r1-only pool in queue order)
+([A]3 + [B]11 + [C]6 + [D]30 = 50).
+Rows dropped this round hold r1-r5 green evidence on unchanged code
+and stay under the local 3-SF harness (which now hashes
+type-faithfully via Arrow — local red predicts driver red on the
+typed-output class too).
 
-Round-6 rotation queue — first the 11 never-checked late-round-5
-operators (`regr_aggregates_conformance`, `pareto_frontier_customers`,
-`stream_cep_funnel`, `dp_noised_release`, `k_anonymity_audit`,
-`window_funnel_depth`, `corpus_zipf_fit`, `value_benford_digits`,
-`cdc_python_datasource_roundtrip`, `stream_cdc_python_datasource`,
-`cdc_python_datasource_write_roundtrip`)
-and the [D] pair they displaced
-(dash_total_trades, dash_volume_last_day), then the 14 [D] entries displaced by [E] this
-round (dash_avg_latency_last_day, dash_distinct_users,
-dash_latency_per_minute, date_functions,
-top_parts_per_supplier, ema_per_key, dash_bid_ask_ranking,
-region_revenue, revenue_top_orders, tpch_q6, alerts_large_trade,
-alerts_rapid_trades, tpch_q1, tpch_q12_like) lead, then
-the remaining r1-only pool continues oldest-first:
-`tpch_q14_like`, `sessionize`, `window_rank_functions`,
-`value_quantiles`, `sessionize_native`, `window_agg_5m_salted`,
-`dash_approx_distinct_users`, `dash_recent_alerts`,
-`dash_live_trades`, `dash_pipeline_liveness`,
-`dash_latest_value_per_day`, `dash_price_per_minute_single_key`,
-`small_quantity_revenue`, `disjunctive_revenue`,
-`alerts_large_trade_lookup_join`, `order_status_pivot`,
+Round-7 rotation queue — the 6 [D] entries displaced by [C] this
+round (`alerts_large_trade_lookup_join`, `order_status_pivot`,
 `big_orders_having`, `window_agg_sliding`, `order_priority_counts`,
-`lineitem_rollup`, `monthly_order_stats`, `cumulative_daily_value`,
+`lineitem_rollup`) lead, then the remaining r1-only pool continues
+oldest-first: `monthly_order_stats`, `cumulative_daily_value`,
 `set_operations`, `revenue_share_per_nation`,
 `cheapest_supplier_per_part`, `customers_without_orders`, and the
 r2-green block (media_*, corpus_* pack/split/vocab,
 stream_static_enrich, stream_stream_join, asof_join_last_click,
 bucketized_range_join, skewed_join_salted) — oldest evidence first,
-plus any round-5 [D] entries displaced by late round-5 operators.
+plus any round-6 [D] entries displaced by late round-6 operators.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -92,6 +70,7 @@ from cdc_realtime_pipeline_spark.operators import (
     dedup,
     dq,
     extended,
+    inference,
     multimodal,
     relational,
     relational_tpch,
@@ -122,6 +101,7 @@ _MODULES = [
     corpus_ops,
     curation,
     dq,
+    inference,
     stream_queries,
 ]
 
@@ -153,8 +133,16 @@ _PRIORITY = [
     "stream_cdc_python_datasource",
     "cdc_python_datasource_write_roundtrip",
     # --- [C] round-6 NEW operators displace rotation slots per the
-    # documented policy (new evidence > refreshed evidence) ---
-    # (filled as round-6 operators land)
+    # documented policy (new evidence > refreshed evidence): the
+    # statistical-inference wave (closed-form 2-factor OLS, Welch
+    # one-vs-rest t-test, mutual information, grid-KS, lag-1
+    # autocorrelation, association rules with lift) ---
+    "events_ols_two_factor",
+    "source_welch_ttest",
+    "mi_event_value_bands",
+    "value_ks_grid",
+    "events_autocorr_lag1",
+    "market_basket_rules",
     # --- [D] staleness rotation, oldest driver evidence first: the
     # r5-displaced dashboard/relational pairs, then the r1-only pool
     # in documented queue order ---
@@ -188,12 +176,6 @@ _PRIORITY = [
     "dash_price_per_minute_single_key",
     "small_quantity_revenue",
     "disjunctive_revenue",
-    "alerts_large_trade_lookup_join",
-    "order_status_pivot",
-    "big_orders_having",
-    "window_agg_sliding",
-    "order_priority_counts",
-    "lineitem_rollup",
 ]
 
 
