@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "value_ks_grid",
     "events_autocorr_lag1",
     "market_basket_rules",
+    "stream_window_chain",
+    "group_by_all_conformance",
+    "similarity_mmr_rerank",
 ]
 
 

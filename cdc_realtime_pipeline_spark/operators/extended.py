@@ -1991,6 +1991,49 @@ ORDER BY gid, event_type, month
 """
 
 
+def group_by_all_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` dialect sugar, pinned
+    cross-engine (Spark 3.4+ / DuckDB): every non-aggregate select
+    item becomes a grouping key, and ORDER BY ALL orders by the full
+    select list left-to-right. Worth a conformance row because the
+    sugar's EXPANSION is engine-defined — a divergence in which items
+    are "non-aggregate" (e.g. a CASE wrapping an aggregate) silently
+    changes the grouping — and because migrating users write it
+    constantly. The grouped expression set mixes a plain column, a
+    derived CASE, and a time bucket; identical statement text runs on
+    both engines (the one dialect seam, epoch-second extraction, is
+    isolated in the inner projection).
+
+    Scale: one hash aggregate over a bounded (type × band × hour-mod)
+    key space; ORDER BY ALL on the aggregated relation only.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_gba_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN value >= 500 THEN 'hi' ELSE 'lo' END AS band,
+               CAST(floor(unix_timestamp(ts) / 3600) % 24 AS BIGINT) AS hour_slot,
+               count(*) AS n,
+               round(sum(value) + 1e-9, 4) AS sum_value
+        FROM _gba_events
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+GROUP_BY_ALL_CONFORMANCE_SQL = """
+SELECT event_type,
+       CASE WHEN value >= 500 THEN 'hi' ELSE 'lo' END AS band,
+       CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hour_slot,
+       count(*) AS n,
+       round(sum(value) + 1e-9, 4) AS sum_value
+FROM events
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
 def interval_datetime_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/interval arithmetic surface — INTERVAL addition, calendar
     truncation (week/quarter), ``last_day``, day-diff vs a fixed
@@ -2393,6 +2436,7 @@ FROM per_user GROUP BY max_depth ORDER BY max_depth
 
 QUERIES = {
     "grouping_sets_conformance": grouping_sets_conformance,
+    "group_by_all_conformance": group_by_all_conformance,
     "window_funnel_depth": window_funnel_depth,
     "interval_datetime_conformance": interval_datetime_conformance,
     "map_functions_conformance": map_functions_conformance,
@@ -2442,6 +2486,7 @@ ORACLES = {
     "regr_aggregates_conformance": REGR_AGGREGATES_CONFORMANCE_SQL,
     "pareto_frontier_customers": PARETO_FRONTIER_CUSTOMERS_SQL,
     "grouping_sets_conformance": GROUPING_SETS_CONFORMANCE_SQL,
+    "group_by_all_conformance": GROUP_BY_ALL_CONFORMANCE_SQL,
     "interval_datetime_conformance": INTERVAL_DATETIME_CONFORMANCE_SQL,
     "map_functions_conformance": MAP_FUNCTIONS_CONFORMANCE_SQL,
     "docs_lang_source_pivot": DOCS_LANG_SOURCE_PIVOT_SQL,

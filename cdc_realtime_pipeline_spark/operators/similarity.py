@@ -1392,7 +1392,190 @@ FROM w3 ORDER BY dim
 """
 
 
+# --------------------------------------------------------------------------
+# MMR (Maximal Marginal Relevance) re-ranking of top-K candidates
+# --------------------------------------------------------------------------
+
+_MMR_POOL = 20  # candidate pool per query (top-N by relevance)
+_MMR_K = 8  # selections per query
+_MMR_LAMBDA = 0.7
+
+
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    re-ranking of each query's top-{POOL} cosine candidates: greedily
+    pick the candidate maximizing λ·rel(c) − (1−λ)·max_{{s∈S}}
+    sim(c, s) — relevance traded against redundancy with what is
+    already selected. The standard diversity pass between ANN
+    retrieval and RAG context assembly (near-duplicate passages waste
+    a context window; MMR is why retrievers don't return ten copies
+    of the same paragraph).
+
+    Spark-first decomposition of an inherently sequential greedy:
+    * DISTRIBUTED part (corpus-scale): candidate generation — the
+      broadcast-query brute-force scan (same plan as
+      ``similarity_topk_bruteforce``) cut to the top-{POOL} pool, and
+      the pool×pool pairwise sim matrix (bounded: {POOL}²·|Q| rows).
+      Both use the shared sequential-fold ``cosine`` rounded to 6dp,
+      the module's ulp-stable cross-engine discipline.
+    * SEQUENTIAL part (bounded per query): the greedy walk runs in an
+      ``applyInPandas`` over the per-query group — {POOL} rel values
+      + a {POOL}² sim dict per group, K iterations of a pure-Python
+      argmax whose arithmetic (0.7·rel − 0.3·maxsim on the 6dp-rounded
+      inputs) is the BIT-IDENTICAL double expression the oracle's
+      recursive CTE evaluates, so the driver hash gate holds without
+      any tolerance. At 100 TB the group count is the query count and
+      each group is O(POOL²) — the pandas stage's cost is independent
+      of corpus size.
+
+    The oracle is a recursive CTE with a LATERAL argmax per step —
+    the declarative mirror of the greedy loop (selection state carried
+    as a DuckDB LIST, membership via ``list_contains``).
+    """
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    scored = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    cands = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .select("query_id", "vec_id", "cos", "embedding")
+    )
+    cands = tracked_persist(cands)
+    a = cands.select(
+        "query_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("cos").alias("rel_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = cands.select(
+        "query_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "query_id",
+            "vec_a",
+            "rel_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
+        )
+    )
+
+    lam = _MMR_LAMBDA
+    kk = _MMR_K
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.vec_a] = r.rel_a
+            sim[(r.vec_a, r.vec_b)] = r.sim
+        qid = int(pdf["query_id"].iloc[0])
+        selected: list[int] = []
+        out = []
+        for step in range(1, kk + 1):
+            best = None
+            for c in sorted(rel):  # vec_id ascending = deterministic tie-break
+                if c in selected:
+                    continue
+                pen = max((sim[(c, s)] for s in selected), default=0.0)
+                score = lam * rel[c] - (1.0 - lam) * pen
+                if best is None or score > best[1]:
+                    best = (c, score)
+            selected.append(best[0])
+            out.append((qid, step, best[0], rel[best[0]], best[1]))
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", "vec_id", "rel_cos", "score"]
+        )
+
+    picked = pairs.groupBy("query_id").applyInPandas(
+        _greedy,
+        schema="query_id long, mmr_rank int, vec_id long, rel_cos double, score double",
+    )
+    return picked.select(
+        "query_id",
+        "mmr_rank",
+        "vec_id",
+        "rel_cos",
+        (F.round(F.col("score") + 1e-9, 8) + 0.0).alias("mmr_score"),
+    ).orderBy("query_id", "mmr_rank")
+
+
+SIMILARITY_MMR_RERANK_SQL = f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+               6) AS cos
+  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+),
+cands AS (
+  SELECT query_id, vec_id, cos
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored)
+  WHERE rk <= {_MMR_POOL}
+),
+pairs AS (
+  SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b,
+         round(list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e1.embedding::DOUBLE[], e1.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))),
+               6) AS sim
+  FROM cands c1
+  JOIN cands c2 ON c1.query_id = c2.query_id AND c1.vec_id != c2.vec_id
+  JOIN embeddings e1 ON e1.vec_id = c1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = c2.vec_id
+),
+sel AS (
+  SELECT query_id, 1 AS mmr_rank,
+         [vec_id] AS sel_ids, vec_id, cos AS rel_cos,
+         {_MMR_LAMBDA} * cos - (1.0 - {_MMR_LAMBDA}) * 0.0 AS score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM cands)
+  WHERE rk = 1
+  UNION ALL
+  SELECT r.query_id, r.mmr_rank + 1,
+         list_append(r.sel_ids, pick.vec_id), pick.vec_id, pick.rel_cos,
+         pick.score
+  FROM sel r, LATERAL (
+    SELECT c.vec_id, c.cos AS rel_cos,
+           {_MMR_LAMBDA} * c.cos - (1.0 - {_MMR_LAMBDA}) * coalesce(
+             (SELECT max(p.sim) FROM pairs p
+              WHERE p.query_id = r.query_id AND p.a = c.vec_id
+                AND list_contains(r.sel_ids, p.b)), 0.0) AS score
+    FROM cands c
+    WHERE c.query_id = r.query_id AND NOT list_contains(r.sel_ids, c.vec_id)
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT 1
+  ) pick
+  WHERE r.mmr_rank < {_MMR_K}
+)
+SELECT query_id, mmr_rank, vec_id, rel_cos,
+       round(score + 1e-9, 8) + 0.0 AS mmr_score
+FROM sel ORDER BY query_id, mmr_rank
+"""
+
+
 QUERIES = {
+    "similarity_mmr_rerank": similarity_mmr_rerank,
     "contrastive_hard_negatives": contrastive_hard_negatives,
     "embeddings_pca_power": embeddings_pca_power,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
@@ -1409,6 +1592,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "similarity_mmr_rerank": SIMILARITY_MMR_RERANK_SQL,
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,
     "embeddings_pca_power": EMBEDDINGS_PCA_POWER_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,

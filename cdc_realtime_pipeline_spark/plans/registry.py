@@ -26,22 +26,25 @@ re-window; [B] the 11 late-round-5 operators that never saw a
 driver window (VERDICT r5 #3), including the two whose oracles
 carried the same queued HUGEINT landmine (`window_funnel_depth`,
 `k_anonymity_audit` — cast now, before their first driver look);
-[C] the 6 round-6 NEW statistical-inference operators (closed-form
-2-factor OLS, Welch one-vs-rest t-test, mutual information,
-grid-KS, lag-1 autocorrelation, association rules with lift) — new
-operators displace rotation slots per policy; [D] 30 staleness-
-rotation slots, oldest driver evidence first (the r5-displaced
-dashboard pair, then the r1-only pool in queue order)
-([A]3 + [B]11 + [C]6 + [D]30 = 50).
+[C] the 9 round-6 NEW operators (the statistical-inference wave —
+closed-form 2-factor OLS, Welch one-vs-rest t-test, mutual
+information, grid-KS, lag-1 autocorrelation, association rules with
+lift — plus chained streaming windows, GROUP BY ALL sugar, and MMR
+re-ranking with a recursive-CTE oracle) — new operators displace
+rotation slots per policy; [D] 27 staleness-rotation slots, oldest
+driver evidence first (the r5-displaced dashboard pair, then the
+r1-only pool in queue order) ([A]3 + [B]11 + [C]9 + [D]27 = 50).
 Rows dropped this round hold r1-r5 green evidence on unchanged code
 and stay under the local 3-SF harness (which now hashes
 type-faithfully via Arrow — local red predicts driver red on the
 typed-output class too).
 
-Round-7 rotation queue — the 6 [D] entries displaced by [C] this
-round (`alerts_large_trade_lookup_join`, `order_status_pivot`,
-`big_orders_having`, `window_agg_sliding`, `order_priority_counts`,
-`lineitem_rollup`) lead, then the remaining r1-only pool continues
+Round-7 rotation queue — the 9 [D] entries displaced by [C] this
+round (`dash_price_per_minute_single_key`, `small_quantity_revenue`,
+`disjunctive_revenue`, `alerts_large_trade_lookup_join`,
+`order_status_pivot`, `big_orders_having`, `window_agg_sliding`,
+`order_priority_counts`, `lineitem_rollup`) lead, then the remaining
+r1-only pool continues
 oldest-first: `monthly_order_stats`, `cumulative_daily_value`,
 `set_operations`, `revenue_share_per_nation`,
 `cheapest_supplier_per_part`, `customers_without_orders`, and the
@@ -143,6 +146,9 @@ _PRIORITY = [
     "value_ks_grid",
     "events_autocorr_lag1",
     "market_basket_rules",
+    "stream_window_chain",
+    "group_by_all_conformance",
+    "similarity_mmr_rerank",
     # --- [D] staleness rotation, oldest driver evidence first: the
     # r5-displaced dashboard/relational pairs, then the r1-only pool
     # in documented queue order ---
@@ -173,9 +179,6 @@ _PRIORITY = [
     "dash_live_trades",
     "dash_pipeline_liveness",
     "dash_latest_value_per_day",
-    "dash_price_per_minute_single_key",
-    "small_quantity_revenue",
-    "disjunctive_revenue",
 ]
 
 

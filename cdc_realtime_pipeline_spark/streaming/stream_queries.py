@@ -1342,7 +1342,84 @@ def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memory_sink(hits, "append").orderBy("user_id", "purchase_id")
 
 
+def stream_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming time-window rollup (1 min → 5 min) — TWO
+    stateful window aggregates in ONE streaming query, the Spark 3.4+
+    multi-stateful-operator capability (``window(col("w1"), ...)``
+    accepts a window column, carrying event-time through the chain).
+    This is the production tiered-rollup shape: fine windows absorb
+    the raw event rate near the source, the coarse tier aggregates
+    the already-reduced stream — the second stage's input is bounded
+    by the window grid, not the event rate, which is what makes
+    multi-resolution dashboards affordable at 100 TB/day (the batch
+    analog is ``window_agg_1h_rollup``; this row proves the streaming
+    runtime preserves the same semantics).
+
+    Chained aggregates require APPEND mode + watermark (complete mode
+    forbids multiple stateful operators), so finalized windows emit
+    only once the 10-min watermark passes their end: the oracle
+    applies exactly that gate — 5-min windows whose end ≤ max(ts) −
+    10 min — the same closed-form final-watermark contract the
+    stream_stream_left_outer row pins. n_subwindows counts the
+    NON-EMPTY 1-min windows feeding each 5-min window (sparse grids
+    make this < 5), pinning that the chain aggregates the fine
+    windows themselves, not re-scanned raw events.
+    """
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    w1 = (
+        events_stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w1"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    w5 = (
+        w1.groupBy(F.window(F.col("w1"), "5 minutes").alias("w5"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_subwindows"),
+            F.sum("v").alias("total_value"),
+        )
+    )
+    res = _memory_sink(w5, "append")
+    return res.select(
+        "event_type",
+        F.col("w5.start").alias("window_start"),
+        "n_subwindows",
+        "n_events",
+        F.round(F.col("total_value") + 1e-9, 4).alias("total_value"),
+    ).orderBy("event_type", "window_start")
+
+
+STREAM_WINDOW_CHAIN_SQL = """
+WITH mx AS (SELECT max(ts) AS mts FROM events),
+b1 AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS w1s,
+         count(*) AS n, sum(value) AS v
+  FROM events GROUP BY event_type, w1s
+),
+b5 AS (
+  SELECT event_type,
+         make_timestamp(CAST(floor(w1s / 300) * 300 AS BIGINT) * 1000000)
+           AS window_start,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         count(*) AS n_subwindows,
+         sum(v) AS tv
+  FROM b1 GROUP BY event_type, window_start
+)
+SELECT event_type, window_start, n_subwindows, n_events,
+       round(tv + 1e-9, 4) AS total_value
+FROM b5 CROSS JOIN mx
+WHERE window_start + INTERVAL 5 MINUTE <= mts - INTERVAL 10 MINUTE
+ORDER BY event_type, window_start
+"""
+
+
 QUERIES = {
+    "stream_window_chain": stream_window_chain,
     "stream_daily_users_bitmap": stream_daily_users_bitmap,
     "stream_cep_funnel": stream_cep_funnel,
     "cdc_python_datasource_roundtrip": cdc_python_datasource_roundtrip,
@@ -1369,6 +1446,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_window_chain": STREAM_WINDOW_CHAIN_SQL,
     "stream_daily_users_bitmap": STREAM_DAILY_USERS_BITMAP_SQL,
     # deliberately the SAME oracle as the batch lag-chain: the
     # streaming NFA walk must reproduce the declarative match set

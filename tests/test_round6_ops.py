@@ -1,0 +1,115 @@
+"""Invariant tests for the round-6 second wave: chained streaming
+windows, GROUP BY ALL sugar, and MMR re-ranking."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.operators.extended import group_by_all_conformance
+from cdc_realtime_pipeline_spark.operators.similarity import (
+    _MMR_K,
+    _MMR_LAMBDA,
+    _MMR_POOL,
+    N_QUERIES,
+    similarity_mmr_rerank,
+    similarity_topk_bruteforce,
+)
+from cdc_realtime_pipeline_spark.session import load_table
+from cdc_realtime_pipeline_spark.streaming.stream_queries import stream_window_chain
+
+
+def test_stream_window_chain_matches_batch_rollup(spark, sf_dir):
+    got = stream_window_chain(spark, sf_dir).collect()
+    assert got, "finalized windows expected"
+    # every 5-min window aggregates 1..5 non-empty 1-min sub-windows
+    assert all(1 <= r.n_subwindows <= 5 for r in got)
+    # the emitted set is exactly the final-watermark gate: 5-min
+    # windows whose end <= max(ts) - 10 min, and counts match batch
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    batch = {
+        (r.event_type, r.w5): r.n
+        for r in ev.groupBy(
+            "event_type",
+            F.window("ts", "5 minutes").getField("start").alias("w5"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    import datetime
+
+    for r in got:
+        assert r.window_start + datetime.timedelta(minutes=5) <= mx - datetime.timedelta(
+            minutes=10
+        )
+        assert batch[(r.event_type, r.window_start)] == r.n_events
+    # nothing eligible is missing
+    eligible = {
+        k
+        for k in batch
+        if k[1] + datetime.timedelta(minutes=5) <= mx - datetime.timedelta(minutes=10)
+    }
+    assert {(r.event_type, r.window_start) for r in got} == eligible
+
+
+def test_group_by_all_equals_explicit_grouping(spark, sf_dir):
+    sugar = group_by_all_conformance(spark, sf_dir).collect()
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_gba2")
+    explicit = spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN value >= 500 THEN 'hi' ELSE 'lo' END AS band,
+               CAST(floor(unix_timestamp(ts) / 3600) % 24 AS BIGINT) AS hour_slot,
+               count(*) AS n,
+               round(sum(value) + 1e-9, 4) AS sum_value
+        FROM _gba2
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3, 4, 5
+        """
+    ).collect()
+    assert sugar == explicit
+
+
+def test_mmr_greedy_invariants(spark, sf_dir):
+    got = similarity_mmr_rerank(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    top = {
+        (r.query_id, r.rk): r.vec_id
+        for r in similarity_topk_bruteforce(spark, sf_dir).collect()
+    }
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        va, vb = emb[a], emb[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.mmr_rank)
+        assert [r.mmr_rank for r in rows] == list(range(1, _MMR_K + 1))
+        ids = [r.vec_id for r in rows]
+        assert len(set(ids)) == _MMR_K  # no repeats
+        # rank 1 is the pure-relevance top-1 (penalty is empty-set 0)
+        assert ids[0] == top[(qid, 1)]
+        # each score equals lambda*rel - (1-lambda)*max-sim-to-prior,
+        # recomputed independently from the raw embeddings
+        for i, r in enumerate(rows):
+            pen = max((cos(r.vec_id, s) for s in ids[:i]), default=0.0)
+            want = _MMR_LAMBDA * r.rel_cos - (1.0 - _MMR_LAMBDA) * pen
+            assert math.isclose(r.mmr_score, want, abs_tol=5e-6)
+        # every selection comes from the top-POOL relevance pool,
+        # recomputed independently from the raw embeddings
+        scores = sorted(
+            ((round(cos(qid, v), 6), -v) for v in emb if v != qid), reverse=True
+        )[:_MMR_POOL]
+        pool = {-nv for _, nv in scores}
+        assert set(ids) <= pool
+        assert _MMR_POOL >= _MMR_K
