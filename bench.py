@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "stream_window_chain",
     "group_by_all_conformance",
     "similarity_mmr_rerank",
+    "tokenizer_bpe_train_merges",
 ]
 
 

@@ -666,6 +666,169 @@ ORDER BY pair_count DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
 """
 
 
+BPE_TRAIN_STEPS = 5
+
+
+def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BPE training LOOP (Sennrich et al. 2016), not just
+    its first-iteration statistic: {K} merge steps, each picking the
+    most frequent adjacent symbol pair (count desc, pair asc
+    tie-break) and re-tokenizing the vocabulary with it — emitting,
+    per step, the learned merge, its corpus pair count, and the
+    corpus token count after applying it (the compression curve a
+    tokenizer budget decision reads).
+
+    Spark-first shape (the iterative-refinement pattern of
+    dup_clusters_connected_components): every pass runs over the
+    VOCABULARY relation (distinct word, weight), never the corpus —
+    the corpus is scanned exactly once to build word counts, after
+    which each step is a bounded explode + map-side-combinable agg,
+    corpus-size-independent. The driver sees one scalar row per step
+    (the argmax pair — the CC-loop discipline: scalar-only driver
+    actions); the merge itself is a JVM higher-order ``aggregate``
+    back-merge fold over each word's symbol array, the exact
+    leftmost-non-overlapping BPE re-tokenization (merging with the
+    fold's last element is sound because a merge product a||b can
+    never equal the pair's left symbol a, so a freshly-merged token
+    can't re-trigger the same rule).
+
+    The oracle unrolls the {K} steps as chained CTEs; each re-
+    tokenization is a recursive CTE running the IDENTICAL back-merge
+    fold per word (depth = word length, rows = Σ|word| — vocab-sized,
+    the declarative mirror of the sequential fold).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    vocab = tracked_persist(
+        words.select("wc", F.split("word", "").alias("syms"))
+    )
+    pair_expr = (
+        "IF(size(syms) < 2, array(),"
+        " transform(sequence(1, size(syms) - 1),"
+        " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))))"
+    )
+    tops = []
+    snapshots = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        top = (
+            vocab.select("wc", F.explode(F.expr(pair_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .first()  # scalar driver action, one per merge step
+        )
+        a, b = top.pair.split(" ")
+        m = a + b
+        fold = (
+            "aggregate(syms, cast(array() as array<string>),"
+            f" (acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{a}'"
+            f" AND s = '{b}',"
+            f" concat(slice(acc, 1, size(acc) - 1), array('{m}')),"
+            " concat(acc, array(s))))"
+        )
+        vocab = tracked_persist(
+            vocab.select("wc", F.expr(fold).alias("syms"))
+        )
+        tops.append(top)
+        snapshots.append(vocab)
+    # one batched action for all per-step compression readings (the
+    # snapshots are persisted, so this re-executes nothing upstream)
+    from functools import reduce
+
+    counts_df = reduce(
+        lambda x, y: x.unionAll(y),
+        [
+            v.agg(
+                F.lit(i + 1).alias("step"),
+                F.sum(F.col("wc") * F.size("syms")).cast("long").alias("n"),
+            )
+            for i, v in enumerate(snapshots)
+        ],
+    )
+    n_by_step = {r.step: r.n for r in counts_df.collect()}
+    rows = [
+        (step, tops[step - 1].pair, int(tops[step - 1].cnt), int(n_by_step[step]))
+        for step in range(1, BPE_TRAIN_STEPS + 1)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, merged_pair string, pair_count long, corpus_tokens long"
+    )
+
+
+tokenizer_bpe_train_merges.__doc__ = tokenizer_bpe_train_merges.__doc__.format(
+    K=BPE_TRAIN_STEPS
+)
+
+
+def _bpe_train_oracle_sql() -> str:
+    """Unrolled {K}-step oracle: per step, a pair aggregate, an argmax
+    CTE, and a recursive back-merge fold over each word."""
+    parts = [
+        f"""v0 AS MATERIALIZED (
+  SELECT word, count(*) AS wc, string_split(word, '') AS syms
+  FROM (SELECT unnest(string_split({NORMALIZE_SQL.format(col="text")}, ' ')) AS word
+        FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word
+)"""
+    ]
+    for k in range(1, BPE_TRAIN_STEPS + 1):
+        p = k - 1
+        parts.append(f"""pairs{k} AS MATERIALIZED (
+  SELECT v.syms[CAST(i AS INT)] || ' ' || v.syms[CAST(i AS INT) + 1] AS pair,
+         v.wc
+  FROM v{p} v, LATERAL (SELECT unnest(range(1, len(v.syms))) AS i)
+)""")
+        parts.append(f"""top{k} AS MATERIALIZED (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt,
+         string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b,
+         replace(pair, ' ', '') AS m
+  FROM pairs{k} GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1
+)""")
+        parts.append(f"""f{k} AS (
+  SELECT word, wc, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM v{p}
+  UNION ALL
+  SELECT f.word, f.wc, f.syms, f.i + 1,
+         CASE WHEN len(f.acc) > 0 AND f.acc[len(f.acc)] = t.a
+                   AND f.syms[f.i] = t.b
+              THEN list_append(array_pop_back(f.acc), t.m)
+              ELSE list_append(f.acc, f.syms[f.i]) END
+  FROM f{k} f, top{k} t WHERE f.i <= len(f.syms)
+)""")
+        parts.append(f"""v{k} AS MATERIALIZED (
+  SELECT word, wc, acc AS syms FROM f{k} WHERE i = len(syms) + 1
+)""")
+        parts.append(f"""out{k} AS (
+  SELECT {k} AS step, t.pair AS merged_pair, t.cnt AS pair_count,
+         (SELECT CAST(sum(wc * len(syms)) AS BIGINT) FROM v{k})
+           AS corpus_tokens
+  FROM top{k} t
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM out{k}" for k in range(1, BPE_TRAIN_STEPS + 1)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(step AS INT) AS step, merged_pair, pair_count,"
+        f" corpus_tokens FROM ({union}) ORDER BY step"
+    )
+
+
+_bpe_train_oracle_sql.__doc__ = _bpe_train_oracle_sql.__doc__.format(
+    K=BPE_TRAIN_STEPS
+)
+
+TOKENIZER_BPE_TRAIN_MERGES_SQL = _bpe_train_oracle_sql()
+
+
 def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage audit: per source, the fraction of token
     OCCURRENCES falling outside the corpus top-K vocabulary — the OOV
@@ -915,6 +1078,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     "label_balanced_sample": label_balanced_sample,
     "tokenizer_bpe_pair_counts": tokenizer_bpe_pair_counts,
+    "tokenizer_bpe_train_merges": tokenizer_bpe_train_merges,
 }
 
 ORACLES = {
@@ -932,4 +1096,5 @@ ORACLES = {
     "corpus_length_histogram": CORPUS_LENGTH_HISTOGRAM_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "tokenizer_bpe_pair_counts": TOKENIZER_BPE_PAIR_COUNTS_SQL,
+    "tokenizer_bpe_train_merges": TOKENIZER_BPE_TRAIN_MERGES_SQL,
 }

@@ -29,18 +29,21 @@ carried the same queued HUGEINT landmine (`window_funnel_depth`,
 [C] the 9 round-6 NEW operators (the statistical-inference wave —
 closed-form 2-factor OLS, Welch one-vs-rest t-test, mutual
 information, grid-KS, lag-1 autocorrelation, association rules with
-lift — plus chained streaming windows, GROUP BY ALL sugar, and MMR
-re-ranking with a recursive-CTE oracle) — new operators displace
-rotation slots per policy; [D] 27 staleness-rotation slots, oldest
-driver evidence first (the r5-displaced dashboard pair, then the
-r1-only pool in queue order) ([A]3 + [B]11 + [C]9 + [D]27 = 50).
+lift — plus chained streaming windows, GROUP BY ALL sugar, MMR
+re-ranking with a recursive-CTE oracle, and the iterative BPE
+training loop with an unrolled recursive-fold oracle) — new
+operators displace rotation slots per policy; [D] 26 staleness-
+rotation slots, oldest driver evidence first (the r5-displaced
+dashboard pair, then the r1-only pool in queue order)
+([A]3 + [B]11 + [C]10 + [D]26 = 50).
 Rows dropped this round hold r1-r5 green evidence on unchanged code
 and stay under the local 3-SF harness (which now hashes
 type-faithfully via Arrow — local red predicts driver red on the
 typed-output class too).
 
-Round-7 rotation queue — the 9 [D] entries displaced by [C] this
-round (`dash_price_per_minute_single_key`, `small_quantity_revenue`,
+Round-7 rotation queue — the 10 [D] entries displaced by [C] this
+round (`dash_latest_value_per_day`,
+`dash_price_per_minute_single_key`, `small_quantity_revenue`,
 `disjunctive_revenue`, `alerts_large_trade_lookup_join`,
 `order_status_pivot`, `big_orders_having`, `window_agg_sliding`,
 `order_priority_counts`, `lineitem_rollup`) lead, then the remaining
@@ -149,6 +152,7 @@ _PRIORITY = [
     "stream_window_chain",
     "group_by_all_conformance",
     "similarity_mmr_rerank",
+    "tokenizer_bpe_train_merges",
     # --- [D] staleness rotation, oldest driver evidence first: the
     # r5-displaced dashboard/relational pairs, then the r1-only pool
     # in documented queue order ---
@@ -178,7 +182,6 @@ _PRIORITY = [
     "dash_recent_alerts",
     "dash_live_trades",
     "dash_pipeline_liveness",
-    "dash_latest_value_per_day",
 ]
 
 

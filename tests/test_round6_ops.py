@@ -113,3 +113,50 @@ def test_mmr_greedy_invariants(spark, sf_dir):
         pool = {-nv for _, nv in scores}
         assert set(ids) <= pool
         assert _MMR_POOL >= _MMR_K
+
+
+def test_bpe_train_matches_reference_implementation(spark, sf_dir):
+    """The distributed trainer must reproduce a from-scratch pure-
+    Python BPE reference (Sennrich 2016 semantics: most-frequent
+    adjacent pair, count desc / pair asc tie-break, leftmost
+    non-overlapping re-tokenization) run on the same word counts."""
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+        BPE_TRAIN_STEPS,
+        tokenizer_bpe_train_merges,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+
+    got = tokenizer_bpe_train_merges(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .collect()
+    )
+    vocab = {tuple(r.w): r.wc for r in words}
+    expect = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        pc: Counter = Counter()
+        for syms, wc in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = a + b
+        new_vocab: dict[tuple, int] = {}
+        for syms, wc in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + wc
+        vocab = new_vocab
+        n_tokens = sum(len(k) * v for k, v in vocab.items())
+        expect.append((step, f"{a} {b}", cnt, n_tokens))
+    assert [(r.step, r.merged_pair, r.pair_count, r.corpus_tokens) for r in got] == expect
