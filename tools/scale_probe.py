@@ -78,6 +78,13 @@ PROBE_QUERIES = [
     # round-5 late wave
     ("embeddings_pca_power", "matrix-free power iteration, 2 passes x3"),
     ("recursive_cte_conformance", "iterative union loop, log-depth joins"),
+    # round-6 wave
+    ("events_ols_two_factor", "moment agg + closed-form Cramer solve"),
+    ("market_basket_rules", "basket self-join + marginal joins"),
+    ("similarity_mmr_rerank", "broadcast scan + bounded pandas greedy"),
+    ("tokenizer_bpe_train_merges", "iterative vocab agg, scalar argmax/step"),
+    ("value_ks_grid", "grid reduction + bounded cumulative window"),
+    ("stream_window_chain", "two chained stateful window aggs, E2E"),
 ]
 
 TABLES = [
