@@ -92,6 +92,13 @@ SHOWCASE = [
     ("corpus_zipf_fit", "map-side token count → vocab-sized rank + regr moments"),
     ("value_benford_digits", "magnitude-ladder digit → 9-key agg + broadcast total"),
     ("cdc_python_datasource_roundtrip", "BatchScan cdc_envelope → unchanged JVM parse chain"),
+    ("events_ols_two_factor", "10-moment hash agg + Cramer scalar solve"),
+    ("source_welch_ttest", "group moments × broadcast total, closed-form t/df"),
+    ("mi_event_value_bands", "joint agg → broadcast marginal joins, MI terms"),
+    ("value_ks_grid", "grid reduction → bounded cumulative window"),
+    ("market_basket_rules", "basket self-join + marginal joins + lift rank"),
+    ("similarity_mmr_rerank", "broadcast scan + pool pairs → ArrowEvalPython greedy"),
+    ("group_by_all_conformance", "GROUP BY ALL expansion, one hash agg"),
 ]
 
 
