@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "group_by_all_conformance",
     "similarity_mmr_rerank",
     "tokenizer_bpe_train_merges",
+    "value_cusum_drift",
+    "events_seasonal_backtest",
+    "corpus_vocab_coverage_curve",
 ]
 
 

@@ -666,6 +666,94 @@ ORDER BY pair_count DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
 """
 
 
+COVERAGE_CUTOFFS = [100, 1000, 10000]
+
+
+def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of token OCCURRENCES
+    covered by the top-{100, 1k, 10k} vocabulary ranks — the curve
+    read to pick a tokenizer vocab budget (where it flattens, extra
+    vocab buys nothing) and the aggregate twin of the per-source OOV
+    rate (corpus_oov_rate answers "which source diverges"; this
+    answers "how big must the head be").
+
+    Shape: corpus-scale work is only the map-side-combinable token
+    count; the rank window and cumulative sum run on the VOCAB-sized
+    aggregate (the documented RFM/equidepth total-sort trade), then
+    one row per cutoff via a bounded cross join. Integer cumulative
+    counts; shares are exact-integer-derived doubles rounded 6dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = vocab.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    totals = vocab.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    cuts = spark.createDataFrame(
+        [(c,) for c in COVERAGE_CUTOFFS], "cutoff long"
+    )
+    at_cut = (
+        ranked.join(F.broadcast(cuts), F.col("rank") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.max("cum").cast("long").alias("tokens_covered"))
+    )
+    return (
+        at_cut.crossJoin(F.broadcast(totals))
+        .select(
+            "cutoff",
+            "tokens_covered",
+            "total_tokens",
+            "vocab_size",
+            F.expr("round(tokens_covered / total_tokens + 1e-9, 6) + 0.0").alias(
+                "coverage"
+            ),
+        )
+        .orderBy("cutoff")
+    )
+
+
+CORPUS_VOCAB_COVERAGE_CURVE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORMALIZE_SQL.format(col="text")}, ' ')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, count(*) AS n FROM toks WHERE length(token) > 0 GROUP BY token
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+         sum(n) OVER (ORDER BY n DESC, token ASC ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS cum
+  FROM vocab
+),
+totals AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+         count(*) AS vocab_size
+  FROM vocab
+),
+cuts AS (SELECT unnest({COVERAGE_CUTOFFS}) AS cutoff)
+SELECT CAST(c.cutoff AS BIGINT) AS cutoff,
+       CAST(max(r.cum) AS BIGINT) AS tokens_covered,
+       t.total_tokens,
+       t.vocab_size,
+       round(max(r.cum) / CAST(t.total_tokens AS DOUBLE) + 1e-9, 6) + 0.0
+         AS coverage
+FROM ranked r
+JOIN cuts c ON r.rank <= c.cutoff
+CROSS JOIN totals t
+GROUP BY c.cutoff, t.total_tokens, t.vocab_size
+ORDER BY cutoff
+"""
+
+
 BPE_TRAIN_STEPS = 5
 
 
@@ -1079,6 +1167,7 @@ QUERIES = {
     "label_balanced_sample": label_balanced_sample,
     "tokenizer_bpe_pair_counts": tokenizer_bpe_pair_counts,
     "tokenizer_bpe_train_merges": tokenizer_bpe_train_merges,
+    "corpus_vocab_coverage_curve": corpus_vocab_coverage_curve,
 }
 
 ORACLES = {
@@ -1097,4 +1186,5 @@ ORACLES = {
     "label_centroids": LABEL_CENTROIDS_SQL,
     "tokenizer_bpe_pair_counts": TOKENIZER_BPE_PAIR_COUNTS_SQL,
     "tokenizer_bpe_train_merges": TOKENIZER_BPE_TRAIN_MERGES_SQL,
+    "corpus_vocab_coverage_curve": CORPUS_VOCAB_COVERAGE_CURVE_SQL,
 }

@@ -634,7 +634,155 @@ LIMIT {K}
 """
 
 
+def value_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint screen per event type (Brown's
+    cumulative-sum-of-deviations chart): over the 5-minute mean-value
+    series, C_t = Σ_{i≤t}(x_i − x̄); the peak |C_t| locates the most
+    likely level-shift point and its bridge-normalized height
+    |C|max/(s·√n) is the drift severity a monitoring gate thresholds
+    (the offline counterpart to the streaming PSI gate
+    stream_value_drift_gate — PSI says "distributions differ", CUSUM
+    says WHEN the level moved).
+
+    The classic one-sided Page CUSUM is a reset recursion (sequential
+    by nature); the offline chart form is deliberately chosen because
+    it is pure prefix-sums — fully window-expressible, no recursion.
+    Two bounded stages: the bucket aggregate (series length tracks
+    the time span, not the row count), then per-type windows over the
+    bucket series. Peak selection is deterministic: |C| rounded to
+    6dp, ties → earliest bucket.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 300).cast("long").alias("bucket"),
+    ).agg(F.avg("value").alias("x"))
+    stats = buckets.groupBy("event_type").agg(
+        F.avg("x").alias("mu"),
+        F.stddev_samp("x").alias("sd"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = (
+        buckets.join(stats, "event_type")
+        .withColumn("c", F.sum(F.col("x") - F.col("mu")).over(w))
+        .withColumn("absc", F.round(F.abs("c") + 1e-9, 6))
+    )
+    pk = Window.partitionBy("event_type").orderBy(F.desc("absc"), F.asc("bucket"))
+    return (
+        walked.withColumn("rk", F.row_number().over(pk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_buckets",
+            F.col("bucket").alias("peak_bucket"),
+            F.col("absc").alias("cusum_peak"),
+            F.expr(
+                "round(absc / (sd * sqrt(n_buckets)) + 1e-9, 6) + 0.0"
+            ).alias("bridge_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_CUSUM_DRIFT_SQL = """
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+         avg(value) AS x
+  FROM events GROUP BY event_type, bucket
+),
+stats AS (
+  SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd,
+         count(*) AS n_buckets
+  FROM buckets GROUP BY event_type
+),
+walked AS (
+  SELECT b.event_type, b.bucket, s.sd, s.n_buckets,
+         round(abs(sum(b.x - s.mu) OVER (PARTITION BY b.event_type
+               ORDER BY b.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)) + 1e-9, 6) AS absc
+  FROM buckets b JOIN stats s ON b.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       bucket AS peak_bucket,
+       absc AS cusum_peak,
+       round(absc / (sd * sqrt(n_buckets)) + 1e-9, 6) + 0.0 AS bridge_stat
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY absc DESC, bucket ASC) AS rk
+      FROM walked)
+WHERE rk = 1 ORDER BY event_type
+"""
+
+
+def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (ŷ_t = y_{t−1day}, per type per 5-min slot) — the baseline every
+    forecasting deployment must beat, and the cheapest way to measure
+    how seasonal a metric actually is (sMAPE near 0 → strongly daily-
+    periodic; near 2 → the naive carries no signal). Emits per type:
+    evaluated points, MAE, sMAPE, and mean bias.
+
+    Shape: ONE bucket aggregate, then a key-shifted self-equi-join
+    (bucket = bucket − 86400/300) on the bucket relation — no window,
+    no sort; both sides are series-sized (time-span-bound). Sparse
+    slots simply find no partner and drop — the honest backtest
+    convention (no imputation inside the metric).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 300).cast("long").alias("bucket"),
+    ).agg(F.sum("value").alias("y"))
+    actual = buckets.select("event_type", "bucket", F.col("y").alias("a"))
+    pred = buckets.select(
+        "event_type",
+        (F.col("bucket") + F.lit(288).cast("long")).alias("bucket"),
+        F.col("y").alias("p"),
+    )
+    j = actual.join(pred, ["event_type", "bucket"])
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.expr("round(avg(abs(a - p)) + 1e-9, 4)").alias("mae"),
+            F.expr(
+                "round(avg(2.0 * abs(a - p) / (abs(a) + abs(p))) + 1e-9, 6)"
+            ).alias("smape"),
+            F.expr("round(avg(a - p) + 1e-9, 4) + 0.0").alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SEASONAL_BACKTEST_SQL = """
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+         sum(value) AS y
+  FROM events GROUP BY event_type, bucket
+)
+SELECT a.event_type,
+       count(*) AS n_eval,
+       round(avg(abs(a.y - p.y)) + 1e-9, 4) AS mae,
+       round(avg(2.0 * abs(a.y - p.y) / (abs(a.y) + abs(p.y))) + 1e-9, 6)
+         AS smape,
+       round(avg(a.y - p.y) + 1e-9, 4) + 0.0 AS bias
+FROM buckets a
+JOIN buckets p ON a.event_type = p.event_type AND a.bucket = p.bucket + 288
+GROUP BY a.event_type ORDER BY a.event_type
+"""
+
+
 QUERIES = {
+    "value_cusum_drift": value_cusum_drift,
+    "events_seasonal_backtest": events_seasonal_backtest,
+
     "ohlc_bars_5m": ohlc_bars_5m,
     "timeseries_pattern_topk": timeseries_pattern_topk,
     "twap_hourly": twap_hourly,
@@ -645,6 +793,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "value_cusum_drift": VALUE_CUSUM_DRIFT_SQL,
+    "events_seasonal_backtest": EVENTS_SEASONAL_BACKTEST_SQL,
+
     "trailing_10min_value": TRAILING_10MIN_VALUE_SQL,
     "timeseries_pattern_topk": _pattern_topk_sql(),
     "hourly_median_iqr": HOURLY_MEDIAN_IQR_SQL,

@@ -30,19 +30,21 @@ carried the same queued HUGEINT landmine (`window_funnel_depth`,
 closed-form 2-factor OLS, Welch one-vs-rest t-test, mutual
 information, grid-KS, lag-1 autocorrelation, association rules with
 lift — plus chained streaming windows, GROUP BY ALL sugar, MMR
-re-ranking with a recursive-CTE oracle, and the iterative BPE
-training loop with an unrolled recursive-fold oracle) — new
-operators displace rotation slots per policy; [D] 26 staleness-
-rotation slots, oldest driver evidence first (the r5-displaced
-dashboard pair, then the r1-only pool in queue order)
-([A]3 + [B]11 + [C]10 + [D]26 = 50).
+re-ranking with a recursive-CTE oracle, the iterative BPE training
+loop with an unrolled recursive-fold oracle, CUSUM changepoint
+location, the seasonal-naive forecast backtest, and the vocabulary
+coverage curve) — new operators displace rotation slots per policy;
+[D] 23 staleness-rotation slots, oldest driver evidence first (the
+r5-displaced dashboard pair, then the r1-only pool in queue order)
+([A]3 + [B]11 + [C]13 + [D]23 = 50).
 Rows dropped this round hold r1-r5 green evidence on unchanged code
 and stay under the local 3-SF harness (which now hashes
 type-faithfully via Arrow — local red predicts driver red on the
 typed-output class too).
 
-Round-7 rotation queue — the 10 [D] entries displaced by [C] this
-round (`dash_latest_value_per_day`,
+Round-7 rotation queue — the 13 [D] entries displaced by [C] this
+round (`dash_recent_alerts`, `dash_live_trades`,
+`dash_pipeline_liveness`, `dash_latest_value_per_day`,
 `dash_price_per_minute_single_key`, `small_quantity_revenue`,
 `disjunctive_revenue`, `alerts_large_trade_lookup_join`,
 `order_status_pivot`, `big_orders_having`, `window_agg_sliding`,
@@ -153,6 +155,9 @@ _PRIORITY = [
     "group_by_all_conformance",
     "similarity_mmr_rerank",
     "tokenizer_bpe_train_merges",
+    "value_cusum_drift",
+    "events_seasonal_backtest",
+    "corpus_vocab_coverage_curve",
     # --- [D] staleness rotation, oldest driver evidence first: the
     # r5-displaced dashboard/relational pairs, then the r1-only pool
     # in documented queue order ---
@@ -179,9 +184,6 @@ _PRIORITY = [
     "sessionize_native",
     "window_agg_5m_salted",
     "dash_approx_distinct_users",
-    "dash_recent_alerts",
-    "dash_live_trades",
-    "dash_pipeline_liveness",
 ]
 
 

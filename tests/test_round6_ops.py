@@ -160,3 +160,89 @@ def test_bpe_train_matches_reference_implementation(spark, sf_dir):
         n_tokens = sum(len(k) * v for k, v in vocab.items())
         expect.append((step, f"{a} {b}", cnt, n_tokens))
     assert [(r.step, r.merged_pair, r.pair_count, r.corpus_tokens) for r in got] == expect
+
+
+def test_cusum_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.timeseries import value_cusum_drift
+
+    got = {r.event_type: r for r in value_cusum_drift(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    series: dict[str, dict[int, list]] = {}
+    for r in ev:
+        b = int(r.ts.timestamp() // 300)
+        series.setdefault(r.event_type, {}).setdefault(b, []).append(r.value)
+    for et, sd in series.items():
+        buckets = sorted(sd)
+        xs = np.array([float(np.mean(sd[b])) for b in buckets])
+        mu = xs.mean()
+        c = np.cumsum(xs - mu)
+        absc = np.round(np.abs(c) + 1e-9, 6)
+        peak_i = int(np.lexsort((buckets, -absc))[0])
+        assert got[et].n_buckets == len(buckets)
+        assert got[et].peak_bucket == buckets[peak_i]
+        assert math.isclose(got[et].cusum_peak, absc[peak_i], abs_tol=1e-4)
+        sdev = xs.std(ddof=1)
+        assert math.isclose(
+            got[et].bridge_stat,
+            absc[peak_i] / (sdev * math.sqrt(len(buckets))),
+            rel_tol=1e-4,
+        )
+
+
+def test_seasonal_backtest_matches_reference(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.timeseries import events_seasonal_backtest
+
+    got = {r.event_type: r for r in events_seasonal_backtest(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    series: dict[str, dict[int, float]] = {}
+    for r in ev:
+        b = int(r.ts.timestamp() // 300)
+        series.setdefault(r.event_type, {})
+        series[r.event_type][b] = series[r.event_type].get(b, 0.0) + r.value
+    for et, sd in series.items():
+        pairs = [(a, sd[b - 288]) for b, a in sd.items() if b - 288 in sd]
+        if et not in got:
+            assert not pairs
+            continue
+        a = np.array([p[0] for p in pairs])
+        p = np.array([p[1] for p in pairs])
+        assert got[et].n_eval == len(pairs)
+        assert math.isclose(got[et].mae, float(np.mean(np.abs(a - p))), abs_tol=1e-3)
+        assert math.isclose(
+            got[et].smape,
+            float(np.mean(2.0 * np.abs(a - p) / (np.abs(a) + np.abs(p)))),
+            abs_tol=1e-5,
+        )
+        assert math.isclose(got[et].bias, float(np.mean(a - p)), abs_tol=1e-3)
+
+
+def test_vocab_coverage_curve_properties(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+        corpus_vocab_coverage_curve,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+
+    got = sorted(
+        corpus_vocab_coverage_curve(spark, sf_dir).collect(), key=lambda r: r.cutoff
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .collect()
+    )
+    counts = Counter(r.t for r in toks)
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    prev = 0
+    for r in got:
+        covered = sum(c for _, c in ranked[: r.cutoff])
+        assert r.tokens_covered == covered
+        assert r.total_tokens == total
+        assert r.vocab_size == len(counts)
+        assert math.isclose(r.coverage, covered / total, abs_tol=1e-5)
+        assert r.tokens_covered >= prev  # curve is monotone
+        prev = r.tokens_covered
+        assert r.coverage <= 1.0 + 1e-9
