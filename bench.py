@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "value_cusum_drift",
     "events_seasonal_backtest",
     "corpus_vocab_coverage_curve",
+    "orders_cohort_ltv_curve",
+    "dup_graph_common_neighbors",
+    "text_rake_keywords",
 ]
 
 

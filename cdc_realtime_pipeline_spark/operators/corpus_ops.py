@@ -666,6 +666,102 @@ ORDER BY pair_count DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
 """
 
 
+CN_TOP = 20
+
+
+def dup_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the near-dup graph (the
+    Liben-Nowell/Kleinberg baseline): for doc pairs at distance 2
+    count shared neighbors and score the neighborhood Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)|, labeling each pair edge / non-edge —
+    non-edge rows are the "these two are probably copies the banding
+    missed" triage list (a high-CN non-edge usually means the MinHash
+    bands straddled the threshold), edge rows rank the strongest
+    closed triads (on a fixture whose planted clusters are cliques,
+    every wedge closes — the label keeps the output non-vacuous and
+    pins BOTH cases).
+
+    Shape: the wedge join (sym-edges ⋈ sym-edges on the shared
+    neighbor) fans out by degree², bounded by dup-cluster size, never
+    corpus²; existing edges drop via a left-anti join on the ordered
+    pair; degrees come from the same symmetric relation. Edge list is
+    localCheckpoint-ed like PageRank's (referenced 4×, and every
+    reference would otherwise re-embed the full candidate lineage).
+    """
+    pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                    F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    wedges = (
+        sym.select(F.col("u").alias("a"), F.col("v").alias("n"))
+        .join(sym.select(F.col("u").alias("n"), F.col("v").alias("b")), "n")
+        .filter(F.col("a") < F.col("b"))
+    )
+    cand = wedges.groupBy("a", "b").agg(F.count("*").alias("cn"))
+    labeled = cand.join(
+        pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(1).alias("_e")
+        ),
+        ["a", "b"],
+        "left",
+    ).select("a", "b", "cn", F.coalesce("_e", F.lit(0)).cast("long").alias("is_edge"))
+    scored = (
+        labeled.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            "is_edge",
+            F.expr("round(cn / (da + db - cn) + 1e-9, 6) + 0.0").alias("nbr_jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("nbr_jaccard"), F.desc("cn"), "a", "b"
+    ).limit(CN_TOP)
+
+
+DUP_GRAPH_COMMON_NEIGHBORS_SQL = f"""
+WITH jac AS ({DEDUP_DOCS_JACCARD_SQL}),
+pairs AS (SELECT doc_a, doc_b FROM jac),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+cand AS (
+  SELECT e1.u AS a, e2.v AS b, count(*) AS cn
+  FROM sym e1 JOIN sym e2 ON e1.v = e2.u AND e1.u < e2.v
+  GROUP BY a, b
+),
+labeled AS (
+  SELECT c.a, c.b, c.cn,
+         CAST(CASE WHEN EXISTS (SELECT 1 FROM pairs p
+                                WHERE p.doc_a = c.a AND p.doc_b = c.b)
+              THEN 1 ELSE 0 END AS BIGINT) AS is_edge
+  FROM cand c
+)
+SELECT n.a, n.b, CAST(n.cn AS BIGINT) AS cn, n.is_edge,
+       round(n.cn / (ia.d + ib.d - n.cn) + 1e-9, 6) + 0.0 AS nbr_jaccard
+FROM labeled n
+JOIN deg ia ON n.a = ia.node
+JOIN deg ib ON n.b = ib.node
+ORDER BY nbr_jaccard DESC, cn DESC, a, b
+LIMIT {CN_TOP}
+"""
+
+
 COVERAGE_CUTOFFS = [100, 1000, 10000]
 
 
@@ -1168,6 +1264,7 @@ QUERIES = {
     "tokenizer_bpe_pair_counts": tokenizer_bpe_pair_counts,
     "tokenizer_bpe_train_merges": tokenizer_bpe_train_merges,
     "corpus_vocab_coverage_curve": corpus_vocab_coverage_curve,
+    "dup_graph_common_neighbors": dup_graph_common_neighbors,
 }
 
 ORACLES = {
@@ -1187,4 +1284,5 @@ ORACLES = {
     "tokenizer_bpe_pair_counts": TOKENIZER_BPE_PAIR_COUNTS_SQL,
     "tokenizer_bpe_train_merges": TOKENIZER_BPE_TRAIN_MERGES_SQL,
     "corpus_vocab_coverage_curve": CORPUS_VOCAB_COVERAGE_CURVE_SQL,
+    "dup_graph_common_neighbors": DUP_GRAPH_COMMON_NEIGHBORS_SQL,
 }

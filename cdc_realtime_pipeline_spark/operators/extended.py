@@ -1096,6 +1096,88 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the revenue companion to
+    `cohort_retention`: customers grouped by FIRST-order month, each
+    cohort's per-customer cumulative revenue tracked by months-since
+    (the curve whose plateau height is "LTV" and whose slope decay
+    sets payback windows). Month arithmetic uses the integer month
+    index year·12+month on both engines — no dialect date-diff
+    semantics in the key.
+
+    Shape: two aggregates + one user-key equi-join (retention's
+    shape) + a cumulative window over the cohort×age MATRIX (bounded
+    by time span², never order volume). Float discipline: monthly
+    revenue is rounded FIRST (shared nudge), then the cumulative sum
+    runs over the rounded values in the window's deterministic age
+    order — so the running LTV is bit-identical cross-engine by
+    construction, not by tolerance.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+        "o_totalprice",
+    )
+    first = o.groupBy("o_custkey").agg(F.min("mi").alias("cmi"))
+    sizes = first.groupBy("cmi").agg(F.count("*").cast("long").alias("n_customers"))
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy("cmi", (F.col("mi") - F.col("cmi")).alias("age_months"))
+        .agg(F.round(F.sum("o_totalprice") + 1e-9, 2).alias("rev_month"))
+    )
+    w = (
+        Window.partitionBy("cmi")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_rev", F.sum("rev_month").over(w))
+        .join(sizes, "cmi")
+        .select(
+            F.col("cmi").alias("cohort_month_index"),
+            "age_months",
+            "n_customers",
+            "rev_month",
+            F.round(F.col("cum_rev") / F.col("n_customers") + 1e-9, 4).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort_month_index", "age_months")
+    )
+
+
+ORDERS_COHORT_LTV_CURVE_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+         o_totalprice
+  FROM orders
+),
+first AS (SELECT o_custkey, min(mi) AS cmi FROM o GROUP BY o_custkey),
+sizes AS (SELECT cmi, count(*) AS n_customers FROM first GROUP BY cmi),
+cells AS (
+  SELECT f.cmi, o.mi - f.cmi AS age_months,
+         round(sum(o.o_totalprice) + 1e-9, 2) AS rev_month
+  FROM o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cmi, age_months
+),
+walked AS (
+  SELECT cmi, age_months, rev_month,
+         sum(rev_month) OVER (PARTITION BY cmi ORDER BY age_months
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_rev
+  FROM cells
+)
+SELECT w.cmi AS cohort_month_index,
+       w.age_months,
+       CAST(s.n_customers AS BIGINT) AS n_customers,
+       w.rev_month,
+       round(w.cum_rev / s.n_customers + 1e-9, 4) AS ltv_per_customer
+FROM walked w JOIN sizes s ON w.cmi = s.cmi
+ORDER BY cohort_month_index, age_months
+"""
+
+
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -2465,6 +2547,7 @@ QUERIES = {
     "docs_lang_source_pivot": docs_lang_source_pivot,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "orders_cohort_ltv_curve": orders_cohort_ltv_curve,
     "attribution_last_touch": attribution_last_touch,
     "string_collation_conformance": string_collation_conformance,
     "regex_functions_conformance": regex_functions_conformance,
@@ -2498,6 +2581,7 @@ ORACLES = {
     "unpivot_conformance": UNPIVOT_CONFORMANCE_SQL,
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "orders_cohort_ltv_curve": ORDERS_COHORT_LTV_CURVE_SQL,
     "attribution_last_touch": ATTRIBUTION_LAST_TOUCH_SQL,
     "string_collation_conformance": STRING_COLLATION_CONFORMANCE_SQL,
     "regex_functions_conformance": REGEX_FUNCTIONS_CONFORMANCE_SQL,

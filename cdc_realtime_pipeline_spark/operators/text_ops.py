@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_realtime_pipeline_spark.functions import text as TX
-from cdc_realtime_pipeline_spark.session import load_table
+from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,7 +491,147 @@ ORDER BY doc_id
 """
 
 
+RAKE_STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "has", "have", "in", "is", "it", "its", "of", "on", "or",
+    "that", "the", "this", "to", "was", "were", "which", "will",
+    "with", "not",
+]
+RAKE_TOP = 20
+RAKE_MAX_PHRASE = 4
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; each
+    word's score is degree/frequency (degree = Σ phrase length over
+    the phrases containing it — co-occurrence weighting), a phrase
+    scores the sum of its words, and the corpus-level top phrases
+    surface the multi-word terminology single-token counts miss (the
+    topic/keyword signal next to TF-IDF's per-doc ranking).
+
+    Distributed shape: one corpus tokenize; phrase segmentation is a
+    per-doc running count of stopword boundaries (doc-partitioned
+    window, doc-bounded); word stats and phrase scores are
+    map-side-combinable aggregates joined on token (word-keyed, vocab-
+    sized); the final rank is a bounded TakeOrdered. Float surface:
+    word score = deg/freq from exact integers; phrase score rounded
+    4dp under the shared nudge before ranking (phrase-text ties broken
+    lexically).
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.length("token") > 0)
+    stops = F.array(*[F.lit(w) for w in RAKE_STOPWORDS])
+    flagged = toks.withColumn(
+        "is_stop", F.array_contains(stops, F.col("token")).cast("long")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    members = (
+        flagged.withColumn("pid", F.sum("is_stop").over(w))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "pid", "pos", "token")
+    )
+    members = tracked_persist(members)
+    plen = members.groupBy("doc_id", "pid").agg(
+        F.count("*").alias("plen"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, token))),"
+            " x -> x.token))"
+        ).alias("phrase"),
+    )
+    word_stats = (
+        members.join(plen.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .withColumn("wscore", F.col("deg") / F.col("freq"))
+    )
+    phrase_scores = (
+        members.join(F.broadcast(word_stats.select("token", "wscore")), "token")
+        .groupBy("doc_id", "pid")
+        .agg(F.round(F.sum("wscore") + 1e-9, 4).alias("score"))
+    )
+    ranked = (
+        plen.join(phrase_scores, ["doc_id", "pid"])
+        .filter(F.col("plen") <= RAKE_MAX_PHRASE)
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("plen").cast("long").alias("n_words"),
+            F.max("score").alias("score"),
+        )
+    )
+    return ranked.orderBy(F.desc("score"), F.asc("phrase")).limit(RAKE_TOP)
+
+
+TEXT_RAKE_KEYWORDS_SQL = rf"""
+WITH toks AS (
+  SELECT d.doc_id, CAST(t.i AS BIGINT) AS pos, d.words[CAST(t.i AS INT)] AS token
+  FROM (SELECT doc_id,
+               string_split({_NORM_SQL.format(col="text")}, ' ') AS words
+        FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(d.words) + 1)) AS i) t
+  WHERE length(d.words[CAST(t.i AS INT)]) > 0
+),
+flagged AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN token IN ({", ".join("'" + w + "'" for w in RAKE_STOPWORDS)})
+              THEN 1 ELSE 0 END AS is_stop
+  FROM toks
+),
+members AS (
+  SELECT doc_id, pos, token,
+         sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pid
+  FROM flagged QUALIFY is_stop = 0
+),
+plen AS (
+  SELECT doc_id, pid, count(*) AS plen,
+         string_agg(token, ' ' ORDER BY pos) AS phrase
+  FROM members GROUP BY doc_id, pid
+),
+word_stats AS (
+  SELECT m.token,
+         count(*) AS freq,
+         CAST(sum(p.plen) AS BIGINT) AS deg,
+         CAST(sum(p.plen) AS BIGINT) / CAST(count(*) AS DOUBLE) AS wscore
+  FROM members m JOIN plen p ON m.doc_id = p.doc_id AND m.pid = p.pid
+  GROUP BY m.token
+),
+phrase_scores AS (
+  SELECT m.doc_id, m.pid, round(sum(w.wscore) + 1e-9, 4) AS score
+  FROM members m JOIN word_stats w ON m.token = w.token
+  GROUP BY m.doc_id, m.pid
+)
+SELECT p.phrase,
+       count(*) AS n_occurrences,
+       CAST(max(p.plen) AS BIGINT) AS n_words,
+       max(s.score) AS score
+FROM plen p JOIN phrase_scores s ON p.doc_id = s.doc_id AND p.pid = s.pid
+WHERE p.plen <= {RAKE_MAX_PHRASE}
+GROUP BY p.phrase
+ORDER BY score DESC, phrase ASC
+LIMIT {RAKE_TOP}
+"""
+
+
 QUERIES = {
+    "text_rake_keywords": text_rake_keywords,
+
     "text_char_ngram_entropy": text_char_ngram_entropy,
     "text_token_stats": text_token_stats,
     "lang_confusion_matrix": lang_confusion_matrix,
@@ -504,6 +644,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_rake_keywords": TEXT_RAKE_KEYWORDS_SQL,
+
     "text_char_ngram_entropy": TEXT_CHAR_NGRAM_ENTROPY_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_tfidf_topk": TEXT_TFIDF_TOPK_SQL,

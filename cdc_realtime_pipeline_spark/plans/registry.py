@@ -32,18 +32,21 @@ information, grid-KS, lag-1 autocorrelation, association rules with
 lift — plus chained streaming windows, GROUP BY ALL sugar, MMR
 re-ranking with a recursive-CTE oracle, the iterative BPE training
 loop with an unrolled recursive-fold oracle, CUSUM changepoint
-location, the seasonal-naive forecast backtest, and the vocabulary
-coverage curve) — new operators displace rotation slots per policy;
-[D] 23 staleness-rotation slots, oldest driver evidence first (the
-r5-displaced dashboard pair, then the r1-only pool in queue order)
-([A]3 + [B]11 + [C]13 + [D]23 = 50).
+location, the seasonal-naive forecast backtest, the vocabulary
+coverage curve, the cohort lifetime-value curve, common-neighbor
+link prediction over the dup graph, and RAKE keyword extraction) —
+new operators displace rotation slots per policy; [D] 20 staleness-
+rotation slots, oldest driver evidence first (the r5-displaced
+dashboard pair, then the r1-only pool in queue order)
+([A]3 + [B]11 + [C]16 + [D]20 = 50).
 Rows dropped this round hold r1-r5 green evidence on unchanged code
 and stay under the local 3-SF harness (which now hashes
 type-faithfully via Arrow — local red predicts driver red on the
 typed-output class too).
 
-Round-7 rotation queue — the 13 [D] entries displaced by [C] this
-round (`dash_recent_alerts`, `dash_live_trades`,
+Round-7 rotation queue — the 16 [D] entries displaced by [C] this
+round (`sessionize_native`, `window_agg_5m_salted`,
+`dash_approx_distinct_users`, `dash_recent_alerts`, `dash_live_trades`,
 `dash_pipeline_liveness`, `dash_latest_value_per_day`,
 `dash_price_per_minute_single_key`, `small_quantity_revenue`,
 `disjunctive_revenue`, `alerts_large_trade_lookup_join`,
@@ -158,6 +161,9 @@ _PRIORITY = [
     "value_cusum_drift",
     "events_seasonal_backtest",
     "corpus_vocab_coverage_curve",
+    "orders_cohort_ltv_curve",
+    "dup_graph_common_neighbors",
+    "text_rake_keywords",
     # --- [D] staleness rotation, oldest driver evidence first: the
     # r5-displaced dashboard/relational pairs, then the r1-only pool
     # in documented queue order ---
@@ -181,9 +187,6 @@ _PRIORITY = [
     "sessionize",
     "window_rank_functions",
     "value_quantiles",
-    "sessionize_native",
-    "window_agg_5m_salted",
-    "dash_approx_distinct_users",
 ]
 
 

@@ -246,3 +246,109 @@ def test_vocab_coverage_curve_properties(spark, sf_dir):
         assert r.tokens_covered >= prev  # curve is monotone
         prev = r.tokens_covered
         assert r.coverage <= 1.0 + 1e-9
+
+
+def test_cohort_ltv_curve_properties(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.extended import orders_cohort_ltv_curve
+
+    rows = orders_cohort_ltv_curve(spark, sf_dir).collect()
+    assert rows
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    first: dict[int, int] = {}
+    for r in orders:
+        mi = r.o_orderdate.year * 12 + r.o_orderdate.month
+        first[r.o_custkey] = min(first.get(r.o_custkey, mi), mi)
+    # cohort sizes match, per-customer LTV is non-decreasing in age
+    sizes: dict[int, int] = {}
+    for mi in first.values():
+        sizes[mi] = sizes.get(mi, 0) + 1
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        assert r.n_customers == sizes[r.cohort_month_index]
+        by_cohort.setdefault(r.cohort_month_index, []).append(r)
+    for cm, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_months)
+        ltvs = [r.ltv_per_customer for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(ltvs, ltvs[1:]))
+        assert rs[0].age_months == 0  # every cohort starts at its birth month
+    # total revenue reconciles: sum of monthly cells == sum of order prices
+    total_cells = sum(r.rev_month for r in rows)
+    total_orders = sum(r.o_totalprice for r in orders)
+    assert math.isclose(total_cells, total_orders, rel_tol=1e-6)
+
+
+def test_common_neighbors_matches_reference(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+        dup_graph_common_neighbors,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import dedup_docs_jaccard
+
+    got = dup_graph_common_neighbors(spark, sf_dir).collect()
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b").collect()
+    }
+    nbrs: dict[int, set] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for r in got:
+        cn = len(nbrs[r.a] & nbrs[r.b])
+        assert r.cn == cn and cn >= 1
+        assert r.is_edge == (1 if (r.a, r.b) in pairs else 0)
+        assert math.isclose(
+            r.nbr_jaccard, cn / len(nbrs[r.a] | nbrs[r.b]), abs_tol=1e-5
+        )
+
+
+def test_rake_keywords_reference(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+    from cdc_realtime_pipeline_spark.operators.text_ops import (
+        RAKE_MAX_PHRASE,
+        RAKE_STOPWORDS,
+        text_rake_keywords,
+    )
+
+    got = text_rake_keywords(spark, sf_dir).collect()
+    assert len(got) > 0
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        .collect()
+    )
+    stop = set(RAKE_STOPWORDS)
+    phrases = []  # (phrase tuple)
+    for d in docs:
+        cur: list = []
+        for t in d.norm.split(" "):
+            if not t:
+                continue
+            if t in stop:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            phrases.append(tuple(cur))
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for ph in phrases:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    phrase_count = Counter(ph for ph in phrases if len(ph) <= RAKE_MAX_PHRASE)
+    scores = {
+        ph: round(sum(deg[w] / freq[w] for w in ph) + 1e-9, 4)
+        for ph in phrase_count
+    }
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], " ".join(kv[0])))[: len(got)]
+    for r, (ph, sc) in zip(got, top):
+        assert r.phrase == " ".join(ph)
+        assert math.isclose(r.score, sc, abs_tol=2e-4)
+        assert r.n_occurrences == phrase_count[ph]
+        assert r.n_words == len(ph)
