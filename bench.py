@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "orders_cohort_ltv_curve",
     "dup_graph_common_neighbors",
     "text_rake_keywords",
+    "embeddings_pq_assign",
 ]
 
 

@@ -1393,6 +1393,153 @@ FROM w3 ORDER BY dim
 
 
 # --------------------------------------------------------------------------
+# Product quantization: subspace code assignment + distortion audit
+# --------------------------------------------------------------------------
+
+_PQ_SUBS = 8  # 64 dims -> 8 subspaces x 8 dims
+_PQ_CODES = 16
+_PQ_SUBDIM = 8
+
+
+def _pq_uniform(col):
+    """Deterministic dyadic uniform in [0,1) from md5(col) — the
+    dp_noised_release seeded idiom generalized to a column arg."""
+    m = F.md5(col)
+    terms = [
+        (F.instr(F.lit("0123456789abcdef"), F.substring(m, i, 1)) - 1).cast("double")
+        * F.lit(16.0 ** -i)
+        for i in range(1, 9)
+    ]
+    u = terms[0]
+    for t in terms[1:]:
+        u = u + t
+    return u
+
+
+def embeddings_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment + distortion audit (Jégou
+    2011): the 64-dim embedding splits into {S} subspaces of {D} dims,
+    each quantized to its nearest of {C} codebook centroids; output is
+    the per-(subspace, code) occupancy and mean squared distortion —
+    the table an ANN deployment reads to validate a codebook (empty
+    codes → wasted bits; one hot code → the subspace carries no
+    signal; distortion sets the ADC error floor).
+
+    The codebook is HASH-DERIVED (md5 → exact dyadic uniform, centered
+    ±0.5 — the JL-projection trick reused): data-oblivious, zero
+    training state, bit-identical on both engines — which is what
+    makes the full assignment machinery (subspace split, per-code
+    distance, argmin, distortion accounting) oracle-checkable without
+    the k-means-training determinism swamp (embeddings_kmeans_train is
+    rows-only for exactly that reason; a trained codebook drops into
+    this operator as a table swap).
+
+    Shape: posexplode to (vec, dim) — the corpus-scale term — joined
+    to the {S}·{C}·{D}-row codebook relation (broadcast), reduced by
+    two map-side-combinable aggregates (per-(vec,sub,code) distance,
+    then argmin rank + occupancy roll-up). At 100 TB the per-dim
+    explode gives way to a broadcast-codebook vectorized kernel
+    (mapInPandas over the raw array column) — same contract, fewer
+    rows in flight; the declarative form here IS the oracle-matched
+    reference for that kernel. Distances rounded 8dp before the
+    argmin on both engines (ties → lowest code id).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _PQ_SUBS * _PQ_CODES * _PQ_SUBDIM
+    cb = spark.range(n).select(
+        (F.col("id") / (_PQ_CODES * _PQ_SUBDIM)).cast("long").alias("sub"),
+        ((F.col("id") / _PQ_SUBDIM) % _PQ_CODES).cast("long").alias("code"),
+        (F.col("id") % _PQ_SUBDIM).alias("sdim"),
+    )
+    key = F.concat(
+        F.lit("pq|"),
+        F.col("sub").cast("string"),
+        F.lit("|"),
+        F.col("code").cast("string"),
+        F.lit("|"),
+        F.col("sdim").cast("string"),
+    )
+    cb = cb.select("sub", "code", "sdim", (_pq_uniform(key) - 0.5).alias("c"))
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim") / _PQ_SUBDIM).cast("long").alias("sub"),
+        (F.col("dim") % _PQ_SUBDIM).alias("sdim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    dists = (
+        dims.join(F.broadcast(cb), ["sub", "sdim"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                    + 1e-9, 8).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    assigned = dists.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        assigned.groupBy("sub", "code")
+        .agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            (F.round(F.avg("d2") + 1e-9, 6) + 0.0).alias("avg_distortion"),
+        )
+        .orderBy("sub", "code")
+    )
+
+
+embeddings_pq_assign.__doc__ = embeddings_pq_assign.__doc__.format(
+    S=_PQ_SUBS, C=_PQ_CODES, D=_PQ_SUBDIM
+)
+
+
+def _pq_uniform_sql(key_expr: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i}, 1)) - 1)"
+        f" * {16.0 ** -i!r}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
+EMBEDDINGS_PQ_ASSIGN_SQL = f"""
+WITH cb AS (
+  SELECT s.sub, c.code, d.sdim,
+         {_pq_uniform_sql("'pq|' || CAST(s.sub AS VARCHAR) || '|' || CAST(c.code AS VARCHAR) || '|' || CAST(d.sdim AS VARCHAR)")}
+           - 0.5 AS c
+  FROM (SELECT unnest(range({_PQ_SUBS})) AS sub) s,
+       (SELECT unnest(range({_PQ_CODES})) AS code) c,
+       (SELECT unnest(range({_PQ_SUBDIM})) AS sdim) d
+),
+dims AS (
+  SELECT e.vec_id,
+         CAST(t.i // {_PQ_SUBDIM} AS BIGINT) AS sub,
+         CAST(t.i % {_PQ_SUBDIM} AS BIGINT) AS sdim,
+         CAST(e.embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(0, len(e.embedding))) AS i) t
+),
+dists AS (
+  SELECT d.vec_id, d.sub, cb.code,
+         round(sum((d.x - cb.c) * (d.x - cb.c)) + 1e-9, 8) AS d2
+  FROM dims d JOIN cb ON d.sub = cb.sub AND d.sdim = cb.sdim
+  GROUP BY d.vec_id, d.sub, cb.code
+),
+assigned AS (
+  SELECT vec_id, sub, code, d2,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2 ASC, code ASC) AS rk
+  FROM dists
+)
+SELECT sub, code,
+       count(*) AS n_assigned,
+       round(avg(d2) + 1e-9, 6) + 0.0 AS avg_distortion
+FROM assigned WHERE rk = 1
+GROUP BY sub, code ORDER BY sub, code
+"""
+
+
+# --------------------------------------------------------------------------
 # MMR (Maximal Marginal Relevance) re-ranking of top-K candidates
 # --------------------------------------------------------------------------
 
@@ -1576,6 +1723,7 @@ FROM sel ORDER BY query_id, mmr_rank
 
 QUERIES = {
     "similarity_mmr_rerank": similarity_mmr_rerank,
+    "embeddings_pq_assign": embeddings_pq_assign,
     "contrastive_hard_negatives": contrastive_hard_negatives,
     "embeddings_pca_power": embeddings_pca_power,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
@@ -1593,6 +1741,7 @@ QUERIES = {
 
 ORACLES = {
     "similarity_mmr_rerank": SIMILARITY_MMR_RERANK_SQL,
+    "embeddings_pq_assign": EMBEDDINGS_PQ_ASSIGN_SQL,
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,
     "embeddings_pca_power": EMBEDDINGS_PCA_POWER_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,

@@ -352,3 +352,42 @@ def test_rake_keywords_reference(spark, sf_dir):
         assert math.isclose(r.score, sc, abs_tol=2e-4)
         assert r.n_occurrences == phrase_count[ph]
         assert r.n_words == len(ph)
+
+
+def test_pq_assign_matches_numpy(spark, sf_dir):
+    import hashlib
+
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        _PQ_CODES,
+        _PQ_SUBDIM,
+        _PQ_SUBS,
+        embeddings_pq_assign,
+    )
+
+    got = {(r.sub, r.code): r for r in embeddings_pq_assign(spark, sf_dir).collect()}
+
+    def uniform(key: str) -> float:
+        h = hashlib.md5(key.encode()).hexdigest()
+        return sum(int(h[i], 16) * 16.0 ** -(i + 1) for i in range(8))
+
+    cb = np.zeros((_PQ_SUBS, _PQ_CODES, _PQ_SUBDIM))
+    for s_ in range(_PQ_SUBS):
+        for c in range(_PQ_CODES):
+            for d in range(_PQ_SUBDIM):
+                cb[s_, c, d] = uniform(f"pq|{s_}|{c}|{d}") - 0.5
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    occ: dict[tuple, list] = {}
+    for r in emb:
+        x = np.array(r.embedding, dtype=np.float64).reshape(_PQ_SUBS, _PQ_SUBDIM)
+        for s_ in range(_PQ_SUBS):
+            d2 = np.round(((x[s_] - cb[s_]) ** 2).sum(axis=1) + 1e-9, 8)
+            code = int(np.lexsort((np.arange(_PQ_CODES), d2))[0])
+            occ.setdefault((s_, code), []).append(d2[code])
+    assert set(got) == set(occ)
+    for k, ds in occ.items():
+        assert got[k].n_assigned == len(ds)
+        assert math.isclose(
+            got[k].avg_distortion, float(np.mean(ds)), abs_tol=5e-5
+        )
+    # every (vec, sub) assigned exactly once -> occupancy sums to N*S
+    assert sum(r.n_assigned for r in got.values()) == len(emb) * _PQ_SUBS
