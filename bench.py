@@ -172,6 +172,10 @@ BENCH_QUERIES = [
     "dup_graph_common_neighbors",
     "text_rake_keywords",
     "embeddings_pq_assign",
+    "value_mannwhitney_grid",
+    "lang_source_chisq",
+    "value_spearman_banded",
+    "events_bootstrap_ci",
 ]
 
 

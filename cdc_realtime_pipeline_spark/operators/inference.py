@@ -579,6 +579,501 @@ LIMIT {_BASKET_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# Mann–Whitney U (rank-sum) on a fixed value grid — midranks with ties
+# --------------------------------------------------------------------------
+
+_MW_GROUP_A = "view"
+_MW_GROUP_B = "purchase"
+_MW_GRID = 10.0
+
+# shared closed forms over (u_a, n_a, n_b, nt, tie_sum):
+# mean, tie-corrected variance, z. tie_sum = Σ(t³ − t) over cells.
+_MW_MU = "(n_a * n_b / 2.0)"
+_MW_VAR = (
+    "((n_a * n_b / 12.0) *"
+    " ((nt + 1.0) - tie_sum / (nt * (nt - 1.0))))"
+)
+_MW_Z = f"((u_a - {_MW_MU}) / sqrt({_MW_VAR}))"
+
+
+def value_mannwhitney_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test (Wilcoxon rank-sum) between the value
+    distributions of '{A}' and '{B}' events — the NON-PARAMETRIC
+    companion to source_welch_ttest (location shift without the
+    normality assumption) and the rank-based sibling of value_ks_grid.
+
+    The textbook test ranks the pooled sample — a global sort with
+    mostly-distinct doubles. The grid form quantizes to fixed cells
+    (width {W}) FIRST, making every within-cell group a tie handled
+    by the standard midrank rule: cell counts reduce the corpus to a
+    bounded relation, cumulative counts over that relation give each
+    cell's midrank (c_prev + (t+1)/2), and U, the tie-corrected
+    variance and z are closed forms over five scalars. The bounded
+    single-partition window is fine precisely because its input is
+    grid-sized. Integer counts throughout → the only float freedom is
+    the final closed form, absorbed by the shared round discipline.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MW_GROUP_A, _MW_GROUP_B)
+    )
+    cells = (
+        ev.select(
+            F.floor(F.col("value") / _MW_GRID).cast("long").alias("cell"),
+            (F.col("event_type") == _MW_GROUP_A).cast("long").alias("is_a"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum("is_a").alias("c_a"),
+            F.sum(1 - F.col("is_a")).alias("c_b"),
+        )
+    )
+    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.select(
+        "cell",
+        "c_a",
+        (F.col("c_a") + F.col("c_b")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("c_a") + F.col("c_b")).over(w), F.lit(0)
+        ).alias("c_prev"),
+    ).select(
+        "c_a",
+        "t",
+        (F.col("c_prev").cast("double") + (F.col("t") + 1.0) / 2.0).alias(
+            "midrank"
+        ),
+    )
+    m = ranked.agg(
+        F.sum(F.col("c_a") * F.col("midrank")).alias("r_a"),
+        F.sum("c_a").cast("double").alias("n_a"),
+        F.sum(F.col("t") - F.col("c_a")).cast("double").alias("n_b"),
+        F.sum("t").cast("double").alias("nt"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("tie_sum"),
+        F.count("*").cast("long").alias("n_cells"),
+    ).withColumn("u_a", F.expr("r_a - n_a * (n_a + 1.0) / 2.0"))
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "n_cells",
+        F.expr("round(u_a + 1e-9, 2) + 0.0").alias("u_stat"),
+        F.expr(f"round({_MW_Z} + 1e-9, 4) + 0.0").alias("z_score"),
+    )
+
+
+value_mannwhitney_grid.__doc__ = value_mannwhitney_grid.__doc__.format(
+    A=_MW_GROUP_A, B=_MW_GROUP_B, W=_MW_GRID
+)
+
+VALUE_MANNWHITNEY_GRID_SQL = f"""
+WITH ev AS (
+  SELECT CAST(floor(value / {_MW_GRID}) AS BIGINT) AS cell,
+         CASE WHEN event_type = '{_MW_GROUP_A}' THEN 1 ELSE 0 END AS is_a
+  FROM events
+  WHERE event_type IN ('{_MW_GROUP_A}', '{_MW_GROUP_B}')
+),
+cells AS (
+  SELECT cell,
+         CAST(sum(is_a) AS BIGINT) AS c_a,
+         CAST(sum(1 - is_a) AS BIGINT) AS c_b
+  FROM ev GROUP BY cell
+),
+ranked AS (
+  SELECT c_a, c_a + c_b AS t,
+         CAST(coalesce(sum(c_a + c_b) OVER (ORDER BY cell
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE)
+           + (c_a + c_b + 1.0) / 2.0 AS midrank
+  FROM cells
+),
+m AS (
+  SELECT sum(c_a * midrank) AS r_a,
+         CAST(sum(c_a) AS DOUBLE) AS n_a,
+         CAST(sum(t - c_a) AS DOUBLE) AS n_b,
+         CAST(sum(t) AS DOUBLE) AS nt,
+         CAST(sum(t * t * t - t) AS DOUBLE) AS tie_sum,
+         count(*) AS n_cells
+  FROM ranked
+),
+u AS (SELECT *, r_a - n_a * (n_a + 1.0) / 2.0 AS u_a FROM m)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       n_cells,
+       round(u_a + 1e-9, 2) + 0.0 AS u_stat,
+       round({_MW_Z} + 1e-9, 4) + 0.0 AS z_score
+FROM u
+"""
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence: documents lang × source contingency table
+# --------------------------------------------------------------------------
+
+
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document
+    language and source, reported as per-language contributions plus
+    the global degrees of freedom — the categorical-dependence screen
+    next to mi_event_value_bands (MI measures the dependence in bits;
+    chi-square is the calibrated test statisticians quote, and a
+    per-language breakdown localizes WHICH language's source mix is
+    skewed — the "this crawl is 90% of our German" red flag before
+    mixing corpus shards).
+
+    The subtlety empty cells: chi-square sums (o−e)²/e over the FULL
+    R×C cross — cells the joint counts never saw still contribute e.
+    The plan therefore crosses the two marginal relations (tiny × tiny
+    by construction: languages × sources, independent of corpus size)
+    and left-joins the observed joint onto it; everything upstream is
+    one map-side-combinable count aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    joint = tracked_persist(
+        docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    )
+    cx = joint.groupBy("lang").agg(F.sum("o").alias("c_x"))
+    cy = joint.groupBy("source").agg(F.sum("o").alias("c_y"))
+    n = joint.agg(
+        F.sum("o").cast("double").alias("nn"),
+        F.count_distinct("source").alias("n_src"),
+    )
+    grid = (
+        cx.crossJoin(F.broadcast(cy))
+        .join(joint, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            F.expr("c_x * c_y / nn").alias("e"),
+            "n_src",
+        )
+    )
+    return (
+        grid.groupBy("lang")
+        .agg(
+            F.sum("o").cast("long").alias("n_docs"),
+            F.expr(
+                "round(sum((o - e) * (o - e) / e) + 1e-9, 4) + 0.0"
+            ).alias("chisq_contrib"),
+            (F.max("n_src") - F.lit(1)).cast("long").alias("dof_per_row"),
+        )
+        .orderBy("lang")
+    )
+
+
+LANG_SOURCE_CHISQ_SQL = """
+WITH joint AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+),
+cx AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c_x FROM joint GROUP BY lang),
+cy AS (SELECT source, CAST(sum(o) AS BIGINT) AS c_y FROM joint GROUP BY source),
+n AS (
+  SELECT CAST(sum(o) AS DOUBLE) AS nn,
+         count(DISTINCT source) AS n_src
+  FROM joint
+),
+grid AS (
+  SELECT cx.lang,
+         coalesce(j.o, 0) AS o,
+         cx.c_x * cy.c_y / n.nn AS e,
+         n.n_src
+  FROM cx CROSS JOIN cy
+  LEFT JOIN joint j ON cx.lang = j.lang AND cy.source = j.source
+  CROSS JOIN n
+)
+SELECT lang,
+       CAST(sum(o) AS BIGINT) AS n_docs,
+       round(sum((o - e) * (o - e) / e) + 1e-9, 4) + 0.0 AS chisq_contrib,
+       CAST(max(n_src) - 1 AS BIGINT) AS dof_per_row
+FROM grid GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation on banded pairs (per event type)
+# --------------------------------------------------------------------------
+
+_SP_XW = 10.0  # value band width
+_SP_YW = 5.0  # props.$.k band width
+
+# weighted-Pearson-over-midranks closed form over
+# (nn, sx, sy, sxy, sxx, syy)
+_SP_RHO = (
+    "((nn * sxy - sx * sy) /"
+    " sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)))"
+)
+
+
+def value_spearman_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and the
+    ``props.$.k`` feature, per event type — the monotone-dependence
+    screen that catches what Pearson (events_ols_two_factor's r²)
+    misses: a nonlinear but monotone relation still scores |rho| ≈ 1.
+
+    Exact Spearman ranks the corpus per key — a per-key global sort.
+    The banded form quantizes both axes first ({XW}-wide value bands ×
+    {YW}-wide k bands), then applies the standard tied-rank treatment:
+    midranks per band from cumulative counts over the BOUNDED band
+    relation (two tiny windows, one per axis), and rho = Pearson over
+    the count-weighted (midrank_x, midrank_y) pairs — a closed form
+    over six moments shared verbatim by both engines. The joint
+    relation is bands×bands per type, independent of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") / _SP_XW).cast("long").alias("bx"),
+        F.floor(
+            F.get_json_object("props", "$.k").cast("double") / _SP_YW
+        ).cast("long").alias("bk"),
+    ).filter(F.col("bk").isNotNull())
+    joint = tracked_persist(
+        ev.groupBy("event_type", "bx", "bk").agg(F.count("*").alias("c"))
+    )
+    wx = (
+        Window.partitionBy("event_type")
+        .orderBy("bx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mx = (
+        joint.groupBy("event_type", "bx")
+        .agg(F.sum("c").alias("t"))
+        .select(
+            "event_type",
+            "bx",
+            (
+                F.coalesce(F.sum("t").over(wx), F.lit(0)).cast("double")
+                + (F.col("t") + 1.0) / 2.0
+            ).alias("rx"),
+        )
+    )
+    wy = (
+        Window.partitionBy("event_type")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    my = (
+        joint.groupBy("event_type", "bk")
+        .agg(F.sum("c").alias("t"))
+        .select(
+            "event_type",
+            "bk",
+            (
+                F.coalesce(F.sum("t").over(wy), F.lit(0)).cast("double")
+                + (F.col("t") + 1.0) / 2.0
+            ).alias("ry"),
+        )
+    )
+    pairs = joint.join(mx, ["event_type", "bx"]).join(my, ["event_type", "bk"])
+    m = pairs.groupBy("event_type").agg(
+        F.sum("c").cast("double").alias("nn"),
+        F.sum(F.col("c") * F.col("rx")).alias("sx"),
+        F.sum(F.col("c") * F.col("ry")).alias("sy"),
+        F.sum(F.col("c") * F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("c") * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("c") * F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    return m.select(
+        "event_type",
+        F.col("nn").cast("long").alias("n_rows"),
+        F.expr(f"round({_SP_RHO} + 1e-9, 6) + 0.0").alias("spearman_rho"),
+    ).orderBy("event_type")
+
+
+value_spearman_banded.__doc__ = value_spearman_banded.__doc__.format(
+    XW=_SP_XW, YW=_SP_YW
+)
+
+VALUE_SPEARMAN_BANDED_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value / {_SP_XW}) AS BIGINT) AS bx,
+         CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                    / {_SP_YW}) AS BIGINT) AS bk
+  FROM events
+),
+joint AS (
+  SELECT event_type, bx, bk, count(*) AS c
+  FROM ev WHERE bk IS NOT NULL
+  GROUP BY event_type, bx, bk
+),
+mx AS (
+  SELECT event_type, bx,
+         CAST(coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY bx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE) + (t + 1.0) / 2.0 AS rx
+  FROM (SELECT event_type, bx, CAST(sum(c) AS BIGINT) AS t
+        FROM joint GROUP BY event_type, bx) sub_x
+),
+my AS (
+  SELECT event_type, bk,
+         CAST(coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY bk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE) + (t + 1.0) / 2.0 AS ry
+  FROM (SELECT event_type, bk, CAST(sum(c) AS BIGINT) AS t
+        FROM joint GROUP BY event_type, bk) sub_y
+),
+m AS (
+  SELECT j.event_type,
+         CAST(sum(j.c) AS DOUBLE) AS nn,
+         sum(j.c * mx.rx) AS sx, sum(j.c * my.ry) AS sy,
+         sum(j.c * mx.rx * my.ry) AS sxy,
+         sum(j.c * mx.rx * mx.rx) AS sxx,
+         sum(j.c * my.ry * my.ry) AS syy
+  FROM joint j
+  JOIN mx ON j.event_type = mx.event_type AND j.bx = mx.bx
+  JOIN my ON j.event_type = my.event_type AND j.bk = my.bk
+  GROUP BY j.event_type
+)
+SELECT event_type,
+       CAST(nn AS BIGINT) AS n_rows,
+       round({_SP_RHO} + 1e-9, 6) + 0.0 AS spearman_rho
+FROM m ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals (deterministic, hash-seeded)
+# --------------------------------------------------------------------------
+
+_BOOT_B = 32
+
+# Cumulative Poisson(1) thresholds for the inverse-CDF draw — written
+# as shared 16-digit literals so both engines compare against the
+# exact same constants.
+_POIS_T = [
+    "0.3678794411714423",
+    "0.7357588823428846",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+]
+
+
+def _boot_w(u_expr: str) -> str:
+    """Shared CASE ladder: dyadic uniform → Poisson(1) weight 0..6."""
+    cases = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for each event type's
+    mean value — THE scale idiom for uncertainty on massive data:
+    classical bootstrap resamples the corpus B times (B full shuffles
+    of a 100 TB table); the Poisson bootstrap (Chamandy 2012) instead
+    gives every row an independent Poisson(1) replicate weight, so all
+    B replicates stream past in ONE scan and reduce map-side to
+    B×key-space moment rows.
+
+    Determinism: the weight for (event, replicate) is the inverse-CDF
+    Poisson(1) draw from the md5-derived dyadic uniform (the
+    dp_noised_release idiom), so both engines draw bit-identical
+    weights. The replicate fan-out is a {B}-element sequence explode
+    collapsed immediately by the grouped aggregate — the shuffle
+    carries event_types × {B} rows regardless of corpus size. The CI
+    is order-statistic: ranks 2 and {B1} of the {B} sorted replicate
+    means (≈ 94% coverage), a bounded per-type window.
+    """
+    terms = [
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.col("m"), i, 1),
+            )
+            - 1
+        ).cast("double")
+        * F.lit(16.0 ** -i)
+        for i in range(1, 9)
+    ]
+    u = terms[0]
+    for t in terms[1:]:
+        u = u + t
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))))
+        .withColumn(
+            "m",
+            F.md5(
+                F.concat(
+                    F.lit("boot|"),
+                    F.col("event_id").cast("string"),
+                    F.lit("|"),
+                    F.col("b").cast("string"),
+                )
+            ),
+        )
+        .withColumn("u", u)
+        .withColumn("w", F.expr(_boot_w("u")).cast("double"))
+    )
+    reps = ev.groupBy("event_type", "b").agg(
+        (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("rep_mean")
+    )
+    wrk = Window.partitionBy("event_type").orderBy("rep_mean")
+    ranked = reps.withColumn("rk", F.row_number().over(wrk))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.expr("round(avg(rep_mean) + 1e-9, 4) + 0.0").alias("boot_mean"),
+            F.expr(
+                "round(max(CASE WHEN rk = 2 THEN rep_mean END) + 1e-9, 4)"
+                " + 0.0"
+            ).alias("ci_lo"),
+            F.expr(
+                f"round(max(CASE WHEN rk = {_BOOT_B - 1} THEN rep_mean END)"
+                " + 1e-9, 4) + 0.0"
+            ).alias("ci_hi"),
+            F.count("*").cast("long").alias("n_reps"),
+        )
+        .orderBy("event_type")
+    )
+
+
+events_bootstrap_ci.__doc__ = events_bootstrap_ci.__doc__.format(
+    B=_BOOT_B, B1=_BOOT_B - 1
+)
+
+
+def _boot_u_sql(key_expr: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({key_expr}), {i}, 1)) - 1)"
+        f" * {16.0 ** -i!r}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
+EVENTS_BOOTSTRAP_CI_SQL = f"""
+WITH ev AS (
+  SELECT e.event_type, e.value, t.b,
+         CAST({_boot_w(_boot_u_sql("'boot|' || CAST(e.event_id AS VARCHAR) || '|' || CAST(t.b AS VARCHAR)"))}
+              AS DOUBLE) AS w
+  FROM events e
+  CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) t
+),
+reps AS (
+  SELECT event_type, b, sum(w * value) / sum(w) AS rep_mean
+  FROM ev GROUP BY event_type, b
+),
+ranked AS (
+  SELECT event_type, rep_mean,
+         row_number() OVER (PARTITION BY event_type ORDER BY rep_mean) AS rk
+  FROM reps
+)
+SELECT event_type,
+       round(avg(rep_mean) + 1e-9, 4) + 0.0 AS boot_mean,
+       round(max(CASE WHEN rk = 2 THEN rep_mean END) + 1e-9, 4) + 0.0
+         AS ci_lo,
+       round(max(CASE WHEN rk = {_BOOT_B - 1} THEN rep_mean END) + 1e-9, 4)
+         + 0.0 AS ci_hi,
+       count(*) AS n_reps
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_ols_two_factor": events_ols_two_factor,
     "source_welch_ttest": source_welch_ttest,
@@ -586,6 +1081,10 @@ QUERIES = {
     "value_ks_grid": value_ks_grid,
     "events_autocorr_lag1": events_autocorr_lag1,
     "market_basket_rules": market_basket_rules,
+    "value_mannwhitney_grid": value_mannwhitney_grid,
+    "lang_source_chisq": lang_source_chisq,
+    "value_spearman_banded": value_spearman_banded,
+    "events_bootstrap_ci": events_bootstrap_ci,
 }
 
 ORACLES = {
@@ -595,4 +1094,8 @@ ORACLES = {
     "value_ks_grid": VALUE_KS_GRID_SQL,
     "events_autocorr_lag1": EVENTS_AUTOCORR_LAG1_SQL,
     "market_basket_rules": MARKET_BASKET_RULES_SQL,
+    "value_mannwhitney_grid": VALUE_MANNWHITNEY_GRID_SQL,
+    "lang_source_chisq": LANG_SOURCE_CHISQ_SQL,
+    "value_spearman_banded": VALUE_SPEARMAN_BANDED_SQL,
+    "events_bootstrap_ci": EVENTS_BOOTSTRAP_CI_SQL,
 }

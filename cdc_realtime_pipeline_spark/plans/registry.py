@@ -34,19 +34,24 @@ re-ranking with a recursive-CTE oracle, the iterative BPE training
 loop with an unrolled recursive-fold oracle, CUSUM changepoint
 location, the seasonal-naive forecast backtest, the vocabulary
 coverage curve, the cohort lifetime-value curve, common-neighbor
-link prediction over the dup graph, RAKE keyword extraction, and
-product-quantization code assignment with a hash-derived codebook) —
-new operators displace rotation slots per policy; [D] 19 staleness-
-rotation slots, oldest driver evidence first (the r5-displaced
-dashboard pair, then the r1-only pool in queue order)
-([A]3 + [B]11 + [C]17 + [D]19 = 50).
+link prediction over the dup graph, RAKE keyword extraction,
+product-quantization code assignment with a hash-derived codebook,
+and the second inference wave — grid Mann–Whitney U with tie-corrected
+z, lang×source chi-square with empty-cell expectation, banded Spearman
+rho, and deterministic Poisson-bootstrap CIs) — new operators displace
+rotation slots per policy; [D] 15 staleness-rotation slots, oldest
+driver evidence first (the r5-displaced dashboard pair, then the
+r1-only pool in queue order)
+([A]3 + [B]11 + [C]21 + [D]15 = 50).
 Rows dropped this round hold r1-r5 green evidence on unchanged code
 and stay under the local 3-SF harness (which now hashes
 type-faithfully via Arrow — local red predicts driver red on the
 typed-output class too).
 
-Round-7 rotation queue — the 17 [D] entries displaced by [C] this
-round (`value_quantiles`, `sessionize_native`, `window_agg_5m_salted`,
+Round-7 rotation queue — the 21 [D] entries displaced by [C] this
+round (`tpch_q12_like`, `tpch_q14_like`, `sessionize`,
+`window_rank_functions`,
+`value_quantiles`, `sessionize_native`, `window_agg_5m_salted`,
 `dash_approx_distinct_users`, `dash_recent_alerts`, `dash_live_trades`,
 `dash_pipeline_liveness`, `dash_latest_value_per_day`,
 `dash_price_per_minute_single_key`, `small_quantity_revenue`,
@@ -166,6 +171,10 @@ _PRIORITY = [
     "dup_graph_common_neighbors",
     "text_rake_keywords",
     "embeddings_pq_assign",
+    "value_mannwhitney_grid",
+    "lang_source_chisq",
+    "value_spearman_banded",
+    "events_bootstrap_ci",
     # --- [D] staleness rotation, oldest driver evidence first: the
     # r5-displaced dashboard/relational pairs, then the r1-only pool
     # in documented queue order ---
@@ -184,10 +193,6 @@ _PRIORITY = [
     "alerts_large_trade",
     "alerts_rapid_trades",
     "tpch_q1",
-    "tpch_q12_like",
-    "tpch_q14_like",
-    "sessionize",
-    "window_rank_functions",
 ]
 
 

@@ -391,3 +391,160 @@ def test_pq_assign_matches_numpy(spark, sf_dir):
         )
     # every (vec, sub) assigned exactly once -> occupancy sums to N*S
     assert sum(r.n_assigned for r in got.values()) == len(emb) * _PQ_SUBS
+
+
+def test_mannwhitney_grid_matches_reference(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _MW_GRID,
+        _MW_GROUP_A,
+        _MW_GROUP_B,
+        value_mannwhitney_grid,
+    )
+
+    got = value_mannwhitney_grid(spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_MW_GROUP_A, _MW_GROUP_B))
+        .select("event_type", "value")
+        .collect()
+    )
+    cells: dict[int, list[int]] = {}
+    for r in rows:
+        c = cells.setdefault(int(math.floor(r.value / _MW_GRID)), [0, 0])
+        c[0 if r.event_type == _MW_GROUP_A else 1] += 1
+    # midrank rank-sum over sorted cells
+    cum = 0
+    r_a = n_a = n_b = tie = 0.0
+    for cell in sorted(cells):
+        ca, cb = cells[cell]
+        t = ca + cb
+        r_a += ca * (cum + (t + 1) / 2.0)
+        cum += t
+        n_a += ca
+        n_b += cb
+        tie += t**3 - t
+    u = r_a - n_a * (n_a + 1) / 2.0
+    nt = n_a + n_b
+    var = (n_a * n_b / 12.0) * ((nt + 1.0) - tie / (nt * (nt - 1.0)))
+    z = (u - n_a * n_b / 2.0) / math.sqrt(var)
+    assert got.n_a == n_a and got.n_b == n_b
+    assert got.n_cells == len(cells)
+    assert math.isclose(got.u_stat, u, abs_tol=0.02)
+    assert math.isclose(got.z_score, z, abs_tol=2e-4)
+
+
+def test_lang_source_chisq_matches_reference(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.inference import lang_source_chisq
+
+    got = {r.lang: r for r in lang_source_chisq(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source").collect()
+    joint = Counter((r.lang, r.source) for r in docs)
+    cx = Counter(r.lang for r in docs)
+    cy = Counter(r.source for r in docs)
+    n = len(docs)
+    assert set(got) == set(cx)
+    total_chi2 = 0.0
+    for lang in cx:
+        contrib = 0.0
+        for src in cy:
+            e = cx[lang] * cy[src] / n
+            o = joint.get((lang, src), 0)
+            contrib += (o - e) ** 2 / e
+        total_chi2 += contrib
+        assert got[lang].n_docs == cx[lang]
+        assert math.isclose(got[lang].chisq_contrib, contrib, abs_tol=2e-3)
+        assert got[lang].dof_per_row == len(cy) - 1
+    # full-table dof recoverable: rows x dof_per_row with one row slack
+    assert sum(r.dof_per_row for r in got.values()) == len(cx) * (len(cy) - 1)
+    assert total_chi2 >= 0.0
+
+
+def test_spearman_banded_matches_reference(spark, sf_dir):
+    import json
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _SP_XW,
+        _SP_YW,
+        value_spearman_banded,
+    )
+
+    got = {r.event_type: r for r in value_spearman_banded(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "props"
+    ).collect()
+    per_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        k = json.loads(r.props).get("k")
+        if k is None:
+            continue
+        per_type.setdefault(r.event_type, []).append(
+            (int(math.floor(r.value / _SP_XW)), int(math.floor(float(k) / _SP_YW)))
+        )
+    for et, pts in per_type.items():
+        # midranks per axis with ties
+        def midranks(vals: list[int]) -> dict[int, float]:
+            cnt = Counter(vals)
+            out, cum = {}, 0
+            for v in sorted(cnt):
+                out[v] = cum + (cnt[v] + 1) / 2.0
+                cum += cnt[v]
+            return out
+
+        rx = midranks([p[0] for p in pts])
+        ry = midranks([p[1] for p in pts])
+        xs = np.array([rx[p[0]] for p in pts])
+        ys = np.array([ry[p[1]] for p in pts])
+        rho = float(np.corrcoef(xs, ys)[0, 1])
+        assert got[et].n_rows == len(pts)
+        assert math.isclose(got[et].spearman_rho, rho, abs_tol=2e-5)
+
+
+def test_bootstrap_ci_deterministic_and_ordered(spark, sf_dir):
+    import hashlib
+
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _BOOT_B,
+        _POIS_T,
+        events_bootstrap_ci,
+    )
+
+    got = events_bootstrap_ci(spark, sf_dir).collect()
+    assert all(r.n_reps == _BOOT_B for r in got)
+    assert all(r.ci_lo <= r.boot_mean <= r.ci_hi for r in got)
+    # rerun is bit-identical (hash-seeded, no RNG state)
+    again = events_bootstrap_ci(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+    # one replicate recomputed host-side from the same md5 draws
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    thresholds = [float(t) for t in _POIS_T]
+
+    def w(eid: int, b: int) -> int:
+        h = hashlib.md5(f"boot|{eid}|{b}".encode()).hexdigest()
+        u = sum(int(h[i], 16) * 16.0 ** -(i + 1) for i in range(8))
+        for k, t in enumerate(thresholds):
+            if u < t:
+                return k
+        return 6
+
+    et = rows[0].event_type
+    reps = []
+    for b in range(_BOOT_B):
+        sw = swx = 0.0
+        for r in rows:
+            if r.event_type != et:
+                continue
+            wi = w(r.event_id, b)
+            sw += wi
+            swx += wi * r.value
+        reps.append(swx / sw)
+    reps.sort()
+    row = next(r for r in got if r.event_type == et)
+    assert math.isclose(row.boot_mean, sum(reps) / len(reps), abs_tol=2e-4)
+    assert math.isclose(row.ci_lo, reps[1], abs_tol=2e-4)
+    assert math.isclose(row.ci_hi, reps[_BOOT_B - 2], abs_tol=2e-4)
