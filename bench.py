@@ -176,6 +176,10 @@ BENCH_QUERIES = [
     "lang_source_chisq",
     "value_spearman_banded",
     "events_bootstrap_ci",
+    "events_countmin_audit",
+    "events_periodogram",
+    "value_hampel_filter",
+    "bucketed_join_colocated",
 ]
 
 

@@ -1328,8 +1328,140 @@ ORDER BY risk_band
 """
 
 
+# --------------------------------------------------------------------------
+# Count–min sketch error audit (Cormode–Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+_CMS_TOP = 20
+
+
+def events_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min sketch frequency estimates audited against exact
+    counts for the heaviest user_ids — the sketch that answers "how
+    often did key X occur?" in {D}×{W} integers no matter how large
+    the stream, completing the sketch shelf next to heavy_hitters_mg
+    (which finds WHO is heavy; CMS answers arbitrary point queries,
+    including keys never kept in the MG summary).
+
+    The whole sketch build is one {D}-way fan-out collapsed by a
+    map-side-combinable count into a {D}·{W}-row relation — at 100 TB
+    the shuffle carries 1024 integers. Hashing is the repo's md5
+    dyadic-uniform idiom: bucket = floor(u·{W}) is EXACTLY the first
+    two hex nibbles (dyadic rationals are exact in double), so both
+    engines bucket bit-identically. The audit joins the exact top-{T}
+    (a TakeOrdered) against the broadcast sketch and reports est −
+    exact, which the CMS one-sided guarantee keeps ≥ 0 — pinned in
+    pytest; the oracle pins the exact estimates.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    fan = ev.withColumn(
+        "d", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))
+    ).withColumn(
+        "hkey",
+        F.concat(
+            F.lit("cms"),
+            F.col("d").cast("string"),
+            F.lit("|"),
+            F.col("user_id").cast("string"),
+        ),
+    )
+    sketch = (
+        fan.withColumn(
+            "bucket",
+            F.floor(_hex_uniform("", "hkey") * _CMS_W).cast("long"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(_CMS_TOP)
+    )
+    probes = (
+        top.withColumn(
+            "d", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))
+        )
+        .withColumn(
+            "hkey",
+            F.concat(
+                F.lit("cms"),
+                F.col("d").cast("string"),
+                F.lit("|"),
+                F.col("user_id").cast("string"),
+            ),
+        )
+        .withColumn(
+            "bucket", F.floor(_hex_uniform("", "hkey") * _CMS_W).cast("long")
+        )
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    ).orderBy(F.desc("exact_cnt"), "user_id")
+
+
+events_countmin_audit.__doc__ = events_countmin_audit.__doc__.format(
+    D=_CMS_D, W=_CMS_W, T=_CMS_TOP
+)
+
+
+def _cms_bucket_sql(key_expr: str) -> str:
+    return (
+        f"CAST(floor({_hex_uniform_sql('', key_expr)} * {_CMS_W}) AS BIGINT)"
+    )
+
+
+_CMS_KEY = (
+    "'cms' || CAST(t.d AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+)
+
+EVENTS_COUNTMIN_AUDIT_SQL = f"""
+WITH fan AS (
+  SELECT e.user_id, t.d,
+         {_cms_bucket_sql(_CMS_KEY)} AS bucket
+  FROM events e CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d) t
+),
+sketch AS (
+  SELECT d, bucket, count(*) AS c FROM fan GROUP BY d, bucket
+),
+top_keys AS (
+  SELECT user_id, count(*) AS exact_cnt
+  FROM events GROUP BY user_id
+  ORDER BY exact_cnt DESC, user_id
+  LIMIT {_CMS_TOP}
+),
+probes AS (
+  SELECT k.user_id, k.exact_cnt, t.d,
+         {_cms_bucket_sql(_CMS_KEY)} AS bucket
+  FROM top_keys k CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d) t
+),
+est AS (
+  SELECT p.user_id, p.exact_cnt, min(s.c) AS cms_est
+  FROM probes p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+  GROUP BY p.user_id, p.exact_cnt
+)
+SELECT user_id,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
+FROM est ORDER BY exact_cnt DESC, user_id
+"""
+
+
 QUERIES = {
     "dq_rule_engine": dq_rule_engine,
+    "events_countmin_audit": events_countmin_audit,
     "dp_noised_release": dp_noised_release,
     "k_anonymity_audit": k_anonymity_audit,
     "value_benford_digits": value_benford_digits,
@@ -1350,6 +1482,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_countmin_audit": EVENTS_COUNTMIN_AUDIT_SQL,
     "dp_noised_release": DP_NOISED_RELEASE_SQL,
     "k_anonymity_audit": K_ANONYMITY_AUDIT_SQL,
     "value_benford_digits": VALUE_BENFORD_DIGITS_SQL,

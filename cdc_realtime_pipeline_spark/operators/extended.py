@@ -7,6 +7,8 @@ explicit, oracle-gated, and scale-shaped).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2516,7 +2518,104 @@ FROM per_user GROUP BY max_depth ORDER BY max_depth
 """
 
 
+# --------------------------------------------------------------------------
+# Bucketed co-located join: the shuffle-free join the 100 TB plan wants
+# --------------------------------------------------------------------------
+
+_BKT_N = 8
+
+
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-revenue rollup computed over BUCKETED tables: orders and
+    lineitem written once via ``bucketBy({N}, orderkey).sortBy``, then
+    joined bucket-to-bucket — the physical design that removes the
+    join shuffle entirely. On a 1000-executor cluster this is the
+    difference between re-shuffling 100 TB of lineitem on every join
+    and reading pre-co-located buckets: both scans report the same
+    hash partitioning, so the sort-merge join starts with ZERO
+    Exchange on either side (the only shuffle left in the plan is the
+    final 5-key priority aggregate — test_plans pins exactly that).
+
+    The ``merge`` hint pins the bucketed SMJ path even where AQE
+    would broadcast the small side at test scale — at production
+    scale neither side broadcasts, and the bucketed plan is the one
+    under test. Tables are written once per (session, SF) and reused;
+    results are oracle-gated against the raw parquet, proving the
+    bucketed layout is a pure physical change.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders = f"sg_bkt_orders_{tag}"
+    t_lineitem = f"sg_bkt_lineitem_{tag}"
+
+    def _clear_stale(table: str) -> None:
+        # the in-memory catalog dies with the session but the managed
+        # location survives — a stale dir from a previous session
+        # makes saveAsTable refuse (LOCATION_ALREADY_EXISTS)
+        if spark.catalog.tableExists(table):
+            return
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+
+    if not spark.catalog.tableExists(t_orders):
+        _clear_stale(t_orders)
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.bucketBy(_BKT_N, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(t_orders)
+        )
+    if not spark.catalog.tableExists(t_lineitem):
+        _clear_stale(t_lineitem)
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(_BKT_N, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(t_lineitem)
+        )
+    li = spark.table(t_lineitem).hint("merge")
+    orders = spark.table(t_orders)
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count("*").cast("long").alias("n_items"),
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)"
+                " + 0.0"
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+bucketed_join_colocated.__doc__ = bucketed_join_colocated.__doc__.format(
+    N=_BKT_N
+)
+
+BUCKETED_JOIN_COLOCATED_SQL = """
+SELECT o.o_orderpriority,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) + 0.0
+         AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES = {
+    "bucketed_join_colocated": bucketed_join_colocated,
     "grouping_sets_conformance": grouping_sets_conformance,
     "group_by_all_conformance": group_by_all_conformance,
     "window_funnel_depth": window_funnel_depth,
@@ -2564,6 +2663,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bucketed_join_colocated": BUCKETED_JOIN_COLOCATED_SQL,
     "window_funnel_depth": WINDOW_FUNNEL_DEPTH_SQL,
     "recursive_cte_conformance": RECURSIVE_CTE_CONFORMANCE_SQL,
     "regr_aggregates_conformance": REGR_AGGREGATES_CONFORMANCE_SQL,

@@ -779,9 +779,255 @@ GROUP BY a.event_type ORDER BY a.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Fixed-frequency periodogram (DFT power at candidate seasonal periods)
+# --------------------------------------------------------------------------
+
+# candidate periods in 5-min buckets: 1h, 3h, 6h, 12h, 24h, 1 week
+_PERIODOGRAM_P = [12, 36, 72, 144, 288, 2016]
+
+
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT power of each event type's 5-minute volume series at six
+    candidate seasonal periods (1 h … 1 week) — the spectral screen
+    that picks WHICH period events_seasonal_backtest should difference
+    on (the backtest assumes daily; a dominant 12 h or weekly line
+    here says otherwise) and quantifies how much of the variance the
+    cycle carries.
+
+    Numerics for cross-engine exactness: the phase is 2π·(bucket mod
+    p)/p over the INTEGER bucket index, so the trig argument stays in
+    [0, 2π) — both engines evaluate cos/sin of bit-identical small
+    doubles instead of reducing a ~1e9-second epoch (where libm
+    argument-reduction differences would surface). Volumes are
+    mean-centered per type (otherwise the DC component leaks into
+    every line).
+
+    Scale: series length = time-span/5 min — bounded by calendar, not
+    corpus; the period grid is a 6-row broadcast; the DFT itself is
+    one map-side-combinable aggregate per (type, period) carrying two
+    doubles. A full FFT is pointless here — at any scale you probe
+    the handful of physically plausible periods, not N/2 frequencies.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 300).cast("long").alias("bucket"),
+        )
+        .agg(F.sum("value").alias("vol"))
+    )
+    means = buckets.groupBy("event_type").agg(
+        F.avg("vol").alias("mu"), F.count("*").cast("double").alias("nb")
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in _PERIODOGRAM_P], "p long"
+    )
+    centered = buckets.join(F.broadcast(means), "event_type").crossJoin(
+        F.broadcast(periods)
+    )
+    spec = (
+        centered.select(
+            "event_type",
+            "p",
+            "nb",
+            (F.col("vol") - F.col("mu")).alias("vc"),
+            (
+                F.lit(2.0)
+                * F.expr("pi()")
+                * (F.col("bucket") % F.col("p")).cast("double")
+                / F.col("p").cast("double")
+            ).alias("phase"),
+        )
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(F.col("vc") * F.cos("phase")).alias("sc"),
+            F.sum(F.col("vc") * F.sin("phase")).alias("ss"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    return spec.select(
+        "event_type",
+        F.expr("round(p * 300.0 / 3600.0 + 1e-9, 2) + 0.0").alias(
+            "period_hours"
+        ),
+        F.col("nb").cast("long").alias("n_buckets"),
+        F.expr("round((sc * sc + ss * ss) / nb + 1e-9, 4) + 0.0").alias(
+            "spec_power"
+        ),
+    ).orderBy("event_type", "period_hours")
+
+
+EVENTS_PERIODOGRAM_SQL = f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+         sum(value) AS vol
+  FROM events GROUP BY event_type, bucket
+),
+means AS (
+  SELECT event_type, avg(vol) AS mu, CAST(count(*) AS DOUBLE) AS nb
+  FROM buckets GROUP BY event_type
+),
+periods AS (SELECT unnest([{", ".join(str(p) for p in _PERIODOGRAM_P)}]) AS p),
+centered AS (
+  SELECT b.event_type, p.p, m.nb,
+         b.vol - m.mu AS vc,
+         2.0 * pi() * CAST(b.bucket % p.p AS DOUBLE) / CAST(p.p AS DOUBLE)
+           AS phase
+  FROM buckets b
+  JOIN means m ON b.event_type = m.event_type
+  CROSS JOIN periods p
+),
+spec AS (
+  SELECT event_type, p,
+         sum(vc * cos(phase)) AS sc,
+         sum(vc * sin(phase)) AS ss,
+         max(nb) AS nb
+  FROM centered GROUP BY event_type, p
+)
+SELECT event_type,
+       round(p * 300.0 / 3600.0 + 1e-9, 2) + 0.0 AS period_hours,
+       CAST(nb AS BIGINT) AS n_buckets,
+       round((sc * sc + ss * ss) / nb + 1e-9, 4) + 0.0 AS spec_power
+FROM spec ORDER BY event_type, period_hours
+"""
+
+
+# --------------------------------------------------------------------------
+# Hampel filter: rolling-median / rolling-MAD outlier screen
+# --------------------------------------------------------------------------
+
+_HAMPEL_HALF = 10  # window = 2·half + 1 ticks
+_HAMPEL_K = 3.0  # flag threshold in scaled-MAD units
+_HAMPEL_C = 1.4826  # MAD → sigma consistency constant
+
+
+def _median_expr(arr: str, elem: str, size_fn: str) -> str:
+    """Exact median of a SORTED array column — shared formula, engine
+    difference confined to the accessor names (element_at/size vs
+    list_extract/len), both 1-based."""
+    n = f"{size_fn}({arr})"
+    i1 = f"CAST(floor(({n} + 1) / 2.0) AS INT)"
+    i2 = f"CAST(floor(({n} + 2) / 2.0) AS INT)"
+    return f"(({elem}({arr}, {i1}) + {elem}({arr}, {i2})) / 2.0)"
+
+
+def value_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over each event type's value series: a tick is an
+    outlier when it sits more than {K}·(1.4826·MAD) from the rolling
+    MEDIAN of its ±{H}-tick neighborhood — the robust alternative to
+    rolling_price_bands' mean/stddev bands (one genuine spike inflates
+    a rolling stddev and masks its neighbors; the median/MAD pair is
+    immune to up to half the window being corrupt).
+
+    There is no two-level "median of deviations from a per-row
+    median" in windowed SQL directly, so the window materializes its
+    frame: sort_array(collect_list(value) OVER ±{H} rows) gives each
+    tick its 21-value neighborhood as an array, and both medians are
+    exact closed forms over the sorted array (higher-order transform
+    for the deviations). Arrays are frame-sized (constant, 21), never
+    row-count-sized. Zero-MAD windows (≥ half the frame identical)
+    cannot flag and are reported separately, not silently dropped.
+
+    Scale: one per-key ordered window — the canonical per-key
+    time-series sort, linear per partition; for a single pathological
+    hot key, slice the partition key by calendar day with a ±{H}-tick
+    overlap (the gap_fill_locf posture) — the frame is local, so
+    day-boundary frames are the only rows a slice must overlap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_HAMPEL_HALF, _HAMPEL_HALF)
+    )
+    framed = ev.select(
+        "event_type",
+        "value",
+        F.sort_array(F.collect_list("value").over(w)).alias("arr"),
+    )
+    scored = (
+        framed.withColumn(
+            "med", F.expr(_median_expr("arr", "element_at", "size"))
+        )
+        .withColumn(
+            "mad",
+            F.expr(
+                _median_expr(
+                    "array_sort(transform(arr, x -> abs(x - med)))",
+                    "element_at",
+                    "size",
+                )
+            ),
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                f"CASE WHEN mad > 0 THEN abs(value - med) / ({_HAMPEL_C} * mad) END"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_if(F.col("score") > _HAMPEL_K).cast("long").alias(
+                "n_outliers"
+            ),
+            F.count_if(F.col("mad") <= 0).cast("long").alias("n_zero_mad"),
+            F.expr("round(max(score) + 1e-9, 4) + 0.0").alias("max_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+value_hampel_filter.__doc__ = value_hampel_filter.__doc__.format(
+    K=_HAMPEL_K, H=_HAMPEL_HALF
+)
+
+VALUE_HAMPEL_FILTER_SQL = f"""
+WITH framed AS (
+  SELECT event_type, value,
+         list_sort(list(value) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN {_HAMPEL_HALF} PRECEDING AND {_HAMPEL_HALF} FOLLOWING
+         )) AS arr
+  FROM events
+),
+med AS (
+  SELECT event_type, value, arr,
+         {_median_expr("arr", "list_extract", "len")} AS med
+  FROM framed
+),
+scored AS (
+  SELECT event_type, value, med,
+         {_median_expr("list_sort(list_transform(arr, x -> abs(x - med)))", "list_extract", "len")}
+           AS mad
+  FROM med
+),
+final AS (
+  SELECT event_type,
+         CASE WHEN mad > 0
+              THEN abs(value - med) / ({_HAMPEL_C} * mad) END AS score,
+         mad
+  FROM scored
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(count(CASE WHEN score > {_HAMPEL_K} THEN 1 END) AS BIGINT)
+         AS n_outliers,
+       CAST(count(CASE WHEN mad <= 0 THEN 1 END) AS BIGINT) AS n_zero_mad,
+       round(max(score) + 1e-9, 4) + 0.0 AS max_score
+FROM final GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "value_cusum_drift": value_cusum_drift,
     "events_seasonal_backtest": events_seasonal_backtest,
+    "events_periodogram": events_periodogram,
+    "value_hampel_filter": value_hampel_filter,
 
     "ohlc_bars_5m": ohlc_bars_5m,
     "timeseries_pattern_topk": timeseries_pattern_topk,
@@ -795,6 +1041,8 @@ QUERIES = {
 ORACLES = {
     "value_cusum_drift": VALUE_CUSUM_DRIFT_SQL,
     "events_seasonal_backtest": EVENTS_SEASONAL_BACKTEST_SQL,
+    "events_periodogram": EVENTS_PERIODOGRAM_SQL,
+    "value_hampel_filter": VALUE_HAMPEL_FILTER_SQL,
 
     "trailing_10min_value": TRAILING_10MIN_VALUE_SQL,
     "timeseries_pattern_topk": _pattern_topk_sql(),

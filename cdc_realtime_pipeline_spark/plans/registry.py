@@ -38,18 +38,23 @@ link prediction over the dup graph, RAKE keyword extraction,
 product-quantization code assignment with a hash-derived codebook,
 and the second inference wave — grid Mann–Whitney U with tie-corrected
 z, lang×source chi-square with empty-cell expectation, banded Spearman
-rho, and deterministic Poisson-bootstrap CIs) — new operators displace
-rotation slots per policy; [D] 15 staleness-rotation slots, oldest
-driver evidence first (the r5-displaced dashboard pair, then the
-r1-only pool in queue order)
-([A]3 + [B]11 + [C]21 + [D]15 = 50).
+rho, deterministic Poisson-bootstrap CIs, the count–min sketch error
+audit, the fixed-frequency periodogram, the Hampel rolling-median
+outlier screen, and the bucketed co-located join with its pinned
+zero-Exchange SMJ plan) — new operators displace rotation slots per
+policy; [D] 11 staleness-rotation slots, oldest driver evidence first
+(the r5-displaced dashboard pair, then the r1-only pool in queue
+order)
+([A]3 + [B]11 + [C]25 + [D]11 = 50).
 Rows dropped this round hold r1-r5 green evidence on unchanged code
 and stay under the local 3-SF harness (which now hashes
 type-faithfully via Arrow — local red predicts driver red on the
 typed-output class too).
 
-Round-7 rotation queue — the 21 [D] entries displaced by [C] this
-round (`tpch_q12_like`, `tpch_q14_like`, `sessionize`,
+Round-7 rotation queue — the 25 [D] entries displaced by [C] this
+round (`tpch_q6`, `alerts_large_trade`, `alerts_rapid_trades`,
+`tpch_q1`,
+`tpch_q12_like`, `tpch_q14_like`, `sessionize`,
 `window_rank_functions`,
 `value_quantiles`, `sessionize_native`, `window_agg_5m_salted`,
 `dash_approx_distinct_users`, `dash_recent_alerts`, `dash_live_trades`,
@@ -175,6 +180,10 @@ _PRIORITY = [
     "lang_source_chisq",
     "value_spearman_banded",
     "events_bootstrap_ci",
+    "events_countmin_audit",
+    "events_periodogram",
+    "value_hampel_filter",
+    "bucketed_join_colocated",
     # --- [D] staleness rotation, oldest driver evidence first: the
     # r5-displaced dashboard/relational pairs, then the r1-only pool
     # in documented queue order ---
@@ -189,10 +198,6 @@ _PRIORITY = [
     "dash_bid_ask_ranking",
     "region_revenue",
     "revenue_top_orders",
-    "tpch_q6",
-    "alerts_large_trade",
-    "alerts_rapid_trades",
-    "tpch_q1",
 ]
 
 

@@ -548,3 +548,108 @@ def test_bootstrap_ci_deterministic_and_ordered(spark, sf_dir):
     assert math.isclose(row.boot_mean, sum(reps) / len(reps), abs_tol=2e-4)
     assert math.isclose(row.ci_lo, reps[1], abs_tol=2e-4)
     assert math.isclose(row.ci_hi, reps[_BOOT_B - 2], abs_tol=2e-4)
+
+
+def test_countmin_overestimates_and_exact_counts(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.dq import (
+        _CMS_TOP,
+        events_countmin_audit,
+    )
+
+    got = events_countmin_audit(spark, sf_dir).collect()
+    exact = Counter(
+        r.user_id for r in load_table(spark, sf_dir, "events").select("user_id").collect()
+    )
+    assert len(got) == min(_CMS_TOP, len(exact))
+    # CMS one-sided guarantee: never underestimates
+    assert all(r.overestimate >= 0 for r in got)
+    assert all(r.cms_est == r.exact_cnt + r.overestimate for r in got)
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert [(r.user_id, r.exact_cnt) for r in got] == top
+
+
+def test_periodogram_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.timeseries import (
+        _PERIODOGRAM_P,
+        events_periodogram,
+    )
+
+    got = {
+        (r.event_type, r.period_hours): r
+        for r in events_periodogram(spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    series: dict[str, dict[int, float]] = {}
+    for r in rows:
+        b = int(r.ts.timestamp() // 300)
+        series.setdefault(r.event_type, {}).setdefault(b, 0.0)
+        series[r.event_type][b] += r.value
+    for et, sd in series.items():
+        buckets = np.array(sorted(sd))
+        vols = np.array([sd[b] for b in buckets])
+        vc = vols - vols.mean()
+        for p in _PERIODOGRAM_P:
+            phase = 2.0 * np.pi * (buckets % p) / p
+            power = (
+                (vc * np.cos(phase)).sum() ** 2 + (vc * np.sin(phase)).sum() ** 2
+            ) / len(buckets)
+            key = (et, round(p * 300.0 / 3600.0, 2))
+            assert math.isclose(got[key].spec_power, power, rel_tol=1e-6, abs_tol=2e-3)
+            assert got[key].n_buckets == len(buckets)
+
+
+def test_hampel_matches_numpy_rolling(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.timeseries import (
+        _HAMPEL_C,
+        _HAMPEL_HALF,
+        _HAMPEL_K,
+        value_hampel_filter,
+    )
+
+    got = {r.event_type: r for r in value_hampel_filter(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    per: dict[str, list] = {}
+    for r in rows:
+        per.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    for et, pts in per.items():
+        pts.sort()
+        vals = np.array([p[2] for p in pts])
+        n_out = n_zero = 0
+        max_score = -np.inf
+        for i in range(len(vals)):
+            lo, hi = max(0, i - _HAMPEL_HALF), min(len(vals), i + _HAMPEL_HALF + 1)
+            wnd = vals[lo:hi]
+            med = float(np.median(wnd))
+            mad = float(np.median(np.abs(wnd - med)))
+            if mad <= 0:
+                n_zero += 1
+                continue
+            score = abs(vals[i] - med) / (_HAMPEL_C * mad)
+            max_score = max(max_score, score)
+            if score > _HAMPEL_K:
+                n_out += 1
+        assert got[et].n_rows == len(vals)
+        assert got[et].n_outliers == n_out
+        assert got[et].n_zero_mad == n_zero
+        assert math.isclose(got[et].max_score, max_score, abs_tol=2e-4)
+
+
+def test_bucketed_join_plan_is_shuffle_free_below_join(spark, sf_dir):
+    import re
+
+    from cdc_realtime_pipeline_spark.operators.extended import bucketed_join_colocated
+
+    df = bucketed_join_colocated(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    # every Exchange sits ABOVE the join: nothing between the SMJ and
+    # the bucketed scans re-shuffles
+    below = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in below
+    # and the scans select all declared buckets
+    assert len(re.findall(r"SelectedBucketsCount: 8 out of 8", plan)) == 2
