@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "events_periodogram",
     "value_hampel_filter",
     "bucketed_join_colocated",
+    "events_holt_linear",
+    "dup_graph_kcore",
 ]
 
 

@@ -1247,8 +1247,147 @@ FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# k-core decomposition of the near-dup graph (iterative peeling)
+# --------------------------------------------------------------------------
+
+_KCORE_ORACLE_PASSES = 8  # unrolled in the oracle; pytest pins depth ≤ this
+
+
+def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core / 3-core membership over the near-dup graph by iterative
+    peeling (Matula–Beck): repeatedly delete nodes whose degree in the
+    surviving subgraph is < k until stable. The graph-density lens the
+    flat dup metrics miss — a doc in the 3-core sits inside a densely
+    self-similar clique (template/boilerplate families), while
+    pairwise-linked near-dups peel away; dedup survivor policies
+    treat the two very differently.
+
+    Iteration discipline follows connected components, not pagerank:
+    the peel depth is data-dependent (bounded by the longest chain in
+    any component, NOT a fixed constant), so the driver loops until
+    the alive-set size stops shrinking — a SCALAR count per pass is
+    the only driver action, and peeling is monotone, so equal counts
+    imply set equality. Each pass is one induced-degree aggregate
+    (edges semi-joined twice against the alive set) and the alive set
+    is localCheckpoint-ed per pass — lineage stays one pass deep no
+    matter how deep the peel. The oracle unrolls {P} passes; pytest
+    re-peels in pure Python and asserts real depth ≤ {P} (at larger
+    scales the loop just runs deeper — the contract is the fixpoint,
+    which the harness verifies at every fixture SF).
+    """
+    pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
+    deg0 = (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count("*").alias("degree"))
+        .localCheckpoint()
+    )
+
+    def peel(k: int) -> DataFrame:
+        alive = deg0.select("doc_id", F.col("degree").alias("d"))
+        prev_n = -1
+        n = alive.count()
+        while n != prev_n:
+            prev_n = n
+            a_src = alive.select(F.col("doc_id").alias("src"))
+            a_dst = alive.select(F.col("doc_id").alias("dst"))
+            alive = (
+                edges.join(a_src, "src")
+                .join(a_dst, "dst")
+                .groupBy(F.col("src").alias("doc_id"))
+                .agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= k)
+                .localCheckpoint()
+            )
+            n = alive.count()
+        return alive
+
+    core2 = peel(2)
+    core3 = peel(3).select("doc_id", F.lit(1).alias("flag3"))
+    return (
+        core2.join(deg0, "doc_id")
+        .join(core3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.col("d").alias("core2_degree"),
+            F.coalesce(F.col("flag3"), F.lit(0)).cast("long").alias("in_3core"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+dup_graph_kcore.__doc__ = dup_graph_kcore.__doc__.format(
+    P=_KCORE_ORACLE_PASSES
+)
+
+
+def _kcore_pass_sql(prev: str, out: str, k: int) -> str:
+    return f"""
+{out} AS (
+  SELECT e.u AS node, count(*) AS d
+  FROM edges e
+  JOIN {prev} a ON e.u = a.node
+  JOIN {prev} b ON e.v = b.node
+  GROUP BY e.u
+  HAVING count(*) >= {k}
+)"""
+
+
+def _kcore_unrolled_sql(k: int) -> str:
+    parts = [f"a{k}_0 AS (SELECT node, degree AS d FROM deg)"]
+    for i in range(1, _KCORE_ORACLE_PASSES + 1):
+        parts.append(_kcore_pass_sql(f"a{k}_{i - 1}", f"a{k}_{i}", k))
+    return ",".join(parts)
+
+
+# jac/edges/deg are MATERIALIZED: 2×{P} unrolled passes reference
+# edges twice each, and inlining would re-expand the full Jaccard
+# candidate pipeline (and its parquet scans) per reference — DuckDB
+# runs out of file descriptors before it runs out of work.
+DUP_GRAPH_KCORE_SQL = f"""
+WITH jac AS MATERIALIZED ({DEDUP_DOCS_JACCARD_SQL}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM jac
+),
+deg AS MATERIALIZED (
+  SELECT u AS node, count(*) AS degree FROM edges GROUP BY u
+),
+{_kcore_unrolled_sql(2)},
+{_kcore_unrolled_sql(3)}
+SELECT c2.node AS doc_id,
+       CAST(deg.degree AS BIGINT) AS degree,
+       CAST(c2.d AS BIGINT) AS core2_degree,
+       CAST(CASE WHEN c3.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS in_3core
+FROM a2_{_KCORE_ORACLE_PASSES} c2
+JOIN deg ON c2.node = deg.node
+LEFT JOIN a3_{_KCORE_ORACLE_PASSES} c3 ON c2.node = c3.node
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_zipf_fit": corpus_zipf_fit,
+    "dup_graph_kcore": dup_graph_kcore,
     "dup_graph_triangles": dup_graph_triangles,
     "dup_clusters_connected_components": dup_clusters_connected_components,
     "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -1268,6 +1407,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dup_graph_kcore": DUP_GRAPH_KCORE_SQL,
     "corpus_zipf_fit": CORPUS_ZIPF_FIT_SQL,
     "dup_graph_triangles": DUP_GRAPH_TRIANGLES_SQL,
     "label_balanced_sample": LABEL_BALANCED_SAMPLE_SQL,

@@ -1023,11 +1023,123 @@ FROM final GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential smoothing)
+# --------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per event type over the
+    5-minute mean-value series: level/trend recursion l_t = α·x_t +
+    (1−α)(l+b), b_t = β(l_t−l) + (1−β)b — the step past ema_per_key
+    (level only) that tracks a drifting mean WITH its slope, and the
+    model whose one-step errors events_seasonal_backtest's naive
+    forecaster is benchmarked against. Emits the final state, the
+    next-bucket forecast and the in-sample one-step MAE.
+
+    The recursion is inherently sequential, but the SERIES is
+    calendar-bounded (5-min buckets of a 30-day span ≈ 8.6 k points —
+    independent of corpus size), so the scalable shape is: corpus-size
+    aggregate to buckets, collect each key's series into ONE array,
+    fold it with a higher-order ``aggregate`` — per-key state never
+    leaves the executor, and the driver never loops. Init is the
+    first element itself (l=x₁, b=0) — expressed on BOTH engines by
+    seeding the fold with element 1 lifted into accumulator shape
+    (which is exactly DuckDB ``list_reduce``'s seeding rule, mirrored
+    in Spark by aggregate(slice(arr, 2, …), lift(arr[1]))). Level and
+    trend are rounded 6dp EACH STEP on both engines (the pagerank
+    discipline) so float drift cannot compound across 8.6 k steps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 300).cast("long").alias("bucket"),
+    ).agg(F.avg("value").alias("x"))
+    series = buckets.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(bucket, x))), s -> s.x)"
+        ).alias("xs")
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    fold = f"""
+aggregate(
+  slice(xs, 2, size(xs) - 1),
+  named_struct('l', xs[0], 'b', CAST(0.0 AS DOUBLE),
+               'sae', CAST(0.0 AS DOUBLE), 'n', 1),
+  (acc, x) -> named_struct(
+    'l', round({a} * x + {1.0 - a} * (acc.l + acc.b) + 1e-9, 6),
+    'b', round({b} * (round({a} * x + {1.0 - a} * (acc.l + acc.b) + 1e-9, 6) - acc.l)
+               + {1.0 - b} * acc.b + 1e-9, 6),
+    'sae', acc.sae + abs(x - (acc.l + acc.b)),
+    'n', acc.n + 1)
+)"""
+    return (
+        series.withColumn("st", F.expr(fold))
+        .select(
+            "event_type",
+            F.col("st.n").cast("long").alias("n_buckets"),
+            F.expr("round(st.l + 1e-9, 4) + 0.0").alias("level"),
+            F.expr("round(st.b + 1e-9, 4) + 0.0").alias("trend"),
+            F.expr("round(st.l + st.b + 1e-9, 4) + 0.0").alias("forecast_next"),
+            F.expr("round(st.sae / (st.n - 1) + 1e-9, 4) + 0.0").alias(
+                "one_step_mae"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# NOTE: the accumulator is a DOUBLE LIST [l, trend, sae, n], not a
+# struct — DuckDB 1.0's list_reduce evaluates struct_pack fields
+# sequentially against a MUTATING accumulator (field 2's acc.l is
+# already field 1's new value; probed in test_holt_duckdb_semantics),
+# while list construction sees one consistent acc. Spark's aggregate
+# has sound struct semantics and keeps the named form.
+EVENTS_HOLT_LINEAR_SQL = f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+         avg(value) AS x
+  FROM events GROUP BY event_type, bucket
+),
+series AS (
+  SELECT event_type,
+         list([x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+               CAST(1.0 AS DOUBLE)]
+              ORDER BY bucket) AS elems
+  FROM buckets GROUP BY event_type
+),
+folded AS (
+  SELECT event_type,
+         list_reduce(elems, (acc, e) -> [
+           round({_HOLT_ALPHA} * e[1]
+                 + {1.0 - _HOLT_ALPHA} * (acc[1] + acc[2]) + 1e-9, 6),
+           round({_HOLT_BETA} * (round({_HOLT_ALPHA} * e[1]
+                 + {1.0 - _HOLT_ALPHA} * (acc[1] + acc[2]) + 1e-9, 6) - acc[1])
+                 + {1.0 - _HOLT_BETA} * acc[2] + 1e-9, 6),
+           acc[3] + abs(e[1] - (acc[1] + acc[2])),
+           acc[4] + 1.0]) AS st
+  FROM series
+)
+SELECT event_type,
+       CAST(st[4] AS BIGINT) AS n_buckets,
+       round(st[1] + 1e-9, 4) + 0.0 AS level,
+       round(st[2] + 1e-9, 4) + 0.0 AS trend,
+       round(st[1] + st[2] + 1e-9, 4) + 0.0 AS forecast_next,
+       round(st[3] / (st[4] - 1.0) + 1e-9, 4) + 0.0 AS one_step_mae
+FROM folded ORDER BY event_type
+"""
+
+
 QUERIES = {
     "value_cusum_drift": value_cusum_drift,
     "events_seasonal_backtest": events_seasonal_backtest,
     "events_periodogram": events_periodogram,
     "value_hampel_filter": value_hampel_filter,
+    "events_holt_linear": events_holt_linear,
 
     "ohlc_bars_5m": ohlc_bars_5m,
     "timeseries_pattern_topk": timeseries_pattern_topk,
@@ -1043,6 +1155,7 @@ ORACLES = {
     "events_seasonal_backtest": EVENTS_SEASONAL_BACKTEST_SQL,
     "events_periodogram": EVENTS_PERIODOGRAM_SQL,
     "value_hampel_filter": VALUE_HAMPEL_FILTER_SQL,
+    "events_holt_linear": EVENTS_HOLT_LINEAR_SQL,
 
     "trailing_10min_value": TRAILING_10MIN_VALUE_SQL,
     "timeseries_pattern_topk": _pattern_topk_sql(),

@@ -40,19 +40,22 @@ and the second inference wave — grid Mann–Whitney U with tie-corrected
 z, lang×source chi-square with empty-cell expectation, banded Spearman
 rho, deterministic Poisson-bootstrap CIs, the count–min sketch error
 audit, the fixed-frequency periodogram, the Hampel rolling-median
-outlier screen, and the bucketed co-located join with its pinned
-zero-Exchange SMJ plan) — new operators displace rotation slots per
-policy; [D] 11 staleness-rotation slots, oldest driver evidence first
+outlier screen, the bucketed co-located join with its pinned
+zero-Exchange SMJ plan, Holt double-exponential smoothing via
+higher-order folds, and k-core peeling over the near-dup graph) —
+new operators displace rotation slots per policy; [D] 9
+staleness-rotation slots, oldest driver evidence first
 (the r5-displaced dashboard pair, then the r1-only pool in queue
 order)
-([A]3 + [B]11 + [C]25 + [D]11 = 50).
+([A]3 + [B]11 + [C]27 + [D]9 = 50).
 Rows dropped this round hold r1-r5 green evidence on unchanged code
 and stay under the local 3-SF harness (which now hashes
 type-faithfully via Arrow — local red predicts driver red on the
 typed-output class too).
 
-Round-7 rotation queue — the 25 [D] entries displaced by [C] this
-round (`tpch_q6`, `alerts_large_trade`, `alerts_rapid_trades`,
+Round-7 rotation queue — the 27 [D] entries displaced by [C] this
+round (`region_revenue`, `revenue_top_orders`,
+`tpch_q6`, `alerts_large_trade`, `alerts_rapid_trades`,
 `tpch_q1`,
 `tpch_q12_like`, `tpch_q14_like`, `sessionize`,
 `window_rank_functions`,
@@ -184,6 +187,8 @@ _PRIORITY = [
     "events_periodogram",
     "value_hampel_filter",
     "bucketed_join_colocated",
+    "events_holt_linear",
+    "dup_graph_kcore",
     # --- [D] staleness rotation, oldest driver evidence first: the
     # r5-displaced dashboard/relational pairs, then the r1-only pool
     # in documented queue order ---
@@ -196,8 +201,6 @@ _PRIORITY = [
     "top_parts_per_supplier",
     "ema_per_key",
     "dash_bid_ask_ranking",
-    "region_revenue",
-    "revenue_top_orders",
 ]
 
 

@@ -653,3 +653,103 @@ def test_bucketed_join_plan_is_shuffle_free_below_join(spark, sf_dir):
     assert "Exchange" not in below
     # and the scans select all declared buckets
     assert len(re.findall(r"SelectedBucketsCount: 8 out of 8", plan)) == 2
+
+
+def test_holt_matches_python_fold(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.timeseries import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        events_holt_linear,
+    )
+
+    got = {r.event_type: r for r in events_holt_linear(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    series: dict[str, dict[int, list]] = {}
+    for r in rows:
+        b = int(r.ts.timestamp() // 300)
+        series.setdefault(r.event_type, {}).setdefault(b, []).append(r.value)
+    for et, sd in series.items():
+        xs = [float(np.mean(sd[b])) for b in sorted(sd)]
+        l, tr, sae = xs[0], 0.0, 0.0
+        for x in xs[1:]:
+            pred = l + tr
+            sae += abs(x - pred)
+            l2 = round(_HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * pred + 1e-9, 6)
+            tr = round(_HOLT_BETA * (l2 - l) + (1 - _HOLT_BETA) * tr + 1e-9, 6)
+            l = l2
+        assert got[et].n_buckets == len(xs)
+        assert math.isclose(got[et].level, l, abs_tol=2e-4)
+        assert math.isclose(got[et].trend, tr, abs_tol=2e-4)
+        assert math.isclose(got[et].one_step_mae, sae / (len(xs) - 1), abs_tol=2e-4)
+
+
+def test_holt_duckdb_list_reduce_struct_quirk():
+    """Documents WHY the Holt oracle folds over a list accumulator:
+    DuckDB 1.0 list_reduce evaluates struct_pack fields against a
+    mutating accumulator (field 2 sees field 1's new value), while
+    list construction sees one consistent accumulator. If this test
+    ever fails, the installed DuckDB fixed the quirk and the oracle
+    may return to the struct form."""
+    import duckdb
+
+    con = duckdb.connect()
+    struct_res = con.execute(
+        """
+        SELECT list_reduce(
+          [struct_pack(p := CAST(1 AS INT), q := CAST(100 AS INT)),
+           struct_pack(p := CAST(2 AS INT), q := CAST(200 AS INT)),
+           struct_pack(p := CAST(3 AS INT), q := CAST(300 AS INT))],
+          (acc, e) -> struct_pack(p := acc.p + e.p, q := acc.q + acc.p))
+        """
+    ).fetchone()[0]
+    list_res = con.execute(
+        """
+        SELECT list_reduce(
+          [[CAST(1 AS INT), CAST(100 AS INT)],
+           [CAST(2 AS INT), CAST(200 AS INT)],
+           [CAST(3 AS INT), CAST(300 AS INT)]],
+          (acc, e) -> [acc[1] + e[1], acc[2] + acc[1]])
+        """
+    ).fetchone()[0]
+    assert list_res == [6, 104]  # consistent-accumulator semantics
+    assert struct_res == {"p": 6, "q": 107}  # the mutating quirk
+
+
+def test_kcore_matches_python_peel(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+        _KCORE_ORACLE_PASSES,
+        dup_graph_kcore,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import dedup_docs_jaccard
+
+    got = {r.doc_id: r for r in dup_graph_kcore(spark, sf_dir).collect()}
+    pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b").collect()
+    adj: dict[int, set] = {}
+    for p in pairs:
+        adj.setdefault(p.doc_a, set()).add(p.doc_b)
+        adj.setdefault(p.doc_b, set()).add(p.doc_a)
+
+    def peel(k: int):
+        alive = set(adj)
+        passes = 0
+        while True:
+            deg = {
+                u: sum(1 for v in adj[u] if v in alive) for u in alive
+            }
+            nxt = {u for u in alive if deg[u] >= k}
+            passes += 1
+            if nxt == alive:
+                return alive, deg, passes
+            alive = nxt
+
+    core2, deg2, p2 = peel(2)
+    core3, _, p3 = peel(3)
+    assert p2 <= _KCORE_ORACLE_PASSES and p3 <= _KCORE_ORACLE_PASSES
+    assert set(got) == core2
+    for u in core2:
+        assert got[u].core2_degree == deg2[u]
+        assert got[u].degree == len(adj[u])
+        assert got[u].in_3core == (1 if u in core3 else 0)
+    # structural sanity: every 3-core member is a 2-core member with
+    # residual degree >= 2
+    assert all(r.core2_degree >= 2 for r in got.values())
