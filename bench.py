@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     "bucketed_join_colocated",
     "events_holt_linear",
     "dup_graph_kcore",
+    "events_anova_oneway",
+    "dynamic_partition_pruning_join",
+    "text_bigram_kneser_ney",
 ]
 
 

@@ -27,7 +27,7 @@ from cdc_realtime_pipeline_spark.operators.dedup import (
     _HASH64_SQL,
     normalize_text,
 )
-from cdc_realtime_pipeline_spark.session import load_table
+from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
 
 # Every ~97th document stands in for a held-out benchmark/eval set
 # (deterministic, so both engines and every round agree on it). In a
@@ -1272,7 +1272,119 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Kneser–Ney bigram language model (interpolated, fixed discount)
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75
+_KN_TOP = 25
+
+
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model trained on the corpus,
+    reporting the top-{T} bigrams by smoothed probability — the
+    classic LM-smoothing step past text_unigram_lm_score: KN backs
+    off not to raw unigram frequency but to the CONTINUATION count
+    (in how many distinct left-contexts does w appear?), which is
+    what demotes "Francisco"-type words that are frequent yet glued
+    to one context. The trained table is the scoring model a
+    perplexity-filter (CCNet-style) uses downstream.
+
+    P(w2|w1) = max(c−d,0)/c(w1·) + d·N1+(w1·)/c(w1·) · N1+(·w2)/T,
+    d = {D}. Every statistic is a word- or pair-keyed integer count:
+    bigram counts (map-side combinable), per-w1 totals and follower
+    types re-aggregated FROM the pair relation (no second scan),
+    continuation counts and T likewise — so the model is three
+    aggregates over one tokenization pass, distributed end-to-end
+    (the vocabulary never collects to the driver). Adjacency comes
+    from zip_with over the filtered token array — no positional
+    self-join. Probabilities are exact-integer-derived doubles,
+    rounded 6dp before the bounded TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda x: F.length(x) > 0,
+    )
+    pairs = (
+        docs.select(arr.alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1),"
+                    " slice(ws, 2, size(ws) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    c = tracked_persist(
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_bigram"))
+    )
+    left = c.groupBy("w1").agg(
+        F.sum("c_bigram").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = c.groupBy("w2").agg(F.count("*").alias("n1p"))
+    t = c.agg(F.count("*").cast("double").alias("tt"))
+    j = (
+        c.join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(t))
+    )
+    scored = j.select(
+        "w1",
+        "w2",
+        "c_bigram",
+        F.expr(
+            f"round((greatest(c_bigram - {_KN_D}, 0.0) / c1"
+            f" + {_KN_D} * n1f / c1 * (n1p / tt)) + 1e-9, 6) + 0.0"
+        ).alias("p_kn"),
+        F.expr("round(n1p / tt + 1e-9, 6) + 0.0").alias("p_continuation"),
+    )
+    return scored.orderBy(F.desc("p_kn"), "w1", "w2").limit(_KN_TOP)
+
+
+text_bigram_kneser_ney.__doc__ = text_bigram_kneser_ney.__doc__.format(
+    T=_KN_TOP, D=_KN_D
+)
+
+TEXT_BIGRAM_KNESER_NEY_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split({NORMALIZE_SQL.format(col='text')}, ' '),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT ws[CAST(t.i AS INT) + 1] AS w1, ws[CAST(t.i AS INT) + 2] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) t
+),
+c AS (
+  SELECT w1, w2, count(*) AS c_bigram FROM pairs GROUP BY w1, w2
+),
+lft AS (
+  SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c1, count(*) AS n1f
+  FROM c GROUP BY w1
+),
+cont AS (SELECT w2, count(*) AS n1p FROM c GROUP BY w2),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM c)
+SELECT c.w1, c.w2,
+       CAST(c.c_bigram AS BIGINT) AS c_bigram,
+       round((greatest(c.c_bigram - {_KN_D}, 0.0) / lft.c1
+              + {_KN_D} * lft.n1f / lft.c1 * (cont.n1p / t.tt)) + 1e-9, 6)
+         + 0.0 AS p_kn,
+       round(cont.n1p / t.tt + 1e-9, 6) + 0.0 AS p_continuation
+FROM c
+JOIN lft ON c.w1 = lft.w1
+JOIN cont ON c.w2 = cont.w2
+CROSS JOIN t
+ORDER BY p_kn DESC, c.w1, c.w2
+LIMIT {_KN_TOP}
+"""
+
+
 QUERIES = {
+    "text_bigram_kneser_ney": text_bigram_kneser_ney,
     "corpus_token_budget_pack": corpus_token_budget_pack,
     "corpus_dsir_importance": corpus_dsir_importance,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
@@ -1291,6 +1403,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_kneser_ney": TEXT_BIGRAM_KNESER_NEY_SQL,
     "corpus_token_budget_pack": CORPUS_TOKEN_BUDGET_PACK_SQL,
     "corpus_dsir_importance": CORPUS_DSIR_IMPORTANCE_SQL,
     "corpus_perplexity_buckets": CORPUS_PERPLEXITY_BUCKETS_SQL,

@@ -2614,8 +2614,82 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Dynamic partition pruning: the scan that never reads filtered-out days
+# --------------------------------------------------------------------------
+
+_DPP_WRITTEN: set = set()
+
+
+def dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join where the dim-side filter prunes the FACT
+    scan's partitions at runtime — Spark's dynamic partition pruning
+    (DPP), the mechanism that turns "join 100 TB of day-partitioned
+    events to a filtered calendar" into "read only the qualifying
+    days". The fact table is written once per (session, SF)
+    partitioned by day; the calendar dim carries a Monday flag
+    (defined as datediff from 2024-01-01, a Monday — weekday
+    NUMBERING differs across engines, date arithmetic doesn't), and
+    the join's only filter lives on the DIM side, so static pruning
+    cannot help: the scan must receive the qualifying day list from
+    the dim at runtime. test_plans pins `dynamicpruning` inside the
+    fact scan's PartitionFilters.
+
+    Static counterpart of the CDC TTL/backfill layout work
+    (maintenance.py writes the same month-partitioned shape); the
+    oracle recomputes from the raw parquet with the same date
+    arithmetic, proving the partitioned rewrite is physically
+    transparent.
+    """
+    from cdc_realtime_pipeline_spark.session import scratch_dir
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = scratch_dir("dpp") + "/" + tag
+    ev = load_table(spark, sf_dir, "events")
+    if tag not in _DPP_WRITTEN:
+        (
+            ev.withColumn("day", F.to_date("ts"))
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .parquet(base + "/fact")
+        )
+        (
+            ev.select(F.to_date("ts").alias("day"))
+            .distinct()
+            .withColumn(
+                "is_monday",
+                (F.datediff("day", F.lit("2024-01-01")) % 7 == 0).cast("int"),
+            )
+            .write.mode("overwrite")
+            .parquet(base + "/dim")
+        )
+        _DPP_WRITTEN.add(tag)
+    fact = spark.read.parquet(base + "/fact")
+    dim = spark.read.parquet(base + "/dim").filter(F.col("is_monday") == 1)
+    return (
+        fact.join(dim, "day")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr("round(sum(value) + 1e-9, 4) + 0.0").alias("day_value"),
+        )
+        .orderBy("day")
+    )
+
+
+DYNAMIC_PARTITION_PRUNING_JOIN_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) AS n_events,
+       round(sum(value) + 1e-9, 4) + 0.0 AS day_value
+FROM events
+WHERE (CAST(ts AS DATE) - DATE '2024-01-01') % 7 = 0
+GROUP BY day ORDER BY day
+"""
+
+
 QUERIES = {
     "bucketed_join_colocated": bucketed_join_colocated,
+    "dynamic_partition_pruning_join": dynamic_partition_pruning_join,
     "grouping_sets_conformance": grouping_sets_conformance,
     "group_by_all_conformance": group_by_all_conformance,
     "window_funnel_depth": window_funnel_depth,
@@ -2664,6 +2738,7 @@ QUERIES = {
 
 ORACLES = {
     "bucketed_join_colocated": BUCKETED_JOIN_COLOCATED_SQL,
+    "dynamic_partition_pruning_join": DYNAMIC_PARTITION_PRUNING_JOIN_SQL,
     "window_funnel_depth": WINDOW_FUNNEL_DEPTH_SQL,
     "recursive_cte_conformance": RECURSIVE_CTE_CONFORMANCE_SQL,
     "regr_aggregates_conformance": REGR_AGGREGATES_CONFORMANCE_SQL,

@@ -1074,8 +1074,87 @@ FROM ranked GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# One-way ANOVA across event types
+# --------------------------------------------------------------------------
+
+# shared closed forms over per-group moments joined with grand totals
+_AOV_SSB = "sum(ng * (sg / ng - st / nt) * (sg / ng - st / nt))"
+_AOV_SSW = "sum(qg - sg * sg / ng)"
+
+
+def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of value across event types — the k-group
+    generalization of source_welch_ttest's two-sample question: does
+    the mean differ ANYWHERE across the categorical? (The F-stat is
+    the gatekeeper run before k·(k−1)/2 pairwise tests.) Emits the
+    full decomposition (SS between / within, dofs, F) so the
+    eta-squared effect size is recoverable.
+
+    Same algebraic-moment shape as the rest of the module: one
+    grouped aggregate (k × 3 moments), grand totals re-aggregated
+    from the group moments (no second scan), closed forms shared
+    verbatim by both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("x")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).alias("qg"),
+    )
+    tot = g.agg(
+        F.sum("ng").alias("nt"),
+        F.sum("sg").alias("st"),
+        F.count("*").cast("double").alias("k"),
+    )
+    m = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("k").alias("k"),
+        F.max("nt").alias("nt"),
+        F.expr(_AOV_SSB).alias("ssb"),
+        F.expr(_AOV_SSW).alias("ssw"),
+    )
+    return m.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nt").cast("long").alias("n_rows"),
+        F.expr("round(ssb + 1e-9, 4) + 0.0").alias("ss_between"),
+        F.expr("round(ssw + 1e-9, 4) + 0.0").alias("ss_within"),
+        F.expr(
+            "round((ssb / (k - 1.0)) / (ssw / (nt - k)) + 1e-9, 6) + 0.0"
+        ).alias("f_stat"),
+    )
+
+
+EVENTS_ANOVA_ONEWAY_SQL = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS ng,
+         sum(value) AS sg,
+         sum(value * value) AS qg
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT sum(ng) AS nt, sum(sg) AS st, CAST(count(*) AS DOUBLE) AS k FROM g
+),
+m AS (
+  SELECT max(k) AS k, max(nt) AS nt,
+         {_AOV_SSB} AS ssb,
+         {_AOV_SSW} AS ssw
+  FROM g CROSS JOIN tot
+)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(nt AS BIGINT) AS n_rows,
+       round(ssb + 1e-9, 4) + 0.0 AS ss_between,
+       round(ssw + 1e-9, 4) + 0.0 AS ss_within,
+       round((ssb / (k - 1.0)) / (ssw / (nt - k)) + 1e-9, 6) + 0.0 AS f_stat
+FROM m
+"""
+
+
 QUERIES = {
     "events_ols_two_factor": events_ols_two_factor,
+    "events_anova_oneway": events_anova_oneway,
     "source_welch_ttest": source_welch_ttest,
     "mi_event_value_bands": mi_event_value_bands,
     "value_ks_grid": value_ks_grid,
@@ -1089,6 +1168,7 @@ QUERIES = {
 
 ORACLES = {
     "events_ols_two_factor": EVENTS_OLS_TWO_FACTOR_SQL,
+    "events_anova_oneway": EVENTS_ANOVA_ONEWAY_SQL,
     "source_welch_ttest": SOURCE_WELCH_TTEST_SQL,
     "mi_event_value_bands": MI_EVENT_VALUE_BANDS_SQL,
     "value_ks_grid": VALUE_KS_GRID_SQL,

@@ -753,3 +753,105 @@ def test_kcore_matches_python_peel(spark, sf_dir):
     # structural sanity: every 3-core member is a 2-core member with
     # residual degree >= 2
     assert all(r.core2_degree >= 2 for r in got.values())
+
+
+def test_anova_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import events_anova_oneway
+
+    got = events_anova_oneway(spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(r.value)
+    xs = [np.array(v) for v in groups.values()]
+    grand = np.concatenate(xs).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in xs)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in xs)
+    k, n = len(xs), sum(len(g) for g in xs)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got.k_groups == k and got.n_rows == n
+    assert math.isclose(got.ss_between, ssb, rel_tol=1e-6, abs_tol=1e-3)
+    assert math.isclose(got.ss_within, ssw, rel_tol=1e-6, abs_tol=1e-3)
+    assert math.isclose(got.f_stat, f, rel_tol=1e-5)
+
+
+def test_dpp_plan_prunes_fact_partitions(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        dynamic_partition_pruning_join,
+    )
+
+    df = dynamic_partition_pruning_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fact scan receives its day list at runtime from the dim side
+    assert "dynamicpruning" in plan
+    got = {r.day: (r.n_events, r.day_value) for r in df.collect()}
+    # cross-check against a direct filter on the raw table
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    monday0 = datetime.date(2024, 1, 1)
+    want: dict = {}
+    for r in ev:
+        d = r.ts.date()
+        if (d - monday0).days % 7 == 0:
+            n, s = want.get(d, (0, 0.0))
+            want[d] = (n + 1, s + r.value)
+    assert set(got) == set(want)
+    for d, (n, s) in want.items():
+        assert got[d][0] == n
+        assert math.isclose(got[d][1], s, abs_tol=2e-3)
+
+
+def test_kneser_ney_matches_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        _KN_D,
+        _KN_TOP,
+        text_bigram_kneser_ney,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+
+    got = text_bigram_kneser_ney(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    toks = [
+        [w for w in r.norm.split(" ") if w]
+        for r in docs.select(normalize_text(F.col("text")).alias("norm")).collect()
+    ]
+    c: Counter = Counter()
+    for ws in toks:
+        for i in range(len(ws) - 1):
+            c[(ws[i], ws[i + 1])] += 1
+    c1: Counter = Counter()
+    n1f: Counter = Counter()
+    n1p: Counter = Counter()
+    for (w1, w2), cnt in c.items():
+        c1[w1] += cnt
+        n1f[w1] += 1
+        n1p[w2] += 1
+    tt = float(len(c))
+    scored = []
+    for (w1, w2), cnt in c.items():
+        p = max(cnt - _KN_D, 0.0) / c1[w1] + _KN_D * n1f[w1] / c1[w1] * (
+            n1p[w2] / tt
+        )
+        scored.append((round(p + 1e-9, 6), w1, w2, cnt))
+    scored.sort(key=lambda s: (-s[0], s[1], s[2]))
+    want = scored[:_KN_TOP]
+    assert [(r.w1, r.w2, r.c_bigram) for r in got] == [
+        (w1, w2, cnt) for _, w1, w2, cnt in want
+    ]
+    for r, (p, _, _, _) in zip(got, want):
+        assert math.isclose(r.p_kn, p, abs_tol=2e-6)
+    # KN sanity: probabilities normalize per left context (checked on
+    # the highest-frequency w1)
+    top_w1 = max(c1, key=lambda w: c1[w])
+    mass = sum(
+        max(cnt - _KN_D, 0.0) / c1[top_w1]
+        + _KN_D * n1f[top_w1] / c1[top_w1] * (n1p[w2] / tt)
+        for (w1, w2), cnt in c.items()
+        if w1 == top_w1
+    )
+    lam = _KN_D * n1f[top_w1] / c1[top_w1]
+    covered = sum(n1p[w2] / tt for (w1, w2) in c if w1 == top_w1)
+    assert math.isclose(mass, 1.0 - lam * (1.0 - covered), abs_tol=1e-9)
