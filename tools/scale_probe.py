@@ -85,6 +85,15 @@ PROBE_QUERIES = [
     ("tokenizer_bpe_train_merges", "iterative vocab agg, scalar argmax/step"),
     ("value_ks_grid", "grid reduction + bounded cumulative window"),
     ("stream_window_chain", "two chained stateful window aggs, E2E"),
+    # round-6 session-2 wave
+    ("events_bootstrap_ci", "32-replicate Poisson fan-out, map-side collapse"),
+    ("embeddings_pq_assign", "posexplode dims x broadcast codebook, argmin"),
+    ("value_hampel_filter", "per-key frame arrays: rolling median/MAD"),
+    ("events_holt_linear", "calendar-bounded series fold (higher-order agg)"),
+    ("dup_graph_kcore", "iterative peel: induced-degree semijoins to fixpoint"),
+    ("bucketed_join_colocated", "bucketed write-once + zero-exchange SMJ"),
+    ("text_bigram_kneser_ney", "bigram zip_with + three word-keyed aggs"),
+    ("events_countmin_audit", "d-way fan-out to bounded sketch + probe join"),
 ]
 
 TABLES = [
@@ -206,7 +215,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--multipliers", default="1,3,10")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of PROBE_QUERIES to run "
+        "(fixture variants are still built/cached); incompatible "
+        "with --out, which writes the full table",
+    )
     args = ap.parse_args()
+    if args.queries and args.out:
+        ap.error("--queries is a partial run; --out would overwrite "
+                 "SCALING.md with a partial table")
     ms = [int(x) for x in args.multipliers.split(",")]
 
     from cdc_realtime_pipeline_spark.plans.registry import all_queries
@@ -221,8 +240,16 @@ def main() -> None:
         dirs[m] = _build(spark, m)
         print(f"built m={m} in {time.time() - t0:.1f}s", file=sys.stderr)
 
+    probe = PROBE_QUERIES
+    if args.queries:
+        want = set(args.queries.split(","))
+        probe = [pq for pq in PROBE_QUERIES if pq[0] in want]
+        missing = want - {n for n, _ in probe}
+        if missing:
+            raise SystemExit(f"unknown probe queries: {missing}")
+
     results: dict[str, dict[int, float]] = {}
-    for name, family in PROBE_QUERIES:
+    for name, family in probe:
         results[name] = {}
         for m in ms:
             t0 = time.time()
@@ -235,7 +262,7 @@ def main() -> None:
 
     lo, hi = min(ms), max(ms)
     rows = []
-    for name, family in PROBE_QUERIES:
+    for name, family in probe:
         r = results[name]
         alpha = math.log(r[hi] / r[lo]) / math.log(hi / lo)
         rows.append((name, family, r, round(alpha, 2)))
