@@ -1152,9 +1152,206 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# Kaplan–Meier survival curve: time to repeat purchase
+# --------------------------------------------------------------------------
+
+
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimate of the time-to-repeat-purchase curve:
+    per customer, the days from first to second order; customers who
+    never reorder are RIGHT-CENSORED at the end of the observation
+    window — the survival machinery (risk sets, censoring) that naive
+    "average days between orders" gets wrong by silently dropping
+    exactly the customers who churned.
+
+    S(t) = Π_{u≤t} (1 − d_u/n_u) over event times u; the product is
+    exp of a cumulative sum of logs — a window over the DAY-keyed
+    aggregate, which is calendar-bounded regardless of customer
+    count. Upstream: one per-customer two-order window (first/second
+    order date via min + conditional min), one day-keyed aggregate.
+    Per-day log terms are exact-integer-derived, rounded 8dp before
+    the cumulative sum.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    firsts = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("o_orderdate"))).alias("d1"),
+            F.min(F.when(F.col("rk") == 2, F.col("o_orderdate"))).alias("d2"),
+        )
+    )
+    spans = firsts.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        ).otherwise(F.datediff("h", "d1")).cast("long").alias("t"),
+        F.col("d2").isNotNull().cast("long").alias("is_event"),
+    )
+    days = spans.groupBy("t").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(1 - F.col("is_event")).alias("c"),
+    )
+    n_tot = days.agg(F.sum(F.col("d") + F.col("c")).alias("nn"))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wlog = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        days.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "n_risk",
+            F.col("nn")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wcum), F.lit(0)),
+        )
+        .withColumn(
+            # d == n_risk (everyone remaining fails) sends S to exactly
+            # 0: the -1e6 sentinel underflows exp() to 0.0 identically
+            # on both engines, avoiding ln(0)
+            "logterm",
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.round(
+                    F.log(1.0 - F.col("d") / F.col("n_risk")) + 1e-12, 8
+                ),
+            )
+            .when(F.col("d") == F.col("n_risk"), F.lit(-1e6))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn("logs", F.sum("logterm").over(wlog))
+    )
+    return (
+        risk.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("t_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("c").cast("long").alias("n_censored"),
+            F.expr("round(exp(logs) + 1e-9, 6) + 0.0").alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+ORDERS_SURVIVAL_KM_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk
+  FROM orders
+),
+firsts AS (
+  SELECT o_custkey,
+         min(CASE WHEN rk = 1 THEN o_orderdate END) AS d1,
+         min(CASE WHEN rk = 2 THEN o_orderdate END) AS d2
+  FROM ranked WHERE rk <= 2 GROUP BY o_custkey
+),
+horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+spans AS (
+  SELECT CASE WHEN d2 IS NOT NULL
+              THEN CAST(date_diff('day', d1, d2) AS BIGINT)
+              ELSE CAST(date_diff('day', d1, h) AS BIGINT) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM firsts CROSS JOIN horizon
+),
+days AS (
+  SELECT t, CAST(sum(is_event) AS BIGINT) AS d,
+         CAST(sum(1 - is_event) AS BIGINT) AS c
+  FROM spans GROUP BY t
+),
+n_tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM days),
+risk AS (
+  SELECT t, d, c,
+         nn - coalesce(sum(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM days CROSS JOIN n_tot
+),
+logged AS (
+  SELECT t, d, c, n_risk,
+         sum(CASE WHEN d > 0 AND d < n_risk
+                  THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_risk) + 1e-12, 8)
+                  WHEN d = n_risk THEN -1e6
+                  ELSE 0.0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS logs
+  FROM risk
+)
+SELECT t AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_events,
+       c AS n_censored,
+       round(exp(logs) + 1e-9, 6) + 0.0 AS survival
+FROM logged WHERE d > 0 ORDER BY t_days
+"""
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer value concentration
+# --------------------------------------------------------------------------
+
+
+def customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer total order value — the
+    concentration scalar behind "do 20% of customers carry 80% of
+    revenue?", the continuous companion to key_skew_profile's top-K
+    shares and pareto_frontier_customers' skyline. G = 2·Σ(i·xᵢ)/
+    (n·Σx) − (n+1)/n over ascending-sorted per-customer totals.
+
+    The rank window runs over the CUSTOMER-sized aggregate, never the
+    order fact table; rank ties among equal values cannot change
+    Σ i·xᵢ (exchanging ranks between equal x's is invariant), so the
+    statistic is deterministic without a tie-break column. One fact
+    shuffle (customer agg) + one bounded sort.
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    wr = Window.orderBy("x", "o_custkey")
+    ranked = per.withColumn("i", F.row_number().over(wr))
+    m = ranked.agg(
+        F.count("*").cast("double").alias("nn"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return m.select(
+        F.col("nn").cast("long").alias("n_customers"),
+        F.expr("round(sx + 1e-9, 2) + 0.0").alias("total_value"),
+        F.expr(
+            "round(2.0 * six / (nn * sx) - (nn + 1.0) / nn + 1e-9, 6) + 0.0"
+        ).alias("gini"),
+    )
+
+
+CUSTOMER_VALUE_GINI_SQL = """
+WITH per AS (
+  SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM per
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn, sum(x) AS sx, sum(i * x) AS six
+  FROM ranked
+)
+SELECT CAST(nn AS BIGINT) AS n_customers,
+       round(sx + 1e-9, 2) + 0.0 AS total_value,
+       round(2.0 * six / (nn * sx) - (nn + 1.0) / nn + 1e-9, 6) + 0.0 AS gini
+FROM m
+"""
+
+
 QUERIES = {
     "events_ols_two_factor": events_ols_two_factor,
     "events_anova_oneway": events_anova_oneway,
+    "orders_survival_km": orders_survival_km,
+    "customer_value_gini": customer_value_gini,
     "source_welch_ttest": source_welch_ttest,
     "mi_event_value_bands": mi_event_value_bands,
     "value_ks_grid": value_ks_grid,
@@ -1169,6 +1366,8 @@ QUERIES = {
 ORACLES = {
     "events_ols_two_factor": EVENTS_OLS_TWO_FACTOR_SQL,
     "events_anova_oneway": EVENTS_ANOVA_ONEWAY_SQL,
+    "orders_survival_km": ORDERS_SURVIVAL_KM_SQL,
+    "customer_value_gini": CUSTOMER_VALUE_GINI_SQL,
     "source_welch_ttest": SOURCE_WELCH_TTEST_SQL,
     "mi_event_value_bands": MI_EVENT_VALUE_BANDS_SQL,
     "value_ks_grid": VALUE_KS_GRID_SQL,

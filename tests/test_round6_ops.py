@@ -855,3 +855,64 @@ def test_kneser_ney_matches_python_reference(spark, sf_dir):
     lam = _KN_D * n1f[top_w1] / c1[top_w1]
     covered = sum(n1p[w2] / tt for (w1, w2) in c if w1 == top_w1)
     assert math.isclose(mass, 1.0 - lam * (1.0 - covered), abs_tol=1e-9)
+
+
+def test_km_matches_python_reference(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import orders_survival_km
+
+    got = orders_survival_km(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect()
+    per: dict[int, list] = {}
+    horizon = max(r.o_orderdate for r in orders)
+    for r in orders:
+        per.setdefault(r.o_custkey, []).append((r.o_orderdate, r.o_orderkey))
+    spans = []
+    for ds in per.values():
+        ds.sort()
+        d1 = ds[0][0]
+        if len(ds) > 1:
+            spans.append(((ds[1][0].date() - d1.date()).days, 1))
+        else:
+            spans.append(((horizon.date() - d1.date()).days, 0))
+    from collections import Counter
+
+    d_at = Counter(t for t, e in spans if e)
+    c_at = Counter(t for t, e in spans if not e)
+    times = sorted(set(d_at) | set(c_at))
+    n = len(spans)
+    s = 1.0
+    want = []
+    for t in times:
+        d, c = d_at.get(t, 0), c_at.get(t, 0)
+        if d > 0:
+            s *= 1.0 - d / n
+            want.append((t, n, d, c, s))
+        n -= d + c
+    assert [(r.t_days, r.n_risk, r.n_events, r.n_censored) for r in got] == [
+        (t, nr, d, c) for t, nr, d, c, _ in want
+    ]
+    for r, (_, _, _, _, sv) in zip(got, want):
+        assert math.isclose(r.survival, sv, abs_tol=5e-5)
+    # survival is monotone nonincreasing and within [0, 1]
+    vals = [r.survival for r in got]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import customer_value_gini
+
+    got = customer_value_gini(spark, sf_dir).collect()[0]
+    per: dict[int, float] = {}
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect():
+        per[r.o_custkey] = per.get(r.o_custkey, 0.0) + r.o_totalprice
+    xs = np.sort(np.array(list(per.values())))
+    n = len(xs)
+    gini = 2.0 * (np.arange(1, n + 1) * xs).sum() / (n * xs.sum()) - (n + 1) / n
+    assert got.n_customers == n
+    assert math.isclose(got.gini, gini, abs_tol=2e-6)
+    assert 0.0 <= got.gini < 1.0
