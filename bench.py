@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "events_anova_oneway",
     "dynamic_partition_pruning_join",
     "text_bigram_kneser_ney",
+    "orders_survival_km",
+    "customer_value_gini",
 ]
 
 
