@@ -99,6 +99,20 @@ SHOWCASE = [
     ("market_basket_rules", "basket self-join + marginal joins + lift rank"),
     ("similarity_mmr_rerank", "broadcast scan + pool pairs → ArrowEvalPython greedy"),
     ("group_by_all_conformance", "GROUP BY ALL expansion, one hash agg"),
+    # round-6 session-2 wave
+    ("value_mannwhitney_grid", "grid midranks → 5-scalar closed-form U/z"),
+    ("lang_source_chisq", "marginal cross × left-join joint, empty cells kept"),
+    ("events_bootstrap_ci", "32-replicate Poisson fan-out, map-side collapse"),
+    ("events_countmin_audit", "4-way fan-out → 1024-row sketch, broadcast probe"),
+    ("embeddings_pq_assign", "posexplode dims × broadcast codebook, argmin window"),
+    ("value_hampel_filter", "constant-frame arrays: rolling median/MAD closed form"),
+    ("events_holt_linear", "series collect → higher-order fold, executor-local"),
+    ("dup_graph_kcore", "induced-degree semijoin peel, checkpointed alive set"),
+    ("bucketed_join_colocated", "bucketed scans → zero-exchange SortMergeJoin"),
+    ("dynamic_partition_pruning_join", "runtime dim-fed PartitionFilters on fact scan"),
+    ("text_bigram_kneser_ney", "zip_with bigrams → three word-keyed integer aggs"),
+    ("orders_survival_km", "two-order window → day-keyed risk walk"),
+    ("customer_value_gini", "customer agg → rank window → 3-moment scalar"),
 ]
 
 
