@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "text_bigram_kneser_ney",
     "orders_survival_km",
     "customer_value_gini",
+    "label_knn_loo_eval",
 ]
 
 

@@ -1721,8 +1721,123 @@ FROM sel ORDER BY query_id, mmr_rank
 """
 
 
+# --------------------------------------------------------------------------
+# kNN leave-one-out label evaluation over the embedding corpus
+# --------------------------------------------------------------------------
+
+_KNN_EVAL_N = 64  # bounded eval set: vec_id < N
+_KNN_K = 5
+
+
+def label_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN classification audit of the embedding
+    labels: for a BOUNDED eval set ({N} vectors), predict each
+    vector's label from its {K} nearest corpus neighbors (cosine,
+    self excluded) by majority vote and score against the true label
+    — the "are these labels learnable from this geometry?" check run
+    before training a probe head, and the supervised complement to
+    label_centroids' per-class geometry stats.
+
+    The eval set is fixed-size by construction (vec_id < {N}), so the
+    plan is the brute-force retrieval shape: eval vectors broadcast,
+    ONE corpus pass, per-partition top-K heaps via the rank window —
+    the corpus never shuffles. Votes and the argmax are integer
+    aggregates; vote ties break to the smallest label (deterministic
+    both engines). Output is the per-true-label confusion summary.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") < _KNN_EVAL_N).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        emb.select("vec_id", "embedding", "label")
+        .join(F.broadcast(evals), F.col("vec_id") != F.col("eval_id"))
+        .withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    nn = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    votes = nn.groupBy("eval_id", "true_label", "label").agg(
+        F.count("*").alias("v")
+    )
+    wv = Window.partitionBy("eval_id").orderBy(F.desc("v"), F.asc("label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "eval_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+        )
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.count_if(F.col("pred_label") == F.col("true_label"))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "round(count_if(pred_label = true_label) /"
+                " CAST(count(*) AS DOUBLE) + 1e-9, 4) + 0.0"
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )
+
+
+label_knn_loo_eval.__doc__ = label_knn_loo_eval.__doc__.format(
+    N=_KNN_EVAL_N, K=_KNN_K
+)
+
+LABEL_KNN_LOO_EVAL_SQL = f"""
+WITH evals AS (
+  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS qv, label AS true_label
+  FROM embeddings WHERE vec_id < {_KNN_EVAL_N}
+),
+scored AS (
+  SELECT ev.eval_id, ev.true_label, e.vec_id, e.label,
+         round(list_dot_product(qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))),
+               6) AS cos
+  FROM embeddings e JOIN evals ev ON e.vec_id != ev.eval_id
+),
+nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY eval_id
+                                 ORDER BY cos DESC, vec_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {_KNN_K}
+),
+votes AS (
+  SELECT eval_id, true_label, label, count(*) AS v
+  FROM nn GROUP BY eval_id, true_label, label
+),
+pred AS (
+  SELECT eval_id, true_label, label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY eval_id
+                                 ORDER BY v DESC, label ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT true_label,
+       count(*) AS n_eval,
+       CAST(count(CASE WHEN pred_label = true_label THEN 1 END) AS BIGINT)
+         AS n_correct,
+       round(count(CASE WHEN pred_label = true_label THEN 1 END)
+             / CAST(count(*) AS DOUBLE) + 1e-9, 4) + 0.0 AS accuracy
+FROM pred GROUP BY true_label ORDER BY true_label
+"""
+
+
 QUERIES = {
     "similarity_mmr_rerank": similarity_mmr_rerank,
+    "label_knn_loo_eval": label_knn_loo_eval,
     "embeddings_pq_assign": embeddings_pq_assign,
     "contrastive_hard_negatives": contrastive_hard_negatives,
     "embeddings_pca_power": embeddings_pca_power,
@@ -1742,6 +1857,7 @@ QUERIES = {
 ORACLES = {
     "similarity_mmr_rerank": SIMILARITY_MMR_RERANK_SQL,
     "embeddings_pq_assign": EMBEDDINGS_PQ_ASSIGN_SQL,
+    "label_knn_loo_eval": LABEL_KNN_LOO_EVAL_SQL,
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,
     "embeddings_pca_power": EMBEDDINGS_PCA_POWER_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,

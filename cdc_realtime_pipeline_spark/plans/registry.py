@@ -45,20 +45,22 @@ zero-Exchange SMJ plan, Holt double-exponential smoothing via
 higher-order folds, k-core peeling over the near-dup graph, one-way
 ANOVA, the dynamic-partition-pruning join with its pinned runtime
 PartitionFilters, the interpolated Kneser–Ney bigram LM, the
-Kaplan–Meier time-to-repeat-purchase curve, and the Gini
-concentration coefficient) —
-new operators displace rotation slots per policy; [D] 4
+Kaplan–Meier time-to-repeat-purchase curve, the Gini
+concentration coefficient, and the leave-one-out k-NN label
+evaluation) —
+new operators displace rotation slots per policy; [D] 3
 staleness-rotation slots, oldest driver evidence first
 (the r5-displaced dashboard pair, then the r1-only pool in queue
 order)
-([A]3 + [B]11 + [C]32 + [D]4 = 50).
+([A]3 + [B]11 + [C]33 + [D]3 = 50).
 Rows dropped this round hold r1-r5 green evidence on unchanged code
 and stay under the local 3-SF harness (which now hashes
 type-faithfully via Arrow — local red predicts driver red on the
 typed-output class too).
 
-Round-7 rotation queue — the 32 [D] entries displaced by [C] this
-round (`dash_latency_per_minute`, `date_functions`,
+Round-7 rotation queue — the 33 [D] entries displaced by [C] this
+round (`dash_distinct_users`,
+`dash_latency_per_minute`, `date_functions`,
 `top_parts_per_supplier`, `ema_per_key`,
 `dash_bid_ask_ranking`,
 `region_revenue`, `revenue_top_orders`,
@@ -201,13 +203,13 @@ _PRIORITY = [
     "text_bigram_kneser_ney",
     "orders_survival_km",
     "customer_value_gini",
+    "label_knn_loo_eval",
     # --- [D] staleness rotation, oldest driver evidence first: the
     # r5-displaced dashboard/relational pairs, then the r1-only pool
     # in documented queue order ---
     "dash_total_trades",
     "dash_volume_last_day",
     "dash_avg_latency_last_day",
-    "dash_distinct_users",
 ]
 
 

@@ -916,3 +916,41 @@ def test_gini_matches_numpy(spark, sf_dir):
     assert got.n_customers == n
     assert math.isclose(got.gini, gini, abs_tol=2e-6)
     assert 0.0 <= got.gini < 1.0
+
+
+def test_knn_loo_matches_numpy(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        _KNN_EVAL_N,
+        _KNN_K,
+        label_knn_loo_eval,
+    )
+
+    got = {r.true_label: r for r in label_knn_loo_eval(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    labels = {r.vec_id: r.label for r in rows}
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    per_true: dict[int, list] = {}
+    for r in rows:
+        if r.vec_id >= _KNN_EVAL_N:
+            continue
+        qi = int(np.where(ids == r.vec_id)[0][0])
+        cos = np.round(Xn @ Xn[qi], 6)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != r.vec_id),
+            key=lambda i: (-cos[i], ids[i]),
+        )[:_KNN_K]
+        vote = Counter(labels[ids[i]] for i in order)
+        pred = min(vote.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        per_true.setdefault(r.label, []).append(pred == r.label)
+    assert set(got) == set(per_true)
+    for lab, oks in per_true.items():
+        assert got[lab].n_eval == len(oks)
+        assert got[lab].n_correct == sum(oks)
+        assert math.isclose(got[lab].accuracy, sum(oks) / len(oks), abs_tol=2e-4)
+    assert sum(r.n_eval for r in got.values()) == min(
+        _KNN_EVAL_N, len(rows)
+    )
