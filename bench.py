@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "orders_survival_km",
     "customer_value_gini",
     "label_knn_loo_eval",
+    "events_markov_stationary",
+    "value_hill_tail_index",
 ]
 
 

@@ -2687,9 +2687,117 @@ GROUP BY day ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+# Stationary distribution of the user-journey Markov chain
+# --------------------------------------------------------------------------
+
+_MARKOV_ITERS = 12
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order user-journey Markov
+    chain — the long-run "where do users spend their time?" vector
+    that event_transition_matrix's one-step view doesn't give (a state
+    can be a rare entry point yet dominate in steady state through
+    self-loops). π = lim π·Pⁿ by {I} unrolled power steps from the
+    uniform start.
+
+    The ONE corpus-scale stage is the same per-user lag window the
+    transition matrix uses; everything after operates on the
+    |types|²-row probability relation — each power step is a tiny
+    join + keyed sum, unrolled declaratively (the pagerank discipline,
+    minus the driver loop: the state space is fixed, so the iteration
+    count is a constant, not data-dependent). π is rounded 8dp each
+    step on both engines so float drift cannot compound.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    row_tot = Window.partitionBy("from_type")
+    pmat = counts.select(
+        "from_type",
+        "to_type",
+        (F.col("n").cast("double") / F.sum("n").over(row_tot)).alias("p"),
+    ).localCheckpoint()
+    k = pmat.select("from_type").distinct().count()
+    pi = pmat.select("from_type").distinct().select(
+        F.col("from_type").alias("state"), F.lit(1.0 / k).alias("pi")
+    )
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            pmat.join(pi, pmat.from_type == pi.state)
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(F.round(F.sum(F.col("p") * F.col("pi")) + 1e-12, 8).alias("pi"))
+        )
+    return pi.select(
+        F.col("state").alias("event_type"),
+        F.expr("round(pi + 1e-9, 6) + 0.0").alias("stationary_p"),
+    ).orderBy("event_type")
+
+
+events_markov_stationary.__doc__ = events_markov_stationary.__doc__.format(
+    I=_MARKOV_ITERS
+)
+
+
+def _markov_step_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT m.to_type AS state,
+         round(sum(m.p * {prev}.pi) + 1e-12, 8) AS pi
+  FROM pmat m JOIN {prev} ON m.from_type = {prev}.state
+  GROUP BY m.to_type
+)"""
+
+
+EVENTS_MARKOV_STATIONARY_SQL = (
+    """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+pmat AS MATERIALIZED (
+  SELECT from_type, to_type,
+         CAST(n AS DOUBLE)
+           / sum(n) OVER (PARTITION BY from_type) AS p
+  FROM counts
+),
+p0 AS (
+  SELECT from_type AS state,
+         1.0 / (SELECT CAST(count(DISTINCT from_type) AS DOUBLE) FROM pmat)
+           AS pi
+  FROM (SELECT DISTINCT from_type FROM pmat)
+),"""
+    + ",".join(
+        _markov_step_sql(f"p{i}", f"p{i + 1}") for i in range(_MARKOV_ITERS)
+    )
+    + f"""
+SELECT state AS event_type,
+       round(pi + 1e-9, 6) + 0.0 AS stationary_p
+FROM p{_MARKOV_ITERS} ORDER BY event_type
+"""
+)
+
+
 QUERIES = {
     "bucketed_join_colocated": bucketed_join_colocated,
     "dynamic_partition_pruning_join": dynamic_partition_pruning_join,
+    "events_markov_stationary": events_markov_stationary,
     "grouping_sets_conformance": grouping_sets_conformance,
     "group_by_all_conformance": group_by_all_conformance,
     "window_funnel_depth": window_funnel_depth,
@@ -2739,6 +2847,7 @@ QUERIES = {
 ORACLES = {
     "bucketed_join_colocated": BUCKETED_JOIN_COLOCATED_SQL,
     "dynamic_partition_pruning_join": DYNAMIC_PARTITION_PRUNING_JOIN_SQL,
+    "events_markov_stationary": EVENTS_MARKOV_STATIONARY_SQL,
     "window_funnel_depth": WINDOW_FUNNEL_DEPTH_SQL,
     "recursive_cte_conformance": RECURSIVE_CTE_CONFORMANCE_SQL,
     "regr_aggregates_conformance": REGR_AGGREGATES_CONFORMANCE_SQL,

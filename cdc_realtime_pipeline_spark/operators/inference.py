@@ -1291,6 +1291,75 @@ FROM logged WHERE d > 0 ORDER BY t_days
 
 
 # --------------------------------------------------------------------------
+# Hill estimator: tail index of the value distribution
+# --------------------------------------------------------------------------
+
+_HILL_K = 100
+
+
+def value_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value distribution's tail index from the
+    top {K} order statistics: γ̂ = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎), tail
+    exponent α = 1/γ̂ — the heavy-tail screen behind "is a mean even
+    finite here?" (α ≤ 1: no mean; α ≤ 2: no variance — the regimes
+    where value_mad_outliers' robust stats are mandatory, not
+    optional). On this fixture's bounded-uniform value the estimator
+    reads a large α (thin tail) — the point is the machinery.
+
+    Scale shape: top-(k+1) is a TakeOrdered (per-partition heaps, k+1
+    rows to the driver-side limit — never a global sort), then one
+    scalar aggregate. Boundary ties are a non-issue by construction:
+    tied rows at the threshold contribute ln(x/x)=0, so which tied
+    row is "the (k+1)-th" cannot change the sum.
+    """
+    top = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("value").cast("double").alias("x"))
+        .filter(F.col("x") > 0)
+        .orderBy(F.desc("x"))
+        .limit(_HILL_K + 1)
+    )
+    m = top.agg(
+        F.min("x").alias("thr"),
+        F.count("*").cast("long").alias("k1"),
+        F.sum(F.log(F.col("x"))).alias("slog"),
+    )
+    return m.select(
+        (F.col("k1") - 1).alias("k"),
+        F.expr("round(thr + 1e-9, 4) + 0.0").alias("threshold"),
+        F.expr(
+            "round((slog - k1 * ln(thr)) / (k1 - 1.0) + 1e-9, 6) + 0.0"
+        ).alias("hill_gamma"),
+        F.expr(
+            "round((k1 - 1.0) / (slog - k1 * ln(thr)) + 1e-9, 4) + 0.0"
+        ).alias("tail_alpha"),
+    )
+
+
+value_hill_tail_index.__doc__ = value_hill_tail_index.__doc__.format(K=_HILL_K)
+
+VALUE_HILL_TAIL_INDEX_SQL = f"""
+WITH top_vals AS (
+  SELECT CAST(value AS DOUBLE) AS x FROM events
+  WHERE value > 0
+  ORDER BY x DESC LIMIT {_HILL_K + 1}
+),
+m AS (
+  SELECT min(x) AS thr, CAST(count(*) AS BIGINT) AS k1,
+         sum(ln(x)) AS slog
+  FROM top_vals
+)
+SELECT k1 - 1 AS k,
+       round(thr + 1e-9, 4) + 0.0 AS threshold,
+       round((slog - k1 * ln(thr)) / (k1 - 1.0) + 1e-9, 6) + 0.0
+         AS hill_gamma,
+       round((k1 - 1.0) / (slog - k1 * ln(thr)) + 1e-9, 4) + 0.0
+         AS tail_alpha
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # Gini coefficient of customer value concentration
 # --------------------------------------------------------------------------
 
@@ -1352,6 +1421,7 @@ QUERIES = {
     "events_anova_oneway": events_anova_oneway,
     "orders_survival_km": orders_survival_km,
     "customer_value_gini": customer_value_gini,
+    "value_hill_tail_index": value_hill_tail_index,
     "source_welch_ttest": source_welch_ttest,
     "mi_event_value_bands": mi_event_value_bands,
     "value_ks_grid": value_ks_grid,
@@ -1368,6 +1438,7 @@ ORACLES = {
     "events_anova_oneway": EVENTS_ANOVA_ONEWAY_SQL,
     "orders_survival_km": ORDERS_SURVIVAL_KM_SQL,
     "customer_value_gini": CUSTOMER_VALUE_GINI_SQL,
+    "value_hill_tail_index": VALUE_HILL_TAIL_INDEX_SQL,
     "source_welch_ttest": SOURCE_WELCH_TTEST_SQL,
     "mi_event_value_bands": MI_EVENT_VALUE_BANDS_SQL,
     "value_ks_grid": VALUE_KS_GRID_SQL,

@@ -954,3 +954,63 @@ def test_knn_loo_matches_numpy(spark, sf_dir):
     assert sum(r.n_eval for r in got.values()) == min(
         _KNN_EVAL_N, len(rows)
     )
+
+
+def test_markov_stationary_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        _MARKOV_ITERS,
+        events_markov_stationary,
+    )
+
+    got = {r.event_type: r.stationary_p for r in events_markov_stationary(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    from collections import Counter
+
+    trans: Counter = Counter()
+    for seq in per.values():
+        seq.sort()
+        for a, b in zip(seq, seq[1:]):
+            trans[(a[2], b[2])] += 1
+    states = sorted({s for pair in trans for s in pair})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for (a, b), n in trans.items():
+        P[idx[a], idx[b]] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(len(states), 1.0 / len(states))
+    for _ in range(_MARKOV_ITERS):
+        pi = np.round(pi @ P + 1e-12, 8)
+    assert set(got) == set(states)
+    for s in states:
+        assert math.isclose(got[s], pi[idx[s]], abs_tol=2e-6)
+    # a stationary vector sums to ~1
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-4)
+
+
+def test_hill_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _HILL_K,
+        value_hill_tail_index,
+    )
+
+    got = value_hill_tail_index(spark, sf_dir).collect()[0]
+    xs = np.sort(
+        np.array(
+            [
+                r.value
+                for r in load_table(spark, sf_dir, "events").select("value").collect()
+                if r.value > 0
+            ]
+        )
+    )[::-1][: _HILL_K + 1]
+    thr = xs[-1]
+    gamma = float(np.log(xs[:-1] / thr).mean())
+    assert got.k == _HILL_K
+    assert math.isclose(got.threshold, thr, abs_tol=1e-3)
+    assert math.isclose(got.hill_gamma, gamma, abs_tol=2e-5)
+    assert math.isclose(got.tail_alpha, 1.0 / gamma, rel_tol=1e-3)
