@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "label_knn_loo_eval",
     "events_markov_stationary",
     "value_hill_tail_index",
+    "stream_countmin_sketch",
 ]
 
 

@@ -1418,7 +1418,85 @@ ORDER BY event_type, window_start
 """
 
 
+def stream_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min sketch maintained AS STREAM STATE — the streaming
+    twin of ``events_countmin_audit``'s build stage: the d-way hash
+    fan-out is a stateless projection on the stream, and the stateful
+    aggregate keeps exactly {D}×{W} integer counters in the state
+    store no matter how many events flow past — the canonical
+    "bounded state for an unbounded key domain" sketch argument, here
+    made executable. Complete mode over the finite file stream must
+    reproduce the batch sketch bit-for-bit (integer counts, identical
+    md5 bucketing), which is this query's oracle — stronger than the
+    usual sketch rows-only check because the SKETCH ITSELF is exact
+    given the same input, only its estimates are approximate.
+    """
+    from cdc_realtime_pipeline_spark.operators.dq import (
+        _CMS_D,
+        _CMS_W,
+        _hex_uniform,
+    )
+
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    fan = events_stream.select("user_id").withColumn(
+        "d", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))
+    ).withColumn(
+        "hkey",
+        F.concat(
+            F.lit("cms"),
+            F.col("d").cast("string"),
+            F.lit("|"),
+            F.col("user_id").cast("string"),
+        ),
+    )
+    sketch = (
+        fan.withColumn(
+            "bucket",
+            F.floor(_hex_uniform("", "hkey") * _CMS_W).cast("long"),
+        )
+        .groupBy(F.col("d").cast("long").alias("d"), "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    res = _memory_sink(sketch, "complete")
+    return res.orderBy("d", "bucket")
+
+
+def _stream_cms_doc():
+    from cdc_realtime_pipeline_spark.operators.dq import _CMS_D, _CMS_W
+
+    stream_countmin_sketch.__doc__ = stream_countmin_sketch.__doc__.format(
+        D=_CMS_D, W=_CMS_W
+    )
+
+
+_stream_cms_doc()
+
+
+def _stream_countmin_sketch_sql() -> str:
+    from cdc_realtime_pipeline_spark.operators.dq import (
+        _CMS_D,
+        _CMS_KEY,
+        _cms_bucket_sql,
+    )
+
+    return f"""
+WITH fan AS (
+  SELECT e.user_id, t.d,
+         {_cms_bucket_sql(_CMS_KEY)} AS bucket
+  FROM events e CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d) t
+)
+SELECT d, bucket, count(*) AS c
+FROM fan GROUP BY d, bucket ORDER BY d, bucket
+"""
+
+
 QUERIES = {
+    "stream_countmin_sketch": stream_countmin_sketch,
     "stream_window_chain": stream_window_chain,
     "stream_daily_users_bitmap": stream_daily_users_bitmap,
     "stream_cep_funnel": stream_cep_funnel,
@@ -1446,6 +1524,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_countmin_sketch": _stream_countmin_sketch_sql(),
     "stream_window_chain": STREAM_WINDOW_CHAIN_SQL,
     "stream_daily_users_bitmap": STREAM_DAILY_USERS_BITMAP_SQL,
     # deliberately the SAME oracle as the batch lag-chain: the

@@ -1014,3 +1014,43 @@ def test_hill_matches_numpy(spark, sf_dir):
     assert math.isclose(got.threshold, thr, abs_tol=1e-3)
     assert math.isclose(got.hill_gamma, gamma, abs_tol=2e-5)
     assert math.isclose(got.tail_alpha, 1.0 / gamma, rel_tol=1e-3)
+
+
+def test_stream_countmin_equals_batch_sketch(spark, sf_dir):
+    """The streaming sketch must be BIT-IDENTICAL to the batch build:
+    integer counters under identical md5 bucketing."""
+    from cdc_realtime_pipeline_spark.operators.dq import _CMS_D, _CMS_W, _hex_uniform
+    from cdc_realtime_pipeline_spark.streaming.stream_queries import (
+        stream_countmin_sketch,
+    )
+
+    got = stream_countmin_sketch(spark, sf_dir).collect()
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))))
+        .withColumn(
+            "hkey",
+            F.concat(
+                F.lit("cms"),
+                F.col("d").cast("string"),
+                F.lit("|"),
+                F.col("user_id").cast("string"),
+            ),
+        )
+        .withColumn("bucket", F.floor(_hex_uniform("", "hkey") * _CMS_W).cast("long"))
+        .groupBy(F.col("d").cast("long").alias("d"), "bucket")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    assert {(r.d, r.bucket): r.c for r in got} == {
+        (r.d, r.bucket): r.c for r in batch
+    }
+    # total mass per hash row is the event count (each row sees all)
+    n = load_table(spark, sf_dir, "events").count()
+    from collections import Counter
+
+    per_row = Counter()
+    for r in got:
+        per_row[r.d] += r.c
+    assert all(per_row[d] == n for d in range(_CMS_D))
