@@ -1374,8 +1374,14 @@ def customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rank window runs over the CUSTOMER-sized aggregate, never the
     order fact table; rank ties among equal values cannot change
     Σ i·xᵢ (exchanging ranks between equal x's is invariant), so the
-    statistic is deterministic without a tie-break column. One fact
-    shuffle (customer agg) + one bounded sort.
+    statistic is deterministic without a tie-break column.
+
+    Scale posture: the global rank is an exact total sort of the
+    customer relation — the value_equidepth_histogram posture: kept
+    exact as the conformance row, with the documented 100 TB path
+    being the banded-midrank form (quantize value to fixed cells, the
+    value_mannwhitney_grid trick — Σi·xᵢ over cell midranks off a
+    bounded cumulative window; error bounded by within-cell spread).
     """
     per = (
         load_table(spark, sf_dir, "orders")
