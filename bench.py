@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "events_markov_stationary",
     "value_hill_tail_index",
     "stream_countmin_sketch",
+    "source_stylometry_delta",
+    "label_silhouette_centroid",
 ]
 
 

@@ -1835,8 +1835,117 @@ FROM pred GROUP BY true_label ORDER BY true_label
 """
 
 
+# --------------------------------------------------------------------------
+# Centroid silhouette: per-label cluster-quality audit
+# --------------------------------------------------------------------------
+
+
+def label_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for every
+    vector, a = cosine distance to its OWN label centroid, b = the
+    minimum distance to any OTHER centroid, s = (b−a)/max(a,b) — the
+    cluster-quality audit between label_centroids' per-class geometry
+    and label_knn_loo_eval's point-predictions (a label can be
+    kNN-predictable yet have terrible silhouette: tight local pockets
+    inside an overlapping global cloud).
+
+    The exact silhouette is all-pairs (corpus²); the centroid form is
+    THE scale substitution — centroids come from one (label, dim)
+    map-side aggregate, rebuilt into K broadcast arrays
+    executor-side, and scoring is one corpus pass fanned ×K against
+    the broadcast (the kmeans-assign shape). Per-vector distances are
+    rounded 8dp before the argmin/aggregation; negative-silhouette
+    counts (vectors nearer a foreign centroid) are the actionable
+    output column.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, c))),"
+                " s -> s.c)"
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    scored = (
+        emb.join(F.broadcast(cents))
+        .withColumn(
+            "dist",
+            F.round(1.0 - cosine(F.col("embedding"), F.col("cv")), 8),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.when(F.col("c_label") == F.col("label"), F.col("dist"))
+            ).alias("a"),
+            F.min(
+                F.when(F.col("c_label") != F.col("label"), F.col("dist"))
+            ).alias("b"),
+        )
+        .withColumn(
+            "s",
+            F.expr("round((b - a) / greatest(a, b) + 1e-12, 6)"),
+        )
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr("round(avg(s) + 1e-9, 4) + 0.0").alias("avg_silhouette"),
+            F.count_if(F.col("s") < 0).cast("long").alias("n_negative"),
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_SILHOUETTE_CENTROID_SQL = """
+WITH dims AS (
+  SELECT label, vec_id, t.i AS dim,
+         CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(0, len(e.embedding))) AS i) t
+),
+cents AS (
+  SELECT label AS c_label,
+         list(c ORDER BY dim) AS cv
+  FROM (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim) g
+  GROUP BY label
+),
+scored AS (
+  SELECT x.vec_id, x.label,
+         max(CASE WHEN x.c_label = x.label THEN x.d END) AS a,
+         min(CASE WHEN x.c_label != x.label THEN x.d END) AS b
+  FROM (
+    SELECT e.vec_id, e.label, c.c_label,
+           round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.cv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.cv, c.cv))), 8) AS d
+    FROM embeddings e CROSS JOIN cents c
+  ) x
+  GROUP BY x.vec_id, x.label
+),
+sil AS (
+  SELECT label,
+         round((b - a) / greatest(a, b) + 1e-12, 6) AS s
+  FROM scored
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(s) + 1e-9, 4) + 0.0 AS avg_silhouette,
+       CAST(count(CASE WHEN s < 0 THEN 1 END) AS BIGINT) AS n_negative
+FROM sil GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "similarity_mmr_rerank": similarity_mmr_rerank,
+    "label_silhouette_centroid": label_silhouette_centroid,
     "label_knn_loo_eval": label_knn_loo_eval,
     "embeddings_pq_assign": embeddings_pq_assign,
     "contrastive_hard_negatives": contrastive_hard_negatives,
@@ -1858,6 +1967,7 @@ ORACLES = {
     "similarity_mmr_rerank": SIMILARITY_MMR_RERANK_SQL,
     "embeddings_pq_assign": EMBEDDINGS_PQ_ASSIGN_SQL,
     "label_knn_loo_eval": LABEL_KNN_LOO_EVAL_SQL,
+    "label_silhouette_centroid": LABEL_SILHOUETTE_CENTROID_SQL,
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,
     "embeddings_pca_power": EMBEDDINGS_PCA_POWER_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,

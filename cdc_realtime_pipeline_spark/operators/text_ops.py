@@ -629,7 +629,145 @@ LIMIT {RAKE_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# Burrows' Delta stylometry: pairwise source similarity
+# --------------------------------------------------------------------------
+
+_STYLO_M = 50  # marker vocabulary: top-M corpus words
+_STYLO_TOP = 15  # closest pairs reported
+
+
+def source_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (Burrows 2002) between document sources: each
+    source becomes a vector of z-scored relative frequencies over the
+    top-{M} marker words, and Delta(s₁,s₂) = mean |z₁−z₂| — the
+    classic stylometric distance used for authorship attribution,
+    here repurposed as a PROVENANCE screen: two "different" crawl
+    sources with near-zero Delta are the same upstream generator
+    (mirror/SEO-farm detection before dedup even looks at content).
+
+    One tokenization pass feeds everything; all downstream relations
+    are bounded (sources × {M} markers — the marker matrix must CROSS
+    sources × markers and zero-fill, because an absent marker IS a
+    stylistic signal, not a missing row). Pairwise Delta is a
+    markers-bounded self-join over {M}-row vectors, never corpus².
+    Reports the {T} closest pairs.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = tracked_persist(
+        docs.select(
+            "source",
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+                "word"
+            ),
+        ).filter(F.length("word") > 0)
+    )
+    markers = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cw"))
+        .orderBy(F.desc("cw"), "word")
+        .limit(_STYLO_M)
+        .select("word")
+    )
+    totals = words.groupBy("source").agg(F.count("*").alias("nt"))
+    counts = (
+        words.join(F.broadcast(markers), "word")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(markers))
+        .join(counts, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("nt")).alias("f"),
+        )
+    )
+    stats = grid.groupBy("word").agg(
+        F.avg("f").alias("mu"), F.stddev_samp("f").alias("sd")
+    )
+    z = grid.join(stats, "word").select(
+        "source",
+        "word",
+        F.round((F.col("f") - F.col("mu")) / F.col("sd") + 1e-12, 8).alias(
+            "z"
+        ),
+    )
+    za = z.select(
+        F.col("source").alias("s_a"), "word", F.col("z").alias("z_a")
+    )
+    zb = z.select(
+        F.col("source").alias("s_b"), "word", F.col("z").alias("z_b")
+    )
+    pairs = (
+        za.join(zb, "word")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(
+            F.expr("round(avg(abs(z_a - z_b)) + 1e-9, 6) + 0.0").alias(
+                "delta"
+            ),
+            F.count("*").cast("long").alias("n_markers"),
+        )
+    )
+    return pairs.orderBy("delta", "s_a", "s_b").limit(_STYLO_TOP)
+
+
+source_stylometry_delta.__doc__ = source_stylometry_delta.__doc__.format(
+    M=_STYLO_M, T=_STYLO_TOP
+)
+
+SOURCE_STYLOMETRY_DELTA_SQL = f"""
+WITH words AS (
+  SELECT source, word
+  FROM (SELECT source,
+               unnest(string_split({_NORM_SQL.format(col='text')}, ' ')) AS word
+        FROM documents)
+  WHERE length(word) > 0
+),
+markers AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS cw FROM words GROUP BY word
+    ORDER BY cw DESC, word LIMIT {_STYLO_M}
+  ) m
+),
+totals AS (SELECT source, count(*) AS nt FROM words GROUP BY source),
+counts AS (
+  SELECT w.source, w.word, count(*) AS c
+  FROM words w JOIN markers mk ON w.word = mk.word
+  GROUP BY w.source, w.word
+),
+grid AS (
+  SELECT t.source, mk.word,
+         coalesce(c.c, 0) / CAST(t.nt AS DOUBLE) AS f
+  FROM totals t CROSS JOIN markers mk
+  LEFT JOIN counts c ON t.source = c.source AND mk.word = c.word
+),
+stats AS (
+  SELECT word, avg(f) AS mu, stddev_samp(f) AS sd FROM grid GROUP BY word
+),
+z AS (
+  SELECT g.source, g.word,
+         round((g.f - s.mu) / s.sd + 1e-12, 8) AS z
+  FROM grid g JOIN stats s ON g.word = s.word
+),
+pairs AS (
+  SELECT a.source AS s_a, b.source AS s_b,
+         round(avg(abs(a.z - b.z)) + 1e-9, 6) + 0.0 AS delta,
+         count(*) AS n_markers
+  FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s_a, s_b, delta, n_markers
+FROM pairs ORDER BY delta, s_a, s_b LIMIT {_STYLO_TOP}
+"""
+
+
 QUERIES = {
+    "source_stylometry_delta": source_stylometry_delta,
     "text_rake_keywords": text_rake_keywords,
 
     "text_char_ngram_entropy": text_char_ngram_entropy,
@@ -644,6 +782,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_stylometry_delta": SOURCE_STYLOMETRY_DELTA_SQL,
     "text_rake_keywords": TEXT_RAKE_KEYWORDS_SQL,
 
     "text_char_ngram_entropy": TEXT_CHAR_NGRAM_ENTROPY_SQL,

@@ -1054,3 +1054,80 @@ def test_stream_countmin_equals_batch_sketch(spark, sf_dir):
     for r in got:
         per_row[r.d] += r.c
     assert all(per_row[d] == n for d in range(_CMS_D))
+
+
+def test_stylometry_delta_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+    from cdc_realtime_pipeline_spark.operators.text_ops import (
+        _STYLO_M,
+        _STYLO_TOP,
+        source_stylometry_delta,
+    )
+
+    got = source_stylometry_delta(spark, sf_dir).collect()
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", normalize_text(F.col("text")).alias("norm")
+    ).collect()
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for r in rows:
+        ws = [w for w in r.norm.split(" ") if w]
+        per_src.setdefault(r.source, Counter()).update(ws)
+        corpus.update(ws)
+    markers = [w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:_STYLO_M]]
+    sources = sorted(per_src)
+    f = {
+        (s, w): per_src[s][w] / sum(per_src[s].values())
+        for s in sources
+        for w in markers
+    }
+    import statistics
+
+    z = {}
+    for w in markers:
+        vals = [f[(s, w)] for s in sources]
+        mu, sd = statistics.mean(vals), statistics.stdev(vals)
+        for s in sources:
+            z[(s, w)] = round((f[(s, w)] - mu) / sd + 1e-12, 8)
+    deltas = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            d = sum(abs(z[(a, w)] - z[(b, w)]) for w in markers) / len(markers)
+            deltas.append((round(d + 1e-9, 6), a, b))
+    deltas.sort()
+    want = deltas[:_STYLO_TOP]
+    assert [(r.s_a, r.s_b) for r in got] == [(a, b) for _, a, b in want]
+    for r, (d, _, _) in zip(got, want):
+        assert math.isclose(r.delta, d, abs_tol=2e-5)
+        assert r.n_markers == len(markers)
+
+
+def test_silhouette_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        label_silhouette_centroid,
+    )
+
+    got = {r.label: r for r in label_silhouette_centroid(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    labs = np.array([r.label for r in rows])
+    cents = {l: X[labs == l].mean(axis=0) for l in set(labs)}
+
+    def cosd(u, v):
+        return round(
+            1.0 - float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v))), 8
+        )
+
+    per: dict[int, list] = {}
+    for i in range(len(rows)):
+        a = cosd(X[i], cents[labs[i]])
+        b = min(cosd(X[i], c) for l, c in cents.items() if l != labs[i])
+        s = round((b - a) / max(a, b) + 1e-12, 6)
+        per.setdefault(int(labs[i]), []).append(s)
+    assert set(got) == set(per)
+    for l, ss in per.items():
+        assert got[l].n_vecs == len(ss)
+        assert got[l].n_negative == sum(1 for s in ss if s < 0)
+        assert math.isclose(got[l].avg_silhouette, sum(ss) / len(ss), abs_tol=2e-4)
