@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "stream_countmin_sketch",
     "source_stylometry_delta",
     "label_silhouette_centroid",
+    "parts_abc_classification",
+    "dup_graph_assortativity",
 ]
 
 

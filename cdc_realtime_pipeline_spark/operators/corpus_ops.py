@@ -1385,9 +1385,93 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Degree assortativity of the near-dup graph
+# --------------------------------------------------------------------------
+
+# Pearson r over directed edge endpoint degrees (du, dv), from moments
+_ASSORT_R = (
+    "((ne * sduv - sdu * sdv) /"
+    " sqrt((ne * sduu - sdu * sdu) * (ne * sdvv - sdv * sdv)))"
+)
+
+
+def dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the near-dup graph:
+    Pearson correlation of endpoint degrees over the symmetric edge
+    list — the one-number structural fingerprint the per-node metrics
+    (degree, coreness, clustering) don't give: template/boilerplate
+    corpora read DISASSORTATIVE (hub pages linked to many low-degree
+    copies), while mutual-paraphrase clusters read assortative.
+
+    One edge-sized relation end to end: degrees from the edge list,
+    joined back to both endpoints (node-keyed equi-joins), reduced to
+    five Pearson moments — the shared closed form evaluated verbatim
+    by both engines. Using the symmetric (directed-both-ways) list is
+    the standard undirected convention: each edge contributes both
+    orientations, making r symmetric by construction.
+    """
+    pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    tracked_persist(edges)
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    j = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    m = j.agg(
+        F.count("*").cast("double").alias("ne"),
+        F.sum(F.col("du").cast("double")).alias("sdu"),
+        F.sum(F.col("dv").cast("double")).alias("sdv"),
+        F.sum((F.col("du") * F.col("dv")).cast("double")).alias("sduv"),
+        F.sum((F.col("du") * F.col("du")).cast("double")).alias("sduu"),
+        F.sum((F.col("dv") * F.col("dv")).cast("double")).alias("sdvv"),
+    )
+    return m.select(
+        (F.col("ne") / 2).cast("long").alias("n_edges"),
+        F.expr(f"round({_ASSORT_R} + 1e-9, 6) + 0.0").alias("assortativity"),
+    )
+
+
+DUP_GRAPH_ASSORTATIVITY_SQL = f"""
+WITH jac AS MATERIALIZED ({DEDUP_DOCS_JACCARD_SQL}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM jac
+),
+deg AS (SELECT u AS node, count(*) AS d FROM edges GROUP BY u),
+j AS (
+  SELECT CAST(a.d AS DOUBLE) AS du, CAST(b.d AS DOUBLE) AS dv
+  FROM edges e
+  JOIN deg a ON e.u = a.node
+  JOIN deg b ON e.v = b.node
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS ne,
+         sum(du) AS sdu, sum(dv) AS sdv, sum(du * dv) AS sduv,
+         sum(du * du) AS sduu, sum(dv * dv) AS sdvv
+  FROM j
+)
+SELECT CAST(ne / 2 AS BIGINT) AS n_edges,
+       round({_ASSORT_R} + 1e-9, 6) + 0.0 AS assortativity
+FROM m
+"""
+
+
 QUERIES = {
     "corpus_zipf_fit": corpus_zipf_fit,
     "dup_graph_kcore": dup_graph_kcore,
+    "dup_graph_assortativity": dup_graph_assortativity,
     "dup_graph_triangles": dup_graph_triangles,
     "dup_clusters_connected_components": dup_clusters_connected_components,
     "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -1408,6 +1492,7 @@ QUERIES = {
 
 ORACLES = {
     "dup_graph_kcore": DUP_GRAPH_KCORE_SQL,
+    "dup_graph_assortativity": DUP_GRAPH_ASSORTATIVITY_SQL,
     "corpus_zipf_fit": CORPUS_ZIPF_FIT_SQL,
     "dup_graph_triangles": DUP_GRAPH_TRIANGLES_SQL,
     "label_balanced_sample": LABEL_BALANCED_SAMPLE_SQL,

@@ -1291,6 +1291,96 @@ FROM logged WHERE d > 0 ORDER BY t_days
 
 
 # --------------------------------------------------------------------------
+# ABC revenue classification (Pareto / 80-15-5 inventory analysis)
+# --------------------------------------------------------------------------
+
+_ABC_A = 0.80
+_ABC_B = 0.95  # cumulative boundary: A ≤ 0.80 < B ≤ 0.95 < C
+
+
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank parts by
+    revenue, walk the cumulative share, and split at {A:.0%}/{B:.0%}
+    — the inventory-analytics classic ("A-parts get daily attention,
+    C-parts get annual"), and the DISCRETE companion to
+    customer_value_gini's concentration scalar. A part is classed by
+    the cumulative share INCLUDING itself, so the A class is the
+    minimal prefix covering {A:.0%} of revenue (boundary part
+    included — the textbook convention).
+
+    One fact shuffle (part revenue agg); ranking and the cumulative
+    walk run over the part-sized relation. Deterministic order:
+    revenue rounded 2dp first, ties → part key.
+    """
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)"
+            ).alias("rev")
+        )
+    )
+    tot = rev.agg(F.sum("rev").alias("tr"))
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    walked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.sum("rev").over(w) / F.col("tr")
+    )
+    classed = walked.withColumn(
+        "abc",
+        F.when(F.col("cum_share") <= _ABC_A + 1e-12, F.lit("A"))
+        .when(F.col("cum_share") <= _ABC_B + 1e-12, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.expr("round(sum(rev) + 1e-9, 2) + 0.0").alias("class_revenue"),
+            F.expr("round(sum(rev) / max(tr) + 1e-9, 6) + 0.0").alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc")
+    )
+
+
+parts_abc_classification.__doc__ = parts_abc_classification.__doc__.format(
+    A=_ABC_A, B=_ABC_B
+)
+
+PARTS_ABC_CLASSIFICATION_SQL = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(rev) AS tr FROM rev),
+walked AS (
+  SELECT rev.l_partkey, rev.rev, tot.tr,
+         sum(rev.rev) OVER (ORDER BY rev.rev DESC, rev.l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / tot.tr AS cum_share
+  FROM rev CROSS JOIN tot
+),
+classed AS (
+  SELECT *,
+         CASE WHEN cum_share <= {_ABC_A} + 1e-12 THEN 'A'
+              WHEN cum_share <= {_ABC_B} + 1e-12 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM walked
+)
+SELECT abc,
+       count(*) AS n_parts,
+       round(sum(rev) + 1e-9, 2) + 0.0 AS class_revenue,
+       round(sum(rev) / max(tr) + 1e-9, 6) + 0.0 AS revenue_share
+FROM classed GROUP BY abc ORDER BY abc
+"""
+
+
+# --------------------------------------------------------------------------
 # Hill estimator: tail index of the value distribution
 # --------------------------------------------------------------------------
 
@@ -1428,6 +1518,7 @@ QUERIES = {
     "orders_survival_km": orders_survival_km,
     "customer_value_gini": customer_value_gini,
     "value_hill_tail_index": value_hill_tail_index,
+    "parts_abc_classification": parts_abc_classification,
     "source_welch_ttest": source_welch_ttest,
     "mi_event_value_bands": mi_event_value_bands,
     "value_ks_grid": value_ks_grid,
@@ -1445,6 +1536,7 @@ ORACLES = {
     "orders_survival_km": ORDERS_SURVIVAL_KM_SQL,
     "customer_value_gini": CUSTOMER_VALUE_GINI_SQL,
     "value_hill_tail_index": VALUE_HILL_TAIL_INDEX_SQL,
+    "parts_abc_classification": PARTS_ABC_CLASSIFICATION_SQL,
     "source_welch_ttest": SOURCE_WELCH_TTEST_SQL,
     "mi_event_value_bands": MI_EVENT_VALUE_BANDS_SQL,
     "value_ks_grid": VALUE_KS_GRID_SQL,

@@ -1131,3 +1131,64 @@ def test_silhouette_matches_numpy(spark, sf_dir):
         assert got[l].n_vecs == len(ss)
         assert got[l].n_negative == sum(1 for s in ss if s < 0)
         assert math.isclose(got[l].avg_silhouette, sum(ss) / len(ss), abs_tol=2e-4)
+
+
+def test_abc_classification_matches_python(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _ABC_A,
+        _ABC_B,
+        parts_abc_classification,
+    )
+
+    got = {r.abc: r for r in parts_abc_classification(spark, sf_dir).collect()}
+    per: dict[int, float] = {}
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    ).collect():
+        per[r.l_partkey] = per.get(r.l_partkey, 0.0) + r.l_extendedprice * (
+            1 - r.l_discount
+        )
+    rev = sorted(
+        ((round(v + 1e-9, 2), k) for k, v in per.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    tot = sum(v for v, _ in rev)
+    cum = 0.0
+    want: dict[str, list] = {}
+    for v, k in rev:
+        cum += v
+        share = cum / tot
+        cls = "A" if share <= _ABC_A + 1e-12 else ("B" if share <= _ABC_B + 1e-12 else "C")
+        want.setdefault(cls, []).append(v)
+    assert set(got) == set(want)
+    for cls, vs in want.items():
+        assert got[cls].n_parts == len(vs)
+        assert math.isclose(got[cls].class_revenue, sum(vs), abs_tol=0.5)
+        assert math.isclose(got[cls].revenue_share, sum(vs) / tot, abs_tol=1e-4)
+    # the defining property: A is the minimal prefix covering ~80%
+    assert want["A"] and sum(want["A"]) / tot <= _ABC_A + 1e-9
+    assert (sum(want["A"]) + (want["B"][0] if want.get("B") else 0)) / tot > _ABC_A
+
+
+def test_assortativity_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+        dup_graph_assortativity,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import dedup_docs_jaccard
+
+    got = dup_graph_assortativity(spark, sf_dir).collect()[0]
+    pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b").collect()
+    from collections import Counter
+
+    deg: Counter = Counter()
+    for p in pairs:
+        deg[p.doc_a] += 1
+        deg[p.doc_b] += 1
+    du, dv = [], []
+    for p in pairs:
+        du += [deg[p.doc_a], deg[p.doc_b]]
+        dv += [deg[p.doc_b], deg[p.doc_a]]
+    r = float(np.corrcoef(np.array(du, float), np.array(dv, float))[0, 1])
+    assert got.n_edges == len(pairs)
+    assert math.isclose(got.assortativity, r, abs_tol=2e-5)
+    assert -1.0 <= got.assortativity <= 1.0
