@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "label_silhouette_centroid",
     "parts_abc_classification",
     "dup_graph_assortativity",
+    "lineitem_weighted_median",
+    "events_two_proportion_ztest",
 ]
 
 

@@ -1291,6 +1291,167 @@ FROM logged WHERE d > 0 ORDER BY t_days
 
 
 # --------------------------------------------------------------------------
+# Weighted median (quantity-weighted price per return flag)
+# --------------------------------------------------------------------------
+
+
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of the extended price per return flag
+    — the weighted-quantile machinery the unweighted percentile
+    family (value_quantiles, hourly_median_iqr) doesn't cover: when
+    each row carries a weight (units, bytes, tokens), the median of
+    ROW VALUES misrepresents the median UNIT. Lower weighted median
+    (type-1): the smallest x whose cumulative weight reaches half the
+    group total.
+
+    Shape: per-group sort + cumulative-weight window + one
+    conditional min — the same per-key ordered-walk posture as the
+    exact NTILE row (value_equidepth_histogram): kept exact here
+    (groups are few, per-group sorts parallel across flags); at
+    extreme per-group cardinality the documented substitution is the
+    banded cumulative walk (value_mannwhitney_grid's grid trick).
+    Ties on x are resolved by the (x, orderkey, linenumber) sort key
+    — but the SELECTED x is tie-invariant (any tied row yields the
+    same median value).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = li.groupBy("l_returnflag").agg(F.sum("wt").alias("tw"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("x", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = li.join(tot, "l_returnflag").withColumn(
+        "cw", F.sum("wt").over(w)
+    )
+    return (
+        walked.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("round(max(tw) + 1e-9, 2) + 0.0").alias("total_weight"),
+            F.expr(
+                "round(min(CASE WHEN cw >= tw / 2.0 THEN x END) + 1e-9, 2)"
+                " + 0.0"
+            ).alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LINEITEM_WEIGHTED_MEDIAN_SQL = """
+WITH li AS (
+  SELECT l_returnflag, l_extendedprice AS x, l_quantity AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+tot AS (SELECT l_returnflag, sum(wt) AS tw FROM li GROUP BY l_returnflag),
+walked AS (
+  SELECT li.l_returnflag, li.x, tot.tw,
+         sum(li.wt) OVER (PARTITION BY li.l_returnflag
+                          ORDER BY li.x, li.l_orderkey, li.l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw
+  FROM li JOIN tot ON li.l_returnflag = tot.l_returnflag
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(max(tw) + 1e-9, 2) + 0.0 AS total_weight,
+       round(min(CASE WHEN cw >= tw / 2.0 THEN x END) + 1e-9, 2) + 0.0
+         AS weighted_median
+FROM walked GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test (A/B conversion primitive)
+# --------------------------------------------------------------------------
+
+_ZTEST_Z = (
+    "((p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)))"
+)
+
+
+def events_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test of view→purchase conversion
+    between two deterministic user arms (user_id parity — the
+    stand-in for an experiment assignment column): THE A/B-testing
+    primitive, complementing the continuous-outcome tests (Welch,
+    Mann–Whitney) with the binary-outcome one. Emits both arms'
+    rates, the pooled rate, and z.
+
+    One scan → per-arm (views, purchases) counts (map-side
+    combinable, 2-row result); rates and the pooled z are shared
+    closed forms over four integers — exact-integer-derived, so the
+    only rounding is the final display round.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count_if(F.col("event_type") == "view").alias("views"),
+        F.count_if(F.col("event_type") == "purchase").alias("purch"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("views").alias("v1"), F.col("purch").alias("c1")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("views").alias("v2"), F.col("purch").alias("c2")
+    )
+    m = a.crossJoin(F.broadcast(b)).select(
+        (F.col("v1") + F.col("c1")).cast("double").alias("n1"),
+        (F.col("v2") + F.col("c2")).cast("double").alias("n2"),
+        F.col("c1").cast("double").alias("c1"),
+        F.col("c2").cast("double").alias("c2"),
+    ).withColumn("p1", F.expr("c1 / n1")).withColumn(
+        "p2", F.expr("c2 / n2")
+    ).withColumn("pp", F.expr("(c1 + c2) / (n1 + n2)"))
+    return m.select(
+        F.col("n1").cast("long").alias("n_arm_a"),
+        F.col("n2").cast("long").alias("n_arm_b"),
+        F.expr("round(p1 + 1e-9, 6) + 0.0").alias("rate_a"),
+        F.expr("round(p2 + 1e-9, 6) + 0.0").alias("rate_b"),
+        F.expr(f"round({_ZTEST_Z} + 1e-9, 4) + 0.0").alias("z_score"),
+    )
+
+
+EVENTS_TWO_PROPORTION_ZTEST_SQL = f"""
+WITH arms AS (
+  SELECT user_id % 2 AS arm,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purch
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY arm
+),
+m AS (
+  SELECT CAST(a.views + a.purch AS DOUBLE) AS n1,
+         CAST(b.views + b.purch AS DOUBLE) AS n2,
+         CAST(a.purch AS DOUBLE) AS c1,
+         CAST(b.purch AS DOUBLE) AS c2
+  FROM (SELECT * FROM arms WHERE arm = 0) a
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+),
+r AS (
+  SELECT n1, n2, c1 / n1 AS p1, c2 / n2 AS p2,
+         (c1 + c2) / (n1 + n2) AS pp
+  FROM m
+)
+SELECT CAST(n1 AS BIGINT) AS n_arm_a,
+       CAST(n2 AS BIGINT) AS n_arm_b,
+       round(p1 + 1e-9, 6) + 0.0 AS rate_a,
+       round(p2 + 1e-9, 6) + 0.0 AS rate_b,
+       round({_ZTEST_Z} + 1e-9, 4) + 0.0 AS z_score
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
 # ABC revenue classification (Pareto / 80-15-5 inventory analysis)
 # --------------------------------------------------------------------------
 
@@ -1519,6 +1680,8 @@ QUERIES = {
     "customer_value_gini": customer_value_gini,
     "value_hill_tail_index": value_hill_tail_index,
     "parts_abc_classification": parts_abc_classification,
+    "lineitem_weighted_median": lineitem_weighted_median,
+    "events_two_proportion_ztest": events_two_proportion_ztest,
     "source_welch_ttest": source_welch_ttest,
     "mi_event_value_bands": mi_event_value_bands,
     "value_ks_grid": value_ks_grid,
@@ -1537,6 +1700,8 @@ ORACLES = {
     "customer_value_gini": CUSTOMER_VALUE_GINI_SQL,
     "value_hill_tail_index": VALUE_HILL_TAIL_INDEX_SQL,
     "parts_abc_classification": PARTS_ABC_CLASSIFICATION_SQL,
+    "lineitem_weighted_median": LINEITEM_WEIGHTED_MEDIAN_SQL,
+    "events_two_proportion_ztest": EVENTS_TWO_PROPORTION_ZTEST_SQL,
     "source_welch_ttest": SOURCE_WELCH_TTEST_SQL,
     "mi_event_value_bands": MI_EVENT_VALUE_BANDS_SQL,
     "value_ks_grid": VALUE_KS_GRID_SQL,

@@ -1192,3 +1192,57 @@ def test_assortativity_matches_numpy(spark, sf_dir):
     assert got.n_edges == len(pairs)
     assert math.isclose(got.assortativity, r, abs_tol=2e-5)
     assert -1.0 <= got.assortativity <= 1.0
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        lineitem_weighted_median,
+    )
+
+    got = {r.l_returnflag: r for r in lineitem_weighted_median(spark, sf_dir).collect()}
+    per: dict[str, list] = {}
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect():
+        per.setdefault(r.l_returnflag, []).append((r.l_extendedprice, r.l_quantity))
+    for flag, rows in per.items():
+        rows.sort()
+        tw = sum(w for _, w in rows)
+        cw = 0.0
+        wm = None
+        for x, w in rows:
+            cw += w
+            if cw >= tw / 2.0:
+                wm = x
+                break
+        assert got[flag].n_rows == len(rows)
+        assert math.isclose(got[flag].total_weight, tw, abs_tol=0.5)
+        assert math.isclose(got[flag].weighted_median, wm, abs_tol=0.02)
+        # defining property: weight below the median is < half total
+        below = sum(w for x, w in rows if x < wm)
+        assert below < tw / 2.0 + 1e-9
+
+
+def test_two_proportion_ztest_matches_python(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        events_two_proportion_ztest,
+    )
+
+    got = events_two_proportion_ztest(spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select("user_id", "event_type").collect()
+    n = [0, 0]
+    c = [0, 0]
+    for r in rows:
+        arm = r.user_id % 2
+        n[arm] += 1
+        if r.event_type == "purchase":
+            c[arm] += 1
+    p1, p2 = c[0] / n[0], c[1] / n[1]
+    pp = (c[0] + c[1]) / (n[0] + n[1])
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n[0] + 1 / n[1]))
+    assert (got.n_arm_a, got.n_arm_b) == (n[0], n[1])
+    assert math.isclose(got.rate_a, p1, abs_tol=2e-6)
+    assert math.isclose(got.rate_b, p2, abs_tol=2e-6)
+    assert math.isclose(got.z_score, z, abs_tol=2e-4)
