@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "dup_graph_assortativity",
     "lineitem_weighted_median",
     "events_two_proportion_ztest",
+    "user_poisson_regression",
 ]
 
 

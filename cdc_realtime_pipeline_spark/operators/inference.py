@@ -1291,6 +1291,155 @@ FROM logged WHERE d > 0 ORDER BY t_days
 
 
 # --------------------------------------------------------------------------
+# Poisson regression (log link) via unrolled IRLS
+# --------------------------------------------------------------------------
+
+_IRLS_ITERS = 3
+_IRLS_CAP = 20.0  # eta cap: exp overflow guard, identical both engines
+
+
+def _irls_pass(base, b, it: int):
+    """One IRLS step: weighted-least-squares moments under the current
+    coefficients, closed-form 2×2 solve, coefficients rounded 8dp."""
+    j = base.crossJoin(F.broadcast(b))
+    m = j.select(
+        F.expr(f"least(b0 + b1 * x, {_IRLS_CAP})").alias("eta"),
+        "x",
+        "y",
+    ).select(
+        "x",
+        "y",
+        "eta",
+        F.expr("exp(eta)").alias("mu"),
+    ).select(
+        F.expr("mu").alias("w"),
+        "x",
+        F.expr("eta + (y - mu) / mu").alias("z"),
+    ).agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+        F.sum(F.col("w") * F.col("z")).alias("swz"),
+        F.sum(F.col("w") * F.col("x") * F.col("z")).alias("swxz"),
+    )
+    return m.select(
+        F.expr(
+            "round((sw * swxz - swx * swz) / (sw * swxx - swx * swx)"
+            " + 1e-12, 8)"
+        ).alias("b1"),
+        F.expr(
+            "round((swz - ((sw * swxz - swx * swz) / (sw * swxx - swx * swx))"
+            " * swx) / sw + 1e-12, 8)"
+        ).alias("b0"),
+    )
+
+
+def user_poisson_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression with log link — purchases-per-user modeled
+    as y ~ Poisson(exp(b0 + b1·views)) — the GLM step past the
+    Gaussian OLS family (events_ols_two_factor): count outcomes need
+    a multiplicative rate model, and IRLS is how every GLM library
+    fits one. Three unrolled IRLS iterations: each is ONE aggregate
+    over the user-sized relation (five weighted moments) + a scalar
+    2×2 weighted-least-squares solve — the moment-aggregate
+    discipline extended to an iteratively-reweighted objective, with
+    the same "driver never loops over data" property as pagerank
+    (iteration count fixed, coefficients live in a broadcast 1-row
+    relation).
+
+    Cross-engine: η capped at {C} (identical overflow guard),
+    coefficients rounded 8dp per iteration so exp() drift cannot
+    compound. Init: b0 = ln(ȳ), b1 = 0 — the canonical null start.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = tracked_persist(
+        ev.groupBy("user_id").agg(
+            F.count_if(F.col("event_type") == "view")
+            .cast("double")
+            .alias("x"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    b = base.agg(
+        F.expr("round(ln(avg(y)) + 1e-12, 8)").alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    for it in range(_IRLS_ITERS):
+        b = _irls_pass(base, b, it)
+    final = base.crossJoin(F.broadcast(b))
+    return final.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("round(max(b0) + 1e-9, 6) + 0.0").alias("b0"),
+        F.expr("round(max(b1) + 1e-9, 6) + 0.0").alias("b_views"),
+        F.expr(
+            f"round(avg(exp(least(b0 + b1 * x, {_IRLS_CAP}))) + 1e-9, 4)"
+            " + 0.0"
+        ).alias("avg_fitted_rate"),
+        F.expr("round(avg(y) + 1e-9, 4) + 0.0").alias("avg_observed"),
+    )
+
+
+user_poisson_regression.__doc__ = user_poisson_regression.__doc__.format(
+    C=_IRLS_CAP
+)
+
+
+def _irls_pass_sql(prev: str, out: str) -> str:
+    return f"""
+m_{out} AS (
+  SELECT sum(mu) AS sw,
+         sum(mu * x) AS swx,
+         sum(mu * x * x) AS swxx,
+         sum(mu * (eta + (y - mu) / mu)) AS swz,
+         sum(mu * x * (eta + (y - mu) / mu)) AS swxz
+  FROM (
+    SELECT x, y, eta, exp(eta) AS mu
+    FROM (SELECT x, y, least({prev}.b0 + {prev}.b1 * x, {_IRLS_CAP}) AS eta
+          FROM base CROSS JOIN {prev}) i
+  ) s
+),
+{out} AS (
+  SELECT round((sw * swxz - swx * swz) / (sw * swxx - swx * swx)
+               + 1e-12, 8) AS b1,
+         round((swz - ((sw * swxz - swx * swz) / (sw * swxx - swx * swx))
+                * swx) / sw + 1e-12, 8) AS b0
+  FROM m_{out}
+)"""
+
+
+USER_POISSON_REGRESSION_SQL = (
+    """
+WITH base AS MATERIALIZED (
+  SELECT user_id,
+         CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE)
+           AS x,
+         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+           AS y
+  FROM events GROUP BY user_id
+),
+b_init AS (
+  SELECT round(ln(avg(y)) + 1e-12, 8) AS b0, CAST(0.0 AS DOUBLE) AS b1
+  FROM base
+),"""
+    + ",".join(
+        _irls_pass_sql("b_init" if i == 0 else f"b_{i}", f"b_{i + 1}")
+        for i in range(_IRLS_ITERS)
+    )
+    + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(max(b.b0) + 1e-9, 6) + 0.0 AS b0,
+       round(max(b.b1) + 1e-9, 6) + 0.0 AS b_views,
+       round(avg(exp(least(b.b0 + b.b1 * base.x, {_IRLS_CAP}))) + 1e-9, 4)
+         + 0.0 AS avg_fitted_rate,
+       round(avg(base.y) + 1e-9, 4) + 0.0 AS avg_observed
+FROM base CROSS JOIN b_{_IRLS_ITERS} b
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Weighted median (quantity-weighted price per return flag)
 # --------------------------------------------------------------------------
 
@@ -1682,6 +1831,7 @@ QUERIES = {
     "parts_abc_classification": parts_abc_classification,
     "lineitem_weighted_median": lineitem_weighted_median,
     "events_two_proportion_ztest": events_two_proportion_ztest,
+    "user_poisson_regression": user_poisson_regression,
     "source_welch_ttest": source_welch_ttest,
     "mi_event_value_bands": mi_event_value_bands,
     "value_ks_grid": value_ks_grid,
@@ -1702,6 +1852,7 @@ ORACLES = {
     "parts_abc_classification": PARTS_ABC_CLASSIFICATION_SQL,
     "lineitem_weighted_median": LINEITEM_WEIGHTED_MEDIAN_SQL,
     "events_two_proportion_ztest": EVENTS_TWO_PROPORTION_ZTEST_SQL,
+    "user_poisson_regression": USER_POISSON_REGRESSION_SQL,
     "source_welch_ttest": SOURCE_WELCH_TTEST_SQL,
     "mi_event_value_bands": MI_EVENT_VALUE_BANDS_SQL,
     "value_ks_grid": VALUE_KS_GRID_SQL,

@@ -1246,3 +1246,37 @@ def test_two_proportion_ztest_matches_python(spark, sf_dir):
     assert math.isclose(got.rate_a, p1, abs_tol=2e-6)
     assert math.isclose(got.rate_b, p2, abs_tol=2e-6)
     assert math.isclose(got.z_score, z, abs_tol=2e-4)
+
+
+def test_poisson_regression_matches_numpy_irls(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _IRLS_CAP,
+        _IRLS_ITERS,
+        user_poisson_regression,
+    )
+
+    got = user_poisson_regression(spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        c = per.setdefault(r.user_id, [0, 0])
+        if r.event_type == "view":
+            c[0] += 1
+        elif r.event_type == "purchase":
+            c[1] += 1
+    x = np.array([v[0] for v in per.values()], float)
+    y = np.array([v[1] for v in per.values()], float)
+    b0, b1 = round(math.log(y.mean()) + 1e-12, 8), 0.0
+    for _ in range(_IRLS_ITERS):
+        eta = np.minimum(b0 + b1 * x, _IRLS_CAP)
+        mu = np.exp(eta)
+        z = eta + (y - mu) / mu
+        sw, swx = mu.sum(), (mu * x).sum()
+        swxx, swz, swxz = (mu * x * x).sum(), (mu * z).sum(), (mu * x * z).sum()
+        b1 = round((sw * swxz - swx * swz) / (sw * swxx - swx * swx) + 1e-12, 8)
+        b0 = round((swz - b1 * swx) / sw + 1e-12, 8)
+    assert got.n_users == len(per)
+    assert math.isclose(got.b0, b0, abs_tol=2e-5)
+    assert math.isclose(got.b_views, b1, abs_tol=2e-5)
+    # fitted mean tracks the observed mean (IRLS mean-matching)
+    assert math.isclose(got.avg_fitted_rate, got.avg_observed, rel_tol=0.05)
