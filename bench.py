@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "lineitem_weighted_median",
     "events_two_proportion_ztest",
     "user_poisson_regression",
+    "user_logistic_regression",
 ]
 
 

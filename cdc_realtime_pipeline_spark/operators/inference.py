@@ -1440,6 +1440,168 @@ FROM base CROSS JOIN b_{_IRLS_ITERS} b
 
 
 # --------------------------------------------------------------------------
+# Logistic regression (binomial GLM) via unrolled IRLS
+# --------------------------------------------------------------------------
+
+_LOGIT_ITERS = 4
+_LOGIT_CAP = 15.0
+
+
+def user_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression — is-the-user-a-buyer (more purchases
+    than views) ~ sigmoid(b0 + b1·views) — completing the GLM family
+    next to the Gaussian
+    (events_ols_two_factor) and Poisson (user_poisson_regression)
+    members: binary outcomes need the binomial link, and the same
+    IRLS shape fits it — {I} unrolled iterations, each one weighted
+    five-moment aggregate over the user-sized relation (w = μ(1−μ),
+    z = η + (y−μ)/w) + a scalar 2×2 solve.
+
+    Cross-engine: η capped at ±{C} (sigmoid saturates; the cap also
+    bounds 1/w), coefficients rounded 8dp per iteration. Init: b0 =
+    logit(ȳ), b1 = 0. Output includes training accuracy at the 0.5
+    threshold — exact-integer-derived.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = tracked_persist(
+        ev.groupBy("user_id").agg(
+            F.count_if(F.col("event_type") == "view")
+            .cast("double")
+            .alias("x"),
+            (
+                F.count_if(F.col("event_type") == "purchase")
+                > F.count_if(F.col("event_type") == "view")
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    b = base.agg(
+        F.expr("round(ln(avg(y) / (1.0 - avg(y))) + 1e-12, 8)").alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    eta = f"greatest(least(b0 + b1 * x, {_LOGIT_CAP}), -{_LOGIT_CAP})"
+    for _ in range(_LOGIT_ITERS):
+        j = base.crossJoin(F.broadcast(b))
+        m = (
+            j.select(
+                "x",
+                "y",
+                F.expr(eta).alias("eta"),
+            )
+            .select(
+                "x",
+                "y",
+                "eta",
+                F.expr("1.0 / (1.0 + exp(-eta))").alias("mu"),
+            )
+            .select(
+                "x",
+                F.expr("mu * (1.0 - mu)").alias("w"),
+                F.expr("eta + (y - mu) / (mu * (1.0 - mu))").alias("z"),
+            )
+            .agg(
+                F.sum("w").alias("sw"),
+                F.sum(F.col("w") * F.col("x")).alias("swx"),
+                F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+                F.sum(F.col("w") * F.col("z")).alias("swz"),
+                F.sum(F.col("w") * F.col("x") * F.col("z")).alias("swxz"),
+            )
+        )
+        b = m.select(
+            F.expr(
+                "round((sw * swxz - swx * swz) / (sw * swxx - swx * swx)"
+                " + 1e-12, 8)"
+            ).alias("b1"),
+            F.expr(
+                "round((swz - ((sw * swxz - swx * swz) /"
+                " (sw * swxx - swx * swx)) * swx) / sw + 1e-12, 8)"
+            ).alias("b0"),
+        )
+    final = base.crossJoin(F.broadcast(b)).withColumn("eta", F.expr(eta))
+    return final.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("round(max(b0) + 1e-9, 6) + 0.0").alias("b0"),
+        F.expr("round(max(b1) + 1e-9, 6) + 0.0").alias("b_views"),
+        F.count_if(
+            ((F.expr("eta") > 0) & (F.col("y") == 1.0))
+            | ((F.expr("eta") <= 0) & (F.col("y") == 0.0))
+        )
+        .cast("long")
+        .alias("n_correct_at_half"),
+        F.expr("round(avg(y) + 1e-9, 4) + 0.0").alias("base_rate"),
+    )
+
+
+user_logistic_regression.__doc__ = user_logistic_regression.__doc__.format(
+    I=_LOGIT_ITERS, C=_LOGIT_CAP
+)
+
+
+def _logit_pass_sql(prev: str, out: str) -> str:
+    eta = (
+        f"greatest(least({prev}.b0 + {prev}.b1 * x, {_LOGIT_CAP}),"
+        f" -{_LOGIT_CAP})"
+    )
+    return f"""
+m_{out} AS (
+  SELECT sum(w) AS sw, sum(w * x) AS swx, sum(w * x * x) AS swxx,
+         sum(w * z) AS swz, sum(w * x * z) AS swxz
+  FROM (
+    SELECT x, mu * (1.0 - mu) AS w,
+           eta + (y - mu) / (mu * (1.0 - mu)) AS z
+    FROM (
+      SELECT x, y, eta, 1.0 / (1.0 + exp(-eta)) AS mu
+      FROM (SELECT x, y, {eta} AS eta
+            FROM lbase CROSS JOIN {prev}) i
+    ) s
+  ) t
+),
+{out} AS (
+  SELECT round((sw * swxz - swx * swz) / (sw * swxx - swx * swx)
+               + 1e-12, 8) AS b1,
+         round((swz - ((sw * swxz - swx * swz) / (sw * swxx - swx * swx))
+                * swx) / sw + 1e-12, 8) AS b0
+  FROM m_{out}
+)"""
+
+
+USER_LOGISTIC_REGRESSION_SQL = (
+    """
+WITH lbase AS MATERIALIZED (
+  SELECT user_id,
+         CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE)
+           AS x,
+         CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   > count(CASE WHEN event_type = 'view' THEN 1 END)
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM events GROUP BY user_id
+),
+lb_init AS (
+  SELECT round(ln(avg(y) / (1.0 - avg(y))) + 1e-12, 8) AS b0,
+         CAST(0.0 AS DOUBLE) AS b1
+  FROM lbase
+),"""
+    + ",".join(
+        _logit_pass_sql("lb_init" if i == 0 else f"lb_{i}", f"lb_{i + 1}")
+        for i in range(_LOGIT_ITERS)
+    )
+    + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(max(b.b0) + 1e-9, 6) + 0.0 AS b0,
+       round(max(b.b1) + 1e-9, 6) + 0.0 AS b_views,
+       CAST(count(CASE WHEN (greatest(least(b.b0 + b.b1 * lbase.x,
+                    {_LOGIT_CAP}), -{_LOGIT_CAP}) > 0 AND lbase.y = 1.0)
+                    OR (greatest(least(b.b0 + b.b1 * lbase.x,
+                    {_LOGIT_CAP}), -{_LOGIT_CAP}) <= 0 AND lbase.y = 0.0)
+                  THEN 1 END) AS BIGINT) AS n_correct_at_half,
+       round(avg(lbase.y) + 1e-9, 4) + 0.0 AS base_rate
+FROM lbase CROSS JOIN lb_{_LOGIT_ITERS} b
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Weighted median (quantity-weighted price per return flag)
 # --------------------------------------------------------------------------
 
@@ -1832,6 +1994,7 @@ QUERIES = {
     "lineitem_weighted_median": lineitem_weighted_median,
     "events_two_proportion_ztest": events_two_proportion_ztest,
     "user_poisson_regression": user_poisson_regression,
+    "user_logistic_regression": user_logistic_regression,
     "source_welch_ttest": source_welch_ttest,
     "mi_event_value_bands": mi_event_value_bands,
     "value_ks_grid": value_ks_grid,
@@ -1853,6 +2016,7 @@ ORACLES = {
     "lineitem_weighted_median": LINEITEM_WEIGHTED_MEDIAN_SQL,
     "events_two_proportion_ztest": EVENTS_TWO_PROPORTION_ZTEST_SQL,
     "user_poisson_regression": USER_POISSON_REGRESSION_SQL,
+    "user_logistic_regression": USER_LOGISTIC_REGRESSION_SQL,
     "source_welch_ttest": SOURCE_WELCH_TTEST_SQL,
     "mi_event_value_bands": MI_EVENT_VALUE_BANDS_SQL,
     "value_ks_grid": VALUE_KS_GRID_SQL,

@@ -1280,3 +1280,40 @@ def test_poisson_regression_matches_numpy_irls(spark, sf_dir):
     assert math.isclose(got.b_views, b1, abs_tol=2e-5)
     # fitted mean tracks the observed mean (IRLS mean-matching)
     assert math.isclose(got.avg_fitted_rate, got.avg_observed, rel_tol=0.05)
+
+
+def test_logistic_regression_matches_numpy_irls(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _LOGIT_CAP,
+        _LOGIT_ITERS,
+        user_logistic_regression,
+    )
+
+    got = user_logistic_regression(spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        c = per.setdefault(r.user_id, [0, 0])
+        if r.event_type == "view":
+            c[0] += 1
+        elif r.event_type == "purchase":
+            c[1] += 1
+    x = np.array([v[0] for v in per.values()], float)
+    y = np.array([1.0 if v[1] > v[0] else 0.0 for v in per.values()])
+    p = y.mean()
+    b0, b1 = round(math.log(p / (1 - p)) + 1e-12, 8), 0.0
+    for _ in range(_LOGIT_ITERS):
+        eta = np.clip(b0 + b1 * x, -_LOGIT_CAP, _LOGIT_CAP)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1 - mu)
+        z = eta + (y - mu) / w
+        sw, swx = w.sum(), (w * x).sum()
+        swxx, swz, swxz = (w * x * x).sum(), (w * z).sum(), (w * x * z).sum()
+        b1 = round((sw * swxz - swx * swz) / (sw * swxx - swx * swx) + 1e-12, 8)
+        b0 = round((swz - b1 * swx) / sw + 1e-12, 8)
+    assert got.n_users == len(per)
+    assert math.isclose(got.b0, b0, abs_tol=2e-5)
+    assert math.isclose(got.b_views, b1, abs_tol=2e-5)
+    eta = np.clip(b0 + b1 * x, -_LOGIT_CAP, _LOGIT_CAP)
+    correct = int((((eta > 0) & (y == 1)) | ((eta <= 0) & (y == 0))).sum())
+    assert got.n_correct_at_half == correct
