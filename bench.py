@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "events_two_proportion_ztest",
     "user_poisson_regression",
     "user_logistic_regression",
+    "value_conformal_interval",
 ]
 
 

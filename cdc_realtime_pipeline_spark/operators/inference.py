@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_realtime_pipeline_spark.operators.dq import _hex_uniform, _hex_uniform_sql
 from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
 
 # --------------------------------------------------------------------------
@@ -1602,6 +1603,155 @@ FROM lbase CROSS JOIN lb_{_LOGIT_ITERS} b
 
 
 # --------------------------------------------------------------------------
+# Split-conformal prediction interval audit
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1  # 90% target coverage
+_CONF_CELL = 1.0  # residual grid width
+
+
+def value_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei 2018) for the
+    per-type mean-value predictor, audited on a held-out split — the
+    distribution-free uncertainty machinery modern ML pipelines wrap
+    around ANY point model: fit on split 0, take the ⌈(n+1)(1−α)⌉-th
+    smallest absolute residual on calibration split 1 as the interval
+    half-width q̂, then MEASURE coverage on test split 2 (guaranteed
+    ≥ {COV:.0%} marginally, finite-sample, no distributional
+    assumptions — the audit shows it holding).
+
+    Scale: splits are an md5 projection; the model is a broadcast
+    per-type mean; the calibration quantile uses the GRID form (the
+    value_ks_grid discipline) — residual cells of width {W} reduce
+    the calibration set to a bounded relation, the rank walk is a
+    window over it, and q̂ is the selected cell's UPPER edge:
+    conservative rounding, so the finite-sample guarantee survives
+    the discretization (coverage can only increase). Integer counts
+    end-to-end until the final ratios.
+    """
+    u = _hex_uniform("conf|", "uid_str")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("value").alias("y"),
+            F.col("event_id").cast("string").alias("uid_str"),
+        )
+        .withColumn("split", F.floor(u * 3).cast("long"))
+    )
+    ev = tracked_persist(ev)
+    model = (
+        ev.filter(F.col("split") == 0)
+        .groupBy("event_type")
+        .agg(F.round(F.avg("y") + 1e-9, 6).alias("yhat"))
+    )
+    cal = (
+        ev.filter(F.col("split") == 1)
+        .join(F.broadcast(model), "event_type")
+        .select(
+            "event_type",
+            F.floor(F.abs(F.col("y") - F.col("yhat")) / _CONF_CELL)
+            .cast("long")
+            .alias("cell"),
+        )
+    )
+    cells = cal.groupBy("event_type", "cell").agg(F.count("*").alias("c"))
+    n_cal = cells.groupBy("event_type").agg(F.sum("c").alias("n1"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # rank threshold: ceil((n+1)(1-alpha)); q = upper edge of the
+    # first cell whose cumulative count reaches it
+    walked = (
+        cells.join(n_cal, "event_type")
+        .withColumn("cum", F.sum("c").over(wcum))
+        .withColumn(
+            "need",
+            F.ceil((F.col("n1") + 1) * (1.0 - _CONF_ALPHA)).cast("long"),
+        )
+    )
+    qhat = (
+        walked.filter(F.col("cum") >= F.col("need"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").cast("long").alias("n_cal"),
+            ((F.min("cell") + 1) * F.lit(_CONF_CELL)).alias("q_hat"),
+        )
+    )
+    test = ev.filter(F.col("split") == 2).join(
+        F.broadcast(model), "event_type"
+    ).join(F.broadcast(qhat), "event_type")
+    return (
+        test.groupBy("event_type")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.expr("round(max(q_hat) + 1e-9, 2) + 0.0").alias("q_hat"),
+            F.count("*").cast("long").alias("n_test"),
+            F.expr(
+                "round(count_if(abs(y - yhat) <= q_hat) /"
+                " CAST(count(*) AS DOUBLE) + 1e-9, 4) + 0.0"
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+value_conformal_interval.__doc__ = value_conformal_interval.__doc__.format(
+    COV=1 - _CONF_ALPHA, W=_CONF_CELL
+)
+
+VALUE_CONFORMAL_INTERVAL_SQL = f"""
+WITH ev AS MATERIALIZED (
+  SELECT event_type, value AS y,
+         CAST(floor({_hex_uniform_sql("conf|", "CAST(event_id AS VARCHAR)")}
+              * 3) AS BIGINT) AS split
+  FROM events
+),
+model AS (
+  SELECT event_type, round(avg(y) + 1e-9, 6) AS yhat
+  FROM ev WHERE split = 0 GROUP BY event_type
+),
+cal AS (
+  SELECT e.event_type,
+         CAST(floor(abs(e.y - m.yhat) / {_CONF_CELL}) AS BIGINT) AS cell
+  FROM ev e JOIN model m ON e.event_type = m.event_type
+  WHERE e.split = 1
+),
+cells AS (
+  SELECT event_type, cell, count(*) AS c FROM cal GROUP BY event_type, cell
+),
+n_cal AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n1 FROM cells GROUP BY event_type
+),
+walked AS (
+  SELECT cells.event_type, cells.cell, n_cal.n1,
+         sum(cells.c) OVER (PARTITION BY cells.event_type ORDER BY cells.cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(ceil((n_cal.n1 + 1) * {1.0 - _CONF_ALPHA}) AS BIGINT) AS need
+  FROM cells JOIN n_cal ON cells.event_type = n_cal.event_type
+),
+qhat AS (
+  SELECT event_type, max(n1) AS n_cal,
+         (min(cell) + 1) * {_CONF_CELL} AS q_hat
+  FROM walked WHERE cum >= need GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(max(q.n_cal) AS BIGINT) AS n_cal,
+       round(max(q.q_hat) + 1e-9, 2) + 0.0 AS q_hat,
+       count(*) AS n_test,
+       round(count(CASE WHEN abs(e.y - m.yhat) <= q.q_hat THEN 1 END)
+             / CAST(count(*) AS DOUBLE) + 1e-9, 4) + 0.0 AS coverage
+FROM ev e
+JOIN model m ON e.event_type = m.event_type
+JOIN qhat q ON e.event_type = q.event_type
+WHERE e.split = 2
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Weighted median (quantity-weighted price per return flag)
 # --------------------------------------------------------------------------
 
@@ -1995,6 +2145,7 @@ QUERIES = {
     "events_two_proportion_ztest": events_two_proportion_ztest,
     "user_poisson_regression": user_poisson_regression,
     "user_logistic_regression": user_logistic_regression,
+    "value_conformal_interval": value_conformal_interval,
     "source_welch_ttest": source_welch_ttest,
     "mi_event_value_bands": mi_event_value_bands,
     "value_ks_grid": value_ks_grid,
@@ -2017,6 +2168,7 @@ ORACLES = {
     "events_two_proportion_ztest": EVENTS_TWO_PROPORTION_ZTEST_SQL,
     "user_poisson_regression": USER_POISSON_REGRESSION_SQL,
     "user_logistic_regression": USER_LOGISTIC_REGRESSION_SQL,
+    "value_conformal_interval": VALUE_CONFORMAL_INTERVAL_SQL,
     "source_welch_ttest": SOURCE_WELCH_TTEST_SQL,
     "mi_event_value_bands": MI_EVENT_VALUE_BANDS_SQL,
     "value_ks_grid": VALUE_KS_GRID_SQL,

@@ -1317,3 +1317,55 @@ def test_logistic_regression_matches_numpy_irls(spark, sf_dir):
     eta = np.clip(b0 + b1 * x, -_LOGIT_CAP, _LOGIT_CAP)
     correct = int((((eta > 0) & (y == 1)) | ((eta <= 0) & (y == 0))).sum())
     assert got.n_correct_at_half == correct
+
+
+def test_conformal_interval_matches_python(spark, sf_dir):
+    import hashlib
+
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _CONF_ALPHA,
+        _CONF_CELL,
+        value_conformal_interval,
+    )
+
+    got = {r.event_type: r for r in value_conformal_interval(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+
+    def split(eid: int) -> int:
+        h = hashlib.md5(f"conf|{eid}".encode()).hexdigest()
+        u = sum(int(h[i], 16) * 16.0 ** -(i + 1) for i in range(8))
+        return int(u * 3)
+
+    per: dict[str, dict[int, list]] = {}
+    for r in rows:
+        per.setdefault(r.event_type, {0: [], 1: [], 2: []})[split(r.event_id)].append(
+            r.value
+        )
+    for et, sp in per.items():
+        yhat = round(sum(sp[0]) / len(sp[0]) + 1e-9, 6)
+        cells = sorted(
+            __import__("collections").Counter(
+                int(abs(y - yhat) // _CONF_CELL) for y in sp[1]
+            ).items()
+        )
+        n1 = len(sp[1])
+        need = math.ceil((n1 + 1) * (1 - _CONF_ALPHA))
+        cum = 0
+        qcell = None
+        for cell, c in cells:
+            cum += c
+            if cum >= need:
+                qcell = cell
+                break
+        q = (qcell + 1) * _CONF_CELL
+        cov = sum(1 for y in sp[2] if abs(y - yhat) <= q) / len(sp[2])
+        assert got[et].n_cal == n1
+        assert math.isclose(got[et].q_hat, q, abs_tol=1e-6)
+        assert got[et].n_test == len(sp[2])
+        assert math.isclose(got[et].coverage, cov, abs_tol=2e-4)
+        # the conformal guarantee (conservative grid rounding): the
+        # coverage should sit at or above the nominal level, within
+        # binomial noise of the test-split size
+        assert got[et].coverage >= (1 - _CONF_ALPHA) - 3.0 / math.sqrt(len(sp[2]))
