@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "user_poisson_regression",
     "user_logistic_regression",
     "value_conformal_interval",
+    "text_pmi_collocations",
 ]
 
 

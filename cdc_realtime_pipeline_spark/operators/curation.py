@@ -1383,8 +1383,118 @@ LIMIT {_KN_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# PMI collocation mining
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 25
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church &
+    Hanks 1990): the top-{T} adjacent word pairs whose co-occurrence
+    most exceeds chance — PMI = ln(p(ab)/(p(a)p(b))) — the classic
+    multiword-expression detector, complementary to the other bigram
+    rankings (raw counts = tokenizer_bpe_pair_counts, smoothed
+    probability = text_bigram_kneser_ney; PMI is the ASSOCIATION
+    ranking that surfaces "los angeles" over "of the"). The ≥{M}
+    count floor is mandatory PMI hygiene: a hapax pair of two hapax
+    words scores the maximum PMI by arithmetic, not by signal.
+
+    Same scale shape as the KN trainer: one tokenization pass,
+    unigram and bigram integer aggregates (word/pair-keyed,
+    map-side combinable), totals as broadcast 1-row joins, exact-
+    integer-derived PMI rounded 6dp before the bounded TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda x: F.length(x) > 0,
+    )
+    toks = tracked_persist(docs.select(arr.alias("ws")))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    n_uni = uni.agg(F.sum("cw").cast("double").alias("nu"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1),"
+                    " slice(ws, 2, size(ws) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bigram"))
+        .filter(F.col("c_bigram") >= _PMI_MIN_COUNT)
+    )
+    n_bi = pairs.agg(F.sum("c_bigram").cast("double").alias("nb"))
+    j = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    scored = j.select(
+        "w1",
+        "w2",
+        "c_bigram",
+        F.expr(
+            "round(ln((c_bigram / nb) / ((c1 / nu) * (c2 / nu)))"
+            " + 1e-9, 6) + 0.0"
+        ).alias("pmi"),
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOP)
+
+
+text_pmi_collocations.__doc__ = text_pmi_collocations.__doc__.format(
+    T=_PMI_TOP, M=_PMI_MIN_COUNT
+)
+
+TEXT_PMI_COLLOCATIONS_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT list_filter(string_split({NORMALIZE_SQL.format(col='text')}, ' '),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(ws) AS w FROM toks) u GROUP BY w
+),
+n_uni AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uni),
+pairs AS (
+  SELECT w1, w2, count(*) AS c_bigram
+  FROM (
+    SELECT ws[CAST(t.i AS INT) + 1] AS w1, ws[CAST(t.i AS INT) + 2] AS w2
+    FROM toks, LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) t
+  ) p
+  GROUP BY w1, w2
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+),
+n_bi AS (SELECT CAST(sum(c_bigram) AS DOUBLE) AS nb FROM pairs)
+SELECT p.w1, p.w2,
+       CAST(p.c_bigram AS BIGINT) AS c_bigram,
+       round(ln((p.c_bigram / n_bi.nb)
+                / ((u1.cw / n_uni.nu) * (u2.cw / n_uni.nu))) + 1e-9, 6)
+         + 0.0 AS pmi
+FROM pairs p
+JOIN uni u1 ON p.w1 = u1.w
+JOIN uni u2 ON p.w2 = u2.w
+CROSS JOIN n_uni CROSS JOIN n_bi
+ORDER BY pmi DESC, p.w1, p.w2
+LIMIT {_PMI_TOP}
+"""
+
+
 QUERIES = {
     "text_bigram_kneser_ney": text_bigram_kneser_ney,
+    "text_pmi_collocations": text_pmi_collocations,
     "corpus_token_budget_pack": corpus_token_budget_pack,
     "corpus_dsir_importance": corpus_dsir_importance,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
@@ -1404,6 +1514,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bigram_kneser_ney": TEXT_BIGRAM_KNESER_NEY_SQL,
+    "text_pmi_collocations": TEXT_PMI_COLLOCATIONS_SQL,
     "corpus_token_budget_pack": CORPUS_TOKEN_BUDGET_PACK_SQL,
     "corpus_dsir_importance": CORPUS_DSIR_IMPORTANCE_SQL,
     "corpus_perplexity_buckets": CORPUS_PERPLEXITY_BUCKETS_SQL,

@@ -1369,3 +1369,47 @@ def test_conformal_interval_matches_python(spark, sf_dir):
         # coverage should sit at or above the nominal level, within
         # binomial noise of the test-split size
         assert got[et].coverage >= (1 - _CONF_ALPHA) - 3.0 / math.sqrt(len(sp[2]))
+
+
+def test_pmi_collocations_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        _PMI_MIN_COUNT,
+        _PMI_TOP,
+        text_pmi_collocations,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+
+    got = text_pmi_collocations(spark, sf_dir).collect()
+    rows = load_table(spark, sf_dir, "documents").select(
+        normalize_text(F.col("text")).alias("norm")
+    ).collect()
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for r in rows:
+        ws = [w for w in r.norm.split(" ") if w]
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    nu = sum(uni.values())
+    kept = {p: c for p, c in bi.items() if c >= _PMI_MIN_COUNT}
+    nb = sum(kept.values())
+    scored = sorted(
+        (
+            (
+                round(
+                    math.log((c / nb) / ((uni[a] / nu) * (uni[b] / nu))) + 1e-9, 6
+                ),
+                a,
+                b,
+                c,
+            )
+            for (a, b), c in kept.items()
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:_PMI_TOP]
+    assert [(r.w1, r.w2, r.c_bigram) for r in got] == [
+        (a, b, c) for _, a, b, c in scored
+    ]
+    for r, (p, _, _, _) in zip(got, scored):
+        assert math.isclose(r.pmi, p, abs_tol=2e-6)
