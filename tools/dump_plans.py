@@ -113,6 +113,16 @@ SHOWCASE = [
     ("text_bigram_kneser_ney", "zip_with bigrams → three word-keyed integer aggs"),
     ("orders_survival_km", "two-order window → day-keyed risk walk"),
     ("customer_value_gini", "customer agg → rank window → 3-moment scalar"),
+    ("user_poisson_regression", "3 unrolled IRLS aggs, broadcast coefficients"),
+    ("user_logistic_regression", "4 unrolled IRLS aggs, clipped link"),
+    ("value_conformal_interval", "md5 split → grid quantile → coverage agg"),
+    ("text_pmi_collocations", "uni+bi aggs, broadcast totals, bounded top-K"),
+    ("source_stylometry_delta", "marker cross + z-scores + bounded pair join"),
+    ("label_silhouette_centroid", "broadcast centroids fan-out, per-vec argmin"),
+    ("lineitem_weighted_median", "per-group cum-weight walk, conditional min"),
+    ("parts_abc_classification", "revenue agg → cumulative-share classes"),
+    ("dup_graph_assortativity", "edge-degree joins → 5 Pearson moments"),
+    ("events_markov_stationary", "12 unrolled power steps on |types|² relation"),
 ]
 
 

@@ -94,6 +94,13 @@ PROBE_QUERIES = [
     ("bucketed_join_colocated", "bucketed write-once + zero-exchange SMJ"),
     ("text_bigram_kneser_ney", "bigram zip_with + three word-keyed aggs"),
     ("events_countmin_audit", "d-way fan-out to bounded sketch + probe join"),
+    # round-6 session-2 late wave
+    ("user_poisson_regression", "3 unrolled IRLS corpus aggs + scalar solves"),
+    ("label_silhouette_centroid", "K-centroid broadcast fan-out, argmin agg"),
+    ("lineitem_weighted_median", "per-group cumulative-weight walk"),
+    ("source_stylometry_delta", "tokenize once -> sources x markers matrix"),
+    ("value_conformal_interval", "md5 split + grid quantile + coverage agg"),
+    ("text_pmi_collocations", "uni+bi integer aggs, broadcast totals"),
 ]
 
 TABLES = [
