@@ -686,9 +686,13 @@ def source_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("c"), F.lit(0)) / F.col("nt")).alias("f"),
         )
     )
+    # zero-variance markers (identical relative frequency in every
+    # source) carry no discriminating signal and make z undefined —
+    # the standard Delta treatment is to drop them (n_markers reports
+    # the surviving count)
     stats = grid.groupBy("word").agg(
         F.avg("f").alias("mu"), F.stddev_samp("f").alias("sd")
-    )
+    ).filter(F.col("sd") > 0)
     z = grid.join(stats, "word").select(
         "source",
         "word",
@@ -748,6 +752,7 @@ grid AS (
 ),
 stats AS (
   SELECT word, avg(f) AS mu, stddev_samp(f) AS sd FROM grid GROUP BY word
+  HAVING stddev_samp(f) > 0
 ),
 z AS (
   SELECT g.source, g.word,
