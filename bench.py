@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "user_logistic_regression",
     "value_conformal_interval",
     "text_pmi_collocations",
+    "user_overdispersion_check",
+    "customer_tercile_migration",
 ]
 
 

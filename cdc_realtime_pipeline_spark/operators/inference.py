@@ -1603,6 +1603,187 @@ FROM lbase CROSS JOIN lb_{_LOGIT_ITERS} b
 
 
 # --------------------------------------------------------------------------
+# Overdispersion check (variance-to-mean ratio per event type)
+# --------------------------------------------------------------------------
+
+# z approximation for VMR under Poisson: (vmr − 1)·sqrt((n−1)/2)
+_VMR_Z = "((vv / mm - 1.0) * sqrt((nn - 1.0) / 2.0))"
+
+
+def user_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio of per-user event counts, per type —
+    the dispersion test run BEFORE trusting a Poisson model
+    (user_poisson_regression): VMR ≈ 1 is Poisson; VMR ≫ 1 means
+    overdispersion (negative-binomial territory — bursty users) and
+    the GLM's standard errors are lies. The zero cells matter: a user
+    who never fired this type IS an observation of 0, so the relation
+    crosses users × types (users-bounded, never event-bounded) and
+    zero-fills before the moments.
+
+    One fan-out aggregate + closed forms over three moments; the z
+    approximation (vmr−1)·√((n−1)/2) is the standard normal test for
+    the Poisson dispersion statistic.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("nn"),
+        F.avg("y").alias("mm"),
+        F.var_samp("y").alias("vv"),
+    )
+    return m.select(
+        "event_type",
+        F.col("nn").cast("long").alias("n_users"),
+        F.expr("round(mm + 1e-9, 4) + 0.0").alias("mean_count"),
+        F.expr("round(vv / mm + 1e-9, 4) + 0.0").alias("vmr"),
+        F.expr(f"round({_VMR_Z} + 1e-9, 4) + 0.0").alias("z_score"),
+    ).orderBy("event_type")
+
+
+USER_OVERDISPERSION_CHECK_SQL = f"""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+users AS (SELECT DISTINCT user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT t.event_type,
+         CAST(coalesce(c.c, 0) AS DOUBLE) AS y
+  FROM users u CROSS JOIN types t
+  LEFT JOIN counts c ON u.user_id = c.user_id AND t.event_type = c.event_type
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS nn,
+         avg(y) AS mm, var_samp(y) AS vv
+  FROM grid GROUP BY event_type
+)
+SELECT event_type,
+       CAST(nn AS BIGINT) AS n_users,
+       round(mm + 1e-9, 4) + 0.0 AS mean_count,
+       round(vv / mm + 1e-9, 4) + 0.0 AS vmr,
+       round({_VMR_Z} + 1e-9, 4) + 0.0 AS z_score
+FROM m ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Customer monetary-tercile migration (half-over-half)
+# --------------------------------------------------------------------------
+
+
+def customer_tercile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value migration matrix: spend terciles in the FIRST
+    half of the observation window vs the SECOND, including the
+    'absent' state (0 = inactive that half) — the cohort-dynamics
+    view behind "are our top customers churning or compounding?",
+    extending the static RFM grid (customer_rfm_segments) with the
+    between-period transition structure (the same matrix a Markov
+    LTV model is fit on).
+
+    Midpoint split from the broadcast min/max dates; per-(customer,
+    half) spend aggregates; terciles rank WITHIN each half over the
+    customers active in it (ntile with custkey tiebreak — the RFM
+    determinism discipline; customer-sized sorts, documented
+    equidepth posture); the matrix is a full outer join of the two
+    half-relations with absent→0.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    halves = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "o_totalprice",
+        (
+            F.unix_timestamp("o_orderdate")
+            > (F.unix_timestamp("d0") + F.unix_timestamp("d1")) / 2
+        )
+        .cast("int")
+        .alias("half"),
+    )
+    spend = halves.groupBy("o_custkey", "half").agg(
+        F.round(F.sum("o_totalprice") + 1e-9, 2).alias("spend")
+    )
+    wt = Window.partitionBy("half").orderBy("spend", "o_custkey")
+    terc = spend.withColumn("seg", F.ntile(3).over(wt))
+    t1 = terc.filter(F.col("half") == 0).select(
+        "o_custkey", F.col("seg").alias("seg_h1")
+    )
+    t2 = terc.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("seg").alias("seg_h2")
+    )
+    matrix = t1.join(t2, "o_custkey", "full_outer").select(
+        F.coalesce(F.col("seg_h1"), F.lit(0)).cast("long").alias("seg_h1"),
+        F.coalesce(F.col("seg_h2"), F.lit(0)).cast("long").alias("seg_h2"),
+    )
+    cells = matrix.groupBy("seg_h1", "seg_h2").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+    # share denominator via a window over the ≤16-cell matrix — no
+    # driver action, stays one declarative plan
+    return (
+        cells.withColumn(
+            "tot", F.sum("n_customers").over(Window.partitionBy()).cast("double")
+        )
+        .select(
+            "seg_h1",
+            "seg_h2",
+            "n_customers",
+            F.expr("round(n_customers / tot + 1e-9, 6) + 0.0").alias("share"),
+        )
+        .orderBy("seg_h1", "seg_h2")
+    )
+
+
+CUSTOMER_TERCILE_MIGRATION_SQL = """
+WITH bounds AS (
+  SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders
+),
+halves AS (
+  SELECT o_custkey, o_totalprice,
+         CASE WHEN epoch(o_orderdate) > (epoch(b.d0) + epoch(b.d1)) / 2.0
+              THEN 1 ELSE 0 END AS half
+  FROM orders CROSS JOIN bounds b
+),
+spend AS (
+  SELECT o_custkey, half, round(sum(o_totalprice) + 1e-9, 2) AS spend
+  FROM halves GROUP BY o_custkey, half
+),
+terc AS (
+  SELECT o_custkey, half,
+         ntile(3) OVER (PARTITION BY half ORDER BY spend, o_custkey) AS seg
+  FROM spend
+),
+matrix AS (
+  SELECT coalesce(a.seg, 0) AS seg_h1, coalesce(b.seg, 0) AS seg_h2
+  FROM (SELECT o_custkey, seg FROM terc WHERE half = 0) a
+  FULL OUTER JOIN (SELECT o_custkey, seg FROM terc WHERE half = 1) b
+    ON a.o_custkey = b.o_custkey
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM matrix)
+SELECT CAST(seg_h1 AS BIGINT) AS seg_h1,
+       CAST(seg_h2 AS BIGINT) AS seg_h2,
+       count(*) AS n_customers,
+       round(count(*) / max(tot.n) + 1e-9, 6) + 0.0 AS share
+FROM matrix CROSS JOIN tot
+GROUP BY seg_h1, seg_h2 ORDER BY seg_h1, seg_h2
+"""
+
+
+# --------------------------------------------------------------------------
 # Split-conformal prediction interval audit
 # --------------------------------------------------------------------------
 
@@ -2146,6 +2327,8 @@ QUERIES = {
     "user_poisson_regression": user_poisson_regression,
     "user_logistic_regression": user_logistic_regression,
     "value_conformal_interval": value_conformal_interval,
+    "user_overdispersion_check": user_overdispersion_check,
+    "customer_tercile_migration": customer_tercile_migration,
     "source_welch_ttest": source_welch_ttest,
     "mi_event_value_bands": mi_event_value_bands,
     "value_ks_grid": value_ks_grid,
@@ -2169,6 +2352,8 @@ ORACLES = {
     "user_poisson_regression": USER_POISSON_REGRESSION_SQL,
     "user_logistic_regression": USER_LOGISTIC_REGRESSION_SQL,
     "value_conformal_interval": VALUE_CONFORMAL_INTERVAL_SQL,
+    "user_overdispersion_check": USER_OVERDISPERSION_CHECK_SQL,
+    "customer_tercile_migration": CUSTOMER_TERCILE_MIGRATION_SQL,
     "source_welch_ttest": SOURCE_WELCH_TTEST_SQL,
     "mi_event_value_bands": MI_EVENT_VALUE_BANDS_SQL,
     "value_ks_grid": VALUE_KS_GRID_SQL,

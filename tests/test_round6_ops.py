@@ -1413,3 +1413,73 @@ def test_pmi_collocations_matches_python(spark, sf_dir):
     ]
     for r, (p, _, _, _) in zip(got, scored):
         assert math.isclose(r.pmi, p, abs_tol=2e-6)
+
+
+def test_overdispersion_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        user_overdispersion_check,
+    )
+
+    got = {r.event_type: r for r in user_overdispersion_check(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    users = sorted({r.user_id for r in rows})
+    types = sorted({r.event_type for r in rows})
+    from collections import Counter
+
+    c = Counter((r.user_id, r.event_type) for r in rows)
+    for t in types:
+        ys = np.array([c.get((u, t), 0) for u in users], float)
+        vmr = ys.var(ddof=1) / ys.mean()
+        z = (vmr - 1.0) * math.sqrt((len(ys) - 1) / 2.0)
+        assert got[t].n_users == len(users)
+        assert math.isclose(got[t].mean_count, ys.mean(), abs_tol=2e-4)
+        assert math.isclose(got[t].vmr, vmr, rel_tol=1e-4)
+        assert math.isclose(got[t].z_score, z, rel_tol=1e-3, abs_tol=2e-3)
+
+
+def test_tercile_migration_matches_python(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        customer_tercile_migration,
+    )
+
+    got = {(r.seg_h1, r.seg_h2): r for r in customer_tercile_migration(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    d0 = min(r.o_orderdate for r in orders)
+    d1 = max(r.o_orderdate for r in orders)
+    mid = (d0.timestamp() + d1.timestamp()) / 2
+    spend: dict[tuple, float] = {}
+    for r in orders:
+        h = 1 if r.o_orderdate.timestamp() > mid else 0
+        spend[(r.o_custkey, h)] = spend.get((r.o_custkey, h), 0.0) + r.o_totalprice
+
+    def terciles(h):
+        rows = sorted(
+            ((round(v + 1e-9, 2), k) for (k, hh), v in spend.items() if hh == h),
+        )
+        n = len(rows)
+        out = {}
+        # ntile(3) semantics: first (n mod 3) buckets get the extra row
+        base, extra = divmod(n, 3)
+        i = 0
+        for seg in (1, 2, 3):
+            size = base + (1 if seg <= extra else 0)
+            for _, k in rows[i : i + size]:
+                out[k] = seg
+            i += size
+        return out
+
+    t1, t2 = terciles(0), terciles(1)
+    from collections import Counter
+
+    mat = Counter()
+    for k in set(t1) | set(t2):
+        mat[(t1.get(k, 0), t2.get(k, 0))] += 1
+    tot = sum(mat.values())
+    assert set(got) == set(mat)
+    for cell, n in mat.items():
+        assert got[cell].n_customers == n
+        assert math.isclose(got[cell].share, n / tot, abs_tol=2e-6)
+    # no (0,0) cell can exist: every customer is active in some half
+    assert (0, 0) not in got
