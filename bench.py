@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "text_pmi_collocations",
     "user_overdispersion_check",
     "customer_tercile_migration",
+    "lang_id_cohens_kappa",
+    "kmeans_label_ari",
 ]
 
 

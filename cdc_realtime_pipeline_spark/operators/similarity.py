@@ -886,6 +886,135 @@ ORDER BY cluster
 """
 
 
+# --------------------------------------------------------------------------
+# Adjusted Rand Index: k-means partition vs ground-truth labels
+# --------------------------------------------------------------------------
+
+
+def kmeans_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (Hubert–Arabie) between the deterministic
+    k-means assignment (embeddings_kmeans_assign's exact argmin) and
+    the ground-truth labels — the chance-corrected external clustering
+    validation: raw pair-agreement is inflated by cluster-size
+    imbalance exactly like raw lang-ID agreement is by base rate
+    (lang_id_cohens_kappa is this op's classification twin).
+
+    Everything past the assignment reduces to the K×L contingency:
+    Σ C(n_ij,2) from the cells, marginal terms re-aggregated from
+    them, ARI = (Σij − E)/(max − E) with E = a·b/C(N,2) — exact
+    integer binomials until the final ratios. The assignment reuses
+    the integer-key argmin discipline (ties on seed rank inside pure
+    integer arithmetic) so both engines cluster bit-identically.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    w = Window.orderBy("vec_id")
+    seeds = (
+        emb.filter(F.pmod("vec_id", F.lit(_KMEANS_SEED_MOD)) == 0)
+        .withColumn("seed_rank", F.row_number().over(w) - 1)
+        .filter(F.col("seed_rank") < _KMEANS_K)
+        .select("seed_rank", F.col("embedding").alias("s"))
+    )
+    v, s = F.col("embedding"), F.col("s")
+    d2 = F.round(dot(v, v) - 2 * dot(v, s) + dot(s, s), 6)
+    key = (
+        F.floor(d2 * 1000000 + F.lit(0.5)).cast("long") * _KMEANS_K
+        + F.col("seed_rank")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "label", key.alias("key"))
+        .groupBy("vec_id", "label")
+        .agg(F.pmod(F.min("key"), F.lit(_KMEANS_K)).alias("cluster"))
+    )
+    cells = tracked_persist(
+        assigned.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    )
+    sij = cells.agg(
+        F.sum(F.expr("n * (n - 1) / 2")).alias("sum_ij"),
+        F.sum("n").cast("double").alias("nn"),
+        F.count_distinct("cluster").alias("k_clusters"),
+        F.count_distinct("label").alias("l_labels"),
+    )
+    sa = (
+        cells.groupBy("cluster")
+        .agg(F.sum("n").alias("a"))
+        .agg(F.sum(F.expr("a * (a - 1) / 2")).alias("sum_a"))
+    )
+    sb = (
+        cells.groupBy("label")
+        .agg(F.sum("n").alias("b"))
+        .agg(F.sum(F.expr("b * (b - 1) / 2")).alias("sum_b"))
+    )
+    return (
+        sij.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            F.col("nn").cast("long").alias("n_vectors"),
+            F.col("k_clusters").cast("long").alias("k_clusters"),
+            F.col("l_labels").cast("long").alias("l_labels"),
+            F.expr(
+                "round((sum_ij - sum_a * sum_b / (nn * (nn - 1) / 2.0))"
+                " / ((sum_a + sum_b) / 2.0"
+                " - sum_a * sum_b / (nn * (nn - 1) / 2.0)) + 1e-9, 6)"
+                " + 0.0"
+            ).alias("ari"),
+        )
+    )
+
+
+KMEANS_LABEL_ARI_SQL = f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS seed_rank,
+         embedding::DOUBLE[] AS s
+  FROM embeddings
+  WHERE vec_id % {_KMEANS_SEED_MOD} = 0
+  QUALIFY seed_rank < {_KMEANS_K}
+),
+scored AS (
+  SELECT e.vec_id, e.label, seed_rank,
+         round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+               - 2 * list_dot_product(e.embedding::DOUBLE[], s)
+               + list_dot_product(s, s), 6) AS d2
+  FROM embeddings e CROSS JOIN seeds
+),
+assigned AS (
+  SELECT vec_id, label,
+         CAST((min(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) * {_KMEANS_K}
+               + seed_rank) % {_KMEANS_K} + {_KMEANS_K}) % {_KMEANS_K}
+              AS BIGINT) AS cluster
+  FROM scored GROUP BY vec_id, label
+),
+cells AS (
+  SELECT cluster, label, count(*) AS n FROM assigned GROUP BY cluster, label
+),
+sij AS (
+  SELECT CAST(sum(n * (n - 1) / 2) AS DOUBLE) AS sum_ij,
+         CAST(sum(n) AS DOUBLE) AS nn,
+         count(DISTINCT cluster) AS k_clusters,
+         count(DISTINCT label) AS l_labels
+  FROM cells
+),
+sa AS (
+  SELECT CAST(sum(a * (a - 1) / 2) AS DOUBLE) AS sum_a
+  FROM (SELECT CAST(sum(n) AS BIGINT) AS a FROM cells GROUP BY cluster) t
+),
+sb AS (
+  SELECT CAST(sum(b * (b - 1) / 2) AS DOUBLE) AS sum_b
+  FROM (SELECT CAST(sum(n) AS BIGINT) AS b FROM cells GROUP BY label) t
+)
+SELECT CAST(nn AS BIGINT) AS n_vectors,
+       CAST(k_clusters AS BIGINT) AS k_clusters,
+       CAST(l_labels AS BIGINT) AS l_labels,
+       round((sum_ij - sum_a * sum_b / (nn * (nn - 1) / 2.0))
+             / ((sum_a + sum_b) / 2.0
+                - sum_a * sum_b / (nn * (nn - 1) / 2.0)) + 1e-9, 6) + 0.0
+         AS ari
+FROM sij CROSS JOIN sa CROSS JOIN sb
+"""
+
+
 _KMEANS_ITERS = 3
 
 
@@ -1946,6 +2075,7 @@ FROM sil GROUP BY label ORDER BY label
 QUERIES = {
     "similarity_mmr_rerank": similarity_mmr_rerank,
     "label_silhouette_centroid": label_silhouette_centroid,
+    "kmeans_label_ari": kmeans_label_ari,
     "label_knn_loo_eval": label_knn_loo_eval,
     "embeddings_pq_assign": embeddings_pq_assign,
     "contrastive_hard_negatives": contrastive_hard_negatives,
@@ -1968,6 +2098,7 @@ ORACLES = {
     "embeddings_pq_assign": EMBEDDINGS_PQ_ASSIGN_SQL,
     "label_knn_loo_eval": LABEL_KNN_LOO_EVAL_SQL,
     "label_silhouette_centroid": LABEL_SILHOUETTE_CENTROID_SQL,
+    "kmeans_label_ari": KMEANS_LABEL_ARI_SQL,
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,
     "embeddings_pca_power": EMBEDDINGS_PCA_POWER_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,

@@ -771,8 +771,83 @@ FROM pairs ORDER BY delta, s_a, s_b LIMIT {_STYLO_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected lang-ID agreement
+# --------------------------------------------------------------------------
+
+
+def lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the declared language metadata and the
+    n-gram detector — the CHANCE-CORRECTED agreement scalar the raw
+    confusion matrix (lang_confusion_matrix) doesn't give: with one
+    dominant language, raw agreement is high by base rate alone;
+    kappa = (p_o − p_e)/(1 − p_e) subtracts exactly that.
+
+    Everything reduces to the languages² contingency cells: p_o from
+    the diagonal, p_e from the marginal products (re-aggregated FROM
+    the cells, no second scan). Integer counts → exact ratios.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("declared"),
+        TX.lang_id(F.col("text")).alias("pred"),
+    )
+    cells = tracked_persist(
+        pred.groupBy("declared", "pred").agg(F.count("*").alias("n"))
+    )
+    rows = cells.groupBy("declared").agg(F.sum("n").alias("r"))
+    cols = cells.groupBy("pred").agg(F.sum("n").alias("c"))
+    tot = cells.agg(F.sum("n").cast("double").alias("nn"))
+    po = cells.filter(F.col("declared") == F.col("pred")).agg(
+        F.sum("n").alias("diag")
+    )
+    pe = (
+        rows.join(cols, rows.declared == cols.pred)
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.col("r") * F.col("c") / (F.col("nn") * F.col("nn"))).alias("pe"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("nn").cast("long").alias("n_docs"),
+            F.expr("round(diag / nn + 1e-9, 6) + 0.0").alias("p_observed"),
+            F.expr("round(pe + 1e-9, 6) + 0.0").alias("p_expected"),
+            F.expr(
+                "round((diag / nn - pe) / (1.0 - pe) + 1e-9, 6) + 0.0"
+            ).alias("kappa"),
+        )
+    )
+
+
+LANG_ID_COHENS_KAPPA_SQL = rf"""
+WITH pred AS (
+  SELECT labeled_lang AS declared, pred_lang AS pred
+  FROM ({TEXT_LANG_ID_SQL.replace("ORDER BY doc_id", "")}) t
+),
+cells AS (
+  SELECT declared, pred, count(*) AS n FROM pred GROUP BY declared, pred
+),
+r AS (SELECT declared, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY declared),
+c AS (SELECT pred, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY pred),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cells),
+po AS (SELECT CAST(sum(n) AS BIGINT) AS diag FROM cells WHERE declared = pred),
+pe AS (
+  SELECT sum(r.r * c.c / (tot.nn * tot.nn)) AS pe
+  FROM r JOIN c ON r.declared = c.pred CROSS JOIN tot
+)
+SELECT CAST(tot.nn AS BIGINT) AS n_docs,
+       round(po.diag / tot.nn + 1e-9, 6) + 0.0 AS p_observed,
+       round(pe.pe + 1e-9, 6) + 0.0 AS p_expected,
+       round((po.diag / tot.nn - pe.pe) / (1.0 - pe.pe) + 1e-9, 6) + 0.0
+         AS kappa
+FROM tot CROSS JOIN po CROSS JOIN pe
+"""
+
+
 QUERIES = {
     "source_stylometry_delta": source_stylometry_delta,
+    "lang_id_cohens_kappa": lang_id_cohens_kappa,
     "text_rake_keywords": text_rake_keywords,
 
     "text_char_ngram_entropy": text_char_ngram_entropy,
@@ -788,6 +863,7 @@ QUERIES = {
 
 ORACLES = {
     "source_stylometry_delta": SOURCE_STYLOMETRY_DELTA_SQL,
+    "lang_id_cohens_kappa": LANG_ID_COHENS_KAPPA_SQL,
     "text_rake_keywords": TEXT_RAKE_KEYWORDS_SQL,
 
     "text_char_ngram_entropy": TEXT_CHAR_NGRAM_ENTROPY_SQL,

@@ -1483,3 +1483,70 @@ def test_tercile_migration_matches_python(spark, sf_dir):
         assert math.isclose(got[cell].share, n / tot, abs_tol=2e-6)
     # no (0,0) cell can exist: every customer is active in some half
     assert (0, 0) not in got
+
+
+def test_cohens_kappa_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.functions import text as TX
+    from cdc_realtime_pipeline_spark.operators.text_ops import lang_id_cohens_kappa
+
+    got = lang_id_cohens_kappa(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("d"), TX.lang_id(F.col("text")).alias("p")
+    ).collect()
+    n = len(pred)
+    po = sum(1 for r in pred if r.d == r.p) / n
+    rows = Counter(r.d for r in pred)
+    cols = Counter(r.p for r in pred)
+    pe = sum(rows[l] * cols.get(l, 0) for l in rows) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert got.n_docs == n
+    assert math.isclose(got.p_observed, po, abs_tol=2e-6)
+    assert math.isclose(got.p_expected, pe, abs_tol=2e-6)
+    assert math.isclose(got.kappa, kappa, abs_tol=2e-5)
+    # kappa must be <= raw agreement (chance correction only subtracts)
+    assert got.kappa <= got.p_observed + 1e-9
+
+
+def test_ari_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        _KMEANS_K,
+        _KMEANS_SEED_MOD,
+        kmeans_label_ari,
+        dot,
+    )
+
+    got = kmeans_label_ari(spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    seeds = [np.array(r.embedding, float) for r in rows if r.vec_id % _KMEANS_SEED_MOD == 0][:_KMEANS_K]
+    cells: Counter = Counter()
+    for r in rows:
+        v = np.array(r.embedding, float)
+        best = None
+        for i, s in enumerate(seeds):
+            d2 = round(float(v @ v - 2 * v @ s + s @ s), 6)
+            k = int(math.floor(d2 * 1000000 + 0.5)) * _KMEANS_K + i
+            if best is None or k < best:
+                best = k
+        cells[(best % _KMEANS_K, r.label)] += 1
+    n = sum(cells.values())
+
+    def c2(x):
+        return x * (x - 1) / 2
+
+    sij = sum(c2(v) for v in cells.values())
+    a = Counter(); b = Counter()
+    for (cl, lb), v in cells.items():
+        a[cl] += v
+        b[lb] += v
+    sa, sb = sum(c2(v) for v in a.values()), sum(c2(v) for v in b.values())
+    e = sa * sb / c2(n)
+    ari = (sij - e) / ((sa + sb) / 2 - e)
+    assert got.n_vectors == n
+    assert got.k_clusters == len(a) and got.l_labels == len(b)
+    assert math.isclose(got.ari, ari, abs_tol=2e-5)
