@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "customer_tercile_migration",
     "lang_id_cohens_kappa",
     "kmeans_label_ari",
+    "text_readability_flesch",
+    "events_dau_wau_stickiness",
 ]
 
 

@@ -2794,10 +2794,87 @@ FROM p{_MARKOV_ITERS} ORDER BY event_type
 )
 
 
+# --------------------------------------------------------------------------
+# DAU/WAU stickiness per week
+# --------------------------------------------------------------------------
+
+
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stickiness — mean DAU over the week divided by WAU —
+    the growth-analytics engagement ratio (1/7 ≈ everyone visits
+    once; 1.0 ≈ everyone visits daily) on top of the existing DAU
+    machinery (dash_rolling_7d_dau, the bitmap rollups). Exact
+    distincts: the (day, user) relation is user-cardinality-bounded
+    per day, and the weekly distinct re-aggregates the same relation
+    — one scan feeds both denominters via two keyed aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    day_users = ev.select("week", "day", "user_id").distinct()
+    dau = day_users.groupBy("week", "day").agg(
+        F.count("*").alias("dau")
+    )
+    weekly_dau = dau.groupBy("week").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.avg("dau").alias("avg_dau"),
+    )
+    wau = (
+        day_users.select("week", "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        weekly_dau.join(wau, "week")
+        .select(
+            "week",
+            "n_days",
+            F.col("wau").cast("long").alias("wau"),
+            F.expr("round(avg_dau + 1e-9, 4) + 0.0").alias("avg_dau"),
+            F.expr("round(avg_dau / wau + 1e-9, 6) + 0.0").alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+EVENTS_DAU_WAU_STICKINESS_SQL = """
+WITH day_users AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         user_id
+  FROM events
+),
+dau AS (
+  SELECT week, day, count(*) AS dau FROM day_users GROUP BY week, day
+),
+weekly_dau AS (
+  SELECT week, count(*) AS n_days, avg(dau) AS avg_dau
+  FROM dau GROUP BY week
+),
+wau AS (
+  SELECT week, count(*) AS wau
+  FROM (SELECT DISTINCT week, user_id FROM day_users) w
+  GROUP BY week
+)
+SELECT d.week, d.n_days,
+       CAST(w.wau AS BIGINT) AS wau,
+       round(d.avg_dau + 1e-9, 4) + 0.0 AS avg_dau,
+       round(d.avg_dau / w.wau + 1e-9, 6) + 0.0 AS stickiness
+FROM weekly_dau d JOIN wau w ON d.week = w.week
+ORDER BY d.week
+"""
+
+
 QUERIES = {
     "bucketed_join_colocated": bucketed_join_colocated,
     "dynamic_partition_pruning_join": dynamic_partition_pruning_join,
     "events_markov_stationary": events_markov_stationary,
+    "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "grouping_sets_conformance": grouping_sets_conformance,
     "group_by_all_conformance": group_by_all_conformance,
     "window_funnel_depth": window_funnel_depth,
@@ -2848,6 +2925,7 @@ ORACLES = {
     "bucketed_join_colocated": BUCKETED_JOIN_COLOCATED_SQL,
     "dynamic_partition_pruning_join": DYNAMIC_PARTITION_PRUNING_JOIN_SQL,
     "events_markov_stationary": EVENTS_MARKOV_STATIONARY_SQL,
+    "events_dau_wau_stickiness": EVENTS_DAU_WAU_STICKINESS_SQL,
     "window_funnel_depth": WINDOW_FUNNEL_DEPTH_SQL,
     "recursive_cte_conformance": RECURSIVE_CTE_CONFORMANCE_SQL,
     "regr_aggregates_conformance": REGR_AGGREGATES_CONFORMANCE_SQL,

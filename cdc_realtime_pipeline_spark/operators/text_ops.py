@@ -845,9 +845,82 @@ FROM tot CROSS JOIN po CROSS JOIN pe
 """
 
 
+# --------------------------------------------------------------------------
+# Flesch reading ease (per source)
+# --------------------------------------------------------------------------
+
+_SYL_RE = "[aeiouy]+"  # vowel-group syllable proxy
+_SENT_RE = "[.!?]"
+
+
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per source: 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words), with the standard cheap proxies
+    (vowel-group runs ≈ syllables, terminal punctuation ≈ sentences) —
+    the readability axis of corpus quality next to text_quality's
+    length/punctuation score: a source whose Flesch collapses is
+    boilerplate/code/tables, not prose, whatever its dedup stats say.
+
+    Pure regex-count projection (codegen'd; identical POSIX classes
+    both engines) feeding one per-source aggregate — per-doc ratios
+    are exact-integer-derived with guarded denominators, and the
+    score is averaged over docs (not recomputed from pooled counts)
+    so one megadoc can't dominate the source's number.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        F.greatest(
+            F.size(F.split(F.trim(t), r"\s+")), F.lit(1)
+        ).alias("words"),
+        F.greatest(F.regexp_count(t, F.lit(_SENT_RE)), F.lit(1)).alias(
+            "sents"
+        ),
+        F.greatest(F.regexp_count(t, F.lit(_SYL_RE)), F.lit(1)).alias(
+            "sylls"
+        ),
+    ).select(
+        "source",
+        F.expr(
+            "round(206.835 - 1.015 * (words / CAST(sents AS DOUBLE))"
+            " - 84.6 * (sylls / CAST(words AS DOUBLE)) + 1e-9, 6)"
+        ).alias("flesch"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("round(avg(flesch) + 1e-9, 4) + 0.0").alias("avg_flesch"),
+            F.expr("round(min(flesch) + 1e-9, 4) + 0.0").alias("min_flesch"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_READABILITY_FLESCH_SQL = rf"""
+WITH per_doc AS (
+  SELECT source,
+         round(206.835
+               - 1.015 * (greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)
+                          / CAST(greatest(len(regexp_extract_all(lower(text), '{_SENT_RE}')), 1) AS DOUBLE))
+               - 84.6 * (greatest(len(regexp_extract_all(lower(text), '{_SYL_RE}')), 1)
+                          / CAST(greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1) AS DOUBLE))
+               + 1e-9, 6) AS flesch
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(flesch) + 1e-9, 4) + 0.0 AS avg_flesch,
+       round(min(flesch) + 1e-9, 4) + 0.0 AS min_flesch
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "source_stylometry_delta": source_stylometry_delta,
     "lang_id_cohens_kappa": lang_id_cohens_kappa,
+    "text_readability_flesch": text_readability_flesch,
     "text_rake_keywords": text_rake_keywords,
 
     "text_char_ngram_entropy": text_char_ngram_entropy,
@@ -864,6 +937,7 @@ QUERIES = {
 ORACLES = {
     "source_stylometry_delta": SOURCE_STYLOMETRY_DELTA_SQL,
     "lang_id_cohens_kappa": LANG_ID_COHENS_KAPPA_SQL,
+    "text_readability_flesch": TEXT_READABILITY_FLESCH_SQL,
     "text_rake_keywords": TEXT_RAKE_KEYWORDS_SQL,
 
     "text_char_ngram_entropy": TEXT_CHAR_NGRAM_ENTROPY_SQL,

@@ -1550,3 +1550,52 @@ def test_ari_matches_python(spark, sf_dir):
     assert got.n_vectors == n
     assert got.k_clusters == len(a) and got.l_labels == len(b)
     assert math.isclose(got.ari, ari, abs_tol=2e-5)
+
+
+def test_flesch_matches_python(spark, sf_dir):
+    import re
+
+    from cdc_realtime_pipeline_spark.operators.text_ops import (
+        text_readability_flesch,
+    )
+
+    got = {r.source: r for r in text_readability_flesch(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    per: dict[str, list] = {}
+    for r in docs:
+        t = r.text.lower()
+        words = max(len(re.split(r"\s+", t.strip())), 1)
+        sents = max(len(re.findall(r"[.!?]", t)), 1)
+        sylls = max(len(re.findall(r"[aeiouy]+", t)), 1)
+        f = round(206.835 - 1.015 * (words / sents) - 84.6 * (sylls / words) + 1e-9, 6)
+        per.setdefault(r.source, []).append(f)
+    for src, fs in per.items():
+        assert got[src].n_docs == len(fs)
+        assert math.isclose(got[src].avg_flesch, sum(fs) / len(fs), abs_tol=2e-3)
+        assert math.isclose(got[src].min_flesch, min(fs), abs_tol=2e-3)
+
+
+def test_stickiness_matches_python(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        events_dau_wau_stickiness,
+    )
+
+    got = {r.week: r for r in events_dau_wau_stickiness(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select("ts", "user_id").collect()
+    per: dict = {}
+    for r in rows:
+        d = r.ts.date()
+        week = d - __import__("datetime").timedelta(days=d.weekday())
+        per.setdefault(week, {}).setdefault(d, set()).add(r.user_id)
+    import datetime
+
+    for week, days in per.items():
+        wk = datetime.datetime.combine(week, datetime.time())
+        wau = len(set().union(*days.values()))
+        avg_dau = sum(len(u) for u in days.values()) / len(days)
+        assert got[wk].n_days == len(days)
+        assert got[wk].wau == wau
+        assert math.isclose(got[wk].avg_dau, avg_dau, abs_tol=2e-3)
+        assert math.isclose(got[wk].stickiness, avg_dau / wau, abs_tol=2e-5)
+        # bounds: 1/7 <= stickiness <= 1 for a full week
+        assert got[wk].stickiness <= 1.0 + 1e-9
