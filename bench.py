@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "kmeans_label_ari",
     "text_readability_flesch",
     "events_dau_wau_stickiness",
+    "customer_lorenz_curve",
+    "embeddings_anisotropy_audit",
 ]
 
 

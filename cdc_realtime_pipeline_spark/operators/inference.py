@@ -2184,6 +2184,83 @@ FROM classed GROUP BY abc ORDER BY abc
 
 
 # --------------------------------------------------------------------------
+# Lorenz curve points (decile coordinates of value concentration)
+# --------------------------------------------------------------------------
+
+
+def customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer value in decile coordinates: for each
+    population decile (poorest→richest), the cumulative share of
+    total revenue it holds — the PLOTTABLE companion to
+    customer_value_gini's scalar (the curve shows WHERE the
+    concentration lives: a curve hugging the diagonal until the last
+    decile is a whale problem, a uniformly bowed one is broad
+    inequality).
+
+    ntile(10) with the custkey tiebreak over the customer-sized
+    aggregate (the RFM/equidepth documented posture), then one
+    10-row cumulative walk. cum_share is exact-integer-derived after
+    the 2dp revenue rounding; the diagonal gap column makes the Gini
+    reconstruction (2·Σgap/10) visible.
+    """
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice") + 1e-9, 2).alias("x"))
+    )
+    wd = Window.orderBy("x", "o_custkey")
+    deciled = per.withColumn("decile", F.ntile(10).over(wd))
+    agg = deciled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("x").alias("rev"),
+    )
+    tot = agg.agg(F.sum("rev").alias("tr"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("rev").over(wcum))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            F.expr("round(cum / tr + 1e-9, 6) + 0.0").alias("cum_share"),
+            F.expr(
+                "round(decile / 10.0 - cum / tr + 1e-9, 6) + 0.0"
+            ).alias("diagonal_gap"),
+        )
+        .orderBy("decile")
+    )
+
+
+CUSTOMER_LORENZ_CURVE_SQL = """
+WITH per AS (
+  SELECT o_custkey, round(sum(o_totalprice) + 1e-9, 2) AS x
+  FROM orders GROUP BY o_custkey
+),
+deciled AS (
+  SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) AS decile FROM per
+),
+agg AS (
+  SELECT decile, count(*) AS n_customers, sum(x) AS rev
+  FROM deciled GROUP BY decile
+),
+tot AS (SELECT sum(rev) AS tr FROM agg),
+walked AS (
+  SELECT agg.decile, agg.n_customers, tot.tr,
+         sum(agg.rev) OVER (ORDER BY agg.decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM agg CROSS JOIN tot
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       n_customers,
+       round(cum / tr + 1e-9, 6) + 0.0 AS cum_share,
+       round(decile / 10.0 - cum / tr + 1e-9, 6) + 0.0 AS diagonal_gap
+FROM walked ORDER BY decile
+"""
+
+
+# --------------------------------------------------------------------------
 # Hill estimator: tail index of the value distribution
 # --------------------------------------------------------------------------
 
@@ -2320,6 +2397,7 @@ QUERIES = {
     "events_anova_oneway": events_anova_oneway,
     "orders_survival_km": orders_survival_km,
     "customer_value_gini": customer_value_gini,
+    "customer_lorenz_curve": customer_lorenz_curve,
     "value_hill_tail_index": value_hill_tail_index,
     "parts_abc_classification": parts_abc_classification,
     "lineitem_weighted_median": lineitem_weighted_median,
@@ -2345,6 +2423,7 @@ ORACLES = {
     "events_anova_oneway": EVENTS_ANOVA_ONEWAY_SQL,
     "orders_survival_km": ORDERS_SURVIVAL_KM_SQL,
     "customer_value_gini": CUSTOMER_VALUE_GINI_SQL,
+    "customer_lorenz_curve": CUSTOMER_LORENZ_CURVE_SQL,
     "value_hill_tail_index": VALUE_HILL_TAIL_INDEX_SQL,
     "parts_abc_classification": PARTS_ABC_CLASSIFICATION_SQL,
     "lineitem_weighted_median": LINEITEM_WEIGHTED_MEDIAN_SQL,

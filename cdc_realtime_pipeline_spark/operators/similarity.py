@@ -887,6 +887,81 @@ ORDER BY cluster
 
 
 # --------------------------------------------------------------------------
+# Embedding anisotropy audit (cone-collapse check)
+# --------------------------------------------------------------------------
+
+
+def embeddings_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy audit of the embedding space (Ethayarajh 2019's
+    observation operationalized): the average cosine of every vector
+    to the corpus MEAN DIRECTION, plus the share above 0.5 — the
+    "have my embeddings collapsed into a narrow cone?" check run
+    before trusting cosine similarity at all (in a collapsed space
+    everything is similar to everything and ANN ranking is noise;
+    isotropic spaces read avg_cos ≈ 0).
+
+    Two passes, both bounded: the mean vector from one (dim)-keyed
+    aggregate rebuilt executor-side into a single broadcast array
+    (the centroid idiom), then one corpus pass of fold-dot cosines
+    reduced to four scalars. No shuffle carries anything wider than
+    64 doubles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mean_vec = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, m))),"
+                " s -> s.m)"
+            ).alias("mv")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(mean_vec)).select(
+        F.round(cosine(F.col("embedding"), F.col("mv")), 8).alias("c")
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.expr("round(avg(c) + 1e-9, 6) + 0.0").alias("avg_cos_to_mean"),
+        F.expr(
+            "round(count_if(c > 0.5) / CAST(count(*) AS DOUBLE)"
+            " + 1e-9, 6) + 0.0"
+        ).alias("frac_above_half"),
+        F.expr("round(min(c) + 1e-9, 6) + 0.0").alias("min_cos"),
+    )
+
+
+EMBEDDINGS_ANISOTROPY_AUDIT_SQL = """
+WITH dims AS (
+  SELECT t.i AS dim,
+         CAST(e.embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(0, len(e.embedding))) AS i) t
+),
+mean_vec AS (
+  SELECT list(m ORDER BY dim) AS mv
+  FROM (SELECT dim, avg(x) AS m FROM dims GROUP BY dim) g
+),
+scored AS (
+  SELECT round(list_dot_product(e.embedding::DOUBLE[], mv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(mv, mv))), 8) AS c
+  FROM embeddings e CROSS JOIN mean_vec
+)
+SELECT count(*) AS n_vectors,
+       round(avg(c) + 1e-9, 6) + 0.0 AS avg_cos_to_mean,
+       round(count(CASE WHEN c > 0.5 THEN 1 END)
+             / CAST(count(*) AS DOUBLE) + 1e-9, 6) + 0.0 AS frac_above_half,
+       round(min(c) + 1e-9, 6) + 0.0 AS min_cos
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
 # Adjusted Rand Index: k-means partition vs ground-truth labels
 # --------------------------------------------------------------------------
 
@@ -2076,6 +2151,7 @@ QUERIES = {
     "similarity_mmr_rerank": similarity_mmr_rerank,
     "label_silhouette_centroid": label_silhouette_centroid,
     "kmeans_label_ari": kmeans_label_ari,
+    "embeddings_anisotropy_audit": embeddings_anisotropy_audit,
     "label_knn_loo_eval": label_knn_loo_eval,
     "embeddings_pq_assign": embeddings_pq_assign,
     "contrastive_hard_negatives": contrastive_hard_negatives,
@@ -2099,6 +2175,7 @@ ORACLES = {
     "label_knn_loo_eval": LABEL_KNN_LOO_EVAL_SQL,
     "label_silhouette_centroid": LABEL_SILHOUETTE_CENTROID_SQL,
     "kmeans_label_ari": KMEANS_LABEL_ARI_SQL,
+    "embeddings_anisotropy_audit": EMBEDDINGS_ANISOTROPY_AUDIT_SQL,
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,
     "embeddings_pca_power": EMBEDDINGS_PCA_POWER_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,

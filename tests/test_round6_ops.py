@@ -1599,3 +1599,56 @@ def test_stickiness_matches_python(spark, sf_dir):
         assert math.isclose(got[wk].stickiness, avg_dau / wau, abs_tol=2e-5)
         # bounds: 1/7 <= stickiness <= 1 for a full week
         assert got[wk].stickiness <= 1.0 + 1e-9
+
+
+def test_lorenz_matches_python(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        customer_lorenz_curve,
+        customer_value_gini,
+    )
+
+    got = customer_lorenz_curve(spark, sf_dir).collect()
+    per: dict[int, float] = {}
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect():
+        per[r.o_custkey] = per.get(r.o_custkey, 0.0) + r.o_totalprice
+    rows = sorted((round(v + 1e-9, 2), k) for k, v in per.items())
+    n = len(rows)
+    base, extra = divmod(n, 10)
+    tot = sum(v for v, _ in rows)
+    i = 0
+    cum = 0.0
+    for d in range(1, 11):
+        size = base + (1 if d <= extra else 0)
+        cum += sum(v for v, _ in rows[i : i + size])
+        i += size
+        r = got[d - 1]
+        assert r.decile == d and r.n_customers == size
+        assert math.isclose(r.cum_share, cum / tot, abs_tol=2e-6)
+        assert math.isclose(r.diagonal_gap, d / 10.0 - cum / tot, abs_tol=2e-6)
+    # curve invariants: monotone, ends at 1, gap reconstructs ~Gini
+    assert math.isclose(got[-1].cum_share, 1.0, abs_tol=1e-9)
+    gini = customer_value_gini(spark, sf_dir).collect()[0].gini
+    approx_gini = 2.0 * sum(r.diagonal_gap for r in got) / 10.0
+    assert abs(approx_gini - gini) < 0.05  # decile discretization error
+
+
+def test_anisotropy_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        embeddings_anisotropy_audit,
+    )
+
+    got = embeddings_anisotropy_audit(spark, sf_dir).collect()[0]
+    X = np.array(
+        [r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    mv = X.mean(axis=0)
+    c = np.round(
+        X @ mv / (np.linalg.norm(X, axis=1) * np.linalg.norm(mv)), 8
+    )
+    assert got.n_vectors == len(X)
+    assert math.isclose(got.avg_cos_to_mean, c.mean(), abs_tol=2e-5)
+    assert math.isclose(got.frac_above_half, (c > 0.5).mean(), abs_tol=2e-6)
+    assert math.isclose(got.min_cos, c.min(), abs_tol=2e-6)
