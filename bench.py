@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "events_dau_wau_stickiness",
     "customer_lorenz_curve",
     "embeddings_anisotropy_audit",
+    "text_mtld_diversity",
 ]
 
 

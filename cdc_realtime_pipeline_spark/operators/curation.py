@@ -1384,6 +1384,134 @@ LIMIT {_KN_TOP}
 
 
 # --------------------------------------------------------------------------
+# MTLD lexical diversity (sequential factor walk)
+# --------------------------------------------------------------------------
+
+_MTLD_T100 = 72  # TTR threshold 0.72, held as an integer percent
+
+
+def text_mtld_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTLD — Measure of Textual Lexical Diversity (McCarthy & Jarvis
+    2010), forward pass: walk each doc's tokens keeping the current
+    factor's type set; whenever the running type-token ratio drops
+    below 0.72, close a factor and reset; MTLD = tokens / (factors +
+    partial). THE length-robust diversity metric (raw TTR falls with
+    doc length by arithmetic; MTLD doesn't), and deliberately the
+    repo's hardest fold: the accumulator carries a SET, not scalars.
+
+    Cross-engine discipline: the threshold test is pure integers
+    (100·|types| < 72·count) so both engines close factors on
+    bit-identical steps; the only float is the final partial-factor
+    ratio. Spark folds a struct accumulator (sound semantics);
+    DuckDB 1.0's list_reduce mutates struct fields (the Holt quirk),
+    so its accumulator is a VARCHAR LIST — [factors, count,
+    types...] — seeded by PREPENDING the initial state as element
+    one (list_reduce's seeding rule). Per-doc state never leaves the
+    executor; per-source aggregate output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda x: F.length(x) > 0,
+    )
+    base = docs.select("source", ws.alias("ws")).filter(F.size("ws") > 0)
+    types2 = (
+        "CASE WHEN array_contains(acc.types, w) THEN acc.types"
+        " ELSE array_append(acc.types, w) END"
+    )
+    fold = f"""
+aggregate(
+  ws,
+  named_struct('c', 0, 'types', CAST(array() AS array<string>),
+               'factors', 0),
+  (acc, w) -> CASE
+    WHEN 100 * size({types2}) < {_MTLD_T100} * (acc.c + 1)
+    THEN named_struct('c', 0, 'types', CAST(array() AS array<string>),
+                      'factors', acc.factors + 1)
+    ELSE named_struct('c', acc.c + 1, 'types', {types2},
+                      'factors', acc.factors)
+  END
+)"""
+    scored = base.select(
+        "source",
+        F.size("ws").cast("double").alias("n"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "source",
+        "n",
+        F.expr(
+            f"""
+round(CASE
+  WHEN st.factors + (CASE WHEN st.c > 0
+       THEN (1.0 - size(st.types) / CAST(st.c AS DOUBLE))
+            / (1.0 - {_MTLD_T100} / 100.0) ELSE 0.0 END) > 1e-12
+  THEN n / (st.factors + (CASE WHEN st.c > 0
+       THEN (1.0 - size(st.types) / CAST(st.c AS DOUBLE))
+            / (1.0 - {_MTLD_T100} / 100.0) ELSE 0.0 END))
+  ELSE n END + 1e-9, 4)
+"""
+        ).alias("mtld"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("round(avg(mtld) + 1e-9, 4) + 0.0").alias("avg_mtld"),
+            F.expr("round(min(mtld) + 1e-9, 4) + 0.0").alias("min_mtld"),
+        )
+        .orderBy("source")
+    )
+
+
+_MTLD_TYPES2_SQL = (
+    "CASE WHEN list_contains(acc[3:], e[1]) THEN acc[3:]"
+    " ELSE list_append(acc[3:], e[1]) END"
+)
+
+TEXT_MTLD_DIVERSITY_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split({NORMALIZE_SQL.format(col='text')}, ' '),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+),
+folded AS (
+  SELECT source, CAST(len(ws) AS DOUBLE) AS n,
+         list_reduce(
+           list_concat([['0', '0']], list_transform(ws, w -> [w])),
+           (acc, e) -> CASE
+             WHEN 100 * len({_MTLD_TYPES2_SQL})
+                  < {_MTLD_T100} * (CAST(acc[2] AS INT) + 1)
+             THEN [CAST(CAST(acc[1] AS INT) + 1 AS VARCHAR), '0']
+             ELSE list_concat(
+               [acc[1], CAST(CAST(acc[2] AS INT) + 1 AS VARCHAR)],
+               {_MTLD_TYPES2_SQL})
+           END) AS st
+  FROM toks WHERE len(ws) > 0
+),
+scored AS (
+  SELECT source, n,
+         round(CASE
+           WHEN CAST(st[1] AS INT)
+                + (CASE WHEN CAST(st[2] AS INT) > 0
+                   THEN (1.0 - (len(st) - 2) / CAST(CAST(st[2] AS INT) AS DOUBLE))
+                        / (1.0 - {_MTLD_T100} / 100.0) ELSE 0.0 END) > 1e-12
+           THEN n / (CAST(st[1] AS INT)
+                + (CASE WHEN CAST(st[2] AS INT) > 0
+                   THEN (1.0 - (len(st) - 2) / CAST(CAST(st[2] AS INT) AS DOUBLE))
+                        / (1.0 - {_MTLD_T100} / 100.0) ELSE 0.0 END))
+           ELSE n END + 1e-9, 4) AS mtld
+  FROM folded
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(mtld) + 1e-9, 4) + 0.0 AS avg_mtld,
+       round(min(mtld) + 1e-9, 4) + 0.0 AS min_mtld
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # PMI collocation mining
 # --------------------------------------------------------------------------
 
@@ -1495,6 +1623,7 @@ LIMIT {_PMI_TOP}
 QUERIES = {
     "text_bigram_kneser_ney": text_bigram_kneser_ney,
     "text_pmi_collocations": text_pmi_collocations,
+    "text_mtld_diversity": text_mtld_diversity,
     "corpus_token_budget_pack": corpus_token_budget_pack,
     "corpus_dsir_importance": corpus_dsir_importance,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
@@ -1515,6 +1644,7 @@ QUERIES = {
 ORACLES = {
     "text_bigram_kneser_ney": TEXT_BIGRAM_KNESER_NEY_SQL,
     "text_pmi_collocations": TEXT_PMI_COLLOCATIONS_SQL,
+    "text_mtld_diversity": TEXT_MTLD_DIVERSITY_SQL,
     "corpus_token_budget_pack": CORPUS_TOKEN_BUDGET_PACK_SQL,
     "corpus_dsir_importance": CORPUS_DSIR_IMPORTANCE_SQL,
     "corpus_perplexity_buckets": CORPUS_PERPLEXITY_BUCKETS_SQL,

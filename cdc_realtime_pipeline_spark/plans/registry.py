@@ -58,7 +58,7 @@ and stay under the local 3-SF harness (which now hashes
 type-faithfully via Arrow — local red predicts driver red on the
 typed-output class too).
 
-Round-7 rotation queue — FIRST the twenty-one late-round-6 operators that
+Round-7 rotation queue — FIRST the twenty-two late-round-6 operators that
 arrived after the window filled (`events_markov_stationary`,
 `value_hill_tail_index`, `stream_countmin_sketch`,
 `source_stylometry_delta`, `label_silhouette_centroid`,
@@ -69,7 +69,8 @@ arrived after the window filled (`events_markov_stationary`,
 `user_overdispersion_check`, `customer_tercile_migration`,
 `lang_id_cohens_kappa`, `kmeans_label_ari`,
 `text_readability_flesch`, `events_dau_wau_stickiness`,
-`customer_lorenz_curve`, `embeddings_anisotropy_audit` — all
+`customer_lorenz_curve`, `embeddings_anisotropy_audit`,
+`text_mtld_diversity` — all
 local-green at 3 SFs, never driver-checked), then the 33 [D] entries displaced by [C] this
 round (`dash_distinct_users`,
 `dash_latency_per_minute`, `date_functions`,

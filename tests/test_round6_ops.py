@@ -1652,3 +1652,41 @@ def test_anisotropy_matches_numpy(spark, sf_dir):
     assert math.isclose(got.avg_cos_to_mean, c.mean(), abs_tol=2e-5)
     assert math.isclose(got.frac_above_half, (c > 0.5).mean(), abs_tol=2e-6)
     assert math.isclose(got.min_cos, c.min(), abs_tol=2e-6)
+
+
+def test_mtld_matches_python_walk(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        _MTLD_T100,
+        text_mtld_diversity,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+
+    got = {r.source: r for r in text_mtld_diversity(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", normalize_text(F.col("text")).alias("norm")
+    ).collect()
+
+    def mtld(ws: list[str]) -> float:
+        factors, c, types = 0, 0, set()
+        for w in ws:
+            types.add(w)
+            c += 1
+            if 100 * len(types) < _MTLD_T100 * c:
+                factors += 1
+                c, types = 0, set()
+        partial = (
+            (1.0 - len(types) / c) / (1.0 - _MTLD_T100 / 100.0) if c > 0 else 0.0
+        )
+        denom = factors + partial
+        return round((len(ws) / denom if denom > 1e-12 else float(len(ws))) + 1e-9, 4)
+
+    per: dict[str, list] = {}
+    for r in docs:
+        ws = [w for w in r.norm.split(" ") if w]
+        if ws:
+            per.setdefault(r.source, []).append(mtld(ws))
+    assert set(got) == set(per)
+    for src, ms in per.items():
+        assert got[src].n_docs == len(ms)
+        assert math.isclose(got[src].avg_mtld, sum(ms) / len(ms), abs_tol=2e-3)
+        assert math.isclose(got[src].min_mtld, min(ms), abs_tol=2e-3)
