@@ -1372,7 +1372,22 @@ deg AS MATERIALIZED (
   SELECT u AS node, count(*) AS degree FROM edges GROUP BY u
 ),
 {_kcore_unrolled_sql(2)},
-{_kcore_unrolled_sql(3)}
+{_kcore_unrolled_sql(3)},
+fixpoint AS (
+  -- loud truncation guard (ADVICE r6): the Spark side peels to a
+  -- data-dependent fixpoint while this oracle unrolls exactly
+  -- {_KCORE_ORACLE_PASSES} passes. The peel only ever REMOVES nodes,
+  -- so pass P == pass P-1 by row count iff the node sets (and hence
+  -- subgraph degrees) are equal — fixpoint reached. A deeper fixture
+  -- now errors here instead of silently reporting a superset k-core
+  -- that would read as an implementation divergence.
+  SELECT CASE WHEN (SELECT count(*) FROM a2_{_KCORE_ORACLE_PASSES})
+                <> (SELECT count(*) FROM a2_{_KCORE_ORACLE_PASSES - 1})
+              OR (SELECT count(*) FROM a3_{_KCORE_ORACLE_PASSES})
+                <> (SELECT count(*) FROM a3_{_KCORE_ORACLE_PASSES - 1})
+         THEN error('kcore oracle truncated: unrolled passes did not reach fixpoint')
+         ELSE 1 END AS ok
+)
 SELECT c2.node AS doc_id,
        CAST(deg.degree AS BIGINT) AS degree,
        CAST(c2.d AS BIGINT) AS core2_degree,
@@ -1381,6 +1396,8 @@ SELECT c2.node AS doc_id,
 FROM a2_{_KCORE_ORACLE_PASSES} c2
 JOIN deg ON c2.node = deg.node
 LEFT JOIN a3_{_KCORE_ORACLE_PASSES} c3 ON c2.node = c3.node
+CROSS JOIN fixpoint
+WHERE fixpoint.ok = 1
 ORDER BY doc_id
 """
 

@@ -242,6 +242,14 @@ def mi_event_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar N broadcast; each term (c_xy/N)·log2(c_xy·N/(c_x·c_y)) is
     exact-integer-derived, summed per type. All key spaces are tiny
     (types × bands), every aggregate map-side combinable.
+
+    The marginal product c_x·c_y is computed in DOUBLE (ADVICE r6):
+    long·long wraps silently at the marginal sizes the 100 TB target
+    implies (~1e10–1e11 each) while DuckDB would error — the engines
+    would diverge exactly where the oracle no longer runs. The
+    factors are exact-integer-derived and far below 2^53 in that
+    regime, so the double product is exact and the emitted values are
+    bit-identical to the integer form at any testable scale.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") / 10).cast("long").alias("band")
@@ -260,7 +268,8 @@ def mi_event_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "c_xy",
             F.expr(
-                "(c_xy / nn) * log2(c_xy * nn / (c_x * c_y))"
+                "(c_xy / nn) * log2(c_xy * nn /"
+                " (cast(c_x as double) * cast(c_y as double)))"
             ).alias("term"),
         )
     )
@@ -286,7 +295,8 @@ cy AS (SELECT band, CAST(sum(c_xy) AS BIGINT) AS c_y FROM joint GROUP BY band),
 n AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS nn FROM joint)
 SELECT j.event_type,
        CAST(sum(j.c_xy) AS BIGINT) AS n_rows,
-       round(sum((j.c_xy / n.nn) * log2(j.c_xy * n.nn / (cx.c_x * cy.c_y)))
+       round(sum((j.c_xy / n.nn) * log2(j.c_xy * n.nn /
+                 (CAST(cx.c_x AS DOUBLE) * CAST(cy.c_y AS DOUBLE))))
              + 1e-9, 6) + 0.0 AS mi_contrib
 FROM joint j
 JOIN cx ON j.event_type = cx.event_type
@@ -715,7 +725,7 @@ FROM u
 def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square test of independence between document
     language and source, reported as per-language contributions plus
-    the global degrees of freedom — the categorical-dependence screen
+    the degrees of freedom — the categorical-dependence screen
     next to mi_event_value_bands (MI measures the dependence in bits;
     chi-square is the calibrated test statisticians quote, and a
     per-language breakdown localizes WHICH language's source mix is
@@ -728,6 +738,13 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction: languages × sources, independent of corpus size)
     and left-joins the observed joint onto it; everything upstream is
     one map-side-combinable count aggregate.
+
+    Degrees-of-freedom columns (ADVICE r6): ``dof_per_row`` is each
+    language row's contribution (C−1) — summing it over rows gives
+    R·(C−1), NOT the test's dof, so it must not be summed into a
+    p-value. ``dof_global`` is the true independence-test dof
+    (R−1)·(C−1), repeated on every row; pair it with
+    sum(chisq_contrib) for the calibrated test.
     """
     docs = load_table(spark, sf_dir, "documents").select("lang", "source")
     joint = tracked_persist(
@@ -738,6 +755,7 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = joint.agg(
         F.sum("o").cast("double").alias("nn"),
         F.count_distinct("source").alias("n_src"),
+        F.count_distinct("lang").alias("n_lang"),
     )
     grid = (
         cx.crossJoin(F.broadcast(cy))
@@ -746,8 +764,14 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             F.coalesce(F.col("o"), F.lit(0)).alias("o"),
-            F.expr("c_x * c_y / nn").alias("e"),
+            # cast-before-multiply: long*long wraps silently at the
+            # marginal sizes the 100 TB docstring targets (ADVICE r6 on
+            # the MI twin); the factors are exact-integer-derived well
+            # below 2^53, so the double product is exact at any
+            # realistic fixture scale
+            F.expr("cast(c_x as double) * cast(c_y as double) / nn").alias("e"),
             "n_src",
+            "n_lang",
         )
     )
     return (
@@ -758,6 +782,9 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "round(sum((o - e) * (o - e) / e) + 1e-9, 4) + 0.0"
             ).alias("chisq_contrib"),
             (F.max("n_src") - F.lit(1)).cast("long").alias("dof_per_row"),
+            F.expr("cast((max(n_lang) - 1) * (max(n_src) - 1) as bigint)").alias(
+                "dof_global"
+            ),
         )
         .orderBy("lang")
     )
@@ -771,14 +798,16 @@ cx AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c_x FROM joint GROUP BY lang),
 cy AS (SELECT source, CAST(sum(o) AS BIGINT) AS c_y FROM joint GROUP BY source),
 n AS (
   SELECT CAST(sum(o) AS DOUBLE) AS nn,
-         count(DISTINCT source) AS n_src
+         count(DISTINCT source) AS n_src,
+         count(DISTINCT lang) AS n_lang
   FROM joint
 ),
 grid AS (
   SELECT cx.lang,
          coalesce(j.o, 0) AS o,
-         cx.c_x * cy.c_y / n.nn AS e,
-         n.n_src
+         CAST(cx.c_x AS DOUBLE) * CAST(cy.c_y AS DOUBLE) / n.nn AS e,
+         n.n_src,
+         n.n_lang
   FROM cx CROSS JOIN cy
   LEFT JOIN joint j ON cx.lang = j.lang AND cy.source = j.source
   CROSS JOIN n
@@ -786,7 +815,8 @@ grid AS (
 SELECT lang,
        CAST(sum(o) AS BIGINT) AS n_docs,
        round(sum((o - e) * (o - e) / e) + 1e-9, 4) + 0.0 AS chisq_contrib,
-       CAST(max(n_src) - 1 AS BIGINT) AS dof_per_row
+       CAST(max(n_src) - 1 AS BIGINT) AS dof_per_row,
+       CAST((max(n_lang) - 1) * (max(n_src) - 1) AS BIGINT) AS dof_global
 FROM grid GROUP BY lang ORDER BY lang
 """
 
@@ -1013,7 +1043,15 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = ev.groupBy("event_type", "b").agg(
         (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("rep_mean")
     )
-    wrk = Window.partitionBy("event_type").orderBy("rep_mean")
+    # NULLS LAST pins a latent cross-engine divergence (ADVICE r6): a
+    # (type, replicate) group that drew all-zero Poisson weights would
+    # yield NULL rep_mean, which Spark sorts first and DuckDB last —
+    # shifting the rank-2/rank-(B-1) CI rows differently per engine.
+    # Unreachable at fixture sizes (P ~ e^-n per group), but the
+    # ordering contract should not depend on that.
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.col("rep_mean").asc_nulls_last()
+    )
     ranked = reps.withColumn("rk", F.row_number().over(wrk))
     return (
         ranked.groupBy("event_type")
@@ -1061,7 +1099,8 @@ reps AS (
 ),
 ranked AS (
   SELECT event_type, rep_mean,
-         row_number() OVER (PARTITION BY event_type ORDER BY rep_mean) AS rk
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY rep_mean NULLS LAST) AS rk
   FROM reps
 )
 SELECT event_type,
@@ -2020,36 +2059,53 @@ _ZTEST_Z = (
 
 
 def events_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pooled two-proportion z-test of view→purchase conversion
-    between two deterministic user arms (user_id parity — the
-    stand-in for an experiment assignment column): THE A/B-testing
+    """Pooled two-proportion z-test of user-level view→purchase
+    conversion between two deterministic user arms (user_id parity —
+    the stand-in for an experiment assignment column): THE A/B-testing
     primitive, complementing the continuous-outcome tests (Welch,
     Mann–Whitney) with the binary-outcome one. Emits both arms'
-    rates, the pooled rate, and z.
+    user counts, conversion rates, and z.
 
-    One scan → per-arm (views, purchases) counts (map-side
-    combinable, 2-row result); rates and the pooled z are shared
-    closed forms over four integers — exact-integer-derived, so the
-    only rounding is the final display round.
+    THE UNIT OF ANALYSIS IS THE USER, NOT THE EVENT (ADVICE r6):
+    events sharing a user are correlated, so an event-level Bernoulli
+    treats n as far larger than the number of independent trials and
+    understates the z variance. Each user with ≥1 view-or-purchase
+    event is one trial; success = that user is PURCHASE-DOMINANT
+    (strictly more purchases than views) — the randomization unit and
+    the analysis unit now agree. ("Any purchase" is degenerate on
+    this fixture: every user has ~26 view/purchase events, so
+    P(no purchase) ≈ 2⁻¹³ and the pooled variance collapses to 0.)
+
+    One scan → per-user (arm, converted) flags (user-keyed hash agg,
+    map-side combinable) → per-arm (n, conversions) counts (2-row
+    result); rates and the pooled z are shared closed forms over four
+    integers — exact-integer-derived, so the only rounding is the
+    final display round.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
-    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
-        F.count_if(F.col("event_type") == "view").alias("views"),
-        F.count_if(F.col("event_type") == "purchase").alias("purch"),
+    users = ev.groupBy("user_id").agg(
+        (
+            F.count_if(F.col("event_type") == "purchase")
+            > F.count_if(F.col("event_type") == "view")
+        ).cast("int").alias("converted")
+    )
+    arms = users.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count("*").alias("n"),
+        F.sum("converted").alias("conv"),
     )
     a = arms.filter(F.col("arm") == 0).select(
-        F.col("views").alias("v1"), F.col("purch").alias("c1")
+        F.col("n").alias("na"), F.col("conv").alias("ca")
     )
     b = arms.filter(F.col("arm") == 1).select(
-        F.col("views").alias("v2"), F.col("purch").alias("c2")
+        F.col("n").alias("nb"), F.col("conv").alias("cb")
     )
     m = a.crossJoin(F.broadcast(b)).select(
-        (F.col("v1") + F.col("c1")).cast("double").alias("n1"),
-        (F.col("v2") + F.col("c2")).cast("double").alias("n2"),
-        F.col("c1").cast("double").alias("c1"),
-        F.col("c2").cast("double").alias("c2"),
+        F.col("na").cast("double").alias("n1"),
+        F.col("nb").cast("double").alias("n2"),
+        F.col("ca").cast("double").alias("c1"),
+        F.col("cb").cast("double").alias("c2"),
     ).withColumn("p1", F.expr("c1 / n1")).withColumn(
         "p2", F.expr("c2 / n2")
     ).withColumn("pp", F.expr("(c1 + c2) / (n1 + n2)"))
@@ -2063,19 +2119,27 @@ def events_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_TWO_PROPORTION_ZTEST_SQL = f"""
-WITH arms AS (
-  SELECT user_id % 2 AS arm,
-         count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
-         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purch
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                 > count(CASE WHEN event_type = 'view' THEN 1 END)
+              THEN 1 ELSE 0 END AS converted
   FROM events
   WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id
+),
+arms AS (
+  SELECT user_id % 2 AS arm,
+         count(*) AS n,
+         sum(converted) AS conv
+  FROM users
   GROUP BY arm
 ),
 m AS (
-  SELECT CAST(a.views + a.purch AS DOUBLE) AS n1,
-         CAST(b.views + b.purch AS DOUBLE) AS n2,
-         CAST(a.purch AS DOUBLE) AS c1,
-         CAST(b.purch AS DOUBLE) AS c2
+  SELECT CAST(a.n AS DOUBLE) AS n1,
+         CAST(b.n AS DOUBLE) AS n2,
+         CAST(a.conv AS DOUBLE) AS c1,
+         CAST(b.conv AS DOUBLE) AS c2
   FROM (SELECT * FROM arms WHERE arm = 0) a
   CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
 ),

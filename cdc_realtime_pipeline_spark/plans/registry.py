@@ -16,86 +16,36 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-6 window composition (the round-5 gate returned 47 green + 3
-hash-only reds, all three adjudicated by the judge as typed-output
-representation divergence — values identical cross-engine):
-[A] the 3 re-typed r5 reds (HUGEINT sums cast to BIGINT in the
-oracles; the decimal row's output re-expressed as scaled-integer
-BIGINT units, VERDICT r5 #1) — changed contract surface must
-re-window; [B] the 11 late-round-5 operators that never saw a
-driver window (VERDICT r5 #3), including the two whose oracles
-carried the same queued HUGEINT landmine (`window_funnel_depth`,
-`k_anonymity_audit` — cast now, before their first driver look);
-[C] the 9 round-6 NEW operators (the statistical-inference wave —
-closed-form 2-factor OLS, Welch one-vs-rest t-test, mutual
-information, grid-KS, lag-1 autocorrelation, association rules with
-lift — plus chained streaming windows, GROUP BY ALL sugar, MMR
-re-ranking with a recursive-CTE oracle, the iterative BPE training
-loop with an unrolled recursive-fold oracle, CUSUM changepoint
-location, the seasonal-naive forecast backtest, the vocabulary
-coverage curve, the cohort lifetime-value curve, common-neighbor
-link prediction over the dup graph, RAKE keyword extraction,
-product-quantization code assignment with a hash-derived codebook,
-and the second inference wave — grid Mann–Whitney U with tie-corrected
-z, lang×source chi-square with empty-cell expectation, banded Spearman
-rho, deterministic Poisson-bootstrap CIs, the count–min sketch error
-audit, the fixed-frequency periodogram, the Hampel rolling-median
-outlier screen, the bucketed co-located join with its pinned
-zero-Exchange SMJ plan, Holt double-exponential smoothing via
-higher-order folds, k-core peeling over the near-dup graph, one-way
-ANOVA, the dynamic-partition-pruning join with its pinned runtime
-PartitionFilters, the interpolated Kneser–Ney bigram LM, the
-Kaplan–Meier time-to-repeat-purchase curve, the Gini
-concentration coefficient, and the leave-one-out k-NN label
-evaluation) —
-new operators displace rotation slots per policy; [D] 3
-staleness-rotation slots, oldest driver evidence first
-(the r5-displaced dashboard pair, then the r1-only pool in queue
-order)
-([A]3 + [B]11 + [C]33 + [D]3 = 50).
-Rows dropped this round hold r1-r5 green evidence on unchanged code
-and stay under the local 3-SF harness (which now hashes
-type-faithfully via Arrow — local red predicts driver red on the
-typed-output class too).
+Round-7 window composition (the round-6 gate returned 50/50 green —
+no repairs to re-window, so the whole window serves the two evidence
+debts VERDICT r6 ranked highest):
+[E] the 22 late-round-6 operators that arrived after the r6 window
+filled (VERDICT r6 #1 — "the entire gap between builder-attested and
+driver-proven") take the front of the window for their first driver
+look; [D] the staleness rotation resumes (VERDICT r6 #4) with the
+first 28 of the 33 entries the round-6 [C] wave displaced, oldest
+driver evidence first, in the documented queue order; [A] one
+contract-surface repair (`lang_source_chisq` gained a `dof_global`
+column per ADVICE r6 — changed schema must re-window), displacing
+the 28th [D] slot
+([E]22 + [D]27 + [A]1 = 50).
+Rows dropped this round hold r1–r6 green evidence on unchanged code
+and stay under the local 3-SF harness (type-faithful hashing — local
+red predicts driver red on the typed-output class too).
 
-Round-7 rotation queue — FIRST the twenty-two late-round-6 operators that
-arrived after the window filled (`events_markov_stationary`,
-`value_hill_tail_index`, `stream_countmin_sketch`,
-`source_stylometry_delta`, `label_silhouette_centroid`,
-`parts_abc_classification`, `dup_graph_assortativity`,
-`lineitem_weighted_median`, `events_two_proportion_ztest`,
-`user_poisson_regression`, `user_logistic_regression`,
-`value_conformal_interval`, `text_pmi_collocations`,
-`user_overdispersion_check`, `customer_tercile_migration`,
-`lang_id_cohens_kappa`, `kmeans_label_ari`,
-`text_readability_flesch`, `events_dau_wau_stickiness`,
-`customer_lorenz_curve`, `embeddings_anisotropy_audit`,
-`text_mtld_diversity` — all
-local-green at 3 SFs, never driver-checked), then the 33 [D] entries displaced by [C] this
-round (`dash_distinct_users`,
-`dash_latency_per_minute`, `date_functions`,
-`top_parts_per_supplier`, `ema_per_key`,
-`dash_bid_ask_ranking`,
-`region_revenue`, `revenue_top_orders`,
-`tpch_q6`, `alerts_large_trade`, `alerts_rapid_trades`,
-`tpch_q1`,
-`tpch_q12_like`, `tpch_q14_like`, `sessionize`,
-`window_rank_functions`,
-`value_quantiles`, `sessionize_native`, `window_agg_5m_salted`,
-`dash_approx_distinct_users`, `dash_recent_alerts`, `dash_live_trades`,
-`dash_pipeline_liveness`, `dash_latest_value_per_day`,
-`dash_price_per_minute_single_key`, `small_quantity_revenue`,
-`disjunctive_revenue`, `alerts_large_trade_lookup_join`,
-`order_status_pivot`, `big_orders_having`, `window_agg_sliding`,
-`order_priority_counts`, `lineitem_rollup`) lead, then the remaining
-r1-only pool continues
-oldest-first: `monthly_order_stats`, `cumulative_daily_value`,
-`set_operations`, `revenue_share_per_nation`,
-`cheapest_supplier_per_part`, `customers_without_orders`, and the
-r2-green block (media_*, corpus_* pack/split/vocab,
-stream_static_enrich, stream_stream_join, asof_join_last_click,
-bucketized_range_join, skewed_join_salted) — oldest evidence first,
-plus any round-6 [D] entries displaced by late round-6 operators.
+Round-8 rotation queue — FIRST the 6 [D] entries that did not fit
+this round (`alerts_large_trade_lookup_join` — displaced by the
+lang_source_chisq repair — then `order_status_pivot`,
+`big_orders_having`, `window_agg_sliding`, `order_priority_counts`,
+`lineitem_rollup`),
+then the r1-only pool continues oldest-first: `monthly_order_stats`,
+`cumulative_daily_value`, `set_operations`,
+`revenue_share_per_nation`, `cheapest_supplier_per_part`,
+`customers_without_orders`, and the r2-green block (media_*,
+corpus_* pack/split/vocab, stream_static_enrich, stream_stream_join,
+asof_join_last_click, bucketized_range_join, skewed_join_salted) —
+oldest evidence first, plus any round-7 [D] entries displaced by
+late round-7 additions.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -155,74 +105,77 @@ _MODULES = [
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
 _PRIORITY = [
-    # --- [A] round-6 contract-surface repairs (VERDICT r5 #1): the
-    # three r5 hash-reds, all adjudicated typed-output divergence
-    # (DuckDB HUGEINT / Spark DECIMAL output columns vs the driver's
-    # hasher), all value-identical cross-engine for rounds. Fixed by
-    # CAST(sum AS BIGINT) in the oracles and, for the decimal row,
-    # emitting scaled-integer BIGINT units instead of DECIMAL columns.
-    # Must re-window to convert the fix into green driver rows ---
-    "decimal_arithmetic_conformance",
-    "tokenizer_bpe_pair_counts",
-    "recursive_cte_conformance",
-    # --- [B] the 11 late-round-5 operators never driver-checked
-    # (VERDICT r5 #3); window_funnel_depth and k_anonymity_audit
-    # carried the same queued HUGEINT landmine and are cast now ---
-    "regr_aggregates_conformance",
-    "pareto_frontier_customers",
-    "stream_cep_funnel",
-    "dp_noised_release",
-    "k_anonymity_audit",
-    "window_funnel_depth",
-    "corpus_zipf_fit",
-    "value_benford_digits",
-    "cdc_python_datasource_roundtrip",
-    "stream_cdc_python_datasource",
-    "cdc_python_datasource_write_roundtrip",
-    # --- [C] round-6 NEW operators displace rotation slots per the
-    # documented policy (new evidence > refreshed evidence): the
-    # statistical-inference wave (closed-form 2-factor OLS, Welch
-    # one-vs-rest t-test, mutual information, grid-KS, lag-1
-    # autocorrelation, association rules with lift) ---
-    "events_ols_two_factor",
-    "source_welch_ttest",
-    "mi_event_value_bands",
-    "value_ks_grid",
-    "events_autocorr_lag1",
-    "market_basket_rules",
-    "stream_window_chain",
-    "group_by_all_conformance",
-    "similarity_mmr_rerank",
-    "tokenizer_bpe_train_merges",
-    "value_cusum_drift",
-    "events_seasonal_backtest",
-    "corpus_vocab_coverage_curve",
-    "orders_cohort_ltv_curve",
-    "dup_graph_common_neighbors",
-    "text_rake_keywords",
-    "embeddings_pq_assign",
-    "value_mannwhitney_grid",
+    # --- [E] the 22 late-round-6 operators that arrived after the r6
+    # window filled (VERDICT r6 #1) — all local-green at 3 SFs under
+    # the type-faithful harness, 8/8 of the judge's independent
+    # sf0.01 spot-checks passed; first driver look happens now.
+    # events_two_proportion_ztest was re-expressed per-user this
+    # round (ADVICE r6: event-level Bernoulli understates variance
+    # under within-user clustering), so its first driver row gates
+    # the corrected contract ---
+    "events_markov_stationary",
+    "value_hill_tail_index",
+    "stream_countmin_sketch",
+    "source_stylometry_delta",
+    "label_silhouette_centroid",
+    "parts_abc_classification",
+    "dup_graph_assortativity",
+    "lineitem_weighted_median",
+    "events_two_proportion_ztest",
+    "user_poisson_regression",
+    "user_logistic_regression",
+    "value_conformal_interval",
+    "text_pmi_collocations",
+    "user_overdispersion_check",
+    "customer_tercile_migration",
+    "lang_id_cohens_kappa",
+    "kmeans_label_ari",
+    "text_readability_flesch",
+    "events_dau_wau_stickiness",
+    "customer_lorenz_curve",
+    "embeddings_anisotropy_audit",
+    "text_mtld_diversity",
+    # --- [D] staleness rotation resumes (VERDICT r6 #4), oldest
+    # driver evidence first: the first 28 of the 33 entries the
+    # round-6 [C] wave displaced, in the documented queue order.
+    # The remaining 5 (`order_status_pivot`, `big_orders_having`,
+    # `window_agg_sliding`, `order_priority_counts`,
+    # `lineitem_rollup`) lead the round-8 queue, then the r1-only
+    # pool continues oldest-first ---
+    "dash_distinct_users",
+    "dash_latency_per_minute",
+    "date_functions",
+    "top_parts_per_supplier",
+    "ema_per_key",
+    "dash_bid_ask_ranking",
+    "region_revenue",
+    "revenue_top_orders",
+    "tpch_q6",
+    "alerts_large_trade",
+    "alerts_rapid_trades",
+    "tpch_q1",
+    "tpch_q12_like",
+    "tpch_q14_like",
+    "sessionize",
+    "window_rank_functions",
+    "value_quantiles",
+    "sessionize_native",
+    "window_agg_5m_salted",
+    "dash_approx_distinct_users",
+    "dash_recent_alerts",
+    "dash_live_trades",
+    "dash_pipeline_liveness",
+    "dash_latest_value_per_day",
+    "dash_price_per_minute_single_key",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    # --- [A] contract-surface repair: lang_source_chisq gained a
+    # dof_global column (ADVICE r6 — dof_per_row sums to R·(C−1), not
+    # the test dof; the true (R−1)·(C−1) is now emitted) and its
+    # expected-count term is cast-before-multiply. Changed schema must
+    # re-window; displaces the last [D] slot
+    # (alerts_large_trade_lookup_join → round-8 queue) ---
     "lang_source_chisq",
-    "value_spearman_banded",
-    "events_bootstrap_ci",
-    "events_countmin_audit",
-    "events_periodogram",
-    "value_hampel_filter",
-    "bucketed_join_colocated",
-    "events_holt_linear",
-    "dup_graph_kcore",
-    "events_anova_oneway",
-    "dynamic_partition_pruning_join",
-    "text_bigram_kneser_ney",
-    "orders_survival_km",
-    "customer_value_gini",
-    "label_knn_loo_eval",
-    # --- [D] staleness rotation, oldest driver evidence first: the
-    # r5-displaced dashboard/relational pairs, then the r1-only pool
-    # in documented queue order ---
-    "dash_total_trades",
-    "dash_volume_last_day",
-    "dash_avg_latency_last_day",
 ]
 
 

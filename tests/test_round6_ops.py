@@ -1232,12 +1232,18 @@ def test_two_proportion_ztest_matches_python(spark, sf_dir):
     rows = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     ).select("user_id", "event_type").collect()
+    # unit of analysis is the USER (ADVICE r6): one trial per user,
+    # success = strictly more purchases than views
+    per: dict[int, list[int]] = {}
+    for r in rows:
+        vp = per.setdefault(r.user_id, [0, 0])
+        vp[0 if r.event_type == "view" else 1] += 1
     n = [0, 0]
     c = [0, 0]
-    for r in rows:
-        arm = r.user_id % 2
+    for uid, (views, purch) in per.items():
+        arm = uid % 2
         n[arm] += 1
-        if r.event_type == "purchase":
+        if purch > views:
             c[arm] += 1
     p1, p2 = c[0] / n[0], c[1] / n[1]
     pp = (c[0] + c[1]) / (n[0] + n[1])
