@@ -281,8 +281,19 @@ def main() -> None:
     _calib()  # untimed warm-up probe (see comment above)
     calib_start = _calib()
 
+    # --extras benches the COMPLEMENT of the headline set (VERDICT r6
+    # #2): every registered query must hold at least one BENCH_FULL
+    # row at sf0.1. The headline line stays cross-round comparable;
+    # the extras line is run once per session as the closing sweep.
+    extras_mode = "--extras" in sys.argv
+    bench_names = (
+        sorted(n for n in queries if n not in set(BENCH_QUERIES))
+        if extras_mode
+        else BENCH_QUERIES
+    )
+
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_names:
         fn = queries[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
@@ -300,25 +311,31 @@ def main() -> None:
     # sinks) over the events-derived topic, one availableNow cycle —
     # checked against the reference's <5 s E2E target (README.md:181)
     # at comparable batch sizes.
-    import tempfile
+    if not extras_mode:
+        import tempfile
 
-    from cdc_realtime_pipeline_spark.cdc.envelope import synthesize_cdc_json_from_events
-    from cdc_realtime_pipeline_spark.session import load_table
-    from cdc_realtime_pipeline_spark.sources.cdc_file_source import write_cdc_json_files
-    from cdc_realtime_pipeline_spark.streaming.job import run_cdc_fanout
+        from cdc_realtime_pipeline_spark.cdc.envelope import (
+            synthesize_cdc_json_from_events,
+        )
+        from cdc_realtime_pipeline_spark.session import load_table
+        from cdc_realtime_pipeline_spark.sources.cdc_file_source import (
+            write_cdc_json_files,
+        )
+        from cdc_realtime_pipeline_spark.streaming.job import run_cdc_fanout
 
-    stream_dir = tempfile.mkdtemp(prefix="bench_stream_")
-    write_cdc_json_files(
-        synthesize_cdc_json_from_events(load_table(spark, sf_dir, "events")), stream_dir
-    )
-    t0 = time.time()
-    run_cdc_fanout(
-        spark,
-        stream_dir,
-        tempfile.mkdtemp(prefix="bench_out_"),
-        tempfile.mkdtemp(prefix="bench_ck_"),
-    )
-    timings["stream_cdc_fanout_e2e"] = round(time.time() - t0, 3)
+        stream_dir = tempfile.mkdtemp(prefix="bench_stream_")
+        write_cdc_json_files(
+            synthesize_cdc_json_from_events(load_table(spark, sf_dir, "events")),
+            stream_dir,
+        )
+        t0 = time.time()
+        run_cdc_fanout(
+            spark,
+            stream_dir,
+            tempfile.mkdtemp(prefix="bench_out_"),
+            tempfile.mkdtemp(prefix="bench_ck_"),
+        )
+        timings["stream_cdc_fanout_e2e"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
 
@@ -338,8 +355,36 @@ def main() -> None:
 
     calib_end = _calib()
 
+    # Calibration normalization IN the artifact (VERDICT r6 #3): raw
+    # r6 read 1.13× r1 while normalized read 0.80× — a host slowdown
+    # must never read as a code regression, so the line now carries
+    # the normalized numbers instead of leaving the division to the
+    # reader. CALIB_REF_SEC is the committed reference host speed:
+    # the median of mean([start, end]) over the ten clean runs in
+    # BENCH_FULL.jsonl rounds 4-6 (0.3095..0.4375, median 0.374). The
+    # r1 baseline predates the probe, so this median stands in as the
+    # r1-era host speed for the vs-r1 normalized ratio.
+    CALIB_REF_SEC = 0.374
+    calib_run = (calib_start + calib_end) / 2.0
+    value_calib_normalized = round(total * CALIB_REF_SEC / calib_run, 3)
+    ratio_vs_r1_raw = None
+    ratio_vs_r1_calib_normalized = None
+    try:
+        with open(base_path) as f:
+            base_q = json.load(f)["parsed"]["queries"]
+        shared = [n for n in timings if n in base_q]
+        r1_shared = sum(base_q[n] for n in shared)
+        if r1_shared > 0:
+            raw = sum(timings[n] for n in shared) / r1_shared
+            ratio_vs_r1_raw = round(raw, 3)
+            ratio_vs_r1_calib_normalized = round(
+                raw * CALIB_REF_SEC / calib_run, 3
+            )
+    except (OSError, KeyError, ValueError, ZeroDivisionError):
+        pass
+
     payload = {
-        "metric": "headline_query_seconds",
+        "metric": "registry_extras_seconds" if extras_mode else "headline_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -348,6 +393,12 @@ def main() -> None:
         # divide cross-round totals by the calib ratio before
         # reading deltas (host co-tenancy swings ±25-75%)
         "calib_sec": [calib_start, calib_end],
+        "calib_ref_sec": CALIB_REF_SEC,
+        "value_calib_normalized": value_calib_normalized,
+        # shared-subset total vs the stored r1 baseline, raw and
+        # host-speed-normalized — read the normalized one first
+        "ratio_vs_r1_raw": ratio_vs_r1_raw,
+        "ratio_vs_r1_calib_normalized": ratio_vs_r1_calib_normalized,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # engine versions on the record (VERDICT r5 #4): a dialect or
         # planner change between rounds is invisible without these.
@@ -359,6 +410,10 @@ def main() -> None:
     # loses the per-query table once the headline set grew past ~40
     # entries. Append the full record to a committed history file so
     # cross-round per-query comparison never needs reconstruction.
+    # --no-append: smoke/debug runs must not pollute the committed
+    # history (cross-round reads assume every line is a clean sf0.1 run).
+    if "--no-append" in sys.argv:
+        return
     try:
         full_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.jsonl"
