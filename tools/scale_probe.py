@@ -101,6 +101,12 @@ PROBE_QUERIES = [
     ("source_stylometry_delta", "tokenize once -> sources x markers matrix"),
     ("value_conformal_interval", "md5 split + grid quantile + coverage agg"),
     ("text_pmi_collocations", "uni+bi integer aggs, broadcast totals"),
+    # round-7: the three late-r6 shapes VERDICT r6 #6 named as
+    # genuinely new physical plans (the rest of the late wave maps
+    # onto already-probed shapes by argument, SCALING.md r6 section)
+    ("stream_countmin_sketch", "stateful complete-mode sketch counters, E2E"),
+    ("customer_tercile_migration", "two-period full-outer tercile matrix join"),
+    ("label_knn_loo_eval", "broadcast eval set x corpus scan, top-k vote"),
 ]
 
 TABLES = [
