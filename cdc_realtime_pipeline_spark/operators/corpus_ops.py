@@ -1485,7 +1485,143 @@ FROM m
 """
 
 
+_EPOCH_PAIRS = [(0, 1), (0, 2), (1, 2)]
+
+
+def _epoch_uniform(e: int):
+    """Deterministic dyadic uniform in [0,1) per (epoch, doc) from
+    md5 — the seeded-hash idiom (dp_noised_release / pq codebook)
+    keyed by epoch so each epoch induces an independent ordering."""
+    m = F.md5(F.concat(F.lit(f"ep{e}|"), F.col("doc_id").cast("string")))
+    terms = [
+        (F.instr(F.lit("0123456789abcdef"), F.substring(m, i, 1)) - 1).cast(
+            "double"
+        )
+        * F.lit(16.0 ** -i)
+        for i in range(1, 9)
+    ]
+    u = terms[0]
+    for t in terms[1:]:
+        u = u + t
+    return u
+
+
+def corpus_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle audit: a training pipeline orders
+    each epoch's examples by a seeded hash (shuffle = distributed sort
+    by md5(epoch‖doc_id) — reproducible, resumable, no RNG state); this
+    row PROVES the epoch orders are mutually independent before anyone
+    trains on them. For each epoch pair it emits the Pearson
+    correlation of the two hash-uniforms (uniforms are their own CDF,
+    so this is asymptotically Spearman's rho of the two epoch
+    ORDERS — expected 0) and the 16×16 first-hex-digit contingency
+    chi-square against uniform n/256 (expected ≈ dof 255): a biased
+    seed construction (e.g. epoch appended AFTER a truncated hash)
+    shows up as rho ≫ 0 or a spiked matrix.
+
+    Scale shape: NO global sort anywhere — the naive audit ranks every
+    doc per epoch (row_number over an unpartitioned window = one
+    executor sorting the corpus); rank correlation over uniforms makes
+    the ranks unnecessary, so the whole audit is one scan → three
+    corr/count aggregates + one 256-cell count aggregate per pair, all
+    map-side combinable. The per-pair stack reuses ONE persisted
+    (u, bucket)×3 base scan. corr rounded 6dp, chi-square 4dp under
+    the shared nudge.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id",
+        *[_epoch_uniform(e).alias(f"u{e}") for e in range(3)],
+        *[
+            (F.floor(_epoch_uniform(e) * 16)).cast("long").alias(f"b{e}")
+            for e in range(3)
+        ],
+    )
+    base = tracked_persist(base)
+    out = None
+    for a, b in _EPOCH_PAIRS:
+        pair = base.select(
+            F.lit(a).cast("long").alias("epoch_a"),
+            F.lit(b).cast("long").alias("epoch_b"),
+            F.col(f"u{a}").alias("ua"),
+            F.col(f"u{b}").alias("ub"),
+            F.col(f"b{a}").alias("ba"),
+            F.col(f"b{b}").alias("bb"),
+        )
+        corr = pair.groupBy("epoch_a", "epoch_b").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.round(F.corr("ua", "ub") + 1e-9, 6) + 0.0).alias("rho_u"),
+        )
+        chi = (
+            pair.groupBy("ba", "bb")
+            .agg(F.count("*").cast("double").alias("o"))
+            .crossJoin(F.broadcast(corr.select("n_docs")))
+            .agg(
+                F.expr(
+                    "round(sum((o - n_docs / 256.0) * (o - n_docs / 256.0)"
+                    " / (n_docs / 256.0)) + 1e-9, 4) + 0.0"
+                ).alias("chisq_256")
+            )
+        )
+        row = corr.crossJoin(F.broadcast(chi))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("epoch_a", "epoch_b")
+
+
+def _epoch_uniform_sql(e: int) -> str:
+    key = f"'ep{e}|' || CAST(doc_id AS VARCHAR)"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({key}), {i}, 1)) - 1)"
+        f" * {16.0 ** -i!r}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
+CORPUS_EPOCH_SHUFFLE_AUDIT_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         {_epoch_uniform_sql(0)} AS u0,
+         {_epoch_uniform_sql(1)} AS u1,
+         {_epoch_uniform_sql(2)} AS u2,
+         CAST(floor({_epoch_uniform_sql(0)} * 16) AS BIGINT) AS b0,
+         CAST(floor({_epoch_uniform_sql(1)} * 16) AS BIGINT) AS b1,
+         CAST(floor({_epoch_uniform_sql(2)} * 16) AS BIGINT) AS b2
+  FROM documents
+),
+stacked AS (
+  SELECT CAST(0 AS BIGINT) AS epoch_a, CAST(1 AS BIGINT) AS epoch_b,
+         u0 AS ua, u1 AS ub, b0 AS ba, b1 AS bb FROM base
+  UNION ALL
+  SELECT 0, 2, u0, u2, b0, b2 FROM base
+  UNION ALL
+  SELECT 1, 2, u1, u2, b1, b2 FROM base
+),
+co AS (
+  SELECT epoch_a, epoch_b,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(corr(ua, ub) + 1e-9, 6) + 0.0 AS rho_u
+  FROM stacked GROUP BY 1, 2
+),
+cells AS (
+  SELECT epoch_a, epoch_b, ba, bb, CAST(count(*) AS DOUBLE) AS o
+  FROM stacked GROUP BY 1, 2, 3, 4
+),
+chi AS (
+  SELECT c.epoch_a, c.epoch_b,
+         round(sum((c.o - co.n_docs / 256.0) * (c.o - co.n_docs / 256.0)
+                   / (co.n_docs / 256.0)) + 1e-9, 4) + 0.0 AS chisq_256
+  FROM cells c JOIN co ON c.epoch_a = co.epoch_a AND c.epoch_b = co.epoch_b
+  GROUP BY 1, 2
+)
+SELECT co.epoch_a, co.epoch_b, co.n_docs, co.rho_u, chi.chisq_256
+FROM co JOIN chi ON co.epoch_a = chi.epoch_a AND co.epoch_b = chi.epoch_b
+ORDER BY co.epoch_a, co.epoch_b
+"""
+
+
 QUERIES = {
+    "corpus_epoch_shuffle_audit": corpus_epoch_shuffle_audit,
     "corpus_zipf_fit": corpus_zipf_fit,
     "dup_graph_kcore": dup_graph_kcore,
     "dup_graph_assortativity": dup_graph_assortativity,
@@ -1508,6 +1644,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_epoch_shuffle_audit": CORPUS_EPOCH_SHUFFLE_AUDIT_SQL,
     "dup_graph_kcore": DUP_GRAPH_KCORE_SQL,
     "dup_graph_assortativity": DUP_GRAPH_ASSORTATIVITY_SQL,
     "corpus_zipf_fit": CORPUS_ZIPF_FIT_SQL,

@@ -2456,8 +2456,149 @@ FROM m
 """
 
 
+def _pnorm2_sql(z: str) -> str:
+    """Two-sided normal p-value 2·(1−Φ(|z|)) as a SHARED closed form
+    (Abramowitz & Stegun 26.2.17, |err| < 7.5e-8): one SQL expression
+    string evaluated verbatim by both Spark and DuckDB — polynomial in
+    t = 1/(1+0.2316419|z|) times the standard-normal pdf, with
+    1/√(2π) inlined as a literal so neither engine's pi() enters.
+    Feed it an ALREADY-ROUNDED z so both engines evaluate identical
+    doubles; the caller rounds the result to 6dp under the shared
+    nudge, giving the 1-ulp libm exp() divergence a 1e-9 margin."""
+    az = f"abs({z})"
+    t = f"(1.0 / (1.0 + 0.2316419 * {az}))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * "
+        f"(1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return (
+        f"least(1.0, 2.0 * 0.3989422804014327 "
+        f"* exp(-({az} * {az}) / 2.0) * {poly})"
+    )
+
+
+def hourly_value_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day effect screen with Benjamini–Hochberg FDR control:
+    24 simultaneous one-vs-rest Welch z-tests ("is hour h's mean event
+    value different from the rest of the day?"), each converted to a
+    two-sided p-value via the shared closed-form normal CDF, then
+    BH-adjusted — the multiple-comparisons discipline every per-group
+    test family in this module implicitly needs (24 hypotheses at
+    α=0.1 expect ~2.4 false flags uncorrected; BH caps the false
+    discovery RATE instead). Emits per hour: moments, z, raw p,
+    step-up adjusted p, and the q≤0.10 decision.
+
+    Shape: ONE corpus scan → per-hour (n, Σ, Σ²) — map-side
+    combinable, 24-row result; the complement ("rest") moments are
+    the broadcast global row minus the hour's, so no second scan and
+    no self-join. Everything after the scan — Welch z, the A&S
+    polynomial, the BH step-up (a 24-row cumulative min over the
+    p-ascending order) — is arithmetic on a fixed-size relation,
+    volume-independent. Cross-engine: z is rounded 4dp BEFORE the
+    p-value polynomial (identical doubles into exp), p rounded 6dp,
+    and the BH cascade runs on the rounded p with hour as the
+    deterministic tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        ((F.unix_micros(F.col("ts")) / 1_000_000).cast("long") / F.lit(3600))
+        .cast("long")
+        .alias("hb"),
+        F.col("value").cast("double").alias("v"),
+    )
+    hod = ev.groupBy((F.col("hb") % 24).alias("hour")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    glob = hod.agg(
+        F.sum("n").alias("gn"), F.sum("s").alias("gs"), F.sum("ss").alias("gss")
+    )
+    z4 = (
+        hod.crossJoin(F.broadcast(glob))
+        .withColumn("nr", F.col("gn") - F.col("n"))
+        .withColumn("m", F.expr("s / n"))
+        .withColumn("mr", F.expr("(gs - s) / nr"))
+        .withColumn("var", F.expr("(ss - s * s / n) / (n - 1.0)"))
+        .withColumn("varr", F.expr("((gss - ss) - (gs - s) * (gs - s) / nr) / (nr - 1.0)"))
+        .withColumn(
+            "z",
+            F.expr("round((m - mr) / sqrt(var / n + varr / nr) + 1e-9, 4)"),
+        )
+        .withColumn("p", F.expr(f"round({_pnorm2_sql('z')} + 1e-9, 6)"))
+    )
+    wrank = Window.orderBy(F.asc("p"), F.asc("hour"))
+    ranked = (
+        z4.withColumn("rk", F.row_number().over(wrank))
+        .withColumn("m_hyp", F.count("*").over(Window.partitionBy()))
+        .withColumn(
+            "p_bh",
+            F.expr("round(least(1.0, min(p * m_hyp / rk) OVER "
+                   "(ORDER BY p ASC, hour ASC ROWS BETWEEN CURRENT ROW AND "
+                   "UNBOUNDED FOLLOWING)) + 1e-9, 6)"),
+        )
+    )
+    return ranked.select(
+        "hour",
+        F.col("n").cast("long").alias("n_events"),
+        (F.round(F.col("m") + 1e-9, 4) + 0.0).alias("mean_hour"),
+        (F.round(F.col("mr") + 1e-9, 4) + 0.0).alias("mean_rest"),
+        (F.col("z") + 0.0).alias("z_score"),
+        (F.col("p") + 0.0).alias("p_value"),
+        (F.col("p_bh") + 0.0).alias("p_bh"),
+        (F.col("p_bh") <= 0.10).cast("int").alias("significant"),
+    ).orderBy("hour")
+
+
+HOURLY_VALUE_FDR_BH_SQL = f"""
+WITH hod AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(value AS DOUBLE)) AS s,
+         sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS ss
+  FROM events GROUP BY 1
+),
+gtot AS (SELECT sum(n) AS gn, sum(s) AS gs, sum(ss) AS gss FROM hod),
+z4 AS (
+  SELECT hour, n,
+         s / n AS m,
+         (gs - s) / (gn - n) AS mr,
+         round((s / n - (gs - s) / (gn - n))
+               / sqrt(((ss - s * s / n) / (n - 1.0)) / n
+                      + (((gss - ss) - (gs - s) * (gs - s) / (gn - n))
+                         / ((gn - n) - 1.0)) / (gn - n))
+               + 1e-9, 4) AS z
+  FROM hod CROSS JOIN gtot
+),
+p AS (
+  SELECT *, round({_pnorm2_sql('z')} + 1e-9, 6) AS p FROM z4
+),
+bh AS (
+  SELECT *,
+         row_number() OVER (ORDER BY p ASC, hour ASC) AS rk,
+         count(*) OVER () AS m_hyp
+  FROM p
+)
+SELECT hour,
+       CAST(n AS BIGINT) AS n_events,
+       round(m + 1e-9, 4) + 0.0 AS mean_hour,
+       round(mr + 1e-9, 4) + 0.0 AS mean_rest,
+       z + 0.0 AS z_score,
+       p + 0.0 AS p_value,
+       round(least(1.0, min(p * m_hyp / rk) OVER
+             (ORDER BY p ASC, hour ASC ROWS BETWEEN CURRENT ROW AND
+              UNBOUNDED FOLLOWING)) + 1e-9, 6) + 0.0 AS p_bh,
+       CAST(round(least(1.0, min(p * m_hyp / rk) OVER
+             (ORDER BY p ASC, hour ASC ROWS BETWEEN CURRENT ROW AND
+              UNBOUNDED FOLLOWING)) + 1e-9, 6) <= 0.10 AS INT)
+         AS significant
+FROM bh
+ORDER BY hour
+"""
+
+
 QUERIES = {
     "events_ols_two_factor": events_ols_two_factor,
+    "hourly_value_fdr_bh": hourly_value_fdr_bh,
     "events_anova_oneway": events_anova_oneway,
     "orders_survival_km": orders_survival_km,
     "customer_value_gini": customer_value_gini,
@@ -2484,6 +2625,7 @@ QUERIES = {
 
 ORACLES = {
     "events_ols_two_factor": EVENTS_OLS_TWO_FACTOR_SQL,
+    "hourly_value_fdr_bh": HOURLY_VALUE_FDR_BH_SQL,
     "events_anova_oneway": EVENTS_ANOVA_ONEWAY_SQL,
     "orders_survival_km": ORDERS_SURVIVAL_KM_SQL,
     "customer_value_gini": CUSTOMER_VALUE_GINI_SQL,

@@ -1743,6 +1743,148 @@ GROUP BY sub, code ORDER BY sub, code
 """
 
 
+_ADC_K = 5  # results per query
+
+
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-K search (Jégou 2011 §IV) —
+    the SEARCH leg on top of ``embeddings_pq_assign``'s codes: each
+    query builds an S×C lookup table of exact query-subvector→centroid
+    distances, and every database vector's approximate distance is S
+    table lookups summed over its stored codes. THE memory-bounded ANN
+    scale path: at 100 TB the database side is the 8-byte code table
+    (S log₂C bits/vector), never the raw vectors — the full-precision
+    corpus is only touched by the (separate) re-rank stage.
+
+    Shape: codes come from the same broadcast-codebook argmin as
+    ``embeddings_pq_assign`` (corpus-scale, two map-side-combinable
+    aggregates); the per-query LUT is Q·S·C rows — dimension-bounded,
+    broadcast; the ADC scan is codes ⋈ broadcast LUT on (sub, code)
+    then a (query, vec) sum — one shuffle keyed on the pair, top-K by
+    window. No corpus-side pairwise term anywhere: cost is
+    O(N·S·Q / executors) scan + an O(N·Q) aggregate, the linear-scan
+    ADC kernel (IVF bucketing in ``similarity_topk_ivf`` is the
+    orthogonal candidate-cut; composing them is a filter swap). At
+    scale the explode→join form gives way to a mapInPandas kernel
+    over packed code arrays — this declarative form is its
+    oracle-matched reference, same contract.
+
+    Determinism: subspace distances rounded 8dp before the argmin /
+    LUT (ties → lowest code id, the pq_assign discipline), ADC sums
+    rounded 6dp, rank ties broken by vec_id — bit-stable cross-engine.
+    Query vectors are the shared ``vec_id < N_QUERIES`` set, excluded
+    from the database side (self-matches are vacuous).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _PQ_SUBS * _PQ_CODES * _PQ_SUBDIM
+    cb = spark.range(n).select(
+        (F.col("id") / (_PQ_CODES * _PQ_SUBDIM)).cast("long").alias("sub"),
+        ((F.col("id") / _PQ_SUBDIM) % _PQ_CODES).cast("long").alias("code"),
+        (F.col("id") % _PQ_SUBDIM).alias("sdim"),
+    )
+    key = F.concat(
+        F.lit("pq|"),
+        F.col("sub").cast("string"),
+        F.lit("|"),
+        F.col("code").cast("string"),
+        F.lit("|"),
+        F.col("sdim").cast("string"),
+    )
+    cb = cb.select("sub", "code", "sdim", (_pq_uniform(key) - 0.5).alias("c"))
+
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim") / _PQ_SUBDIM).cast("long").alias("sub"),
+        (F.col("dim") % _PQ_SUBDIM).alias("sdim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    base_dists = (
+        dims.join(F.broadcast(cb), ["sub", "sdim"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                    + 1e-9, 8).alias("d2")
+        )
+    )
+    # database side: stored codes (argmin per subspace), queries excluded
+    wc = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        base_dists.filter(F.col("vec_id") >= N_QUERIES)
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    # query side: the FULL S×C distance table per query (no argmin)
+    lut = base_dists.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", F.col("d2").alias("qd2")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg((F.round(F.sum("qd2") + 1e-9, 6) + 0.0).alias("adc_dist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+SIMILARITY_PQ_ADC_TOPK_SQL = f"""
+WITH cb AS (
+  SELECT s.sub, c.code, d.sdim,
+         {_pq_uniform_sql("'pq|' || CAST(s.sub AS VARCHAR) || '|' || CAST(c.code AS VARCHAR) || '|' || CAST(d.sdim AS VARCHAR)")}
+           - 0.5 AS c
+  FROM (SELECT unnest(range({_PQ_SUBS})) AS sub) s,
+       (SELECT unnest(range({_PQ_CODES})) AS code) c,
+       (SELECT unnest(range({_PQ_SUBDIM})) AS sdim) d
+),
+dims AS (
+  SELECT e.vec_id,
+         CAST(t.i // {_PQ_SUBDIM} AS BIGINT) AS sub,
+         CAST(t.i % {_PQ_SUBDIM} AS BIGINT) AS sdim,
+         CAST(e.embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(0, len(e.embedding))) AS i) t
+),
+base_dists AS (
+  SELECT d.vec_id, d.sub, cb.code,
+         round(sum((d.x - cb.c) * (d.x - cb.c)) + 1e-9, 8) AS d2
+  FROM dims d JOIN cb ON d.sub = cb.sub AND d.sdim = cb.sdim
+  GROUP BY d.vec_id, d.sub, cb.code
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS rk
+    FROM base_dists WHERE vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, sub, code, d2 AS qd2
+  FROM base_dists WHERE vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, codes.vec_id,
+         round(sum(l.qd2) + 1e-9, 6) + 0.0 AS adc_dist
+  FROM codes JOIN lut l ON codes.sub = l.sub AND codes.code = l.code
+  GROUP BY l.query_id, codes.vec_id
+)
+SELECT query_id, rank, vec_id, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rank
+  FROM adc
+) WHERE rank <= {_ADC_K}
+ORDER BY query_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # MMR (Maximal Marginal Relevance) re-ranking of top-K candidates
 # --------------------------------------------------------------------------
@@ -2154,6 +2296,7 @@ QUERIES = {
     "embeddings_anisotropy_audit": embeddings_anisotropy_audit,
     "label_knn_loo_eval": label_knn_loo_eval,
     "embeddings_pq_assign": embeddings_pq_assign,
+    "similarity_pq_adc_topk": similarity_pq_adc_topk,
     "contrastive_hard_negatives": contrastive_hard_negatives,
     "embeddings_pca_power": embeddings_pca_power,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
@@ -2172,6 +2315,7 @@ QUERIES = {
 ORACLES = {
     "similarity_mmr_rerank": SIMILARITY_MMR_RERANK_SQL,
     "embeddings_pq_assign": EMBEDDINGS_PQ_ASSIGN_SQL,
+    "similarity_pq_adc_topk": SIMILARITY_PQ_ADC_TOPK_SQL,
     "label_knn_loo_eval": LABEL_KNN_LOO_EVAL_SQL,
     "label_silhouette_centroid": LABEL_SILHOUETTE_CENTROID_SQL,
     "kmeans_label_ari": KMEANS_LABEL_ARI_SQL,

@@ -1134,7 +1134,109 @@ FROM folded ORDER BY event_type
 """
 
 
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-trend decomposition by moving averages (the classical
+    additive decompose underlying STL, Cleveland 1990 — here the
+    moving-average variant: loess → centered MA, one pass): the hourly
+    mean-value series per event type splits into trend (centered
+    25-hour moving average, full windows only), seasonal (hour-of-day
+    mean of the detrended series), and residual — the decomposition a
+    monitoring pipeline runs before alerting on "value drifted"
+    (CUSUM/Hampel fire on the RESIDUAL, not the raw series, or every
+    daily cycle is an anomaly). Complements `events_periodogram`
+    (detects the cycle) and `events_seasonal_backtest` (forecasts
+    with it) with the decomposition itself.
+
+    Shape: one scan → (type, hour-bucket) mean (map-side combinable;
+    bucket arithmetic is pure integer epoch//3600, no session-timezone
+    term), then two window passes over the BUCKETED series — rows
+    ∝ types × hours, corpus-volume-independent, so the windows'
+    per-key ordered sort is over a bounded series (the window_agg
+    scale posture). Trend uses a ROWS frame ±12 with an exact
+    25-row-count gate (series edges emit NULL, never a
+    partial-window estimate); seasonal is a window avg partitioned by
+    (type, hour-of-day) over the detrended values. Every stage is
+    rounded 4dp under the shared half-up nudge before feeding the
+    next, so the cross-engine float drift of an order-dependent sum
+    never reaches a boundary.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        (F.unix_micros(F.col("ts")) / 1_000_000).cast("long").alias("sec"),
+    )
+    hourly = ev.groupBy(
+        "event_type", (F.col("sec") - F.col("sec") % 3600).alias("hsec")
+    ).agg(_r4(F.avg("v")).alias("y"))
+    wtr = (
+        Window.partitionBy("event_type")
+        .orderBy("hsec")
+        .rowsBetween(-12, 12)
+    )
+    t1 = hourly.select(
+        "event_type",
+        "hsec",
+        "y",
+        F.when(F.count("y").over(wtr) == 25, _r4(F.avg("y").over(wtr))).alias(
+            "trend"
+        ),
+    ).withColumn("detr", F.col("y") - F.col("trend"))
+    wse = Window.partitionBy(
+        "event_type", (F.col("hsec") / F.lit(3600)).cast("long") % 24
+    )
+    return (
+        t1.withColumn("seasonal", _r4(F.avg("detr").over(wse)))
+        .select(
+            "event_type",
+            F.timestamp_seconds(F.col("hsec")).alias("ts_hour"),
+            "y",
+            (F.col("trend") + 0.0).alias("trend"),
+            (F.col("seasonal") + 0.0).alias("seasonal"),
+            (_r4(F.col("y") - F.col("trend") - F.col("seasonal")) + 0.0).alias(
+                "resid"
+            ),
+        )
+        .orderBy("event_type", "ts_hour")
+    )
+
+
+EVENTS_STL_DECOMPOSE_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS hsec,
+         round(avg(value) + 1e-9, 4) AS y
+  FROM events
+  GROUP BY 1, 2
+),
+tr AS (
+  SELECT event_type, hsec, y,
+         CASE WHEN count(y) OVER w = 25
+              THEN round(avg(y) OVER w + 1e-9, 4) END AS trend
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hsec
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+se AS (
+  SELECT event_type, hsec, y, trend,
+         round(avg(y - trend) OVER (
+             PARTITION BY event_type, (hsec // 3600) % 24
+         ) + 1e-9, 4) AS seasonal
+  FROM tr
+)
+SELECT event_type,
+       make_timestamp(hsec * 1000000) AS ts_hour,
+       y,
+       trend + 0.0 AS trend,
+       seasonal + 0.0 AS seasonal,
+       round(y - trend - seasonal + 1e-9, 4) + 0.0 AS resid
+FROM se
+ORDER BY event_type, ts_hour
+"""
+
+
 QUERIES = {
+    "events_stl_decompose": events_stl_decompose,
     "value_cusum_drift": value_cusum_drift,
     "events_seasonal_backtest": events_seasonal_backtest,
     "events_periodogram": events_periodogram,
@@ -1156,7 +1258,7 @@ ORACLES = {
     "events_periodogram": EVENTS_PERIODOGRAM_SQL,
     "value_hampel_filter": VALUE_HAMPEL_FILTER_SQL,
     "events_holt_linear": EVENTS_HOLT_LINEAR_SQL,
-
+    "events_stl_decompose": EVENTS_STL_DECOMPOSE_SQL,
     "trailing_10min_value": TRAILING_10MIN_VALUE_SQL,
     "timeseries_pattern_topk": _pattern_topk_sql(),
     "hourly_median_iqr": HOURLY_MEDIAN_IQR_SQL,

@@ -23,18 +23,25 @@ debts VERDICT r6 ranked highest):
 filled (VERDICT r6 #1 — "the entire gap between builder-attested and
 driver-proven") take the front of the window for their first driver
 look; [D] the staleness rotation resumes (VERDICT r6 #4) with the
-first 28 of the 33 entries the round-6 [C] wave displaced, oldest
-driver evidence first, in the documented queue order; [A] one
+first 23 of the 33 entries the round-6 [C] wave displaced, oldest
+driver evidence first, in the documented queue order; [C] the 4
+round-7 NEW operators (PQ asymmetric-distance top-K search, classical
+STL decomposition, BH-FDR over the hourly Welch z family, the
+deterministic epoch-shuffle audit) displace the last 4 [D] slots per
+the standing policy (new evidence > refreshed evidence); [A] one
 contract-surface repair (`lang_source_chisq` gained a `dof_global`
 column per ADVICE r6 — changed schema must re-window), displacing
-the 28th [D] slot
-([E]22 + [D]27 + [A]1 = 50).
+one more [D] slot
+([E]22 + [D]23 + [C]4 + [A]1 = 50).
 Rows dropped this round hold r1–r6 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-8 rotation queue — FIRST the 6 [D] entries that did not fit
-this round (`alerts_large_trade_lookup_join` — displaced by the
+Round-8 rotation queue — FIRST the 10 [D] entries that did not fit
+this round (`dash_latest_value_per_day`,
+`dash_price_per_minute_single_key`, `small_quantity_revenue`,
+`disjunctive_revenue` — displaced by the round-7 [C] wave —
+then `alerts_large_trade_lookup_join` — displaced by the
 lang_source_chisq repair — then `order_status_pivot`,
 `big_orders_having`, `window_agg_sliding`, `order_priority_counts`,
 `lineitem_rollup`),
@@ -165,10 +172,15 @@ _PRIORITY = [
     "dash_recent_alerts",
     "dash_live_trades",
     "dash_pipeline_liveness",
-    "dash_latest_value_per_day",
-    "dash_price_per_minute_single_key",
-    "small_quantity_revenue",
-    "disjunctive_revenue",
+    # --- [C] round-7 NEW operators displace the last 4 [D] slots per
+    # the standing policy (new evidence > refreshed evidence):
+    # `dash_latest_value_per_day`, `dash_price_per_minute_single_key`,
+    # `small_quantity_revenue`, `disjunctive_revenue` lead the round-8
+    # queue ---
+    "similarity_pq_adc_topk",
+    "events_stl_decompose",
+    "hourly_value_fdr_bh",
+    "corpus_epoch_shuffle_audit",
     # --- [A] contract-surface repair: lang_source_chisq gained a
     # dof_global column (ADVICE r6 — dof_per_row sums to R·(C−1), not
     # the test dof; the true (R−1)·(C−1) is now emitted) and its

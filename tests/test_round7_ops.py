@@ -1,0 +1,169 @@
+"""Invariant tests for the round-7 wave: PQ asymmetric-distance
+search, classical STL decomposition, BH-FDR over hourly z-tests, and
+the deterministic epoch-shuffle audit."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+    corpus_epoch_shuffle_audit,
+)
+from cdc_realtime_pipeline_spark.operators.inference import hourly_value_fdr_bh
+from cdc_realtime_pipeline_spark.operators.similarity import (
+    _ADC_K,
+    _PQ_CODES,
+    _PQ_SUBDIM,
+    _PQ_SUBS,
+    N_QUERIES,
+    similarity_pq_adc_topk,
+)
+from cdc_realtime_pipeline_spark.operators.timeseries import events_stl_decompose
+from cdc_realtime_pipeline_spark.session import load_table
+
+
+def _md5_uniform(key: str) -> float:
+    h = hashlib.md5(key.encode()).hexdigest()
+    return sum(int(h[i], 16) * 16.0 ** -(i + 1) for i in range(8))
+
+
+def _pq_centroid(sub: int, code: int, sdim: int) -> float:
+    return _md5_uniform(f"pq|{sub}|{code}|{sdim}") - 0.5
+
+
+def test_pq_adc_topk_matches_numpy_replica(spark, sf_dir):
+    got = similarity_pq_adc_topk(spark, sf_dir).collect()
+    assert len(got) == N_QUERIES * _ADC_K
+    # python replica: codebook, codes (8dp-round-then-argmin), LUT, ADC
+    cb = np.array(
+        [
+            [[_pq_centroid(s, c, d) for d in range(_PQ_SUBDIM)]
+             for c in range(_PQ_CODES)]
+            for s in range(_PQ_SUBS)
+        ]
+    )  # (S, C, D)
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    codes = {}
+    luts = {}
+    for vid, v in vecs.items():
+        subs = v.reshape(_PQ_SUBS, _PQ_SUBDIM)
+        d2 = np.round(((subs[:, None, :] - cb) ** 2).sum(axis=2) + 1e-9, 8)
+        if vid < N_QUERIES:
+            luts[vid] = d2  # full (S, C) table
+        else:
+            codes[vid] = d2.argmin(axis=1)  # ties: argmin -> lowest code
+    for q in range(N_QUERIES):
+        adc = {
+            vid: round(sum(luts[q][s, c] for s, c in enumerate(cd)) + 1e-9, 6)
+            for vid, cd in codes.items()
+        }
+        want = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:_ADC_K]
+        rows = sorted((r for r in got if r.query_id == q), key=lambda r: r.rank)
+        assert [(r.vec_id, r.adc_dist) for r in rows] == [
+            (vid, d) for vid, d in want
+        ]
+
+
+def test_stl_decompose_identity_and_trend_frame(spark, sf_dir):
+    rows = events_stl_decompose(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, series in by_type.items():
+        series.sort(key=lambda r: r.ts_hour)
+        ys = [r.y for r in series]
+        # trend: centered 25-row moving average, full frames only
+        for i, r in enumerate(series):
+            lo, hi = max(0, i - 12), min(len(series), i + 13)
+            if hi - lo == 25:
+                want = round(sum(ys[lo:hi]) / 25.0 + 1e-9, 4)
+                assert r.trend is not None and math.isclose(
+                    r.trend, want, abs_tol=5e-5
+                )
+            else:
+                assert r.trend is None
+        # seasonal: hour-of-day mean of detrended; additive identity
+        detr: dict[int, list[float]] = {}
+        for r in series:
+            if r.trend is not None:
+                hod = int(r.ts_hour.timestamp() // 3600) % 24
+                detr.setdefault(hod, []).append(r.y - r.trend)
+        for r in series:
+            hod = int(r.ts_hour.timestamp() // 3600) % 24
+            if r.trend is None or hod not in detr:
+                continue
+            want_seas = round(sum(detr[hod]) / len(detr[hod]) + 1e-9, 4)
+            assert math.isclose(r.seasonal, want_seas, abs_tol=5e-4)
+            assert math.isclose(
+                r.resid, round(r.y - r.trend - r.seasonal + 1e-9, 4), abs_tol=5e-5
+            )
+
+
+def test_fdr_bh_matches_python_and_is_monotone(spark, sf_dir):
+    got = {r.hour: r for r in hourly_value_fdr_bh(spark, sf_dir).collect()}
+    assert len(got) == 24
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    per: dict[int, list[float]] = {}
+    for r in ev:
+        per.setdefault(int(r.ts.timestamp() // 3600) % 24, []).append(
+            float(r.value)
+        )
+    # exact z via Welch one-vs-rest, exact p via erfc; ours is the A&S
+    # polynomial (|err| < 1.5e-7 two-sided) on the 4dp-rounded z
+    allv = [v for vs in per.values() for v in vs]
+    gn, gs, gss = len(allv), sum(allv), sum(v * v for v in allv)
+    ps = {}
+    for h, vs in per.items():
+        n, s, ss = len(vs), sum(vs), sum(v * v for v in vs)
+        nr, sr, ssr = gn - n, gs - s, gss - ss
+        m, mr = s / n, sr / nr
+        var = (ss - s * s / n) / (n - 1)
+        varr = (ssr - sr * sr / nr) / (nr - 1)
+        z = (m - mr) / math.sqrt(var / n + varr / nr)
+        assert math.isclose(got[h].z_score, z, abs_tol=2e-4)
+        p_exact = math.erfc(abs(round(z + 1e-9, 4)) / math.sqrt(2.0))
+        assert abs(got[h].p_value - p_exact) < 2e-6
+        ps[h] = got[h].p_value
+    # BH step-up on the emitted (rounded) p-values
+    order = sorted(ps, key=lambda h: (ps[h], h))
+    m_hyp = len(order)
+    tail_min = 1.0
+    adj = {}
+    for rk in range(m_hyp, 0, -1):
+        h = order[rk - 1]
+        tail_min = min(tail_min, ps[h] * m_hyp / rk)
+        adj[h] = round(min(1.0, tail_min) + 1e-9, 6)
+    for h in ps:
+        assert math.isclose(got[h].p_bh, adj[h], abs_tol=2e-6)
+        assert got[h].p_bh >= got[h].p_value - 1e-9
+        assert got[h].significant == int(got[h].p_bh <= 0.10)
+
+
+def test_epoch_shuffle_audit_independence(spark, sf_dir):
+    rows = corpus_epoch_shuffle_audit(spark, sf_dir).collect()
+    assert [(r.epoch_a, r.epoch_b) for r in rows] == [(0, 1), (0, 2), (1, 2)]
+    doc_ids = [
+        r.doc_id for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id").collect()
+    ]
+    n = len(doc_ids)
+    u = {
+        e: np.array([_md5_uniform(f"ep{e}|{d}") for d in doc_ids])
+        for e in range(3)
+    }
+    for r in rows:
+        assert r.n_docs == n
+        want = round(float(np.corrcoef(u[r.epoch_a], u[r.epoch_b])[0, 1]) + 1e-9, 6)
+        assert math.isclose(r.rho_u, want, abs_tol=2e-6)
+        # independence: |rho| within ~4 standard errors of 0
+        assert abs(r.rho_u) < 4.0 / math.sqrt(n)
+        # 16x16 contingency chi-square ~ chi2(255): mean 255, sd ~22.6
+        assert 120.0 < r.chisq_256 < 420.0
