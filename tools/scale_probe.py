@@ -107,6 +107,10 @@ PROBE_QUERIES = [
     ("stream_countmin_sketch", "stateful complete-mode sketch counters, E2E"),
     ("customer_tercile_migration", "two-period full-outer tercile matrix join"),
     ("label_knn_loo_eval", "broadcast eval set x corpus scan, top-k vote"),
+    # round-7 new operators with probe-worthy shapes (STL/FDR are
+    # bounded-series window / 24-row moment shapes already priced)
+    ("similarity_pq_adc_topk", "code scan x broadcast LUT, windowed top-k"),
+    ("corpus_epoch_shuffle_audit", "persisted hash scan -> 3x corr + 256-cell aggs"),
 ]
 
 TABLES = [
