@@ -1383,6 +1383,349 @@ LIMIT {_KN_TOP}
 """
 
 
+_QLG_ITERS = 4  # IRLS iterations (the user_logistic_regression count)
+_QLG_CAP = 15.0  # eta cap: sigmoid saturation / 1/w bound
+
+
+def _cramer3(sw, s1, s2, s11, s12, s22, sz, s1z, s2z) -> tuple[str, str, str]:
+    """Closed-form solve of the symmetric 3×3 weighted normal
+    equations by Cramer's rule — ONE SQL expression triple shared
+    verbatim by the Spark loop (F.expr) and the DuckDB oracle, so
+    both engines walk bit-identical arithmetic. Arguments are the
+    nine moment column names."""
+    det = (
+        f"({sw} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    b0 = (
+        f"round(({sz} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1z} * {s22} - {s12} * {s2z})"
+        f" + {s2} * ({s1z} * {s12} - {s11} * {s2z})) / {det} + 1e-12, 8)"
+    )
+    b1 = (
+        f"round(({sw} * ({s1z} * {s22} - {s12} * {s2z})"
+        f" - {sz} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s2z} - {s1z} * {s2})) / {det} + 1e-12, 8)"
+    )
+    b2 = (
+        f"round(({sw} * ({s11} * {s2z} - {s1z} * {s12})"
+        f" - {s1} * ({s1} * {s2z} - {s1z} * {s2})"
+        f" + {sz} * ({s1} * {s12} - {s11} * {s2})) / {det} + 1e-12, 8)"
+    )
+    return b0, b1, b2
+
+
+def docs_quality_logistic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-CLASSIFIER gate of a curation pipeline (the
+    fastText-style filter of GPT-3/LLaMA data prep — Brown 2020 §A,
+    Touvron 2023): a logistic model over cheap text-shape features
+    scores every document, and the pipeline keeps what clears the
+    sigmoid. Two engineered features — x₁ = ln(1+tokens), x₂ = mean
+    chars/token — fit by {I} unrolled IRLS iterations against a
+    DETERMINISTIC stand-in label (lang = 'en'; a human/LLM quality
+    annotation drops in as a label-column swap, the same
+    trained-artifact seam as the hash-derived PQ codebook). Extends
+    the GLM family's 2×2 solves (user_poisson / user_logistic) to the
+    3-coefficient weighted normal equations, solved closed-form by a
+    Cramer triple SHARED verbatim between engines (`_cramer3`).
+
+    Shape: one tokenization scan → per-doc (x₁, x₂, y) persisted
+    (doc-count-sized), then per iteration ONE nine-moment weighted
+    aggregate (map-side combinable, scalar result) + the broadcast
+    scalar solve — IRLS at corpus scale is {I} scans of a persisted
+    feature relation, nothing driver-side. η capped ±{C} (bounds 1/w
+    through sigmoid saturation), coefficients rounded 8dp per
+    iteration so float drift cannot compound across iterations.
+    Output: coefficients, training accuracy at 0.5, kept fraction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda x: F.length(x) > 0,
+    )
+    base = tracked_persist(
+        docs.select(
+            (F.col("lang") == "en").cast("double").alias("y"),
+            F.size(toks).cast("double").alias("nt"),
+            F.col("n_chars").cast("double").alias("nc"),
+        ).select(
+            "y",
+            F.expr("ln(1.0 + nt)").alias("x1"),
+            F.expr("nc / (1.0 + nt)").alias("x2"),
+        )
+    )
+    b = base.agg(
+        F.expr("round(ln(avg(y) / (1.0 - avg(y))) + 1e-12, 8)").alias("b0"),
+        F.lit(0.0).alias("b1"),
+        F.lit(0.0).alias("b2"),
+    )
+    eta = (
+        f"greatest(least(b0 + b1 * x1 + b2 * x2, {_QLG_CAP}), -{_QLG_CAP})"
+    )
+    e0, e1, e2 = _cramer3(
+        "sw", "s1", "s2", "s11", "s12", "s22", "sz", "s1z", "s2z"
+    )
+    for _ in range(_QLG_ITERS):
+        m = (
+            base.crossJoin(F.broadcast(b))
+            .select("x1", "x2", "y", F.expr(eta).alias("eta"))
+            .select(
+                "x1",
+                "x2",
+                "y",
+                "eta",
+                F.expr("1.0 / (1.0 + exp(-eta))").alias("mu"),
+            )
+            .select(
+                "x1",
+                "x2",
+                F.expr("mu * (1.0 - mu)").alias("w"),
+                F.expr("eta + (y - mu) / (mu * (1.0 - mu))").alias("z"),
+            )
+            .agg(
+                F.sum("w").alias("sw"),
+                F.sum(F.expr("w * x1")).alias("s1"),
+                F.sum(F.expr("w * x2")).alias("s2"),
+                F.sum(F.expr("w * x1 * x1")).alias("s11"),
+                F.sum(F.expr("w * x1 * x2")).alias("s12"),
+                F.sum(F.expr("w * x2 * x2")).alias("s22"),
+                F.sum(F.expr("w * z")).alias("sz"),
+                F.sum(F.expr("w * x1 * z")).alias("s1z"),
+                F.sum(F.expr("w * x2 * z")).alias("s2z"),
+            )
+        )
+        b = m.select(
+            F.expr(e0).alias("b0"),
+            F.expr(e1).alias("b1"),
+            F.expr(e2).alias("b2"),
+        )
+    final = base.crossJoin(F.broadcast(b)).withColumn("eta", F.expr(eta))
+    return final.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("round(max(b0) + 1e-9, 6) + 0.0").alias("b0"),
+        F.expr("round(max(b1) + 1e-9, 6) + 0.0").alias("b_logtok"),
+        F.expr("round(max(b2) + 1e-9, 6) + 0.0").alias("b_wlen"),
+        F.count_if(
+            ((F.col("eta") > 0) & (F.col("y") == 1.0))
+            | ((F.col("eta") <= 0) & (F.col("y") == 0.0))
+        )
+        .cast("long")
+        .alias("n_correct_at_half"),
+        F.count_if(F.col("eta") > 0).cast("long").alias("n_kept"),
+        F.expr("round(avg(y) + 1e-9, 4) + 0.0").alias("base_rate"),
+    )
+
+
+docs_quality_logistic_gate.__doc__ = docs_quality_logistic_gate.__doc__.format(
+    I=_QLG_ITERS, C=_QLG_CAP
+)
+
+
+def _qlg_pass_sql(prev: str, out: str) -> str:
+    eta = (
+        f"greatest(least({prev}.b0 + {prev}.b1 * x1 + {prev}.b2 * x2,"
+        f" {_QLG_CAP}), -{_QLG_CAP})"
+    )
+    e0, e1, e2 = _cramer3(
+        "sw", "s1", "s2", "s11", "s12", "s22", "sz", "s1z", "s2z"
+    )
+    return f"""
+m_{out} AS (
+  SELECT sum(w) AS sw,
+         sum(w * x1) AS s1, sum(w * x2) AS s2,
+         sum(w * x1 * x1) AS s11, sum(w * x1 * x2) AS s12,
+         sum(w * x2 * x2) AS s22,
+         sum(w * z) AS sz, sum(w * x1 * z) AS s1z, sum(w * x2 * z) AS s2z
+  FROM (
+    SELECT x1, x2,
+           mu * (1.0 - mu) AS w,
+           eta + (y - mu) / (mu * (1.0 - mu)) AS z
+    FROM (
+      SELECT x1, x2, y, eta, 1.0 / (1.0 + exp(-eta)) AS mu
+      FROM (SELECT x1, x2, y, {eta} AS eta FROM base CROSS JOIN {prev})
+    )
+  )
+),
+{out} AS (
+  SELECT {e0} AS b0, {e1} AS b1, {e2} AS b2 FROM m_{out}
+)"""
+
+
+def _qlg_oracle_sql() -> str:
+    passes = ",".join(
+        _qlg_pass_sql(f"it{i}", f"it{i + 1}") for i in range(_QLG_ITERS)
+    )
+    eta = (
+        f"greatest(least(f.b0 + f.b1 * x1 + f.b2 * x2, {_QLG_CAP}),"
+        f" -{_QLG_CAP})"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         ln(1.0 + nt) AS x1,
+         nc / (1.0 + nt) AS x2
+  FROM (
+    SELECT lang,
+           CAST(len(list_filter(
+             string_split({NORMALIZE_SQL.format(col='text')}, ' '),
+             x -> length(x) > 0)) AS DOUBLE) AS nt,
+           CAST(n_chars AS DOUBLE) AS nc
+    FROM documents
+  )
+),
+it0 AS (
+  SELECT round(ln(avg(y) / (1.0 - avg(y))) + 1e-12, 8) AS b0,
+         0.0 AS b1, 0.0 AS b2
+  FROM base
+),
+{passes}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(max(f.b0) + 1e-9, 6) + 0.0 AS b0,
+       round(max(f.b1) + 1e-9, 6) + 0.0 AS b_logtok,
+       round(max(f.b2) + 1e-9, 6) + 0.0 AS b_wlen,
+       CAST(count(CASE WHEN ({eta} > 0 AND y = 1.0)
+                         OR ({eta} <= 0 AND y = 0.0) THEN 1 END)
+            AS BIGINT) AS n_correct_at_half,
+       CAST(count(CASE WHEN {eta} > 0 THEN 1 END) AS BIGINT) AS n_kept,
+       round(avg(y) + 1e-9, 4) + 0.0 AS base_rate
+FROM base CROSS JOIN it{_QLG_ITERS} f
+"""
+
+
+def text_kn_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY leg of ``text_bigram_kneser_ney`` — CCNet-style
+    perplexity filtering with the trained bigram model instead of
+    `corpus_perplexity_buckets`' unigram proxy: every document is
+    scored by its mean bigram cross-entropy −(1/B)·Σ log₂ P_KN(w₂|w₁)
+    under the corpus-trained interpolated-KN table, then rolled up to
+    per-(source, ⌊CE⌋ band) populations — the table a curation run
+    reads to set its perplexity cut line per source.
+
+    Shape: ONE tokenization pass → per-doc bigram relation (persisted;
+    the corpus-scale term), the model's three integer aggregates
+    re-derived FROM that relation (no second scan — same statistics as
+    the training row), then pairs ⋈ model on (w1, w2) — the
+    shingle-join class, pair-keyed shuffle, AQE decides — and two
+    map-side-combinable roll-ups (doc, then band). Training on the
+    scoring corpus means every scored bigram exists in the model, so
+    the join is inner with no OOV branch (held-out scoring adds a
+    back-off row, not a new plan).
+
+    Cross-engine: P_KN stays UNROUNDED into log₂ (tail probabilities
+    round to 0 at any fixed scale — log of the exact integer-derived
+    rationals instead; both engines evaluate the identical division
+    tree, log2 is 1-ulp libm), per-doc CE rounds 4dp, band = ⌊CE⌋ on
+    the rounded value so the band edge is taken on identical doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda x: F.length(x) > 0,
+    )
+    pairs = tracked_persist(
+        docs.select("doc_id", "source", arr.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1),"
+                    " slice(ws, 2, size(ws) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "source", "bg.w1", "bg.w2")
+    )
+    c = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_bigram"))
+    left = c.groupBy("w1").agg(
+        F.sum("c_bigram").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = c.groupBy("w2").agg(F.count("*").alias("n1p"))
+    t = c.agg(F.count("*").cast("double").alias("tt"))
+    model = (
+        c.join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                f"log2(greatest(c_bigram - {_KN_D}, 0.0) / c1"
+                f" + {_KN_D} * n1f / c1 * (n1p / tt))"
+            ).alias("lp"),
+        )
+    )
+    doc_ce = (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("round(-avg(lp) + 1e-9, 4)").alias("ce"),
+        )
+    )
+    return (
+        doc_ce.groupBy("source", F.floor("ce").cast("long").alias("ce_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            (F.round(F.avg("ce") + 1e-9, 4) + 0.0).alias("avg_ce"),
+        )
+        .orderBy("source", "ce_band")
+    )
+
+
+TEXT_KN_PERPLEXITY_BANDS_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         list_filter(string_split({NORMALIZE_SQL.format(col='text')}, ' '),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+),
+pairs AS MATERIALIZED (
+  SELECT doc_id, source,
+         ws[CAST(t.i AS INT) + 1] AS w1, ws[CAST(t.i AS INT) + 2] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(0, len(ws) - 1)) AS i) t
+  WHERE len(ws) >= 2
+),
+c AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c_bigram FROM pairs GROUP BY w1, w2
+),
+lft AS (
+  SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c1, count(*) AS n1f
+  FROM c GROUP BY w1
+),
+cont AS (SELECT w2, count(*) AS n1p FROM c GROUP BY w2),
+t AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM c),
+model AS MATERIALIZED (
+  SELECT c.w1, c.w2,
+         log2(greatest(c.c_bigram - {_KN_D}, 0.0) / lft.c1
+              + {_KN_D} * lft.n1f / lft.c1 * (cont.n1p / t.tt)) AS lp
+  FROM c
+  JOIN lft ON c.w1 = lft.w1
+  JOIN cont ON c.w2 = cont.w2
+  CROSS JOIN t
+),
+doc_ce AS (
+  SELECT p.doc_id, p.source,
+         count(*) AS n_bigrams,
+         round(-avg(m.lp) + 1e-9, 4) AS ce
+  FROM pairs p JOIN model m ON p.w1 = m.w1 AND p.w2 = m.w2
+  GROUP BY p.doc_id, p.source
+)
+SELECT source,
+       CAST(floor(ce) AS BIGINT) AS ce_band,
+       count(*) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       round(avg(ce) + 1e-9, 4) + 0.0 AS avg_ce
+FROM doc_ce
+GROUP BY source, ce_band
+ORDER BY source, ce_band
+"""
+
+
 # --------------------------------------------------------------------------
 # MTLD lexical diversity (sequential factor walk)
 # --------------------------------------------------------------------------
@@ -1622,6 +1965,8 @@ LIMIT {_PMI_TOP}
 
 QUERIES = {
     "text_bigram_kneser_ney": text_bigram_kneser_ney,
+    "text_kn_perplexity_bands": text_kn_perplexity_bands,
+    "docs_quality_logistic_gate": docs_quality_logistic_gate,
     "text_pmi_collocations": text_pmi_collocations,
     "text_mtld_diversity": text_mtld_diversity,
     "corpus_token_budget_pack": corpus_token_budget_pack,
@@ -1643,6 +1988,8 @@ QUERIES = {
 
 ORACLES = {
     "text_bigram_kneser_ney": TEXT_BIGRAM_KNESER_NEY_SQL,
+    "text_kn_perplexity_bands": TEXT_KN_PERPLEXITY_BANDS_SQL,
+    "docs_quality_logistic_gate": _qlg_oracle_sql(),
     "text_pmi_collocations": TEXT_PMI_COLLOCATIONS_SQL,
     "text_mtld_diversity": TEXT_MTLD_DIVERSITY_SQL,
     "corpus_token_budget_pack": CORPUS_TOKEN_BUDGET_PACK_SQL,

@@ -167,3 +167,109 @@ def test_epoch_shuffle_audit_independence(spark, sf_dir):
         assert abs(r.rho_u) < 4.0 / math.sqrt(n)
         # 16x16 contingency chi-square ~ chi2(255): mean 255, sd ~22.6
         assert 120.0 < r.chisq_256 < 420.0
+
+
+def _norm(text: str) -> list[str]:
+    import re
+
+    t = re.sub(r"[^a-z0-9\s]", " ", text.lower())
+    t = re.sub(r"\s+", " ", t).strip()
+    return [w for w in t.split(" ") if w]
+
+
+def test_kn_perplexity_bands_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        _KN_D,
+        text_kn_perplexity_bands,
+    )
+
+    got = {(r.source, r.ce_band): r for r in
+           text_kn_perplexity_bands(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    pairs_by_doc = {}
+    cnt: Counter = Counter()
+    for d in docs:
+        ws = _norm(d.text)
+        if len(ws) < 2:
+            continue
+        bgs = list(zip(ws[:-1], ws[1:]))
+        pairs_by_doc[(d.doc_id, d.source)] = bgs
+        cnt.update(bgs)
+    c1: Counter = Counter()
+    n1f: Counter = Counter()
+    n1p: Counter = Counter()
+    for (w1, w2), c in cnt.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1p[w2] += 1
+    tt = float(len(cnt))
+    lp = {
+        bg: math.log2(
+            max(c - _KN_D, 0.0) / c1[bg[0]]
+            + _KN_D * n1f[bg[0]] / c1[bg[0]] * (n1p[bg[1]] / tt)
+        )
+        for bg, c in cnt.items()
+    }
+    want: dict = {}
+    for (doc_id, source), bgs in pairs_by_doc.items():
+        ce = round(-sum(lp[b] for b in bgs) / len(bgs) + 1e-9, 4)
+        key = (source, int(math.floor(ce)))
+        want.setdefault(key, []).append((ce, len(bgs)))
+    assert set(got) == set(want)
+    for key, entries in want.items():
+        r = got[key]
+        assert r.n_docs == len(entries)
+        assert r.n_bigrams == sum(nb for _, nb in entries)
+        avg_ce = round(sum(ce for ce, _ in entries) / len(entries) + 1e-9, 4)
+        assert math.isclose(r.avg_ce, avg_ce, abs_tol=5e-4)
+        # band edges honored on the rounded per-doc CE
+        assert all(key[1] <= ce < key[1] + 1 for ce, _ in entries)
+
+
+def test_quality_logistic_gate_matches_numpy_irls(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        _QLG_CAP,
+        _QLG_ITERS,
+        docs_quality_logistic_gate,
+    )
+
+    got = docs_quality_logistic_gate(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "text", "n_chars"
+    ).collect()
+    rows = []
+    for d in docs:
+        nt = float(len(_norm(d.text)))
+        rows.append(
+            (
+                1.0 if d.lang == "en" else 0.0,
+                math.log(1.0 + nt),
+                float(d.n_chars) / (1.0 + nt),
+            )
+        )
+    y = np.array([r[0] for r in rows])
+    X = np.column_stack(
+        [np.ones(len(rows)), [r[1] for r in rows], [r[2] for r in rows]]
+    )
+    b = np.array([round(math.log(y.mean() / (1 - y.mean())) + 1e-12, 8), 0.0, 0.0])
+    for _ in range(_QLG_ITERS):
+        eta = np.clip(X @ b, -_QLG_CAP, _QLG_CAP)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu)
+        z = eta + (y - mu) / w
+        A = X.T @ (w[:, None] * X)
+        r = X.T @ (w * z)
+        b = np.round(np.linalg.solve(A, r) + 1e-12, 8)
+    assert got.n_docs == len(rows)
+    assert math.isclose(got.b0, b[0], abs_tol=2e-5)
+    assert math.isclose(got.b_logtok, b[1], abs_tol=2e-5)
+    assert math.isclose(got.b_wlen, b[2], abs_tol=2e-5)
+    eta = np.clip(X @ b, -_QLG_CAP, _QLG_CAP)
+    pred = (eta > 0).astype(float)
+    assert got.n_correct_at_half == int((pred == y).sum())
+    assert got.n_kept == int(pred.sum())
+    assert math.isclose(got.base_rate, round(y.mean() + 1e-9, 4), abs_tol=1e-9)
