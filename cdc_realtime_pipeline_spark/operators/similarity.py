@@ -1746,6 +1746,47 @@ GROUP BY sub, code ORDER BY sub, code
 _ADC_K = 5  # results per query
 
 
+def _pq_codebook(spark: SparkSession) -> DataFrame:
+    """The hash-derived S×C×D codebook relation (see
+    embeddings_pq_assign) — shared by the assign/ADC/IVF-PQ legs."""
+    n = _PQ_SUBS * _PQ_CODES * _PQ_SUBDIM
+    cb = spark.range(n).select(
+        (F.col("id") / (_PQ_CODES * _PQ_SUBDIM)).cast("long").alias("sub"),
+        ((F.col("id") / _PQ_SUBDIM) % _PQ_CODES).cast("long").alias("code"),
+        (F.col("id") % _PQ_SUBDIM).alias("sdim"),
+    )
+    key = F.concat(
+        F.lit("pq|"),
+        F.col("sub").cast("string"),
+        F.lit("|"),
+        F.col("code").cast("string"),
+        F.lit("|"),
+        F.col("sdim").cast("string"),
+    )
+    return cb.select("sub", "code", "sdim", (_pq_uniform(key) - 0.5).alias("c"))
+
+
+def _pq_base_dists(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Per-(vec, subspace, code) squared distance, 8dp-rounded — the
+    relation both the stored-code argmin and the query LUT cut from."""
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim") / _PQ_SUBDIM).cast("long").alias("sub"),
+        (F.col("dim") % _PQ_SUBDIM).alias("sdim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return (
+        dims.join(F.broadcast(_pq_codebook(spark)), ["sub", "sdim"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+                    + 1e-9, 8).alias("d2")
+        )
+    )
+
+
 def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-K search (Jégou 2011 §IV) —
     the SEARCH leg on top of ``embeddings_pq_assign``'s codes: each
@@ -1776,38 +1817,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the database side (self-matches are vacuous).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = _PQ_SUBS * _PQ_CODES * _PQ_SUBDIM
-    cb = spark.range(n).select(
-        (F.col("id") / (_PQ_CODES * _PQ_SUBDIM)).cast("long").alias("sub"),
-        ((F.col("id") / _PQ_SUBDIM) % _PQ_CODES).cast("long").alias("code"),
-        (F.col("id") % _PQ_SUBDIM).alias("sdim"),
-    )
-    key = F.concat(
-        F.lit("pq|"),
-        F.col("sub").cast("string"),
-        F.lit("|"),
-        F.col("code").cast("string"),
-        F.lit("|"),
-        F.col("sdim").cast("string"),
-    )
-    cb = cb.select("sub", "code", "sdim", (_pq_uniform(key) - 0.5).alias("c"))
-
-    dims = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "x")
-    ).select(
-        "vec_id",
-        (F.col("dim") / _PQ_SUBDIM).cast("long").alias("sub"),
-        (F.col("dim") % _PQ_SUBDIM).alias("sdim"),
-        F.col("x").cast("double").alias("x"),
-    )
-    base_dists = (
-        dims.join(F.broadcast(cb), ["sub", "sdim"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(
-            F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-                    + 1e-9, 8).alias("d2")
-        )
-    )
+    base_dists = _pq_base_dists(spark, emb)
     # database side: stored codes (argmin per subspace), queries excluded
     wc = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     codes = (
@@ -1877,6 +1887,154 @@ adc AS (
 )
 SELECT query_id, rank, vec_id, adc_dist FROM (
   SELECT query_id, vec_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rank
+  FROM adc
+) WHERE rank <= {_ADC_K}
+ORDER BY query_id, rank
+"""
+
+
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed search — THE production ANN architecture
+    (Jégou 2011 §V, the FAISS `IVFx,PQy` index): the IVF coarse
+    quantizer (`similarity_topk_ivf`'s max-cosine cell assignment)
+    cuts the candidate set to the query's probed cell, and PQ
+    asymmetric distance (`similarity_pq_adc_topk`'s broadcast LUT)
+    ranks inside it — candidate CUT composed with memory-bounded
+    SCAN, exactly the filter swap the ADC docstring promises. At
+    100 TB the (cell_id, codes) pair IS the stored index row
+    (8 bytes + a cell id per vector); the scan touches one cell's
+    code lists per query and raw vectors appear nowhere.
+
+    Shape: the coarse assign is one broadcast-centroid pass + per-vec
+    argmax (corpus-scale, the IVF plan); codes come from the shared
+    ``_pq_base_dists`` argmin; candidates = codes ⋈ cell assignment
+    on vec_id (at scale this join is free — both live in the same
+    index row; here it prices one key-partitioned hash join), cell
+    filter against the broadcast query-cell row, ADC sum + windowed
+    top-K as in the flat scan. Same determinism discipline: 8dp
+    subspace distances, 6dp ADC sums, vec_id tiebreaks; the coarse
+    argmax inherits the IVF row's unrounded-fold cosine (sequential
+    fold = DuckDB list_dot_product order, bit-identical)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
+    )
+    cell_scored = emb.join(F.broadcast(cents), how="cross").withColumn(
+        "cell_cos", cosine(F.col("embedding"), F.col("cent"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cell_id")
+    )
+    assigned = (
+        cell_scored.withColumn("ark", F.row_number().over(wa))
+        .filter(F.col("ark") == 1)
+        .select("vec_id", "cell_id")
+    )
+    qcells = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cell_id").alias("qcell")
+    )
+    base_dists = _pq_base_dists(spark, emb)
+    wc = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        base_dists.filter(F.col("vec_id") >= N_QUERIES)
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    lut = base_dists.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "code", F.col("d2").alias("qd2")
+    )
+    cand = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(qcells), F.col("cell_id") == F.col("qcell"))
+    )
+    adc = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id", "cell_id")
+        .agg((F.round(F.sum("qd2") + 1e-9, 6) + 0.0).alias("adc_dist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("query_id", "rank", "vec_id", "cell_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+SIMILARITY_IVFPQ_TOPK_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell_id, e AS cent FROM emb WHERE vec_id < 4
+),
+cell_scored AS (
+  SELECT emb.vec_id, cents.cell_id,
+         list_dot_product(e, cent)
+           / (sqrt(list_dot_product(e, e))
+              * sqrt(list_dot_product(cent, cent))) AS cell_cos
+  FROM emb CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cell_cos DESC, cell_id ASC) AS ark
+    FROM cell_scored
+  ) WHERE ark = 1
+),
+qc AS (
+  SELECT vec_id AS query_id, cell_id AS qcell
+  FROM assigned WHERE vec_id < {N_QUERIES}
+),
+cb AS (
+  SELECT s.sub, c.code, d.sdim,
+         {_pq_uniform_sql("'pq|' || CAST(s.sub AS VARCHAR) || '|' || CAST(c.code AS VARCHAR) || '|' || CAST(d.sdim AS VARCHAR)")}
+           - 0.5 AS c
+  FROM (SELECT unnest(range({_PQ_SUBS})) AS sub) s,
+       (SELECT unnest(range({_PQ_CODES})) AS code) c,
+       (SELECT unnest(range({_PQ_SUBDIM})) AS sdim) d
+),
+dims AS (
+  SELECT e.vec_id,
+         CAST(t.i // {_PQ_SUBDIM} AS BIGINT) AS sub,
+         CAST(t.i % {_PQ_SUBDIM} AS BIGINT) AS sdim,
+         CAST(e.embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(0, len(e.embedding))) AS i) t
+),
+base_dists AS MATERIALIZED (
+  SELECT d.vec_id, d.sub, cb.code,
+         round(sum((d.x - cb.c) * (d.x - cb.c)) + 1e-9, 8) AS d2
+  FROM dims d JOIN cb ON d.sub = cb.sub AND d.sdim = cb.sdim
+  GROUP BY d.vec_id, d.sub, cb.code
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS rk
+    FROM base_dists WHERE vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, sub, code, d2 AS qd2
+  FROM base_dists WHERE vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT qc.query_id, codes.vec_id, a.cell_id,
+         round(sum(l.qd2) + 1e-9, 6) + 0.0 AS adc_dist
+  FROM codes
+  JOIN assigned a ON codes.vec_id = a.vec_id
+  JOIN qc ON a.cell_id = qc.qcell
+  JOIN lut l ON l.query_id = qc.query_id
+            AND codes.sub = l.sub AND codes.code = l.code
+  GROUP BY qc.query_id, codes.vec_id, a.cell_id
+)
+SELECT query_id, rank, vec_id, cell_id, adc_dist FROM (
+  SELECT query_id, vec_id, cell_id, adc_dist,
          CAST(row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rank
   FROM adc
@@ -2297,6 +2455,7 @@ QUERIES = {
     "label_knn_loo_eval": label_knn_loo_eval,
     "embeddings_pq_assign": embeddings_pq_assign,
     "similarity_pq_adc_topk": similarity_pq_adc_topk,
+    "similarity_ivfpq_topk": similarity_ivfpq_topk,
     "contrastive_hard_negatives": contrastive_hard_negatives,
     "embeddings_pca_power": embeddings_pca_power,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
@@ -2316,6 +2475,7 @@ ORACLES = {
     "similarity_mmr_rerank": SIMILARITY_MMR_RERANK_SQL,
     "embeddings_pq_assign": EMBEDDINGS_PQ_ASSIGN_SQL,
     "similarity_pq_adc_topk": SIMILARITY_PQ_ADC_TOPK_SQL,
+    "similarity_ivfpq_topk": SIMILARITY_IVFPQ_TOPK_SQL,
     "label_knn_loo_eval": LABEL_KNN_LOO_EVAL_SQL,
     "label_silhouette_centroid": LABEL_SILHOUETTE_CENTROID_SQL,
     "kmeans_label_ari": KMEANS_LABEL_ARI_SQL,

@@ -39,9 +39,10 @@ red predicts driver red on the typed-output class too).
 
 Round-8 rotation queue — FIRST the late-round-7 operators that
 arrived after the window was finalized (`text_kn_perplexity_bands` —
-the KN-model APPLY leg — and `docs_quality_logistic_gate` — the
-3-coefficient IRLS quality classifier; both local-green at 3 SFs,
-never driver-checked), then the 10 [D] entries that did not fit
+the KN-model APPLY leg — `docs_quality_logistic_gate` — the
+3-coefficient IRLS quality classifier — and `similarity_ivfpq_topk`
+— the IVF-PQ composed search; all local-green at 3 SFs, never
+driver-checked), then the 10 [D] entries that did not fit
 this round (`dash_latest_value_per_day`,
 `dash_price_per_minute_single_key`, `small_quantity_revenue`,
 `disjunctive_revenue` — displaced by the round-7 [C] wave —

@@ -273,3 +273,53 @@ def test_quality_logistic_gate_matches_numpy_irls(spark, sf_dir):
     assert got.n_correct_at_half == int((pred == y).sum())
     assert got.n_kept == int(pred.sum())
     assert math.isclose(got.base_rate, round(y.mean() + 1e-9, 4), abs_tol=1e-9)
+
+
+def test_ivfpq_topk_is_cell_restricted_adc(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        similarity_ivfpq_topk,
+    )
+
+    got = similarity_ivfpq_topk(spark, sf_dir).collect()
+    assert len(got) == N_QUERIES * _ADC_K
+    cb = np.array(
+        [
+            [[_pq_centroid(s, c, d) for d in range(_PQ_SUBDIM)]
+             for c in range(_PQ_CODES)]
+            for s in range(_PQ_SUBS)
+        ]
+    )
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    cents = {cid: vecs[cid] for cid in range(4)}
+
+    def cell_of(v):
+        cos = {
+            cid: float(v @ c) / (np.linalg.norm(v) * np.linalg.norm(c))
+            for cid, c in cents.items()
+        }
+        return max(cos, key=lambda cid: (cos[cid], -cid))
+
+    cells = {vid: cell_of(v) for vid, v in vecs.items()}
+    codes, luts = {}, {}
+    for vid, v in vecs.items():
+        d2 = np.round(
+            ((v.reshape(_PQ_SUBS, _PQ_SUBDIM)[:, None, :] - cb) ** 2).sum(axis=2)
+            + 1e-9, 8,
+        )
+        if vid < N_QUERIES:
+            luts[vid] = d2
+        else:
+            codes[vid] = d2.argmin(axis=1)
+    for q in range(N_QUERIES):
+        cand = {
+            vid: round(sum(luts[q][s, c] for s, c in enumerate(cd)) + 1e-9, 6)
+            for vid, cd in codes.items()
+            if cells[vid] == cells[q]
+        }
+        want = sorted(cand.items(), key=lambda kv: (kv[1], kv[0]))[:_ADC_K]
+        rows = sorted((r for r in got if r.query_id == q), key=lambda r: r.rank)
+        assert [(r.vec_id, r.adc_dist) for r in rows] == want
+        assert all(r.cell_id == cells[q] for r in rows)
