@@ -2456,6 +2456,136 @@ FROM m
 """
 
 
+def value_pot_gpd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD tail fit per event type (Pickands
+    1975; Hosking & Wallis 1987 PWM estimators) — the extreme-value
+    companion to `value_hill_tail_index`: Hill reads the tail index
+    from the top-k order statistics of the GLOBAL distribution; POT
+    models everything past a high threshold as Generalized Pareto and
+    yields the operational numbers (shape ξ, scale σ, and a
+    within-tail quantile — the VaR-style "what does a 1-in-1000
+    exceedance look like" a capacity/risk dashboard quotes).
+
+    Estimators: threshold u = per-type exact p95 (rounded 6dp BEFORE
+    the strict exceedance filter so the exceedance SET is
+    cross-engine identical); over y = value−u, probability-weighted
+    moments a₀ = ȳ and a₁ = avg(y·(1−pᵢ)) with Landwehr plotting
+    position pᵢ = (i−0.35)/n — the rank weighting is invariant to
+    tie order among equal y, so row_number needs no value tiebreak.
+    With r = a₀/(2a₁): ξ = (r−2)/(r−1), σ = a₀(1−ξ) (exact from
+    α_s = σ/((s+1)(s+1−ξ))), and the within-tail q=0.01 quantile
+    σ/ξ·(q^{−ξ}−1) with the ξ→0 limit σ·ln(1/q) guarded at |ξ|<1e-9.
+
+    Scale shape: the only per-row work past the scan is the
+    exceedance filter (~5% survive); the rank pass sorts ONLY the
+    exceedance set per type (at 100 TB the threshold rises with the
+    quantile target, keeping the sorted set a fixed small fraction —
+    and the sketch-percentile swap for u is a one-line change). One
+    grouped percentile, one windowed rank over exceedances, one
+    moment aggregate, closed forms after.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    thr = ev.groupBy("event_type").agg(
+        F.expr("round(percentile(v, 0.95) + 1e-9, 6)").alias("u")
+    )
+    exc = (
+        ev.join(F.broadcast(thr), "event_type")
+        .filter(F.col("v") > F.col("u"))
+        .select("event_type", "u", (F.col("v") - F.col("u")).alias("y"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("y")
+    wn = Window.partitionBy("event_type")
+    pw = (
+        exc.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+        .groupBy("event_type")
+        .agg(
+            F.max("u").alias("u"),
+            F.count("*").cast("long").alias("n_exceed"),
+            F.avg("y").alias("a0"),
+            F.avg(F.expr("y * (1.0 - (rk - 0.35) / n)")).alias("a1"),
+        )
+    )
+    fit = pw.select(
+        "event_type",
+        (F.round(F.col("u"), 4) + 0.0).alias("threshold"),
+        "n_exceed",
+        F.expr("round(a0 + 1e-9, 4) + 0.0").alias("mean_excess"),
+        F.expr(
+            "round((a0 / (2.0 * a1) - 2.0) / (a0 / (2.0 * a1) - 1.0)"
+            " + 1e-9, 6) + 0.0"
+        ).alias("gpd_xi"),
+        F.expr(
+            "round(a0 * (1.0 - (a0 / (2.0 * a1) - 2.0)"
+            " / (a0 / (2.0 * a1) - 1.0)) + 1e-9, 4) + 0.0"
+        ).alias("gpd_sigma"),
+    )
+    return fit.select(
+        "event_type",
+        "threshold",
+        "n_exceed",
+        "mean_excess",
+        "gpd_xi",
+        "gpd_sigma",
+        F.expr(
+            "round(CASE WHEN abs(gpd_xi) < 1e-9"
+            " THEN gpd_sigma * ln(100.0)"
+            " ELSE gpd_sigma / gpd_xi * (power(0.01, -gpd_xi) - 1.0) END"
+            " + 1e-9, 4) + 0.0"
+        ).alias("tail_q01_excess"),
+    ).orderBy("event_type")
+
+
+VALUE_POT_GPD_FIT_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+),
+thr AS (
+  SELECT event_type, round(quantile_cont(v, 0.95) + 1e-9, 6) AS u
+  FROM ev GROUP BY event_type
+),
+exc AS (
+  SELECT ev.event_type, thr.u, ev.v - thr.u AS y
+  FROM ev JOIN thr ON ev.event_type = thr.event_type
+  WHERE ev.v > thr.u
+),
+ranked AS (
+  SELECT event_type, u, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY y) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM exc
+),
+pw AS (
+  SELECT event_type,
+         max(u) AS u,
+         CAST(count(*) AS BIGINT) AS n_exceed,
+         avg(y) AS a0,
+         avg(y * (1.0 - (rk - 0.35) / n)) AS a1
+  FROM ranked GROUP BY event_type
+),
+fit AS (
+  SELECT event_type,
+         round(u, 4) + 0.0 AS threshold,
+         n_exceed,
+         round(a0 + 1e-9, 4) + 0.0 AS mean_excess,
+         round((a0 / (2.0 * a1) - 2.0) / (a0 / (2.0 * a1) - 1.0)
+               + 1e-9, 6) + 0.0 AS gpd_xi,
+         round(a0 * (1.0 - (a0 / (2.0 * a1) - 2.0)
+               / (a0 / (2.0 * a1) - 1.0)) + 1e-9, 4) + 0.0 AS gpd_sigma
+  FROM pw
+)
+SELECT event_type, threshold, n_exceed, mean_excess, gpd_xi, gpd_sigma,
+       round(CASE WHEN abs(gpd_xi) < 1e-9
+             THEN gpd_sigma * ln(100.0)
+             ELSE gpd_sigma / gpd_xi * (power(0.01, -gpd_xi) - 1.0) END
+             + 1e-9, 4) + 0.0 AS tail_q01_excess
+FROM fit
+ORDER BY event_type
+"""
+
+
 def _pnorm2_sql(z: str) -> str:
     """Two-sided normal p-value 2·(1−Φ(|z|)) as a SHARED closed form
     (Abramowitz & Stegun 26.2.17, |err| < 7.5e-8): one SQL expression
@@ -2599,6 +2729,7 @@ ORDER BY hour
 QUERIES = {
     "events_ols_two_factor": events_ols_two_factor,
     "hourly_value_fdr_bh": hourly_value_fdr_bh,
+    "value_pot_gpd_fit": value_pot_gpd_fit,
     "events_anova_oneway": events_anova_oneway,
     "orders_survival_km": orders_survival_km,
     "customer_value_gini": customer_value_gini,
@@ -2626,6 +2757,7 @@ QUERIES = {
 ORACLES = {
     "events_ols_two_factor": EVENTS_OLS_TWO_FACTOR_SQL,
     "hourly_value_fdr_bh": HOURLY_VALUE_FDR_BH_SQL,
+    "value_pot_gpd_fit": VALUE_POT_GPD_FIT_SQL,
     "events_anova_oneway": EVENTS_ANOVA_ONEWAY_SQL,
     "orders_survival_km": ORDERS_SURVIVAL_KM_SQL,
     "customer_value_gini": CUSTOMER_VALUE_GINI_SQL,

@@ -40,8 +40,9 @@ red predicts driver red on the typed-output class too).
 Round-8 rotation queue — FIRST the late-round-7 operators that
 arrived after the window was finalized (`text_kn_perplexity_bands` —
 the KN-model APPLY leg — `docs_quality_logistic_gate` — the
-3-coefficient IRLS quality classifier — and `similarity_ivfpq_topk`
-— the IVF-PQ composed search; all local-green at 3 SFs, never
+3-coefficient IRLS quality classifier — `similarity_ivfpq_topk` —
+the IVF-PQ composed search — and `value_pot_gpd_fit` — the
+peaks-over-threshold GPD tail fit; all local-green at 3 SFs, never
 driver-checked), then the 10 [D] entries that did not fit
 this round (`dash_latest_value_per_day`,
 `dash_price_per_minute_single_key`, `small_quantity_revenue`,

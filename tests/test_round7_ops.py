@@ -323,3 +323,48 @@ def test_ivfpq_topk_is_cell_restricted_adc(spark, sf_dir):
         rows = sorted((r for r in got if r.query_id == q), key=lambda r: r.rank)
         assert [(r.vec_id, r.adc_dist) for r in rows] == want
         assert all(r.cell_id == cells[q] for r in rows)
+
+
+def test_pot_gpd_fit_matches_python_pwm(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.inference import value_pot_gpd_fit
+
+    got = {r.event_type: r for r in value_pot_gpd_fit(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    per: dict[str, list[float]] = {}
+    for r in ev:
+        per.setdefault(r.event_type, []).append(float(r.value))
+    for et, vs in per.items():
+        vs.sort()
+        # exact continuous-interpolation p95 (the percentile/quantile_cont
+        # definition), rounded 6dp as the operator does
+        pos = 0.95 * (len(vs) - 1)
+        lo = int(math.floor(pos))
+        u = round(vs[lo] + (pos - lo) * (vs[min(lo + 1, len(vs) - 1)] - vs[lo])
+                  + 1e-9, 6)
+        y = sorted(v - u for v in vs if v > u)
+        n = len(y)
+        a0 = sum(y) / n
+        a1 = sum(
+            yi * (1.0 - (i + 1 - 0.35) / n) for i, yi in enumerate(y)
+        ) / n
+        r_ = a0 / (2.0 * a1)
+        xi = (r_ - 2.0) / (r_ - 1.0)
+        sigma = a0 * (1.0 - xi)
+        g = got[et]
+        assert g.n_exceed == n
+        assert math.isclose(g.threshold, round(u, 4), abs_tol=1e-9)
+        assert math.isclose(g.mean_excess, a0, abs_tol=2e-4)
+        assert math.isclose(g.gpd_xi, xi, abs_tol=2e-5)
+        assert math.isclose(g.gpd_sigma, sigma, abs_tol=2e-4)
+        q = (sigma / xi * (0.01 ** -xi - 1.0)) if abs(xi) >= 1e-9 \
+            else sigma * math.log(100.0)
+        # emitted q01 is computed from the ROUNDED xi/sigma
+        q_emitted = (
+            g.gpd_sigma / g.gpd_xi * (0.01 ** -g.gpd_xi - 1.0)
+            if abs(g.gpd_xi) >= 1e-9 else g.gpd_sigma * math.log(100.0)
+        )
+        assert math.isclose(g.tail_q01_excess, round(q_emitted + 1e-9, 4),
+                            abs_tol=1e-9)
+        assert math.isclose(q, q_emitted, rel_tol=1e-2)
+        # sanity: the within-tail 1% quantile exceeds the mean excess
+        assert g.tail_q01_excess > g.mean_excess
