@@ -1552,6 +1552,10 @@ def corpus_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             (F.round(F.corr("ua", "ub") + 1e-9, 6) + 0.0).alias("rho_u"),
         )
+        # Empty cells contribute (0-E)^2/E = E = n/256 each; summing only
+        # observed (ba,bb) cells would drop them (ADVICE r7), understating
+        # chisq vs the dof-255 calibration. (256 - observed) * n/256 adds
+        # them back without materializing the full grid.
         chi = (
             pair.groupBy("ba", "bb")
             .agg(F.count("*").cast("double").alias("o"))
@@ -1559,7 +1563,9 @@ def corpus_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.expr(
                     "round(sum((o - n_docs / 256.0) * (o - n_docs / 256.0)"
-                    " / (n_docs / 256.0)) + 1e-9, 4) + 0.0"
+                    " / (n_docs / 256.0))"
+                    " + (256 - count(*)) * (max(n_docs) / 256.0)"
+                    " + 1e-9, 4) + 0.0"
                 ).alias("chisq_256")
             )
         )
@@ -1610,7 +1616,9 @@ cells AS (
 chi AS (
   SELECT c.epoch_a, c.epoch_b,
          round(sum((c.o - co.n_docs / 256.0) * (c.o - co.n_docs / 256.0)
-                   / (co.n_docs / 256.0)) + 1e-9, 4) + 0.0 AS chisq_256
+                   / (co.n_docs / 256.0))
+               + (256 - count(*)) * (max(co.n_docs) / 256.0)
+               + 1e-9, 4) + 0.0 AS chisq_256
   FROM cells c JOIN co ON c.epoch_a = co.epoch_a AND c.epoch_b = co.epoch_b
   GROUP BY 1, 2
 )

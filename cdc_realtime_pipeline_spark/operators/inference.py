@@ -2510,7 +2510,7 @@ def value_pot_gpd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fit = pw.select(
         "event_type",
-        (F.round(F.col("u"), 4) + 0.0).alias("threshold"),
+        (F.round(F.col("u") + 1e-9, 4) + 0.0).alias("threshold"),
         "n_exceed",
         F.expr("round(a0 + 1e-9, 4) + 0.0").alias("mean_excess"),
         F.expr(
@@ -2567,7 +2567,7 @@ pw AS (
 ),
 fit AS (
   SELECT event_type,
-         round(u, 4) + 0.0 AS threshold,
+         round(u + 1e-9, 4) + 0.0 AS threshold,
          n_exceed,
          round(a0 + 1e-9, 4) + 0.0 AS mean_excess,
          round((a0 / (2.0 * a1) - 2.0) / (a0 / (2.0 * a1) - 1.0)

@@ -1649,37 +1649,7 @@ def embeddings_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin on both engines (ties → lowest code id).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = _PQ_SUBS * _PQ_CODES * _PQ_SUBDIM
-    cb = spark.range(n).select(
-        (F.col("id") / (_PQ_CODES * _PQ_SUBDIM)).cast("long").alias("sub"),
-        ((F.col("id") / _PQ_SUBDIM) % _PQ_CODES).cast("long").alias("code"),
-        (F.col("id") % _PQ_SUBDIM).alias("sdim"),
-    )
-    key = F.concat(
-        F.lit("pq|"),
-        F.col("sub").cast("string"),
-        F.lit("|"),
-        F.col("code").cast("string"),
-        F.lit("|"),
-        F.col("sdim").cast("string"),
-    )
-    cb = cb.select("sub", "code", "sdim", (_pq_uniform(key) - 0.5).alias("c"))
-    dims = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "x")
-    ).select(
-        "vec_id",
-        (F.col("dim") / _PQ_SUBDIM).cast("long").alias("sub"),
-        (F.col("dim") % _PQ_SUBDIM).alias("sdim"),
-        F.col("x").cast("double").alias("x"),
-    )
-    dists = (
-        dims.join(F.broadcast(cb), ["sub", "sdim"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(
-            F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-                    + 1e-9, 8).alias("d2")
-        )
-    )
+    dists = _pq_base_dists(spark, emb)
     w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     assigned = dists.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     return (

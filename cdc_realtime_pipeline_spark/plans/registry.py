@@ -149,12 +149,9 @@ _PRIORITY = [
     "embeddings_anisotropy_audit",
     "text_mtld_diversity",
     # --- [D] staleness rotation resumes (VERDICT r6 #4), oldest
-    # driver evidence first: the first 28 of the 33 entries the
-    # round-6 [C] wave displaced, in the documented queue order.
-    # The remaining 5 (`order_status_pivot`, `big_orders_having`,
-    # `window_agg_sliding`, `order_priority_counts`,
-    # `lineitem_rollup`) lead the round-8 queue, then the r1-only
-    # pool continues oldest-first ---
+    # driver evidence first. Counts and the displaced-entry queue
+    # live in ONE place — the module docstring's "Round-8 rotation
+    # queue" paragraph — so this comment can't drift (ADVICE r7) ---
     "dash_distinct_users",
     "dash_latency_per_minute",
     "date_functions",

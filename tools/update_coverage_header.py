@@ -6,7 +6,11 @@ drifted in two consecutive rounds. This tool rewrites it from
 generated value. Run it (and commit the result) whenever the
 registry changes:
 
-    python tools/update_coverage_header.py
+    python tools/update_coverage_header.py [round_number]
+
+The round number stamped into the header defaults to the highest
+``BENCH_r{NN}.json`` present plus one (the in-progress round), so the
+tool never re-stamps a stale hard-coded round (ADVICE r7).
 """
 
 from __future__ import annotations
@@ -24,11 +28,25 @@ COVERAGE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 _HEADER_RE = re.compile(r"with \d+ queries / \d+ oracles \(end of\nround \d+\)")
 
 
+def _current_round() -> int:
+    """Highest BENCH_r{NN}.json + 1 = the round in progress."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def main() -> int:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else _current_round()
     nq, no = len(all_queries()), len(all_oracles())
     with open(COVERAGE) as f:
         text = f.read()
-    new = _HEADER_RE.sub(f"with {nq} queries / {no} oracles (end of\nround 7)", text, count=1)
+    new = _HEADER_RE.sub(
+        f"with {nq} queries / {no} oracles (end of\nround {rnd})", text, count=1
+    )
     if new == text and f"with {nq} queries" not in text:
         print("ERROR: header pattern not found — COVERAGE.md format changed", file=sys.stderr)
         return 1
