@@ -16,49 +16,35 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-7 window composition (the round-6 gate returned 50/50 green —
-no repairs to re-window, so the whole window serves the two evidence
-debts VERDICT r6 ranked highest):
-[E] the 22 late-round-6 operators that arrived after the r6 window
-filled (VERDICT r6 #1 — "the entire gap between builder-attested and
-driver-proven") take the front of the window for their first driver
-look; [D] the staleness rotation resumes (VERDICT r6 #4) with the
-first 23 of the 33 entries the round-6 [C] wave displaced, oldest
-driver evidence first, in the documented queue order; [C] the 4
-round-7 NEW operators (PQ asymmetric-distance top-K search, classical
-STL decomposition, BH-FDR over the hourly Welch z family, the
-deterministic epoch-shuffle audit) displace the last 4 [D] slots per
-the standing policy (new evidence > refreshed evidence); [A] one
-contract-surface repair (`lang_source_chisq` gained a `dof_global`
-column per ADVICE r6 — changed schema must re-window), displacing
-one more [D] slot
-([E]22 + [D]23 + [C]4 + [A]1 = 50).
-Rows dropped this round hold r1–r6 green evidence on unchanged code
+Round-8 window composition (the round-7 gate returned 49/50 full
+green; the 1 non-pass was `dash_approx_distinct_users` `err:
+no_oracle` — rows-only by design, now pinned OUT of the window
+permanently per VERDICT r7 #3 so a slot is never again spent on a
+row that cannot read green; its self-check invariant stays under the
+local harness and pytest):
+[E] the 4 late-round-7 operators that arrived after the r7 window
+filled (VERDICT r7 #1 — "the entire builder-attested vs
+driver-proven gap") plus the round-8 NEW operator
+(`similarity_pq_adc_rerank`, the exact refine stage after the ADC
+scan — VERDICT r7 #2) take the front for their first driver look;
+[A] one contract-surface repair: `corpus_epoch_shuffle_audit`'s
+chi-square now includes the empty-cell (0−E)²/E terms (ADVICE r7 —
+changed values must re-window); [D] the staleness rotation takes
+the remaining 44 slots, oldest driver evidence first as computed
+from CORRECTNESS_r0*.json: all 16 remaining r1-evidence entries,
+then the first 28 of the 34 r2-evidence entries in file order
+([E]5 + [A]1 + [D]44 = 50).
+Rows dropped this round hold r2–r7 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-8 rotation queue — FIRST the late-round-7 operators that
-arrived after the window was finalized (`text_kn_perplexity_bands` —
-the KN-model APPLY leg — `docs_quality_logistic_gate` — the
-3-coefficient IRLS quality classifier — `similarity_ivfpq_topk` —
-the IVF-PQ composed search — and `value_pot_gpd_fit` — the
-peaks-over-threshold GPD tail fit; all local-green at 3 SFs, never
-driver-checked), then the 10 [D] entries that did not fit
-this round (`dash_latest_value_per_day`,
-`dash_price_per_minute_single_key`, `small_quantity_revenue`,
-`disjunctive_revenue` — displaced by the round-7 [C] wave —
-then `alerts_large_trade_lookup_join` — displaced by the
-lang_source_chisq repair — then `order_status_pivot`,
-`big_orders_having`, `window_agg_sliding`, `order_priority_counts`,
-`lineitem_rollup`),
-then the r1-only pool continues oldest-first: `monthly_order_stats`,
-`cumulative_daily_value`, `set_operations`,
-`revenue_share_per_nation`, `cheapest_supplier_per_part`,
-`customers_without_orders`, and the r2-green block (media_*,
-corpus_* pack/split/vocab, stream_static_enrich, stream_stream_join,
-asof_join_last_click, bucketized_range_join, skewed_join_salted) —
-oldest evidence first, plus any round-7 [D] entries displaced by
-late round-7 additions.
+Round-9 rotation queue — the 6 r2-evidence entries that did not fit
+(`corpus_vocab_topk`, `corpus_length_histogram`,
+`stream_dedup_counts`, `stream_sessionize`, `stream_static_enrich`,
+`stream_stream_join`), then the remaining r2 block and the r3 pool,
+oldest evidence first per CORRECTNESS_r0*.json — plus, ahead of all
+of these, any round-8 operators added after this window was
+finalized.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -118,79 +104,69 @@ _MODULES = [
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
 _PRIORITY = [
-    # --- [E] the 22 late-round-6 operators that arrived after the r6
-    # window filled (VERDICT r6 #1) — all local-green at 3 SFs under
-    # the type-faithful harness, 8/8 of the judge's independent
-    # sf0.01 spot-checks passed; first driver look happens now.
-    # events_two_proportion_ztest was re-expressed per-user this
-    # round (ADVICE r6: event-level Bernoulli understates variance
-    # under within-user clustering), so its first driver row gates
-    # the corrected contract ---
-    "events_markov_stationary",
-    "value_hill_tail_index",
-    "stream_countmin_sketch",
-    "source_stylometry_delta",
-    "label_silhouette_centroid",
-    "parts_abc_classification",
-    "dup_graph_assortativity",
-    "lineitem_weighted_median",
-    "events_two_proportion_ztest",
-    "user_poisson_regression",
-    "user_logistic_regression",
-    "value_conformal_interval",
-    "text_pmi_collocations",
-    "user_overdispersion_check",
-    "customer_tercile_migration",
-    "lang_id_cohens_kappa",
-    "kmeans_label_ari",
-    "text_readability_flesch",
-    "events_dau_wau_stickiness",
-    "customer_lorenz_curve",
-    "embeddings_anisotropy_audit",
-    "text_mtld_diversity",
-    # --- [D] staleness rotation resumes (VERDICT r6 #4), oldest
-    # driver evidence first. Counts and the displaced-entry queue
-    # live in ONE place — the module docstring's "Round-8 rotation
-    # queue" paragraph — so this comment can't drift (ADVICE r7) ---
-    "dash_distinct_users",
-    "dash_latency_per_minute",
-    "date_functions",
-    "top_parts_per_supplier",
-    "ema_per_key",
-    "dash_bid_ask_ranking",
-    "region_revenue",
-    "revenue_top_orders",
-    "tpch_q6",
-    "alerts_large_trade",
-    "alerts_rapid_trades",
-    "tpch_q1",
-    "tpch_q12_like",
-    "tpch_q14_like",
-    "sessionize",
-    "window_rank_functions",
-    "value_quantiles",
-    "sessionize_native",
-    "window_agg_5m_salted",
-    "dash_approx_distinct_users",
-    "dash_recent_alerts",
-    "dash_live_trades",
-    "dash_pipeline_liveness",
-    # --- [C] round-7 NEW operators displace the last 4 [D] slots per
-    # the standing policy (new evidence > refreshed evidence):
-    # `dash_latest_value_per_day`, `dash_price_per_minute_single_key`,
-    # `small_quantity_revenue`, `disjunctive_revenue` lead the round-8
-    # queue ---
-    "similarity_pq_adc_topk",
-    "events_stl_decompose",
-    "hourly_value_fdr_bh",
+    # --- [E] first driver look: the 4 late-round-7 operators
+    # (VERDICT r7 #1) + the round-8 NEW exact refine stage
+    # (VERDICT r7 #2) — all local-green at 3 SFs under the
+    # type-faithful harness ---
+    "text_kn_perplexity_bands",
+    "docs_quality_logistic_gate",
+    "similarity_ivfpq_topk",
+    "value_pot_gpd_fit",
+    "similarity_pq_adc_rerank",
+    # --- [A] contract-surface repair: corpus_epoch_shuffle_audit's
+    # chi-square gained the empty-cell terms (ADVICE r7) — changed
+    # values must re-window ---
     "corpus_epoch_shuffle_audit",
-    # --- [A] contract-surface repair: lang_source_chisq gained a
-    # dof_global column (ADVICE r6 — dof_per_row sums to R·(C−1), not
-    # the test dof; the true (R−1)·(C−1) is now emitted) and its
-    # expected-count term is cast-before-multiply. Changed schema must
-    # re-window; displaces the last [D] slot
-    # (alerts_large_trade_lookup_join → round-8 queue) ---
-    "lang_source_chisq",
+    # --- [D] staleness rotation (VERDICT r7 #3 continuation),
+    # oldest driver evidence first per CORRECTNESS_r0*.json:
+    # the 16 entries whose only green row is round 1 ---
+    "dash_price_per_minute_single_key",
+    "dash_latest_value_per_day",
+    "window_agg_sliding",
+    "alerts_large_trade_lookup_join",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "cheapest_supplier_per_part",
+    "revenue_share_per_nation",
+    "cumulative_daily_value",
+    "set_operations",
+    "big_orders_having",
+    "order_priority_counts",
+    "customers_without_orders",
+    "monthly_order_stats",
+    "order_status_pivot",
+    "lineitem_rollup",
+    # --- [D] continued: the first 28 of the 34 entries whose newest
+    # green row is round 2, in file order; the remaining 6 lead the
+    # round-9 queue (module docstring) ---
+    "alerts_volume_surge",
+    "alerts_rapid_trades_reset",
+    "array_functions",
+    "skewed_join_salted",
+    "events_cube",
+    "events_rollup_multi_granularity",
+    "asof_join_last_click",
+    "quantity_band_join",
+    "bucketized_range_join",
+    "dedup_events_exact",
+    "dedup_docs_exact",
+    "dedup_docs_minhash",
+    "docs_simhash",
+    "cdc_op_filtered_counts",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "similarity_topk_bruteforce",
+    "media_features",
+    "media_resize_stats",
+    "media_frame_sample",
+    "props_json_extract",
+    "corpus_prep_pipeline",
+    "corpus_shard_stats",
+    "embeddings_preprocessed",
+    "corpus_pack_sequences",
+    "corpus_train_val_split",
 ]
 
 
