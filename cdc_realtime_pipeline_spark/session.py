@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce shuffles UNDER persisted plans too — the
+        # iterative operators (CC label propagation, BPE loop, k-means)
+        # persist a small relation every round, and with this off each
+        # round's joins are pinned at the full shuffle-partition count
+        # regardless of size (pure task overhead at fixture scale)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # driver fixtures store ns-precision timestamps; read as long and
         # convert in load_table (Spark timestamps are µs)
@@ -80,6 +86,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
         # the Python DataSource connector implements pushFilters
         # (SPARK-4.1 gates it behind this flag and ASSERTS if the
         # reader defines the method while the flag is off)
