@@ -111,6 +111,13 @@ PROBE_QUERIES = [
     # bounded-series window / 24-row moment shapes already priced)
     ("similarity_pq_adc_topk", "code scan x broadcast LUT, windowed top-k"),
     ("corpus_epoch_shuffle_audit", "persisted hash scan -> 3x corr + 256-cell aggs"),
+    # round-8 wave: the remaining late-r7 shapes VERDICT r7 #4 named,
+    # plus the new refine stage and the two re-shaped r8 plans
+    ("similarity_ivfpq_topk", "coarse cell assign + cell-cut ADC scan"),
+    ("similarity_pq_adc_rerank", "ADC top-R pool -> keyed vector fetch + exact re-rank"),
+    ("text_kn_perplexity_bands", "KN bigram stats re-derive + apply join"),
+    ("docs_quality_logistic_gate", "3-feature IRLS corpus aggs + scalar solve, gate join"),
+    ("value_pot_gpd_fit", "per-type tail filter + PWM moment aggs"),
 ]
 
 TABLES = [
