@@ -644,6 +644,201 @@ ORDER BY query_id, rk
 """
 
 
+_NPROBE = 2  # cells probed per query (the FAISS nprobe recall knob)
+
+
+def similarity_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe={NP} — the recall knob every IVF
+    deployment turns before touching the index itself: the query
+    probes its {NP} highest-cosine coarse cells instead of one, so
+    near-boundary neighbors assigned to the runner-up cell come back
+    into the candidate set. Candidates grow ~linearly in nprobe while
+    the corpus-side cost stays cell-local — the cheap end of the
+    recall/latency trade (re-centroiding is the expensive end).
+
+    Same plan as ``similarity_topk_ivf`` (broadcast centroids, one
+    corpus pass, per-vec argmax assignment) with one change: the query
+    side keeps its top-{NP} cell ranks, and the candidate join matches
+    ANY probed cell. A vector lives in exactly one cell, so no pair
+    duplicates; ``from_probe`` records which probe produced each hit —
+    the column that shows what nprobe=2 bought over nprobe=1.
+    Exact-cosine rerank inside the probed set, same 6dp/vec_id
+    determinism as the single-probe row.
+    """
+    k_cells = 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
+    )
+    scored = emb.join(F.broadcast(cents), how="cross").withColumn(
+        "cell_cos", cosine(F.col("embedding"), F.col("cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+    ranked_cells = scored.withColumn("ark", F.row_number().over(w))
+    assigned = ranked_cells.filter(F.col("ark") == 1).select(
+        "vec_id", "embedding", "cell_id"
+    )
+    qprobes = ranked_cells.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("ark") <= _NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("cell_id").alias("qcell"),
+        F.col("ark").cast("int").alias("probe"),
+    )
+    cand = assigned.join(
+        F.broadcast(qprobes),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    rer = cand.withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "vec_id", "cos", F.col("probe").alias("from_probe"))
+        .orderBy("query_id", "rk")
+    )
+
+
+similarity_topk_ivf_multiprobe.__doc__ = similarity_topk_ivf_multiprobe.__doc__.format(
+    NP=_NPROBE
+)
+
+
+SIMILARITY_TOPK_IVF_MULTIPROBE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell_id, e AS cent FROM emb WHERE vec_id < 4
+),
+cell_scored AS (
+  SELECT emb.vec_id, emb.e, cents.cell_id,
+         list_dot_product(e, cent)
+           / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cent, cent))) AS cell_cos
+  FROM emb CROSS JOIN cents
+),
+ranked_cells AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id ASC) AS ark
+  FROM cell_scored
+),
+assigned AS (
+  SELECT vec_id, e, cell_id FROM ranked_cells WHERE ark = 1
+),
+q AS (
+  SELECT vec_id AS query_id, e AS qv, cell_id AS qcell, CAST(ark AS INT) AS probe
+  FROM ranked_cells WHERE vec_id < {N_QUERIES} AND ark <= {_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id, q.probe,
+         round(list_dot_product(qv, a.e)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.e, a.e))),
+               6) AS cos
+  FROM assigned a JOIN q ON a.cell_id = q.qcell AND a.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, rk, vec_id, cos, probe AS from_probe
+FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
+_RRF_C = 60  # the standard RRF constant (Cormack/Clarke/Buettcher 2009)
+_RRF_K = 10  # fused results returned
+
+
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a sparse and a dense retriever — the
+    standard hybrid-search combiner (Cormack et al. 2009; the default
+    fusion in most RAG stacks): score(d) = Σ_lists 1/(c + rank_l(d)),
+    c={C}. Rank-based, so the two retrievers' incomparable score
+    scales (BM25 vs cosine) never meet; a document strong in either
+    list surfaces, one strong in both wins.
+
+    The sparse list is ``text_bm25_topk`` (fixed term query over
+    `documents`); the dense list is ``similarity_topk_bruteforce``
+    restricted to query 0 over `embeddings` — the fixtures share the
+    0..N id space, which is exactly the contract a hybrid index keeps
+    (one corpus, two indexes). Both retrievers are reused verbatim
+    (same plans, same oracle text), so fusion itself is a full-outer
+    join of two ≤{K}-row relations plus one window — driver-side
+    nothing, corpus-side nothing beyond what the retrievers already
+    price. ``bm25_rank`` / ``cos_rank`` stay NULL for single-list
+    hits; the two-term RRF sum is order-fixed and 8dp-rounded before
+    the final rank (ties → doc_id).
+    """
+    from cdc_realtime_pipeline_spark.operators.text_ops import text_bm25_topk
+
+    bm25 = text_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("bm25_rank"),
+    )
+    cos = (
+        similarity_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rk").alias("cos_rank"))
+    )
+    fused = bm25.join(cos, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.round(
+                F.coalesce(F.lit(1.0) / (_RRF_C + F.col("bm25_rank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (_RRF_C + F.col("cos_rank")), F.lit(0.0))
+                + 1e-9,
+                8,
+            )
+            + 0.0
+        ).alias("rrf_score"),
+    )
+    wr = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _RRF_K)
+        .select("rank", "doc_id", "rrf_score", "bm25_rank", "cos_rank")
+        .orderBy("rank")
+    )
+
+
+similarity_rrf_fusion.__doc__ = similarity_rrf_fusion.__doc__.format(
+    C=_RRF_C, K=_RRF_K
+)
+
+
+def _rrf_oracle_sql() -> str:
+    from cdc_realtime_pipeline_spark.operators.text_ops import ORACLES as _TO
+
+    return f"""
+WITH bm AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS bm25_rank
+  FROM ({_TO["text_bm25_topk"]}) t
+),
+cos AS (
+  SELECT vec_id AS doc_id, CAST(rk AS INT) AS cos_rank
+  FROM ({SIMILARITY_TOPK_BRUTEFORCE_SQL}) t WHERE query_id = 0
+),
+fused AS (
+  SELECT coalesce(bm.doc_id, cos.doc_id) AS doc_id, bm25_rank, cos_rank,
+         round(coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_C} + bm25_rank), 0.0)
+               + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_C} + cos_rank), 0.0)
+               + 1e-9, 8) + 0.0 AS rrf_score
+  FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+)
+SELECT rank, doc_id, rrf_score, bm25_rank, cos_rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+  FROM fused
+) WHERE rank <= {_RRF_K}
+ORDER BY rank
+"""
+
+
 def similarity_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization-impact self-check: top-K retrieval over the int8
     corpus (the storage format ``embeddings_preprocessed`` produces) vs
@@ -2530,6 +2725,8 @@ QUERIES = {
     "embeddings_kmeans_train": embeddings_kmeans_train,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_topk_ivf": similarity_topk_ivf,
+    "similarity_topk_ivf_multiprobe": similarity_topk_ivf_multiprobe,
+    "similarity_rrf_fusion": similarity_rrf_fusion,
     "dedup_embeddings_cosine": dedup_embeddings_cosine,
     "embedding_label_stats": embedding_label_stats,
     "similarity_recall_report": similarity_recall_report,
@@ -2553,6 +2750,8 @@ ORACLES = {
     "embeddings_kmeans_assign": EMBEDDINGS_KMEANS_ASSIGN_SQL,
     "similarity_topk_lsh": _lsh_oracle_sql(),
     "similarity_topk_ivf": SIMILARITY_TOPK_IVF_SQL,
+    "similarity_topk_ivf_multiprobe": SIMILARITY_TOPK_IVF_MULTIPROBE_SQL,
+    "similarity_rrf_fusion": _rrf_oracle_sql(),
     "dedup_embeddings_cosine": DEDUP_EMBEDDINGS_COSINE_SQL,
     "dedup_embeddings_semantic": DEDUP_EMBEDDINGS_SEMANTIC_SQL,
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,

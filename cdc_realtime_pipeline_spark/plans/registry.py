@@ -25,21 +25,24 @@ local harness and pytest):
 [E] the 4 late-round-7 operators that arrived after the r7 window
 filled (VERDICT r7 #1 — "the entire builder-attested vs
 driver-proven gap") plus the round-8 NEW operator
-(`similarity_pq_adc_rerank`, the exact refine stage after the ADC
-scan — VERDICT r7 #2) take the front for their first driver look;
+(`similarity_pq_adc_rerank` — the exact refine stage after the ADC
+scan, VERDICT r7 #2 — plus `similarity_topk_ivf_multiprobe`, the
+nprobe recall knob, and `similarity_rrf_fusion`, sparse+dense hybrid
+retrieval fusion) take the front for their first driver look;
 [A] one contract-surface repair: `corpus_epoch_shuffle_audit`'s
 chi-square now includes the empty-cell (0−E)²/E terms (ADVICE r7 —
 changed values must re-window); [D] the staleness rotation takes
 the remaining 44 slots, oldest driver evidence first as computed
 from CORRECTNESS_r0*.json: all 16 remaining r1-evidence entries,
-then the first 28 of the 34 r2-evidence entries in file order
-([E]5 + [A]1 + [D]44 = 50).
+then the first 26 of the 34 r2-evidence entries in file order
+([E]7 + [A]1 + [D]42 = 50).
 Rows dropped this round hold r2–r7 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-9 rotation queue — the 6 r2-evidence entries that did not fit
-(`corpus_vocab_topk`, `corpus_length_histogram`,
+Round-9 rotation queue — the 8 r2-evidence entries that did not fit
+(`corpus_pack_sequences`, `corpus_train_val_split`,
+`corpus_vocab_topk`, `corpus_length_histogram`,
 `stream_dedup_counts`, `stream_sessionize`, `stream_static_enrich`,
 `stream_stream_join`), then the remaining r2 block and the r3 pool,
 oldest evidence first per CORRECTNESS_r0*.json — plus, ahead of all
@@ -113,6 +116,8 @@ _PRIORITY = [
     "similarity_ivfpq_topk",
     "value_pot_gpd_fit",
     "similarity_pq_adc_rerank",
+    "similarity_topk_ivf_multiprobe",
+    "similarity_rrf_fusion",
     # --- [A] contract-surface repair: corpus_epoch_shuffle_audit's
     # chi-square gained the empty-cell terms (ADVICE r7) — changed
     # values must re-window ---
@@ -136,8 +141,8 @@ _PRIORITY = [
     "monthly_order_stats",
     "order_status_pivot",
     "lineitem_rollup",
-    # --- [D] continued: the first 28 of the 34 entries whose newest
-    # green row is round 2, in file order; the remaining 6 lead the
+    # --- [D] continued: the first 26 of the 34 entries whose newest
+    # green row is round 2, in file order; the remaining 8 lead the
     # round-9 queue (module docstring) ---
     "alerts_volume_surge",
     "alerts_rapid_trades_reset",
@@ -165,8 +170,6 @@ _PRIORITY = [
     "corpus_prep_pipeline",
     "corpus_shard_stats",
     "embeddings_preprocessed",
-    "corpus_pack_sequences",
-    "corpus_train_val_split",
 ]
 
 

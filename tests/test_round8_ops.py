@@ -9,11 +9,18 @@ from pyspark.sql import functions as F
 
 from cdc_realtime_pipeline_spark.operators.similarity import (
     _ADC_K,
+    _NPROBE,
     _RERANK_R,
+    _RRF_C,
+    _RRF_K,
     N_QUERIES,
+    TOP_K,
     similarity_pq_adc_rerank,
     similarity_pq_adc_topk,
+    similarity_rrf_fusion,
     similarity_topk_bruteforce,
+    similarity_topk_ivf,
+    similarity_topk_ivf_multiprobe,
 )
 from cdc_realtime_pipeline_spark.session import load_table
 
@@ -65,3 +72,49 @@ def test_rerank_recall_dominates_adc_topk(spark, sf_dir):
     # hit_exact column agrees with the recomputed membership
     for r in rr:
         assert r.hit_exact == int((r.query_id, r.vec_id) in bf)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nprobe=2's candidate set is a superset of nprobe=1's (same
+    corpus assignment, strictly more probed cells), and both rerank by
+    exact cosine — so multiprobe recall vs brute force can only be >=."""
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in similarity_topk_bruteforce(spark, sf_dir).collect()
+    }
+    single = similarity_topk_ivf(spark, sf_dir).collect()
+    multi = similarity_topk_ivf_multiprobe(spark, sf_dir).collect()
+    assert len(multi) == N_QUERIES * TOP_K
+    s_hits = sum((r.query_id, r.vec_id) in bf for r in single)
+    m_hits = sum((r.query_id, r.vec_id) in bf for r in multi)
+    assert m_hits >= s_hits
+    for r in multi:
+        assert 1 <= r.from_probe <= _NPROBE
+    # every single-probe result not displaced by a better candidate is
+    # still reachable: the probe-1 subset of multiprobe == single probe
+    # candidates, so probe-1 rows' cosines appear in the single results
+    single_set = {(r.query_id, r.vec_id) for r in single}
+    for r in multi:
+        if r.from_probe == 1 and (r.query_id, r.vec_id) not in single_set:
+            # only possible if a probe-2 candidate pushed it out of the
+            # single-probe top-K — impossible for probe-1 members, which
+            # rank at least as high there
+            raise AssertionError((r.query_id, r.vec_id))
+
+
+def test_rrf_scores_recompute_from_ranks(spark, sf_dir):
+    rows = similarity_rrf_fusion(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _RRF_K
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    prev = None
+    for r in rows:
+        want = 0.0
+        if r.bm25_rank is not None:
+            want += 1.0 / (_RRF_C + r.bm25_rank)
+        if r.cos_rank is not None:
+            want += 1.0 / (_RRF_C + r.cos_rank)
+        assert r.bm25_rank is not None or r.cos_rank is not None
+        assert abs(r.rrf_score - want) < 1e-6
+        if prev is not None:
+            assert (prev.rrf_score, -prev.doc_id) >= (r.rrf_score, -r.doc_id)
+        prev = r
