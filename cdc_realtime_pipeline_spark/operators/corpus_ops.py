@@ -869,6 +869,56 @@ ORDER BY cutoff
 BPE_TRAIN_STEPS = 5
 
 
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The K-step BPE training loop (see ``tokenizer_bpe_train_merges``
+    for the full account) — factored so the ENCODE leg can reuse the
+    identical merges and final vocabulary. Returns (tops, snapshots):
+    the per-step argmax rows and the persisted (word, wc, syms)
+    vocabulary after each merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    vocab = tracked_persist(
+        words.select("word", "wc", F.split("word", "").alias("syms"))
+    )
+    pair_expr = (
+        "IF(size(syms) < 2, array(),"
+        " transform(sequence(1, size(syms) - 1),"
+        " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))))"
+    )
+    tops = []
+    snapshots = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        top = (
+            vocab.select("wc", F.explode(F.expr(pair_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .first()  # scalar driver action, one per merge step
+        )
+        a, b = top.pair.split(" ")
+        m = a + b
+        fold = (
+            "aggregate(syms, cast(array() as array<string>),"
+            f" (acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{a}'"
+            f" AND s = '{b}',"
+            f" concat(slice(acc, 1, size(acc) - 1), array('{m}')),"
+            " concat(acc, array(s))))"
+        )
+        vocab = tracked_persist(
+            vocab.select("word", "wc", F.expr(fold).alias("syms"))
+        )
+        tops.append(top)
+        snapshots.append(vocab)
+    return tops, snapshots
+
+
 def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual BPE training LOOP (Sennrich et al. 2016), not just
     its first-iteration statistic: {K} merge steps, each picking the
@@ -897,47 +947,7 @@ def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold per word (depth = word length, rows = Σ|word| — vocab-sized,
     the declarative mirror of the sequential fold).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(
-            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
-        )
-        .filter(F.length("word") >= 2)
-        .groupBy("word")
-        .agg(F.count("*").alias("wc"))
-    )
-    vocab = tracked_persist(
-        words.select("wc", F.split("word", "").alias("syms"))
-    )
-    pair_expr = (
-        "IF(size(syms) < 2, array(),"
-        " transform(sequence(1, size(syms) - 1),"
-        " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1))))"
-    )
-    tops = []
-    snapshots = []
-    for step in range(1, BPE_TRAIN_STEPS + 1):
-        top = (
-            vocab.select("wc", F.explode(F.expr(pair_expr)).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("wc").cast("long").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("pair"))
-            .first()  # scalar driver action, one per merge step
-        )
-        a, b = top.pair.split(" ")
-        m = a + b
-        fold = (
-            "aggregate(syms, cast(array() as array<string>),"
-            f" (acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{a}'"
-            f" AND s = '{b}',"
-            f" concat(slice(acc, 1, size(acc) - 1), array('{m}')),"
-            " concat(acc, array(s))))"
-        )
-        vocab = tracked_persist(
-            vocab.select("wc", F.expr(fold).alias("syms"))
-        )
-        tops.append(top)
-        snapshots.append(vocab)
+    tops, snapshots = _bpe_train(spark, sf_dir)
     # one batched action for all per-step compression readings (the
     # snapshots are persisted, so this re-executes nothing upstream)
     from functools import reduce
@@ -967,9 +977,10 @@ tokenizer_bpe_train_merges.__doc__ = tokenizer_bpe_train_merges.__doc__.format(
 )
 
 
-def _bpe_train_oracle_sql() -> str:
-    """Unrolled {K}-step oracle: per step, a pair aggregate, an argmax
-    CTE, and a recursive back-merge fold over each word."""
+def _bpe_oracle_parts() -> list[str]:
+    """The unrolled K-step CTE chain (v0 → pairs/top/fold → vK) shared
+    by the train and encode oracles — ONE SQL construction of the
+    merges, mirroring ``_bpe_train`` on the Spark side."""
     parts = [
         f"""v0 AS MATERIALIZED (
   SELECT word, count(*) AS wc, string_split(word, '') AS syms
@@ -1011,12 +1022,18 @@ def _bpe_train_oracle_sql() -> str:
            AS corpus_tokens
   FROM top{k} t
 )""")
+    return parts
+
+
+def _bpe_train_oracle_sql() -> str:
+    """Unrolled {K}-step oracle: per step, a pair aggregate, an argmax
+    CTE, and a recursive back-merge fold over each word."""
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM out{k}" for k in range(1, BPE_TRAIN_STEPS + 1)
     )
     return (
         "WITH RECURSIVE "
-        + ",\n".join(parts)
+        + ",\n".join(_bpe_oracle_parts())
         + f"\nSELECT CAST(step AS INT) AS step, merged_pair, pair_count,"
         f" corpus_tokens FROM ({union}) ORDER BY step"
     )
@@ -1027,6 +1044,99 @@ _bpe_train_oracle_sql.__doc__ = _bpe_train_oracle_sql.__doc__.format(
 )
 
 TOKENIZER_BPE_TRAIN_MERGES_SQL = _bpe_train_oracle_sql()
+
+
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE leg of the BPE tokenizer — apply the {K} learned
+    merges to every document and report its token accounting: word
+    count, BPE token count, character count, and chars-per-token (the
+    compression the tokenizer actually delivers per document — the
+    number a token-budget planner multiplies corpus bytes by). Trains
+    and applies in one lineage, the train→apply parity the KN bands
+    row established for LM scoring: a tokenizer you can't apply is a
+    statistic, not a tokenizer.
+
+    Shape: the {K}-step training loop runs once over the VOCABULARY
+    relation (``_bpe_train`` — corpus scanned once for word counts,
+    every merge pass vocab-sized, scalar-only driver actions); the
+    final (word → symbol array) snapshot IS the encoder, so encoding
+    is the corpus token stream joined to it on word — a word-keyed
+    hash join against a vocabulary-sized relation (AQE broadcasts it
+    at fixture scale; at 100 TB it stays a shuffle join bounded by
+    Heaps-law vocabulary growth, never corpus-sized) — followed by one
+    per-doc aggregate. Words under 2 chars never enter training and
+    encode as themselves (1 token, the coalesce branch).
+
+    Oracle: the shared ``_bpe_oracle_parts`` CTE chain re-derives the
+    identical merges, then the same left join + per-doc aggregate.
+    """
+    _tops, snapshots = _bpe_train(spark, sf_dir)
+    encoder = snapshots[-1].select("word", F.size("syms").alias("n_sub"))
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    enc = dw.join(encoder, "word", "left").select(
+        "doc_id",
+        F.coalesce("n_sub", F.lit(1)).alias("n_sub"),
+        F.length("word").alias("wchars"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+            F.sum("wchars").cast("long").alias("n_word_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "n_word_chars",
+            (
+                F.round(F.col("n_word_chars") / F.col("n_bpe_tokens") + 1e-9, 6)
+                + 0.0
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+tokenizer_bpe_encode.__doc__ = tokenizer_bpe_encode.__doc__.format(
+    K=BPE_TRAIN_STEPS
+)
+
+
+def _bpe_encode_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(_bpe_oracle_parts())
+        + f""",
+dw AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id,
+               unnest(string_split({NORMALIZE_SQL.format(col="text")}, ' ')) AS word
+        FROM documents)
+  WHERE length(word) > 0
+),
+enc AS (
+  SELECT dw.doc_id,
+         coalesce(len(v.syms), 1) AS n_sub,
+         length(dw.word) AS wchars
+  FROM dw LEFT JOIN v{BPE_TRAIN_STEPS} v ON dw.word = v.word
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(wchars) AS BIGINT) AS n_word_chars,
+       round(sum(wchars) / CAST(sum(n_sub) AS DOUBLE) + 1e-9, 6) + 0.0
+         AS chars_per_token
+FROM enc GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+TOKENIZER_BPE_ENCODE_SQL = _bpe_encode_oracle_sql()
 
 
 def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1663,6 +1773,7 @@ QUERIES = {
     "label_balanced_sample": label_balanced_sample,
     "tokenizer_bpe_pair_counts": tokenizer_bpe_pair_counts,
     "tokenizer_bpe_train_merges": tokenizer_bpe_train_merges,
+    "tokenizer_bpe_encode": tokenizer_bpe_encode,
     "corpus_vocab_coverage_curve": corpus_vocab_coverage_curve,
     "dup_graph_common_neighbors": dup_graph_common_neighbors,
 }
@@ -1686,6 +1797,7 @@ ORACLES = {
     "label_centroids": LABEL_CENTROIDS_SQL,
     "tokenizer_bpe_pair_counts": TOKENIZER_BPE_PAIR_COUNTS_SQL,
     "tokenizer_bpe_train_merges": TOKENIZER_BPE_TRAIN_MERGES_SQL,
+    "tokenizer_bpe_encode": TOKENIZER_BPE_ENCODE_SQL,
     "corpus_vocab_coverage_curve": CORPUS_VOCAB_COVERAGE_CURVE_SQL,
     "dup_graph_common_neighbors": DUP_GRAPH_COMMON_NEIGHBORS_SQL,
 }

@@ -2726,7 +2726,158 @@ ORDER BY hour
 """
 
 
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test + Theil–Sen slope per event type over
+    the hourly mean-value series — the standard NONPARAMETRIC trend
+    pair (monotone trend without assuming linearity or normal errors;
+    the Sen slope is the median of all pairwise slopes, robust to
+    ~29% outliers) that a monitoring pipeline runs where OLS-on-time
+    would be fooled by heavy tails. S = Σ_{i<j} sign(x_j − x_i);
+    Var(S) carries the tie correction Σ t(t−1)(2t+5)/18;
+    z = (S ∓ 1)/√Var with continuity correction; |z| > 1.96 flags the
+    trend at α=0.05.
+
+    Shape: one corpus scan → (type, hour) means (map-side
+    combinable), then the exact pairwise i<j self-join of the HOURLY
+    series — T² on a relation that is hours-sized, not corpus-sized
+    (the fixture's span is a few hundred hours; a 100 TB deployment
+    caps T by windowing the trend test — 90-day lookback — before
+    the pairwise term, or swaps in the O(T log T) merge-count form;
+    this exact form is its oracle-matched reference). Cross-engine:
+    hourly means rounded 6dp BEFORE pairwise signs/slopes (ties →
+    sign 0 consistently), Sen slope is the shared continuous-median
+    idiom, z rounded 4dp, trend label decided on the rounded z.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = tracked_persist(
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hb"),
+        ).agg((F.round(F.avg("value") + 1e-9, 6) + 0.0).alias("x"))
+    )
+    a = hourly.select(
+        "event_type", F.col("hb").alias("hi"), F.col("x").alias("xi")
+    )
+    b = hourly.select(
+        "event_type", F.col("hb").alias("hj"), F.col("x").alias("xj")
+    )
+    pw = a.join(b, "event_type").filter(F.col("hi") < F.col("hj"))
+    pair_stats = pw.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("xj") > F.col("xi"), 1)
+            .when(F.col("xj") < F.col("xi"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat"),
+        F.expr(
+            "round(percentile((xj - xi) / (hj - hi), 0.5) + 1e-9, 6) + 0.0"
+        ).alias("sen_slope"),
+    )
+    nh = hourly.groupBy("event_type").agg(F.count("*").cast("double").alias("n"))
+    ties = (
+        hourly.groupBy("event_type", "x")
+        .agg(F.count("*").cast("double").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias(
+                "tie_term"
+            )
+        )
+    )
+    out = (
+        pair_stats.join(nh, "event_type")
+        .join(ties, "event_type")
+        .withColumn(
+            "var_s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            )
+            / 18.0,
+        )
+        .withColumn(
+            "z",
+            F.when(
+                (F.col("var_s") > 0) & (F.col("s_stat") != 0),
+                F.round(
+                    (F.col("s_stat") - F.signum("s_stat"))
+                    / F.sqrt("var_s")
+                    + 1e-9,
+                    4,
+                )
+                + 0.0,
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        "s_stat",
+        (F.round(F.col("var_s") + 1e-9, 4) + 0.0).alias("var_s"),
+        F.col("z").alias("z_mk"),
+        "sen_slope",
+        F.when(F.col("z") > 1.959964, F.lit("increasing"))
+        .when(F.col("z") < -1.959964, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    ).orderBy("event_type")
+
+
+EVENTS_MANN_KENDALL_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+         round(avg(value) + 1e-9, 6) + 0.0 AS x
+  FROM events GROUP BY 1, 2
+),
+pw AS (
+  SELECT a.event_type,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+         (b.x - a.x) / (b.hb - a.hb) AS slope
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.hb < b.hb
+),
+pair_stats AS (
+  SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat,
+         round(quantile_cont(slope, 0.5) + 1e-9, 6) + 0.0 AS sen_slope
+  FROM pw GROUP BY 1
+),
+nh AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM hourly GROUP BY 1
+),
+ties AS (
+  SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT event_type, x, CAST(count(*) AS DOUBLE) AS t
+        FROM hourly GROUP BY 1, 2)
+  GROUP BY 1
+),
+j AS (
+  SELECT p.event_type, p.s_stat, p.sen_slope, nh.n,
+         (nh.n * (nh.n - 1) * (2 * nh.n + 5) - ties.tie_term) / 18.0 AS var_s
+  FROM pair_stats p JOIN nh USING (event_type) JOIN ties USING (event_type)
+),
+zed AS (
+  SELECT *,
+         CASE WHEN var_s > 0 AND s_stat != 0
+              THEN round((s_stat - sign(s_stat)) / sqrt(var_s) + 1e-9, 4) + 0.0
+              ELSE 0.0 END AS z
+  FROM j
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hours,
+       s_stat,
+       round(var_s + 1e-9, 4) + 0.0 AS var_s,
+       z AS z_mk,
+       sen_slope,
+       CASE WHEN z > 1.959964 THEN 'increasing'
+            WHEN z < -1.959964 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM zed ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_mann_kendall": events_mann_kendall,
     "events_ols_two_factor": events_ols_two_factor,
     "hourly_value_fdr_bh": hourly_value_fdr_bh,
     "value_pot_gpd_fit": value_pot_gpd_fit,
@@ -2755,6 +2906,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_mann_kendall": EVENTS_MANN_KENDALL_SQL,
     "events_ols_two_factor": EVENTS_OLS_TWO_FACTOR_SQL,
     "hourly_value_fdr_bh": HOURLY_VALUE_FDR_BH_SQL,
     "value_pot_gpd_fit": VALUE_POT_GPD_FIT_SQL,

@@ -48,9 +48,10 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-K for each query vector against the corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _cosine_topk(emb: DataFrame) -> DataFrame:
+    """Exact cosine top-K of the first-{N_QUERIES} query vectors
+    against the given (vec_id, embedding) corpus — the brute-force
+    kernel, shared with the truncated-dimension recall audit."""
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -64,8 +65,13 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "rk", "vec_id", "cos")
-        .orderBy("query_id", "rk")
     )
+
+
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K for each query vector against the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _cosine_topk(emb).orderBy("query_id", "rk")
 
 
 SIMILARITY_TOPK_BRUTEFORCE_SQL = f"""
@@ -836,6 +842,114 @@ SELECT rank, doc_id, rrf_score, bm25_rank, cos_rank FROM (
   FROM fused
 ) WHERE rank <= {_RRF_K}
 ORDER BY rank
+"""
+
+
+_TRUNC_DIMS = [16, 32]
+
+
+def similarity_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall audit — the measurement behind
+    Matryoshka-style retrieval (Kusupati 2022) and every "shorten the
+    vectors to cut the index 4×" decision: re-run exact cosine top-K
+    using only the FIRST d coordinates (d ∈ {DIMS}) and report recall
+    against the full-dimension answer. High truncated recall means
+    the cheap prefix index can serve as the coarse stage (full-dim
+    exact re-rank on its candidates — the ``similarity_pq_adc_rerank``
+    refine pattern with truncation instead of PQ as the compressor).
+
+    Shape: the shared brute-force kernel per budget over a SLICED
+    corpus (slice is a narrow projection — no shuffle added), hits
+    counted by semi-join against the full-dim top-K, one tiny union.
+    Note these fixtures are NOT Matryoshka-trained, so the expected
+    reading is "prefix carries ~d/D of the signal", not the flat
+    curve a trained MRL model shows — the audit exists exactly to
+    measure which regime an embedding column is in.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = _cosine_topk(emb).select("query_id", "vec_id")
+    per_dim = [
+        _cosine_topk(
+            emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        )
+        .select("query_id", "vec_id")
+        .withColumn("dim_budget", F.lit(d))
+        for d in _TRUNC_DIMS
+    ]
+    cand = per_dim[0]
+    for p in per_dim[1:]:
+        cand = cand.unionByName(p)
+    hits = (
+        cand.join(bf, ["query_id", "vec_id"], "left_semi")
+        .groupBy("dim_budget")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    denom = bf.agg(F.count("*").alias("n_full"))
+    return (
+        hits.crossJoin(F.broadcast(denom))
+        .select(
+            "dim_budget",
+            "n_hit",
+            "n_full",
+            (F.round(F.col("n_hit") / F.col("n_full") + 1e-9, 4) + 0.0).alias(
+                "recall"
+            ),
+        )
+        .orderBy("dim_budget")
+    )
+
+
+similarity_truncated_dim_recall.__doc__ = (
+    similarity_truncated_dim_recall.__doc__.format(DIMS=_TRUNC_DIMS)
+)
+
+
+def _trunc_topk_sql(d: int | None) -> str:
+    vec = f"e.embedding[1:{d}]::DOUBLE[]" if d else "e.embedding::DOUBLE[]"
+    qv = f"embedding[1:{d}]::DOUBLE[]" if d else "embedding::DOUBLE[]"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {qv} AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(qv, {vec})
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product({vec}, {vec}))),
+               6) AS cos
+  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+def _trunc_recall_oracle_sql() -> str:
+    dims_union = "\nUNION ALL\n".join(
+        f"SELECT {d} AS dim_budget, query_id, vec_id FROM ({_trunc_topk_sql(d)}) t{d}"
+        for d in _TRUNC_DIMS
+    )
+    return f"""
+WITH bf AS ({_trunc_topk_sql(None)}),
+cand AS (
+{dims_union}
+),
+hits AS (
+  SELECT dim_budget, count(*) AS n_hit
+  FROM cand c
+  WHERE EXISTS (SELECT 1 FROM bf
+                WHERE bf.query_id = c.query_id AND bf.vec_id = c.vec_id)
+  GROUP BY dim_budget
+)
+SELECT CAST(dim_budget AS INT) AS dim_budget, n_hit,
+       (SELECT count(*) FROM bf) AS n_full,
+       round(n_hit / CAST((SELECT count(*) FROM bf) AS DOUBLE) + 1e-9, 4) + 0.0
+         AS recall
+FROM hits ORDER BY dim_budget
 """
 
 
@@ -2727,6 +2841,7 @@ QUERIES = {
     "similarity_topk_ivf": similarity_topk_ivf,
     "similarity_topk_ivf_multiprobe": similarity_topk_ivf_multiprobe,
     "similarity_rrf_fusion": similarity_rrf_fusion,
+    "similarity_truncated_dim_recall": similarity_truncated_dim_recall,
     "dedup_embeddings_cosine": dedup_embeddings_cosine,
     "embedding_label_stats": embedding_label_stats,
     "similarity_recall_report": similarity_recall_report,
@@ -2752,6 +2867,7 @@ ORACLES = {
     "similarity_topk_ivf": SIMILARITY_TOPK_IVF_SQL,
     "similarity_topk_ivf_multiprobe": SIMILARITY_TOPK_IVF_MULTIPROBE_SQL,
     "similarity_rrf_fusion": _rrf_oracle_sql(),
+    "similarity_truncated_dim_recall": _trunc_recall_oracle_sql(),
     "dedup_embeddings_cosine": DEDUP_EMBEDDINGS_COSINE_SQL,
     "dedup_embeddings_semantic": DEDUP_EMBEDDINGS_SEMANTIC_SQL,
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,

@@ -118,3 +118,117 @@ def test_rrf_scores_recompute_from_ranks(spark, sf_dir):
         if prev is not None:
             assert (prev.rrf_score, -prev.doc_id) >= (r.rrf_score, -r.doc_id)
         prev = r
+
+
+def test_bpe_encode_consistent_with_train(spark, sf_dir):
+    """The encode leg's corpus-wide BPE token total must equal the
+    train leg's step-K corpus_tokens plus one token per sub-2-char
+    word occurrence (those never enter training and encode as
+    themselves)."""
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+        BPE_TRAIN_STEPS,
+        tokenizer_bpe_encode,
+        tokenizer_bpe_train_merges,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+
+    enc = tokenizer_bpe_encode(spark, sf_dir)
+    total = enc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    train = {
+        r.step: r.corpus_tokens
+        for r in tokenizer_bpe_train_merges(spark, sf_dir).collect()
+    }
+    short = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w")
+        )
+        .filter((F.length("w") == 1))
+        .count()
+    )
+    assert total == train[BPE_TRAIN_STEPS] + short
+    for r in enc.collect():
+        assert r.n_words <= r.n_bpe_tokens <= r.n_word_chars
+
+
+def test_mann_kendall_matches_numpy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        events_mann_kendall,
+    )
+
+    got = {r.event_type: r for r in events_mann_kendall(spark, sf_dir).collect()}
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("unix_micros(ts) div 3600000000").alias("hb"))
+        .agg((F.round(F.avg("value") + 1e-9, 6) + 0.0).alias("x"))
+        .collect()
+    )
+    series = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append((r.hb, r.x))
+    for et, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        s = 0
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = pts[j][1] - pts[i][1]
+                s += (d > 0) - (d < 0)
+                slopes.append(d / (pts[j][0] - pts[i][0]))
+        from collections import Counter
+
+        ties = Counter(x for _, x in pts)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        r = got[et]
+        assert r.s_stat == s
+        assert abs(r.var_s - var_s) < 1e-3
+        if var_s > 0 and s != 0:
+            z = (s - (s > 0) + (s < 0)) / var_s**0.5
+            assert abs(r.z_mk - z) < 1e-3
+        assert abs(r.sen_slope - float(np.median(slopes))) < 1e-5
+        assert r.trend == (
+            "increasing"
+            if r.z_mk > 1.959964
+            else "decreasing" if r.z_mk < -1.959964 else "no_trend"
+        )
+
+
+def test_truncated_dim_recall_matches_numpy(spark, sf_dir):
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        _TRUNC_DIMS,
+        similarity_truncated_dim_recall,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def topk(d):
+        out = set()
+        for q in range(N_QUERIES):
+            qv = emb[q][:d] if d else emb[q]
+            scored = []
+            for v, e in emb.items():
+                if v == q:
+                    continue
+                ev = e[:d] if d else e
+                c = round(qv @ ev / (np.linalg.norm(qv) * np.linalg.norm(ev)), 6)
+                scored.append((-c, v))
+            for _, v in sorted(scored)[:TOP_K]:
+                out.add((q, v))
+        return out
+
+    bf = topk(None)
+    got = {r.dim_budget: r for r in similarity_truncated_dim_recall(spark, sf_dir).collect()}
+    for d in _TRUNC_DIMS:
+        want_hits = len(topk(d) & bf)
+        assert got[d].n_hit == want_hits
+        assert got[d].n_full == len(bf)
+        assert abs(got[d].recall - round(want_hits / len(bf) + 1e-9, 4)) < 1e-9
