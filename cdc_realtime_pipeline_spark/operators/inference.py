@@ -2876,8 +2876,198 @@ FROM zed ORDER BY event_type
 """
 
 
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test across event types — the nonparametric
+    one-way ANOVA (`events_anova_oneway`'s rank-based twin, the pairing
+    ``events_mann_kendall`` gives OLS trend): do the k value
+    distributions share a location, judged on ranks so heavy tails and
+    skew can't fake or mask an effect? Tie-corrected H, Wilson–Hilferty
+    cube-root normal approximation for the p-value (k−1 df), per-group
+    rank sums alongside the shared verdict columns.
+
+    THE distributed trick: mid-ranks never touch the corpus sort.
+    Values round to 4dp, so the DISTINCT-value relation is bounded by
+    the value domain (not corpus size); the global mid-rank of value v
+    is C(v) + (n_v+1)/2 with C(v) the cumulative count of smaller
+    values — one window over that bounded distinct relation — and
+    per-group rank SUMS are then Σ n_{{g,v}}·R(v), a broadcast-sized
+    join + map-side agg. Corpus-side work is exactly two keyed
+    aggregates; the only ordered pass runs on the distinct-value
+    relation (the same bounded-sort contract the value-histogram rows
+    pin, with the scale note attached).
+
+    Cross-engine: values rounded 4dp before grouping (ties decided on
+    identical doubles), H rounded 4dp BEFORE the WH transform, p via
+    the shared A&S polynomial rounded 6dp.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.round(F.col("value") + 1e-9, 4) + 0.0).alias("v"),
+    )
+    per_gv = ev.groupBy("event_type", "v").agg(
+        F.count("*").cast("double").alias("n_gv")
+    )
+    per_v = per_gv.groupBy("v").agg(F.sum("n_gv").alias("n_v"))
+    # bounded ordered pass: cumulative count over DISTINCT rounded
+    # values only (domain-sized, never corpus-sized)
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = per_v.select(
+        "v",
+        "n_v",
+        (
+            F.coalesce(F.sum("n_v").over(wv), F.lit(0.0))
+            + (F.col("n_v") + 1) / 2.0
+        ).alias("r_mid"),
+    )
+    grp = (
+        per_gv.join(ranks.select("v", "r_mid"), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_gv").alias("n_g"),
+            F.sum(F.col("n_gv") * F.col("r_mid")).alias("rank_sum"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n_g").alias("nn"),
+        F.count("*").cast("double").alias("k"),
+        F.sum(F.col("rank_sum") * F.col("rank_sum") / F.col("n_g")).alias("rr"),
+    )
+    tie = per_v.agg(
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")).alias(
+            "tie_term"
+        )
+    )
+    h4 = (
+        tot.crossJoin(F.broadcast(tie))
+        .withColumn(
+            "h_raw",
+            (12.0 / (F.col("nn") * (F.col("nn") + 1)) * F.col("rr"))
+            - 3.0 * (F.col("nn") + 1),
+        )
+        .withColumn(
+            "h",
+            F.round(
+                F.col("h_raw")
+                / (
+                    1.0
+                    - F.col("tie_term")
+                    / (F.col("nn") * F.col("nn") * F.col("nn") - F.col("nn"))
+                )
+                + 1e-9,
+                4,
+            )
+            + 0.0,
+        )
+        .withColumn("df", F.col("k") - 1)
+        # Wilson–Hilferty: (H/df)^(1/3) ~ N(1 − 2/(9df), 2/(9df))
+        .withColumn(
+            "z_wh",
+            F.round(
+                (
+                    F.pow(F.col("h") / F.col("df"), 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * F.col("df")))
+                )
+                / F.sqrt(2.0 / (9.0 * F.col("df")))
+                + 1e-9,
+                4,
+            )
+            + 0.0,
+        )
+        .withColumn(
+            "p_value",
+            F.expr(
+                f"round(CASE WHEN z_wh >= 0 THEN {_pnorm2_sql('z_wh')} / 2.0 "
+                f"ELSE 1.0 - {_pnorm2_sql('z_wh')} / 2.0 END + 1e-9, 6) + 0.0"
+            ),
+        )
+    )
+    return (
+        grp.crossJoin(
+            F.broadcast(
+                h4.select("h", F.col("df").cast("int").alias("df"), "z_wh", "p_value")
+            )
+        )
+        .select(
+            "event_type",
+            F.col("n_g").cast("long").alias("n"),
+            (F.round(F.col("rank_sum") + 1e-9, 2) + 0.0).alias("rank_sum"),
+            (F.round(F.col("rank_sum") / F.col("n_g") + 1e-9, 4) + 0.0).alias(
+                "mean_rank"
+            ),
+            F.col("h").alias("h_stat"),
+            "df",
+            "z_wh",
+            "p_value",
+            (F.col("p_value") <= 0.05).cast("int").alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_KRUSKAL_WALLIS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, round(value + 1e-9, 4) + 0.0 AS v FROM events
+),
+per_gv AS (
+  SELECT event_type, v, CAST(count(*) AS DOUBLE) AS n_gv
+  FROM ev GROUP BY 1, 2
+),
+per_v AS (
+  SELECT v, sum(n_gv) AS n_v FROM per_gv GROUP BY 1
+),
+ranks AS (
+  SELECT v, n_v,
+         coalesce(sum(n_v) OVER (ORDER BY v ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0.0)
+           + (n_v + 1) / 2.0 AS r_mid
+  FROM per_v
+),
+grp AS (
+  SELECT g.event_type, sum(g.n_gv) AS n_g,
+         sum(g.n_gv * r.r_mid) AS rank_sum
+  FROM per_gv g JOIN ranks r ON g.v = r.v
+  GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_g) AS nn, CAST(count(*) AS DOUBLE) AS k,
+         sum(rank_sum * rank_sum / n_g) AS rr
+  FROM grp
+),
+tie AS (SELECT sum(n_v * n_v * n_v - n_v) AS tie_term FROM per_v),
+h4 AS (
+  SELECT round(((12.0 / (nn * (nn + 1)) * rr) - 3.0 * (nn + 1))
+               / (1.0 - tie_term / (nn * nn * nn - nn)) + 1e-9, 4) + 0.0 AS h,
+         k - 1 AS df
+  FROM tot CROSS JOIN tie
+),
+zed AS (
+  SELECT h, df,
+         round((pow(h / df, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * df)))
+               / sqrt(2.0 / (9.0 * df)) + 1e-9, 4) + 0.0 AS z_wh
+  FROM h4
+),
+verdict AS (
+  SELECT h, CAST(df AS INT) AS df, z_wh,
+         round(CASE WHEN z_wh >= 0 THEN {_pnorm2_sql('z_wh')} / 2.0
+               ELSE 1.0 - {_pnorm2_sql('z_wh')} / 2.0 END + 1e-9, 6) + 0.0
+           AS p_value
+  FROM zed
+)
+SELECT g.event_type,
+       CAST(g.n_g AS BIGINT) AS n,
+       round(g.rank_sum + 1e-9, 2) + 0.0 AS rank_sum,
+       round(g.rank_sum / g.n_g + 1e-9, 4) + 0.0 AS mean_rank,
+       v.h AS h_stat, v.df, v.z_wh, v.p_value,
+       CAST(v.p_value <= 0.05 AS INT) AS significant
+FROM grp g CROSS JOIN verdict v
+ORDER BY g.event_type
+"""
+
+
 QUERIES = {
     "events_mann_kendall": events_mann_kendall,
+    "events_kruskal_wallis": events_kruskal_wallis,
     "events_ols_two_factor": events_ols_two_factor,
     "hourly_value_fdr_bh": hourly_value_fdr_bh,
     "value_pot_gpd_fit": value_pot_gpd_fit,
@@ -2907,6 +3097,7 @@ QUERIES = {
 
 ORACLES = {
     "events_mann_kendall": EVENTS_MANN_KENDALL_SQL,
+    "events_kruskal_wallis": EVENTS_KRUSKAL_WALLIS_SQL,
     "events_ols_two_factor": EVENTS_OLS_TWO_FACTOR_SQL,
     "hourly_value_fdr_bh": HOURLY_VALUE_FDR_BH_SQL,
     "value_pot_gpd_fit": VALUE_POT_GPD_FIT_SQL,

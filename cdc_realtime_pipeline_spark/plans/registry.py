@@ -31,20 +31,23 @@ nprobe recall knob, and `similarity_rrf_fusion`, sparse+dense hybrid
 retrieval fusion; `tokenizer_bpe_encode`, the BPE apply leg;
 `events_mann_kendall`, nonparametric trend + Theil–Sen slope; and
 `similarity_truncated_dim_recall`, the Matryoshka-style truncation
-audit) take the front for their first driver look;
+audit; and `events_kruskal_wallis`, rank-based one-way ANOVA on a
+bounded distinct-value rank relation) take the front for their first
+driver look;
 [A] one contract-surface repair: `corpus_epoch_shuffle_audit`'s
 chi-square now includes the empty-cell (0−E)²/E terms (ADVICE r7 —
 changed values must re-window); [D] the staleness rotation takes
 the remaining 44 slots, oldest driver evidence first as computed
 from CORRECTNESS_r0*.json: all 16 remaining r1-evidence entries,
-then the first 23 of the 34 r2-evidence entries in file order
-([E]10 + [A]1 + [D]39 = 50).
+then the first 22 of the 34 r2-evidence entries in file order
+([E]11 + [A]1 + [D]38 = 50).
 Rows dropped this round hold r2–r7 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-9 rotation queue — the 11 r2-evidence entries that did not fit
-(`corpus_prep_pipeline`, `corpus_shard_stats`,
+Round-9 rotation queue — the 12 r2-evidence entries that did not fit
+(`props_json_extract`,
+`corpus_prep_pipeline`, `corpus_shard_stats`,
 `embeddings_preprocessed`,
 `corpus_pack_sequences`, `corpus_train_val_split`,
 `corpus_vocab_topk`, `corpus_length_histogram`,
@@ -126,6 +129,7 @@ _PRIORITY = [
     "tokenizer_bpe_encode",
     "events_mann_kendall",
     "similarity_truncated_dim_recall",
+    "events_kruskal_wallis",
     # --- [A] contract-surface repair: corpus_epoch_shuffle_audit's
     # chi-square gained the empty-cell terms (ADVICE r7) — changed
     # values must re-window ---
@@ -149,8 +153,8 @@ _PRIORITY = [
     "monthly_order_stats",
     "order_status_pivot",
     "lineitem_rollup",
-    # --- [D] continued: the first 23 of the 34 entries whose newest
-    # green row is round 2, in file order; the remaining 11 lead the
+    # --- [D] continued: the first 22 of the 34 entries whose newest
+    # green row is round 2, in file order; the remaining 12 lead the
     # round-9 queue (module docstring) ---
     "alerts_volume_surge",
     "alerts_rapid_trades_reset",
@@ -174,7 +178,6 @@ _PRIORITY = [
     "media_features",
     "media_resize_stats",
     "media_frame_sample",
-    "props_json_extract",
 ]
 
 

@@ -232,3 +232,49 @@ def test_truncated_dim_recall_matches_numpy(spark, sf_dir):
         assert got[d].n_hit == want_hits
         assert got[d].n_full == len(bf)
         assert abs(got[d].recall - round(want_hits / len(bf) + 1e-9, 4)) < 1e-9
+
+
+def test_kruskal_wallis_matches_midrank_replica(spark, sf_dir):
+    """Recompute H with the classic sort-everything midrank method and
+    check the distinct-value-relation construction agrees."""
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        events_kruskal_wallis,
+    )
+
+    rows = events_kruskal_wallis(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", (F.round(F.col("value") + 1e-9, 4) + 0.0).alias("v"))
+        .collect()
+    )
+    vals = sorted((r.v, r.event_type) for r in ev)
+    n = len(vals)
+    ranks = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j][0] == vals[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0  # average of ranks i+1 .. j
+        ranks[vals[i][0]] = mid
+        i = j
+    from collections import defaultdict
+
+    rs, ng = defaultdict(float), defaultdict(int)
+    for v, et in vals:
+        rs[et] += ranks[v]
+        ng[et] += 1
+    h = 12.0 / (n * (n + 1)) * sum(r * r / ng[g] for g, r in rs.items()) - 3 * (
+        n + 1
+    )
+    from collections import Counter
+
+    tc = Counter(v for v, _ in vals)
+    h /= 1 - sum(t**3 - t for t in tc.values()) / (n**3 - n)
+    for r in rows:
+        assert abs(r.h_stat - h) < 1e-3
+        assert abs(r.rank_sum - rs[r.event_type]) < 0.5
+        assert r.n == ng[r.event_type]
+        assert r.significant == int(r.p_value <= 0.05)
