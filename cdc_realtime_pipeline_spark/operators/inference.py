@@ -3065,9 +3065,126 @@ ORDER BY g.event_type
 """
 
 
+def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test per event type over the hourly mean
+    series — the rank-based "did the level shift, and when?" question
+    that completes this module's nonparametric family (Mann–Kendall
+    answers "is there a monotone trend", Kruskal–Wallis "do groups
+    differ"; Pettitt localizes a single abrupt shift without assuming
+    a distribution). K = max_t |U_t| with
+    U_t = Σ_{i≤t, j>t} sign(x_j − x_i); the approximate significance
+    is p ≈ 2·exp(−6K²/(T³+T²)) (Pettitt 1979).
+
+    Shape: U_t is NOT materialized pairwise-per-boundary — the
+    recurrence U_t = Σ_{s≤t} W_s with W_s = Σ_{j≠s} sign(x_j − x_s)
+    turns it into ONE pairwise aggregate keyed on the anchor hour
+    (the same hours-sized T² term Mann–Kendall prices, map-side
+    combinable) plus one cumulative window over the bounded hourly
+    series. Cross-engine: hourly means rounded 6dp before signs, the
+    argmax boundary is decided on integer U with min-hour tie-break,
+    p rounded 6dp under the shared nudge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = tracked_persist(
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hb"),
+        ).agg((F.round(F.avg("value") + 1e-9, 6) + 0.0).alias("x"))
+    )
+    a = hourly.select("event_type", F.col("hb").alias("ht"), F.col("x").alias("xt"))
+    b = hourly.select("event_type", F.col("hb").alias("hj"), F.col("x").alias("xj"))
+    w_t = (
+        a.join(b, "event_type")
+        .filter(F.col("ht") != F.col("hj"))
+        .groupBy("event_type", "ht")
+        .agg(
+            F.sum(
+                F.when(F.col("xj") > F.col("xt"), 1)
+                .when(F.col("xj") < F.col("xt"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("w")
+        )
+    )
+    wc = Window.partitionBy("event_type").orderBy("ht")
+    u_t = w_t.withColumn("u", F.sum("w").over(wc))
+    # the degenerate t = T boundary has U_T = 0 by antisymmetry, so it
+    # can never win the |U| argmax against a real shift; no explicit
+    # exclusion needed (all-zero series tie-break to the min hour on
+    # both engines)
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("u"))), F.asc("ht")
+    )
+    best = (
+        u_t.withColumn("rn", F.row_number().over(wmax))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("ht").alias("cp_hour"), F.abs("u").alias("k"))
+    )
+    nh = hourly.groupBy("event_type").agg(F.count("*").cast("double").alias("t"))
+    return (
+        best.join(nh, "event_type")
+        .select(
+            "event_type",
+            F.col("t").cast("long").alias("n_hours"),
+            F.col("k").cast("long").alias("k_stat"),
+            "cp_hour",
+            F.expr(
+                "round(least(1.0, 2.0 * exp(-6.0 * k * k / (t * t * t + t * t)))"
+                " + 1e-9, 6) + 0.0"
+            ).alias("p_value"),
+        )
+        .withColumn("significant", (F.col("p_value") <= 0.05).cast("int"))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PETTITT_CHANGEPOINT_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+         round(avg(value) + 1e-9, 6) + 0.0 AS x
+  FROM events GROUP BY 1, 2
+),
+w_t AS (
+  SELECT a.event_type, a.hb AS ht,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS w
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.hb != b.hb
+  GROUP BY 1, 2
+),
+u_t AS (
+  SELECT event_type, ht,
+         sum(w) OVER (PARTITION BY event_type ORDER BY ht) AS u
+  FROM w_t
+),
+best AS (
+  SELECT event_type, ht AS cp_hour, abs(u) AS k FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY abs(u) DESC, ht ASC) AS rn
+    FROM u_t
+  ) WHERE rn = 1
+),
+nh AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS t FROM hourly GROUP BY 1
+)
+SELECT b.event_type,
+       CAST(nh.t AS BIGINT) AS n_hours,
+       CAST(b.k AS BIGINT) AS k_stat,
+       b.cp_hour,
+       round(least(1.0, 2.0 * exp(-6.0 * b.k * b.k / (nh.t * nh.t * nh.t + nh.t * nh.t)))
+             + 1e-9, 6) + 0.0 AS p_value,
+       CAST(round(least(1.0, 2.0 * exp(-6.0 * b.k * b.k / (nh.t * nh.t * nh.t + nh.t * nh.t)))
+             + 1e-9, 6) + 0.0 <= 0.05 AS INT) AS significant
+FROM best b JOIN nh USING (event_type)
+ORDER BY b.event_type
+"""
+
+
 QUERIES = {
     "events_mann_kendall": events_mann_kendall,
     "events_kruskal_wallis": events_kruskal_wallis,
+    "events_pettitt_changepoint": events_pettitt_changepoint,
     "events_ols_two_factor": events_ols_two_factor,
     "hourly_value_fdr_bh": hourly_value_fdr_bh,
     "value_pot_gpd_fit": value_pot_gpd_fit,
@@ -3098,6 +3215,7 @@ QUERIES = {
 ORACLES = {
     "events_mann_kendall": EVENTS_MANN_KENDALL_SQL,
     "events_kruskal_wallis": EVENTS_KRUSKAL_WALLIS_SQL,
+    "events_pettitt_changepoint": EVENTS_PETTITT_CHANGEPOINT_SQL,
     "events_ols_two_factor": EVENTS_OLS_TWO_FACTOR_SQL,
     "hourly_value_fdr_bh": HOURLY_VALUE_FDR_BH_SQL,
     "value_pot_gpd_fit": VALUE_POT_GPD_FIT_SQL,

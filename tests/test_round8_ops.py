@@ -278,3 +278,47 @@ def test_kruskal_wallis_matches_midrank_replica(spark, sf_dir):
         assert abs(r.rank_sum - rs[r.event_type]) < 0.5
         assert r.n == ng[r.event_type]
         assert r.significant == int(r.p_value <= 0.05)
+
+
+def test_pettitt_matches_bruteforce_u(spark, sf_dir):
+    """Recompute U_t directly from the pairwise definition and check
+    the recurrence-based construction picks the same K and boundary."""
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        events_pettitt_changepoint,
+    )
+
+    got = {
+        r.event_type: r
+        for r in events_pettitt_changepoint(spark, sf_dir).collect()
+    }
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("unix_micros(ts) div 3600000000").alias("hb"))
+        .agg((F.round(F.avg("value") + 1e-9, 6) + 0.0).alias("x"))
+        .collect()
+    )
+    series = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append((r.hb, r.x))
+    import math
+
+    for et, pts in series.items():
+        pts.sort()
+        T = len(pts)
+        best_k, best_h = -1, None
+        for t in range(T):
+            u = sum(
+                (pts[j][1] > pts[i][1]) - (pts[j][1] < pts[i][1])
+                for i in range(t + 1)
+                for j in range(t + 1, T)
+            )
+            if abs(u) > best_k:
+                best_k, best_h = abs(u), pts[t][0]
+        r = got[et]
+        assert r.k_stat == best_k
+        assert r.cp_hour == best_h
+        assert r.n_hours == T
+        p = min(1.0, 2.0 * math.exp(-6.0 * best_k**2 / (T**3 + T**2)))
+        assert abs(r.p_value - p) < 1e-6
