@@ -322,3 +322,15 @@ def test_pettitt_matches_bruteforce_u(spark, sf_dir):
         assert r.n_hours == T
         p = min(1.0, 2.0 * math.exp(-6.0 * best_k**2 / (T**3 + T**2)))
         assert abs(r.p_value - p) < 1e-6
+
+
+def test_adc_kernel_identical_to_declarative(spark, sf_dir):
+    """The packed-codes mapInPandas kernel must be bit-identical to the
+    declarative explode-join ADC form — same distances, ranks, ties."""
+    a = [tuple(r) for r in similarity_pq_adc_topk(spark, sf_dir).collect()]
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        similarity_pq_adc_topk_kernel,
+    )
+
+    b = [tuple(r) for r in similarity_pq_adc_topk_kernel(spark, sf_dir).collect()]
+    assert a == b
