@@ -24,6 +24,8 @@ FIXED value grid (bounded rows by construction), not the raw corpus.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3181,10 +3183,195 @@ ORDER BY b.event_type
 """
 
 
+_LB_LAGS = 8
+
+
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per event type over the 5-minute
+    volume series — "is there ANY autocorrelation in the first {M}
+    lags?", the whiteness check run on monitoring residuals before
+    trusting an anomaly threshold (``events_autocorr_lag1`` reads one
+    lag; Q aggregates them with small-sample weighting):
+    Q = T(T+2)·Σ_k r_k²/(T−k), χ²({M}) under the null, p via the
+    Wilson–Hilferty cube-root normal approximation (the
+    ``events_kruskal_wallis`` idiom). One row per (type, lag) with
+    its ACF coefficient, the shared Q/p verdict columns alongside.
+
+    Shape: bucket sums (series length grows with time span, not row
+    count), per-type moment agg for mean and s0, ONE ordered window
+    pass materializing all {M} lagged copies (row-based lag, both
+    engines), a stack/UNION melt to (type, lag) pairs, then keyed
+    aggregates — everything after the bucket agg is series-sized.
+    Cross-engine: r_k rounded 6dp before Q, Q rounded 4dp before WH,
+    p rounded 6dp, all under the shared nudge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 300).cast("long").alias("bucket"),
+    ).agg(F.sum("value").alias("vol"))
+    stats = buckets.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("t_len"), F.avg("vol").alias("mu")
+    )
+    cen = buckets.join(F.broadcast(stats), "event_type").select(
+        "event_type", "bucket", "t_len", (F.col("vol") - F.col("mu")).alias("c")
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    lagged = cen.select(
+        "event_type",
+        "t_len",
+        "c",
+        *[F.lag("c", k).over(wb).alias(f"c{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    s0 = lagged.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("s0")
+    )
+    stack_expr = "stack({}, {}) as (lag, c_lag)".format(
+        _LB_LAGS, ", ".join(f"{k}, c{k}" for k in range(1, _LB_LAGS + 1))
+    )
+    melted = lagged.select("event_type", "t_len", "c", F.expr(stack_expr)).filter(
+        F.col("c_lag").isNotNull()
+    )
+    acf = (
+        melted.groupBy("event_type", "lag")
+        .agg(
+            F.first("t_len").alias("t_len"),
+            F.sum(F.col("c") * F.col("c_lag")).alias("num"),
+        )
+        .join(F.broadcast(s0), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "t_len",
+            (F.round(F.col("num") / F.col("s0") + 1e-9, 6) + 0.0).alias("r_k"),
+        )
+    )
+    q = acf.groupBy("event_type").agg(
+        F.round(
+            F.first("t_len")
+            * (F.first("t_len") + 2)
+            * F.sum(F.col("r_k") * F.col("r_k") / (F.col("t_len") - F.col("lag")))
+            + 1e-9,
+            4,
+        ).alias("q_lb")
+    )
+    df = float(_LB_LAGS)
+    verdict = q.select(
+        "event_type",
+        (F.col("q_lb") + 0.0).alias("q_lb"),
+        (
+            F.round(
+                (
+                    F.pow(F.col("q_lb") / df, 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * df))
+                )
+                / math.sqrt(2.0 / (9.0 * df))
+                + 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("z_wh"),
+    ).withColumn(
+        "p_value",
+        F.expr(
+            f"round(CASE WHEN z_wh >= 0 THEN {_pnorm2_sql('z_wh')} / 2.0 "
+            f"ELSE 1.0 - {_pnorm2_sql('z_wh')} / 2.0 END + 1e-9, 6) + 0.0"
+        ),
+    )
+    return (
+        acf.join(F.broadcast(verdict), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            "r_k",
+            "q_lb",
+            "z_wh",
+            "p_value",
+            (F.col("p_value") <= 0.05).cast("int").alias("autocorrelated"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+events_ljung_box.__doc__ = events_ljung_box.__doc__.format(M=_LB_LAGS)
+
+
+def _ljung_box_oracle_sql() -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(c, {k}) OVER (PARTITION BY event_type ORDER BY bucket) AS c{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    melt = "\nUNION ALL\n".join(
+        f"SELECT event_type, t_len, c, {k} AS lag, c{k} AS c_lag FROM lagged"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    df = float(_LB_LAGS)
+    return f"""
+WITH buckets AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+         sum(value) AS vol
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS t_len, avg(vol) AS mu
+  FROM buckets GROUP BY 1
+),
+cen AS (
+  SELECT b.event_type, b.bucket, s.t_len, b.vol - s.mu AS c
+  FROM buckets b JOIN stats s USING (event_type)
+),
+lagged AS (
+  SELECT event_type, bucket, t_len, c,
+         {lag_cols}
+  FROM cen
+),
+s0 AS (
+  SELECT event_type, sum(c * c) AS s0 FROM lagged GROUP BY 1
+),
+melted AS (
+  SELECT * FROM ({melt}) WHERE c_lag IS NOT NULL
+),
+acf AS (
+  SELECT m.event_type, m.lag, any_value(m.t_len) AS t_len,
+         round(sum(m.c * m.c_lag) / any_value(s0.s0) + 1e-9, 6) + 0.0 AS r_k
+  FROM melted m JOIN s0 ON m.event_type = s0.event_type
+  GROUP BY 1, 2
+),
+q AS (
+  SELECT event_type,
+         round(any_value(t_len) * (any_value(t_len) + 2)
+               * sum(r_k * r_k / (t_len - lag)) + 1e-9, 4) + 0.0 AS q_lb
+  FROM acf GROUP BY 1
+),
+verdict AS (
+  SELECT event_type, q_lb,
+         round((pow(q_lb / {df}, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * {df})))
+               / sqrt(2.0 / (9.0 * {df})) + 1e-9, 4) + 0.0 AS z_wh
+  FROM q
+),
+pv AS (
+  SELECT event_type, q_lb, z_wh,
+         round(CASE WHEN z_wh >= 0 THEN {_pnorm2_sql('z_wh')} / 2.0
+               ELSE 1.0 - {_pnorm2_sql('z_wh')} / 2.0 END + 1e-9, 6) + 0.0
+           AS p_value
+  FROM verdict
+)
+SELECT a.event_type, CAST(a.lag AS INT) AS lag, a.r_k,
+       p.q_lb, p.z_wh, p.p_value,
+       CAST(p.p_value <= 0.05 AS INT) AS autocorrelated
+FROM acf a JOIN pv p USING (event_type)
+ORDER BY a.event_type, a.lag
+"""
+
+
+EVENTS_LJUNG_BOX_SQL = _ljung_box_oracle_sql()
+
+
 QUERIES = {
     "events_mann_kendall": events_mann_kendall,
     "events_kruskal_wallis": events_kruskal_wallis,
     "events_pettitt_changepoint": events_pettitt_changepoint,
+    "events_ljung_box": events_ljung_box,
     "events_ols_two_factor": events_ols_two_factor,
     "hourly_value_fdr_bh": hourly_value_fdr_bh,
     "value_pot_gpd_fit": value_pot_gpd_fit,
@@ -3216,6 +3403,7 @@ ORACLES = {
     "events_mann_kendall": EVENTS_MANN_KENDALL_SQL,
     "events_kruskal_wallis": EVENTS_KRUSKAL_WALLIS_SQL,
     "events_pettitt_changepoint": EVENTS_PETTITT_CHANGEPOINT_SQL,
+    "events_ljung_box": EVENTS_LJUNG_BOX_SQL,
     "events_ols_two_factor": EVENTS_OLS_TWO_FACTOR_SQL,
     "hourly_value_fdr_bh": HOURLY_VALUE_FDR_BH_SQL,
     "value_pot_gpd_fit": VALUE_POT_GPD_FIT_SQL,

@@ -99,6 +99,67 @@ ORDER BY query_id, rk
 _RANGE_TAU = 0.25
 
 
+def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (pre-filter) ANN: exact cosine top-K restricted to
+    corpus vectors sharing the query's label — the "similar items in
+    MY category / language / tenant" query every production vector
+    store must answer, and the semantics FAISS/pgvector call
+    pre-filtering (the predicate cuts the candidate set BEFORE
+    ranking, so K survivors are guaranteed — post-filtering a plain
+    top-K can return fewer). Demonstrates the predicate composing
+    with the scan: the label filter is a join-key condition the
+    optimizer applies before any distance math, exactly how a
+    metadata-partitioned index prunes at scale.
+
+    Same kernel discipline as the brute-force row (broadcast queries,
+    6dp cosine, vec_id ties); output carries the shared label for the
+    audit eye.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("qlabel")),
+        )
+        .withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "vec_id", "label", "cos")
+        .orderBy("query_id", "rk")
+    )
+
+
+SIMILARITY_TOPK_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         round(list_dot_product(qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+               6) AS cos
+  FROM embeddings e JOIN q ON e.vec_id != q.query_id AND e.label = q.qlabel
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, rk, vec_id, label, cos FROM ranked WHERE rk <= {TOP_K}
+ORDER BY query_id, rk
+"""
+
+
 def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius (range) search — the other half of the ANN API beside
     top-K: every corpus vector within cosine ≥ τ of each query, used
@@ -2931,6 +2992,7 @@ QUERIES = {
     "contrastive_hard_negatives": contrastive_hard_negatives,
     "embeddings_pca_power": embeddings_pca_power,
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_topk_filtered": similarity_topk_filtered,
     "similarity_range_search": similarity_range_search,
     "dedup_embeddings_semantic": dedup_embeddings_semantic,
     "embeddings_kmeans_assign": embeddings_kmeans_assign,
@@ -2960,6 +3022,7 @@ ORACLES = {
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,
     "embeddings_pca_power": EMBEDDINGS_PCA_POWER_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_BRUTEFORCE_SQL,
+    "similarity_topk_filtered": SIMILARITY_TOPK_FILTERED_SQL,
     "similarity_range_search": SIMILARITY_RANGE_SEARCH_SQL,
     "embeddings_kmeans_assign": EMBEDDINGS_KMEANS_ASSIGN_SQL,
     "similarity_topk_lsh": _lsh_oracle_sql(),

@@ -36,20 +36,23 @@ bounded distinct-value rank relation; and
 `events_pettitt_changepoint`, the rank-based level-shift localizer
 via the U_t recurrence; and `similarity_pq_adc_topk_kernel`, the
 packed-codes mapInPandas ADC scan gated by the SAME oracle as the
-declarative form) take the front for their first driver look;
+declarative form; `similarity_topk_filtered`, pre-filter metadata
+ANN; and `events_ljung_box`, the lag-1..8 portmanteau whiteness
+test) take the front for their first driver look;
 [A] one contract-surface repair: `corpus_epoch_shuffle_audit`'s
 chi-square now includes the empty-cell (0−E)²/E terms (ADVICE r7 —
 changed values must re-window); [D] the staleness rotation takes
 the remaining 44 slots, oldest driver evidence first as computed
 from CORRECTNESS_r0*.json: all 16 remaining r1-evidence entries,
-then the first 20 of the 34 r2-evidence entries in file order
-([E]13 + [A]1 + [D]36 = 50).
+then the first 18 of the 34 r2-evidence entries in file order
+([E]15 + [A]1 + [D]34 = 50).
 Rows dropped this round hold r2–r7 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-9 rotation queue — the 14 r2-evidence entries that did not fit
-(`media_resize_stats`, `media_frame_sample`, `props_json_extract`,
+Round-9 rotation queue — the 16 r2-evidence entries that did not fit
+(`similarity_topk_bruteforce`, `media_features`,
+`media_resize_stats`, `media_frame_sample`, `props_json_extract`,
 `corpus_prep_pipeline`, `corpus_shard_stats`,
 `embeddings_preprocessed`,
 `corpus_pack_sequences`, `corpus_train_val_split`,
@@ -135,6 +138,8 @@ _PRIORITY = [
     "events_kruskal_wallis",
     "events_pettitt_changepoint",
     "similarity_pq_adc_topk_kernel",
+    "similarity_topk_filtered",
+    "events_ljung_box",
     # --- [A] contract-surface repair: corpus_epoch_shuffle_audit's
     # chi-square gained the empty-cell terms (ADVICE r7) — changed
     # values must re-window ---
@@ -158,8 +163,8 @@ _PRIORITY = [
     "monthly_order_stats",
     "order_status_pivot",
     "lineitem_rollup",
-    # --- [D] continued: the first 20 of the 34 entries whose newest
-    # green row is round 2, in file order; the remaining 14 lead the
+    # --- [D] continued: the first 18 of the 34 entries whose newest
+    # green row is round 2, in file order; the remaining 16 lead the
     # round-9 queue (module docstring) ---
     "alerts_volume_surge",
     "alerts_rapid_trades_reset",
@@ -179,8 +184,6 @@ _PRIORITY = [
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
-    "similarity_topk_bruteforce",
-    "media_features",
 ]
 
 

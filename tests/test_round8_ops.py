@@ -334,3 +334,70 @@ def test_adc_kernel_identical_to_declarative(spark, sf_dir):
 
     b = [tuple(r) for r in similarity_pq_adc_topk_kernel(spark, sf_dir).collect()]
     assert a == b
+
+
+def test_filtered_topk_respects_predicate(spark, sf_dir):
+    """Every filtered result must share the query's label, and must be
+    the best K among exactly that label subset (numpy replica)."""
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        similarity_topk_filtered,
+    )
+
+    rows = similarity_topk_filtered(spark, sf_dir).collect()
+    emb = {
+        r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, got in by_q.items():
+        qv, qlabel = emb[q]
+        scored = []
+        for v, (e, lab) in emb.items():
+            if v == q or lab != qlabel:
+                continue
+            c = round(float(qv @ e / (np.linalg.norm(qv) * np.linalg.norm(e))), 6)
+            scored.append((-c, v))
+        want = [v for _, v in sorted(scored)[: len(got)]]
+        got.sort(key=lambda r: r.rk)
+        assert [r.vec_id for r in got] == want
+        assert all(emb[r.vec_id][1] == qlabel for r in got)
+
+
+def test_ljung_box_matches_numpy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _LB_LAGS,
+        events_ljung_box,
+    )
+
+    got = {}
+    for r in events_ljung_box(spark, sf_dir).collect():
+        got.setdefault(r.event_type, {})[r.lag] = r
+    buckets = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 300).cast("long").alias("bucket"),
+        )
+        .agg(F.sum("value").alias("vol"))
+        .collect()
+    )
+    series = {}
+    for r in buckets:
+        series.setdefault(r.event_type, []).append((r.bucket, r.vol))
+    for et, pts in series.items():
+        pts.sort()
+        x = np.array([v for _, v in pts])
+        c = x - x.mean()
+        s0 = (c * c).sum()
+        T = len(x)
+        q = 0.0
+        for k in range(1, _LB_LAGS + 1):
+            r_k = round((c[k:] * c[:-k]).sum() / s0 + 1e-9, 6)
+            assert abs(got[et][k].r_k - r_k) < 1e-5, (et, k)
+            q += r_k * r_k / (T - k)
+        q *= T * (T + 2)
+        assert abs(got[et][1].q_lb - q) < 1e-2
