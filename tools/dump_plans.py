@@ -123,6 +123,18 @@ SHOWCASE = [
     ("parts_abc_classification", "revenue agg → cumulative-share classes"),
     ("dup_graph_assortativity", "edge-degree joins → 5 Pearson moments"),
     ("events_markov_stationary", "12 unrolled power steps on |types|² relation"),
+    # round-8 wave
+    ("similarity_pq_adc_rerank", "ADC top-R pool → keyed vector fetch + exact re-rank"),
+    ("similarity_pq_adc_topk_kernel", "packed codes → ArrowEval gather+sum, per-batch top-K"),
+    ("similarity_topk_ivf_multiprobe", "nprobe=2 cell cut, exact rerank in probed set"),
+    ("similarity_rrf_fusion", "two ≤20-row retriever relations, full-outer + rank"),
+    ("similarity_topk_filtered", "label predicate inside the broadcast join condition"),
+    ("similarity_truncated_dim_recall", "sliced-corpus kernels ∪ semi-join vs full answer"),
+    ("tokenizer_bpe_encode", "token stream ⋈ vocab-sized (word→syms), per-doc agg"),
+    ("events_mann_kendall", "hours-sized pairwise signs + continuous-median slope"),
+    ("events_kruskal_wallis", "distinct-value midranks, corpus side two keyed aggs"),
+    ("events_pettitt_changepoint", "anchor-keyed W_t agg + cumulative U_t window"),
+    ("events_ljung_box", "one ordered pass, 8 lags melted, series-sized aggs"),
 ]
 
 
