@@ -3367,11 +3367,109 @@ ORDER BY a.event_type, a.lag
 EVENTS_LJUNG_BOX_SQL = _ljung_box_oracle_sql()
 
 
+_TE_FOLDS = 5
+_TE_PRIOR = 100.0  # smoothing pseudo-count toward the global mean
+
+
+def events_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of event_type against the value
+    target — THE leakage-safe way to turn a categorical into a model
+    feature (each row's encoding averages the target over OTHER folds
+    only, so a row never sees its own label; in-fold means are the
+    classic leak that inflates validation scores), with pseudo-count
+    smoothing toward the global mean (m={M}) so rare categories don't
+    memorize. Emits per (category, fold): the raw OOF mean and the
+    smoothed encoding a feature store would persist.
+
+    Shape: fold = ⌊5u⌋ from the md5-derived dyadic uniform on
+    event_id (bit-identical cross-engine, the seeded-noise idiom) —
+    then ONE (category, fold) aggregate; OOF = (category totals −
+    fold totals) needs no second scan because category totals are the
+    fold totals re-aggregated (two map-side-combinable aggs total,
+    broadcast-joined back; global mean is a 1-row broadcast).
+    Nothing scales beyond categories × folds after the scan.
+    """
+    u = _hex_uniform("te|", "event_id_s")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("string").alias("event_id_s"),
+        F.col("value").cast("double").alias("y"),
+    )
+    folds = ev.select(
+        "event_type", "y", F.floor(u * _TE_FOLDS).cast("int").alias("fold")
+    )
+    per_cf = folds.groupBy("event_type", "fold").agg(
+        F.count("*").cast("double").alias("n_f"), F.sum("y").alias("s_f")
+    )
+    per_c = per_cf.groupBy("event_type").agg(
+        F.sum("n_f").alias("n_c"), F.sum("s_f").alias("s_c")
+    )
+    glob = per_c.agg((F.sum("s_c") / F.sum("n_c")).alias("g"))
+    return (
+        per_cf.join(F.broadcast(per_c), "event_type")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "fold",
+            F.col("n_f").cast("long").alias("n_rows"),
+            (
+                F.round(
+                    (F.col("s_c") - F.col("s_f")) / (F.col("n_c") - F.col("n_f"))
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("oof_mean"),
+            (
+                F.round(
+                    (F.col("s_c") - F.col("s_f") + _TE_PRIOR * F.col("g"))
+                    / (F.col("n_c") - F.col("n_f") + _TE_PRIOR)
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("encoded_smoothed"),
+        )
+        .orderBy("event_type", "fold")
+    )
+
+
+events_target_encoding_oof.__doc__ = events_target_encoding_oof.__doc__.format(
+    M=int(_TE_PRIOR)
+)
+
+
+EVENTS_TARGET_ENCODING_OOF_SQL = f"""
+WITH folds AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS y,
+         CAST(floor({_hex_uniform_sql("te|", "CAST(event_id AS VARCHAR)")} * {_TE_FOLDS}) AS INT) AS fold
+  FROM events
+),
+per_cf AS (
+  SELECT event_type, fold, CAST(count(*) AS DOUBLE) AS n_f, sum(y) AS s_f
+  FROM folds GROUP BY 1, 2
+),
+per_c AS (
+  SELECT event_type, sum(n_f) AS n_c, sum(s_f) AS s_c FROM per_cf GROUP BY 1
+),
+gm AS (SELECT sum(s_c) / sum(n_c) AS g FROM per_c)
+SELECT f.event_type, f.fold,
+       CAST(f.n_f AS BIGINT) AS n_rows,
+       round((c.s_c - f.s_f) / (c.n_c - f.n_f) + 1e-9, 6) + 0.0 AS oof_mean,
+       round((c.s_c - f.s_f + {_TE_PRIOR} * gm.g)
+             / (c.n_c - f.n_f + {_TE_PRIOR}) + 1e-9, 6) + 0.0
+         AS encoded_smoothed
+FROM per_cf f JOIN per_c c USING (event_type) CROSS JOIN gm
+ORDER BY f.event_type, f.fold
+"""
+
+
 QUERIES = {
     "events_mann_kendall": events_mann_kendall,
     "events_kruskal_wallis": events_kruskal_wallis,
     "events_pettitt_changepoint": events_pettitt_changepoint,
     "events_ljung_box": events_ljung_box,
+    "events_target_encoding_oof": events_target_encoding_oof,
     "events_ols_two_factor": events_ols_two_factor,
     "hourly_value_fdr_bh": hourly_value_fdr_bh,
     "value_pot_gpd_fit": value_pot_gpd_fit,
@@ -3404,6 +3502,7 @@ ORACLES = {
     "events_kruskal_wallis": EVENTS_KRUSKAL_WALLIS_SQL,
     "events_pettitt_changepoint": EVENTS_PETTITT_CHANGEPOINT_SQL,
     "events_ljung_box": EVENTS_LJUNG_BOX_SQL,
+    "events_target_encoding_oof": EVENTS_TARGET_ENCODING_OOF_SQL,
     "events_ols_two_factor": EVENTS_OLS_TWO_FACTOR_SQL,
     "hourly_value_fdr_bh": HOURLY_VALUE_FDR_BH_SQL,
     "value_pot_gpd_fit": VALUE_POT_GPD_FIT_SQL,

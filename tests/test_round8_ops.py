@@ -401,3 +401,47 @@ def test_ljung_box_matches_numpy(spark, sf_dir):
             q += r_k * r_k / (T - k)
         q *= T * (T + 2)
         assert abs(got[et][1].q_lb - q) < 1e-2
+
+
+def test_target_encoding_oof_excludes_own_fold(spark, sf_dir):
+    """Recompute fold assignment (md5 dyadic uniform) and per-fold OOF
+    means in pure Python; the encoding must never include its own fold."""
+    import hashlib
+
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _TE_FOLDS,
+        _TE_PRIOR,
+        events_target_encoding_oof,
+    )
+
+    got = {
+        (r.event_type, r.fold): r
+        for r in events_target_encoding_oof(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+
+    s = defaultdict(float)
+    n = defaultdict(int)
+    for r in ev:
+        h = hashlib.md5(f"te|{r.event_id}".encode()).hexdigest()
+        u = sum(int(h[i], 16) * 16.0 ** -(i + 1) for i in range(8))
+        fold = int(u * _TE_FOLDS)
+        s[(r.event_type, fold)] += r.value
+        n[(r.event_type, fold)] += 1
+    cats = {c for c, _ in s}
+    g = sum(s.values()) / sum(n.values())
+    for c in cats:
+        sc = sum(s[(c, f)] for f in range(_TE_FOLDS) if (c, f) in s)
+        nc = sum(n[(c, f)] for f in range(_TE_FOLDS) if (c, f) in s)
+        for f in range(_TE_FOLDS):
+            if (c, f) not in s:
+                continue
+            r = got[(c, f)]
+            oof = (sc - s[(c, f)]) / (nc - n[(c, f)])
+            sm = (sc - s[(c, f)] + _TE_PRIOR * g) / (nc - n[(c, f)] + _TE_PRIOR)
+            assert r.n_rows == n[(c, f)]
+            assert abs(r.oof_mean - oof) < 1e-5
+            assert abs(r.encoded_smoothed - sm) < 1e-5
