@@ -1504,6 +1504,28 @@ def user_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     logit(ȳ), b1 = 0. Output includes training accuracy at the 0.5
     threshold — exact-integer-derived.
     """
+    base, b, eta = _logistic_fit(spark, sf_dir)
+    final = base.crossJoin(F.broadcast(b)).withColumn("eta", F.expr(eta))
+    return final.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("round(max(b0) + 1e-9, 6) + 0.0").alias("b0"),
+        F.expr("round(max(b1) + 1e-9, 6) + 0.0").alias("b_views"),
+        F.count_if(
+            ((F.expr("eta") > 0) & (F.col("y") == 1.0))
+            | ((F.expr("eta") <= 0) & (F.col("y") == 0.0))
+        )
+        .cast("long")
+        .alias("n_correct_at_half"),
+        F.expr("round(avg(y) + 1e-9, 4) + 0.0").alias("base_rate"),
+    )
+
+
+def _logistic_fit(spark: SparkSession, sf_dir: str):
+    """The {I}-iteration IRLS fit (see ``user_logistic_regression``) —
+    factored so the calibration audit reuses the identical coefficient
+    path. Returns (base, b, eta_expr): the persisted per-user (x, y)
+    relation, the 1-row coefficient frame, and the capped-link SQL
+    expression text."""
     ev = load_table(spark, sf_dir, "events")
     base = tracked_persist(
         ev.groupBy("user_id").agg(
@@ -1560,20 +1582,10 @@ def user_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (sw * swxx - swx * swx)) * swx) / sw + 1e-12, 8)"
             ).alias("b0"),
         )
-    final = base.crossJoin(F.broadcast(b)).withColumn("eta", F.expr(eta))
-    return final.agg(
-        F.count("*").cast("long").alias("n_users"),
-        F.expr("round(max(b0) + 1e-9, 6) + 0.0").alias("b0"),
-        F.expr("round(max(b1) + 1e-9, 6) + 0.0").alias("b_views"),
-        F.count_if(
-            ((F.expr("eta") > 0) & (F.col("y") == 1.0))
-            | ((F.expr("eta") <= 0) & (F.col("y") == 0.0))
-        )
-        .cast("long")
-        .alias("n_correct_at_half"),
-        F.expr("round(avg(y) + 1e-9, 4) + 0.0").alias("base_rate"),
-    )
+    return base, b, eta
 
+
+_logistic_fit.__doc__ = _logistic_fit.__doc__.format(I=_LOGIT_ITERS)
 
 user_logistic_regression.__doc__ = user_logistic_regression.__doc__.format(
     I=_LOGIT_ITERS, C=_LOGIT_CAP
@@ -1608,9 +1620,12 @@ m_{out} AS (
 )"""
 
 
-USER_LOGISTIC_REGRESSION_SQL = (
-    """
-WITH lbase AS MATERIALIZED (
+def _logit_ctes() -> str:
+    """The WITH body through the final coefficient CTE lb_{ITERS} —
+    ONE SQL construction of the IRLS path, shared by the regression
+    row and the calibration audit (mirrors ``_logistic_fit``)."""
+    return (
+        """lbase AS MATERIALIZED (
   SELECT user_id,
          CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE)
            AS x,
@@ -1624,10 +1639,16 @@ lb_init AS (
          CAST(0.0 AS DOUBLE) AS b1
   FROM lbase
 ),"""
-    + ",".join(
-        _logit_pass_sql("lb_init" if i == 0 else f"lb_{i}", f"lb_{i + 1}")
-        for i in range(_LOGIT_ITERS)
+        + ",".join(
+            _logit_pass_sql("lb_init" if i == 0 else f"lb_{i}", f"lb_{i + 1}")
+            for i in range(_LOGIT_ITERS)
+        )
     )
+
+
+USER_LOGISTIC_REGRESSION_SQL = (
+    "WITH "
+    + _logit_ctes()
     + f"""
 SELECT CAST(count(*) AS BIGINT) AS n_users,
        round(max(b.b0) + 1e-9, 6) + 0.0 AS b0,
@@ -3464,12 +3485,180 @@ ORDER BY f.event_type, f.fold
 """
 
 
+_CAL_BINS = 10
+
+
+def user_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + isotonic recalibration + ECE for the
+    logistic buyer model — the calibration audit every scored-model
+    deployment runs before its probabilities feed a downstream
+    threshold: per equal-width probability bin, average confidence vs
+    empirical rate; the Expected Calibration Error Σ (n_b/N)·|acc−conf|;
+    and the ISOTONIC fit (pool-adjacent-violators) of the bin curve —
+    the monotone recalibration map production stacks (sklearn
+    ``CalibratedClassifierCV``) apply. PAVA is usually presented as a
+    sequential pool loop; over BINNED data it is the closed form
+    iso(t) = max_{{i≤t}} min_{{j≥t}} wmean(i..j) — three tiny joins on
+    the {B}-row bin relation, fully declarative.
+
+    Shape: the shared ``_logistic_fit`` IRLS path scores each user
+    (one broadcast of 2 coefficients), probabilities round 6dp BEFORE
+    binning (the only cross-engine exp() surface), then everything —
+    prefix sums, the (i,j) pair means, the max-min, ECE — runs on the
+    {B}-row bin relation. Corpus cost = the regression row's cost.
+    """
+    base, b, eta = _logistic_fit(spark, sf_dir)
+    scored = base.crossJoin(F.broadcast(b)).select(
+        "y",
+        F.expr(
+            f"round(1.0 / (1.0 + exp(-({eta}))) + 1e-9, 6) + 0.0"
+        ).alias("mu6"),
+    )
+    bins = scored.groupBy(
+        F.least(
+            F.floor(F.col("mu6") * _CAL_BINS).cast("int"), F.lit(_CAL_BINS - 1)
+        ).alias("bin")
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        (F.round(F.avg("mu6") + 1e-9, 6) + 0.0).alias("conf"),
+        (F.round(F.avg("y") + 1e-9, 6) + 0.0).alias("acc"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = tracked_persist(
+        bins.select(
+            "bin",
+            "n",
+            "conf",
+            "acc",
+            F.sum("n").over(wcum).alias("cn"),
+            F.sum(F.col("n") * F.col("acc")).over(wcum).alias("cs"),
+        )
+    )
+    lo = cum.select(
+        F.col("bin").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("cs") - F.col("n") * F.col("acc")).alias("cs_lo"),
+    )
+    hi = cum.select(
+        F.col("bin").alias("j"), F.col("cn").alias("cn_hi"), F.col("cs").alias("cs_hi")
+    )
+    pair_means = (
+        lo.join(hi, F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    (F.col("cs_hi") - F.col("cs_lo"))
+                    / (F.col("cn_hi") - F.col("cn_lo"))
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("wm"),
+        )
+    )
+    t_rel = cum.select(F.col("bin").alias("t"))
+    inner = (
+        t_rel.join(pair_means, (F.col("i") <= F.col("t")) & (F.col("j") >= F.col("t")))
+        .groupBy("t", "i")
+        .agg(F.min("wm").alias("min_j"))
+        .groupBy("t")
+        .agg(F.max("min_j").alias("iso_cal"))
+    )
+    ece = bins.agg(
+        (
+            F.round(
+                F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf")))
+                / F.sum("n")
+                + 1e-9,
+                6,
+            )
+            + 0.0
+        ).alias("ece")
+    )
+    return (
+        cum.join(inner, cum.bin == inner.t)
+        .crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n_users"),
+            "conf",
+            "acc",
+            "iso_cal",
+            "ece",
+        )
+        .orderBy("bin")
+    )
+
+
+user_quality_calibration.__doc__ = user_quality_calibration.__doc__.format(
+    B=_CAL_BINS
+)
+
+
+def _calibration_oracle_sql() -> str:
+    eta = (
+        f"greatest(least(b.b0 + b.b1 * lbase.x, {_LOGIT_CAP}), -{_LOGIT_CAP})"
+    )
+    return (
+        "WITH "
+        + _logit_ctes()
+        + f""",
+scored AS (
+  SELECT lbase.y,
+         round(1.0 / (1.0 + exp(-({eta}))) + 1e-9, 6) + 0.0 AS mu6
+  FROM lbase CROSS JOIN lb_{_LOGIT_ITERS} b
+),
+bins AS (
+  SELECT least(CAST(floor(mu6 * {_CAL_BINS}) AS INT), {_CAL_BINS - 1}) AS bin,
+         CAST(count(*) AS DOUBLE) AS n,
+         round(avg(mu6) + 1e-9, 6) + 0.0 AS conf,
+         round(avg(y) + 1e-9, 6) + 0.0 AS acc
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT bin, n, conf, acc,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(n * acc) OVER (ORDER BY bin) AS cs
+  FROM bins
+),
+pair_means AS (
+  SELECT lo.bin AS i, hi.bin AS j,
+         round((hi.cs - (lo.cn - lo.n) * 0 - (lo.cs - lo.n * lo.acc))
+               / (hi.cn - (lo.cn - lo.n)) + 1e-9, 6) + 0.0 AS wm
+  FROM cum lo JOIN cum hi ON lo.bin <= hi.bin
+),
+inner_min AS (
+  SELECT t.bin AS t, p.i, min(p.wm) AS min_j
+  FROM cum t JOIN pair_means p ON p.i <= t.bin AND p.j >= t.bin
+  GROUP BY 1, 2
+),
+iso AS (
+  SELECT t, max(min_j) AS iso_cal FROM inner_min GROUP BY 1
+),
+e AS (
+  SELECT round(sum(n * abs(acc - conf)) / sum(n) + 1e-9, 6) + 0.0 AS ece
+  FROM bins
+)
+SELECT c.bin, CAST(c.n AS BIGINT) AS n_users, c.conf, c.acc,
+       i.iso_cal, e.ece
+FROM cum c JOIN iso i ON c.bin = i.t CROSS JOIN e
+ORDER BY c.bin
+"""
+    )
+
+
+USER_QUALITY_CALIBRATION_SQL = _calibration_oracle_sql()
+
+
 QUERIES = {
     "events_mann_kendall": events_mann_kendall,
     "events_kruskal_wallis": events_kruskal_wallis,
     "events_pettitt_changepoint": events_pettitt_changepoint,
     "events_ljung_box": events_ljung_box,
     "events_target_encoding_oof": events_target_encoding_oof,
+    "user_quality_calibration": user_quality_calibration,
     "events_ols_two_factor": events_ols_two_factor,
     "hourly_value_fdr_bh": hourly_value_fdr_bh,
     "value_pot_gpd_fit": value_pot_gpd_fit,
@@ -3503,6 +3692,7 @@ ORACLES = {
     "events_pettitt_changepoint": EVENTS_PETTITT_CHANGEPOINT_SQL,
     "events_ljung_box": EVENTS_LJUNG_BOX_SQL,
     "events_target_encoding_oof": EVENTS_TARGET_ENCODING_OOF_SQL,
+    "user_quality_calibration": USER_QUALITY_CALIBRATION_SQL,
     "events_ols_two_factor": EVENTS_OLS_TWO_FACTOR_SQL,
     "hourly_value_fdr_bh": HOURLY_VALUE_FDR_BH_SQL,
     "value_pot_gpd_fit": VALUE_POT_GPD_FIT_SQL,

@@ -445,3 +445,38 @@ def test_target_encoding_oof_excludes_own_fold(spark, sf_dir):
             assert r.n_rows == n[(c, f)]
             assert abs(r.oof_mean - oof) < 1e-5
             assert abs(r.encoded_smoothed - sm) < 1e-5
+
+
+def test_calibration_iso_is_pava(spark, sf_dir):
+    """The max-min closed form must equal sequential pool-adjacent-
+    violators over the bins, and be monotone non-decreasing."""
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        user_quality_calibration,
+    )
+
+    rows = sorted(
+        user_quality_calibration(spark, sf_dir).collect(), key=lambda r: r.bin
+    )
+    # sequential PAVA on (acc, n)
+    blocks = []  # (sum_w*y, sum_w, count_bins)
+    for r in rows:
+        blocks.append([r.acc * r.n_users, float(r.n_users), 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+        ):
+            b2 = blocks.pop()
+            blocks[-1][0] += b2[0]
+            blocks[-1][1] += b2[1]
+            blocks[-1][2] += b2[2]
+    pava = []
+    for s, w, k in blocks:
+        pava.extend([s / w] * k)
+    prev = None
+    n_total = sum(r.n_users for r in rows)
+    ece = sum(r.n_users * abs(r.acc - r.conf) for r in rows) / n_total
+    for r, want in zip(rows, pava):
+        assert abs(r.iso_cal - want) < 1e-4, (r.bin, r.iso_cal, want)
+        if prev is not None:
+            assert r.iso_cal >= prev - 1e-9
+        prev = r.iso_cal
+        assert abs(r.ece - ece) < 1e-5
