@@ -118,6 +118,17 @@ PROBE_QUERIES = [
     ("text_kn_perplexity_bands", "KN bigram stats re-derive + apply join"),
     ("docs_quality_logistic_gate", "3-feature IRLS corpus aggs + scalar solve, gate join"),
     ("value_pot_gpd_fit", "per-type tail filter + PWM moment aggs"),
+    # round-8 second wave
+    ("similarity_pq_adc_topk_kernel", "packed codes -> Arrow gather+sum, per-batch top-k"),
+    ("tokenizer_bpe_encode", "BPE train loop + corpus token stream x vocab join"),
+    ("events_mann_kendall", "hours-sized pairwise signs + median slope"),
+    ("events_kruskal_wallis", "distinct-value midranks + two corpus aggs"),
+    ("events_pettitt_changepoint", "anchor-keyed W_t agg + cumulative U_t"),
+    ("events_ljung_box", "ordered lag pass, melted series aggs"),
+    ("events_target_encoding_oof", "md5 folds, (cat,fold) agg re-agg"),
+    ("user_quality_calibration", "IRLS fit + bin relation max-min PAVA"),
+    ("similarity_rrf_fusion", "two retriever subplans + tiny fusion join"),
+    ("similarity_truncated_dim_recall", "3 sliced brute-force kernels + semi joins"),
 ]
 
 TABLES = [
