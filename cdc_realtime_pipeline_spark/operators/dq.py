@@ -403,6 +403,77 @@ GROUP BY decile ORDER BY decile
 """
 
 
+_EQD_BUCKETS = 10
+
+
+def value_equidepth_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram WITHOUT the global sort — the production
+    re-shape the NTILE conformance row's scale note promises: this is
+    how an engine's ANALYZE actually builds equi-height statistics.
+    Values round to 4dp, the DISTINCT-value relation (domain-bounded,
+    never corpus-sized — the ``events_kruskal_wallis`` construction)
+    gets cumulative counts, and a distinct value lands in bucket
+    ⌊cum_before · B / N⌋ — whole values never split across buckets,
+    so bucket depths are equal UP TO the largest tied value (the
+    real-world equi-depth contract; exact NTILE tie-splitting is the
+    conformance row's job). Corpus cost: ONE keyed aggregate; the
+    only ordered pass runs on the distinct-value relation.
+
+    Emits per bucket: row count, lo/hi boundaries, and n_distinct —
+    the stats a selectivity estimator reads off the histogram.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.round(F.col("value") + 1e-9, 4) + 0.0).alias("v")
+    )
+    per_v = ev.groupBy("v").agg(F.count("*").cast("long").alias("n_v"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per_v.agg(F.sum("n_v").alias("n_total"))
+    binned = (
+        per_v.withColumn("cum_before", F.coalesce(F.sum("n_v").over(wv), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "n_v",
+            F.floor(
+                F.col("cum_before") * _EQD_BUCKETS / F.col("n_total")
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.sum("n_v").alias("n"),
+            F.count("*").alias("n_distinct"),
+            (F.round(F.min("v") + 1e-9, 4) + 0.0).alias("lo"),
+            (F.round(F.max("v") + 1e-9, 4) + 0.0).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+VALUE_EQUIDEPTH_SCALABLE_SQL = f"""
+WITH per_v AS (
+  SELECT round(value + 1e-9, 4) + 0.0 AS v, CAST(count(*) AS BIGINT) AS n_v
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n_v) AS n_total FROM per_v),
+binned AS (
+  SELECT v, n_v,
+         CAST(floor(coalesce(sum(n_v) OVER (ORDER BY v ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * {_EQD_BUCKETS} / tot.n_total) AS INT) AS bucket
+  FROM per_v CROSS JOIN tot
+)
+SELECT bucket, CAST(sum(n_v) AS BIGINT) AS n,
+       count(*) AS n_distinct,
+       round(min(v) + 1e-9, 4) + 0.0 AS lo,
+       round(max(v) + 1e-9, 4) + 0.0 AS hi
+FROM binned GROUP BY bucket ORDER BY bucket
+"""
+
+
 def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection via MAD (median absolute deviation):
     per event_type, flag values whose deviation from the median
@@ -1476,6 +1547,7 @@ QUERIES = {
     "value_distribution_psi": value_distribution_psi,
     "events_schema_drift": events_schema_drift,
     "value_equidepth_histogram": value_equidepth_histogram,
+    "value_equidepth_scalable": value_equidepth_scalable,
     # rows-only by design: sketch binaries are engine-specific; the
     # within_bound self-check column carries the invariant instead
     "daily_users_hll_rollup": daily_users_hll_rollup,
@@ -1498,4 +1570,5 @@ ORACLES = {
     "value_winsorized_stats": VALUE_WINSORIZED_STATS_SQL,
     "events_schema_drift": EVENTS_SCHEMA_DRIFT_SQL,
     "value_equidepth_histogram": VALUE_EQUIDEPTH_HISTOGRAM_SQL,
+    "value_equidepth_scalable": VALUE_EQUIDEPTH_SCALABLE_SQL,
 }

@@ -480,3 +480,29 @@ def test_calibration_iso_is_pava(spark, sf_dir):
             assert r.iso_cal >= prev - 1e-9
         prev = r.iso_cal
         assert abs(r.ece - ece) < 1e-5
+
+
+def test_equidepth_scalable_depth_balance(spark, sf_dir):
+    """Bucket depths must be balanced up to the largest tie group, the
+    boundaries non-overlapping and ordered, and counts total N."""
+    from cdc_realtime_pipeline_spark.operators.dq import (
+        _EQD_BUCKETS,
+        value_equidepth_scalable,
+    )
+
+    rows = sorted(
+        value_equidepth_scalable(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    n_total = sum(r.n for r in rows)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert n_total == n_events
+    target = n_total / _EQD_BUCKETS
+    max_tie = max(r.n for r in rows)  # upper bound on any tie group
+    prev_hi = None
+    for r in rows:
+        assert r.lo <= r.hi
+        if prev_hi is not None:
+            assert r.lo > prev_hi
+        prev_hi = r.hi
+        # depth within one tie-group width of the target
+        assert r.n <= target + max_tie
