@@ -28,7 +28,11 @@ from cdc_realtime_pipeline_spark.operators.dedup import (
     docs_with_dupes,
     normalize_text,
 )
-from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
+from cdc_realtime_pipeline_spark.session import (
+    load_table,
+    memo_persist,
+    tracked_persist,
+)
 
 PACK_TOKEN_BUDGET = 512
 VOCAB_TOP_K = 50
@@ -63,7 +67,19 @@ def dup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataF
 def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label-propagation CC over the Jaccard near-dup edges →
     (doc_id, label) for every doc touching an edge. Shared by the
-    cluster summary above and the canonical-selection audit below."""
+    cluster summary above, the canonical-selection audit below, and
+    (session-memoized, r8 — the `_shared_shingles` discipline) every
+    dup-graph query that starts from components: the propagation loop
+    runs once per session, not once per consuming query."""
+    return memo_persist(
+        "neardup_cc_labels",
+        spark,
+        sf_dir,
+        lambda: _build_component_labels(spark, sf_dir),
+    )
+
+
+def _build_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = tracked_persist(
         pairs.unionByName(
@@ -118,7 +134,12 @@ def _dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pending_unpersist.pop().unpersist()
             if converged:
                 break
-    return labels
+    # localCheckpoint decouples the memoized result from the loop's
+    # tracked caches: release_caches() CASCADES through dependent
+    # cached plans, so a plain persist of this select would be dropped
+    # with the loop rounds — checkpointed partitions are RDD storage,
+    # outside CacheManager's cascade (the dup_graph_pagerank idiom).
+    return labels.localCheckpoint()
 
 
 DUP_CLUSTERS_SQL = f"""

@@ -167,6 +167,48 @@ def release_caches() -> int:
     return n
 
 
+# Session-scoped materialized intermediates — shared subplans several
+# QUERIES build on (the near-dup shingle/candidate tables). Unlike
+# tracked_persist, these SURVIVE release_caches(), so a session running
+# the whole registry (bench, correctness sweep, the driver) pays for
+# each shared stage once instead of once per consuming query. Bounded
+# by construction: one entry per slot, keyed by (session, sf_dir) —
+# a new session or a different fixture dir releases and rebuilds.
+_MEMOIZED: dict[str, tuple[int, str, object]] = {}
+
+
+def memo_persist(slot: str, spark, sf_dir: str, build):
+    """Return the memoized persisted DataFrame for ``slot`` at
+    ``sf_dir``, building (and persisting) it on first use per
+    (session, sf_dir). ``build`` is a zero-arg callable."""
+    cur = _MEMOIZED.get(slot)
+    sid = id(spark)
+    if cur is not None and cur[0] == sid and cur[1] == sf_dir:
+        return cur[2]
+    if cur is not None:
+        try:
+            cur[2].unpersist()
+        except Exception:  # previous session already stopped
+            pass
+    df = build()
+    df.persist()
+    _MEMOIZED[slot] = (sid, sf_dir, df)
+    return df
+
+
+def release_memos() -> int:
+    """Unpersist every memoized intermediate (test/maintenance hook)."""
+    n = 0
+    for key in list(_MEMOIZED):
+        _, _, df = _MEMOIZED.pop(key)
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 # Per-session scratch directories, one per tag, removed at interpreter
 # exit — query functions must not leak a new mkdtemp per invocation
 # (ADVICE r2: gate/bench loops invoke each query repeatedly).
