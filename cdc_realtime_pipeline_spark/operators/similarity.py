@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
+from cdc_realtime_pipeline_spark.session import load_table, memo_persist, tracked_persist
 
 TOP_K = 5
 N_QUERIES = 3  # vec_id < 3 are the query vectors
@@ -2118,7 +2118,34 @@ def _pq_codebook(spark: SparkSession) -> DataFrame:
 
 def _pq_base_dists(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """Per-(vec, subspace, code) squared distance, 8dp-rounded — the
-    relation both the stored-code argmin and the query LUT cut from."""
+    relation both the stored-code argmin and the query LUT cut from.
+    Session-memoized across the five PQ consumers (assign / ADC /
+    kernel / IVF-PQ / re-rank — the `_shared_shingles` discipline):
+    at 100 TB this relation IS the index-build artifact you persist
+    once, not a per-query recomputation. NOTE: callers always pass the
+    full embeddings load for ``emb``, which is what the memo key
+    assumes (slot + session + the table identity baked into the plan).
+    """
+    return memo_persist(
+        "pq_base_dists",
+        spark,
+        # the sf_dir is recoverable from the scan inside emb's plan;
+        # keying on the plan's file source keeps the memo honest if a
+        # future caller ever passes a different corpus
+        emb.schema.simpleString() + "|" + _emb_source_key(emb),
+        lambda: _pq_base_dists_build(spark, emb),
+    )
+
+
+def _emb_source_key(emb: DataFrame) -> str:
+    try:
+        files = emb.inputFiles()
+        return files[0] if files else "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _pq_base_dists_build(spark: SparkSession, emb: DataFrame) -> DataFrame:
     dims = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     ).select(
