@@ -1148,6 +1148,99 @@ FROM hits ORDER BY method
 """
 
 
+def similarity_recall_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-selection table: top-K recall vs the exact answer for
+    EVERY ANN path this engine ships — LSH, IVF, IVF nprobe=2, flat
+    PQ-ADC, IVF-PQ, and ADC + exact re-rank — in one relation. This is
+    the first artifact an ANN deployment produces per corpus (recall
+    at matched K decides which index family is even in the running;
+    latency per the bench rows breaks ties). Extends
+    ``similarity_recall_report`` (kept unchanged — green-contract
+    discipline) to the round-7/8 index families; every method reuses
+    its query's own plan, so the report prices one union + one
+    semi-join over six ≤15-row relations on top of subplans the
+    session has typically already memoized.
+    """
+    bf = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    methods = [
+        ("lsh", similarity_topk_lsh(spark, sf_dir)),
+        ("ivf", similarity_topk_ivf(spark, sf_dir)),
+        ("ivf_multiprobe", similarity_topk_ivf_multiprobe(spark, sf_dir)),
+        ("pq_adc", similarity_pq_adc_topk(spark, sf_dir)),
+        ("ivfpq", similarity_ivfpq_topk(spark, sf_dir)),
+        ("adc_rerank", similarity_pq_adc_rerank(spark, sf_dir)),
+    ]
+    tagged = None
+    for name, df in methods:
+        t = df.select("query_id", "vec_id").withColumn("method", F.lit(name))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (
+        tagged.join(bf, ["query_id", "vec_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    # left join from the method list so a zero-recall method still rows
+    names_df = None
+    for name, _ in methods:
+        r = spark.range(1).select(F.lit(name).alias("method"))
+        names_df = r if names_df is None else names_df.unionByName(r)
+    denom = bf.agg(F.count("*").alias("n_bf"))
+    return (
+        names_df.join(hits, "method", "left")
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "method",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            "n_bf",
+            (
+                F.round(
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_bf") + 1e-9, 4
+                )
+                + 0.0
+            ).alias("recall"),
+        )
+        .orderBy("method")
+    )
+
+
+def _recall_full_oracle_sql() -> str:
+    return f"""
+WITH bf AS (SELECT query_id, vec_id FROM ({SIMILARITY_TOPK_BRUTEFORCE_SQL}) t),
+m_lsh AS (SELECT query_id, vec_id FROM ({_lsh_oracle_sql()}) t),
+m_ivf AS (SELECT query_id, vec_id FROM ({SIMILARITY_TOPK_IVF_SQL}) t),
+m_ivfmp AS (SELECT query_id, vec_id FROM ({SIMILARITY_TOPK_IVF_MULTIPROBE_SQL}) t),
+m_adc AS (SELECT query_id, vec_id FROM ({SIMILARITY_PQ_ADC_TOPK_SQL}) t),
+m_ivfpq AS (SELECT query_id, vec_id FROM ({SIMILARITY_IVFPQ_TOPK_SQL}) t),
+m_rerank AS (SELECT query_id, vec_id FROM ({SIMILARITY_PQ_ADC_RERANK_SQL}) t),
+tagged AS (
+  SELECT 'lsh' AS method, * FROM m_lsh
+  UNION ALL SELECT 'ivf', * FROM m_ivf
+  UNION ALL SELECT 'ivf_multiprobe', * FROM m_ivfmp
+  UNION ALL SELECT 'pq_adc', * FROM m_adc
+  UNION ALL SELECT 'ivfpq', * FROM m_ivfpq
+  UNION ALL SELECT 'adc_rerank', * FROM m_rerank
+),
+names AS (
+  SELECT unnest(['lsh', 'ivf', 'ivf_multiprobe', 'pq_adc', 'ivfpq',
+                 'adc_rerank']) AS method
+),
+hits AS (
+  SELECT method, count(*) AS n_hit
+  FROM tagged m
+  WHERE EXISTS (SELECT 1 FROM bf
+                WHERE bf.query_id = m.query_id AND bf.vec_id = m.vec_id)
+  GROUP BY method
+)
+SELECT n.method,
+       coalesce(h.n_hit, 0) AS n_hit,
+       (SELECT count(*) FROM bf) AS n_bf,
+       round(coalesce(h.n_hit, 0) / CAST((SELECT count(*) FROM bf) AS DOUBLE)
+             + 1e-9, 4) + 0.0 AS recall
+FROM names n LEFT JOIN hits h USING (method)
+ORDER BY n.method
+"""
+
+
 _KMEANS_K = 8
 _KMEANS_SEED_MOD = 37
 
@@ -3032,6 +3125,7 @@ QUERIES = {
     "dedup_embeddings_cosine": dedup_embeddings_cosine,
     "embedding_label_stats": embedding_label_stats,
     "similarity_recall_report": similarity_recall_report,
+    "similarity_recall_report_full": similarity_recall_report_full,
     "similarity_quantized_recall": similarity_quantized_recall,
 }
 
@@ -3061,5 +3155,6 @@ ORACLES = {
     "dedup_embeddings_semantic": DEDUP_EMBEDDINGS_SEMANTIC_SQL,
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
     "similarity_recall_report": _recall_oracle_sql(),
+    "similarity_recall_report_full": _recall_full_oracle_sql(),
     "similarity_quantized_recall": SIMILARITY_QUANTIZED_RECALL_SQL,
 }

@@ -42,21 +42,22 @@ test; and `events_target_encoding_oof`, leakage-safe smoothed
 out-of-fold target encoding; and `user_quality_calibration`,
 reliability bins + closed-form PAVA isotonic recalibration + ECE
 over the shared IRLS fit; and `value_equidepth_scalable`, the
-ANALYZE-style equi-depth histogram without a corpus sort) take the
-front for their first driver look;
+ANALYZE-style equi-depth histogram without a corpus sort; and
+`similarity_recall_report_full`, the six-way ANN index-selection
+recall table) take the front for their first driver look;
 [A] one contract-surface repair: `corpus_epoch_shuffle_audit`'s
 chi-square now includes the empty-cell (0−E)²/E terms (ADVICE r7 —
 changed values must re-window); [D] the staleness rotation takes
 the remaining 44 slots, oldest driver evidence first as computed
 from CORRECTNESS_r0*.json: all 16 remaining r1-evidence entries,
-then the first 15 of the 34 r2-evidence entries in file order
-([E]18 + [A]1 + [D]31 = 50).
+then the first 14 of the 34 r2-evidence entries in file order
+([E]19 + [A]1 + [D]30 = 50).
 Rows dropped this round hold r2–r7 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-9 rotation queue — the 19 r2-evidence entries that did not fit
-(`text_quality`, `text_lang_id`,
+Round-9 rotation queue — the 20 r2-evidence entries that did not fit
+(`text_token_stats`, `text_quality`, `text_lang_id`,
 `text_fingerprint`, `similarity_topk_bruteforce`, `media_features`,
 `media_resize_stats`, `media_frame_sample`, `props_json_extract`,
 `corpus_prep_pipeline`, `corpus_shard_stats`,
@@ -149,6 +150,7 @@ _PRIORITY = [
     "events_target_encoding_oof",
     "user_quality_calibration",
     "value_equidepth_scalable",
+    "similarity_recall_report_full",
     # --- [A] contract-surface repair: corpus_epoch_shuffle_audit's
     # chi-square gained the empty-cell terms (ADVICE r7) — changed
     # values must re-window ---
@@ -172,8 +174,8 @@ _PRIORITY = [
     "monthly_order_stats",
     "order_status_pivot",
     "lineitem_rollup",
-    # --- [D] continued: the first 15 of the 34 entries whose newest
-    # green row is round 2, in file order; the remaining 19 lead the
+    # --- [D] continued: the first 14 of the 34 entries whose newest
+    # green row is round 2, in file order; the remaining 20 lead the
     # round-9 queue (module docstring) ---
     "alerts_volume_surge",
     "alerts_rapid_trades_reset",
@@ -189,7 +191,6 @@ _PRIORITY = [
     "dedup_docs_minhash",
     "docs_simhash",
     "cdc_op_filtered_counts",
-    "text_token_stats",
 ]
 
 
