@@ -135,6 +135,10 @@ SHOWCASE = [
     ("events_kruskal_wallis", "distinct-value midranks, corpus side two keyed aggs"),
     ("events_pettitt_changepoint", "anchor-keyed W_t agg + cumulative U_t window"),
     ("events_ljung_box", "one ordered pass, 8 lags melted, series-sized aggs"),
+    ("events_target_encoding_oof", "md5 folds, (cat,fold) agg re-agg, broadcast mean"),
+    ("user_quality_calibration", "IRLS score -> bins -> max-min PAVA + ECE"),
+    ("value_equidepth_scalable", "distinct-value cum counts -> bucket agg"),
+    ("similarity_recall_report_full", "6-method union + semi-join vs exact"),
 ]
 
 
