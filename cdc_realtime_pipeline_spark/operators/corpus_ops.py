@@ -139,6 +139,15 @@ def _build_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached plans, so a plain persist of this select would be dropped
     # with the loop rounds — checkpointed partitions are RDD storage,
     # outside CacheManager's cascade (the dup_graph_pagerank idiom).
+    # CLUSTER-SCALE CAVEAT (ADVICE r8): localCheckpoint is
+    # NON-RELIABLE storage with lineage truncated — on a real cluster
+    # a lost executor loses partitions that can no longer be
+    # recomputed, failing later dup-graph queries in the session. At
+    # cluster scale, point spark.checkpoint.dir at durable storage and
+    # use labels.checkpoint() (reliable) here instead, or let callers
+    # rebuild via release_memos() on task failure; on local[n] (this
+    # harness) executor loss is process death, so the cheap form is
+    # the right trade.
     return labels.localCheckpoint()
 
 

@@ -2112,7 +2112,7 @@ def embeddings_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin on both engines (ties → lowest code id).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dists = _pq_base_dists(spark, emb)
+    dists = _pq_base_dists(spark, emb, sf_dir)
     w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     assigned = dists.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     return (
@@ -2209,33 +2209,24 @@ def _pq_codebook(spark: SparkSession) -> DataFrame:
     return cb.select("sub", "code", "sdim", (_pq_uniform(key) - 0.5).alias("c"))
 
 
-def _pq_base_dists(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _pq_base_dists(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
     """Per-(vec, subspace, code) squared distance, 8dp-rounded — the
     relation both the stored-code argmin and the query LUT cut from.
     Session-memoized across the five PQ consumers (assign / ADC /
     kernel / IVF-PQ / re-rank — the `_shared_shingles` discipline):
     at 100 TB this relation IS the index-build artifact you persist
     once, not a per-query recomputation. NOTE: callers always pass the
-    full embeddings load for ``emb``, which is what the memo key
-    assumes (slot + session + the table identity baked into the plan).
+    full embeddings load for ``emb`` and the ``sf_dir`` it came from;
+    the memo is keyed on (slot, session, sf_dir, schema), so two
+    corpora in one session get distinct memo slots (ADVICE r8 — the
+    earlier inputFiles()-derived key fell back to a shared sentinel).
     """
     return memo_persist(
         "pq_base_dists",
         spark,
-        # the sf_dir is recoverable from the scan inside emb's plan;
-        # keying on the plan's file source keeps the memo honest if a
-        # future caller ever passes a different corpus
-        emb.schema.simpleString() + "|" + _emb_source_key(emb),
+        emb.schema.simpleString() + "|" + sf_dir,
         lambda: _pq_base_dists_build(spark, emb),
     )
-
-
-def _emb_source_key(emb: DataFrame) -> str:
-    try:
-        files = emb.inputFiles()
-        return files[0] if files else "unknown"
-    except Exception:
-        return "unknown"
 
 
 def _pq_base_dists_build(spark: SparkSession, emb: DataFrame) -> DataFrame:
@@ -2257,13 +2248,13 @@ def _pq_base_dists_build(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
 
 
-def _adc_scan(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _adc_scan(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
     """The flat ADC scan relation (query_id, vec_id, adc_dist) shared
     by the top-K and re-rank legs: stored codes (argmin per subspace,
     queries excluded) ⋈ broadcast per-query S×C LUT, summed per
     (query, vec). One construction so the re-rank stage prices the
     SAME approximate distances the search stage ranked by."""
-    base_dists = _pq_base_dists(spark, emb)
+    base_dists = _pq_base_dists(spark, emb, sf_dir)
     wc = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     codes = (
         base_dists.filter(F.col("vec_id") >= N_QUERIES)
@@ -2335,7 +2326,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the database side (self-matches are vacuous).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    adc = _adc_scan(spark, emb)
+    adc = _adc_scan(spark, emb, sf_dir)
     wq = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
         adc.withColumn("rank", F.row_number().over(wq))
@@ -2388,7 +2379,7 @@ def similarity_pq_adc_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base_dists = _pq_base_dists(spark, emb)
+    base_dists = _pq_base_dists(spark, emb, sf_dir)
     wc = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     codes_packed = (
         base_dists.filter(F.col("vec_id") >= N_QUERIES)
@@ -2428,7 +2419,11 @@ def similarity_pq_adc_topk_kernel(spark: SparkSession, sf_dir: str) -> DataFrame
             for q in qids:
                 # gather: per row, LUT[sub, code[sub]] summed over subs
                 d = lut[qpos[q]][sub_idx[None, :], cm].sum(axis=1)
-                d = np.round(d + 1e-9, 6) + 0.0
+                # half-UP at 6dp to match F.round / DuckDB exactly —
+                # np.round is half-to-even, which could rank a sum
+                # landing within 1e-9 of a half-boundary differently
+                # than the shared oracle (ADVICE r8)
+                d = np.floor((d + 1e-9) * 1e6 + 0.5) / 1e6 + 0.0
                 k = min(_ADC_K, len(d))
                 # per-batch top-K with (dist, vec_id) tie order
                 order = np.lexsort((vids, d))[:k]
@@ -2487,7 +2482,7 @@ def similarity_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     wq = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     cand = (
-        _adc_scan(spark, emb)
+        _adc_scan(spark, emb, sf_dir)
         .withColumn("adc_rank", F.row_number().over(wq))
         .filter(F.col("adc_rank") <= _RERANK_R)
     )
@@ -2607,7 +2602,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcells = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("cell_id").alias("qcell")
     )
-    base_dists = _pq_base_dists(spark, emb)
+    base_dists = _pq_base_dists(spark, emb, sf_dir)
     wc = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     codes = (
         base_dists.filter(F.col("vec_id") >= N_QUERIES)

@@ -180,7 +180,15 @@ _MEMOIZED: dict[str, tuple[int, str, object]] = {}
 def memo_persist(slot: str, spark, sf_dir: str, build):
     """Return the memoized persisted DataFrame for ``slot`` at
     ``sf_dir``, building (and persisting) it on first use per
-    (session, sf_dir). ``build`` is a zero-arg callable."""
+    (session, sf_dir). ``build`` is a zero-arg callable.
+
+    STATIC-FIXTURE ASSUMPTION (ADVICE r8): entries survive
+    release_caches() by design and are never invalidated on
+    underlying-data change — the fixture dirs are immutable for the
+    life of a session (the driver/bench/test contract). Any tool that
+    REWRITES a fixture dir mid-session must call release_memos()
+    afterwards or memoized shingle/candidate/PQ tables will serve
+    stale results."""
     cur = _MEMOIZED.get(slot)
     sid = id(spark)
     if cur is not None and cur[0] == sid and cur[1] == sf_dir:

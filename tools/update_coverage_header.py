@@ -29,14 +29,20 @@ _HEADER_RE = re.compile(r"with \d+ queries / \d+ oracles \(end of\nround \d+\)")
 
 
 def _current_round() -> int:
-    """Highest BENCH_r{NN}.json + 1 = the round in progress."""
+    """Highest BENCH_r{NN}.json = the round most recently ENDED.
+
+    The header reads "(end of round N)", so the default must be the
+    last completed round, not the one in progress (ADVICE r8 — the
+    old +1 default stamped "end of round 9" before round 9 ended).
+    Pass the round explicitly as argv[1] to override.
+    """
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = [
         int(m.group(1))
         for f in os.listdir(repo)
         if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
     ]
-    return (max(rounds) + 1) if rounds else 1
+    return max(rounds) if rounds else 1
 
 
 def main() -> int:
