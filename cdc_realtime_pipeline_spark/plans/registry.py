@@ -16,59 +16,27 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-8 window composition (the round-7 gate returned 49/50 full
-green; the 1 non-pass was `dash_approx_distinct_users` `err:
-no_oracle` — rows-only by design, now pinned OUT of the window
-permanently per VERDICT r7 #3 so a slot is never again spent on a
-row that cannot read green; its self-check invariant stays under the
-local harness and pytest):
-[E] the 4 late-round-7 operators that arrived after the r7 window
-filled (VERDICT r7 #1 — "the entire builder-attested vs
-driver-proven gap") plus the round-8 NEW operator
-(`similarity_pq_adc_rerank` — the exact refine stage after the ADC
-scan, VERDICT r7 #2 — plus `similarity_topk_ivf_multiprobe`, the
-nprobe recall knob, and `similarity_rrf_fusion`, sparse+dense hybrid
-retrieval fusion; `tokenizer_bpe_encode`, the BPE apply leg;
-`events_mann_kendall`, nonparametric trend + Theil–Sen slope; and
-`similarity_truncated_dim_recall`, the Matryoshka-style truncation
-audit; and `events_kruskal_wallis`, rank-based one-way ANOVA on a
-bounded distinct-value rank relation; and
-`events_pettitt_changepoint`, the rank-based level-shift localizer
-via the U_t recurrence; and `similarity_pq_adc_topk_kernel`, the
-packed-codes mapInPandas ADC scan gated by the SAME oracle as the
-declarative form; `similarity_topk_filtered`, pre-filter metadata
-ANN; and `events_ljung_box`, the lag-1..8 portmanteau whiteness
-test; and `events_target_encoding_oof`, leakage-safe smoothed
-out-of-fold target encoding; and `user_quality_calibration`,
-reliability bins + closed-form PAVA isotonic recalibration + ECE
-over the shared IRLS fit; and `value_equidepth_scalable`, the
-ANALYZE-style equi-depth histogram without a corpus sort; and
-`similarity_recall_report_full`, the six-way ANN index-selection
-recall table) take the front for their first driver look;
-[A] one contract-surface repair: `corpus_epoch_shuffle_audit`'s
-chi-square now includes the empty-cell (0−E)²/E terms (ADVICE r7 —
-changed values must re-window); [D] the staleness rotation takes
-the remaining 44 slots, oldest driver evidence first as computed
-from CORRECTNESS_r0*.json: all 16 remaining r1-evidence entries,
-then the first 14 of the 34 r2-evidence entries in file order
-([E]19 + [A]1 + [D]30 = 50).
-Rows dropped this round hold r2–r7 green evidence on unchanged code
+Round-9 window composition (the round-8 gate returned the first
+fully green 50/50 window):
+[E] the two round-9 OPQ operators (VERDICT r8 #5) take the front for
+their first driver look; [A] one changed-values re-window:
+`similarity_recall_report_full` grew a seventh method row (opq_adc),
+so its values changed and it re-earns its driver row; [D] the
+staleness rotation fills the remaining 47 slots oldest-evidence-first
+per CORRECTNESS_r0*.json: the 20 r2-evidence entries named in the
+round-8 queue (core text, media, JSON, corpus-prep, streaming), then
+the first 27 of the r3-evidence pool in registry order
+([E]2 + [A]1 + [D]47 = 50).
+Rows dropped this round hold r3–r8 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-9 rotation queue — the 20 r2-evidence entries that did not fit
-(`text_token_stats`, `text_quality`, `text_lang_id`,
-`text_fingerprint`, `similarity_topk_bruteforce`, `media_features`,
-`media_resize_stats`, `media_frame_sample`, `props_json_extract`,
-`corpus_prep_pipeline`, `corpus_shard_stats`,
-`embeddings_preprocessed`,
-`corpus_pack_sequences`, `corpus_train_val_split`,
-`corpus_vocab_topk`, `corpus_length_histogram`,
-`stream_dedup_counts`, `stream_sessionize`, `stream_static_enrich`,
-`stream_stream_join`), then the remaining r2 block and the r3 pool,
-oldest evidence first per CORRECTNESS_r0*.json — plus, ahead of all
-of these, any round-8 operators added after this window was
-finalized.
+Round-10 rotation queue — the remaining r3-evidence entries after
+this window's 27 (continue from `similarity_quantized_recall` in
+registry order), then the r4 pool, oldest evidence first per
+CORRECTNESS_r0*.json — plus, ahead of all of these, any round-9
+operators added after this window was finalized and any query whose
+values change.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -128,69 +96,71 @@ _MODULES = [
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
 _PRIORITY = [
-    # --- [E] first driver look: the 4 late-round-7 operators
-    # (VERDICT r7 #1) + the round-8 NEW exact refine stage
-    # (VERDICT r7 #2) — all local-green at 3 SFs under the
-    # type-faithful harness ---
-    "text_kn_perplexity_bands",
-    "docs_quality_logistic_gate",
-    "similarity_ivfpq_topk",
-    "value_pot_gpd_fit",
-    "similarity_pq_adc_rerank",
-    "similarity_topk_ivf_multiprobe",
-    "similarity_rrf_fusion",
-    "tokenizer_bpe_encode",
-    "events_mann_kendall",
-    "similarity_truncated_dim_recall",
-    "events_kruskal_wallis",
-    "events_pettitt_changepoint",
-    "similarity_pq_adc_topk_kernel",
-    "similarity_topk_filtered",
-    "events_ljung_box",
-    "events_target_encoding_oof",
-    "user_quality_calibration",
-    "value_equidepth_scalable",
+    # --- [E] first driver look: the round-9 OPQ pair (VERDICT r8 #5)
+    # — the rotation-selection audit and the OPQ-ADC search leg, both
+    # oracle-gated locally at 3 SFs ---
+    "embeddings_opq_rotate",
+    "similarity_opq_adc_topk",
+    # --- [A] changed-values re-window: the recall table grew its
+    # seventh method row (opq_adc), so its values changed this round
+    # (standing policy: changed values must re-earn a driver row) ---
     "similarity_recall_report_full",
-    # --- [A] contract-surface repair: corpus_epoch_shuffle_audit's
-    # chi-square gained the empty-cell terms (ADVICE r7) — changed
-    # values must re-window ---
-    "corpus_epoch_shuffle_audit",
-    # --- [D] staleness rotation (VERDICT r7 #3 continuation),
-    # oldest driver evidence first per CORRECTNESS_r0*.json:
-    # the 16 entries whose only green row is round 1 ---
-    "dash_price_per_minute_single_key",
-    "dash_latest_value_per_day",
-    "window_agg_sliding",
-    "alerts_large_trade_lookup_join",
-    "small_quantity_revenue",
-    "disjunctive_revenue",
-    "cheapest_supplier_per_part",
-    "revenue_share_per_nation",
-    "cumulative_daily_value",
-    "set_operations",
-    "big_orders_having",
-    "order_priority_counts",
-    "customers_without_orders",
-    "monthly_order_stats",
-    "order_status_pivot",
-    "lineitem_rollup",
-    # --- [D] continued: the first 14 of the 34 entries whose newest
-    # green row is round 2, in file order; the remaining 20 lead the
-    # round-9 queue (module docstring) ---
-    "alerts_volume_surge",
-    "alerts_rapid_trades_reset",
-    "array_functions",
-    "skewed_join_salted",
-    "events_cube",
-    "events_rollup_multi_granularity",
-    "asof_join_last_click",
-    "quantity_band_join",
-    "bucketized_range_join",
-    "dedup_events_exact",
-    "dedup_docs_exact",
-    "dedup_docs_minhash",
-    "docs_simhash",
-    "cdc_op_filtered_counts",
+    # --- [D] staleness rotation (VERDICT r8 #1): the 20 r2-evidence
+    # entries named in the round-8 queue — core text, media, JSON,
+    # corpus-prep and streaming families whose driver evidence was 7
+    # rounds stale ---
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "similarity_topk_bruteforce",
+    "media_features",
+    "media_resize_stats",
+    "media_frame_sample",
+    "props_json_extract",
+    "corpus_prep_pipeline",
+    "corpus_shard_stats",
+    "embeddings_preprocessed",
+    "corpus_pack_sequences",
+    "corpus_train_val_split",
+    "corpus_vocab_topk",
+    "corpus_length_histogram",
+    "stream_dedup_counts",
+    "stream_sessionize",
+    "stream_static_enrich",
+    "stream_stream_join",
+    # --- [D] continued: the r3-evidence pool in registry order (all
+    # r2-evidence rows are covered by the 20 above; next-oldest is r3)
+    # — includes dedup_docs_jaccard/levenshtein, whose inputs moved to
+    # the session-memoized docs/tokens relations this round
+    # (value-identical, but fresh driver rows re-prove it) ---
+    "dash_latency_mv_read",
+    "window_agg_5m",
+    "alerts_price_spike",
+    "join_types_conformance",
+    "docs_lang_source_pivot",
+    "funnel_conversion",
+    "cohort_retention",
+    "null_semantics_conformance",
+    "file_format_roundtrip",
+    "ohlc_bars_5m",
+    "twap_hourly",
+    "gap_fill_locf",
+    "rolling_price_bands",
+    "dedup_docs_jaccard",
+    "dedup_docs_levenshtein",
+    "dedup_docs_containment",
+    "dedup_docs_incremental",
+    "cdc_roundtrip",
+    "cdc_apply_changes",
+    "cdc_scd2_history",
+    "cdc_parse_audit_stats",
+    "pit_join_versions",
+    "docs_source_profile",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "dedup_embeddings_cosine",
+    "similarity_recall_report",
 ]
 
 

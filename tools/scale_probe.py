@@ -129,6 +129,10 @@ PROBE_QUERIES = [
     ("user_quality_calibration", "IRLS fit + bin relation max-min PAVA"),
     ("similarity_rrf_fusion", "two retriever subplans + tiny fusion join"),
     ("similarity_truncated_dim_recall", "3 sliced brute-force kernels + semi joins"),
+    # round-9 wave: the two r8 ops previously argued-by-analogy
+    # (VERDICT r8 #6) now hold their own measured rows
+    ("similarity_topk_filtered", "metadata pre-filter -> brute-force top-k"),
+    ("value_equidepth_scalable", "grid candidate ranks + cumulative walk, no sort"),
 ]
 
 TABLES = [
@@ -289,6 +293,20 @@ def main() -> None:
         missing = want - {n for n, _ in probe}
         if missing:
             raise SystemExit(f"unknown probe queries: {missing}")
+
+    # Untimed warm-up (VERDICT r8 #7): the first probe row used to
+    # absorb JVM JIT/codegen AND Python-worker/Arrow cold start, so
+    # nearly every Arrow-seam query read a negative 1->10 slope. Warm
+    # both seams once with workloads that are NOT probe queries, so no
+    # query's own memoized intermediates get pre-built (memo build
+    # cost must stay inside every timed point — the fixture dirs
+    # differ per multiplier, so each point rebuilds its own memos).
+    spark.read.parquet(os.path.join(dirs[ms[0]], "lineitem.parquet")).groupBy(
+        "l_returnflag"
+    ).count().write.mode("overwrite").format("noop").save()
+    spark.range(100000).mapInPandas(lambda it: it, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     results: dict[str, dict[int, float]] = {}
     for name, family in probe:
