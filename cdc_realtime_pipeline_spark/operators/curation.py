@@ -1949,6 +1949,93 @@ LIMIT {_PMI_TOP}
 """
 
 
+def docs_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based document quality gate (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A — the public
+    rule family most curation stacks start from): per-source counts of
+    documents failing each structural rule and the kept count.
+
+    Rules (exact-integer comparisons — no float thresholds anywhere,
+    so both engines take every boundary identically):
+      R1 word count      50 ≤ n_words ≤ 100000
+      R2 mean word len   3 ≤ sum_len/n_words ≤ 10  ⇔  3·n ≤ sum_len ≤ 10·n
+      R3 alpha fraction  ≥ 0.8 of words contain a letter ⇔ 5·n_alpha ≥ 4·n
+
+    One corpus pass: tokens come from the session-memoized tokenized
+    corpus (``doc_words``), collapse to per-doc integer moments
+    (map-side combinable), then a bounded per-source roll-up.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
+
+    toks = (
+        doc_words(spark, sf_dir)
+        .select("source", "doc_id", F.explode("words").alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    per_doc = toks.groupBy("source", "doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("word")).alias("sum_len"),
+        F.count(F.when(F.col("word").rlike("[a-z]"), 1)).alias("n_alpha"),
+    )
+    flagged = per_doc.select(
+        "source",
+        (~F.col("n_words").between(50, 100000)).cast("long").alias("f_wc"),
+        (
+            (F.col("sum_len") < 3 * F.col("n_words"))
+            | (F.col("sum_len") > 10 * F.col("n_words"))
+        ).cast("long").alias("f_mwl"),
+        (5 * F.col("n_alpha") < 4 * F.col("n_words")).cast("long").alias("f_alpha"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f_wc").alias("fail_wordcount"),
+            F.sum("f_mwl").alias("fail_meanlen"),
+            F.sum("f_alpha").alias("fail_alpha"),
+            F.count(
+                F.when(
+                    (F.col("f_wc") + F.col("f_mwl") + F.col("f_alpha")) == 0, 1
+                )
+            ).alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_GOPHER_QUALITY_GATE_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id, word
+  FROM (SELECT source, doc_id,
+               unnest(string_split({NORMALIZE_SQL.format(col='text')}, ' ')) AS word
+        FROM documents)
+  WHERE length(word) > 0
+),
+per_doc AS (
+  SELECT source, doc_id,
+         count(*) AS n_words,
+         sum(length(word)) AS sum_len,
+         count(CASE WHEN regexp_matches(word, '[a-z]') THEN 1 END) AS n_alpha
+  FROM toks GROUP BY 1, 2
+),
+flagged AS (
+  SELECT source,
+         CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f_wc,
+         CASE WHEN sum_len < 3 * n_words OR sum_len > 10 * n_words
+              THEN 1 ELSE 0 END AS f_mwl,
+         CASE WHEN 5 * n_alpha < 4 * n_words THEN 1 ELSE 0 END AS f_alpha
+  FROM per_doc
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(f_wc) AS BIGINT) AS fail_wordcount,
+       CAST(sum(f_mwl) AS BIGINT) AS fail_meanlen,
+       CAST(sum(f_alpha) AS BIGINT) AS fail_alpha,
+       count(CASE WHEN f_wc + f_mwl + f_alpha = 0 THEN 1 END) AS kept
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "text_bigram_kneser_ney": text_bigram_kneser_ney,
     "text_kn_perplexity_bands": text_kn_perplexity_bands,
@@ -1970,6 +2057,7 @@ QUERIES = {
     "docs_ngram_novelty": docs_ngram_novelty,
     "corpus_mixture_weights": corpus_mixture_weights,
     "docs_chunked": docs_chunked,
+    "docs_gopher_quality_gate": docs_gopher_quality_gate,
 }
 
 ORACLES = {
@@ -1993,4 +2081,5 @@ ORACLES = {
     "corpus_mixture_weights": CORPUS_MIXTURE_WEIGHTS_SQL,
     "corpus_quality_weighted_sample": CORPUS_QUALITY_WEIGHTED_SAMPLE_SQL,
     "docs_chunked": DOCS_CHUNKED_SQL,
+    "docs_gopher_quality_gate": DOCS_GOPHER_QUALITY_GATE_SQL,
 }

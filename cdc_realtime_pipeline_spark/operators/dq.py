@@ -1530,7 +1530,95 @@ FROM est ORDER BY exact_cnt DESC, user_id
 """
 
 
+def docs_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the reference corpus half
+    (even doc_id — the "training snapshot") and the incoming half (odd
+    doc_id) over fixed-width document-length bins — THE standard
+    drift monitor a training-data pipeline runs before admitting a new
+    crawl batch (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 break).
+
+    Determinism: fixed-width bins (n_chars // 100 — no quantile
+    estimation), Laplace-smoothed shares over the observed-bin count B
+    (p = (cnt+1)/(N+B), exact rationals), one ln() per bin rounded 6dp
+    under the shared nudge. Output: per-bin counts + PSI term + the
+    total PSI repeated (window sum over the bounded bin relation).
+
+    Scale: one corpus pass to (side, bin) integer counts (map-side
+    combinable), everything after is bin-bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2 == 0).cast("int").alias("is_ref"),
+        (F.col("n_chars") / 100).cast("long").alias("bin"),
+    )
+    counts = docs.groupBy("bin").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count("*").alias("b"),
+    )
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (
+            F.round(
+                (
+                    (F.col("n_cur") + 1) / (F.col("t_cur") + F.col("b"))
+                    - (F.col("n_ref") + 1) / (F.col("t_ref") + F.col("b"))
+                )
+                * F.log(
+                    ((F.col("n_cur") + 1) / (F.col("t_cur") + F.col("b")))
+                    / ((F.col("n_ref") + 1) / (F.col("t_ref") + F.col("b")))
+                )
+                + 1e-9,
+                6,
+            )
+            + 0.0
+        ).alias("psi_term"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        terms.withColumn(
+            "psi_total", (F.round(F.sum("psi_term").over(w) + 1e-9, 6) + 0.0)
+        )
+        .orderBy("bin")
+    )
+
+
+DOCS_PSI_DRIFT_SQL = """
+WITH counts AS (
+  SELECT CAST(n_chars // 100 AS BIGINT) AS bin,
+         count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_ref,
+         count(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS n_cur
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         CAST(sum(n_cur) AS BIGINT) AS t_cur,
+         count(*) AS b
+  FROM counts
+),
+terms AS (
+  SELECT bin, n_ref, n_cur,
+         round(
+           ((n_cur + 1) / CAST(t_cur + b AS DOUBLE)
+            - (n_ref + 1) / CAST(t_ref + b AS DOUBLE))
+           * ln(((n_cur + 1) / CAST(t_cur + b AS DOUBLE))
+                / ((n_ref + 1) / CAST(t_ref + b AS DOUBLE)))
+           + 1e-9, 6) + 0.0 AS psi_term
+  FROM counts CROSS JOIN tot
+)
+SELECT bin, n_ref, n_cur, psi_term,
+       round(sum(psi_term) OVER () + 1e-9, 6) + 0.0 AS psi_total
+FROM terms ORDER BY bin
+"""
+
+
 QUERIES = {
+    "docs_psi_drift": docs_psi_drift,
     "dq_rule_engine": dq_rule_engine,
     "events_countmin_audit": events_countmin_audit,
     "dp_noised_release": dp_noised_release,
@@ -1554,6 +1642,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "docs_psi_drift": DOCS_PSI_DRIFT_SQL,
     "events_countmin_audit": EVENTS_COUNTMIN_AUDIT_SQL,
     "dp_noised_release": DP_NOISED_RELEASE_SQL,
     "k_anonymity_audit": K_ANONYMITY_AUDIT_SQL,

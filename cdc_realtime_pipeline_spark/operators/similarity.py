@@ -1151,15 +1151,15 @@ FROM hits ORDER BY method
 def similarity_recall_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index-selection table: top-K recall vs the exact answer for
     EVERY ANN path this engine ships — LSH, IVF, IVF nprobe=2, flat
-    PQ-ADC, IVF-PQ, ADC + exact re-rank, and OPQ-rotated ADC (r9) —
-    in one relation. This is
+    PQ-ADC, IVF-PQ, ADC + exact re-rank, OPQ-rotated ADC, and
+    binary sign/Hamming (r9) — in one relation. This is
     the first artifact an ANN deployment produces per corpus (recall
     at matched K decides which index family is even in the running;
     latency per the bench rows breaks ties). Extends
     ``similarity_recall_report`` (kept unchanged — green-contract
     discipline) to the round-7/8 index families; every method reuses
     its query's own plan, so the report prices one union + one
-    semi-join over seven ≤15-row relations on top of subplans the
+    semi-join over eight ≤15-row relations on top of subplans the
     session has typically already memoized.
     """
     bf = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
@@ -1171,6 +1171,7 @@ def similarity_recall_report_full(spark: SparkSession, sf_dir: str) -> DataFrame
         ("ivfpq", similarity_ivfpq_topk(spark, sf_dir)),
         ("adc_rerank", similarity_pq_adc_rerank(spark, sf_dir)),
         ("opq_adc", similarity_opq_adc_topk(spark, sf_dir)),
+        ("binary_hamming", similarity_binary_sign_topk(spark, sf_dir)),
     ]
     tagged = None
     for name, df in methods:
@@ -1215,6 +1216,7 @@ m_adc AS (SELECT query_id, vec_id FROM ({SIMILARITY_PQ_ADC_TOPK_SQL}) t),
 m_ivfpq AS (SELECT query_id, vec_id FROM ({SIMILARITY_IVFPQ_TOPK_SQL}) t),
 m_rerank AS (SELECT query_id, vec_id FROM ({SIMILARITY_PQ_ADC_RERANK_SQL}) t),
 m_opq AS (SELECT query_id, vec_id FROM ({_opq_adc_topk_oracle_sql()}) t),
+m_bin AS (SELECT query_id, vec_id FROM ({SIMILARITY_BINARY_SIGN_TOPK_SQL}) t),
 tagged AS (
   SELECT 'lsh' AS method, * FROM m_lsh
   UNION ALL SELECT 'ivf', * FROM m_ivf
@@ -1223,10 +1225,11 @@ tagged AS (
   UNION ALL SELECT 'ivfpq', * FROM m_ivfpq
   UNION ALL SELECT 'adc_rerank', * FROM m_rerank
   UNION ALL SELECT 'opq_adc', * FROM m_opq
+  UNION ALL SELECT 'binary_hamming', * FROM m_bin
 ),
 names AS (
   SELECT unnest(['lsh', 'ivf', 'ivf_multiprobe', 'pq_adc', 'ivfpq',
-                 'adc_rerank', 'opq_adc']) AS method
+                 'adc_rerank', 'opq_adc', 'binary_hamming']) AS method
 ),
 hits AS (
   SELECT method, count(*) AS n_hit
@@ -3206,6 +3209,103 @@ ORDER BY query_id, rank
 """
 
 
+def _sign_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, w1, w2): 64 sign bits packed into two positive 32-bit
+    words — the 1-bit-per-dim binary quantization index (64 bytes of
+    float32 → 8 bytes; two half-words keep every value positive, no
+    BIGINT sign-bit traps in either engine)."""
+    bits = _opq_x(spark, sf_dir).select(
+        "vec_id",
+        "pos",
+        (F.col("val") >= 0).cast("long").alias("bit"),
+    )
+    return bits.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("pos") <= 32,
+                F.col("bit") * F.pow(F.lit(2.0), F.col("pos") - 1).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("w1"),
+        F.sum(
+            F.when(
+                F.col("pos") > 32,
+                F.col("bit") * F.pow(F.lit(2.0), F.col("pos") - 33).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("w2"),
+    )
+
+
+def similarity_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign) quantization ANN top-K — the 1-bit extreme of the
+    quantization family (LSH sign sketches / FAISS binary indexes):
+    each vector compresses to its 64 coordinate sign bits and search
+    is a Hamming-distance scan, bit_count(xor) over two packed words.
+    For unit-ish vectors P[sign mismatch] = acos(cos θ)/π per
+    hyperplane-free coordinate, so Hamming rank tracks angular rank —
+    the same bound family the LSH operator documents, at 1/128 the
+    index bytes. Ties (common on 64-bit codes) break by vec_id; rank
+    ties are therefore deterministic cross-engine.
+
+    Scale: the database side is 8 bytes/vector scanned sequentially
+    with two broadcast query words — the memory-bandwidth-optimal
+    first-pass filter before any exact re-rank.
+    """
+    sw = _sign_words(spark, sf_dir)
+    q = sw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+    )
+    db = sw.filter(F.col("vec_id") >= N_QUERIES)
+    scored = db.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+            + F.bit_count(F.col("w2").bitwiseXOR(F.col("q2")))
+        ).cast("long").alias("hamming"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("query_id", "rank", "vec_id", "hamming")
+        .orderBy("query_id", "rank")
+    )
+
+
+SIMILARITY_BINARY_SIGN_TOPK_SQL = f"""
+WITH x AS (
+  SELECT vec_id, i AS pos, list_extract(embedding::DOUBLE[], i) AS val
+  FROM embeddings CROSS JOIN range(1, 65) r(i)
+),
+sw AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pos <= 32 AND val >= 0
+                       THEN CAST(2 ** (pos - 1) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS w1,
+         CAST(sum(CASE WHEN pos > 32 AND val >= 0
+                       THEN CAST(2 ** (pos - 33) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS w2
+  FROM x GROUP BY vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id,
+         CAST(bit_count(xor(d.w1, q.w1)) + bit_count(xor(d.w2, q.w2))
+              AS BIGINT) AS hamming
+  FROM sw d, sw q
+  WHERE q.vec_id < {N_QUERIES} AND d.vec_id >= {N_QUERIES}
+)
+SELECT query_id, rank, vec_id, hamming FROM (
+  SELECT query_id, vec_id, hamming,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, vec_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_ADC_K}
+ORDER BY query_id, rank
+"""
+
+
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     re-ranking of each query's top-{POOL} cosine candidates: greedily
@@ -3631,6 +3731,7 @@ QUERIES = {
     "similarity_recall_report_full": similarity_recall_report_full,
     "embeddings_opq_rotate": embeddings_opq_rotate,
     "similarity_opq_adc_topk": similarity_opq_adc_topk,
+    "similarity_binary_sign_topk": similarity_binary_sign_topk,
     "similarity_quantized_recall": similarity_quantized_recall,
 }
 
@@ -3663,5 +3764,6 @@ ORACLES = {
     "similarity_recall_report_full": _recall_full_oracle_sql(),
     "embeddings_opq_rotate": _opq_rotate_oracle_sql(),
     "similarity_opq_adc_topk": _opq_adc_topk_oracle_sql(),
+    "similarity_binary_sign_topk": SIMILARITY_BINARY_SIGN_TOPK_SQL,
     "similarity_quantized_recall": SIMILARITY_QUANTIZED_RECALL_SQL,
 }

@@ -138,7 +138,13 @@ SHOWCASE = [
     ("events_target_encoding_oof", "md5 folds, (cat,fold) agg re-agg, broadcast mean"),
     ("user_quality_calibration", "IRLS score -> bins -> max-min PAVA + ECE"),
     ("value_equidepth_scalable", "distinct-value cum counts -> bucket agg"),
-    ("similarity_recall_report_full", "6-method union + semi-join vs exact"),
+    ("similarity_recall_report_full", "8-method union + semi-join vs exact"),
+    # round-9 wave
+    ("embeddings_opq_rotate", "4 rotation candidates → distortion + recall audit"),
+    ("similarity_opq_adc_topk", "chosen-rotation ADC scan, same code budget"),
+    ("similarity_binary_sign_topk", "two packed sign words → bit_count(xor) scan"),
+    ("docs_gopher_quality_gate", "token moments → exact-integer rule matrix"),
+    ("docs_psi_drift", "one pass (side,bin) counts → smoothed PSI terms"),
 ]
 
 

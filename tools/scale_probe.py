@@ -133,6 +133,11 @@ PROBE_QUERIES = [
     # (VERDICT r8 #6) now hold their own measured rows
     ("similarity_topk_filtered", "metadata pre-filter -> brute-force top-k"),
     ("value_equidepth_scalable", "grid candidate ranks + cumulative walk, no sort"),
+    # round-9 second wave
+    ("embeddings_opq_rotate", "4-candidate rotation train/validate/select"),
+    ("similarity_binary_sign_topk", "sign-bit pack + Hamming word scan"),
+    ("docs_gopher_quality_gate", "token moments -> integer rule matrix"),
+    ("docs_psi_drift", "one corpus pass to (side,bin) counts + bounded terms"),
 ]
 
 TABLES = [
