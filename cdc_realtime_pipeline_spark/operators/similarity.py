@@ -2946,7 +2946,17 @@ def _opq_bd_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _opq_adc_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cand, query_id, vec_id, adc_dist): the ADC scan per candidate
     rotation — stored-code argmin ⋈ broadcast per-query LUT, the
-    _adc_scan shape with a cand key threaded through."""
+    _adc_scan shape with a cand key threaded through. Session-memoized
+    (Q·cands·corpus rows — small): the rotate audit, the chosen-
+    candidate search leg and the recall table all rank from it, and
+    the code-argmin window above the bd relation is the expensive
+    stage they'd otherwise each repeat."""
+    return memo_persist(
+        "opq_adc_all", spark, sf_dir, lambda: _opq_adc_all_build(spark, sf_dir)
+    )
+
+
+def _opq_adc_all_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     bd = _opq_bd_all(spark, sf_dir)
     wc = Window.partitionBy("cand", "vec_id", "sub").orderBy(
         F.asc("d2"), F.asc("code")
