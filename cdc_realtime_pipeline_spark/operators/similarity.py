@@ -1152,14 +1152,15 @@ def similarity_recall_report_full(spark: SparkSession, sf_dir: str) -> DataFrame
     """The index-selection table: top-K recall vs the exact answer for
     EVERY ANN path this engine ships — LSH, IVF, IVF nprobe=2, flat
     PQ-ADC, IVF-PQ, ADC + exact re-rank, OPQ-rotated ADC, and
-    binary sign/Hamming (r9) — in one relation. This is
+    binary sign/Hamming, and binary+exact re-rank (r9) — in one
+    relation. This is
     the first artifact an ANN deployment produces per corpus (recall
     at matched K decides which index family is even in the running;
     latency per the bench rows breaks ties). Extends
     ``similarity_recall_report`` (kept unchanged — green-contract
     discipline) to the round-7/8 index families; every method reuses
     its query's own plan, so the report prices one union + one
-    semi-join over eight ≤15-row relations on top of subplans the
+    semi-join over nine ≤15-row relations on top of subplans the
     session has typically already memoized.
     """
     bf = similarity_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
@@ -1172,6 +1173,7 @@ def similarity_recall_report_full(spark: SparkSession, sf_dir: str) -> DataFrame
         ("adc_rerank", similarity_pq_adc_rerank(spark, sf_dir)),
         ("opq_adc", similarity_opq_adc_topk(spark, sf_dir)),
         ("binary_hamming", similarity_binary_sign_topk(spark, sf_dir)),
+        ("binary_rerank", similarity_binary_rerank(spark, sf_dir)),
     ]
     tagged = None
     for name, df in methods:
@@ -1217,6 +1219,7 @@ m_ivfpq AS (SELECT query_id, vec_id FROM ({SIMILARITY_IVFPQ_TOPK_SQL}) t),
 m_rerank AS (SELECT query_id, vec_id FROM ({SIMILARITY_PQ_ADC_RERANK_SQL}) t),
 m_opq AS (SELECT query_id, vec_id FROM ({_opq_adc_topk_oracle_sql()}) t),
 m_bin AS (SELECT query_id, vec_id FROM ({SIMILARITY_BINARY_SIGN_TOPK_SQL}) t),
+m_binrr AS (SELECT query_id, vec_id FROM ({SIMILARITY_BINARY_RERANK_SQL}) t),
 tagged AS (
   SELECT 'lsh' AS method, * FROM m_lsh
   UNION ALL SELECT 'ivf', * FROM m_ivf
@@ -1226,10 +1229,12 @@ tagged AS (
   UNION ALL SELECT 'adc_rerank', * FROM m_rerank
   UNION ALL SELECT 'opq_adc', * FROM m_opq
   UNION ALL SELECT 'binary_hamming', * FROM m_bin
+  UNION ALL SELECT 'binary_rerank', * FROM m_binrr
 ),
 names AS (
   SELECT unnest(['lsh', 'ivf', 'ivf_multiprobe', 'pq_adc', 'ivfpq',
-                 'adc_rerank', 'opq_adc', 'binary_hamming']) AS method
+                 'adc_rerank', 'opq_adc', 'binary_hamming',
+                 'binary_rerank']) AS method
 ),
 hits AS (
   SELECT method, count(*) AS n_hit
@@ -3316,6 +3321,117 @@ ORDER BY query_id, rank
 """
 
 
+_BINRERANK_R = 50  # Hamming candidate pool per query (same 10× refine
+# ratio as the ADC re-rank leg — the binary index's k_factor)
+
+
+def similarity_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary two-stage search: Hamming top-{R} pool over the packed
+    sign words, exact cosine re-rank of the Q·{R} pool to the final
+    top-{K} — the refine leg every production binary index pairs with
+    its scan (FAISS IndexBinaryFlat + refine). The scan touches 8
+    bytes/vector; raw vectors are fetched for exactly Q·{R} keyed
+    lookups. Determinism: Hamming ties → vec_id (pool membership is
+    therefore exact cross-engine), exact cosine the sequential-fold
+    6dp form every exact leg uses, final ties → vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sw = _sign_words(spark, sf_dir)
+    q = sw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+    )
+    db = sw.filter(F.col("vec_id") >= N_QUERIES)
+    scored = db.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+            + F.bit_count(F.col("w2").bitwiseXOR(F.col("q2")))
+        ).cast("long").alias("hamming"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("ham_rank", F.row_number().over(wq))
+        .filter(F.col("ham_rank") <= _BINRERANK_R)
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("embedding")), 6))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("query_id", "rank", "vec_id", "cos", "ham_rank", "hamming")
+        .orderBy("query_id", "rank")
+    )
+
+
+similarity_binary_rerank.__doc__ = similarity_binary_rerank.__doc__.format(
+    R=_BINRERANK_R, K=_ADC_K
+)
+
+
+SIMILARITY_BINARY_RERANK_SQL = f"""
+WITH x AS (
+  SELECT vec_id, i AS pos, list_extract(embedding::DOUBLE[], i) AS val
+  FROM embeddings CROSS JOIN range(1, 65) r(i)
+),
+sw AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pos <= 32 AND val >= 0
+                       THEN CAST(2 ** (pos - 1) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS w1,
+         CAST(sum(CASE WHEN pos > 32 AND val >= 0
+                       THEN CAST(2 ** (pos - 33) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS w2
+  FROM x GROUP BY vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id,
+         CAST(bit_count(xor(d.w1, q.w1)) + bit_count(xor(d.w2, q.w2))
+              AS BIGINT) AS hamming
+  FROM sw d, sw q
+  WHERE q.vec_id < {N_QUERIES} AND d.vec_id >= {N_QUERIES}
+),
+cand AS (
+  SELECT query_id, vec_id, hamming, ham_rank FROM (
+    SELECT query_id, vec_id, hamming,
+           CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, vec_id ASC) AS INT)
+             AS ham_rank
+    FROM scored
+  ) WHERE ham_rank <= {_BINRERANK_R}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+exact AS (
+  SELECT c.query_id, c.vec_id, c.ham_rank, c.hamming,
+         round(list_dot_product(qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))),
+               6) AS cos
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN q ON c.query_id = q.query_id
+)
+SELECT query_id, rank, vec_id, cos, ham_rank, hamming FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM exact
+) WHERE rank <= {_ADC_K}
+ORDER BY query_id, rank
+"""
+
+
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     re-ranking of each query's top-{POOL} cosine candidates: greedily
@@ -3742,6 +3858,7 @@ QUERIES = {
     "embeddings_opq_rotate": embeddings_opq_rotate,
     "similarity_opq_adc_topk": similarity_opq_adc_topk,
     "similarity_binary_sign_topk": similarity_binary_sign_topk,
+    "similarity_binary_rerank": similarity_binary_rerank,
     "similarity_quantized_recall": similarity_quantized_recall,
 }
 
@@ -3775,5 +3892,6 @@ ORACLES = {
     "embeddings_opq_rotate": _opq_rotate_oracle_sql(),
     "similarity_opq_adc_topk": _opq_adc_topk_oracle_sql(),
     "similarity_binary_sign_topk": SIMILARITY_BINARY_SIGN_TOPK_SQL,
+    "similarity_binary_rerank": SIMILARITY_BINARY_RERANK_SQL,
     "similarity_quantized_recall": SIMILARITY_QUANTIZED_RECALL_SQL,
 }

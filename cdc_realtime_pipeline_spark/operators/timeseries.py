@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_realtime_pipeline_spark.session import load_table
+from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
 
 
 def _r4(c):
@@ -1235,7 +1235,162 @@ ORDER BY event_type, ts_hour
 """
 
 
+_CUSUM_SP = (
+    "round(greatest(CAST(0.0 AS DOUBLE),"
+    " acc.sp + (x - mu - 0.5 * sigma)) + 1e-9, 6)"
+)
+_CUSUM_SN = (
+    "round(greatest(CAST(0.0 AS DOUBLE),"
+    " acc.sn + (mu - x - 0.5 * sigma)) + 1e-9, 6)"
+)
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector (Page 1954 — the classical
+    sequential change detector every monitoring stack ships) per event
+    type over the hourly mean series: S+_t = max(0, S+_{t-1} +
+    (x_t - mu - k)), S-_t = max(0, S-_{t-1} + (mu - x_t - k)) with the
+    textbook allowance k = sigma/2 and decision threshold h = 4*sigma.
+    Complements the retrospective tests (Pettitt localizes one
+    historical shift; CUSUM is the ONLINE form — "when would the
+    monitor have fired?"). Emits per type: series length, mu, sigma,
+    both max statistics, the first alarm index (1-based hour position;
+    0 = never fired) and the alarm side.
+
+    The recursion is sequential but the series is calendar-bounded
+    (hours of the fixture span — independent of corpus size), so the
+    scalable shape is the events_holt_linear idiom: corpus-size
+    aggregate to hourly buckets, collect each key's series into ONE
+    array, fold with a higher-order ``aggregate`` — per-key state
+    never leaves the executor. mu/sigma are 6dp-rounded scalars
+    computed before the fold; S+/S- round 6dp EACH STEP (the pagerank
+    discipline); alarm comparisons happen on those rounded values, so
+    both engines take every threshold boundary identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = tracked_persist(
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hb"),
+        ).agg((F.round(F.avg("value") + 1e-9, 6) + 0.0).alias("x"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        (F.round(F.avg("x") + 1e-9, 6) + 0.0).alias("mu"),
+        (F.round(F.stddev_pop("x") + 1e-9, 6) + 0.0).alias("sigma"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(hb, x))), s -> s.x)"
+        ).alias("xs")
+    )
+    fold = f"""
+aggregate(
+  xs,
+  named_struct('sp', CAST(0.0 AS DOUBLE), 'sn', CAST(0.0 AS DOUBLE),
+               'maxp', CAST(0.0 AS DOUBLE), 'maxn', CAST(0.0 AS DOUBLE),
+               'alarm', CAST(0.0 AS DOUBLE), 'side', CAST(0.0 AS DOUBLE),
+               'n', CAST(0.0 AS DOUBLE)),
+  (acc, x) -> named_struct(
+    'sp', {_CUSUM_SP},
+    'sn', {_CUSUM_SN},
+    'maxp', greatest(acc.maxp, {_CUSUM_SP}),
+    'maxn', greatest(acc.maxn, {_CUSUM_SN}),
+    'alarm', CASE WHEN acc.alarm > 0.0 THEN acc.alarm
+                  WHEN {_CUSUM_SP} > 4.0 * sigma OR {_CUSUM_SN} > 4.0 * sigma
+                  THEN acc.n + 1.0 ELSE 0.0 END,
+    'side', CASE WHEN acc.side > 0.0 THEN acc.side
+                 WHEN {_CUSUM_SP} > 4.0 * sigma THEN 1.0
+                 WHEN {_CUSUM_SN} > 4.0 * sigma THEN 2.0
+                 ELSE 0.0 END,
+    'n', acc.n + 1.0))
+"""
+    return (
+        series.join(stats, "event_type")
+        .withColumn("st", F.expr(fold))
+        .select(
+            "event_type",
+            "n_hours",
+            "mu",
+            "sigma",
+            F.expr("round(st.maxp + 1e-9, 4) + 0.0").alias("max_cusum_pos"),
+            F.expr("round(st.maxn + 1e-9, 4) + 0.0").alias("max_cusum_neg"),
+            F.expr("CAST(st.alarm AS BIGINT)").alias("alarm_hour_idx"),
+            F.expr(
+                "CASE WHEN st.side = 1.0 THEN 'pos' "
+                "WHEN st.side = 2.0 THEN 'neg' ELSE 'none' END"
+            ).alias("alarm_side"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# DuckDB twin: LIST accumulator (the holt_linear list_reduce
+# discipline — struct_pack fields see a mutating acc, lists do not),
+# seeded by PREPENDING the zero state; slots
+# [sp, sn, maxp, maxn, alarm, side, n], elements [x, 0, 0, 0, 0, 0, 0].
+_CUSUM_SP_SQL = (
+    "round(greatest(CAST(0.0 AS DOUBLE),"
+    " acc[1] + (e[1] - mu - 0.5 * sigma)) + 1e-9, 6)"
+)
+_CUSUM_SN_SQL = (
+    "round(greatest(CAST(0.0 AS DOUBLE),"
+    " acc[2] + (mu - e[1] - 0.5 * sigma)) + 1e-9, 6)"
+)
+EVENTS_CUSUM_CHANGEPOINT_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+         round(avg(value) + 1e-9, 6) + 0.0 AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         round(avg(x) + 1e-9, 6) + 0.0 AS mu,
+         round(stddev_pop(x) + 1e-9, 6) + 0.0 AS sigma,
+         count(*) AS n_hours
+  FROM hourly GROUP BY event_type
+),
+series AS (
+  SELECT event_type,
+         list_prepend(
+           [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+           list([x, CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0]
+                ORDER BY hb)) AS elems
+  FROM hourly GROUP BY event_type
+),
+folded AS (
+  SELECT s.event_type, st.mu, st.sigma, st.n_hours,
+         list_reduce(s.elems, (acc, e) -> [
+           {_CUSUM_SP_SQL},
+           {_CUSUM_SN_SQL},
+           greatest(acc[3], {_CUSUM_SP_SQL}),
+           greatest(acc[4], {_CUSUM_SN_SQL}),
+           CASE WHEN acc[5] > 0.0 THEN acc[5]
+                WHEN {_CUSUM_SP_SQL} > 4.0 * sigma
+                  OR {_CUSUM_SN_SQL} > 4.0 * sigma
+                THEN acc[7] + 1.0 ELSE 0.0 END,
+           CASE WHEN acc[6] > 0.0 THEN acc[6]
+                WHEN {_CUSUM_SP_SQL} > 4.0 * sigma THEN 1.0
+                WHEN {_CUSUM_SN_SQL} > 4.0 * sigma THEN 2.0
+                ELSE 0.0 END,
+           acc[7] + 1.0]) AS st
+  FROM series s JOIN stats st USING (event_type)
+)
+SELECT event_type,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       mu, sigma,
+       round(st[3] + 1e-9, 4) + 0.0 AS max_cusum_pos,
+       round(st[4] + 1e-9, 4) + 0.0 AS max_cusum_neg,
+       CAST(st[5] AS BIGINT) AS alarm_hour_idx,
+       CASE WHEN st[6] = 1.0 THEN 'pos'
+            WHEN st[6] = 2.0 THEN 'neg' ELSE 'none' END AS alarm_side
+FROM folded ORDER BY event_type
+"""
+
+
+
 QUERIES = {
+    "events_cusum_changepoint": events_cusum_changepoint,
     "events_stl_decompose": events_stl_decompose,
     "value_cusum_drift": value_cusum_drift,
     "events_seasonal_backtest": events_seasonal_backtest,
@@ -1253,6 +1408,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cusum_changepoint": EVENTS_CUSUM_CHANGEPOINT_SQL,
     "value_cusum_drift": VALUE_CUSUM_DRIFT_SQL,
     "events_seasonal_backtest": EVENTS_SEASONAL_BACKTEST_SQL,
     "events_periodogram": EVENTS_PERIODOGRAM_SQL,

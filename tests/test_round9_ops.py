@@ -112,3 +112,91 @@ def test_psi_drift_nonnegative_and_consistent(spark, sf_dir):
     for r in rows:
         assert r["psi_term"] >= 0
         assert r["n_ref"] + r["n_cur"] > 0
+
+
+def test_binary_rerank_refines_hamming_pool(spark, sf_dir):
+    """Re-rank rows come from the Hamming pool and are ordered by
+    exact cosine with vec_id tie-break."""
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        similarity_binary_rerank,
+        _BINRERANK_R,
+    )
+
+    rows = similarity_binary_rerank(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert 1 <= r["ham_rank"] <= _BINRERANK_R
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert len(rs) == 5
+        for a, b in zip(rs, rs[1:]):
+            assert (-a["cos"], a["vec_id"]) < (-b["cos"], b["vec_id"])
+
+
+def test_cusum_replay_matches_fold(spark, sf_dir):
+    """Replay the CUSUM recurrence in Python over the same hourly
+    series and check the fold's outputs exactly (shared rounding)."""
+    from pyspark.sql import functions as F
+    from cdc_realtime_pipeline_spark.operators.timeseries import (
+        events_cusum_changepoint,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    got = {r["event_type"]: r for r in events_cusum_changepoint(spark, sf_dir).collect()}
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("unix_micros(ts) div 3600000000").alias("hb"))
+        .agg((F.round(F.avg("value") + 1e-9, 6) + 0.0).alias("x"))
+        .collect()
+    )
+    series = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append((r["hb"], r["x"]))
+    for et, pts in series.items():
+        xs = [x for _, x in sorted(pts)]
+        mu = round(sum(xs) / len(xs) + 1e-9, 6)
+        var = sum((v - mu) ** 2 for v in xs) / len(xs)
+        # engine sigma is stddev_pop of the 6dp x values, rounded 6dp;
+        # allow last-digit wiggle from the different mean association
+        sigma = got[et]["sigma"]
+        assert abs(var**0.5 - sigma) < 1e-4
+        sp = sn = maxp = maxn = 0.0
+        alarm = side = 0
+        for i, x in enumerate(xs, start=1):
+            import math
+            sp = math.floor(abs(max(0.0, sp + (x - mu - 0.5 * sigma)) + 1e-9) * 1e6 + 0.5) / 1e6
+            sn = math.floor(abs(max(0.0, sn + (mu - x - 0.5 * sigma)) + 1e-9) * 1e6 + 0.5) / 1e6
+            maxp, maxn = max(maxp, sp), max(maxn, sn)
+            if alarm == 0 and (sp > 4 * sigma or sn > 4 * sigma):
+                alarm = i
+                side = 1 if sp > 4 * sigma else 2
+        r = got[et]
+        assert r["n_hours"] == len(xs)
+        assert abs(r["max_cusum_pos"] - round(maxp + 1e-9, 4)) < 1e-6
+        assert abs(r["max_cusum_neg"] - round(maxn + 1e-9, 4)) < 1e-6
+        assert r["alarm_hour_idx"] == alarm
+        assert r["alarm_side"] == {0: "none", 1: "pos", 2: "neg"}[side]
+
+
+def test_minhash_audit_partitions_jaccard_pairs(spark, sf_dir):
+    """Band counts partition the jaccard pair set; estimates live in
+    [0, 1]; the unbiasedness check: overall mean_est within binomial
+    noise of mean_exact (se ≈ sqrt(J(1−J)/16) per pair)."""
+    from cdc_realtime_pipeline_spark.operators.dedup import (
+        dedup_docs_jaccard,
+        dedup_minhash_estimate_audit,
+    )
+
+    bands = dedup_minhash_estimate_audit(spark, sf_dir).collect()
+    n_pairs = sum(r["n_pairs"] for r in bands)
+    assert n_pairs == dedup_docs_jaccard(spark, sf_dir).count()
+    for r in bands:
+        assert r["err_band"] >= 0
+        assert 0.0 <= r["mean_est_j"] <= 1.0
+        assert 0.0 <= r["mean_exact_j"] <= 1.0
+    tot_est = sum(r["mean_est_j"] * r["n_pairs"] for r in bands) / n_pairs
+    tot_exact = sum(r["mean_exact_j"] * r["n_pairs"] for r in bands) / n_pairs
+    # 4 standard errors of the 16-component estimator averaged over pairs
+    assert abs(tot_est - tot_exact) < 4 * (0.25 / 16) ** 0.5 / max(1, n_pairs) ** 0.5 + 0.05

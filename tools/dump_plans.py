@@ -145,6 +145,9 @@ SHOWCASE = [
     ("similarity_binary_sign_topk", "two packed sign words → bit_count(xor) scan"),
     ("docs_gopher_quality_gate", "token moments → exact-integer rule matrix"),
     ("docs_psi_drift", "one pass (side,bin) counts → smoothed PSI terms"),
+    ("similarity_binary_rerank", "Hamming pool → Q·R keyed fetch + exact re-rank"),
+    ("events_cusum_changepoint", "hourly agg → bounded per-key series fold"),
+    ("dedup_minhash_estimate_audit", "memoized sigs ⋈ jaccard pairs → error bands"),
 ]
 
 
@@ -163,11 +166,24 @@ def main() -> None:
         "tests/test_plans.py; this file is the human-readable snapshot.",
         "",
     ]
+    # Cap each section: a plan snapshot is evidence of SHAPE (scan
+    # pushdown, join strategy, exchange placement), which the first
+    # few hundred lines carry; the multi-thousand-line operator-detail
+    # tails of the big union plans (the 9-method recall table, the
+    # OPQ audit) add bulk, not reviewability.
+    cap = 600
     for name, why in SHOWCASE:
         buf = io.StringIO()
         with redirect_stdout(buf):
             queries[name](spark, sf_dir).explain("formatted")
-        out.append(f"## {name} — {why}\n\n```\n{buf.getvalue().strip()}\n```\n")
+        text = buf.getvalue().strip()
+        lines = text.splitlines()
+        if len(lines) > cap:
+            text = "\n".join(lines[:cap]) + (
+                f"\n… [truncated: {len(lines) - cap} more lines;"
+                " regenerate without cap via explain('formatted')]"
+            )
+        out.append(f"## {name} — {why}\n\n```\n{text}\n```\n")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:
         f.write("\n".join(out))

@@ -138,6 +138,10 @@ PROBE_QUERIES = [
     ("similarity_binary_sign_topk", "sign-bit pack + Hamming word scan"),
     ("docs_gopher_quality_gate", "token moments -> integer rule matrix"),
     ("docs_psi_drift", "one corpus pass to (side,bin) counts + bounded terms"),
+    # round-9 third wave
+    ("similarity_binary_rerank", "Hamming pool -> Q·R keyed fetch + exact re-rank"),
+    ("events_cusum_changepoint", "hourly agg -> per-key bounded series fold"),
+    ("dedup_minhash_estimate_audit", "memoized sigs x jaccard pairs, banded error agg"),
 ]
 
 TABLES = [
@@ -353,8 +357,13 @@ def main() -> None:
                 "model). α = log-time / log-volume slope; α ≈ 1 is "
                 "scan/shuffle-bound linear scaling — the shape that holds "
                 "at 100 TB. Sub-linear α means fixed overhead (session, "
-                "planning, Python worker warm-up) still dominates at this "
-                "volume.\n\n"
+                "planning) still dominates at this volume; an untimed "
+                "generic warm-up runs before the loop (r9), so JIT/Python-"
+                "worker cold-start no longer lands in the first row. "
+                "Small NEGATIVE α values are run-to-run jitter on plans "
+                "whose work is volume-INDEPENDENT by construction "
+                "(calendar-bounded hourly/series relations: the m× copies "
+                "grow keys, not the time span).\n\n"
                 "| query | plan family | " +
                 " | ".join(f"t({m}×) s" for m in ms) + " | α |\n"
                 "|---|---|" + "---|" * (len(ms) + 1) + "\n"
