@@ -266,7 +266,106 @@ FROM chosen
 """.replace("__TOL__", str(_ASOF_TOL_MS))
 
 
+def allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra conformance sweep (Allen 1983 — the
+    closed set of 13 mutually exclusive relations two intervals can
+    stand in): per user, each event type's activity interval is
+    [min ts, max ts]; every within-user type pair (a < b lexically) is
+    classified into exactly one relation and the corpus-wide counts
+    per relation are reported. Completes the temporal-join family
+    (as-of, range/bucketized, point-in-time): those operators each
+    IMPLEMENT one or two of these relations — this row pins the full
+    taxonomy's decision logic on both engines.
+
+    Determinism: timestamps compare as exact epoch-micros integers; a
+    single ORDERED CASE (equals → meets → met_by → starts →
+    started_by → finishes → finished_by → during → contains →
+    overlaps → overlapped_by → before → after) classifies each pair,
+    identical text on both engines, so degenerate (point) intervals —
+    where Allen's proper-interval conditions can coincide — resolve to
+    the same branch everywhere.
+
+    Scale: one corpus pass to (user, type) min/max intervals
+    (map-side combinable), then a per-user type-pair self-join —
+    bounded by |types|² per user, never corpus² — and a 13-key count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        F.max(F.unix_micros("ts")).alias("e"),
+    )
+    a = iv.select(
+        "user_id",
+        F.col("event_type").alias("ta"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = iv.select(
+        "user_id",
+        F.col("event_type").alias("tb"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    pairs = a.join(b, "user_id").filter(F.col("ta") < F.col("tb"))
+    rel = F.expr(
+        """CASE
+             WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+             WHEN e1 = s2 THEN 'meets'
+             WHEN e2 = s1 THEN 'met_by'
+             WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+             WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+             WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+             WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+             WHEN s1 > s2 AND e1 < e2 THEN 'during'
+             WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+             WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+             WHEN s2 < s1 AND e2 > s1 AND e2 < e1 THEN 'overlapped_by'
+             WHEN e1 < s2 THEN 'before'
+             ELSE 'after'
+           END"""
+    )
+    return (
+        pairs.select(rel.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("relation")
+    )
+
+
+ALLEN_INTERVAL_RELATIONS_SQL = """
+WITH iv AS (
+  SELECT user_id, event_type,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+  FROM iv a JOIN iv b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+)
+SELECT CASE
+         WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+         WHEN e1 = s2 THEN 'meets'
+         WHEN e2 = s1 THEN 'met_by'
+         WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+         WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+         WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+         WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+         WHEN s1 > s2 AND e1 < e2 THEN 'during'
+         WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+         WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+         WHEN s2 < s1 AND e2 > s1 AND e2 < e1 THEN 'overlapped_by'
+         WHEN e1 < s2 THEN 'before'
+         ELSE 'after'
+       END AS relation,
+       count(*) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+
 QUERIES = {
+    "allen_interval_relations": allen_interval_relations,
     "asof_join_last_click": asof_join_last_click,
     "asof_join_nearest": asof_join_nearest,
     "quantity_band_join": quantity_band_join,
@@ -274,6 +373,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "allen_interval_relations": ALLEN_INTERVAL_RELATIONS_SQL,
     "asof_join_last_click": ASOF_JOIN_LAST_CLICK_SQL,
     "asof_join_nearest": ASOF_JOIN_NEAREST_SQL,
     "quantity_band_join": QUANTITY_BAND_JOIN_SQL,

@@ -200,3 +200,34 @@ def test_minhash_audit_partitions_jaccard_pairs(spark, sf_dir):
     tot_exact = sum(r["mean_exact_j"] * r["n_pairs"] for r in bands) / n_pairs
     # 4 standard errors of the 16-component estimator averaged over pairs
     assert abs(tot_est - tot_exact) < 4 * (0.25 / 16) ** 0.5 / max(1, n_pairs) ** 0.5 + 0.05
+
+
+def test_allen_relations_partition_all_pairs(spark, sf_dir):
+    """The 13-way CASE classifies every within-user type pair into
+    exactly one relation: counts sum to the pair total, and only
+    Allen's 13 relation names appear."""
+    from pyspark.sql import functions as F
+    from cdc_realtime_pipeline_spark.operators.temporal import (
+        allen_interval_relations,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    rows = allen_interval_relations(spark, sf_dir).collect()
+    names = {r["relation"] for r in rows}
+    allen13 = {
+        "before", "after", "meets", "met_by", "overlaps", "overlapped_by",
+        "starts", "started_by", "during", "contains", "finishes",
+        "finished_by", "equals",
+    }
+    assert names <= allen13 and rows
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("k"))
+        .select((F.col("k") * (F.col("k") - 1) / 2).alias("p"))
+        .agg(F.sum("p").alias("total"))
+        .first()["total"]
+    )
+    assert sum(r["n_pairs"] for r in rows) == int(iv)

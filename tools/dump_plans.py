@@ -148,6 +148,7 @@ SHOWCASE = [
     ("similarity_binary_rerank", "Hamming pool → Q·R keyed fetch + exact re-rank"),
     ("events_cusum_changepoint", "hourly agg → bounded per-key series fold"),
     ("dedup_minhash_estimate_audit", "memoized sigs ⋈ jaccard pairs → error bands"),
+    ("allen_interval_relations", "per-user interval pairs → 13-way CASE counts"),
 ]
 
 

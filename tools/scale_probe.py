@@ -142,6 +142,7 @@ PROBE_QUERIES = [
     ("similarity_binary_rerank", "Hamming pool -> Q·R keyed fetch + exact re-rank"),
     ("events_cusum_changepoint", "hourly agg -> per-key bounded series fold"),
     ("dedup_minhash_estimate_audit", "memoized sigs x jaccard pairs, banded error agg"),
+    ("allen_interval_relations", "per-user interval pairs -> 13-way CASE counts"),
 ]
 
 TABLES = [
