@@ -1262,6 +1262,93 @@ FROM doc_tokens GROUP BY 1 ORDER BY 1
 """
 
 
+def corpus_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication — downweight duplicates instead of dropping
+    them (the SoftDeDup alternative to hard survivor selection: keep
+    every copy but give each near-dup cluster ONE document's worth of
+    total training weight, w(doc) = 1/|cluster|). Per source: corpus
+    size, how many docs sit in dup clusters, the effective document
+    count Σw, and the effective character mass Σ w·n_chars — the
+    numbers a data-mixing stage feeds into its sampling temperatures.
+
+    Reuses the session-memoized CC component labels (docs outside any
+    near-dup cluster carry weight 1); planted copies map back to their
+    base document's source via doc_id % 100000 (FIXTURES.md §B id
+    scheme). Weights are exact dyadic/rational doubles (1/|cluster|);
+    sums round 4dp/2dp under the shared nudge.
+    """
+    labels = _dup_component_labels(spark, sf_dir)
+    csize = labels.groupBy("label").agg(F.count("*").alias("csz"))
+    wts = labels.join(csize, "label").select(
+        "doc_id", (F.lit(1.0) / F.col("csz")).alias("w")
+    )
+    dd = docs_with_dupes(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    docs = dd.join(src, dd.doc_id % 100000 == F.col("base_id")).join(
+        wts, "doc_id", "left"
+    )
+    return (
+        docs.select(
+            "source",
+            F.coalesce(F.col("w"), F.lit(1.0)).alias("w"),
+            (F.col("w").isNotNull()).cast("long").alias("in_cluster"),
+            "n_chars",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("in_cluster").alias("n_dup_members"),
+            (F.round(F.sum("w") + 1e-9, 4) + 0.0).alias("effective_docs"),
+            (F.round(F.sum(F.col("w") * F.col("n_chars")) + 1e-9, 2) + 0.0).alias(
+                "effective_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_SOFTDEDUP_WEIGHTS_SQL = f"""
+WITH RECURSIVE jac AS ({DEDUP_DOCS_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jac
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.u AS node, reach.r
+  FROM edges e JOIN reach ON e.v = reach.node
+),
+node_labels AS (
+  SELECT node AS doc_id, min(r) AS label FROM reach GROUP BY node
+),
+csize AS (
+  SELECT label, count(*) AS csz FROM node_labels GROUP BY label
+),
+wts AS (
+  SELECT doc_id, 1.0 / csz AS w
+  FROM node_labels JOIN csize USING (label)
+),
+{DOCS_WITH_DUPES_CTE}
+SELECT d.source,
+       count(*) AS n_docs,
+       count(wts.w) AS n_dup_members,
+       round(sum(coalesce(wts.w, 1.0)) + 1e-9, 4) + 0.0 AS effective_docs,
+       round(sum(coalesce(wts.w, 1.0) * length(dd.text)) + 1e-9, 2) + 0.0
+         AS effective_chars
+FROM docs dd
+JOIN documents d ON d.doc_id = dd.doc_id % 100000
+LEFT JOIN wts ON wts.doc_id = dd.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column, one row per (label,
     dimension) — the k-means/IVF training step's core aggregate.
@@ -1780,6 +1867,7 @@ ORDER BY co.epoch_a, co.epoch_b
 
 
 QUERIES = {
+    "corpus_softdedup_weights": corpus_softdedup_weights,
     "corpus_epoch_shuffle_audit": corpus_epoch_shuffle_audit,
     "corpus_zipf_fit": corpus_zipf_fit,
     "dup_graph_kcore": dup_graph_kcore,
@@ -1804,6 +1892,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_softdedup_weights": CORPUS_SOFTDEDUP_WEIGHTS_SQL,
     "corpus_epoch_shuffle_audit": CORPUS_EPOCH_SHUFFLE_AUDIT_SQL,
     "dup_graph_kcore": DUP_GRAPH_KCORE_SQL,
     "dup_graph_assortativity": DUP_GRAPH_ASSORTATIVITY_SQL,

@@ -1274,6 +1274,14 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(ts) div 3600000000").alias("hb"),
         ).agg((F.round(F.avg("value") + 1e-9, 6) + 0.0).alias("x"))
     )
+    return cusum_from_hourly(hourly)
+
+
+def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The bounded CUSUM finalize over an (event_type, hb, x) hourly
+    relation — shared by the batch operator above and the streaming
+    monitor (streaming/stream_queries.stream_cusum_alarm), so both
+    run the identical fold and share one oracle."""
     stats = hourly.groupBy("event_type").agg(
         (F.round(F.avg("x") + 1e-9, 6) + 0.0).alias("mu"),
         (F.round(F.stddev_pop("x") + 1e-9, 6) + 0.0).alias("sigma"),

@@ -960,6 +960,40 @@ def stream_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM drift monitor as a streaming job: the corpus-scale
+    term — per-(type, hour) mean pre-aggregation — runs under
+    Structured Streaming (state is |types|×|hours| rows regardless of
+    stream volume, the stream_value_drift_gate discipline), and the
+    calendar-bounded per-key fold finalizes at the sink read via the
+    SAME ``cusum_from_hourly`` the batch operator runs. Over this
+    finite deterministic stream the output equals
+    ``events_cusum_changepoint`` exactly, so it shares that oracle —
+    a fully oracle-gated stateful streaming row, not a rows-only one.
+    """
+    from cdc_realtime_pipeline_spark.operators.timeseries import (
+        cusum_from_hourly,
+    )
+
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    hourly_s = events_stream.groupBy(
+        F.col("event_type"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hb"),
+    ).agg((F.round(F.avg("value") + 1e-9, 6) + 0.0).alias("x"))
+    live = _memory_sink(hourly_s, "complete")
+    # the fold self-joins its input (stats ⋈ series); reading the
+    # memory sink twice reuses ONE set of attribute ids and Spark 4's
+    # analyzer rejects the join ("Conflicting attributes") —
+    # localCheckpoint rewrites the bounded |types|×|hours| relation as
+    # a LogicalRDD with fresh ids (and severs the streaming lineage)
+    return cusum_from_hourly(live.localCheckpoint())
+
+
 def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending top-K under streaming: per 1-hour event-time window,
     the 3 most frequent event_types with their counts and ranks — the
@@ -1507,6 +1541,7 @@ QUERIES = {
     "stream_topk_per_window": stream_topk_per_window,
     "stream_ohlc_bars_5m": stream_ohlc_bars_5m,
     "stream_value_drift_gate": stream_value_drift_gate,
+    "stream_cusum_alarm": stream_cusum_alarm,
     "stream_cdc_parse": stream_cdc_parse,
     "stream_dedup_counts": stream_dedup_counts,
     "stream_dedup_watermarked": stream_dedup_watermarked,
@@ -1539,6 +1574,7 @@ ORACLES = {
     "stream_ohlc_bars_5m": _ts_oracles.OHLC_BARS_5M_SQL,
     # over the finite stream the live half == the batch query's late half
     "stream_value_drift_gate": _dq_oracles.VALUE_DISTRIBUTION_PSI_SQL,
+    "stream_cusum_alarm": _ts_oracles.EVENTS_CUSUM_CHANGEPOINT_SQL,
     "stream_cdc_parse": CDC_ROUNDTRIP_SQL,
     "stream_dedup_counts": STREAM_DEDUP_COUNTS_SQL,
     "stream_dedup_watermarked": STREAM_DEDUP_COUNTS_SQL,

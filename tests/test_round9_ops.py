@@ -231,3 +231,41 @@ def test_allen_relations_partition_all_pairs(spark, sf_dir):
         .first()["total"]
     )
     assert sum(r["n_pairs"] for r in rows) == int(iv)
+
+
+def test_stream_cusum_matches_batch(spark, sf_dir):
+    """The streaming monitor over the finite deterministic stream
+    equals the batch detector exactly (shared fold, shared oracle)."""
+    from cdc_realtime_pipeline_spark.operators.timeseries import (
+        events_cusum_changepoint,
+    )
+    from cdc_realtime_pipeline_spark.streaming.stream_queries import (
+        stream_cusum_alarm,
+    )
+
+    key = lambda rows: {r["event_type"]: tuple(r) for r in rows}
+    assert key(stream_cusum_alarm(spark, sf_dir).collect()) == key(
+        events_cusum_changepoint(spark, sf_dir).collect()
+    )
+
+
+def test_softdedup_weight_conservation(spark, sf_dir):
+    """Every near-dup cluster contributes exactly 1.0 effective doc:
+    Σ effective_docs = (docs outside clusters) + (number of clusters)."""
+    from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+        corpus_softdedup_weights,
+        dup_clusters_connected_components,
+    )
+    from cdc_realtime_pipeline_spark.operators.dedup import docs_with_dupes
+
+    rows = corpus_softdedup_weights(spark, sf_dir).collect()
+    assert rows
+    total_docs = docs_with_dupes(spark, sf_dir).count()
+    clusters = dup_clusters_connected_components(spark, sf_dir).collect()
+    n_members = sum(c["n_members"] for c in clusters)
+    expected = (total_docs - n_members) + len(clusters)
+    got = sum(r["effective_docs"] for r in rows)
+    assert abs(got - expected) < 1e-2
+    for r in rows:
+        assert r["effective_docs"] <= r["n_docs"] + 1e-9
+        assert r["n_dup_members"] <= r["n_docs"]

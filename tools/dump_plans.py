@@ -149,6 +149,7 @@ SHOWCASE = [
     ("events_cusum_changepoint", "hourly agg → bounded per-key series fold"),
     ("dedup_minhash_estimate_audit", "memoized sigs ⋈ jaccard pairs → error bands"),
     ("allen_interval_relations", "per-user interval pairs → 13-way CASE counts"),
+    ("corpus_softdedup_weights", "CC labels → 1/|cluster| weights, source roll-up"),
 ]
 
 

@@ -143,6 +143,8 @@ PROBE_QUERIES = [
     ("events_cusum_changepoint", "hourly agg -> per-key bounded series fold"),
     ("dedup_minhash_estimate_audit", "memoized sigs x jaccard pairs, banded error agg"),
     ("allen_interval_relations", "per-user interval pairs -> 13-way CASE counts"),
+    ("stream_cusum_alarm", "streaming hourly agg -> bounded fold, availableNow E2E"),
+    ("corpus_softdedup_weights", "CC labels -> 1/|cluster| weights, source roll-up"),
 ]
 
 TABLES = [
