@@ -269,3 +269,21 @@ def test_softdedup_weight_conservation(spark, sf_dir):
     for r in rows:
         assert r["effective_docs"] <= r["n_docs"] + 1e-9
         assert r["n_dup_members"] <= r["n_docs"]
+
+
+def test_lsh_band_sweep_s_curve(spark, sf_dir):
+    """Banding math: smaller R (more forgiving bands) must give
+    recall and candidate volume that are non-increasing in R; hits
+    bounded by both sides; every config splits the 16 hashes."""
+    from cdc_realtime_pipeline_spark.operators.dedup import dedup_lsh_band_sweep
+
+    rows = sorted(
+        dedup_lsh_band_sweep(spark, sf_dir).collect(), key=lambda r: r["r_rows"]
+    )
+    assert [(r["r_rows"], r["b_bands"]) for r in rows] == [(1, 16), (2, 8), (4, 4), (8, 2)]
+    for r in rows:
+        assert r["r_rows"] * r["b_bands"] == 16
+        assert r["n_hit"] <= min(r["n_candidates"], r["n_truth"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["recall"] >= b["recall"] - 1e-9
+        assert a["n_candidates"] >= b["n_candidates"]

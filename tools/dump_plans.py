@@ -150,6 +150,7 @@ SHOWCASE = [
     ("dedup_minhash_estimate_audit", "memoized sigs ⋈ jaccard pairs → error bands"),
     ("allen_interval_relations", "per-user interval pairs → 13-way CASE counts"),
     ("corpus_softdedup_weights", "CC labels → 1/|cluster| weights, source roll-up"),
+    ("dedup_lsh_band_sweep", "one sig build → 4 banding configs, bucket joins"),
 ]
 
 

@@ -145,6 +145,7 @@ PROBE_QUERIES = [
     ("allen_interval_relations", "per-user interval pairs -> 13-way CASE counts"),
     ("stream_cusum_alarm", "streaming hourly agg -> bounded fold, availableNow E2E"),
     ("corpus_softdedup_weights", "CC labels -> 1/|cluster| weights, source roll-up"),
+    ("dedup_lsh_band_sweep", "one sig build -> 4 banding configs, bucket joins"),
 ]
 
 TABLES = [
