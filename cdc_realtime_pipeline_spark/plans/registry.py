@@ -31,11 +31,16 @@ Rows dropped this round hold r3–r8 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-10 rotation queue — the remaining r3-evidence entries after
-this window's 27 (continue from `similarity_quantized_recall` in
-registry order), then the r4 pool, oldest evidence first per
-CORRECTNESS_r0*.json — plus, ahead of all of these, any round-9
-operators added after this window was finalized and any query whose
+Round-10 rotation queue — FIRST the ten round-9 operators added
+after this window was finalized (`similarity_binary_sign_topk`,
+`similarity_binary_rerank`, `docs_gopher_quality_gate`,
+`docs_psi_drift`, `events_cusum_changepoint`, `stream_cusum_alarm`,
+`dedup_minhash_estimate_audit`, `allen_interval_relations`,
+`corpus_softdedup_weights`, `dedup_lsh_band_sweep` — all local-green
+at 3 SFs, none driver-checked yet), then the remaining r3-evidence
+entries after this window's 27 (continue from
+`similarity_quantized_recall` in registry order), then the r4 pool,
+oldest evidence first per CORRECTNESS_r0*.json — plus any query whose
 values change.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
