@@ -16,32 +16,26 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-9 window composition (the round-8 gate returned the first
-fully green 50/50 window):
-[E] the two round-9 OPQ operators (VERDICT r8 #5) take the front for
-their first driver look; [A] one changed-values re-window:
-`similarity_recall_report_full` grew a seventh method row (opq_adc),
-so its values changed and it re-earns its driver row; [D] the
-staleness rotation fills the remaining 47 slots oldest-evidence-first
-per CORRECTNESS_r0*.json: the 20 r2-evidence entries named in the
-round-8 queue (core text, media, JSON, corpus-prep, streaming), then
-the first 27 of the r3-evidence pool in registry order
-([E]2 + [A]1 + [D]47 = 50).
-Rows dropped this round hold r3–r8 green evidence on unchanged code
+Round-10 window composition (VERDICT r9 #1 — after two consecutive
+fully green 50/50 windows):
+[E] the ten round-9 operators that landed after the r9 window was
+finalized take the front for their first driver look (binary-sign
+Hamming ANN pair, Gopher gate, PSI drift, the CUSUM batch+stream
+pair, MinHash estimate audit, Allen intervals, soft-dedup weights,
+LSH band sweep — all local-green at 3 SFs); [D] the staleness
+rotation fills the remaining 40 slots oldest-evidence-first per
+CORRECTNESS_r0*.json: all 20 remaining r3-evidence entries
+(continuing from `similarity_quantized_recall` in registry order,
+per the recorded r9 queue), then the first 20 of the 45-entry
+r4-evidence pool in registry order ([E]10 + [D]40 = 50).
+Rows dropped this round hold r4–r9 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-10 rotation queue — FIRST the ten round-9 operators added
-after this window was finalized (`similarity_binary_sign_topk`,
-`similarity_binary_rerank`, `docs_gopher_quality_gate`,
-`docs_psi_drift`, `events_cusum_changepoint`, `stream_cusum_alarm`,
-`dedup_minhash_estimate_audit`, `allen_interval_relations`,
-`corpus_softdedup_weights`, `dedup_lsh_band_sweep` — all local-green
-at 3 SFs, none driver-checked yet), then the remaining r3-evidence
-entries after this window's 27 (continue from
-`similarity_quantized_recall` in registry order), then the r4 pool,
-oldest evidence first per CORRECTNESS_r0*.json — plus any query whose
-values change.
+Round-11 rotation queue — the remaining 25 r4-evidence entries
+(continue from `lang_confusion_matrix` in registry order), then the
+r5 pool, oldest evidence first per CORRECTNESS_r0*.json — plus any
+round-10 additions and any query whose values change.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -101,71 +95,63 @@ _MODULES = [
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
 _PRIORITY = [
-    # --- [E] first driver look: the round-9 OPQ pair (VERDICT r8 #5)
-    # — the rotation-selection audit and the OPQ-ADC search leg, both
-    # oracle-gated locally at 3 SFs ---
-    "embeddings_opq_rotate",
-    "similarity_opq_adc_topk",
-    # --- [A] changed-values re-window: the recall table grew its
-    # seventh method row (opq_adc), so its values changed this round
-    # (standing policy: changed values must re-earn a driver row) ---
-    "similarity_recall_report_full",
-    # --- [D] staleness rotation (VERDICT r8 #1): the 20 r2-evidence
-    # entries named in the round-8 queue — core text, media, JSON,
-    # corpus-prep and streaming families whose driver evidence was 7
-    # rounds stale ---
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "similarity_topk_bruteforce",
-    "media_features",
-    "media_resize_stats",
-    "media_frame_sample",
-    "props_json_extract",
-    "corpus_prep_pipeline",
-    "corpus_shard_stats",
-    "embeddings_preprocessed",
-    "corpus_pack_sequences",
-    "corpus_train_val_split",
-    "corpus_vocab_topk",
-    "corpus_length_histogram",
-    "stream_dedup_counts",
-    "stream_sessionize",
-    "stream_static_enrich",
-    "stream_stream_join",
-    # --- [D] continued: the r3-evidence pool in registry order (all
-    # r2-evidence rows are covered by the 20 above; next-oldest is r3)
-    # — includes dedup_docs_jaccard/levenshtein, whose inputs moved to
-    # the session-memoized docs/tokens relations this round
-    # (value-identical, but fresh driver rows re-prove it) ---
-    "dash_latency_mv_read",
-    "window_agg_5m",
-    "alerts_price_spike",
-    "join_types_conformance",
-    "docs_lang_source_pivot",
-    "funnel_conversion",
-    "cohort_retention",
-    "null_semantics_conformance",
-    "file_format_roundtrip",
-    "ohlc_bars_5m",
-    "twap_hourly",
-    "gap_fill_locf",
-    "rolling_price_bands",
-    "dedup_docs_jaccard",
-    "dedup_docs_levenshtein",
-    "dedup_docs_containment",
-    "dedup_docs_incremental",
-    "cdc_roundtrip",
-    "cdc_apply_changes",
-    "cdc_scd2_history",
-    "cdc_parse_audit_stats",
-    "pit_join_versions",
-    "docs_source_profile",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "dedup_embeddings_cosine",
-    "similarity_recall_report",
+    # --- [E] first driver look: the ten round-9 operators added
+    # after the r9 window was finalized (VERDICT r9 #1) ---
+    "similarity_binary_sign_topk",
+    "similarity_binary_rerank",
+    "docs_gopher_quality_gate",
+    "docs_psi_drift",
+    "events_cusum_changepoint",
+    "stream_cusum_alarm",
+    "dedup_minhash_estimate_audit",
+    "allen_interval_relations",
+    "corpus_softdedup_weights",
+    "dedup_lsh_band_sweep",
+    # --- [D] staleness rotation: the 20 remaining r3-evidence
+    # entries, continuing from similarity_quantized_recall in
+    # registry order (oldest driver evidence first) ---
+    "similarity_quantized_recall",
+    "embedding_norm_outliers",
+    "dup_clusters_connected_components",
+    "label_balanced_sample",
+    "decontaminate_vs_benchmark",
+    "text_repetition",
+    "corpus_stratified_sample",
+    "text_unigram_lm_score",
+    "text_pii_scrub",
+    "corpus_curation_funnel",
+    "docs_ngram_novelty",
+    "orders_dq_profile",
+    "stream_window_agg_5m",
+    "stream_ohlc_bars_5m",
+    "stream_cdc_parse",
+    "stream_dedup_watermarked",
+    "stream_merged_trade_agg",
+    "stream_anomaly_rule_counts",
+    "stream_docs_quality_gate",
+    "stream_cdc_apply",
+    # --- [D] continued: the first 20 of the r4-evidence pool in
+    # registry order ---
+    "dash_rolling_7d_dau",
+    "window_agg_1h_rollup",
+    "tpch_q18_like",
+    "bloom_semijoin_reduction",
+    "higher_order_functions_conformance",
+    "timezone_conformance",
+    "variant_json_conformance",
+    "cep_funnel_sequence",
+    "attribution_last_touch",
+    "string_collation_conformance",
+    "regex_functions_conformance",
+    "correlated_subquery_conformance",
+    "lateral_join_topk_conformance",
+    "listagg_conformance",
+    "try_functions_conformance",
+    "timeseries_pattern_topk",
+    "trailing_10min_value",
+    "hourly_median_iqr",
+    "shingle_df_histogram",
+    "dup_cross_source_matrix",
 ]
 
 
