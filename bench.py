@@ -279,6 +279,17 @@ def main() -> None:
         return round(time.time() - t0, 3)
 
     _calib()  # untimed warm-up probe (see comment above)
+
+    # Untimed session-memo prewarm (VERDICT r9 #3): memo builds are
+    # once-per-corpus index costs (shingles, CC labels, PQ/OPQ
+    # distance tables, SemDeDup assignment). Building them here — the
+    # _calib() discipline applied to memos — makes every per-query
+    # timed line order-independent steady-state consumption; the
+    # build cost is priced separately in memo_prewarm_sec.
+    from cdc_realtime_pipeline_spark.plans.prewarm import prewarm_memos
+
+    memo_prewarm_sec = prewarm_memos(spark, sf_dir)
+
     calib_start = _calib()
 
     # --extras benches the COMPLEMENT of the headline set (VERDICT r6
@@ -393,6 +404,9 @@ def main() -> None:
         # divide cross-round totals by the calib ratio before
         # reading deltas (host co-tenancy swings ±25-75%)
         "calib_sec": [calib_start, calib_end],
+        # untimed once-per-corpus memo builds, priced separately so
+        # per-query lines never embed first-consumer attribution
+        "memo_prewarm_sec": memo_prewarm_sec,
         "calib_ref_sec": CALIB_REF_SEC,
         "value_calib_normalized": value_calib_normalized,
         # shared-subset total vs the stored r1 baseline, raw and

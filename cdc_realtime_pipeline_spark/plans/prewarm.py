@@ -1,0 +1,71 @@
+"""Untimed session-memo prewarm (VERDICT r9 #3).
+
+Session memos (``memo_persist``) are built lazily by their FIRST
+consumer, so a timed sweep that runs queries in registry/alphabetical
+order silently charges each memo's build cost to whichever consumer
+happens to sort first — ``corpus_softdedup_weights`` read 13.5 s in
+BENCH_r09 because alphabetical order made it the CC-labels builder,
+a number that would shift if any earlier-sorting consumer landed.
+
+``prewarm_memos`` materializes every memo slot explicitly, so callers
+(bench.py) can pay the build cost in an untimed pass — the ``_calib()``
+discipline applied to memos. Per-query timed lines then measure
+steady-state consumption regardless of execution order, and the build
+cost is priced separately in the artifact (``memo_prewarm_sec``).
+
+The slot list is maintained by hand next to the memo owners; a test
+(tests/test_plans.py) asserts it covers every ``memo_persist`` slot in
+the package so a new memo cannot silently re-introduce first-consumer
+attribution.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from cdc_realtime_pipeline_spark.session import load_table
+
+# slot name -> callable(spark, sf_dir) returning the memoized DataFrame.
+# Order matters only for nesting (opq_adc_all builds opq_xr/opq_bd_all;
+# neardup_candidates builds neardup_shingles/neardup_docs) — parents
+# are listed anyway so each slot's own build cost is visible.
+
+
+def _slots():
+    from cdc_realtime_pipeline_spark.operators import (
+        corpus_ops,
+        dedup,
+        similarity,
+    )
+
+    return {
+        "neardup_docs": dedup.docs_with_dupes,
+        "doc_words": dedup.doc_words,
+        "neardup_shingles": dedup._shared_shingles,
+        "neardup_candidates": dedup._verified_candidates,
+        "neardup_cc_labels": corpus_ops._dup_component_labels,
+        "pq_base_dists": lambda spark, sf_dir: similarity._pq_base_dists(
+            spark, load_table(spark, sf_dir, "embeddings"), sf_dir
+        ),
+        "opq_xr": similarity._opq_rotations,
+        "opq_bd_all": similarity._opq_bd_all,
+        "opq_adc_all": similarity._opq_adc_all,
+        "sem_labels": similarity._sem_cluster_labels,
+    }
+
+
+def prewarm_memos(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Materialize every session memo for ``sf_dir``; returns the
+    per-slot build seconds (a slot already warm reads ~0)."""
+    out: dict[str, float] = {}
+    for slot, fn in _slots().items():
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        out[slot] = round(time.time() - t0, 3)
+    return out
+
+
+def known_slots() -> set[str]:
+    return set(_slots())
