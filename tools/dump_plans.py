@@ -143,7 +143,7 @@ SHOWCASE = [
     ("embeddings_opq_rotate", "4 rotation candidates → distortion + recall audit"),
     ("similarity_opq_adc_topk", "chosen-rotation ADC scan, same code budget"),
     ("similarity_binary_sign_topk", "two packed sign words → bit_count(xor) scan"),
-    ("docs_gopher_quality_gate", "token moments → exact-integer rule matrix"),
+    ("docs_gopher_quality_gate", "array-HOF moments → exact-integer rule matrix"),
     ("docs_psi_drift", "one pass (side,bin) counts → smoothed PSI terms"),
     ("similarity_binary_rerank", "Hamming pool → Q·R keyed fetch + exact re-rank"),
     ("events_cusum_changepoint", "hourly agg → bounded per-key series fold"),
