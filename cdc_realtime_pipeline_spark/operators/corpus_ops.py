@@ -1866,6 +1866,113 @@ ORDER BY co.epoch_a, co.epoch_b
 """
 
 
+
+_LPA_ROUNDS = 3
+
+
+def dup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup graph via synchronous
+    Label Propagation (Raghavan et al. 2007) — the graph family's
+    community lens next to CC (reachability), PageRank (centrality),
+    k-core (density) and triangles (transitivity). LPA finds DENSE
+    duplicate communities where CC merges everything connected: a
+    chain of borderline pairs bridging two paraphrase clusters is one
+    CC component but two LPA communities.
+
+    Deterministic synchronous variant: labels start as doc_id; each
+    round every node adopts its neighbors' modal label with ties
+    broken by the SMALLEST label (integer arithmetic only — no float
+    anywhere, so both engines take every round identically), unrolled
+    {R} rounds into one declarative plan. Per round: one edge-keyed
+    join + one (node, label) count + one struct-min argmax — the
+    PageRank contribution shape with min(struct(-cnt, label)) in
+    place of the damped sum. Edges are ``localCheckpoint``-ed like
+    PageRank's (the unrolled plan references them {R} times).
+
+    Scale: every round is edge-sized map-combinable aggregation; no
+    corpus self-joins, no driver steering (fixed rounds — the classic
+    LPA stopping rule "until no change" needs a driver loop; fixed
+    small R is the standard bounded-cost variant and is what keeps
+    the whole thing ONE plan).
+    """
+    pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label")))
+                .getField("label")
+                .alias("label")
+            )
+            .select(F.col("node").alias("doc_id"), "label")
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", "label", "n_members")
+        .orderBy("doc_id")
+    )
+
+
+dup_graph_label_propagation.__doc__ = dup_graph_label_propagation.__doc__.format(
+    R=_LPA_ROUNDS
+)
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT node AS doc_id, label FROM (
+    SELECT e.v AS node, p.label, count(*) AS cnt
+    FROM edges e JOIN {prev} p ON e.u = p.doc_id
+    GROUP BY 1, 2
+  ) v QUALIFY row_number() OVER (PARTITION BY node
+                                 ORDER BY cnt DESC, label ASC) = 1
+)"""
+
+
+DUP_GRAPH_LABEL_PROPAGATION_SQL = f"""
+WITH jac AS ({DEDUP_DOCS_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM jac
+),
+l0 AS (
+  SELECT DISTINCT u AS doc_id, u AS label FROM edges
+),{_lpa_iter_sql("l0", "l1")},{_lpa_iter_sql("l1", "l2")},{_lpa_iter_sql("l2", "l3")},
+sizes AS (
+  SELECT label, count(*) AS n_members FROM l3 GROUP BY label
+)
+SELECT l3.doc_id, l3.label, sizes.n_members
+FROM l3 JOIN sizes ON l3.label = sizes.label
+ORDER BY l3.doc_id
+"""
+
+
 QUERIES = {
     "corpus_softdedup_weights": corpus_softdedup_weights,
     "corpus_epoch_shuffle_audit": corpus_epoch_shuffle_audit,
@@ -1889,6 +1996,7 @@ QUERIES = {
     "tokenizer_bpe_encode": tokenizer_bpe_encode,
     "corpus_vocab_coverage_curve": corpus_vocab_coverage_curve,
     "dup_graph_common_neighbors": dup_graph_common_neighbors,
+    "dup_graph_label_propagation": dup_graph_label_propagation,
 }
 
 ORACLES = {
@@ -1914,4 +2022,5 @@ ORACLES = {
     "tokenizer_bpe_encode": TOKENIZER_BPE_ENCODE_SQL,
     "corpus_vocab_coverage_curve": CORPUS_VOCAB_COVERAGE_CURVE_SQL,
     "dup_graph_common_neighbors": DUP_GRAPH_COMMON_NEIGHBORS_SQL,
+    "dup_graph_label_propagation": DUP_GRAPH_LABEL_PROPAGATION_SQL,
 }

@@ -2870,7 +2870,71 @@ ORDER BY d.week
 """
 
 
+
+_SALT_FANOUT = 16
+
+
+def salted_agg_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation conformance row: the two-phase SALTED aggregate
+    — explode each row's key with a deterministic salt (event_id %
+    {S}), partial-aggregate on (key, salt), then final-aggregate on
+    the key — must produce values identical to the direct groupBy.
+    This is the documented 100 TB lever for a hot grouping key
+    (event_type here is 8 keys over the whole corpus — exactly the
+    shape where one reducer would take the entire table): the salt
+    splits every hot key across {S} reducers and the final pass
+    re-combines {S}-sized partials. Sums are reassociated by the salt
+    split, so both value legs round 2dp (the conformance tolerance
+    the reassociation needs); counts are exact integers.
+
+    The oracle computes the straight single-phase aggregate — the
+    row is green IFF salting is a pure execution-strategy change.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.select(
+        "event_type",
+        (F.col("event_id") % _SALT_FANOUT).alias("salt"),
+        "value",
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("psum"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.round(F.sum("psum") + 1e-9, 2).alias("sum_value"),
+            F.round(F.min("pmin") + 1e-9, 4).alias("min_value"),
+            F.round(F.max("pmax") + 1e-9, 4).alias("max_value"),
+            F.count("*").cast("long").alias("n_salt_partials"),
+        )
+        .orderBy("event_type")
+    )
+
+
+salted_agg_conformance.__doc__ = salted_agg_conformance.__doc__.format(
+    S=_SALT_FANOUT
+)
+
+
+SALTED_AGG_CONFORMANCE_SQL = f"""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value) + 1e-9, 2) AS sum_value,
+       round(min(value) + 1e-9, 4) AS min_value,
+       round(max(value) + 1e-9, 4) AS max_value,
+       CAST(count(DISTINCT event_id % {_SALT_FANOUT}) AS BIGINT)
+         AS n_salt_partials
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "salted_agg_conformance": salted_agg_conformance,
     "bucketed_join_colocated": bucketed_join_colocated,
     "dynamic_partition_pruning_join": dynamic_partition_pruning_join,
     "events_markov_stationary": events_markov_stationary,
@@ -2922,6 +2986,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "salted_agg_conformance": SALTED_AGG_CONFORMANCE_SQL,
     "bucketed_join_colocated": BUCKETED_JOIN_COLOCATED_SQL,
     "dynamic_partition_pruning_join": DYNAMIC_PARTITION_PRUNING_JOIN_SQL,
     "events_markov_stationary": EVENTS_MARKOV_STATIONARY_SQL,

@@ -3851,6 +3851,374 @@ FROM sil GROUP BY label ORDER BY label
 """
 
 
+
+# ---------------------------------------------------------------------------
+# round-10 wave: SQ8 scalar quantization + IVF index-quality audit
+# ---------------------------------------------------------------------------
+
+_SQ8_RERANK_R = 50  # SQ8 candidate pool for the exact refine leg
+
+
+def _sq8_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, lo, hi): per-dimension min/max trained on the CORPUS side
+    (vec_id >= N_QUERIES) — the SQ8 "training" pass, one corpus scan
+    reduced to a 64-row relation (exact: min/max involve no float
+    summation, so both engines land on identical bounds)."""
+    x = _opq_x(spark, sf_dir).filter(F.col("vec_id") >= N_QUERIES)
+    return x.groupBy("pos").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+
+
+def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization ANN (the FAISS ``SQ8`` index): every
+    corpus coordinate compresses to one uint8 code on a per-dimension
+    [lo, hi] grid trained from the corpus (float32 -> 16 bytes/vector
+    at d=64), and the scan is asymmetric — float queries against
+    dequantized codes — via a broadcast per-(query, dim, code)
+    lookup table, exactly the ADC discipline of the PQ family with
+    the codebook replaced by the 256-point grid. Completes the
+    quantization ladder: binary sign (8 B) < PQ/OPQ (8 B codes +
+    codebook) < SQ8 (64 B) < float (256 B), each priced in the same
+    registry. Metric: squared L2 like the PQ rows.
+
+    Determinism: grid bounds are exact min/max; codes use half-up
+    rounding with the shared +1e-9 nudge; LUT terms round 8dp before
+    the per-(query, vec) sum rounds 6dp — both engines take every
+    boundary identically (the ADC kernel discipline).
+
+    Scale: one corpus pass trains the 64-row grid; encode is one
+    map pass; the scan joins corpus codes to a broadcast Q·d·256-row
+    LUT and reduces map-side — no corpus shuffle wider than the
+    (query, vec) partial-sum aggregate.
+    """
+    x = _opq_x(spark, sf_dir)
+    ds = _sq8_dim_stats(spark, sf_dir)
+    codes = (
+        x.filter(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(ds), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.least(
+                F.lit(255),
+                F.floor(
+                    F.when(
+                        F.col("hi") > F.col("lo"),
+                        (F.col("val") - F.col("lo"))
+                        * 255.0
+                        / (F.col("hi") - F.col("lo")),
+                    ).otherwise(F.lit(0.0))
+                    + 0.5
+                    + 1e-9
+                ),
+            ).cast("long").alias("code"),
+        )
+    )
+    grid = spark.range(0, 256).select(F.col("id").alias("code"))
+    lut = (
+        x.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(ds), "pos")
+        .crossJoin(F.broadcast(grid))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "pos",
+            "code",
+            F.round(
+                (
+                    F.col("val")
+                    - (
+                        F.col("lo")
+                        + (F.col("code") * (F.col("hi") - F.col("lo")))
+                        / 255.0
+                    )
+                )
+                * (
+                    F.col("val")
+                    - (
+                        F.col("lo")
+                        + (F.col("code") * (F.col("hi") - F.col("lo")))
+                        / 255.0
+                    )
+                ),
+                8,
+            ).alias("term"),
+        )
+    )
+    scan = (
+        codes.join(F.broadcast(lut), ["pos", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg((F.round(F.sum("term") + 1e-9, 6) + 0.0).alias("sq8_d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("sq8_d2"), F.asc("vec_id")
+    )
+    return (
+        scan.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("query_id", "rank", "vec_id", "sq8_d2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def similarity_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 two-stage search: SQ8-ADC top-{R} pool, exact cosine
+    re-rank of the Q·{R} pool to the final top-{K} — the refine leg
+    (FAISS IndexRefineFlat over an SQ8 base), same contract as
+    ``similarity_binary_rerank``. Pool membership is exact
+    cross-engine (6dp SQ8 distances, ties -> vec_id)."""
+    x = _opq_x(spark, sf_dir)
+    ds = _sq8_dim_stats(spark, sf_dir)
+    codes = (
+        x.filter(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(ds), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.least(
+                F.lit(255),
+                F.floor(
+                    F.when(
+                        F.col("hi") > F.col("lo"),
+                        (F.col("val") - F.col("lo"))
+                        * 255.0
+                        / (F.col("hi") - F.col("lo")),
+                    ).otherwise(F.lit(0.0))
+                    + 0.5
+                    + 1e-9
+                ),
+            ).cast("long").alias("code"),
+        )
+    )
+    grid = spark.range(0, 256).select(F.col("id").alias("code"))
+    lut = (
+        x.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(ds), "pos")
+        .crossJoin(F.broadcast(grid))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "pos",
+            "code",
+            F.round(
+                (
+                    F.col("val")
+                    - (
+                        F.col("lo")
+                        + (F.col("code") * (F.col("hi") - F.col("lo")))
+                        / 255.0
+                    )
+                )
+                * (
+                    F.col("val")
+                    - (
+                        F.col("lo")
+                        + (F.col("code") * (F.col("hi") - F.col("lo")))
+                        / 255.0
+                    )
+                ),
+                8,
+            ).alias("term"),
+        )
+    )
+    scan = (
+        codes.join(F.broadcast(lut), ["pos", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg((F.round(F.sum("term") + 1e-9, 6) + 0.0).alias("sq8_d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc("sq8_d2"), F.asc("vec_id")
+    )
+    cand = scan.withColumn("sq8_rank", F.row_number().over(wq)).filter(
+        F.col("sq8_rank") <= _SQ8_RERANK_R
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("embedding")), 6))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("query_id", "rank", "vec_id", "cos", "sq8_rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+similarity_sq8_rerank.__doc__ = similarity_sq8_rerank.__doc__.format(
+    R=_SQ8_RERANK_R, K=_ADC_K
+)
+
+
+_SQ8_CORE_SQL = f"""x AS (
+  SELECT vec_id, i AS pos, list_extract(embedding::DOUBLE[], i) AS val
+  FROM embeddings CROSS JOIN range(1, 65) r(i)
+),
+ds AS (
+  SELECT pos, min(val) AS lo, max(val) AS hi
+  FROM x WHERE vec_id >= {N_QUERIES} GROUP BY pos
+),
+codes AS (
+  SELECT x.vec_id, x.pos,
+         CAST(least(255, floor(
+           CASE WHEN ds.hi > ds.lo
+                THEN (x.val - ds.lo) * 255.0 / (ds.hi - ds.lo)
+                ELSE 0.0 END + 0.5 + 1e-9)) AS BIGINT) AS code
+  FROM x JOIN ds ON x.pos = ds.pos
+  WHERE x.vec_id >= {N_QUERIES}
+),
+lut AS (
+  SELECT x.vec_id AS query_id, x.pos, g.code,
+         round((x.val - (ds.lo + (g.code * (ds.hi - ds.lo)) / 255.0))
+               * (x.val - (ds.lo + (g.code * (ds.hi - ds.lo)) / 255.0)), 8)
+           AS term
+  FROM x JOIN ds ON x.pos = ds.pos CROSS JOIN range(0, 256) g(code)
+  WHERE x.vec_id < {N_QUERIES}
+),
+sq8_scan AS (
+  SELECT lut.query_id, codes.vec_id,
+         round(sum(term) + 1e-9, 6) + 0.0 AS sq8_d2
+  FROM codes JOIN lut ON codes.pos = lut.pos AND codes.code = lut.code
+  GROUP BY 1, 2
+)"""
+
+
+SIMILARITY_SQ8_TOPK_SQL = f"""
+WITH {_SQ8_CORE_SQL}
+SELECT query_id, rank, vec_id, sq8_d2 FROM (
+  SELECT query_id, vec_id, sq8_d2,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY sq8_d2 ASC, vec_id ASC) AS INT) AS rank
+  FROM sq8_scan
+) WHERE rank <= {_ADC_K}
+ORDER BY query_id, rank
+"""
+
+
+SIMILARITY_SQ8_RERANK_SQL = f"""
+WITH {_SQ8_CORE_SQL},
+cand AS (
+  SELECT query_id, vec_id, sq8_rank FROM (
+    SELECT query_id, vec_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY sq8_d2 ASC, vec_id ASC) AS INT)
+             AS sq8_rank
+    FROM sq8_scan
+  ) WHERE sq8_rank <= {_SQ8_RERANK_R}
+),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+exact AS (
+  SELECT c.query_id, c.vec_id, c.sq8_rank,
+         round(list_dot_product(qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6) AS cos
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN qv ON c.query_id = qv.query_id
+)
+SELECT query_id, rank, vec_id, cos, sq8_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM exact
+) WHERE rank <= {_ADC_K}
+ORDER BY query_id, rank
+"""
+
+
+def similarity_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-quality audit: per-cell occupancy of the SAME coarse
+    assignment ``similarity_topk_ivf`` searches with, plus the
+    imbalance factor lambda = K * sum(share^2) replicated on every row
+    (lambda = 1 is perfectly balanced; FAISS prints the same statistic
+    after training). Cell balance is THE health metric of an IVF
+    deployment — a skewed cell is a scan hot-spot exactly like a
+    skewed shuffle key, and this table is what a 100 TB index build
+    checks before committing centroids. Bounded output (K rows)."""
+    k_cells = 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent")
+    )
+    scored = emb.join(F.broadcast(cents), how="cross").withColumn(
+        "cell_cos", cosine(F.col("embedding"), F.col("cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cell_id")
+    )
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell_id")
+    )
+    cells = assigned.groupBy("cell_id").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    tot = cells.agg(F.sum("n_vecs").alias("n_total"))
+    shared = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.round(F.col("n_vecs") / F.col("n_total") + 1e-9, 6) + 0.0
+    )
+    imb = shared.agg(
+        (
+            F.round(
+                F.lit(k_cells) * F.sum(F.col("share") * F.col("share"))
+                + 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("imbalance")
+    )
+    return (
+        shared.crossJoin(F.broadcast(imb))
+        .select("cell_id", "n_vecs", "share", "imbalance")
+        .orderBy("cell_id")
+    )
+
+
+SIMILARITY_IVF_CELL_BALANCE_SQL = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell_id, e AS cent FROM emb WHERE vec_id < 4
+),
+cell_scored AS (
+  SELECT emb.vec_id, cents.cell_id,
+         list_dot_product(e, cent)
+           / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cent, cent)))
+           AS cell_cos
+  FROM emb CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cell_cos DESC, cell_id ASC) AS ark
+    FROM cell_scored
+  ) WHERE ark = 1
+),
+cells AS (
+  SELECT cell_id, count(*) AS n_vecs FROM assigned GROUP BY cell_id
+),
+shared AS (
+  SELECT cell_id, n_vecs,
+         round(n_vecs / (SELECT CAST(sum(n_vecs) AS DOUBLE) FROM cells)
+               + 1e-9, 6) + 0.0 AS share
+  FROM cells
+)
+SELECT cell_id, n_vecs, share,
+       (SELECT round(4 * sum(share * share) + 1e-9, 4) + 0.0 FROM shared)
+         AS imbalance
+FROM shared ORDER BY cell_id
+"""
+
+
 QUERIES = {
     "similarity_mmr_rerank": similarity_mmr_rerank,
     "label_silhouette_centroid": label_silhouette_centroid,
@@ -3884,6 +4252,9 @@ QUERIES = {
     "similarity_binary_sign_topk": similarity_binary_sign_topk,
     "similarity_binary_rerank": similarity_binary_rerank,
     "similarity_quantized_recall": similarity_quantized_recall,
+    "similarity_sq8_topk": similarity_sq8_topk,
+    "similarity_sq8_rerank": similarity_sq8_rerank,
+    "similarity_ivf_cell_balance": similarity_ivf_cell_balance,
 }
 
 ORACLES = {
@@ -3918,4 +4289,7 @@ ORACLES = {
     "similarity_binary_sign_topk": SIMILARITY_BINARY_SIGN_TOPK_SQL,
     "similarity_binary_rerank": SIMILARITY_BINARY_RERANK_SQL,
     "similarity_quantized_recall": SIMILARITY_QUANTIZED_RECALL_SQL,
+    "similarity_sq8_topk": SIMILARITY_SQ8_TOPK_SQL,
+    "similarity_sq8_rerank": SIMILARITY_SQ8_RERANK_SQL,
+    "similarity_ivf_cell_balance": SIMILARITY_IVF_CELL_BALANCE_SQL,
 }
