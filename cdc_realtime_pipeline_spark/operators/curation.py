@@ -2048,7 +2048,119 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+
+_CURR_STAGES = 4
+
+
+def corpus_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: order the corpus by a quality proxy
+    (lexical diversity — distinct/total token ratio, the signal that
+    actually varies on this corpus) and cut it into {S} stages of
+    equal TOKEN budget, highest quality first — the data-ordering
+    step of curriculum-learning pipelines (and the shape of
+    quality-bucketed mixture schedules a 100 TB run trains through:
+    stage 0 streams first). Emits per stage: docs, tokens, and the
+    score band [lo, hi] it covers.
+
+    No global per-doc sort: docs collapse to the DISTINCT-score
+    relation (3dp grid, domain-bounded), the cumulative token walk
+    runs on that bounded relation (window above an Aggregate — the
+    ``value_equidepth_scalable`` discipline), and a score group lands
+    in stage floor(cum_before·{S}/total) — whole score groups never
+    split, the real-world curriculum contract.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
+
+    nz = F.filter("words", lambda w: F.length(w) > 0)
+    per_doc = (
+        doc_words(spark, sf_dir)
+        .select(
+            F.size(nz).cast("long").alias("n_tok"),
+            F.size(F.array_distinct(nz)).cast("long").alias("n_distinct"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .select(
+            "n_tok",
+            (
+                F.round(F.col("n_distinct") / F.col("n_tok") + 1e-9, 3) + 0.0
+            ).alias("score"),
+        )
+    )
+    per_score = per_doc.groupBy("score").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    wv = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per_score.agg(F.sum("n_tokens").alias("total_tokens"))
+    staged = (
+        per_score.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(wv), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "score",
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.col("cum_before") * _CURR_STAGES / F.col("total_tokens")
+            )
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.max("score").alias("hi_score"),
+            F.min("score").alias("lo_score"),
+        )
+        .orderBy("stage")
+    )
+
+
+corpus_quality_curriculum.__doc__ = corpus_quality_curriculum.__doc__.format(
+    S=_CURR_STAGES
+)
+
+
+CORPUS_QUALITY_CURRICULUM_SQL = f"""
+WITH per_doc AS (
+  SELECT n_tok, round(n_distinct / CAST(n_tok AS DOUBLE) + 1e-9, 3) + 0.0
+           AS score
+  FROM (
+    SELECT CAST(len(nz) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(nz)) AS BIGINT) AS n_distinct
+    FROM (
+      SELECT list_filter(
+               string_split({NORMALIZE_SQL.format(col='text')}, ' '),
+               w -> length(w) > 0) AS nz
+      FROM documents)
+  ) WHERE n_tok > 0
+),
+per_score AS (
+  SELECT score, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY score
+),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM per_score),
+staged AS (
+  SELECT score, n_docs, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * {_CURR_STAGES} / tot.total_tokens) AS INT) AS stage
+  FROM per_score CROSS JOIN tot
+)
+SELECT stage, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       max(score) AS hi_score, min(score) AS lo_score
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
 QUERIES = {
+    "corpus_quality_curriculum": corpus_quality_curriculum,
     "text_bigram_kneser_ney": text_bigram_kneser_ney,
     "text_kn_perplexity_bands": text_kn_perplexity_bands,
     "docs_quality_logistic_gate": docs_quality_logistic_gate,
@@ -2073,6 +2185,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_quality_curriculum": CORPUS_QUALITY_CURRICULUM_SQL,
     "text_bigram_kneser_ney": TEXT_BIGRAM_KNESER_NEY_SQL,
     "text_kn_perplexity_bands": TEXT_KN_PERPLEXITY_BANDS_SQL,
     "docs_quality_logistic_gate": _qlg_oracle_sql(),

@@ -2933,7 +2933,143 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+
+_RFM_Q = 5
+
+
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary — the
+    classic marketing-analytics cube): per customer, days since last
+    order, order count, and total spend, each scored 1..{Q} by
+    quintile, rolled up per RFM code (e.g. 555 = best customers).
+
+    No global per-customer sort: each metric's quintile boundaries
+    come from the DISTINCT-value cumulative walk (the
+    ``value_equidepth_scalable`` discipline — window above an
+    Aggregate, bounded by the metric's value domain), and customers
+    join back on the metric value. Recency scores INVERT (fewest days
+    -> {Q}); frequency/monetary score ascending. Monetary rounds 2dp
+    BEFORE the grid so both engines quantize identical values.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max(F.to_date("o_orderdate")).alias("dmax"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("dmax", "last_order").cast("long").alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+
+    def grid(col: str, invert: bool) -> DataFrame:
+        per_v = rfm.groupBy(col).agg(F.count("*").alias("n_v"))
+        wv = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        tot = per_v.agg(F.sum("n_v").alias("n_total"))
+        bucket = F.floor(
+            F.col("cum_before") * _RFM_Q / F.col("n_total")
+        ).cast("int")
+        score = (_RFM_Q - bucket) if invert else (bucket + F.lit(1))
+        return (
+            per_v.withColumn(
+                "cum_before", F.coalesce(F.sum("n_v").over(wv), F.lit(0))
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(col, score.alias(f"s_{col}"))
+        )
+
+    scored = (
+        rfm.join(grid("recency", invert=True), "recency")
+        .join(grid("frequency", invert=False), "frequency")
+        .join(grid("monetary", invert=False), "monetary")
+        .select(
+            "o_custkey",
+            "recency",
+            "frequency",
+            "monetary",
+            (
+                F.col("s_recency") * 100
+                + F.col("s_frequency") * 10
+                + F.col("s_monetary")
+            )
+            .cast("long")
+            .alias("rfm_code"),
+        )
+    )
+    return (
+        scored.groupBy("rfm_code")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("recency") + 1e-9, 2).alias("avg_recency_days"),
+            F.round(F.avg("frequency") + 1e-9, 2).alias("avg_frequency"),
+            F.round(F.avg("monetary") + 1e-9, 2).alias("avg_monetary"),
+        )
+        .orderBy("rfm_code")
+    )
+
+
+orders_rfm_segments.__doc__ = orders_rfm_segments.__doc__.format(Q=_RFM_Q)
+
+
+def _rfm_grid_sql(col: str, invert: bool) -> str:
+    score = (
+        f"{_RFM_Q} - CAST(floor(cum_before * {_RFM_Q} / n_total) AS INT)"
+        if invert
+        else f"CAST(floor(cum_before * {_RFM_Q} / n_total) AS INT) + 1"
+    )
+    return f"""(
+  SELECT {col}, {score} AS s_{col} FROM (
+    SELECT {col}, coalesce(sum(n_v) OVER (ORDER BY {col} ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before,
+           (SELECT CAST(sum(n_v) AS DOUBLE) FROM per_v_{col}) AS n_total
+    FROM per_v_{col}
+  )
+)"""
+
+
+ORDERS_RFM_SEGMENTS_SQL = f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+              (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+           AS BIGINT) AS recency,
+         count(*) AS frequency,
+         round(sum(o_totalprice) + 1e-9, 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+per_v_recency AS (
+  SELECT recency, count(*) AS n_v FROM rfm GROUP BY recency),
+per_v_frequency AS (
+  SELECT frequency, count(*) AS n_v FROM rfm GROUP BY frequency),
+per_v_monetary AS (
+  SELECT monetary, count(*) AS n_v FROM rfm GROUP BY monetary),
+scored AS (
+  SELECT rfm.*,
+         CAST(gr.s_recency * 100 + gf.s_frequency * 10 + gm.s_monetary
+           AS BIGINT) AS rfm_code
+  FROM rfm
+  JOIN {_rfm_grid_sql("recency", True)} gr USING (recency)
+  JOIN {_rfm_grid_sql("frequency", False)} gf USING (frequency)
+  JOIN {_rfm_grid_sql("monetary", False)} gm USING (monetary)
+)
+SELECT rfm_code, count(*) AS n_customers,
+       round(avg(recency) + 1e-9, 2) AS avg_recency_days,
+       round(avg(frequency) + 1e-9, 2) AS avg_frequency,
+       round(avg(monetary) + 1e-9, 2) AS avg_monetary
+FROM scored GROUP BY rfm_code ORDER BY rfm_code
+"""
+
+
 QUERIES = {
+    "orders_rfm_segments": orders_rfm_segments,
     "salted_agg_conformance": salted_agg_conformance,
     "bucketed_join_colocated": bucketed_join_colocated,
     "dynamic_partition_pruning_join": dynamic_partition_pruning_join,
@@ -2986,6 +3122,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_rfm_segments": ORDERS_RFM_SEGMENTS_SQL,
     "salted_agg_conformance": SALTED_AGG_CONFORMANCE_SQL,
     "bucketed_join_colocated": BUCKETED_JOIN_COLOCATED_SQL,
     "dynamic_partition_pruning_join": DYNAMIC_PARTITION_PRUNING_JOIN_SQL,

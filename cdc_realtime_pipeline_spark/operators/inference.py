@@ -3652,7 +3652,235 @@ ORDER BY c.bin
 USER_QUALITY_CALIBRATION_SQL = _calibration_oracle_sql()
 
 
+
+_BH_Q = 0.10
+
+
+def events_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-type drift tests —
+    the multiple-comparisons step every metrics/experimentation stack
+    bolts onto its per-segment z-tests (test m segments at q=10% FDR
+    instead of m uncorrected alpha=5% tests). Each event type gets the
+    two-proportion z for its share of FIRST-half vs SECOND-half
+    traffic (midpoint of the corpus time range), a normal-tail
+    p-value, and the BH step-up verdict: order p ascending, reject
+    every rank <= the largest i with p_(i) <= i*q/m.
+
+    The p-value uses the Lin (1989) logistic approximation of the
+    normal upper tail, exp(-0.717|z| - 0.416 z^2) — closed-form in
+    both engines (neither dialect ships an erf the other matches
+    bit-for-bit; the approximation IS the declared test statistic,
+    computed from the 6dp-rounded z so both engines exponentiate
+    identical inputs). All ordered logic runs on the bounded
+    event-type relation (window above an Aggregate).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    bounds = ev.agg(
+        ((F.min("sec") + F.max("sec")) / 2.0).alias("mid")
+    )
+    halved = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type", (F.col("sec") <= F.col("mid")).alias("first_half")
+    )
+    per_type = halved.groupBy("event_type").agg(
+        F.count(F.when(F.col("first_half"), 1)).alias("n_first"),
+        F.count(F.when(~F.col("first_half"), 1)).alias("n_second"),
+    )
+    tot = per_type.agg(
+        F.sum("n_first").alias("t1"), F.sum("n_second").alias("t2")
+    )
+    z = per_type.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.round(
+            (
+                (F.col("n_first") / F.col("t1"))
+                - (F.col("n_second") / F.col("t2"))
+            )
+            / F.sqrt(
+                ((F.col("n_first") + F.col("n_second"))
+                 / (F.col("t1") + F.col("t2")))
+                * (1.0 - (F.col("n_first") + F.col("n_second"))
+                   / (F.col("t1") + F.col("t2")))
+                * (1.0 / F.col("t1") + 1.0 / F.col("t2"))
+            )
+            + 1e-9,
+            6,
+        ).alias("z"),
+    )
+    p = z.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        "z",
+        (
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    2.0
+                    * F.exp(
+                        -0.717 * F.abs(F.col("z"))
+                        - 0.416 * F.col("z") * F.col("z")
+                    ),
+                )
+                + 1e-9,
+                8,
+            )
+            + 0.0
+        ).alias("p_value"),
+    )
+    wr = Window.orderBy(F.asc("p_value"), F.asc("event_type"))
+    ranked = p.withColumn("p_rank", F.row_number().over(wr))
+    m = ranked.agg(F.count("*").alias("m"))
+    thresh = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "bh_threshold",
+        F.round(F.col("p_rank") * _BH_Q / F.col("m") + 1e-9, 8) + 0.0,
+    )
+    kmax = thresh.agg(
+        F.max(
+            F.when(
+                F.col("p_value") <= F.col("bh_threshold"), F.col("p_rank")
+            ).otherwise(F.lit(0))
+        ).alias("k")
+    )
+    return (
+        thresh.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            "n_first",
+            "n_second",
+            "z",
+            "p_value",
+            F.col("p_rank").cast("long").alias("p_rank"),
+            "bh_threshold",
+            (F.col("p_rank") <= F.col("k")).cast("int").alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+EVENTS_BENJAMINI_HOCHBERG_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch(ts) AS sec FROM events
+),
+halved AS (
+  SELECT event_type,
+         sec <= (SELECT (min(sec) + max(sec)) / 2.0 FROM ev) AS first_half
+  FROM ev
+),
+per_type AS (
+  SELECT event_type,
+         count(CASE WHEN first_half THEN 1 END) AS n_first,
+         count(CASE WHEN NOT first_half THEN 1 END) AS n_second
+  FROM halved GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n_first) AS DOUBLE) AS t1,
+         CAST(sum(n_second) AS DOUBLE) AS t2
+  FROM per_type
+),
+zed AS (
+  SELECT event_type, n_first, n_second,
+         round(((n_first / t1) - (n_second / t2))
+               / sqrt(((n_first + n_second) / (t1 + t2))
+                      * (1.0 - (n_first + n_second) / (t1 + t2))
+                      * (1.0 / t1 + 1.0 / t2)) + 1e-9, 6) AS z
+  FROM per_type CROSS JOIN tot
+),
+pv AS (
+  SELECT event_type, n_first, n_second, z,
+         round(least(1.0, 2.0 * exp(-0.717 * abs(z) - 0.416 * z * z))
+               + 1e-9, 8) + 0.0 AS p_value
+  FROM zed
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_value ASC, event_type ASC)
+           AS p_rank,
+         (SELECT count(*) FROM pv) AS m
+  FROM pv
+),
+thresh AS (
+  SELECT *, round(p_rank * {_BH_Q} / m + 1e-9, 8) + 0.0 AS bh_threshold
+  FROM ranked
+)
+SELECT event_type, n_first, n_second, z, p_value,
+       CAST(p_rank AS BIGINT) AS p_rank, bh_threshold,
+       CAST(p_rank <= (SELECT max(CASE WHEN p_value <= bh_threshold
+                                       THEN p_rank ELSE 0 END) FROM thresh)
+            AS INT) AS rejected
+FROM thresh ORDER BY p_rank
+"""
+
+
+def user_time_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement features — the recency-
+    weighted activity score feature stores compute per entity (7-day
+    half-life: yesterday's event counts ~0.91x, last month's ~0.05x):
+    per user, sum of value * 0.5^(days_ago / 7) plus supporting
+    recency stats. One corpus pass, one user-keyed aggregate; the
+    anchor date is a broadcast scalar.
+
+    Cross-engine: days_ago is an exact integer date diff; each decay
+    term rounds 6dp before the sum and the sum rounds 4dp (last-ulp
+    pow() differences cannot reach either boundary past the nudge).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    )
+    maxd = ev.agg(F.max("d").alias("dmax"))
+    terms = (
+        ev.crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            "value",
+            F.datediff("dmax", "d").cast("long").alias("days_ago"),
+        )
+        .select(
+            "user_id",
+            "days_ago",
+            F.round(
+                F.col("value") * F.pow(F.lit(0.5), F.col("days_ago") / 7.0)
+                + 1e-9,
+                6,
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.round(F.sum("term") + 1e-9, 4) + 0.0).alias("decayed_value"),
+            F.min("days_ago").alias("last_seen_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_TIME_DECAY_FEATURES_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+),
+terms AS (
+  SELECT user_id,
+         CAST(date_diff('day', d, (SELECT max(d) FROM ev)) AS BIGINT)
+           AS days_ago,
+         round(value * pow(0.5,
+               CAST(date_diff('day', d, (SELECT max(d) FROM ev)) AS BIGINT)
+               / 7.0) + 1e-9, 6) AS term
+  FROM ev
+)
+SELECT user_id, count(*) AS n_events,
+       round(sum(term) + 1e-9, 4) + 0.0 AS decayed_value,
+       min(days_ago) AS last_seen_days
+FROM terms GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "events_benjamini_hochberg": events_benjamini_hochberg,
+    "user_time_decay_features": user_time_decay_features,
     "events_mann_kendall": events_mann_kendall,
     "events_kruskal_wallis": events_kruskal_wallis,
     "events_pettitt_changepoint": events_pettitt_changepoint,
@@ -3687,6 +3915,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_benjamini_hochberg": EVENTS_BENJAMINI_HOCHBERG_SQL,
+    "user_time_decay_features": USER_TIME_DECAY_FEATURES_SQL,
     "events_mann_kendall": EVENTS_MANN_KENDALL_SQL,
     "events_kruskal_wallis": EVENTS_KRUSKAL_WALLIS_SQL,
     "events_pettitt_changepoint": EVENTS_PETTITT_CHANGEPOINT_SQL,

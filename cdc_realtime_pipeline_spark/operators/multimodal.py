@@ -19,6 +19,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_realtime_pipeline_spark.session import load_table
 
@@ -465,7 +466,80 @@ ORDER BY hamming
 MEDIA_PHASH_NEAR_DUP_SQL = _media_phash_sql()
 
 
+
+_SHARD_BYTES = 4096  # shard byte budget (scaled to the fixture blobs;
+# a production run sets ~1 GiB tar shards — same plan, bigger constant)
+
+
+def media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard planning: pack media blobs into
+    byte-budget shards per media_type, in deterministic doc_id order —
+    the manifest a multimodal training pipeline writes before cutting
+    tar shards (items stream into shard k = floor(cum_bytes_before /
+    budget); whole items never split). Emits per (media_type, shard):
+    item count, byte mass, and the [first, last] doc_id range the
+    shard covers — exactly what a downstream loader needs to address
+    a shard without listing it.
+
+    The cumulative walk is PARTITIONED by media_type (three streams),
+    so at 100 TB each media family plans independently — the same
+    per-key cumsum shape as ``corpus_token_budget_pack``; no global
+    sort, no unpartitioned window.
+    """
+    media = synthesize_media(spark, sf_dir)
+    w = (
+        Window.partitionBy("media_type")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sharded = media.select(
+        "media_type",
+        "doc_id",
+        "n_bytes",
+        F.floor(
+            F.coalesce(F.sum("n_bytes").over(w), F.lit(0)) / _SHARD_BYTES
+        )
+        .cast("long")
+        .alias("shard"),
+    )
+    return (
+        sharded.groupBy("media_type", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("media_type", "shard")
+    )
+
+
+MEDIA_SHARD_MANIFEST_SQL = f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+sharded AS (
+  SELECT media_type, doc_id, n_bytes,
+         CAST(floor(coalesce(sum(n_bytes) OVER (PARTITION BY media_type
+                    ORDER BY doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / {_SHARD_BYTES}) AS BIGINT) AS shard
+  FROM media
+)
+SELECT media_type, shard, count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM sharded GROUP BY media_type, shard ORDER BY media_type, shard
+"""
+
+
 QUERIES = {
+    "media_shard_manifest": media_shard_manifest,
     "media_phash_near_dup": media_phash_near_dup,
     "media_features": media_features,
     "media_dedup_exact": media_dedup_exact,
@@ -474,6 +548,7 @@ QUERIES = {
     "props_json_extract": props_json_extract,
 }
 ORACLES = {
+    "media_shard_manifest": MEDIA_SHARD_MANIFEST_SQL,
     "media_phash_near_dup": MEDIA_PHASH_NEAR_DUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_dedup_exact": MEDIA_DEDUP_EXACT_SQL,

@@ -920,7 +920,78 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+
+_FH_BUCKETS = 1024
+
+
+def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009 — feature hashing):
+    project the unbounded token vocabulary onto a FIXED {B}-bucket
+    feature space with a portable hash, the standard way a training
+    pipeline gets bounded-width sparse features without materializing
+    (or shipping) a vocabulary. Emits the per-bucket feature table —
+    token mass and how many distinct words collided into the bucket —
+    i.e. both the feature vector the model would consume and the
+    collision audit that prices the trick's information loss.
+
+    Hash is the repo's engine-portable md5 idiom (conv(substr(md5,
+    1, 15)) % {B}), so both engines bucket identically. One explode
+    off the memoized tokenized corpus, one {B}-bounded aggregate;
+    at 100 TB the explode is map-local and the shuffle carries at
+    most {B} partials per partition.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
+
+    toks = (
+        doc_words(spark, sf_dir)
+        .select(F.explode("words").alias("word"))
+        .filter(F.length("word") > 0)
+        .select(
+            "word",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("fh:"), F.col("word"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _FH_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    return (
+        toks.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("word").alias("n_distinct_words"),
+        )
+        .orderBy("bucket")
+    )
+
+
+text_hashed_ngram_features.__doc__ = text_hashed_ngram_features.__doc__.format(
+    B=_FH_BUCKETS
+)
+
+
+TEXT_HASHED_NGRAM_FEATURES_SQL = f"""
+WITH toks AS (
+  SELECT word,
+         ('0x' || substr(md5('fh:' || word), 1, 15))::BIGINT % {_FH_BUCKETS}
+           AS bucket
+  FROM (SELECT unnest(string_split({_NORM_SQL.format(col='text')}, ' '))
+          AS word FROM documents)
+  WHERE length(word) > 0
+)
+SELECT bucket, count(*) AS n_tokens,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words
+FROM toks GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "text_hashed_ngram_features": text_hashed_ngram_features,
     "source_stylometry_delta": source_stylometry_delta,
     "lang_id_cohens_kappa": lang_id_cohens_kappa,
     "text_readability_flesch": text_readability_flesch,
@@ -938,6 +1009,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_hashed_ngram_features": TEXT_HASHED_NGRAM_FEATURES_SQL,
     "source_stylometry_delta": SOURCE_STYLOMETRY_DELTA_SQL,
     "lang_id_cohens_kappa": LANG_ID_COHENS_KAPPA_SQL,
     "text_readability_flesch": TEXT_READABILITY_FLESCH_SQL,

@@ -418,6 +418,115 @@ ORDER BY i
 """
 
 
+
+_MIX_TEMP_NUM, _MIX_TEMP_DEN = 1, 2  # temperature tau = 1/2
+
+
+def corpus_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mixture re-weighting — the domain-balance
+    step every multi-source pretraining corpus runs (the temperature-
+    scaled sampling of GPT-3 / The Pile / DoReMi's baseline): given
+    each source's observed token share p_s and a uniform target share
+    t = 1/S, the sampling weight is (t / p_s)^tau with tau = 1/2 —
+    tau=1 would flatten the mixture exactly, tau=0 keeps it as-is;
+    the square root is the standard compromise that boosts small
+    domains without drowning large ones. Emits the observed share,
+    the weight, and the share the re-weighted sampler would actually
+    draw (renormalized p_s·w_s).
+
+    One corpus pass (token counts off the session-memoized ``doc_words``
+    array — no explode), then source-bounded scalar algebra.
+    Cross-engine: shares round 8dp BEFORE feeding pow so both engines
+    exponentiate identical inputs; weights round 6dp before the
+    renormalization product.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
+
+    per_source = (
+        doc_words(spark, sf_dir)
+        .select(
+            "source",
+            F.size(F.filter("words", lambda w: F.length(w) > 0))
+            .cast("long")
+            .alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    shared = per_source.crossJoin(F.broadcast(tot)).withColumn(
+        "actual_share",
+        F.round(F.col("n_tokens") / F.col("total_tokens") + 1e-9, 8) + 0.0,
+    )
+    weighted = shared.withColumn(
+        "weight",
+        F.round(
+            F.pow(
+                (1.0 / F.col("n_sources")) / F.col("actual_share"),
+                F.lit(_MIX_TEMP_NUM / _MIX_TEMP_DEN),
+            )
+            + 1e-9,
+            6,
+        )
+        + 0.0,
+    ).withColumn("aw", F.col("actual_share") * F.col("weight"))
+    norm = weighted.agg(F.sum("aw").alias("sum_aw"))
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "actual_share",
+            "weight",
+            (F.round(F.col("aw") / F.col("sum_aw") + 1e-9, 6) + 0.0).alias(
+                "resampled_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_DOMAIN_MIXTURE_WEIGHTS_SQL = r"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(
+           string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+           w -> length(w) > 0))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per_source
+),
+shared AS (
+  SELECT source, n_docs, n_tokens,
+         round(n_tokens / tot.total_tokens + 1e-9, 8) + 0.0 AS actual_share,
+         tot.n_sources
+  FROM per_source CROSS JOIN tot
+),
+weighted AS (
+  SELECT *,
+         round(pow((1.0 / n_sources) / actual_share, 0.5) + 1e-9, 6) + 0.0
+           AS weight
+  FROM shared
+)
+SELECT source, n_docs, n_tokens, actual_share, weight,
+       round(actual_share * weight
+             / (SELECT sum(actual_share * weight) FROM weighted)
+             + 1e-9, 6) + 0.0 AS resampled_share
+FROM weighted ORDER BY source
+"""
+
+
 QUERIES = {
     "embeddings_dim_stats": embeddings_dim_stats,
     "embeddings_jl_projection": embeddings_jl_projection,
@@ -425,9 +534,11 @@ QUERIES = {
     "corpus_shard_stats": corpus_shard_stats,
     "embeddings_preprocessed": embeddings_preprocessed,
     "embedding_norm_outliers": embedding_norm_outliers,
+    "corpus_domain_mixture_weights": corpus_domain_mixture_weights,
 }
 
 ORACLES = {
+    "corpus_domain_mixture_weights": CORPUS_DOMAIN_MIXTURE_WEIGHTS_SQL,
     "embeddings_dim_stats": EMBEDDINGS_DIM_STATS_SQL,
     "embeddings_jl_projection": EMBEDDINGS_JL_PROJECTION_SQL,
     "corpus_prep_pipeline": _fill_lang_scores(CORPUS_PREP_PIPELINE_SQL),
