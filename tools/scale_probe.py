@@ -146,6 +146,19 @@ PROBE_QUERIES = [
     ("stream_cusum_alarm", "streaming hourly agg -> bounded fold, availableNow E2E"),
     ("corpus_softdedup_weights", "CC labels -> 1/|cluster| weights, source roll-up"),
     ("dedup_lsh_band_sweep", "one sig build -> 4 banding configs, bucket joins"),
+    # round-10 wave
+    ("similarity_sq8_topk", "per-dim grid train -> broadcast-LUT ADC scan"),
+    ("similarity_sq8_rerank", "SQ8 pool -> Q·R keyed fetch + exact re-rank"),
+    ("similarity_ivf_cell_balance", "coarse assignment -> K-bounded occupancy"),
+    ("dup_graph_label_propagation", "3 modal-label rounds, edge-sized aggs"),
+    ("salted_agg_conformance", "salt explode -> partial agg -> final re-agg"),
+    ("corpus_domain_mixture_weights", "source token shares -> temperature reweight"),
+    ("corpus_quality_curriculum", "distinct-score token walk -> stage budgets"),
+    ("text_hashed_ngram_features", "md5 hashing trick -> 1024-bucket features"),
+    ("orders_rfm_segments", "3 scalable quintile grids -> RFM rollup"),
+    ("events_benjamini_hochberg", "per-type z -> p -> BH step-up, bounded"),
+    ("user_time_decay_features", "broadcast anchor -> decay terms -> user agg"),
+    ("media_shard_manifest", "per-type byte cumsum -> shard manifest"),
 ]
 
 TABLES = [
