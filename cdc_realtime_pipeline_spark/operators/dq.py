@@ -1617,7 +1617,126 @@ FROM terms ORDER BY bin
 """
 
 
+
+_RI_ORPHAN_MOD = 97  # every 97th child key is planted as an orphan
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the warehouse FK graph — the
+    expectations-suite check every ingest gate runs (orphaned facts
+    silently vanish from inner joins; this table is how you notice
+    BEFORE the revenue report is wrong). One row per FK edge:
+    child cardinality, orphan count, orphan rate.
+
+    The fixture is referentially clean, so each child leg PLANTS
+    deterministic orphans (key negated where key % {M} == 0 — the
+    planted-fixture discipline of the null/near-dup conformance rows)
+    to prove the counting machinery; an all-zero audit proves nothing.
+
+    Shape per leg: child keys aggregate FIRST (distinct-key relation,
+    domain-bounded), then anti-join the parent key set — the orphan
+    check never shuffles the fact table against the parent, and the
+    nation/region parents broadcast. Orphan counts are weighted back
+    by per-key child multiplicity so the rate is row-accurate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    def plant(df: DataFrame, key: str) -> DataFrame:
+        return df.withColumn(
+            key,
+            F.when(
+                F.col(key) % _RI_ORPHAN_MOD == 0, -F.col(key) - 1
+            ).otherwise(F.col(key)),
+        )
+
+    def leg(
+        name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str
+    ) -> DataFrame:
+        ckeys = (
+            plant(child.select(F.col(ckey).cast("long").alias("k")), "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("n_rows"))
+        )
+        pkeys = parent.select(F.col(pkey).cast("long").alias("k")).distinct()
+        orphans = ckeys.join(pkeys, "k", "left_anti").agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_orphans")
+        )
+        totals = ckeys.agg(F.sum("n_rows").alias("n_child"))
+        return totals.crossJoin(orphans).select(
+            F.lit(name).alias("fk"),
+            F.col("n_child").cast("long").alias("n_child"),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+            (
+                F.round(F.col("n_orphans") / F.col("n_child") + 1e-9, 6)
+                + 0.0
+            ).alias("orphan_rate"),
+        )
+
+    legs = [
+        leg("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        leg("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
+        leg("lineitem.suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        leg("orders.custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        leg("customer.nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        leg("supplier.nationkey->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        leg("nation.regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out.orderBy("fk")
+
+
+referential_integrity_audit.__doc__ = referential_integrity_audit.__doc__.format(
+    M=_RI_ORPHAN_MOD
+)
+
+
+def _ri_leg_sql(name, child, ckey, parent, pkey):
+    return f"""
+SELECT '{name}' AS fk,
+       CAST(sum(n_rows) AS BIGINT) AS n_child,
+       CAST(coalesce(sum(CASE WHEN p.k IS NULL THEN n_rows END), 0) AS BIGINT)
+         AS n_orphans,
+       round(coalesce(sum(CASE WHEN p.k IS NULL THEN n_rows END), 0)
+             / CAST(sum(n_rows) AS DOUBLE) + 1e-9, 6) + 0.0 AS orphan_rate
+FROM (
+  SELECT CASE WHEN CAST({ckey} AS BIGINT) % {_RI_ORPHAN_MOD} = 0
+              THEN -CAST({ckey} AS BIGINT) - 1
+              ELSE CAST({ckey} AS BIGINT) END AS k,
+         count(*) AS n_rows
+  FROM {child} GROUP BY 1
+) c
+LEFT JOIN (SELECT DISTINCT CAST({pkey} AS BIGINT) AS k FROM {parent}) p
+  USING (k)"""
+
+
+REFERENTIAL_INTEGRITY_AUDIT_SQL = (
+    _ri_leg_sql("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+    + " UNION ALL "
+    + _ri_leg_sql("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey")
+    + " UNION ALL "
+    + _ri_leg_sql("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")
+    + " UNION ALL "
+    + _ri_leg_sql("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey")
+    + " UNION ALL "
+    + _ri_leg_sql("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey")
+    + " UNION ALL "
+    + _ri_leg_sql("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+    + " UNION ALL "
+    + _ri_leg_sql("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey")
+    + " ORDER BY fk"
+)
+
+
 QUERIES = {
+    "referential_integrity_audit": referential_integrity_audit,
     "docs_psi_drift": docs_psi_drift,
     "dq_rule_engine": dq_rule_engine,
     "events_countmin_audit": events_countmin_audit,
@@ -1642,6 +1761,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "referential_integrity_audit": REFERENTIAL_INTEGRITY_AUDIT_SQL,
     "docs_psi_drift": DOCS_PSI_DRIFT_SQL,
     "events_countmin_audit": EVENTS_COUNTMIN_AUDIT_SQL,
     "dp_noised_release": DP_NOISED_RELEASE_SQL,
