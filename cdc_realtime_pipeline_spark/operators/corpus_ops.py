@@ -1973,6 +1973,68 @@ ORDER BY l3.doc_id
 """
 
 
+
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source — subword tokens per word, THE
+    tokenizer-evaluation table (multilingual tokenizer papers report
+    exactly this per language/domain: fertility ~1 means the vocab
+    fits the domain, 2+ means every word fragments and the effective
+    context window halves). Rolls the BPE encode leg's per-doc
+    accounting up per source, with chars-per-token as the compression
+    column a token-budget planner multiplies corpus bytes by.
+
+    Pure roll-up over ``tokenizer_bpe_encode``'s output joined to the
+    source column — train→encode→evaluate in one lineage, all ratios
+    from exact integer sums.
+    """
+    enc = tokenizer_bpe_encode(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        enc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_word_chars").cast("long").alias("n_word_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.round(
+                    F.col("n_bpe_tokens") / F.col("n_words") + 1e-9, 4
+                )
+                + 0.0
+            ).alias("fertility"),
+            (
+                F.round(
+                    F.col("n_word_chars") / F.col("n_bpe_tokens") + 1e-9, 4
+                )
+                + 0.0
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_TOKENIZER_FERTILITY_SQL = f"""
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(e.n_bpe_tokens) AS DOUBLE) / sum(e.n_words) + 1e-9, 4)
+         + 0.0 AS fertility,
+       round(CAST(sum(e.n_word_chars) AS DOUBLE) / sum(e.n_bpe_tokens)
+             + 1e-9, 4) + 0.0 AS chars_per_token
+FROM ({TOKENIZER_BPE_ENCODE_SQL}) e
+JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 QUERIES = {
     "corpus_softdedup_weights": corpus_softdedup_weights,
     "corpus_epoch_shuffle_audit": corpus_epoch_shuffle_audit,
@@ -1997,6 +2059,7 @@ QUERIES = {
     "corpus_vocab_coverage_curve": corpus_vocab_coverage_curve,
     "dup_graph_common_neighbors": dup_graph_common_neighbors,
     "dup_graph_label_propagation": dup_graph_label_propagation,
+    "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
 }
 
 ORACLES = {
@@ -2023,4 +2086,5 @@ ORACLES = {
     "corpus_vocab_coverage_curve": CORPUS_VOCAB_COVERAGE_CURVE_SQL,
     "dup_graph_common_neighbors": DUP_GRAPH_COMMON_NEIGHBORS_SQL,
     "dup_graph_label_propagation": DUP_GRAPH_LABEL_PROPAGATION_SQL,
+    "corpus_tokenizer_fertility": CORPUS_TOKENIZER_FERTILITY_SQL,
 }

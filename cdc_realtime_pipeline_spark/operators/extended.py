@@ -2871,6 +2871,57 @@ ORDER BY d.week
 
 
 
+
+def observed_metrics_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's Observation API as a conformance row — the in-flight
+    metrics channel a production pipeline attaches to its writes
+    (row counts, sums, freshness watermarks collected DURING the main
+    action, no second scan): observe the events scan with three
+    aggregate metrics, trigger one pass, and return the observed
+    payload as a 1-row relation. The oracle recomputes the same
+    aggregates directly — green iff the metrics channel reports
+    exactly what a dedicated aggregation would.
+
+    The observation payload is a BOUNDED driver-side metrics row by
+    design (that is the API's contract — it exists precisely so the
+    pipeline does NOT run a second corpus aggregate); the corpus-scale
+    work stays in the observed scan.
+    """
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ev_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+        F.min("ts").alias("min_ts"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                round(m["sum_value"] + 1e-9, 2),
+                m["max_ts"],
+                m["min_ts"],
+            )
+        ],
+        "n_rows long, sum_value double, max_ts timestamp, min_ts timestamp",
+    )
+
+
+OBSERVED_METRICS_CONFORMANCE_SQL = """
+SELECT count(*) AS n_rows,
+       round(sum(value) + 1e-9, 2) AS sum_value,
+       max(ts) AS max_ts,
+       min(ts) AS min_ts
+FROM events
+"""
+
+
 _SALT_FANOUT = 16
 
 
@@ -3071,6 +3122,7 @@ FROM scored GROUP BY rfm_code ORDER BY rfm_code
 QUERIES = {
     "orders_rfm_segments": orders_rfm_segments,
     "salted_agg_conformance": salted_agg_conformance,
+    "observed_metrics_conformance": observed_metrics_conformance,
     "bucketed_join_colocated": bucketed_join_colocated,
     "dynamic_partition_pruning_join": dynamic_partition_pruning_join,
     "events_markov_stationary": events_markov_stationary,
@@ -3124,6 +3176,7 @@ QUERIES = {
 ORACLES = {
     "orders_rfm_segments": ORDERS_RFM_SEGMENTS_SQL,
     "salted_agg_conformance": SALTED_AGG_CONFORMANCE_SQL,
+    "observed_metrics_conformance": OBSERVED_METRICS_CONFORMANCE_SQL,
     "bucketed_join_colocated": BUCKETED_JOIN_COLOCATED_SQL,
     "dynamic_partition_pruning_join": DYNAMIC_PARTITION_PRUNING_JOIN_SQL,
     "events_markov_stationary": EVENTS_MARKOV_STATIONARY_SQL,

@@ -4133,6 +4133,170 @@ ORDER BY query_id, rank
 """
 
 
+
+_KNN_GRAPH_K = 5
+
+
+def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH construction (k={K} neighbors per
+    vector) — the index-build step under graph-ANN methods (HNSW
+    layer 0, NN-descent) and under graph-based corpus analyses
+    (semantic clustering, kNN-LM retrieval): for EVERY vector, its
+    top-{K} candidates by exact cosine among a banded candidate set.
+
+    Candidates-then-verify, never all-pairs (the dedup-family
+    discipline applied to graph building): the 64 sign bits pack into
+    two words, split into 8 byte-bands — same-(band, byte) collisions
+    seed the edge set (integer arithmetic end-to-end, so BOTH engines
+    generate the identical candidate set and the graph is
+    oracle-gated, unlike the numpy-hyperplane bands of
+    ``dedup_embeddings_cosine`` whose generator is rows-only
+    auditable) — then ONE NN-descent round (Dong, Moses, Li 2011)
+    expands neighbors-of-neighbors before the exact verify, the
+    step that recovers edges band collisions miss. Per-node top-{K}
+    by exact cosine, ties -> neighbor id.
+
+    Scale: bucket joins are Σ bucket² (band width widens with corpus
+    like the LSH rows); the NN-descent expansion is degree-bounded;
+    the exact verify touches only candidate pairs. The recall-vs-
+    exact floor at fixture scale is pinned in tests, not the oracle
+    (approximation is the contract; determinism is what's gated).
+    """
+    sw = _sign_words(spark, sf_dir)
+    band_cols = [
+        (F.expr(f"w1 div {256 ** i}") % 256).alias(f"b{i}") for i in range(4)
+    ] + [
+        (F.expr(f"w2 div {256 ** i}") % 256).alias(f"b{i + 4}")
+        for i in range(4)
+    ]
+    bands = sw.select("vec_id", *band_cols).select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(8)])).alias(
+            "band", "sig"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand0 = tracked_persist(
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+        .distinct()
+    )
+    sym = cand0.unionByName(
+        cand0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    sa, sb = sym.alias("sa"), sym.alias("sb")
+    non = (
+        sa.join(
+            sb,
+            (F.col("sa.v") == F.col("sb.u"))
+            & (F.col("sa.u") != F.col("sb.v")),
+        )
+        .select(
+            F.least(F.col("sa.u"), F.col("sb.v")).alias("u"),
+            F.greatest(F.col("sa.u"), F.col("sb.v")).alias("v"),
+        )
+        .distinct()
+    )
+    cand = cand0.unionByName(non).distinct()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    eu = emb.select(F.col("vec_id").alias("u"), F.col("e").alias("e_u"))
+    ev = emb.select(F.col("vec_id").alias("v"), F.col("e").alias("e_v"))
+    pairs = (
+        cand.join(eu, "u")
+        .join(ev, "v")
+        .select(
+            "u",
+            "v",
+            F.round(cosine(F.col("e_u"), F.col("e_v")), 6).alias("cos"),
+        )
+    )
+    directed = pairs.select(
+        F.col("u").alias("vec_id"), F.col("v").alias("nbr_id"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("v").alias("vec_id"), F.col("u").alias("nbr_id"), "cos"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_GRAPH_K)
+        .select("vec_id", "rank", "nbr_id", "cos")
+        .orderBy("vec_id", "rank")
+    )
+
+
+embeddings_knn_graph.__doc__ = embeddings_knn_graph.__doc__.format(
+    K=_KNN_GRAPH_K
+)
+
+
+EMBEDDINGS_KNN_GRAPH_SQL = f"""
+WITH x AS (
+  SELECT vec_id, i AS pos, list_extract(embedding::DOUBLE[], i) AS val
+  FROM embeddings CROSS JOIN range(1, 65) r(i)
+),
+sw AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pos <= 32 AND val >= 0
+                       THEN CAST(2 ** (pos - 1) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS w1,
+         CAST(sum(CASE WHEN pos > 32 AND val >= 0
+                       THEN CAST(2 ** (pos - 33) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS w2
+  FROM x GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, i AS band,
+         (w1 // CAST(2 ** (8 * i) AS BIGINT)) % 256 AS sig
+  FROM sw CROSS JOIN range(0, 4) r(i)
+  UNION ALL
+  SELECT vec_id, i + 4,
+         (w2 // CAST(2 ** (8 * i) AS BIGINT)) % 256
+  FROM sw CROSS JOIN range(0, 4) r(i)
+),
+cand0 AS (
+  SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+sym AS (SELECT u, v FROM cand0 UNION ALL SELECT v, u FROM cand0),
+non AS (
+  SELECT DISTINCT least(a.u, b.v) AS u, greatest(a.u, b.v) AS v
+  FROM sym a JOIN sym b ON a.v = b.u AND a.u != b.v
+),
+cand AS (SELECT u, v FROM cand0 UNION SELECT u, v FROM non),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT c.u, c.v,
+         round(list_dot_product(eu.e, ev.e)
+               / (sqrt(list_dot_product(eu.e, eu.e))
+                  * sqrt(list_dot_product(ev.e, ev.e))), 6) AS cos
+  FROM cand c JOIN emb eu ON c.u = eu.vec_id JOIN emb ev ON c.v = ev.vec_id
+),
+directed AS (
+  SELECT u AS vec_id, v AS nbr_id, cos FROM pairs
+  UNION ALL
+  SELECT v, u, cos FROM pairs
+)
+SELECT vec_id, rank, nbr_id, cos FROM (
+  SELECT vec_id, nbr_id, cos,
+         CAST(row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, nbr_id ASC) AS INT) AS rank
+  FROM directed
+) WHERE rank <= {_KNN_GRAPH_K}
+ORDER BY vec_id, rank
+"""
+
+
 def similarity_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index-quality audit: per-cell occupancy of the SAME coarse
     assignment ``similarity_topk_ivf`` searches with, plus the
@@ -4255,6 +4419,7 @@ QUERIES = {
     "similarity_sq8_topk": similarity_sq8_topk,
     "similarity_sq8_rerank": similarity_sq8_rerank,
     "similarity_ivf_cell_balance": similarity_ivf_cell_balance,
+    "embeddings_knn_graph": embeddings_knn_graph,
 }
 
 ORACLES = {
@@ -4292,4 +4457,5 @@ ORACLES = {
     "similarity_sq8_topk": SIMILARITY_SQ8_TOPK_SQL,
     "similarity_sq8_rerank": SIMILARITY_SQ8_RERANK_SQL,
     "similarity_ivf_cell_balance": SIMILARITY_IVF_CELL_BALANCE_SQL,
+    "embeddings_knn_graph": EMBEDDINGS_KNN_GRAPH_SQL,
 }

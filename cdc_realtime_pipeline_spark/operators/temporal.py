@@ -364,7 +364,87 @@ FROM pairs GROUP BY 1 ORDER BY 1
 
 
 
+
+_ASOF_TOL_MIN = 30  # tolerance window, minutes
+
+
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness tolerance — pandas'
+    ``merge_asof(tolerance=...)`` / kdb's windowed aj: the most recent
+    click at-or-before each purchase counts ONLY if it is at most
+    {T} minutes old; anything staler is no match (NULL), because a
+    feature computed from an hour-old click is a training-serving
+    skew bug, not a feature. Same union-and-carry plan as
+    ``asof_join_last_click`` with the click timestamp carried inside
+    the struct, so the tolerance test happens AFTER the carry — one
+    sort, no extra shuffle, and the carried-NULL semantics are
+    preserved exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.struct(
+            F.col("value").alias("v"), F.col("ts").alias("cts")
+        ).alias("click"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("struct<v:double,cts:timestamp>").alias("click"),
+        F.lit(1).alias("is_p"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "last_click", F.last("click", ignorenulls=True).over(w)
+    )
+    within = F.col("last_click.cts") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ASOF_TOL_MIN} MINUTES"
+    )
+    return carried.filter(F.col("is_p") == 1).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.round(
+            F.when(within, F.col("last_click.v")), 4
+        ).alias("click_value_within_tol"),
+        F.when(within, F.lit(1)).otherwise(F.lit(0)).alias("fresh"),
+    )
+
+
+asof_join_tolerance.__doc__ = asof_join_tolerance.__doc__.format(
+    T=_ASOF_TOL_MIN
+)
+
+
+ASOF_JOIN_TOLERANCE_SQL = f"""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       round((SELECT c.value FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL {_ASOF_TOL_MIN} MINUTES
+              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), 4)
+         AS click_value_within_tol,
+       CASE WHEN EXISTS (SELECT 1 FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL {_ASOF_TOL_MIN} MINUTES)
+            THEN 1 ELSE 0 END AS fresh
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
+    "asof_join_tolerance": asof_join_tolerance,
     "allen_interval_relations": allen_interval_relations,
     "asof_join_last_click": asof_join_last_click,
     "asof_join_nearest": asof_join_nearest,
@@ -373,6 +453,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "asof_join_tolerance": ASOF_JOIN_TOLERANCE_SQL,
     "allen_interval_relations": ALLEN_INTERVAL_RELATIONS_SQL,
     "asof_join_last_click": ASOF_JOIN_LAST_CLICK_SQL,
     "asof_join_nearest": ASOF_JOIN_NEAREST_SQL,

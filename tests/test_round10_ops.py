@@ -294,3 +294,119 @@ def test_media_shards_pack_contiguously(spark, sf_dir):
         synthesize_media(spark, sf_dir).agg(F.sum("n_bytes")).collect()[0][0]
     )
     assert sum(r["n_bytes"] for r in rows) == total
+
+
+def test_referential_integrity_planted_orphans(spark, sf_dir):
+    """Every leg counts its planted orphans exactly: keys divisible by
+    the mod are negated, so orphan count equals the child-row mass on
+    those keys; clean legs (no multiple-of-mod keys) read zero."""
+    from cdc_realtime_pipeline_spark.operators.dq import (
+        _RI_ORPHAN_MOD,
+        referential_integrity_audit,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    rows = {r["fk"]: r for r in referential_integrity_audit(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    li = load_table(spark, sf_dir, "lineitem")
+    expected = li.filter(
+        (F.col("l_orderkey") % _RI_ORPHAN_MOD) == 0
+    ).count()
+    leg = rows["lineitem.orderkey->orders"]
+    assert leg["n_orphans"] == expected
+    assert leg["n_child"] == li.count()
+    for r in rows.values():
+        assert 0 <= r["n_orphans"] <= r["n_child"]
+
+
+def test_knn_graph_shape_and_symmetric_candidates(spark, sf_dir):
+    """Each node has at most K ranked neighbors with non-increasing
+    cosine, never lists itself, and every directed edge's reverse pair
+    shares the same cosine value."""
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        _KNN_GRAPH_K,
+        embeddings_knn_graph,
+    )
+
+    rows = embeddings_knn_graph(spark, sf_dir).collect()
+    by_v = {}
+    cos_of = {}
+    for r in rows:
+        assert r["vec_id"] != r["nbr_id"]
+        by_v.setdefault(r["vec_id"], []).append(r)
+        cos_of[(r["vec_id"], r["nbr_id"])] = r["cos"]
+    for v, rs in by_v.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _KNN_GRAPH_K
+        cs = [r["cos"] for r in rs]
+        assert cs == sorted(cs, reverse=True)
+    for (a, b), c in cos_of.items():
+        if (b, a) in cos_of:
+            assert abs(cos_of[(b, a)] - c) < 1e-9
+
+
+def test_asof_tolerance_is_subset_of_plain_asof(spark, sf_dir):
+    """A tolerance match must equal the plain as-of match (same most
+    recent click) whenever it exists; staleness only NULLs it out."""
+    from cdc_realtime_pipeline_spark.operators.temporal import (
+        asof_join_last_click,
+        asof_join_tolerance,
+    )
+
+    plain = {
+        r["purchase_id"]: r["last_click_value"]
+        for r in asof_join_last_click(spark, sf_dir).collect()
+    }
+    tol = asof_join_tolerance(spark, sf_dir).collect()
+    n_fresh = 0
+    for r in tol:
+        if r["fresh"]:
+            n_fresh += 1
+            p, t = plain[r["purchase_id"]], r["click_value_within_tol"]
+            assert (p is None and t is None) or abs(p - t) < 1e-9
+        else:
+            assert r["click_value_within_tol"] is None
+    assert 0 < n_fresh <= len(tol)
+
+
+def test_fertility_reconciles_with_encode(spark, sf_dir):
+    """Source roll-up must reconcile exactly with the per-doc encode
+    accounting, and fertility >= 1 (a word is at least one token)."""
+    from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+        corpus_tokenizer_fertility,
+        tokenizer_bpe_encode,
+    )
+
+    rows = corpus_tokenizer_fertility(spark, sf_dir).collect()
+    enc = tokenizer_bpe_encode(spark, sf_dir).agg(
+        F.sum("n_words"), F.sum("n_bpe_tokens")
+    ).collect()[0]
+    assert sum(r["n_words"] for r in rows) == enc[0]
+    assert sum(r["n_bpe_tokens"] for r in rows) == enc[1]
+    for r in rows:
+        assert r["fertility"] >= 1.0
+
+
+def test_observed_metrics_match_direct_aggregate(spark, sf_dir):
+    """The Observation payload equals a dedicated aggregation."""
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        observed_metrics_conformance,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    got = observed_metrics_conformance(spark, sf_dir).collect()[0]
+    direct = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") + 1e-9, 2).alias("s"),
+            F.max("ts").alias("mx"),
+            F.min("ts").alias("mn"),
+        )
+        .collect()[0]
+    )
+    assert got["n_rows"] == direct["n"]
+    assert abs(got["sum_value"] - direct["s"]) < 1e-6
+    assert got["max_ts"] == direct["mx"]
+    assert got["min_ts"] == direct["mn"]
