@@ -4135,6 +4135,12 @@ ORDER BY query_id, rank
 
 
 _KNN_GRAPH_K = 5
+_KNN_BUCKET_CAP = 64  # stop-band: byte-band buckets above this are
+# degenerate (random sign bytes collide at a constant 1/256 rate, so
+# uncapped bucket joins grow with corpus^2 — the 10x probe measured
+# exactly that); the cap bounds candidate volume at cap*N while the
+# NN-descent round recovers edges the dropped buckets would have
+# contributed. The _LSH_SWEEP_BUCKET_CAP discipline.
 
 
 def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4142,24 +4148,27 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector) — the index-build step under graph-ANN methods (HNSW
     layer 0, NN-descent) and under graph-based corpus analyses
     (semantic clustering, kNN-LM retrieval): for EVERY vector, its
-    top-{K} candidates by exact cosine among a banded candidate set.
+    top-{K} candidates by exact cosine.
 
-    Candidates-then-verify, never all-pairs (the dedup-family
-    discipline applied to graph building): the 64 sign bits pack into
-    two words, split into 8 byte-bands — same-(band, byte) collisions
-    seed the edge set (integer arithmetic end-to-end, so BOTH engines
-    generate the identical candidate set and the graph is
-    oracle-gated, unlike the numpy-hyperplane bands of
-    ``dedup_embeddings_cosine`` whose generator is rows-only
-    auditable) — then ONE NN-descent round (Dong, Moses, Li 2011)
-    expands neighbors-of-neighbors before the exact verify, the
-    step that recovers edges band collisions miss. Per-node top-{K}
-    by exact cosine, ties -> neighbor id.
+    Scale-safe candidate generation, never all-pairs: the 64 sign
+    bits pack into two words split into 8 byte-bands; same-(band,
+    byte) collisions seed the edge set with a stop-band cap of
+    {CAP} docs per bucket (integer arithmetic end-to-end, so BOTH
+    engines generate the identical candidate set and the graph is
+    fully oracle-gated — unlike the numpy-hyperplane bands of
+    ``dedup_embeddings_cosine``, whose generator is rows-only
+    auditable). Then ONE true NN-descent round (Dong, Moses, Li
+    2011): rank the seeded candidates by exact cosine, take each
+    node's provisional top-{K} list, and expand ONLY
+    neighbors-of-neighbors of those lists (<= k^2 pairs per node —
+    the bounded expansion that makes NN-descent linear) before the
+    final verify + re-rank. Ties -> neighbor id everywhere.
 
-    Scale: bucket joins are Σ bucket² (band width widens with corpus
-    like the LSH rows); the NN-descent expansion is degree-bounded;
-    the exact verify touches only candidate pairs. The recall-vs-
-    exact floor at fixture scale is pinned in tests, not the oracle
+    Scale: capped buckets are Σ min(bucket, cap)^2 <= cap·N; the
+    expansion is k²·N; the exact verify touches only candidate
+    pairs — every stage linear in corpus size (probe-measured; the
+    uncapped all-candidates form read α≈2 and was replaced by this
+    one). Recall floor vs exact is pinned in tests, not the oracle
     (approximation is the contract; determinism is what's gated).
     """
     sw = _sign_words(spark, sf_dir)
@@ -4175,8 +4184,15 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band", "sig"
         ),
     )
+    ok = (
+        bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= _KNN_BUCKET_CAP)
+        .select("band", "sig")
+    )
+    bands = bands.join(ok, ["band", "sig"])
     a, b = bands.alias("a"), bands.alias("b")
-    cand0 = tracked_persist(
+    cand0 = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -4186,48 +4202,58 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
         .distinct()
     )
-    sym = cand0.unionByName(
-        cand0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    sa, sb = sym.alias("sa"), sym.alias("sb")
-    non = (
-        sa.join(
-            sb,
-            (F.col("sa.v") == F.col("sb.u"))
-            & (F.col("sa.u") != F.col("sb.v")),
-        )
-        .select(
-            F.least(F.col("sa.u"), F.col("sb.v")).alias("u"),
-            F.greatest(F.col("sa.u"), F.col("sb.v")).alias("v"),
-        )
-        .distinct()
-    )
-    cand = cand0.unionByName(non).distinct()
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
     eu = emb.select(F.col("vec_id").alias("u"), F.col("e").alias("e_u"))
     ev = emb.select(F.col("vec_id").alias("v"), F.col("e").alias("e_v"))
-    pairs = (
-        cand.join(eu, "u")
-        .join(ev, "v")
-        .select(
-            "u",
-            "v",
-            F.round(cosine(F.col("e_u"), F.col("e_v")), 6).alias("cos"),
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(eu, "u")
+            .join(ev, "v")
+            .select(
+                "u",
+                "v",
+                F.round(cosine(F.col("e_u"), F.col("e_v")), 6).alias("cos"),
+            )
         )
-    )
-    directed = pairs.select(
-        F.col("u").alias("vec_id"), F.col("v").alias("nbr_id"), "cos"
-    ).unionByName(
-        pairs.select(
-            F.col("v").alias("vec_id"), F.col("u").alias("nbr_id"), "cos"
+
+    def directed(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            F.col("u").alias("vec_id"), F.col("v").alias("nbr_id"), "cos"
+        ).unionByName(
+            pairs.select(
+                F.col("v").alias("vec_id"), F.col("u").alias("nbr_id"), "cos"
+            )
         )
-    )
+
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    knn0 = tracked_persist(
+        directed(score(cand0))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_GRAPH_K)
+        .select("vec_id", "nbr_id", "cos")
+    )
+    # NN-descent expansion: neighbors-of-neighbors of the PROVISIONAL
+    # top-k lists only (<= k^2 new pairs per node)
+    l1, l2 = knn0.alias("l1"), knn0.alias("l2")
+    non = (
+        l1.join(
+            l2,
+            (F.col("l1.nbr_id") == F.col("l2.vec_id"))
+            & (F.col("l1.vec_id") != F.col("l2.nbr_id")),
+        )
+        .select(
+            F.least(F.col("l1.vec_id"), F.col("l2.nbr_id")).alias("u"),
+            F.greatest(F.col("l1.vec_id"), F.col("l2.nbr_id")).alias("v"),
+        )
+        .distinct()
+    )
+    merged = directed(score(non)).unionByName(knn0).distinct()
     return (
-        directed.withColumn("rank", F.row_number().over(w))
+        merged.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _KNN_GRAPH_K)
         .select("vec_id", "rank", "nbr_id", "cos")
         .orderBy("vec_id", "rank")
@@ -4235,7 +4261,7 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 embeddings_knn_graph.__doc__ = embeddings_knn_graph.__doc__.format(
-    K=_KNN_GRAPH_K
+    K=_KNN_GRAPH_K, CAP=_KNN_BUCKET_CAP
 )
 
 
@@ -4254,7 +4280,7 @@ sw AS (
               AS BIGINT) AS w2
   FROM x GROUP BY vec_id
 ),
-bands AS (
+bands_all AS (
   SELECT vec_id, i AS band,
          (w1 // CAST(2 ** (8 * i) AS BIGINT)) % 256 AS sig
   FROM sw CROSS JOIN range(0, 4) r(i)
@@ -4263,35 +4289,59 @@ bands AS (
          (w2 // CAST(2 ** (8 * i) AS BIGINT)) % 256
   FROM sw CROSS JOIN range(0, 4) r(i)
 ),
+ok AS (
+  SELECT band, sig FROM bands_all GROUP BY band, sig
+  HAVING count(*) <= {_KNN_BUCKET_CAP}
+),
+bands AS (
+  SELECT bands_all.* FROM bands_all JOIN ok USING (band, sig)
+),
 cand0 AS (
   SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
 ),
-sym AS (SELECT u, v FROM cand0 UNION ALL SELECT v, u FROM cand0),
-non AS (
-  SELECT DISTINCT least(a.u, b.v) AS u, greatest(a.u, b.v) AS v
-  FROM sym a JOIN sym b ON a.v = b.u AND a.u != b.v
-),
-cand AS (SELECT u, v FROM cand0 UNION SELECT u, v FROM non),
 emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-pairs AS (
+scored0 AS (
   SELECT c.u, c.v,
          round(list_dot_product(eu.e, ev.e)
                / (sqrt(list_dot_product(eu.e, eu.e))
                   * sqrt(list_dot_product(ev.e, ev.e))), 6) AS cos
-  FROM cand c JOIN emb eu ON c.u = eu.vec_id JOIN emb ev ON c.v = ev.vec_id
+  FROM cand0 c JOIN emb eu ON c.u = eu.vec_id JOIN emb ev ON c.v = ev.vec_id
 ),
-directed AS (
-  SELECT u AS vec_id, v AS nbr_id, cos FROM pairs
-  UNION ALL
-  SELECT v, u, cos FROM pairs
+knn0 AS (
+  SELECT vec_id, nbr_id, cos FROM (
+    SELECT vec_id, nbr_id, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nbr_id ASC) AS rk
+    FROM (SELECT u AS vec_id, v AS nbr_id, cos FROM scored0
+          UNION ALL
+          SELECT v, u, cos FROM scored0)
+  ) WHERE rk <= {_KNN_GRAPH_K}
+),
+non AS (
+  SELECT DISTINCT least(l1.vec_id, l2.nbr_id) AS u,
+                  greatest(l1.vec_id, l2.nbr_id) AS v
+  FROM knn0 l1 JOIN knn0 l2
+    ON l1.nbr_id = l2.vec_id AND l1.vec_id != l2.nbr_id
+),
+scored1 AS (
+  SELECT c.u, c.v,
+         round(list_dot_product(eu.e, ev.e)
+               / (sqrt(list_dot_product(eu.e, eu.e))
+                  * sqrt(list_dot_product(ev.e, ev.e))), 6) AS cos
+  FROM non c JOIN emb eu ON c.u = eu.vec_id JOIN emb ev ON c.v = ev.vec_id
+),
+merged AS (
+  SELECT u AS vec_id, v AS nbr_id, cos FROM scored1
+  UNION ALL SELECT v, u, cos FROM scored1
+  UNION SELECT vec_id, nbr_id, cos FROM knn0
 )
 SELECT vec_id, rank, nbr_id, cos FROM (
   SELECT vec_id, nbr_id, cos,
          CAST(row_number() OVER (PARTITION BY vec_id
                             ORDER BY cos DESC, nbr_id ASC) AS INT) AS rank
-  FROM directed
+  FROM merged
 ) WHERE rank <= {_KNN_GRAPH_K}
 ORDER BY vec_id, rank
 """

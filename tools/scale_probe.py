@@ -159,6 +159,11 @@ PROBE_QUERIES = [
     ("events_benjamini_hochberg", "per-type z -> p -> BH step-up, bounded"),
     ("user_time_decay_features", "broadcast anchor -> decay terms -> user agg"),
     ("media_shard_manifest", "per-type byte cumsum -> shard manifest"),
+    ("referential_integrity_audit", "per-leg key agg -> anti-join orphans"),
+    ("embeddings_knn_graph", "byte-band buckets + NN-descent round + verify"),
+    ("asof_join_tolerance", "union-carry asof + staleness gate"),
+    ("corpus_tokenizer_fertility", "BPE encode roll-up per source"),
+    ("observed_metrics_conformance", "in-flight Observation metrics, one scan"),
 ]
 
 TABLES = [
