@@ -2035,6 +2035,177 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+
+_HEAPS_PREFIXES = 10
+
+
+def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth fit, V(N) = K·N^beta — the curve a
+    tokenizer/vocab planner extrapolates before committing a vocab
+    size ("how many new types will the next 10x of corpus bring?"),
+    the growth companion to the static ``corpus_zipf_fit``. The corpus
+    (in doc_id order) is cut into {P} equal-doc prefixes; each word
+    contributes ONE row at the prefix where it FIRST appears (min
+    prefix per word — one explode pass, never {P} re-scans), so
+    cumulative vocabulary V_i and token mass N_i come from a single
+    {P}-row cumulative walk, and (beta, K) drop out of the log-log
+    regression moments over the {P} points.
+
+    Prefix assignment is the distinct-doc cumulative-count grid (the
+    equidepth discipline — window above an Aggregate, bounded by doc
+    count); all downstream relations are {P}-row bounded.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
+
+    dw = doc_words(spark, sf_dir).select(
+        "doc_id", F.explode("words").alias("word")
+    ).filter(F.length("word") > 0)
+    per_doc = dw.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    wd = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per_doc.agg(F.count("*").alias("n_docs"))
+    prefixes = (
+        per_doc.withColumn(
+            "docs_before", F.coalesce(F.count("*").over(wd), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.floor(
+                F.col("docs_before") * _HEAPS_PREFIXES / F.col("n_docs")
+            )
+            .cast("int")
+            .alias("prefix"),
+        )
+    )
+    first_seen = (
+        dw.join(prefixes.select("doc_id", "prefix"), "doc_id")
+        .groupBy("word")
+        .agg(F.min("prefix").alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("new_types"))
+    )
+    tok_per_prefix = prefixes.groupBy("prefix").agg(
+        F.sum("n_tok").alias("n_tok")
+    )
+    wp = Window.orderBy("prefix").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pts = (
+        tok_per_prefix.join(first_seen, "prefix", "left")
+        .select(
+            "prefix",
+            F.sum("n_tok").over(wp).alias("tokens_cum"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(wp)
+            .alias("vocab_cum"),
+        )
+        .select(
+            "prefix",
+            F.col("tokens_cum").cast("long").alias("tokens_cum"),
+            F.col("vocab_cum").cast("long").alias("vocab_cum"),
+            F.log("tokens_cum").alias("lx"),
+            F.log("vocab_cum").alias("ly"),
+        )
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    ).select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("beta_raw"),
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+    ).select(
+        (F.round(F.col("beta_raw") + 1e-9, 4) + 0.0).alias("beta"),
+        (
+            F.round(
+                F.exp(
+                    (F.col("sy") - F.col("beta_raw") * F.col("sx"))
+                    / F.col("n")
+                )
+                + 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("k_coef"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(m))
+        .select("prefix", "tokens_cum", "vocab_cum", "beta", "k_coef")
+        .orderBy("prefix")
+    )
+
+
+corpus_heaps_law_fit.__doc__ = corpus_heaps_law_fit.__doc__.format(
+    P=_HEAPS_PREFIXES
+)
+
+
+CORPUS_HEAPS_LAW_FIT_SQL = rf"""
+WITH dw AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id,
+               unnest(string_split({NORMALIZE_SQL.format(col='text')}, ' '))
+                 AS word
+        FROM documents)
+  WHERE length(word) > 0
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tok FROM dw GROUP BY doc_id
+),
+prefixes AS (
+  SELECT doc_id, n_tok,
+         CAST(floor(coalesce(count(*) OVER (ORDER BY doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * {_HEAPS_PREFIXES}
+                    / (SELECT CAST(count(*) AS DOUBLE) FROM per_doc))
+              AS INT) AS prefix
+  FROM per_doc
+),
+first_seen AS (
+  SELECT prefix, count(*) AS new_types FROM (
+    SELECT word, min(p.prefix) AS prefix
+    FROM dw JOIN prefixes p USING (doc_id)
+    GROUP BY word
+  ) GROUP BY prefix
+),
+pts AS (
+  SELECT t.prefix,
+         CAST(sum(t.n_tok) OVER w AS BIGINT) AS tokens_cum,
+         CAST(sum(coalesce(f.new_types, 0)) OVER w AS BIGINT) AS vocab_cum
+  FROM (SELECT prefix, sum(n_tok) AS n_tok FROM prefixes GROUP BY prefix) t
+  LEFT JOIN first_seen f USING (prefix)
+  WINDOW w AS (ORDER BY t.prefix ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+lpts AS (
+  SELECT prefix, tokens_cum, vocab_cum,
+         ln(tokens_cum) AS lx, ln(vocab_cum) AS ly
+  FROM pts
+),
+m AS (
+  SELECT (count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+           / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)) AS beta_raw,
+         count(*) AS n, sum(lx) AS sx, sum(ly) AS sy
+  FROM lpts
+)
+SELECT prefix, tokens_cum, vocab_cum,
+       round(m.beta_raw + 1e-9, 4) + 0.0 AS beta,
+       round(exp((m.sy - m.beta_raw * m.sx) / m.n) + 1e-9, 4) + 0.0 AS k_coef
+FROM lpts CROSS JOIN m
+ORDER BY prefix
+"""
+
+
 QUERIES = {
     "corpus_softdedup_weights": corpus_softdedup_weights,
     "corpus_epoch_shuffle_audit": corpus_epoch_shuffle_audit,
@@ -2060,6 +2231,7 @@ QUERIES = {
     "dup_graph_common_neighbors": dup_graph_common_neighbors,
     "dup_graph_label_propagation": dup_graph_label_propagation,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
+    "corpus_heaps_law_fit": corpus_heaps_law_fit,
 }
 
 ORACLES = {
@@ -2087,4 +2259,5 @@ ORACLES = {
     "dup_graph_common_neighbors": DUP_GRAPH_COMMON_NEIGHBORS_SQL,
     "dup_graph_label_propagation": DUP_GRAPH_LABEL_PROPAGATION_SQL,
     "corpus_tokenizer_fertility": CORPUS_TOKENIZER_FERTILITY_SQL,
+    "corpus_heaps_law_fit": CORPUS_HEAPS_LAW_FIT_SQL,
 }

@@ -1735,8 +1735,91 @@ REFERENTIAL_INTEGRITY_AUDIT_SQL = (
 )
 
 
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's mandatory companion
+    (Machanavajjhala et al. 2007): a k-safe equivalence class whose
+    SENSITIVE attribute is homogeneous still discloses it (everyone
+    in the class did the same thing). Over the (value band x
+    day-of-week) quasi-identifier classes, l = distinct sensitive
+    values (event_type) per class; report the class/row mass per
+    diversity band — l=1 is attribute disclosure outright, l<3 the
+    conventional floor.
+
+    Same two-hash-aggregate shape as ``k_anonymity_audit``: corpus →
+    QI classes (the only corpus shuffle, bounded by the QI domain),
+    classes → 3 diversity bands.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) + 4,
+        F.lit(7),
+    )
+    qi = ev.groupBy(
+        F.floor(F.col("value") / 10).alias("value_band"),
+        dow.alias("dow"),
+    ).agg(
+        F.count("*").alias("k"),
+        F.countDistinct("event_type").alias("l"),
+    )
+    band = (
+        F.when(F.col("l") == 1, "1_homogeneous")
+        .when(F.col("l") < 3, "2_under_floor")
+        .otherwise("3_diverse")
+    )
+    total = qi.agg(F.sum("k").alias("tot"))
+    return (
+        qi.select(band.alias("diversity_band"), "k", "l")
+        .groupBy("diversity_band")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+            F.min("l").cast("long").alias("min_l"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "diversity_band",
+            "n_classes",
+            "n_rows",
+            "min_l",
+            (F.round(F.col("n_rows") / F.col("tot") + 1e-9, 4) + 0.0).alias(
+                "pct_rows"
+            ),
+        )
+        .orderBy("diversity_band")
+    )
+
+
+L_DIVERSITY_AUDIT_SQL = """
+WITH qi AS (
+  SELECT CAST(floor(value / 10) AS BIGINT) AS value_band,
+         (CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 AS dow,
+         count(*) AS k,
+         count(DISTINCT event_type) AS l
+  FROM events GROUP BY 1, 2
+),
+banded AS (
+  SELECT CASE WHEN l = 1 THEN '1_homogeneous'
+              WHEN l < 3 THEN '2_under_floor'
+              ELSE '3_diverse' END AS diversity_band,
+         k, l
+  FROM qi
+)
+SELECT diversity_band,
+       count(*) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(min(l) AS BIGINT) AS min_l,
+       round(sum(k) / (SELECT CAST(sum(k) AS DOUBLE) FROM qi) + 1e-9, 4) + 0.0
+         AS pct_rows
+FROM banded
+GROUP BY diversity_band
+ORDER BY diversity_band
+"""
+
+
 QUERIES = {
     "referential_integrity_audit": referential_integrity_audit,
+    "l_diversity_audit": l_diversity_audit,
     "docs_psi_drift": docs_psi_drift,
     "dq_rule_engine": dq_rule_engine,
     "events_countmin_audit": events_countmin_audit,
@@ -1762,6 +1845,7 @@ QUERIES = {
 
 ORACLES = {
     "referential_integrity_audit": REFERENTIAL_INTEGRITY_AUDIT_SQL,
+    "l_diversity_audit": L_DIVERSITY_AUDIT_SQL,
     "docs_psi_drift": DOCS_PSI_DRIFT_SQL,
     "events_countmin_audit": EVENTS_COUNTMIN_AUDIT_SQL,
     "dp_noised_release": DP_NOISED_RELEASE_SQL,

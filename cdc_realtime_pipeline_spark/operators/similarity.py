@@ -4347,6 +4347,106 @@ ORDER BY vec_id, rank
 """
 
 
+
+def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between
+    the FIRST-half and SECOND-half centroids (vec_id halves stand in
+    for two snapshot windows) plus the norm shift — the check an
+    ML-ops pipeline runs when the upstream encoder is retrained or
+    the corpus mix moves (centroid cosine < ~0.99 on a stable label
+    means re-index / recalibrate downstream consumers).
+
+    One posexplode pass → (label, half, dim) means (map-side
+    combinable, the label_centroids shape), then the 64-term cosine
+    fold runs on the labels x dims x 2 bounded relation. Split point
+    is a broadcast scalar (median vec_id by count — exact integer
+    arithmetic).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mid = emb.agg(
+        ((F.min("vec_id") + F.max("vec_id")) / 2.0).alias("mid")
+    )
+    x = (
+        emb.crossJoin(F.broadcast(mid))
+        .select(
+            "label",
+            (F.col("vec_id") <= F.col("mid")).alias("early"),
+            F.posexplode(
+                F.transform("embedding", lambda c: c.cast("double"))
+            ).alias("dim", "val"),
+        )
+    )
+    means = x.groupBy("label", "early", "dim").agg(
+        F.avg("val").alias("m"), F.count("*").alias("n")
+    )
+    a = means.filter(F.col("early")).select(
+        "label", "dim", F.col("m").alias("ma"), F.col("n").alias("na")
+    )
+    b = means.filter(~F.col("early")).select(
+        "label", "dim", F.col("m").alias("mb"), F.col("n").alias("nb")
+    )
+    j = a.join(b, ["label", "dim"])
+    return (
+        j.groupBy("label")
+        .agg(
+            F.min("na").cast("long").alias("n_early"),
+            F.min("nb").cast("long").alias("n_late"),
+            (
+                F.round(
+                    F.sum(F.col("ma") * F.col("mb"))
+                    / (
+                        F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                        * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                    )
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("centroid_cos"),
+            (
+                F.round(
+                    F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                    - F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("norm_shift"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDINGS_CENTROID_DRIFT_SQL = """
+WITH emb AS (SELECT * FROM embeddings),
+mid AS (SELECT (min(vec_id) + max(vec_id)) / 2.0 AS mid FROM emb),
+x AS (
+  SELECT label, vec_id <= (SELECT mid FROM mid) AS early,
+         i - 1 AS dim, list_extract(embedding::DOUBLE[], i) AS val
+  FROM emb CROSS JOIN range(1, 65) r(i)
+),
+means AS (
+  SELECT label, early, dim, avg(val) AS m, count(*) AS n
+  FROM x GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT a.label, a.dim, a.m AS ma, a.n AS na, b.m AS mb, b.n AS nb
+  FROM (SELECT * FROM means WHERE early) a
+  JOIN (SELECT * FROM means WHERE NOT early) b
+    ON a.label = b.label AND a.dim = b.dim
+)
+SELECT label,
+       CAST(min(na) AS BIGINT) AS n_early,
+       CAST(min(nb) AS BIGINT) AS n_late,
+       round(sum(ma * mb)
+             / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))) + 1e-9, 6) + 0.0
+         AS centroid_cos,
+       round(sqrt(sum(mb * mb)) - sqrt(sum(ma * ma)) + 1e-9, 6) + 0.0
+         AS norm_shift
+FROM j GROUP BY label ORDER BY label
+"""
+
+
 def similarity_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index-quality audit: per-cell occupancy of the SAME coarse
     assignment ``similarity_topk_ivf`` searches with, plus the
@@ -4470,6 +4570,7 @@ QUERIES = {
     "similarity_sq8_rerank": similarity_sq8_rerank,
     "similarity_ivf_cell_balance": similarity_ivf_cell_balance,
     "embeddings_knn_graph": embeddings_knn_graph,
+    "embeddings_centroid_drift": embeddings_centroid_drift,
 }
 
 ORACLES = {
@@ -4508,4 +4609,5 @@ ORACLES = {
     "similarity_sq8_rerank": SIMILARITY_SQ8_RERANK_SQL,
     "similarity_ivf_cell_balance": SIMILARITY_IVF_CELL_BALANCE_SQL,
     "embeddings_knn_graph": EMBEDDINGS_KNN_GRAPH_SQL,
+    "embeddings_centroid_drift": EMBEDDINGS_CENTROID_DRIFT_SQL,
 }

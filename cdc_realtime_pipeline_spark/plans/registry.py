@@ -32,10 +32,20 @@ Rows dropped this round hold r4–r9 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-11 rotation queue — the remaining 25 r4-evidence entries
+Round-11 rotation queue — FIRST the seventeen round-10 operators
+(none driver-checked yet; all local-green at 3 SFs):
+`similarity_sq8_topk`, `similarity_sq8_rerank`,
+`similarity_ivf_cell_balance`, `embeddings_knn_graph`,
+`dup_graph_label_propagation`, `salted_agg_conformance`,
+`observed_metrics_conformance`, `corpus_domain_mixture_weights`,
+`corpus_quality_curriculum`, `corpus_tokenizer_fertility`,
+`text_hashed_ngram_features`, `orders_rfm_segments`,
+`events_benjamini_hochberg`, `user_time_decay_features`,
+`media_shard_manifest`, `referential_integrity_audit`,
+`asof_join_tolerance` — then the remaining 25 r4-evidence entries
 (continue from `lang_confusion_matrix` in registry order), then the
 r5 pool, oldest evidence first per CORRECTNESS_r0*.json — plus any
-round-10 additions and any query whose values change.
+query whose values change.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —

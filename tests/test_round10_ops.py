@@ -410,3 +410,65 @@ def test_observed_metrics_match_direct_aggregate(spark, sf_dir):
     assert abs(got["sum_value"] - direct["s"]) < 1e-6
     assert got["max_ts"] == direct["mx"]
     assert got["min_ts"] == direct["mn"]
+
+
+def test_l_diversity_reconciles_with_qi_classes(spark, sf_dir):
+    """Row mass sums to the corpus; homogeneous band (if present) has
+    min_l == 1; diverse band has min_l >= 3."""
+    from cdc_realtime_pipeline_spark.operators.dq import l_diversity_audit
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    rows = {r["diversity_band"]: r for r in l_diversity_audit(spark, sf_dir).collect()}
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows.values()) == total
+    if "1_homogeneous" in rows:
+        assert rows["1_homogeneous"]["min_l"] == 1
+    if "3_diverse" in rows:
+        assert rows["3_diverse"]["min_l"] >= 3
+    assert abs(sum(r["pct_rows"] for r in rows.values()) - 1.0) < 1e-3
+
+
+def test_centroid_drift_self_consistency(spark, sf_dir):
+    """Halves partition each label's vectors, and centroid_cos stays
+    in [-1, 1]; a label compared against ITSELF (early == late by
+    construction when the split is degenerate) would read 1."""
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        embeddings_centroid_drift,
+    )
+    from cdc_realtime_pipeline_spark.session import load_table
+
+    rows = embeddings_centroid_drift(spark, sf_dir).collect()
+    per_label = {
+        r["label"]: r["n"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_early"] + r["n_late"] == per_label[r["label"]]
+        assert -1.0 - 1e-6 <= r["centroid_cos"] <= 1.0 + 1e-6
+
+
+def test_heaps_fit_monotone_and_plausible(spark, sf_dir):
+    """Cumulative tokens/vocab are strictly increasing, vocab never
+    exceeds tokens, and the fitted exponent sits in (0, 1] — Heaps'
+    law's admissible range (sublinear vocabulary growth)."""
+    from cdc_realtime_pipeline_spark.operators.corpus_ops import (
+        corpus_heaps_law_fit,
+    )
+
+    rows = sorted(
+        corpus_heaps_law_fit(spark, sf_dir).collect(), key=lambda r: r["prefix"]
+    )
+    assert len({r["beta"] for r in rows}) == 1
+    beta = rows[0]["beta"]
+    # beta -> 0 when the vocabulary saturates (the tiny fixture's
+    # closed word-soup vocab appears fully in prefix 0) — still
+    # admissible; >1 (superlinear growth) never is
+    assert 0.0 <= beta <= 1.0 + 1e-9
+    for a, b in zip(rows, rows[1:]):
+        assert b["tokens_cum"] > a["tokens_cum"]
+        assert b["vocab_cum"] >= a["vocab_cum"]
+    for r in rows:
+        assert r["vocab_cum"] <= r["tokens_cum"]

@@ -164,6 +164,14 @@ SHOWCASE = [
     ("events_benjamini_hochberg", "per-type z → p → BH step-up on bounded relation"),
     ("user_time_decay_features", "broadcast anchor → decay terms → user agg"),
     ("media_shard_manifest", "per-type byte cumsum → shard manifest"),
+    ("referential_integrity_audit", "per-leg key agg → anti-join orphans"),
+    ("embeddings_knn_graph", "capped byte-bands + NN-descent round + verify"),
+    ("asof_join_tolerance", "union-carry asof + staleness gate"),
+    ("corpus_tokenizer_fertility", "BPE encode roll-up per source"),
+    ("observed_metrics_conformance", "in-flight Observation metrics, one scan"),
+    ("l_diversity_audit", "QI classes → distinct-sensitive bands"),
+    ("embeddings_centroid_drift", "half-split dim means → per-label cosine"),
+    ("corpus_heaps_law_fit", "first-prefix per word → 10-point loglog fit"),
 ]
 
 

@@ -164,6 +164,9 @@ PROBE_QUERIES = [
     ("asof_join_tolerance", "union-carry asof + staleness gate"),
     ("corpus_tokenizer_fertility", "BPE encode roll-up per source"),
     ("observed_metrics_conformance", "in-flight Observation metrics, one scan"),
+    ("l_diversity_audit", "QI classes -> distinct-sensitive bands"),
+    ("embeddings_centroid_drift", "half-split dim means -> per-label cosine"),
+    ("corpus_heaps_law_fit", "first-prefix per word -> 10-point loglog fit"),
 ]
 
 TABLES = [
