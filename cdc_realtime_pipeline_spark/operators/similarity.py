@@ -3870,6 +3870,58 @@ def _sq8_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, sq8_d2): the SQ8 asymmetric ADC scan both
+    SQ8 rows rank from — corpus codes (one map pass over the trained
+    per-dim grid) joined to the broadcast Q·d·256-term LUT, reduced
+    map-side to per-(query, vec) distances. The ADC discipline:
+    half-up code rounding with the shared +1e-9 nudge, 8dp LUT terms,
+    6dp sums."""
+    x = _opq_x(spark, sf_dir)
+    ds = _sq8_dim_stats(spark, sf_dir)
+    codes = (
+        x.filter(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(ds), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.least(
+                F.lit(255),
+                F.floor(
+                    F.when(
+                        F.col("hi") > F.col("lo"),
+                        (F.col("val") - F.col("lo"))
+                        * 255.0
+                        / (F.col("hi") - F.col("lo")),
+                    ).otherwise(F.lit(0.0))
+                    + 0.5
+                    + 1e-9
+                ),
+            ).cast("long").alias("code"),
+        )
+    )
+    grid = spark.range(0, 256).select(F.col("id").alias("code"))
+    dequant = F.col("lo") + (F.col("code") * (F.col("hi") - F.col("lo"))) / 255.0
+    lut = (
+        x.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(ds), "pos")
+        .crossJoin(F.broadcast(grid))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "pos",
+            "code",
+            F.round(
+                (F.col("val") - dequant) * (F.col("val") - dequant), 8
+            ).alias("term"),
+        )
+    )
+    return (
+        codes.join(F.broadcast(lut), ["pos", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg((F.round(F.sum("term") + 1e-9, 6) + 0.0).alias("sq8_d2"))
+    )
+
+
 def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantization ANN (the FAISS ``SQ8`` index): every
     corpus coordinate compresses to one uint8 code on a per-dimension
@@ -3892,64 +3944,7 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LUT and reduces map-side — no corpus shuffle wider than the
     (query, vec) partial-sum aggregate.
     """
-    x = _opq_x(spark, sf_dir)
-    ds = _sq8_dim_stats(spark, sf_dir)
-    codes = (
-        x.filter(F.col("vec_id") >= N_QUERIES)
-        .join(F.broadcast(ds), "pos")
-        .select(
-            "vec_id",
-            "pos",
-            F.least(
-                F.lit(255),
-                F.floor(
-                    F.when(
-                        F.col("hi") > F.col("lo"),
-                        (F.col("val") - F.col("lo"))
-                        * 255.0
-                        / (F.col("hi") - F.col("lo")),
-                    ).otherwise(F.lit(0.0))
-                    + 0.5
-                    + 1e-9
-                ),
-            ).cast("long").alias("code"),
-        )
-    )
-    grid = spark.range(0, 256).select(F.col("id").alias("code"))
-    lut = (
-        x.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(ds), "pos")
-        .crossJoin(F.broadcast(grid))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "pos",
-            "code",
-            F.round(
-                (
-                    F.col("val")
-                    - (
-                        F.col("lo")
-                        + (F.col("code") * (F.col("hi") - F.col("lo")))
-                        / 255.0
-                    )
-                )
-                * (
-                    F.col("val")
-                    - (
-                        F.col("lo")
-                        + (F.col("code") * (F.col("hi") - F.col("lo")))
-                        / 255.0
-                    )
-                ),
-                8,
-            ).alias("term"),
-        )
-    )
-    scan = (
-        codes.join(F.broadcast(lut), ["pos", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg((F.round(F.sum("term") + 1e-9, 6) + 0.0).alias("sq8_d2"))
-    )
+    scan = _sq8_scan(spark, sf_dir)
     wq = Window.partitionBy("query_id").orderBy(
         F.asc("sq8_d2"), F.asc("vec_id")
     )
@@ -3967,64 +3962,7 @@ def similarity_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FAISS IndexRefineFlat over an SQ8 base), same contract as
     ``similarity_binary_rerank``. Pool membership is exact
     cross-engine (6dp SQ8 distances, ties -> vec_id)."""
-    x = _opq_x(spark, sf_dir)
-    ds = _sq8_dim_stats(spark, sf_dir)
-    codes = (
-        x.filter(F.col("vec_id") >= N_QUERIES)
-        .join(F.broadcast(ds), "pos")
-        .select(
-            "vec_id",
-            "pos",
-            F.least(
-                F.lit(255),
-                F.floor(
-                    F.when(
-                        F.col("hi") > F.col("lo"),
-                        (F.col("val") - F.col("lo"))
-                        * 255.0
-                        / (F.col("hi") - F.col("lo")),
-                    ).otherwise(F.lit(0.0))
-                    + 0.5
-                    + 1e-9
-                ),
-            ).cast("long").alias("code"),
-        )
-    )
-    grid = spark.range(0, 256).select(F.col("id").alias("code"))
-    lut = (
-        x.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(ds), "pos")
-        .crossJoin(F.broadcast(grid))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "pos",
-            "code",
-            F.round(
-                (
-                    F.col("val")
-                    - (
-                        F.col("lo")
-                        + (F.col("code") * (F.col("hi") - F.col("lo")))
-                        / 255.0
-                    )
-                )
-                * (
-                    F.col("val")
-                    - (
-                        F.col("lo")
-                        + (F.col("code") * (F.col("hi") - F.col("lo")))
-                        / 255.0
-                    )
-                ),
-                8,
-            ).alias("term"),
-        )
-    )
-    scan = (
-        codes.join(F.broadcast(lut), ["pos", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg((F.round(F.sum("term") + 1e-9, 6) + 0.0).alias("sq8_d2"))
-    )
+    scan = _sq8_scan(spark, sf_dir)
     wq = Window.partitionBy("query_id").orderBy(
         F.asc("sq8_d2"), F.asc("vec_id")
     )
