@@ -2922,6 +2922,208 @@ FROM events
 """
 
 
+
+def columnar_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding advisor — the layout-statistics table a
+    warehouse's ANALYZE builds before choosing per-column encodings
+    (Parquet/ORC pick RLE vs dictionary vs plain from exactly these
+    numbers): per candidate column of the fact table, distinct
+    cardinality, run count under the table's canonical order
+    (l_orderkey, l_linenumber — runs are row-group-local in a real
+    writer, so the walk is PARTITIONED by orderkey, never a global
+    sort), mean run length, and the resulting recommendation
+    (RLE when runs are long, DICT when the domain is narrow, else
+    PLAIN).
+
+    One melt pass (4 candidate columns stacked as strings — the
+    encoding decision is representation-level, so the string view is
+    the right abstraction), one partitioned lag walk, one bounded
+    roll-up.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_suppkey"]
+    melted = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.posexplode(
+            F.array(*[F.col(c).cast("string") for c in cols])
+        ).alias("cidx", "val"),
+    )
+    # the fixture has (orderkey, linenumber) ties — break them by the
+    # column value itself: rows tying on (linenumber, val) are
+    # interchangeable for run counting, so the walk is total-order
+    # invariant on both engines
+    w = Window.partitionBy("cidx", "l_orderkey").orderBy(
+        "l_linenumber", "val"
+    )
+    runs = melted.withColumn(
+        "is_run_start",
+        (
+            F.lag("val").over(w).isNull()
+            | (F.lag("val").over(w) != F.col("val"))
+        ).cast("long"),
+    )
+    names = F.array(*[F.lit(c) for c in cols])
+    per_col = (
+        runs.groupBy("cidx")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.sum("is_run_start").alias("n_runs"),
+        )
+        .select(
+            F.element_at(names, F.col("cidx") + 1).alias("column"),
+            "n_rows",
+            "n_distinct",
+            F.col("n_runs").cast("long").alias("n_runs"),
+            (
+                F.round(F.col("n_rows") / F.col("n_runs") + 1e-9, 2) + 0.0
+            ).alias("avg_run_len"),
+        )
+    )
+    rec = (
+        F.when(F.col("avg_run_len") >= 4.0, "RLE")
+        .when(F.col("n_distinct") <= 1024, "DICT")
+        .otherwise("PLAIN")
+    )
+    return per_col.select(
+        "column", "n_rows", "n_distinct", "n_runs", "avg_run_len",
+        rec.alias("recommendation"),
+    ).orderBy("column")
+
+
+COLUMNAR_ENCODING_ADVISOR_SQL = """
+WITH melted AS (
+  SELECT l_orderkey, l_linenumber, u.cidx, u.val FROM lineitem,
+  LATERAL (
+    SELECT * FROM (VALUES
+      (0, CAST(l_returnflag AS VARCHAR)),
+      (1, CAST(l_linestatus AS VARCHAR)),
+      (2, CAST(l_quantity AS VARCHAR)),
+      (3, CAST(l_suppkey AS VARCHAR))) v(cidx, val)
+  ) u
+),
+runs AS (
+  SELECT cidx, val,
+         CASE WHEN lag(val) OVER (PARTITION BY cidx, l_orderkey
+                                  ORDER BY l_linenumber, val)
+                   IS DISTINCT FROM val
+              THEN 1 ELSE 0 END AS is_run_start
+  FROM melted
+),
+per_col AS (
+  SELECT CASE cidx WHEN 0 THEN 'l_returnflag' WHEN 1 THEN 'l_linestatus'
+                   WHEN 2 THEN 'l_quantity' ELSE 'l_suppkey' END AS "column",
+         count(*) AS n_rows,
+         CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+         CAST(sum(is_run_start) AS BIGINT) AS n_runs,
+         round(count(*) / CAST(sum(is_run_start) AS DOUBLE) + 1e-9, 2) + 0.0
+           AS avg_run_len
+  FROM runs GROUP BY cidx
+)
+SELECT "column", n_rows, n_distinct, n_runs, avg_run_len,
+       CASE WHEN avg_run_len >= 4.0 THEN 'RLE'
+            WHEN n_distinct <= 1024 THEN 'DICT'
+            ELSE 'PLAIN' END AS recommendation
+FROM per_col ORDER BY "column"
+"""
+
+
+_DUP_PAY_PCT = 0.01  # amounts within 1%
+_DUP_PAY_DAYS = 7
+
+
+def orders_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection — the classic finance-audit
+    analytic (same customer, near-identical amount, within a week:
+    double-billed or double-paid): candidate pairs come from a
+    (custkey, week-bucket) equi-join over ADJACENT buckets (each order
+    probes its own and the next week bucket, so a 7-day gap can never
+    straddle past the probe set — the bucketized range-join pattern),
+    then the exact predicates verify. Never a per-customer cross
+    product over all history.
+
+    Emits one row per flagged pair (earlier order first, ties by
+    orderkey) with the gap metrics an auditor triages by.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") + 1e-9, 2).alias("amt"),
+    )
+    wk = F.floor(
+        F.datediff(F.col("d"), F.lit("1970-01-01")) / _DUP_PAY_DAYS
+    ).cast("long")
+    probe = o.select(
+        "o_custkey", "o_orderkey", "d", "amt", wk.alias("wk")
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "d",
+        "amt",
+        F.explode(F.array(F.col("wk"), F.col("wk") + 1)).alias("bkt"),
+    )
+    base = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("d").alias("d_b"),
+        F.col("amt").alias("amt_b"),
+        wk.alias("bkt"),
+    )
+    pairs = (
+        probe.join(base, ["o_custkey", "bkt"])
+        .filter(
+            (F.col("o_orderkey") < F.col("orderkey_b"))
+            & (F.abs(F.datediff(F.col("d_b"), F.col("d"))) <= _DUP_PAY_DAYS)
+            & (
+                F.abs(F.col("amt") - F.col("amt_b"))
+                <= _DUP_PAY_PCT * F.greatest(F.col("amt"), F.col("amt_b"))
+            )
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("order_a"),
+            F.col("orderkey_b").alias("order_b"),
+            "amt",
+            F.col("amt_b").alias("amt_other"),
+            F.abs(F.datediff(F.col("d_b"), F.col("d")))
+            .cast("long")
+            .alias("day_gap"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy("o_custkey", "order_a", "order_b")
+
+
+ORDERS_DUPLICATE_PAYMENT_AUDIT_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         round(o_totalprice + 1e-9, 2) AS amt,
+         CAST(floor((CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+              / {_DUP_PAY_DAYS}) AS BIGINT) AS wk
+  FROM orders
+),
+probe AS (
+  SELECT o_custkey, o_orderkey, d, amt, wk AS bkt FROM o
+  UNION ALL
+  SELECT o_custkey, o_orderkey, d, amt, wk + 1 FROM o
+)
+SELECT DISTINCT p.o_custkey,
+       p.o_orderkey AS order_a,
+       b.o_orderkey AS order_b,
+       p.amt,
+       b.amt AS amt_other,
+       CAST(abs(b.d - p.d) AS BIGINT) AS day_gap
+FROM probe p JOIN o b
+  ON p.o_custkey = b.o_custkey AND p.bkt = b.wk
+WHERE p.o_orderkey < b.o_orderkey
+  AND abs(b.d - p.d) <= {_DUP_PAY_DAYS}
+  AND abs(p.amt - b.amt) <= {_DUP_PAY_PCT} * greatest(p.amt, b.amt)
+ORDER BY p.o_custkey, order_a, order_b
+"""
+
+
 _SALT_FANOUT = 16
 
 
@@ -3123,6 +3325,8 @@ QUERIES = {
     "orders_rfm_segments": orders_rfm_segments,
     "salted_agg_conformance": salted_agg_conformance,
     "observed_metrics_conformance": observed_metrics_conformance,
+    "columnar_encoding_advisor": columnar_encoding_advisor,
+    "orders_duplicate_payment_audit": orders_duplicate_payment_audit,
     "bucketed_join_colocated": bucketed_join_colocated,
     "dynamic_partition_pruning_join": dynamic_partition_pruning_join,
     "events_markov_stationary": events_markov_stationary,
@@ -3177,6 +3381,8 @@ ORACLES = {
     "orders_rfm_segments": ORDERS_RFM_SEGMENTS_SQL,
     "salted_agg_conformance": SALTED_AGG_CONFORMANCE_SQL,
     "observed_metrics_conformance": OBSERVED_METRICS_CONFORMANCE_SQL,
+    "columnar_encoding_advisor": COLUMNAR_ENCODING_ADVISOR_SQL,
+    "orders_duplicate_payment_audit": ORDERS_DUPLICATE_PAYMENT_AUDIT_SQL,
     "bucketed_join_colocated": BUCKETED_JOIN_COLOCATED_SQL,
     "dynamic_partition_pruning_join": DYNAMIC_PARTITION_PRUNING_JOIN_SQL,
     "events_markov_stationary": EVENTS_MARKOV_STATIONARY_SQL,

@@ -1397,7 +1397,105 @@ FROM folded ORDER BY event_type
 
 
 
+
+_WM_DELAYS = [60, 300, 600, 1800]  # candidate watermark delays, seconds
+
+
+def watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay selection table — the LSH-banding-sweep
+    discipline applied to the streaming job's one irreversible knob:
+    for each candidate delay, the row mass a watermark at that delay
+    would DROP as too-late versus the 5-minute-window state it must
+    HOLD open at stream end. Picking a delay without this table is
+    guessing; the reference job hard-codes its allowed lateness the
+    same way every Flink/Spark pipeline does, and this is the measured
+    curve that choice should come from.
+
+    Arrival times are event time + a deterministic md5-derived jitter
+    in [0, 30 min) (the seeded-noise idiom — both engines derive the
+    identical dyadic rational per event), so lateness is exact integer
+    seconds and every drop decision is reproducible cross-engine.
+    One corpus pass to (lateness, window) rows; each delay's verdicts
+    are bounded aggregates over it.
+    """
+    from cdc_realtime_pipeline_spark.operators.dq import _hex_uniform
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("eid"),
+        F.unix_micros("ts").alias("us"),
+    )
+    base = ev.select(
+        "us",
+        F.floor(_hex_uniform("late|", "eid") * 1800)
+        .cast("long")
+        .alias("late_s"),
+        (F.expr("us div 300000000")).alias("win5"),
+    )
+    stats = None
+    for d in _WM_DELAYS:
+        row = base.agg(
+            F.lit(d).cast("long").alias("delay_sec"),
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("late_s") > d, 1)).alias("n_dropped"),
+        ).select("delay_sec", "n_rows", "n_dropped")
+        stats = row if stats is None else stats.unionByName(row)
+    mx = base.agg((F.max("us") / 1000000).alias("max_s"))
+    open_w = None
+    for d in _WM_DELAYS:
+        ow = (
+            base.crossJoin(F.broadcast(mx))
+            .filter((F.col("win5") + 1) * 300 > F.col("max_s") - d)
+            .agg(
+                F.lit(d).cast("long").alias("delay_sec"),
+                F.countDistinct("win5").alias("n_open_windows"),
+            )
+        )
+        open_w = ow if open_w is None else open_w.unionByName(ow)
+    return (
+        stats.join(open_w, "delay_sec")
+        .select(
+            "delay_sec",
+            "n_rows",
+            "n_dropped",
+            (
+                F.round(F.col("n_dropped") / F.col("n_rows") + 1e-9, 4) + 0.0
+            ).alias("pct_dropped"),
+            "n_open_windows",
+        )
+        .orderBy("delay_sec")
+    )
+
+
+def _wm_delay_sql() -> str:
+    from cdc_realtime_pipeline_spark.operators.dq import _hex_uniform_sql
+
+    u = _hex_uniform_sql("late|", "CAST(event_id AS VARCHAR)")
+    arms = " UNION ALL ".join(
+        f"""
+SELECT CAST({d} AS BIGINT) AS delay_sec,
+       count(*) AS n_rows,
+       count(CASE WHEN late_s > {d} THEN 1 END) AS n_dropped,
+       round(count(CASE WHEN late_s > {d} THEN 1 END)
+             / CAST(count(*) AS DOUBLE) + 1e-9, 4) + 0.0 AS pct_dropped,
+       (SELECT CAST(count(DISTINCT win5) AS BIGINT) FROM base
+        WHERE (win5 + 1) * 300 > (SELECT max(us) / 1000000.0 FROM base) - {d})
+         AS n_open_windows
+FROM base"""
+        for d in _WM_DELAYS
+    )
+    return f"""
+WITH base AS (
+  SELECT epoch_us(ts) AS us,
+         CAST(floor({u} * 1800) AS BIGINT) AS late_s,
+         epoch_us(ts) // 300000000 AS win5
+  FROM events
+)
+SELECT * FROM ({arms}) ORDER BY delay_sec
+"""
+
+
 QUERIES = {
+    "watermark_delay_sweep": watermark_delay_sweep,
     "events_cusum_changepoint": events_cusum_changepoint,
     "events_stl_decompose": events_stl_decompose,
     "value_cusum_drift": value_cusum_drift,
@@ -1416,6 +1514,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "watermark_delay_sweep": _wm_delay_sql(),
     "events_cusum_changepoint": EVENTS_CUSUM_CHANGEPOINT_SQL,
     "value_cusum_drift": VALUE_CUSUM_DRIFT_SQL,
     "events_seasonal_backtest": EVENTS_SEASONAL_BACKTEST_SQL,

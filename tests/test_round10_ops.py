@@ -472,3 +472,68 @@ def test_heaps_fit_monotone_and_plausible(spark, sf_dir):
         assert b["vocab_cum"] >= a["vocab_cum"]
     for r in rows:
         assert r["vocab_cum"] <= r["tokens_cum"]
+
+
+def test_watermark_sweep_monotone(spark, sf_dir):
+    """Larger delay can only drop fewer rows and hold open at least as
+    many windows; drop fractions live in [0, 1]."""
+    from cdc_realtime_pipeline_spark.operators.timeseries import (
+        watermark_delay_sweep,
+    )
+
+    rows = sorted(
+        watermark_delay_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["delay_sec"],
+    )
+    assert [r["delay_sec"] for r in rows] == [60, 300, 600, 1800]
+    assert len({r["n_rows"] for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_dropped"] <= a["n_dropped"]
+        assert b["n_open_windows"] >= a["n_open_windows"]
+    for r in rows:
+        assert 0.0 <= r["pct_dropped"] <= 1.0
+    # jitter is capped at 30 min, so the 1800 s delay drops nothing
+    assert rows[-1]["n_dropped"] == 0
+
+
+def test_encoding_advisor_consistency(spark, sf_dir):
+    """Run counts sit between n_distinct and n_rows, and the
+    recommendation matches its own published rule."""
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        columnar_encoding_advisor,
+    )
+
+    rows = columnar_encoding_advisor(spark, sf_dir).collect()
+    assert {r["column"] for r in rows} == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_suppkey"
+    }
+    for r in rows:
+        assert r["n_distinct"] <= r["n_runs"] <= r["n_rows"]
+        if r["avg_run_len"] >= 4.0:
+            assert r["recommendation"] == "RLE"
+        elif r["n_distinct"] <= 1024:
+            assert r["recommendation"] == "DICT"
+        else:
+            assert r["recommendation"] == "PLAIN"
+
+
+def test_duplicate_payments_satisfy_predicates(spark, sf_dir):
+    """Every flagged pair honors the audit predicates and is emitted
+    once with the lower orderkey first."""
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        _DUP_PAY_DAYS,
+        _DUP_PAY_PCT,
+        orders_duplicate_payment_audit,
+    )
+
+    rows = orders_duplicate_payment_audit(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["order_a"] < r["order_b"]
+        assert r["day_gap"] <= _DUP_PAY_DAYS
+        assert abs(r["amt"] - r["amt_other"]) <= _DUP_PAY_PCT * max(
+            r["amt"], r["amt_other"]
+        ) + 1e-9
+        key = (r["order_a"], r["order_b"])
+        assert key not in seen
+        seen.add(key)

@@ -172,6 +172,9 @@ SHOWCASE = [
     ("l_diversity_audit", "QI classes → distinct-sensitive bands"),
     ("embeddings_centroid_drift", "half-split dim means → per-label cosine"),
     ("corpus_heaps_law_fit", "first-prefix per word → 10-point loglog fit"),
+    ("watermark_delay_sweep", "jittered lateness pass → 4 delay verdicts"),
+    ("columnar_encoding_advisor", "4-col melt → per-group run walk"),
+    ("orders_duplicate_payment_audit", "week-bucket self-join + exact verify"),
 ]
 
 
