@@ -32,7 +32,7 @@ Rows dropped this round hold r4–r9 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-11 rotation queue — FIRST the seventeen round-10 operators
+Round-11 rotation queue — FIRST the twenty-three round-10 operators
 (none driver-checked yet; all local-green at 3 SFs):
 `similarity_sq8_topk`, `similarity_sq8_rerank`,
 `similarity_ivf_cell_balance`, `embeddings_knn_graph`,
@@ -42,7 +42,11 @@ Round-11 rotation queue — FIRST the seventeen round-10 operators
 `text_hashed_ngram_features`, `orders_rfm_segments`,
 `events_benjamini_hochberg`, `user_time_decay_features`,
 `media_shard_manifest`, `referential_integrity_audit`,
-`asof_join_tolerance` — then the remaining 25 r4-evidence entries
+`asof_join_tolerance`, `l_diversity_audit`,
+`embeddings_centroid_drift`, `corpus_heaps_law_fit`,
+`watermark_delay_sweep`, `columnar_encoding_advisor`,
+`orders_duplicate_payment_audit` — then the remaining 25
+r4-evidence entries
 (continue from `lang_confusion_matrix` in registry order), then the
 r5 pool, oldest evidence first per CORRECTNESS_r0*.json — plus any
 query whose values change.
