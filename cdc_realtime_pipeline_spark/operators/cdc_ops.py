@@ -299,6 +299,146 @@ FROM pit
 """
 
 
+def cdc_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of resolution — the two-axis query SCD2 cannot
+    answer: "what did we BELIEVE at transaction time T_tx the value
+    was AT valid time T_v?" (Snodgrass; the audit/restatement query
+    every finance warehouse needs). The version log carries both
+    axes: base rows (valid_from = event time, tx = arrival), RETRO
+    CORRECTIONS for every 5th key (same valid_from — they restate
+    history — price×2, arriving +40 min), and NEW PERIODS for every
+    7th key (valid_from +1 h, price×3, arriving +70 min).
+
+    Resolution is one argmax: among versions with tx ≤ T_tx and
+    valid_from ≤ T_v, the (valid_from, tx)-max wins — latest valid
+    period known at T_tx, restated by the latest-arriving correction
+    for that period. Two snapshots per key (T_tx = event+60 min and
+    +120 min, T_v = event+90 min) pin the transition: at t60 the
+    correction is visible but the new period is NOT yet known; at
+    t120 the new period takes over for %7 keys — so the same key
+    resolves to three different prices across the table, which is
+    the whole point of the second time axis.
+
+    Scale: version fan-out per key is ≤3 (bounded); the resolve is an
+    equi-join on the key + a per-(snapshot, key) struct-max — one
+    shuffle each, no range-join explosion, no windows over unbounded
+    relations.
+    """
+    events = _parallel_events(spark, sf_dir).select(
+        F.col("event_id").alias("trade_id"),
+        F.unix_millis("ts").alias("e_ms"),
+        F.round("value", 4).alias("price"),
+    )
+    base = events.select(
+        "trade_id",
+        F.col("e_ms").alias("valid_from"),
+        (F.col("e_ms") + F.col("trade_id") % 10).alias("tx"),
+        "price",
+        F.lit("base").alias("kind"),
+    )
+    corr = events.filter(F.col("trade_id") % 5 == 0).select(
+        "trade_id",
+        F.col("e_ms").alias("valid_from"),
+        (F.col("e_ms") + F.lit(2_400_000)).alias("tx"),
+        F.round(F.col("price") * 2, 4).alias("price"),
+        F.lit("corr").alias("kind"),
+    )
+    newp = events.filter(F.col("trade_id") % 7 == 0).select(
+        "trade_id",
+        (F.col("e_ms") + F.lit(3_600_000)).alias("valid_from"),
+        (F.col("e_ms") + F.lit(4_200_000)).alias("tx"),
+        F.round(F.col("price") * 3, 4).alias("price"),
+        F.lit("new").alias("kind"),
+    )
+    versions = base.unionByName(corr).unionByName(newp)
+    snaps = events.select(
+        "trade_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("t060").alias("snapshot"),
+                    (F.col("e_ms") + F.lit(3_600_000)).alias("q_tx"),
+                    (F.col("e_ms") + F.lit(5_400_000)).alias("q_v"),
+                ),
+                F.struct(
+                    F.lit("t120").alias("snapshot"),
+                    (F.col("e_ms") + F.lit(7_200_000)).alias("q_tx"),
+                    (F.col("e_ms") + F.lit(5_400_000)).alias("q_v"),
+                ),
+            )
+        ).alias("q"),
+    ).select("trade_id", "q.snapshot", "q.q_tx", "q.q_v")
+    resolved = (
+        snaps.join(versions, "trade_id")
+        .filter(
+            (F.col("tx") <= F.col("q_tx"))
+            & (F.col("valid_from") <= F.col("q_v"))
+        )
+        .groupBy("snapshot", "trade_id")
+        .agg(
+            F.max(
+                F.struct("valid_from", "tx", "kind", "price")
+            ).alias("win")
+        )
+    )
+    return (
+        resolved.groupBy("snapshot")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.count_if(F.col("win.kind") == "base").cast("long").alias("n_base"),
+            F.count_if(F.col("win.kind") == "corr").cast("long").alias("n_corrected"),
+            F.count_if(F.col("win.kind") == "new").cast("long").alias("n_new_period"),
+            F.round(F.sum("win.price") + 1e-9, 2).alias("price_checksum"),
+        )
+        .orderBy("snapshot")
+    )
+
+
+CDC_BITEMPORAL_ASOF_SQL = """
+WITH ev AS (
+  SELECT event_id AS trade_id, epoch_ms(ts) AS e_ms,
+         round(value, 4) AS price
+  FROM events
+),
+versions AS (
+  SELECT trade_id, e_ms AS valid_from, e_ms + trade_id % 10 AS tx,
+         price, 'base' AS kind
+  FROM ev
+  UNION ALL
+  SELECT trade_id, e_ms, e_ms + 2400000, round(price * 2, 4), 'corr'
+  FROM ev WHERE trade_id % 5 = 0
+  UNION ALL
+  SELECT trade_id, e_ms + 3600000, e_ms + 4200000,
+         round(price * 3, 4), 'new'
+  FROM ev WHERE trade_id % 7 = 0
+),
+snaps AS (
+  SELECT trade_id, 't060' AS snapshot,
+         e_ms + 3600000 AS q_tx, e_ms + 5400000 AS q_v FROM ev
+  UNION ALL
+  SELECT trade_id, 't120', e_ms + 7200000, e_ms + 5400000 FROM ev
+),
+resolved AS (
+  SELECT s.snapshot, s.trade_id, v.kind, v.price
+  FROM snaps s JOIN versions v ON s.trade_id = v.trade_id
+  WHERE v.tx <= s.q_tx AND v.valid_from <= s.q_v
+  QUALIFY row_number() OVER (PARTITION BY s.snapshot, s.trade_id
+                             ORDER BY v.valid_from DESC, v.tx DESC) = 1
+)
+SELECT snapshot,
+       count(*) AS n_keys,
+       CAST(count(CASE WHEN kind = 'base' THEN 1 END) AS BIGINT) AS n_base,
+       CAST(count(CASE WHEN kind = 'corr' THEN 1 END) AS BIGINT)
+         AS n_corrected,
+       CAST(count(CASE WHEN kind = 'new' THEN 1 END) AS BIGINT)
+         AS n_new_period,
+       round(sum(price) + 1e-9, 2) AS price_checksum
+FROM resolved
+GROUP BY snapshot
+ORDER BY snapshot
+"""
+
+
 def cdc_parse_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lenient-parse accounting: the audit parser variant over a topic
     carrying deliberately broken messages — every 13th message is
@@ -471,6 +611,7 @@ QUERIES = {
     "cdc_roundtrip": cdc_roundtrip,
     "cdc_op_filtered_counts": cdc_op_filtered_counts,
     "cdc_apply_changes": cdc_apply_changes,
+    "cdc_bitemporal_asof": cdc_bitemporal_asof,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_parse_audit_stats": cdc_parse_audit_stats,
     "pit_join_versions": pit_join_versions,
@@ -481,6 +622,7 @@ ORACLES = {
     "cdc_roundtrip": CDC_ROUNDTRIP_SQL,
     "cdc_op_filtered_counts": CDC_OP_FILTERED_COUNTS_SQL,
     "cdc_apply_changes": CDC_APPLY_CHANGES_SQL,
+    "cdc_bitemporal_asof": CDC_BITEMPORAL_ASOF_SQL,
     "cdc_scd2_history": CDC_SCD2_HISTORY_SQL,
     "cdc_parse_audit_stats": CDC_PARSE_AUDIT_STATS_SQL,
     "pit_join_versions": PIT_JOIN_VERSIONS_SQL,

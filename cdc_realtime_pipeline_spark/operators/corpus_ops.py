@@ -1974,6 +1974,117 @@ ORDER BY l3.doc_id
 
 
 
+def dup_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality score
+    that closes the community-detection loop: LPA PRODUCES a
+    partition, modularity GRADES it (Newman & Girvan 2004,
+    Q = Σ_c [e_c/m − (d_c/2m)²]): positive contribution means the
+    community holds more internal edges than a degree-preserving
+    random graph would place there; a near-zero community is a
+    label-propagation artifact, not duplicate structure.
+
+    Integer core: per community, e_c = within-community directed
+    edges / 2 and d_c = Σ degrees are exact counts off the same
+    doubled edge list LPA itself votes over; the only floats are the
+    final two divisions, rounded 6dp on both engines. Plan: the
+    edge list joins the label relation twice (src then dst — two
+    edge-sized hash joins on the node key), then one bounded
+    aggregate per community.
+
+    Scale: no corpus self-join — edges come from the banded
+    candidate generator (memoized), and both label joins shuffle the
+    EDGE relation, never the corpus; the per-community aggregate is
+    bounded by the community count.
+    """
+    pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    labels = dup_graph_label_propagation(spark, sf_dir).select(
+        "doc_id", "label", "n_members"
+    )
+    m = edges.agg((F.count("*") / 2).cast("long").alias("m"))
+    lab_src = labels.select(
+        F.col("doc_id").alias("src"), F.col("label").alias("src_label")
+    )
+    lab_dst = labels.select(
+        F.col("doc_id").alias("dst"), F.col("label").alias("dst_label")
+    )
+    per_comm = (
+        edges.join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .groupBy(F.col("src_label").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("deg_sum"),
+            (
+                F.count_if(F.col("src_label") == F.col("dst_label")) / 2
+            )
+            .cast("long")
+            .alias("e_within"),
+        )
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        per_comm.join(sizes, "label")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_members",
+            "e_within",
+            "deg_sum",
+            (
+                F.round(
+                    F.col("e_within") / F.col("m")
+                    - (F.col("deg_sum") / (2.0 * F.col("m")))
+                    * (F.col("deg_sum") / (2.0 * F.col("m")))
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("q_contrib"),
+        )
+        .orderBy("label")
+    )
+
+
+DUP_GRAPH_MODULARITY_SQL = f"""
+WITH jac AS ({DEDUP_DOCS_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM jac
+),
+l0 AS (
+  SELECT DISTINCT u AS doc_id, u AS label FROM edges
+),{_lpa_iter_sql("l0", "l1")},{_lpa_iter_sql("l1", "l2")},{_lpa_iter_sql("l2", "l3")},
+m AS (SELECT CAST(count(*) / 2 AS BIGINT) AS m FROM edges),
+per_comm AS (
+  SELECT ls.label AS label,
+         CAST(count(*) AS BIGINT) AS deg_sum,
+         CAST(count(CASE WHEN ls.label = ld.label THEN 1 END) / 2 AS BIGINT)
+           AS e_within
+  FROM edges e
+  JOIN l3 ls ON e.u = ls.doc_id
+  JOIN l3 ld ON e.v = ld.doc_id
+  GROUP BY ls.label
+),
+sizes AS (
+  SELECT label, count(*) AS n_members FROM l3 GROUP BY label
+)
+SELECT p.label, s.n_members, p.e_within, p.deg_sum,
+       round(p.e_within / CAST(m.m AS DOUBLE)
+             - (p.deg_sum / (2.0 * m.m)) * (p.deg_sum / (2.0 * m.m))
+             + 1e-9, 6) + 0.0 AS q_contrib
+FROM per_comm p JOIN sizes s ON p.label = s.label CROSS JOIN m
+ORDER BY p.label
+"""
+
+
 def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by source — subword tokens per word, THE
     tokenizer-evaluation table (multilingual tokenizer papers report
@@ -2230,6 +2341,7 @@ QUERIES = {
     "corpus_vocab_coverage_curve": corpus_vocab_coverage_curve,
     "dup_graph_common_neighbors": dup_graph_common_neighbors,
     "dup_graph_label_propagation": dup_graph_label_propagation,
+    "dup_graph_modularity": dup_graph_modularity,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "corpus_heaps_law_fit": corpus_heaps_law_fit,
 }
@@ -2258,6 +2370,7 @@ ORACLES = {
     "corpus_vocab_coverage_curve": CORPUS_VOCAB_COVERAGE_CURVE_SQL,
     "dup_graph_common_neighbors": DUP_GRAPH_COMMON_NEIGHBORS_SQL,
     "dup_graph_label_propagation": DUP_GRAPH_LABEL_PROPAGATION_SQL,
+    "dup_graph_modularity": DUP_GRAPH_MODULARITY_SQL,
     "corpus_tokenizer_fertility": CORPUS_TOKENIZER_FERTILITY_SQL,
     "corpus_heaps_law_fit": CORPUS_HEAPS_LAW_FIT_SQL,
 }

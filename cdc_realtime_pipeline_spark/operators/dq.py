@@ -1817,8 +1817,150 @@ ORDER BY diversity_band
 """
 
 
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the release-privacy triad
+    (Li, Li & Venkatasubramanian 2007) next to ``k_anonymity_audit``
+    and ``l_diversity_audit``: a class can be k-large AND l-diverse
+    yet still leak if its sensitive-value DISTRIBUTION differs sharply
+    from the global one (skewness attack — "3 distinct diagnoses" is
+    no comfort when 90% of the class is the rare one). Per QI class
+    (value band × day-of-week), t = total-variation distance between
+    the class's event_type distribution and the corpus-wide one (EMD
+    with the categorical ground distance collapses to TVD).
+
+    Exact-integer band algebra (the Gopher-gate discipline): with
+    k_c = |class|, G = |corpus|, the un-normalized mass
+    num_c = Σ_types |cnt_ct·G − g_t·k_c| (absent types contribute
+    g_t·k_c, folded in via G − Σ_present g_t) gives
+    t_c = num_c / (2·k_c·G), so the band cuts t ≤ 0.15 / ≤ 0.35
+    become the INTEGER comparisons 10·num ≤ 3·kG / 10·num ≤ 7·kG —
+    no float boundary can flip a class across engines; the displayed
+    t is a 6dp-rounded ratio of exact integers.
+
+    Scale: one corpus shuffle to the (class × type) counts (bounded
+    by the QI×type domain, map-side combinable); the global type
+    vector and the scalar G are broadcast 1-row/bounded joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) + 4,
+        F.lit(7),
+    )
+    ct = ev.groupBy(
+        F.floor(F.col("value") / 10).alias("value_band"),
+        dow.alias("dow"),
+        "event_type",
+    ).agg(F.count("*").alias("cnt"))
+    g = ct.groupBy("event_type").agg(F.sum("cnt").alias("g"))
+    big_g = g.agg(F.sum("g").cast("long").alias("big_g"))
+    kc = ct.groupBy("value_band", "dow").agg(
+        F.sum("cnt").cast("long").alias("k")
+    )
+    per_class = (
+        ct.join(kc, ["value_band", "dow"])
+        .join(F.broadcast(g), "event_type")
+        .crossJoin(F.broadcast(big_g))
+        .groupBy("value_band", "dow")
+        .agg(
+            F.max("k").alias("k"),
+            F.max("big_g").alias("big_g"),
+            F.sum(
+                F.abs(F.col("cnt") * F.col("big_g") - F.col("g") * F.col("k"))
+            ).alias("present_mass"),
+            F.sum("g").alias("g_present"),
+        )
+        .select(
+            "k",
+            "big_g",
+            (
+                F.col("present_mass")
+                + (F.col("big_g") - F.col("g_present")) * F.col("k")
+            ).alias("num"),
+        )
+    )
+    # t = num/(2kG), so t <= 0.15 <=> num <= 0.3*k*G <=> 10*num <= 3*k*G
+    band = (
+        F.when(F.lit(10) * F.col("num") <= 3 * F.col("k") * F.col("big_g"), "1_close")
+        .when(F.lit(10) * F.col("num") <= 7 * F.col("k") * F.col("big_g"), "2_moderate")
+        .otherwise("3_distant")
+    )
+    total = per_class.agg(F.sum("k").alias("tot"))
+    return (
+        per_class.select(
+            band.alias("closeness_band"),
+            "k",
+            (F.col("num") / (F.lit(2.0) * F.col("k") * F.col("big_g"))).alias(
+                "t"
+            ),
+        )
+        .groupBy("closeness_band")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("k").alias("n_rows"),
+            (F.round(F.max("t") + 1e-9, 6) + 0.0).alias("max_t"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "closeness_band",
+            "n_classes",
+            "n_rows",
+            "max_t",
+            (F.round(F.col("n_rows") / F.col("tot") + 1e-9, 4) + 0.0).alias(
+                "pct_rows"
+            ),
+        )
+        .orderBy("closeness_band")
+    )
+
+
+T_CLOSENESS_AUDIT_SQL = """
+WITH ct AS (
+  SELECT CAST(floor(value / 10) AS BIGINT) AS value_band,
+         (CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 AS dow,
+         event_type,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+g AS (SELECT event_type, sum(cnt) AS g FROM ct GROUP BY event_type),
+big_g AS (SELECT CAST(sum(g) AS BIGINT) AS big_g FROM g),
+kc AS (
+  SELECT value_band, dow, CAST(sum(cnt) AS BIGINT) AS k
+  FROM ct GROUP BY value_band, dow
+),
+per_class AS (
+  SELECT max(kc.k) AS k,
+         max(big_g.big_g) AS big_g,
+         sum(abs(ct.cnt * big_g.big_g - g.g * kc.k))
+           + (max(big_g.big_g) - sum(g.g)) * max(kc.k) AS num
+  FROM ct
+  JOIN kc ON ct.value_band = kc.value_band AND ct.dow = kc.dow
+  JOIN g ON ct.event_type = g.event_type
+  CROSS JOIN big_g
+  GROUP BY ct.value_band, ct.dow
+),
+banded AS (
+  SELECT CASE WHEN 10 * num <= 3 * k * big_g THEN '1_close'
+              WHEN 10 * num <= 7 * k * big_g THEN '2_moderate'
+              ELSE '3_distant' END AS closeness_band,
+         k,
+         num / (2.0 * k * big_g) AS t
+  FROM per_class
+)
+SELECT closeness_band,
+       count(*) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       round(max(t) + 1e-9, 6) + 0.0 AS max_t,
+       round(sum(k) / (SELECT CAST(sum(k) AS DOUBLE) FROM per_class)
+             + 1e-9, 4) + 0.0 AS pct_rows
+FROM banded
+GROUP BY closeness_band
+ORDER BY closeness_band
+"""
+
+
 QUERIES = {
     "referential_integrity_audit": referential_integrity_audit,
+    "t_closeness_audit": t_closeness_audit,
     "l_diversity_audit": l_diversity_audit,
     "docs_psi_drift": docs_psi_drift,
     "dq_rule_engine": dq_rule_engine,
@@ -1845,6 +1987,7 @@ QUERIES = {
 
 ORACLES = {
     "referential_integrity_audit": REFERENTIAL_INTEGRITY_AUDIT_SQL,
+    "t_closeness_audit": T_CLOSENESS_AUDIT_SQL,
     "l_diversity_audit": L_DIVERSITY_AUDIT_SQL,
     "docs_psi_drift": DOCS_PSI_DRIFT_SQL,
     "events_countmin_audit": EVENTS_COUNTMIN_AUDIT_SQL,

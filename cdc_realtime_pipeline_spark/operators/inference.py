@@ -1664,6 +1664,297 @@ FROM lbase CROSS JOIN lb_{_LOGIT_ITERS} b
 )
 
 
+def user_logistic_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free evaluation of the fitted logistic model — the
+    table a model-selection step actually reads: accuracy-at-0.5
+    (already on the regression row) hides everything about ranking
+    quality, so this emits ROC-AUC (tie-corrected rank statistic),
+    average precision (the PR-curve integral — the metric that
+    matters under class imbalance, and buyers ARE rare here), and the
+    Brier score, all over the SAME IRLS coefficient path as
+    ``user_logistic_regression`` (`_logistic_fit` — train and eval
+    cannot drift apart).
+
+    Shapes: scores collapse to the per-distinct-score (n_pos, n_neg)
+    relation — bounded by the distinct view-count domain, NOT the
+    user count — then AUC = Σ np·(nn_below + nn/2) / (P·N) and
+    AP = Σ (np/P)·precision@block via two cumulative windows over
+    that bounded relation (unpartitioned-window-above-aggregate, the
+    lint-sanctioned shape). μ is rounded 8dp before the Brier sum so
+    both engines square identical doubles; finals get the shared
+    round-with-nudge.
+    """
+    base, b, eta = _logistic_fit(spark, sf_dir)
+    scored = base.crossJoin(F.broadcast(b)).select(
+        "y", F.expr(eta).alias("s")
+    )
+    byscore = scored.groupBy("s").agg(
+        F.count_if(F.col("y") == 1.0).cast("long").alias("np"),
+        F.count_if(F.col("y") == 0.0).cast("long").alias("nn"),
+    )
+    w_below = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_desc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = byscore.select(
+        "np",
+        "nn",
+        F.coalesce(F.sum("nn").over(w_below), F.lit(0)).alias("nn_below"),
+        F.sum("np").over(w_desc).alias("cum_tp"),
+        (F.sum("np").over(w_desc) + F.sum("nn").over(w_desc)).alias(
+            "cum_pred"
+        ),
+    )
+    rank_side = cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        (
+            F.round(
+                F.sum(
+                    F.col("np")
+                    * (F.col("nn_below") + F.col("nn") / 2.0)
+                )
+                / (
+                    F.sum("np")
+                    * F.sum("nn").cast("double")
+                )
+                + 1e-9,
+                6,
+            )
+            + 0.0
+        ).alias("roc_auc"),
+        (
+            F.round(
+                F.sum(
+                    F.col("np")
+                    * (F.col("cum_tp") / F.col("cum_pred").cast("double"))
+                )
+                / F.sum("np")
+                + 1e-9,
+                6,
+            )
+            + 0.0
+        ).alias("avg_precision"),
+    )
+    mu = "round(1.0 / (1.0 + exp(-s)), 8)"
+    loss_side = scored.agg(
+        F.count("*").cast("long").alias("n_users"),
+        (
+            F.round(
+                F.avg(F.expr(f"({mu} - y) * ({mu} - y)")) + 1e-9, 6
+            )
+            + 0.0
+        ).alias("brier"),
+    )
+    return loss_side.crossJoin(F.broadcast(rank_side)).select(
+        "n_users", "n_pos", "n_neg", "roc_auc", "avg_precision", "brier"
+    )
+
+
+USER_LOGISTIC_ROC_AUC_SQL = (
+    "WITH "
+    + _logit_ctes()
+    + f""",
+scored AS (
+  SELECT y, greatest(least(b.b0 + b.b1 * lbase.x, {_LOGIT_CAP}),
+                     -{_LOGIT_CAP}) AS s
+  FROM lbase CROSS JOIN lb_{_LOGIT_ITERS} b
+),
+byscore AS (
+  SELECT s,
+         CAST(count(CASE WHEN y = 1.0 THEN 1 END) AS BIGINT) AS np,
+         CAST(count(CASE WHEN y = 0.0 THEN 1 END) AS BIGINT) AS nn
+  FROM scored GROUP BY s
+),
+cum AS (
+  SELECT np, nn,
+         coalesce(sum(nn) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS nn_below,
+         sum(np) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+         sum(np + nn) OVER (ORDER BY s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pred
+  FROM byscore
+),
+rank_side AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         CAST(sum(nn) AS BIGINT) AS n_neg,
+         round(sum(np * (nn_below + nn / 2.0))
+               / (sum(np) * CAST(sum(nn) AS DOUBLE)) + 1e-9, 6) + 0.0
+           AS roc_auc,
+         round(sum(np * (cum_tp / CAST(cum_pred AS DOUBLE))) / sum(np)
+               + 1e-9, 6) + 0.0 AS avg_precision
+  FROM cum
+),
+loss_side AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         round(avg((round(1.0 / (1.0 + exp(-s)), 8) - y)
+                   * (round(1.0 / (1.0 + exp(-s)), 8) - y)) + 1e-9, 6)
+           + 0.0 AS brier
+  FROM scored
+)
+SELECT n_users, n_pos, n_neg, roc_auc, avg_precision, brier
+FROM loss_side CROSS JOIN rank_side
+"""
+)
+
+
+_STUMP_VALUE_BAND = 20.0  # candidate value thresholds every 20 units
+
+
+def _entropy_sql(p: str) -> str:
+    """Binary Shannon entropy of probability expression ``p`` — the
+    shared fragment both engines evaluate verbatim (0 at the
+    degenerate endpoints, where the limit is 0 but log2 is not)."""
+    return (
+        f"CASE WHEN ({p}) <= 0.0 OR ({p}) >= 1.0 THEN 0.0"
+        f" ELSE -({p}) * log2({p}) - (1.0 - ({p})) * log2(1.0 - ({p})) END"
+    )
+
+
+def events_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search — the inner loop of every tree
+    learner (CART/XGBoost histogram mode), run as ONE declarative
+    plan: for the binary target is-this-an-error, score every
+    candidate split "value ≤ t" (t on the {VB}-unit histogram grid)
+    and "hour ≤ h" by information gain, and rank them. The histogram
+    trick is the scale story: the corpus reduces to per-(feature,
+    bin) counts in one map-combinable aggregate, and EVERY candidate
+    threshold's left/right counts are a cumulative window over that
+    BOUNDED relation — the exact-greedy sort over raw values that
+    single-node learners do never happens (this is precisely
+    XGBoost's approx/hist algorithm shape).
+
+    Floats: gains derive from exact integer counts through the shared
+    entropy fragment (identical text both engines), rounded 6dp under
+    the nudge; ranking ties break on (feature, bin).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "error").cast("long").alias("y"),
+        F.floor(F.col("value") / _STUMP_VALUE_BAND).cast("long").alias("vbin"),
+        F.hour("ts").cast("long").alias("hbin"),
+    )
+    vb = ev.groupBy(F.col("vbin").alias("bin")).agg(
+        F.count("*").alias("n"), F.sum("y").alias("npos")
+    ).select(F.lit("value").alias("feature"), "bin", "n", "npos")
+    hb = ev.groupBy(F.col("hbin").alias("bin")).agg(
+        F.count("*").alias("n"), F.sum("y").alias("npos")
+    ).select(F.lit("hour").alias("feature"), "bin", "n", "npos")
+    bins = vb.unionByName(hb)
+    wcum = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("feature")
+    cum = bins.select(
+        "feature",
+        "bin",
+        F.sum("n").over(wcum).alias("nl"),
+        F.sum("npos").over(wcum).alias("nposl"),
+        F.sum("n").over(wtot).alias("nt"),
+        F.sum("npos").over(wtot).alias("npost"),
+    ).filter(F.col("nl") < F.col("nt"))
+    h_root = _entropy_sql("CAST(npost AS DOUBLE) / nt")
+    h_l = _entropy_sql("CAST(nposl AS DOUBLE) / nl")
+    h_r = _entropy_sql("CAST(npost - nposl AS DOUBLE) / (nt - nl)")
+    gain = (
+        f"round(({h_root}) - (CAST(nl AS DOUBLE) / nt) * ({h_l})"
+        f" - (CAST(nt - nl AS DOUBLE) / nt) * ({h_r}) + 1e-9, 6)"
+    )
+    scored = cum.select(
+        "feature",
+        F.when(
+            F.col("feature") == "value",
+            (F.col("bin") + 1) * _STUMP_VALUE_BAND,
+        )
+        .otherwise(F.col("bin").cast("double"))
+        .alias("threshold"),
+        "bin",
+        F.col("nl").alias("n_left"),
+        F.col("nposl").alias("n_pos_left"),
+        (F.col("nt") - F.col("nl")).alias("n_right"),
+        (F.col("npost") - F.col("nposl")).alias("n_pos_right"),
+        F.expr(gain).alias("gain"),
+    )
+    wrank = Window.orderBy(
+        F.desc("gain"), F.asc("feature"), F.asc("bin")
+    )
+    return (
+        scored.select(
+            F.row_number().over(wrank).alias("rank"),
+            "feature",
+            "threshold",
+            "n_left",
+            "n_pos_left",
+            "n_right",
+            "n_pos_right",
+            "gain",
+        )
+        .orderBy("rank")
+    )
+
+
+events_decision_stump.__doc__ = events_decision_stump.__doc__.format(
+    VB=int(_STUMP_VALUE_BAND)
+)
+
+_STUMP_H_ROOT = _entropy_sql("CAST(npost AS DOUBLE) / nt")
+_STUMP_H_L = _entropy_sql("CAST(nposl AS DOUBLE) / nl")
+_STUMP_H_R = _entropy_sql("CAST(npost - nposl AS DOUBLE) / (nt - nl)")
+
+EVENTS_DECISION_STUMP_SQL = f"""
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+         CAST(floor(value / {_STUMP_VALUE_BAND}) AS BIGINT) AS vbin,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hbin
+  FROM events
+),
+bins AS (
+  SELECT 'value' AS feature, vbin AS bin, count(*) AS n,
+         CAST(sum(y) AS BIGINT) AS npos
+  FROM ev GROUP BY vbin
+  UNION ALL
+  SELECT 'hour', hbin, count(*), CAST(sum(y) AS BIGINT)
+  FROM ev GROUP BY hbin
+),
+cum AS (
+  SELECT feature, bin,
+         sum(n) OVER (PARTITION BY feature ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+         sum(npos) OVER (PARTITION BY feature ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nposl,
+         sum(n) OVER (PARTITION BY feature) AS nt,
+         sum(npos) OVER (PARTITION BY feature) AS npost
+  FROM bins
+),
+scored AS (
+  SELECT feature,
+         CASE WHEN feature = 'value'
+              THEN (bin + 1) * {_STUMP_VALUE_BAND}
+              ELSE CAST(bin AS DOUBLE) END AS threshold,
+         bin,
+         CAST(nl AS BIGINT) AS n_left,
+         CAST(nposl AS BIGINT) AS n_pos_left,
+         CAST(nt - nl AS BIGINT) AS n_right,
+         CAST(npost - nposl AS BIGINT) AS n_pos_right,
+         round(({_STUMP_H_ROOT})
+               - (CAST(nl AS DOUBLE) / nt) * ({_STUMP_H_L})
+               - (CAST(nt - nl AS DOUBLE) / nt) * ({_STUMP_H_R})
+               + 1e-9, 6) AS gain
+  FROM cum WHERE nl < nt
+)
+SELECT row_number() OVER (ORDER BY gain DESC, feature ASC, bin ASC)
+         AS rank,
+       feature, threshold, n_left, n_pos_left, n_right, n_pos_right, gain
+FROM scored
+ORDER BY rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Overdispersion check (variance-to-mean ratio per event type)
 # --------------------------------------------------------------------------
@@ -3900,6 +4191,8 @@ QUERIES = {
     "events_two_proportion_ztest": events_two_proportion_ztest,
     "user_poisson_regression": user_poisson_regression,
     "user_logistic_regression": user_logistic_regression,
+    "user_logistic_roc_auc": user_logistic_roc_auc,
+    "events_decision_stump": events_decision_stump,
     "value_conformal_interval": value_conformal_interval,
     "user_overdispersion_check": user_overdispersion_check,
     "customer_tercile_migration": customer_tercile_migration,
@@ -3936,6 +4229,8 @@ ORACLES = {
     "events_two_proportion_ztest": EVENTS_TWO_PROPORTION_ZTEST_SQL,
     "user_poisson_regression": USER_POISSON_REGRESSION_SQL,
     "user_logistic_regression": USER_LOGISTIC_REGRESSION_SQL,
+    "user_logistic_roc_auc": USER_LOGISTIC_ROC_AUC_SQL,
+    "events_decision_stump": EVENTS_DECISION_STUMP_SQL,
     "value_conformal_interval": VALUE_CONFORMAL_INTERVAL_SQL,
     "user_overdispersion_check": USER_OVERDISPERSION_CHECK_SQL,
     "customer_tercile_migration": CUSTOMER_TERCILE_MIGRATION_SQL,

@@ -3851,6 +3851,152 @@ FROM sil GROUP BY label ORDER BY label
 """
 
 
+def label_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin index per label — the third leg of the
+    cluster-quality shelf (silhouette = per-point margin, ARI =
+    agreement vs k-means, DB = the centroid-geometry ratio every
+    sklearn report quotes): R_ij = (s_i + s_j)/d_ij with s_i = mean
+    cosine distance of label i's members to their centroid and d_ij
+    the centroid-centroid cosine distance; each label reports its
+    WORST partner max_j R_ij (lower = tighter/better separated; the
+    corpus DB index is the mean of this column).
+
+    Scale shape: centroids from one (label, dim) map-side aggregate;
+    scatter is one corpus pass against the BROADCAST own-centroid;
+    the pairwise stage is K×K over the bounded centroid relation —
+    never a corpus join. Distances rounded 8dp, scatters and ratios
+    6dp under the nudge; worst-partner argmax tie-breaks on the
+    smaller partner label via struct-min.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, c))),"
+                " s -> s.c)"
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    cents = tracked_persist(cents)
+    scatter = (
+        emb.join(
+            F.broadcast(cents), F.col("label") == F.col("c_label")
+        )
+        .select(
+            "label",
+            F.round(1.0 - cosine(F.col("embedding"), F.col("cv")), 8).alias(
+                "d"
+            ),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr("round(avg(d) + 1e-9, 6) + 0.0").alias("s_own"),
+        )
+    )
+    ci = cents.select(F.col("c_label").alias("label"), F.col("cv").alias("cv_i"))
+    cj = cents.select(F.col("c_label").alias("other_label"), F.col("cv").alias("cv_j"))
+    pair_d = (
+        ci.crossJoin(F.broadcast(cj))
+        .filter(F.col("label") != F.col("other_label"))
+        .select(
+            "label",
+            "other_label",
+            F.round(1.0 - cosine(F.col("cv_i"), F.col("cv_j")), 8).alias(
+                "d_ij"
+            ),
+        )
+    )
+    si = scatter.select(F.col("label"), "n_vecs", "s_own")
+    sj = scatter.select(
+        F.col("label").alias("other_label"), F.col("s_own").alias("s_other")
+    )
+    ratios = (
+        pair_d.join(F.broadcast(si), "label")
+        .join(F.broadcast(sj), "other_label")
+        .select(
+            "label",
+            "n_vecs",
+            "s_own",
+            "other_label",
+            F.expr(
+                "round((s_own + s_other) / d_ij + 1e-9, 6) + 0.0"
+            ).alias("r"),
+        )
+    )
+    return (
+        ratios.groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.max("s_own").alias("s_own"),
+            F.min(
+                F.struct((-F.col("r")).alias("nr"), F.col("other_label"))
+            ).alias("win"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "s_own",
+            F.col("win.other_label").alias("worst_other"),
+            (-F.col("win.nr")).alias("r_max"),
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_DAVIES_BOULDIN_SQL = """
+WITH dims AS (
+  SELECT label, vec_id, t.i AS dim,
+         CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS x
+  FROM embeddings e,
+       LATERAL (SELECT unnest(range(0, len(e.embedding))) AS i) t
+),
+cents AS (
+  SELECT label AS c_label,
+         list(c ORDER BY dim) AS cv
+  FROM (SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim) g
+  GROUP BY label
+),
+scatter AS (
+  SELECT e.label,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         round(avg(round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 8)) + 1e-9, 6)
+           + 0.0 AS s_own
+  FROM embeddings e JOIN cents c ON e.label = c.c_label
+  GROUP BY e.label
+),
+pair_d AS (
+  SELECT i.c_label AS label, j.c_label AS other_label,
+         round(1.0 - list_dot_product(i.cv, j.cv)
+               / (sqrt(list_dot_product(i.cv, i.cv))
+                  * sqrt(list_dot_product(j.cv, j.cv))), 8) AS d_ij
+  FROM cents i CROSS JOIN cents j
+  WHERE i.c_label != j.c_label
+),
+ratios AS (
+  SELECT p.label, si.n_vecs, si.s_own, p.other_label,
+         round((si.s_own + sj.s_own) / p.d_ij + 1e-9, 6) + 0.0 AS r
+  FROM pair_d p
+  JOIN scatter si ON p.label = si.label
+  JOIN scatter sj ON p.other_label = sj.label
+)
+SELECT label, n_vecs, s_own,
+       other_label AS worst_other, r AS r_max
+FROM ratios
+QUALIFY row_number() OVER (PARTITION BY label
+                           ORDER BY r DESC, other_label ASC) = 1
+ORDER BY label
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # round-10 wave: SQ8 scalar quantization + IVF index-quality audit
@@ -4474,6 +4620,7 @@ FROM shared ORDER BY cell_id
 QUERIES = {
     "similarity_mmr_rerank": similarity_mmr_rerank,
     "label_silhouette_centroid": label_silhouette_centroid,
+    "label_davies_bouldin": label_davies_bouldin,
     "kmeans_label_ari": kmeans_label_ari,
     "embeddings_anisotropy_audit": embeddings_anisotropy_audit,
     "label_knn_loo_eval": label_knn_loo_eval,
@@ -4520,6 +4667,7 @@ ORACLES = {
     "similarity_ivfpq_topk": SIMILARITY_IVFPQ_TOPK_SQL,
     "label_knn_loo_eval": LABEL_KNN_LOO_EVAL_SQL,
     "label_silhouette_centroid": LABEL_SILHOUETTE_CENTROID_SQL,
+    "label_davies_bouldin": LABEL_DAVIES_BOULDIN_SQL,
     "kmeans_label_ari": KMEANS_LABEL_ARI_SQL,
     "embeddings_anisotropy_audit": EMBEDDINGS_ANISOTROPY_AUDIT_SQL,
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,

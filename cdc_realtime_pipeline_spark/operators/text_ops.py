@@ -420,6 +420,219 @@ FROM cells ORDER BY declared_lang, pred_lang
 """
 
 
+_NB_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out test split (~20%)
+
+
+def lang_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — train, apply and
+    evaluate in ONE declarative plan: word-unigram likelihoods with
+    Laplace smoothing are fit on the ~80% train split (doc_id %
+    {M} != 0), the held-out docs are scored argmax_l [ln P(l) + Σ_w
+    c_dw·ln P(w|l)], and the output is the (true, predicted)
+    confusion matrix — the LEARNED counterpart to
+    ``lang_confusion_matrix``'s fixed marker-word detector.
+
+    The smoothing algebra keeps the plan sparse: with +1 smoothing,
+    ln P(w|l) = ln(c_wl + 1) − ln(T_l + V), and unseen (w,l) pairs
+    contribute ln(1) = 0 — so the score decomposes into a per-doc
+    in-vocab token count times the per-lang denominator plus a sum
+    over OBSERVED (w,l) rows only. No dense vocab×lang cross is ever
+    materialized.
+
+    Cross-engine floats: every ln is rounded 8dp at its definition
+    (log-prior, log-denominator, per-word log-count); doc scores are
+    rounded 6dp under the shared nudge before the argmax (ties break
+    on lang asc in both engines via struct-min / QUALIFY order).
+
+    Scale: two token-shuffles (train counts, test doc-word counts),
+    vocab-keyed joins, and a 5-row broadcast lang-stats table — the
+    candidate-lang fan-out is a BroadcastNestedLoopJoin over 5 rows,
+    constant at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    is_test = F.col("doc_id") % _NB_TEST_MOD == 0
+    cwl = (
+        toks.filter(~is_test)
+        .groupBy(F.col("lang").alias("cand_lang"), "word")
+        .agg(F.count("*").alias("c"))
+    )
+    cwl = tracked_persist(cwl)
+    tl = cwl.groupBy("cand_lang").agg(F.sum("c").alias("t_l"))
+    vs = cwl.select("word").distinct().agg(F.count("*").alias("v"))
+    prior = (
+        docs.filter(~is_test)
+        .groupBy(F.col("lang").alias("cand_lang"))
+        .agg(F.count("*").alias("n_l"))
+    )
+    ntr = prior.agg(F.sum("n_l").alias("n_train"))
+    lang_stats = (
+        prior.join(tl, "cand_lang")
+        .crossJoin(F.broadcast(vs))
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "cand_lang",
+            F.round(
+                F.log(F.col("n_l") / F.col("n_train").cast("double")), 8
+            ).alias("log_prior"),
+            F.round(
+                F.log((F.col("t_l") + F.col("v")).cast("double")), 8
+            ).alias("log_denom"),
+        )
+    )
+    loglik = cwl.select(
+        "word",
+        "cand_lang",
+        F.round(F.log((F.col("c") + 1).cast("double")), 8).alias("ll1"),
+    )
+    test_wc = (
+        toks.filter(is_test)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c_dw"))
+    )
+    test_wc = tracked_persist(test_wc)
+    vocab = cwl.select("word").distinct()
+    ndv = (
+        test_wc.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("c_dw").alias("n_dv"))
+    )
+    pos = (
+        test_wc.join(loglik, "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum(F.col("c_dw") * F.col("ll1")).alias("sumpos"))
+    )
+    test_docs = docs.filter(is_test).select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    scored = (
+        test_docs.join(ndv, "doc_id", "left")
+        .crossJoin(F.broadcast(lang_stats))
+        .join(pos, ["doc_id", "cand_lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            F.round(
+                F.col("log_prior")
+                - F.coalesce(F.col("n_dv"), F.lit(0)) * F.col("log_denom")
+                + F.coalesce(F.col("sumpos"), F.lit(0.0))
+                + 1e-9,
+                6,
+            ).alias("score"),
+        )
+    )
+    pred = scored.groupBy("doc_id", "true_lang").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("cand_lang")))
+        .getField("cand_lang")
+        .alias("pred_lang")
+    )
+    cells = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("true_lang") == F.col("pred_lang")).cast("int").alias("agree"),
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w) + 1e-9, 6
+        ).alias("cell_frac"),
+    ).orderBy("true_lang", "pred_lang")
+
+
+lang_nb_confusion.__doc__ = lang_nb_confusion.__doc__.format(M=_NB_TEST_MOD)
+
+LANG_NB_CONFUSION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, word
+  FROM (SELECT doc_id, lang,
+               unnest(string_split({_NORM_SQL.format(col='text')}, ' '))
+                 AS word
+        FROM documents)
+  WHERE length(word) > 0
+),
+cwl AS (
+  SELECT lang AS cand_lang, word, count(*) AS c
+  FROM toks WHERE doc_id % {_NB_TEST_MOD} != 0 GROUP BY 1, 2
+),
+tl AS (SELECT cand_lang, sum(c) AS t_l FROM cwl GROUP BY cand_lang),
+vs AS (SELECT count(DISTINCT word) AS v FROM cwl),
+prior AS (
+  SELECT lang AS cand_lang, count(*) AS n_l
+  FROM documents WHERE doc_id % {_NB_TEST_MOD} != 0 GROUP BY 1
+),
+ntr AS (SELECT sum(n_l) AS n_train FROM prior),
+lang_stats AS (
+  SELECT p.cand_lang,
+         round(ln(p.n_l / CAST(n.n_train AS DOUBLE)), 8) AS log_prior,
+         round(ln(CAST(t.t_l + v.v AS DOUBLE)), 8) AS log_denom
+  FROM prior p JOIN tl t ON p.cand_lang = t.cand_lang
+  CROSS JOIN vs v CROSS JOIN ntr n
+),
+loglik AS (
+  SELECT word, cand_lang, round(ln(CAST(c + 1 AS DOUBLE)), 8) AS ll1
+  FROM cwl
+),
+test_wc AS (
+  SELECT doc_id, word, count(*) AS c_dw
+  FROM toks WHERE doc_id % {_NB_TEST_MOD} = 0 GROUP BY 1, 2
+),
+ndv AS (
+  SELECT w.doc_id, sum(w.c_dw) AS n_dv
+  FROM test_wc w JOIN (SELECT DISTINCT word FROM cwl) vv
+    ON w.word = vv.word
+  GROUP BY 1
+),
+pos AS (
+  SELECT w.doc_id, l.cand_lang, sum(w.c_dw * l.ll1) AS sumpos
+  FROM test_wc w JOIN loglik l ON w.word = l.word
+  GROUP BY 1, 2
+),
+test_docs AS (
+  SELECT doc_id, lang AS true_lang FROM documents
+  WHERE doc_id % {_NB_TEST_MOD} = 0
+),
+scored AS (
+  SELECT d.doc_id, d.true_lang, s.cand_lang,
+         round(s.log_prior
+               - coalesce(n.n_dv, 0) * s.log_denom
+               + coalesce(p.sumpos, 0.0) + 1e-9, 6) AS score
+  FROM test_docs d
+  CROSS JOIN lang_stats s
+  LEFT JOIN ndv n ON d.doc_id = n.doc_id
+  LEFT JOIN pos p ON d.doc_id = p.doc_id AND s.cand_lang = p.cand_lang
+),
+pred AS (
+  SELECT doc_id, true_lang, cand_lang AS pred_lang
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, cand_lang ASC) = 1
+),
+cells AS (
+  SELECT true_lang, pred_lang, count(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n_docs,
+       CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END AS agree,
+       round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY true_lang)
+                           AS DOUBLE) + 1e-9, 6) AS cell_frac
+FROM cells ORDER BY true_lang, pred_lang
+"""
+
+
 def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram Shannon entropy per document — the
     gibberish/boilerplate detector in public quality-filter stacks
@@ -497,6 +710,173 @@ SELECT doc_id,
 FROM counts
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+_WINNOW_K = 5  # k-gram length (chars, over normalized text)
+_WINNOW_W = 4  # winnowing window (k-grams per window)
+_WINNOW_B = 131  # polynomial hash base
+_WINNOW_P = 1000003  # hash modulus (prime)
+
+
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every {K}-char gram of the
+    normalized text, slide a {W}-gram window, keep each window's
+    minimum hash. The selected set is position-independent,
+    guarantees any shared substring of ≥ W+K−1 chars produces a
+    shared fingerprint, and has expected density 2/(W+1) — the
+    local-fingerprint complement to `text_fingerprint`'s whole-doc
+    md5 (which a single edited character defeats).
+
+    Engine-portable hashing: md5/xxhash force rows-only checks
+    elsewhere (dedup_candidates_audit), so the k-gram hash here is an
+    explicit base-{B} polynomial mod {P} over character codes —
+    exact integer arithmetic both engines evaluate identically.
+
+    Shape: the hash array, windowed minima, and distinct selection
+    are all array HOFs (transform/slice/array_min/array_distinct) —
+    per-row JVM codegen, NO row explosion for the per-doc columns;
+    only the final shared-fingerprint audit explodes the ~2/(W+1)
+    density selection and shuffles on the hash value (key domain
+    bounded by {P}, map-side combinable). Docs shorter than
+    K+W−1 normalized chars select nothing (the guarantee threshold).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    powers = [_WINNOW_B**j for j in range(_WINNOW_K)]
+    poly = " + ".join(
+        f"bigint(ascii(substring(t, i + {j}, 1))) * {p}"
+        for j, p in enumerate(powers)
+    )
+    # if-guarded: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+    # not empty, so short docs need the explicit empty-array branch
+    hashes = (
+        f"if(length(t) >= {_WINNOW_K},"
+        f" transform(sequence(1, length(t) - {_WINNOW_K - 1}),"
+        f" i -> ({poly}) % {_WINNOW_P}), array_repeat(0L, 0))"
+    )
+    selected = (
+        f"array_distinct(if(size(h) >= {_WINNOW_W},"
+        f" transform(sequence(1, size(h) - {_WINNOW_W - 1}),"
+        f" p -> array_min(slice(h, p, {_WINNOW_W}))), array_repeat(0L, 0)))"
+    )
+    per_doc = (
+        docs.select("doc_id", t.alias("t"))
+        .select("doc_id", F.expr(hashes).alias("h"))
+        .select(
+            "doc_id",
+            F.size("h").cast("long").alias("n_kgrams"),
+            F.greatest(
+                F.size("h") - (_WINNOW_W - 1), F.lit(0)
+            ).alias("n_windows"),
+            F.expr(selected).alias("fps"),
+        )
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_windows",
+            F.size("fps").alias("n_fingerprints"),
+            "fps",
+        )
+    )
+    per_doc = tracked_persist(per_doc)
+    fp_docs = per_doc.select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    shared = (
+        fp_docs.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    n_shared = (
+        fp_docs.join(shared, "fp")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        per_doc.join(n_shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_fingerprints").cast("long").alias("n_fingerprints"),
+            (
+                F.when(
+                    F.col("n_windows") > 0,
+                    F.round(
+                        F.col("n_fingerprints") / F.col("n_windows") + 1e-9,
+                        4,
+                    ),
+                ).otherwise(F.lit(0.0))
+                + 0.0
+            ).alias("density"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias(
+                "n_shared"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+text_winnowing_fingerprint.__doc__ = text_winnowing_fingerprint.__doc__.format(
+    K=_WINNOW_K, W=_WINNOW_W, B=_WINNOW_B, P=_WINNOW_P
+)
+
+_WINNOW_POLY_SQL = " + ".join(
+    f"CAST(ord(substr(t, CAST(i + {j} AS INT), 1)) AS BIGINT) * {p}"
+    for j, p in enumerate(_WINNOW_B**j for j in range(_WINNOW_K))
+)
+
+TEXT_WINNOWING_FINGERPRINT_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_SQL.format(col='text')} AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - {_WINNOW_K - 1}, 0) + 1),
+                        i -> ({_WINNOW_POLY_SQL}) % {_WINNOW_P}) AS h
+  FROM norm
+),
+per_doc AS (
+  SELECT doc_id,
+         len(h) AS n_kgrams,
+         greatest(len(h) - {_WINNOW_W - 1}, 0) AS n_windows,
+         list_distinct(list_transform(
+           range(1, greatest(len(h) - {_WINNOW_W - 1}, 0) + 1),
+           p -> list_min(h[p:p + {_WINNOW_W - 1}]))) AS fps
+  FROM hashed
+),
+fp_docs AS (
+  SELECT doc_id, unnest(fps) AS fp FROM per_doc
+),
+shared AS (
+  SELECT fp FROM fp_docs GROUP BY fp HAVING count(*) >= 2
+),
+n_shared AS (
+  SELECT f.doc_id, count(*) AS n_shared
+  FROM fp_docs f JOIN shared s ON f.fp = s.fp
+  GROUP BY f.doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_kgrams AS BIGINT) AS n_kgrams,
+       CAST(p.n_windows AS BIGINT) AS n_windows,
+       CAST(len(p.fps) AS BIGINT) AS n_fingerprints,
+       CASE WHEN p.n_windows > 0
+            THEN round(len(p.fps) / CAST(p.n_windows AS DOUBLE) + 1e-9, 4)
+            ELSE 0.0 END + 0.0 AS density,
+       CAST(coalesce(n.n_shared, 0) AS BIGINT) AS n_shared
+FROM per_doc p LEFT JOIN n_shared n ON p.doc_id = n.doc_id
+ORDER BY p.doc_id
 """
 
 
@@ -1005,6 +1385,8 @@ QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_winnowing_fingerprint": text_winnowing_fingerprint,
+    "lang_nb_confusion": lang_nb_confusion,
     "docs_source_profile": docs_source_profile,
 }
 
@@ -1025,5 +1407,7 @@ ORACLES = {
     "text_lang_id": TEXT_LANG_ID_SQL,
     "lang_confusion_matrix": LANG_CONFUSION_MATRIX_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_winnowing_fingerprint": TEXT_WINNOWING_FINGERPRINT_SQL,
+    "lang_nb_confusion": LANG_NB_CONFUSION_SQL,
     "docs_source_profile": DOCS_SOURCE_PROFILE_SQL,
 }

@@ -32,7 +32,7 @@ Rows dropped this round hold r4–r9 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-11 rotation queue — FIRST the twenty-three round-10 operators
+Round-11 rotation queue — FIRST the thirty-three round-10 operators
 (none driver-checked yet; all local-green at 3 SFs):
 `similarity_sq8_topk`, `similarity_sq8_rerank`,
 `similarity_ivf_cell_balance`, `embeddings_knn_graph`,
@@ -45,7 +45,12 @@ Round-11 rotation queue — FIRST the twenty-three round-10 operators
 `asof_join_tolerance`, `l_diversity_audit`,
 `embeddings_centroid_drift`, `corpus_heaps_law_fit`,
 `watermark_delay_sweep`, `columnar_encoding_advisor`,
-`orders_duplicate_payment_audit` — then the remaining 25
+`orders_duplicate_payment_audit`, `t_closeness_audit`,
+`dup_graph_modularity`, `user_logistic_roc_auc`,
+`text_winnowing_fingerprint`, `linkage_fellegi_sunter`,
+`lang_nb_confusion`, `stream_stream_full_outer`,
+`cdc_bitemporal_asof`, `events_decision_stump`,
+`label_davies_bouldin` — then the remaining 25
 r4-evidence entries
 (continue from `lang_confusion_matrix` in registry order), then the
 r5 pool, oldest evidence first per CORRECTNESS_r0*.json — plus any

@@ -414,6 +414,108 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — completes the
+    outer-join family next to the inner and left-outer twins by
+    pinning the RIGHT side's eviction semantics too: an unmatched
+    click is declared purchase-less only once the global watermark
+    passes the END of its match window (its latest possible matching
+    purchase has ``p_ts == c_ts + 10 min``), while an unmatched
+    purchase needs only ``p_ts < W`` (its window closes at its own
+    event time). The two null-side conditions are ASYMMETRIC because
+    the event-time constraint is — this row is what proves the state
+    manager derives both from the one join predicate.
+
+    Oracle: the batch range join UNION two watermark-gated anti-join
+    legs, with ``W = min(max p_ts, max c_ts) − 10 min`` (Spark's
+    min-policy global watermark after the final no-data batch).
+
+    Scale posture: identical to the inner/left forms — user-keyed
+    state bounded by the 10-minute event-time range either side.
+    """
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "fullOuter",
+    )
+    res = _memory_sink(joined, "append")
+    return res.select(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("gap_s"),
+    )
+
+
+STREAM_STREAM_FULL_OUTER_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+wm AS (
+  SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+         - INTERVAL 10 MINUTE AS w
+)
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch(date_trunc('second', p.ts))::BIGINT
+         - epoch(date_trunc('second', c.ts))::BIGINT AS gap_s
+FROM p
+JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+UNION ALL
+SELECT p.user_id, p.event_id, NULL, NULL
+FROM p, wm
+WHERE p.ts < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND c.ts <= p.ts
+      AND c.ts >= p.ts - INTERVAL 10 MINUTE
+  )
+UNION ALL
+SELECT c.user_id, NULL, c.event_id, NULL
+FROM c, wm
+WHERE c.ts + INTERVAL 10 MINUTE < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = c.user_id
+      AND c.ts <= p.ts
+      AND c.ts >= p.ts - INTERVAL 10 MINUTE
+  )
+"""
+
+
 STREAM_STREAM_LEFT_OUTER_SQL = """
 WITH p AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
@@ -1550,6 +1652,7 @@ QUERIES = {
     "stream_static_enrich": stream_static_enrich,
     "stream_stream_join": stream_stream_join,
     "stream_stream_left_outer": stream_stream_left_outer,
+    "stream_stream_full_outer": stream_stream_full_outer,
     "stream_anomaly_alerts": stream_anomaly_alerts,  # rows-only
     "stream_anomaly_rule_counts": stream_anomaly_rule_counts,
     "stream_docs_quality_gate": stream_docs_quality_gate,
@@ -1583,6 +1686,7 @@ ORACLES = {
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_stream_join": STREAM_STREAM_JOIN_SQL,
     "stream_stream_left_outer": STREAM_STREAM_LEFT_OUTER_SQL,
+    "stream_stream_full_outer": STREAM_STREAM_FULL_OUTER_SQL,
     "stream_anomaly_rule_counts": STREAM_ANOMALY_RULE_COUNTS_SQL,
     "stream_docs_quality_gate": STREAM_DOCS_QUALITY_GATE_SQL,
     "stream_decontaminate_gate": _curation_oracles.DECONTAMINATE_VS_BENCHMARK_SQL,
