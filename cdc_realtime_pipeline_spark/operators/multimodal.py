@@ -538,8 +538,113 @@ FROM sharded GROUP BY media_type, shard ORDER BY media_type, shard
 """
 
 
+_AE_WIN = 64  # frame window (bytes; stands in for audio samples)
+_AE_HOP = 32  # frame hop — 50% overlap, the STFT convention
+
+AUDIO_ENERGY_SCHEMA = (
+    "doc_id long, n_frames long, peak_frame long, peak_energy long,"
+    " total_energy long"
+)
+
+
+def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style framed feature extraction over the binary payload —
+    the one multimodal batch shape the family was missing: a
+    PER-SAMPLE SLIDING LOOP inside the Arrow batch (overlapping
+    {W}-byte frames at hop {H}, the STFT convention), where the other
+    media ops are one-value-per-blob. Per audio blob: frame count,
+    argmax-energy frame (first-occurrence tie-break), peak and total
+    frame energy, with energy = Σ byte² per frame — exact integers,
+    so the whole framing loop is oracle-gated (a real deployment swaps
+    the byte array for decoded PCM samples; the frame walk, vectorized
+    cumsum trick, batch iteration and schema contract are the
+    production shape).
+
+    Scale: mapInPandas with numpy O(n) cumulative-sum framing per
+    blob (never a Python per-frame loop), one-to-one rows out, blobs
+    never leave the executor; the output is doc-keyed and bounded.
+    """
+    media = synthesize_media(spark, sf_dir).filter(
+        F.col("media_type") == "audio/wav"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "n_frames": [],
+                "peak_frame": [],
+                "peak_energy": [],
+                "total_energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                nf = (n - _AE_WIN) // _AE_HOP + 1 if n >= _AE_WIN else 0
+                if nf > 0:
+                    csq = np.concatenate(([0], np.cumsum(b * b)))
+                    starts = np.arange(nf) * _AE_HOP
+                    energies = csq[starts + _AE_WIN] - csq[starts]
+                    peak = int(np.argmax(energies))
+                    out["peak_frame"].append(peak)
+                    out["peak_energy"].append(int(energies[peak]))
+                    out["total_energy"].append(int(energies.sum()))
+                else:
+                    out["peak_frame"].append(-1)
+                    out["peak_energy"].append(0)
+                    out["total_energy"].append(0)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_ENERGY_SCHEMA).orderBy("doc_id")
+
+
+media_audio_energy.__doc__ = media_audio_energy.__doc__.format(
+    W=_AE_WIN, H=_AE_HOP
+)
+
+# texts are ASCII, so byte == codepoint; the frame walk is the same
+# windowed integer sum expressed with list HOFs.
+MEDIA_AUDIO_ENERGY_SQL = f"""
+WITH audio AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+framed AS (
+  SELECT doc_id,
+         CASE WHEN n >= {_AE_WIN}
+              THEN (n - {_AE_WIN}) // {_AE_HOP} + 1 ELSE 0 END AS n_frames,
+         CASE WHEN n >= {_AE_WIN}
+              THEN list_transform(
+                     range(0, (n - {_AE_WIN}) // {_AE_HOP} + 1),
+                     f -> list_sum(list_transform(
+                            string_split(substr(text,
+                              CAST(f * {_AE_HOP} + 1 AS INT), {_AE_WIN}), ''),
+                            c -> CAST(unicode(c) AS BIGINT)
+                                 * CAST(unicode(c) AS BIGINT))))
+              ELSE [] END AS energies
+  FROM audio
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(CASE WHEN n_frames > 0
+                 THEN list_indexof(energies, list_max(energies)) - 1
+                 ELSE -1 END AS BIGINT) AS peak_frame,
+       CAST(CASE WHEN n_frames > 0 THEN list_max(energies) ELSE 0 END
+            AS BIGINT) AS peak_energy,
+       CAST(CASE WHEN n_frames > 0 THEN list_sum(energies) ELSE 0 END
+            AS BIGINT) AS total_energy
+FROM framed
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "media_shard_manifest": media_shard_manifest,
+    "media_audio_energy": media_audio_energy,
     "media_phash_near_dup": media_phash_near_dup,
     "media_features": media_features,
     "media_dedup_exact": media_dedup_exact,
@@ -549,6 +654,7 @@ QUERIES = {
 }
 ORACLES = {
     "media_shard_manifest": MEDIA_SHARD_MANIFEST_SQL,
+    "media_audio_energy": MEDIA_AUDIO_ENERGY_SQL,
     "media_phash_near_dup": MEDIA_PHASH_NEAR_DUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_dedup_exact": MEDIA_DEDUP_EXACT_SQL,

@@ -880,6 +880,122 @@ ORDER BY p.doc_id
 """
 
 
+_GT_MAX_R = 20  # report the head of the count-of-counts table
+
+
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency re-estimation table — the third smoothing
+    lens next to Laplace (`lang_nb_confusion`) and Kneser–Ney
+    (`text_bigram_kneser_ney`): from the BIGRAM count-of-counts
+    N_r (how many bigram types occurred exactly r times — bigrams
+    because the fixture's unigram vocabulary is saturated: every word
+    occurs ~900×, so the rare bands GT exists for only appear at the
+    bigram level), the GT estimate r* = (r+1)·N_{{r+1}}/N_r re-prices
+    every frequency band, and r·N_r/N is each band's probability
+    mass (r=1's is the missing-mass estimate — the probability the
+    next bigram is an unseen type). Rows are the {R} LOWEST frequency
+    bands present; a gap in N_{{r+1}} leaves r* NULL (raw GT;
+    smoothing N_r itself is the Gale–Sampson variant, out of scope
+    by design).
+
+    Shape: bigram counts (one corpus shuffle on the gram key), then
+    count-of-counts (bounded by max frequency), then lead/rank
+    windows over that BOUNDED relation. Integers everywhere except
+    the final 6dp-rounded ratio and the 8dp band mass — both ratios
+    of exact integers.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
+
+    docs = doc_words(spark, sf_dir)
+    arr = F.filter(F.col("words"), lambda x: F.length(x) > 0)
+    grams = (
+        docs.select(arr.alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1),"
+                    " slice(ws, 2, size(ws) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("gram")
+        )
+    )
+    wc = grams.groupBy("gram").agg(F.count("*").alias("r"))
+    coc = wc.groupBy("r").agg(F.count("*").alias("n_r"))
+    tot = wc.agg(F.sum("r").cast("long").alias("n_tokens"))
+    lead_w = Window.orderBy("r")
+    return (
+        coc.select(
+            "r",
+            "n_r",
+            F.when(
+                F.lead("r").over(lead_w) == F.col("r") + 1,
+                F.lead("n_r").over(lead_w),
+            ).alias("n_r_next"),
+            F.row_number().over(lead_w).alias("_band_rank"),
+        )
+        .filter(F.col("_band_rank") <= _GT_MAX_R)
+        .drop("_band_rank")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            "n_r_next",
+            (
+                F.round(
+                    (F.col("r") + 1)
+                    * F.col("n_r_next")
+                    / F.col("n_r").cast("double")
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("r_star"),
+            (
+                F.round(
+                    F.col("r") * F.col("n_r") / F.col("n_tokens").cast("double")
+                    + 1e-9,
+                    8,
+                )
+                + 0.0
+            ).alias("band_mass"),
+        )
+        .orderBy("r")
+    )
+
+
+text_good_turing.__doc__ = text_good_turing.__doc__.format(R=_GT_MAX_R)
+
+TEXT_GOOD_TURING_SQL = f"""
+WITH toks AS (
+  SELECT string_split({_NORM_SQL.format(col='text')}, ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i AS INT) + 1] AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+),
+wc AS (SELECT gram, count(*) AS r FROM grams GROUP BY gram),
+coc AS (SELECT r, count(*) AS n_r FROM wc GROUP BY r),
+tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens FROM wc),
+led AS (
+  SELECT r, n_r,
+         CASE WHEN lead(r) OVER (ORDER BY r) = r + 1
+              THEN lead(n_r) OVER (ORDER BY r) END AS n_r_next,
+         row_number() OVER (ORDER BY r) AS band_rank
+  FROM coc
+)
+SELECT r, n_r, n_r_next,
+       round((r + 1) * n_r_next / CAST(n_r AS DOUBLE) + 1e-9, 6) + 0.0
+         AS r_star,
+       round(r * n_r / CAST(t.n_tokens AS DOUBLE) + 1e-9, 8) + 0.0
+         AS band_mass
+FROM led CROSS JOIN tot t
+WHERE band_rank <= {_GT_MAX_R}
+ORDER BY r
+"""
+
+
 RAKE_STOPWORDS = [
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
     "from", "has", "have", "in", "is", "it", "its", "of", "on", "or",
@@ -1387,6 +1503,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_winnowing_fingerprint": text_winnowing_fingerprint,
     "lang_nb_confusion": lang_nb_confusion,
+    "text_good_turing": text_good_turing,
     "docs_source_profile": docs_source_profile,
 }
 
@@ -1409,5 +1526,6 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_winnowing_fingerprint": TEXT_WINNOWING_FINGERPRINT_SQL,
     "lang_nb_confusion": LANG_NB_CONFUSION_SQL,
+    "text_good_turing": TEXT_GOOD_TURING_SQL,
     "docs_source_profile": DOCS_SOURCE_PROFILE_SQL,
 }

@@ -170,6 +170,17 @@ PROBE_QUERIES = [
     ("watermark_delay_sweep", "jittered lateness pass -> 4 delay verdicts"),
     ("columnar_encoding_advisor", "4-col melt -> per-group run walk"),
     ("orders_duplicate_payment_audit", "week-bucket self-join + exact verify"),
+    # round-10 waves 5-6
+    ("t_closeness_audit", "QI x type counts -> integer TVD bands"),
+    ("dup_graph_modularity", "LPA labels x edges (2 joins) -> community aggs"),
+    ("user_logistic_roc_auc", "IRLS fit -> distinct-score cum windows"),
+    ("text_winnowing_fingerprint", "array-HOF winnow + shared-fp shuffle"),
+    ("linkage_fellegi_sunter", "pair features -> m/u moments -> weight bands"),
+    ("lang_nb_confusion", "train counts + test doc-word counts, 5-row fanout"),
+    ("stream_stream_full_outer", "watermarked full-outer join, availableNow E2E"),
+    ("cdc_bitemporal_asof", "3-version log x 2 snapshots -> struct-max"),
+    ("events_decision_stump", "binned counts -> threshold cum windows"),
+    ("label_davies_bouldin", "broadcast centroids scan + K^2 pairwise"),
 ]
 
 TABLES = [
