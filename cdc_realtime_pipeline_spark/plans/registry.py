@@ -32,7 +32,7 @@ Rows dropped this round hold r4–r9 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-11 rotation queue — FIRST the thirty-three round-10 operators
+Round-11 rotation queue — FIRST the thirty-five round-10 operators
 (none driver-checked yet; all local-green at 3 SFs):
 `similarity_sq8_topk`, `similarity_sq8_rerank`,
 `similarity_ivf_cell_balance`, `embeddings_knn_graph`,
@@ -50,7 +50,8 @@ Round-11 rotation queue — FIRST the thirty-three round-10 operators
 `text_winnowing_fingerprint`, `linkage_fellegi_sunter`,
 `lang_nb_confusion`, `stream_stream_full_outer`,
 `cdc_bitemporal_asof`, `events_decision_stump`,
-`label_davies_bouldin` — then the remaining 25
+`label_davies_bouldin`, `media_audio_energy`,
+`text_good_turing` — then the remaining 25
 r4-evidence entries
 (continue from `lang_confusion_matrix` in registry order), then the
 r5 pool, oldest evidence first per CORRECTNESS_r0*.json — plus any
