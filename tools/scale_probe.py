@@ -181,6 +181,8 @@ PROBE_QUERIES = [
     ("cdc_bitemporal_asof", "3-version log x 2 snapshots -> struct-max"),
     ("events_decision_stump", "binned counts -> threshold cum windows"),
     ("label_davies_bouldin", "broadcast centroids scan + K^2 pairwise"),
+    ("media_audio_energy", "numpy cumsum framing in mapInPandas, 1:1 rows"),
+    ("text_good_turing", "bigram count-of-counts -> bounded GT table"),
 ]
 
 TABLES = [
