@@ -1895,8 +1895,21 @@ def dup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     small R is the standard bounded-cost variant and is what keeps
     the whole thing ONE plan).
     """
+    labels = _lpa_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", "label", "n_members")
+        .orderBy("doc_id")
+    )
+
+
+def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doubled (src, dst) near-dup edge list the LPA family votes
+    over — localCheckpoint-ed because the unrolled plan references it
+    once per round (the PageRank idiom)."""
     pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    return (
         pairs.select(
             F.explode(
                 F.array(
@@ -1912,6 +1925,21 @@ def dup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .localCheckpoint()
     )
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized final-round LPA labels (doc_id, label) — the
+    community assignment is an INDEX the way CC labels are: built once
+    per (session, sf_dir), consumed by the LPA row itself and by
+    ``dup_graph_modularity`` (which would otherwise re-run the 3
+    join-rounds to grade the very partition the other row emits)."""
+    return memo_persist(
+        "lpa_labels", spark, sf_dir, lambda: _lpa_labels_build(spark, sf_dir)
+    )
+
+
+def _lpa_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lpa_edges(spark, sf_dir)
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
     )
@@ -1930,12 +1958,7 @@ def dup_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("node").alias("doc_id"), "label")
         )
-    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
-    return (
-        labels.join(sizes, "label")
-        .select("doc_id", "label", "n_members")
-        .orderBy("doc_id")
-    )
+    return labels
 
 
 dup_graph_label_propagation.__doc__ = dup_graph_label_propagation.__doc__.format(
@@ -1996,18 +2019,8 @@ def dup_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     EDGE relation, never the corpus; the per-community aggregate is
     bounded by the community count.
     """
-    pairs = dedup_docs_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
-    labels = dup_graph_label_propagation(spark, sf_dir).select(
-        "doc_id", "label", "n_members"
-    )
+    edges = _lpa_edges(spark, sf_dir)
+    labels = _lpa_labels(spark, sf_dir)
     m = edges.agg((F.count("*") / 2).cast("long").alias("m"))
     lab_src = labels.select(
         F.col("doc_id").alias("src"), F.col("label").alias("src_label")

@@ -46,6 +46,7 @@ def _slots():
         "neardup_shingles": dedup._shared_shingles,
         "neardup_candidates": dedup._verified_candidates,
         "neardup_cc_labels": corpus_ops._dup_component_labels,
+        "lpa_labels": corpus_ops._lpa_labels,
         "pq_base_dists": lambda spark, sf_dir: similarity._pq_base_dists(
             spark, load_table(spark, sf_dir, "embeddings"), sf_dir
         ),
