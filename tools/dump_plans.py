@@ -175,6 +175,18 @@ SHOWCASE = [
     ("watermark_delay_sweep", "jittered lateness pass → 4 delay verdicts"),
     ("columnar_encoding_advisor", "4-col melt → per-group run walk"),
     ("orders_duplicate_payment_audit", "week-bucket self-join + exact verify"),
+    # round-10 waves 5-7
+    ("t_closeness_audit", "QI × type counts → integer TVD band algebra"),
+    ("dup_graph_modularity", "memoized LPA labels × edges → community Q"),
+    ("user_logistic_roc_auc", "IRLS scores → distinct-score cum windows"),
+    ("text_winnowing_fingerprint", "array-HOF winnow, no explode until fp audit"),
+    ("linkage_fellegi_sunter", "pair features → m/u moments → log-odds bands"),
+    ("lang_nb_confusion", "sparse NB: observed (w,l) rows + 5-row fan-out"),
+    ("cdc_bitemporal_asof", "3-version log × 2 snapshots → struct-max"),
+    ("events_decision_stump", "binned counts → threshold cum windows → rank"),
+    ("label_davies_bouldin", "broadcast centroid scan + K² pairwise ratios"),
+    ("media_audio_energy", "mapInPandas cumsum framing, 1:1 rows out"),
+    ("text_good_turing", "bigram count-of-counts → bounded GT table"),
 ]
 
 
