@@ -2015,6 +2015,112 @@ def docs_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_gate_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fairness audit of the Gopher gate across sources — the check a
+    curation pipeline owes its corpus: a quality filter that passes
+    one provenance at 90% and another at 40% silently rewrites the
+    data mixture (the "filtering disparately excludes" failure mode
+    documented for every public web-scale filter). Per source:
+    pass rate, disparate-impact ratio vs the best-passing source
+    (four-fifths rule — the EEOC threshold, flagged by the EXACT
+    integer comparison 5·kept_s·n_ref < 4·n_s·kept_ref, no float
+    boundary), and statistical parity difference vs the corpus rate.
+
+    Chained on ``docs_gopher_quality_gate``'s own output — audit and
+    gate cannot drift apart. Everything is bounded: the gate output
+    is source-sized, the reference row is a struct-max over it, the
+    corpus rate one more 1-row broadcast.
+    """
+    gate = docs_gopher_quality_gate(spark, sf_dir).select(
+        "source", "n_docs", F.col("kept").alias("n_kept")
+    )
+    ref = gate.agg(
+        F.max(
+            F.struct(
+                (F.col("n_kept") / F.col("n_docs")).alias("rate"),
+                F.col("source").alias("ref_source"),
+                F.col("n_kept").alias("ref_kept"),
+                F.col("n_docs").alias("ref_docs"),
+            )
+        ).alias("r")
+    ).select("r.ref_source", "r.ref_kept", "r.ref_docs")
+    tot = gate.agg(
+        F.sum("n_kept").alias("tot_kept"), F.sum("n_docs").alias("tot_docs")
+    )
+    return (
+        gate.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (
+                F.round(F.col("n_kept") / F.col("n_docs") + 1e-9, 6) + 0.0
+            ).alias("pass_rate"),
+            "ref_source",
+            (
+                F.round(
+                    (F.col("n_kept") * F.col("ref_docs"))
+                    / (F.col("n_docs") * F.col("ref_kept")).cast("double")
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("di_ratio"),
+            (
+                5 * F.col("n_kept") * F.col("ref_docs")
+                < 4 * F.col("n_docs") * F.col("ref_kept")
+            )
+            .cast("int")
+            .alias("fails_four_fifths"),
+            (
+                F.round(
+                    F.col("n_kept") / F.col("n_docs")
+                    - F.col("tot_kept") / F.col("tot_docs").cast("double")
+                    + 1e-9,
+                    6,
+                )
+                + 0.0
+            ).alias("parity_diff"),
+        )
+        .orderBy("source")
+    )
+
+
+def _fairness_oracle_sql() -> str:
+    gate = DOCS_GOPHER_QUALITY_GATE_SQL.strip()
+    return f"""
+WITH gate AS ({gate}),
+g AS (SELECT source, n_docs, kept AS n_kept FROM gate),
+ref AS (
+  SELECT source AS ref_source, n_kept AS ref_kept, n_docs AS ref_docs
+  FROM g
+  ORDER BY n_kept / CAST(n_docs AS DOUBLE) DESC, source DESC
+  LIMIT 1
+),
+tot AS (
+  SELECT CAST(sum(n_kept) AS BIGINT) AS tot_kept,
+         CAST(sum(n_docs) AS BIGINT) AS tot_docs
+  FROM g
+)
+SELECT g.source, g.n_docs, g.n_kept,
+       round(g.n_kept / CAST(g.n_docs AS DOUBLE) + 1e-9, 6) + 0.0
+         AS pass_rate,
+       ref.ref_source,
+       round((g.n_kept * ref.ref_docs)
+             / CAST(g.n_docs * ref.ref_kept AS DOUBLE) + 1e-9, 6) + 0.0
+         AS di_ratio,
+       CASE WHEN 5 * g.n_kept * ref.ref_docs
+                 < 4 * g.n_docs * ref.ref_kept THEN 1 ELSE 0 END
+         AS fails_four_fifths,
+       round(g.n_kept / CAST(g.n_docs AS DOUBLE)
+             - tot.tot_kept / CAST(tot.tot_docs AS DOUBLE) + 1e-9, 6) + 0.0
+         AS parity_diff
+FROM g CROSS JOIN ref CROSS JOIN tot
+ORDER BY g.source
+"""
+
+
 DOCS_GOPHER_QUALITY_GATE_SQL = f"""
 WITH toks AS (
   SELECT source, doc_id, word
@@ -2182,6 +2288,7 @@ QUERIES = {
     "corpus_mixture_weights": corpus_mixture_weights,
     "docs_chunked": docs_chunked,
     "docs_gopher_quality_gate": docs_gopher_quality_gate,
+    "quality_gate_fairness_audit": quality_gate_fairness_audit,
 }
 
 ORACLES = {
@@ -2207,4 +2314,5 @@ ORACLES = {
     "corpus_quality_weighted_sample": CORPUS_QUALITY_WEIGHTED_SAMPLE_SQL,
     "docs_chunked": DOCS_CHUNKED_SQL,
     "docs_gopher_quality_gate": DOCS_GOPHER_QUALITY_GATE_SQL,
+    "quality_gate_fairness_audit": _fairness_oracle_sql(),
 }

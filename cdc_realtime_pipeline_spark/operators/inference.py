@@ -1802,6 +1802,134 @@ FROM loss_side CROSS JOIN rank_side
 )
 
 
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-inference primitive the
+    test shelf was missing (z/Welch/MW compare GROUPS, DiD compares
+    group TRENDS, differencing out both the group baseline and the
+    common time shock): treatment = odd user_id (the deterministic
+    assignment stand-in), periods split at the epoch midpoint (the
+    BH/backtest convention), outcome = event value. Emits the 2×2
+    cell table, the DiD estimate
+    (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), its large-sample
+    SE = sqrt(Σ s²_c/n_c) over the four cells, and t = DiD/SE.
+
+    One corpus scan to 4 cells (bounded hash agg with map-side
+    combine), then shared closed forms over the 4×(n, Σy, Σy²)
+    moments; means/variances are rounded 6dp before the composite so
+    both engines difference identical doubles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2.0)
+        .alias("mid")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
+            (F.unix_timestamp("ts") > F.col("mid")).cast("int").alias("post"),
+            "value",
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sy"),
+            F.sum(F.col("value") * F.col("value")).alias("syy"),
+        )
+        .select(
+            "treated",
+            "post",
+            "n",
+            F.expr("round(sy / n + 1e-9, 6)").alias("mean"),
+            F.expr(
+                "round((syy - sy * sy / n) / (n - 1) + 1e-9, 6)"
+            ).alias("var"),
+        )
+    )
+    wide = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p), F.col(c)
+                )
+            ).alias(f"{c}_{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+            for c in ("n", "mean", "var")
+        ]
+    )
+    return wide.select(
+        F.col("n_00").alias("n_ctrl_pre"),
+        F.col("n_01").alias("n_ctrl_post"),
+        F.col("n_10").alias("n_treat_pre"),
+        F.col("n_11").alias("n_treat_post"),
+        F.col("mean_00").alias("mean_ctrl_pre"),
+        F.col("mean_01").alias("mean_ctrl_post"),
+        F.col("mean_10").alias("mean_treat_pre"),
+        F.col("mean_11").alias("mean_treat_post"),
+        F.expr(
+            "round((mean_11 - mean_10) - (mean_01 - mean_00) + 1e-9, 6)"
+        ).alias("did"),
+        F.expr(
+            "round(sqrt(var_00 / n_00 + var_01 / n_01 + var_10 / n_10"
+            " + var_11 / n_11) + 1e-9, 6)"
+        ).alias("se"),
+        F.expr(
+            "round(((mean_11 - mean_10) - (mean_01 - mean_00))"
+            " / sqrt(var_00 / n_00 + var_01 / n_01 + var_10 / n_10"
+            " + var_11 / n_11) + 1e-9, 4)"
+        ).alias("t_stat"),
+    )
+
+
+EVENTS_DIFF_IN_DIFF_SQL = """
+WITH mid AS (
+  SELECT (min(epoch(ts)) + max(epoch(ts))) / 2.0 AS mid FROM events
+),
+cells AS (
+  SELECT treated, post, n,
+         round(sy / n + 1e-9, 6) AS mean,
+         round((syy - sy * sy / n) / (n - 1) + 1e-9, 6) AS var
+  FROM (
+    SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+           CASE WHEN epoch(ts) > mid.mid THEN 1 ELSE 0 END AS post,
+           count(*) AS n,
+           sum(value) AS sy,
+           sum(value * value) AS syy
+    FROM events CROSS JOIN mid
+    GROUP BY 1, 2
+  ) m
+),
+wide AS (
+  SELECT
+    max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_00,
+    max(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_01,
+    max(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_10,
+    max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_11,
+    max(CASE WHEN treated = 0 AND post = 0 THEN mean END) AS mean_00,
+    max(CASE WHEN treated = 0 AND post = 1 THEN mean END) AS mean_01,
+    max(CASE WHEN treated = 1 AND post = 0 THEN mean END) AS mean_10,
+    max(CASE WHEN treated = 1 AND post = 1 THEN mean END) AS mean_11,
+    max(CASE WHEN treated = 0 AND post = 0 THEN var END) AS var_00,
+    max(CASE WHEN treated = 0 AND post = 1 THEN var END) AS var_01,
+    max(CASE WHEN treated = 1 AND post = 0 THEN var END) AS var_10,
+    max(CASE WHEN treated = 1 AND post = 1 THEN var END) AS var_11
+  FROM cells
+)
+SELECT n_00 AS n_ctrl_pre, n_01 AS n_ctrl_post,
+       n_10 AS n_treat_pre, n_11 AS n_treat_post,
+       mean_00 AS mean_ctrl_pre, mean_01 AS mean_ctrl_post,
+       mean_10 AS mean_treat_pre, mean_11 AS mean_treat_post,
+       round((mean_11 - mean_10) - (mean_01 - mean_00) + 1e-9, 6) AS did,
+       round(sqrt(var_00 / n_00 + var_01 / n_01 + var_10 / n_10
+                  + var_11 / n_11) + 1e-9, 6) AS se,
+       round(((mean_11 - mean_10) - (mean_01 - mean_00))
+             / sqrt(var_00 / n_00 + var_01 / n_01 + var_10 / n_10
+                    + var_11 / n_11) + 1e-9, 4) AS t_stat
+FROM wide
+"""
+
+
 _STUMP_VALUE_BAND = 20.0  # candidate value thresholds every 20 units
 
 
@@ -4193,6 +4321,7 @@ QUERIES = {
     "user_logistic_regression": user_logistic_regression,
     "user_logistic_roc_auc": user_logistic_roc_auc,
     "events_decision_stump": events_decision_stump,
+    "events_diff_in_diff": events_diff_in_diff,
     "value_conformal_interval": value_conformal_interval,
     "user_overdispersion_check": user_overdispersion_check,
     "customer_tercile_migration": customer_tercile_migration,
@@ -4231,6 +4360,7 @@ ORACLES = {
     "user_logistic_regression": USER_LOGISTIC_REGRESSION_SQL,
     "user_logistic_roc_auc": USER_LOGISTIC_ROC_AUC_SQL,
     "events_decision_stump": EVENTS_DECISION_STUMP_SQL,
+    "events_diff_in_diff": EVENTS_DIFF_IN_DIFF_SQL,
     "value_conformal_interval": VALUE_CONFORMAL_INTERVAL_SQL,
     "user_overdispersion_check": USER_OVERDISPERSION_CHECK_SQL,
     "customer_tercile_migration": CUSTOMER_TERCILE_MIGRATION_SQL,

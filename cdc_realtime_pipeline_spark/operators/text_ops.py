@@ -370,6 +370,124 @@ LIMIT {_TFIDF_TOPK}
 """
 
 
+_NDCG_K = 10
+
+
+def retrieval_ndcg_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{K} system-agreement between the two sparse retrievers —
+    the ranking-evaluation metric the retrieval family lacked (recall
+    tables measure SET overlap; nDCG measures ORDER with graded,
+    position-discounted credit). With no human qrels in the fixture,
+    the TF-IDF ranking plays graded truth (rel = {T}+1−rank, the
+    standard system-agreement protocol for comparing rankers):
+    DCG@{K} of BM25's ordering over those grades vs the ideal DCG of
+    the grades themselves — nDCG 1.0 means BM25 reorders nothing that
+    TF-IDF's grades care about.
+
+    Both rankings are the already-bounded top-{T} relations; ranks
+    come from row_number windows above their limits, and the final
+    row is a 3-scalar aggregate — everything after the (shared,
+    memoized) retriever subplans touches ≤{T} rows.
+    """
+    bm = text_bm25_topk(spark, sf_dir)
+    tfi = text_tfidf_topk(spark, sf_dir)
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_r = bm.select(
+        "doc_id", F.row_number().over(w_bm).alias("bm_rank")
+    ).filter(F.col("bm_rank") <= _NDCG_K)
+    rel = tfi.select(
+        "doc_id",
+        (
+            F.lit(_TFIDF_TOPK + 1)
+            - F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+        ).alias("rel"),
+    )
+    dcg = (
+        bm_r.join(rel, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+            "bm_rank",
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("rel") / F.log2(F.col("bm_rank") + 1)
+                )
+                + 1e-9,
+                6,
+            ).alias("dcg"),
+            F.count_if(F.col("rel") > 0).cast("long").alias("n_overlap"),
+        )
+    )
+    ideal = rel.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel")))
+        .alias("i_rank"),
+    ).filter(F.col("i_rank") <= _NDCG_K).agg(
+        F.round(
+            F.sum(F.col("rel") / F.log2(F.col("i_rank") + 1)) + 1e-9, 6
+        ).alias("idcg")
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        F.lit(_NDCG_K).alias("k"),
+        "n_overlap",
+        "dcg",
+        "idcg",
+        (
+            F.round(F.col("dcg") / F.col("idcg") + 1e-9, 6) + 0.0
+        ).alias("ndcg"),
+    )
+
+
+retrieval_ndcg_agreement.__doc__ = retrieval_ndcg_agreement.__doc__.format(
+    K=_NDCG_K, T=_TFIDF_TOPK
+)
+
+
+def _ndcg_oracle_sql() -> str:
+    bm = TEXT_BM25_TOPK_SQL.format(
+        norm=_NORM_SQL.format(col="text"), terms=_TFIDF_IN
+    ).strip()
+    tfi = TEXT_TFIDF_TOPK_SQL.strip()
+    return f"""
+WITH bm AS ({bm}),
+tfi AS ({tfi}),
+bm_r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm_rank
+  FROM bm QUALIFY bm_rank <= {_NDCG_K}
+),
+rel AS (
+  SELECT doc_id,
+         {_TFIDF_TOPK} + 1
+           - row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rel
+  FROM tfi
+),
+dcg AS (
+  SELECT round(sum(coalesce(rel.rel, 0)
+                   / log2(CAST(bm_r.bm_rank + 1 AS DOUBLE))) + 1e-9, 6)
+           AS dcg,
+         CAST(count(CASE WHEN rel.rel > 0 THEN 1 END) AS BIGINT)
+           AS n_overlap
+  FROM bm_r LEFT JOIN rel ON bm_r.doc_id = rel.doc_id
+),
+ideal AS (
+  SELECT round(sum(rel / log2(CAST(i_rank + 1 AS DOUBLE))) + 1e-9, 6)
+           AS idcg
+  FROM (SELECT rel,
+               row_number() OVER (ORDER BY rel DESC) AS i_rank
+        FROM rel) t
+  WHERE i_rank <= {_NDCG_K}
+)
+SELECT {_NDCG_K} AS k, n_overlap, dcg, idcg,
+       round(dcg / idcg + 1e-9, 6) + 0.0 AS ndcg
+FROM dcg CROSS JOIN ideal
+"""
+
+
 def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation matrix: declared (metadata) language vs
     the n-gram detector's prediction, with per-cell counts and a
@@ -1504,6 +1622,7 @@ QUERIES = {
     "text_winnowing_fingerprint": text_winnowing_fingerprint,
     "lang_nb_confusion": lang_nb_confusion,
     "text_good_turing": text_good_turing,
+    "retrieval_ndcg_agreement": retrieval_ndcg_agreement,
     "docs_source_profile": docs_source_profile,
 }
 
@@ -1527,5 +1646,6 @@ ORACLES = {
     "text_winnowing_fingerprint": TEXT_WINNOWING_FINGERPRINT_SQL,
     "lang_nb_confusion": LANG_NB_CONFUSION_SQL,
     "text_good_turing": TEXT_GOOD_TURING_SQL,
+    "retrieval_ndcg_agreement": _ndcg_oracle_sql(),
     "docs_source_profile": DOCS_SOURCE_PROFILE_SQL,
 }

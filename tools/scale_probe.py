@@ -183,6 +183,9 @@ PROBE_QUERIES = [
     ("label_davies_bouldin", "broadcast centroids scan + K^2 pairwise"),
     ("media_audio_energy", "numpy cumsum framing in mapInPandas, 1:1 rows"),
     ("text_good_turing", "bigram count-of-counts -> bounded GT table"),
+    ("quality_gate_fairness_audit", "gate output -> DI/parity closed forms"),
+    ("events_diff_in_diff", "corpus -> 2x2 moment cells -> closed forms"),
+    ("retrieval_ndcg_agreement", "two bounded rankers -> 20-row nDCG"),
 ]
 
 TABLES = [
