@@ -1930,6 +1930,190 @@ FROM wide
 """
 
 
+_SPRT_LIFT = 1.5  # H1: the type's share is 1.5x its day-1 baseline
+_SPRT_A = 2.94443898  # ln((1-beta)/alpha) at alpha=beta=0.05, 8dp
+_SPRT_TRAIN_H = 24  # baseline window (hours)
+
+
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test per event type — the
+    SEQUENTIAL member of the testing shelf (z/Welch/BH decide once on
+    the full sample; SPRT walks the stream and stops at the first
+    hour the evidence crosses a boundary, the monitoring semantics an
+    on-call alert actually needs). H0: the type's share of events
+    equals its first-{TH}-hours baseline p0; H1: it is {L}× that.
+    The per-hour log-likelihood-ratio increment is
+    n_t·ln({L}) + (n_hour − n_t)·ln((1−p1)/(1−p0)), accumulated over
+    post-baseline hours; the walk stops at ±ln((1−β)/α) (α=β=0.05).
+
+    Determinism: increments are integer counts × 8dp-rounded lns,
+    accumulated by an hour-ORDERED window — both engines add the same
+    doubles in the same order, so every boundary comparison is
+    bit-identical. Everything after the one corpus scan is the
+    bounded (type × hour) relation. The walk visits the hours where
+    the type OCCURS (an absent hour contributes no increment) — dense
+    on this fixture, where every type fires every hour; a sparse
+    deployment would left-join the hour spine first.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.unix_timestamp("ts")).alias("t0"))
+    hours = (
+        ev.crossJoin(F.broadcast(t0))
+        .select(
+            "event_type",
+            F.floor(
+                (F.unix_timestamp("ts") - F.col("t0")) / 3600
+            ).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n_t"))
+    )
+    totals = hours.groupBy("hr").agg(F.sum("n_t").alias("n_hr"))
+    base = (
+        hours.filter(F.col("hr") < _SPRT_TRAIN_H)
+        .groupBy("event_type")
+        .agg(F.sum("n_t").alias("b_t"))
+        .crossJoin(
+            F.broadcast(
+                totals.filter(F.col("hr") < _SPRT_TRAIN_H).agg(
+                    F.sum("n_hr").alias("b_n")
+                )
+            )
+        )
+        .select(
+            "event_type",
+            F.expr("round(b_t / CAST(b_n AS DOUBLE), 8)").alias("p0"),
+        )
+        .select(
+            "event_type",
+            "p0",
+            F.expr(f"round(ln({_SPRT_LIFT}D), 8)").alias("llr_e"),
+            F.expr(
+                f"round(ln((1.0D - {_SPRT_LIFT}D * p0) / (1.0D - p0)), 8)"
+            ).alias("llr_o"),
+        )
+    )
+    walk = (
+        hours.filter(F.col("hr") >= _SPRT_TRAIN_H)
+        .join(totals, "hr")
+        .join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            "p0",
+            (
+                F.col("n_t") * F.col("llr_e")
+                + (F.col("n_hr") - F.col("n_t")) * F.col("llr_o")
+            ).alias("inc"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = walk.select(
+        "event_type", "hr", "p0", F.sum("inc").over(wcum).alias("cum")
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("p0").alias("p0"),
+            F.min(
+                F.when(F.col("cum") >= _SPRT_A, F.col("hr"))
+            ).alias("h1_hour"),
+            F.min(
+                F.when(F.col("cum") <= -_SPRT_A, F.col("hr"))
+            ).alias("h0_hour"),
+            F.expr("round(max_by(cum, hr) + 1e-9, 6) + 0.0").alias(
+                "final_llr"
+            ),
+            F.count("*").cast("long").alias("n_hours"),
+        )
+        .select(
+            "event_type",
+            "p0",
+            "h1_hour",
+            "h0_hour",
+            F.when(
+                F.col("h1_hour").isNotNull()
+                & (
+                    F.col("h0_hour").isNull()
+                    | (F.col("h1_hour") <= F.col("h0_hour"))
+                ),
+                F.lit("accept_h1"),
+            )
+            .when(F.col("h0_hour").isNotNull(), F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+            "final_llr",
+            "n_hours",
+        )
+        .orderBy("event_type")
+    )
+
+
+events_sprt_monitor.__doc__ = events_sprt_monitor.__doc__.format(
+    TH=_SPRT_TRAIN_H, L=_SPRT_LIFT
+)
+
+EVENTS_SPRT_MONITOR_SQL = f"""
+WITH t0 AS (SELECT min(epoch(ts)) AS t0 FROM events),
+hours AS (
+  SELECT event_type,
+         CAST(floor((epoch(ts) - t0.t0) / 3600) AS BIGINT) AS hr,
+         count(*) AS n_t
+  FROM events CROSS JOIN t0
+  GROUP BY 1, 2
+),
+totals AS (SELECT hr, sum(n_t) AS n_hr FROM hours GROUP BY hr),
+base AS (
+  SELECT event_type,
+         round(sum(n_t) / (SELECT CAST(sum(n_hr) AS DOUBLE) FROM totals
+                           WHERE hr < {_SPRT_TRAIN_H}), 8) AS p0
+  FROM hours WHERE hr < {_SPRT_TRAIN_H} GROUP BY event_type
+),
+basellr AS (
+  SELECT event_type, p0,
+         round(ln({_SPRT_LIFT}), 8) AS llr_e,
+         round(ln((1.0 - {_SPRT_LIFT} * p0) / (1.0 - p0)), 8) AS llr_o
+  FROM base
+),
+walk AS (
+  SELECT h.event_type, h.hr, b.p0,
+         h.n_t * b.llr_e + (t.n_hr - h.n_t) * b.llr_o AS inc
+  FROM hours h
+  JOIN totals t ON h.hr = t.hr
+  JOIN basellr b ON h.event_type = b.event_type
+  WHERE h.hr >= {_SPRT_TRAIN_H}
+),
+cum AS (
+  SELECT event_type, hr, p0,
+         sum(inc) OVER (PARTITION BY event_type ORDER BY hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM walk
+),
+agg AS (
+  SELECT event_type,
+         max(p0) AS p0,
+         min(CASE WHEN cum >= {_SPRT_A} THEN hr END) AS h1_hour,
+         min(CASE WHEN cum <= -{_SPRT_A} THEN hr END) AS h0_hour,
+         round(max_by(cum, hr) + 1e-9, 6) + 0.0 AS final_llr,
+         count(*) AS n_hours
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, p0, h1_hour, h0_hour,
+       CASE WHEN h1_hour IS NOT NULL
+                 AND (h0_hour IS NULL OR h1_hour <= h0_hour)
+            THEN 'accept_h1'
+            WHEN h0_hour IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       final_llr, n_hours
+FROM agg
+ORDER BY event_type
+"""
+
+
 _STUMP_VALUE_BAND = 20.0  # candidate value thresholds every 20 units
 
 
@@ -4322,6 +4506,7 @@ QUERIES = {
     "user_logistic_roc_auc": user_logistic_roc_auc,
     "events_decision_stump": events_decision_stump,
     "events_diff_in_diff": events_diff_in_diff,
+    "events_sprt_monitor": events_sprt_monitor,
     "value_conformal_interval": value_conformal_interval,
     "user_overdispersion_check": user_overdispersion_check,
     "customer_tercile_migration": customer_tercile_migration,
@@ -4361,6 +4546,7 @@ ORACLES = {
     "user_logistic_roc_auc": USER_LOGISTIC_ROC_AUC_SQL,
     "events_decision_stump": EVENTS_DECISION_STUMP_SQL,
     "events_diff_in_diff": EVENTS_DIFF_IN_DIFF_SQL,
+    "events_sprt_monitor": EVENTS_SPRT_MONITOR_SQL,
     "value_conformal_interval": VALUE_CONFORMAL_INTERVAL_SQL,
     "user_overdispersion_check": USER_OVERDISPERSION_CHECK_SQL,
     "customer_tercile_migration": CUSTOMER_TERCILE_MIGRATION_SQL,

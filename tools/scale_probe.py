@@ -186,6 +186,8 @@ PROBE_QUERIES = [
     ("quality_gate_fairness_audit", "gate output -> DI/parity closed forms"),
     ("events_diff_in_diff", "corpus -> 2x2 moment cells -> closed forms"),
     ("retrieval_ndcg_agreement", "two bounded rankers -> 20-row nDCG"),
+    ("linkage_em_patterns", "pattern collapse -> 16-row EM iterations"),
+    ("events_sprt_monitor", "hourly LLR walk -> boundary decisions"),
 ]
 
 TABLES = [
