@@ -1956,21 +1956,30 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment would left-join the hour spine first.
     """
     ev = load_table(spark, sf_dir, "events")
-    t0 = ev.agg(F.min(F.unix_timestamp("ts")).alias("t0"))
-    hours = (
-        ev.crossJoin(F.broadcast(t0))
-        .select(
-            "event_type",
-            F.floor(
-                (F.unix_timestamp("ts") - F.col("t0")) / 3600
-            ).cast("long").alias("hr"),
-        )
-        .groupBy("event_type", "hr")
-        .agg(F.count("*").alias("n_t"))
+    hours = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hb"),
+    ).agg(F.count("*").alias("n_t"))
+    return sprt_from_hourly(hours)
+
+
+def sprt_from_hourly(hours: DataFrame) -> DataFrame:
+    """The SPRT fold over an (event_type, hb, n_t) hourly relation —
+    factored so the batch operator and ``stream_sprt_alarm`` (which
+    maintains the hourly counts as streaming state) finalize through
+    the IDENTICAL code path and share one oracle. ``hb`` is the
+    ABSOLUTE hour bucket (unix div 3600); the training window is the
+    first {TH} buckets observed, and reported hours are relative to
+    the first bucket."""
+    h0 = hours.agg(F.min("hb").alias("h0"))
+    hrs = hours.crossJoin(F.broadcast(h0)).select(
+        "event_type",
+        (F.col("hb") - F.col("h0")).alias("hr"),
+        "n_t",
     )
-    totals = hours.groupBy("hr").agg(F.sum("n_t").alias("n_hr"))
+    totals = hrs.groupBy("hr").agg(F.sum("n_t").alias("n_hr"))
     base = (
-        hours.filter(F.col("hr") < _SPRT_TRAIN_H)
+        hrs.filter(F.col("hr") < _SPRT_TRAIN_H)
         .groupBy("event_type")
         .agg(F.sum("n_t").alias("b_t"))
         .crossJoin(
@@ -1994,7 +2003,7 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     walk = (
-        hours.filter(F.col("hr") >= _SPRT_TRAIN_H)
+        hrs.filter(F.col("hr") >= _SPRT_TRAIN_H)
         .join(totals, "hr")
         .join(F.broadcast(base), "event_type")
         .select(
@@ -2057,21 +2066,28 @@ events_sprt_monitor.__doc__ = events_sprt_monitor.__doc__.format(
     TH=_SPRT_TRAIN_H, L=_SPRT_LIFT
 )
 
+sprt_from_hourly.__doc__ = sprt_from_hourly.__doc__.format(TH=_SPRT_TRAIN_H)
+
+# shared by events_sprt_monitor and stream_sprt_alarm (one fold, one
+# oracle — the cusum pair discipline)
 EVENTS_SPRT_MONITOR_SQL = f"""
-WITH t0 AS (SELECT min(epoch(ts)) AS t0 FROM events),
-hours AS (
+WITH hours AS (
   SELECT event_type,
-         CAST(floor((epoch(ts) - t0.t0) / 3600) AS BIGINT) AS hr,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
          count(*) AS n_t
-  FROM events CROSS JOIN t0
+  FROM events
   GROUP BY 1, 2
 ),
-totals AS (SELECT hr, sum(n_t) AS n_hr FROM hours GROUP BY hr),
+h0 AS (SELECT min(hb) AS h0 FROM hours),
+hrs AS (
+  SELECT event_type, hb - h0.h0 AS hr, n_t FROM hours CROSS JOIN h0
+),
+totals AS (SELECT hr, sum(n_t) AS n_hr FROM hrs GROUP BY hr),
 base AS (
   SELECT event_type,
          round(sum(n_t) / (SELECT CAST(sum(n_hr) AS DOUBLE) FROM totals
                            WHERE hr < {_SPRT_TRAIN_H}), 8) AS p0
-  FROM hours WHERE hr < {_SPRT_TRAIN_H} GROUP BY event_type
+  FROM hrs WHERE hr < {_SPRT_TRAIN_H} GROUP BY event_type
 ),
 basellr AS (
   SELECT event_type, p0,
@@ -2082,7 +2098,7 @@ basellr AS (
 walk AS (
   SELECT h.event_type, h.hr, b.p0,
          h.n_t * b.llr_e + (t.n_hr - h.n_t) * b.llr_o AS inc
-  FROM hours h
+  FROM hrs h
   JOIN totals t ON h.hr = t.hr
   JOIN basellr b ON h.event_type = b.event_type
   WHERE h.hr >= {_SPRT_TRAIN_H}

@@ -443,8 +443,120 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def orders_open_interval_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency — the "how many are open RIGHT
+    NOW" analytic (concurrent sessions, open orders, room occupancy)
+    that naive approaches answer with an interval×timestamp join:
+    each order opens at its order date and closes
+    (o_orderkey % 30 + 1) days later; the sweep turns every interval
+    into a +1/−1 delta, collapses deltas per DAY (the only
+    corpus-sized aggregate, map-side combinable, key domain = the
+    date span), and a date-ordered cumulative window over that
+    BOUNDED daily relation yields the exact open-interval depth.
+    Per month: the peak depth, its first day, depth at month end, and
+    the net open/close flow — integers everywhere.
+
+    This is the canonical O(n) alternative to the O(n·days)
+    expand-per-day join; the unpartitioned cumulative window is fine
+    because its input is calendar-sized, not corpus-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("open_d"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 30 + 1).cast("int"),
+        ).alias("close_d"),
+    )
+    deltas = (
+        orders.select(F.col("open_d").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            orders.select(
+                F.col("close_d").alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("delta").cast("long").alias("net"),
+            F.count_if(F.col("delta") == 1).cast("long").alias("n_opened"),
+        )
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    daily = deltas.select(
+        "d",
+        "net",
+        "n_opened",
+        F.sum("net").over(wcum).alias("depth"),
+    )
+    monthly = daily.select(
+        F.date_format("d", "yyyy-MM").alias("month"),
+        "d",
+        "net",
+        "n_opened",
+        "depth",
+    ).withColumn(
+        "mx", F.max("depth").over(Window.partitionBy("month"))
+    )
+    return (
+        monthly.groupBy("month")
+        .agg(
+            F.count("*").alias("n_change_days"),
+            F.sum("n_opened").alias("n_opened"),
+            F.max("depth").alias("peak_depth"),
+            F.min(
+                F.when(F.col("depth") == F.col("mx"), F.col("d"))
+            ).alias("peak_day"),
+            F.expr("max_by(depth, d)").alias("depth_at_month_end"),
+            F.sum("net").cast("long").alias("net_flow"),
+        )
+        .orderBy("month")
+    )
+
+
+ORDERS_OPEN_INTERVAL_DEPTH_SQL = """
+WITH iv AS (
+  SELECT CAST(o_orderdate AS DATE) AS open_d,
+         CAST(o_orderdate AS DATE)
+           + CAST((o_orderkey % 30 + 1) AS INT) AS close_d
+  FROM orders
+),
+deltas AS (
+  SELECT d,
+         CAST(sum(delta) AS BIGINT) AS net,
+         CAST(count(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_opened
+  FROM (
+    SELECT open_d AS d, 1 AS delta FROM iv
+    UNION ALL
+    SELECT close_d, -1 FROM iv
+  ) x
+  GROUP BY d
+),
+daily AS (
+  SELECT d, net, n_opened,
+         sum(net) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+  FROM deltas
+),
+monthly AS (
+  SELECT strftime(d, '%Y-%m') AS month, d, net, n_opened, depth,
+         max(depth) OVER (PARTITION BY strftime(d, '%Y-%m')) AS mx
+  FROM daily
+)
+SELECT month,
+       count(*) AS n_change_days,
+       CAST(sum(n_opened) AS BIGINT) AS n_opened,
+       CAST(max(depth) AS BIGINT) AS peak_depth,
+       min(CASE WHEN depth = mx THEN d END) AS peak_day,
+       CAST(max_by(depth, d) AS BIGINT) AS depth_at_month_end,
+       CAST(sum(net) AS BIGINT) AS net_flow
+FROM monthly
+GROUP BY month
+ORDER BY month
+"""
+
+
 QUERIES = {
     "asof_join_tolerance": asof_join_tolerance,
+    "orders_open_interval_depth": orders_open_interval_depth,
     "allen_interval_relations": allen_interval_relations,
     "asof_join_last_click": asof_join_last_click,
     "asof_join_nearest": asof_join_nearest,
@@ -454,6 +566,7 @@ QUERIES = {
 
 ORACLES = {
     "asof_join_tolerance": ASOF_JOIN_TOLERANCE_SQL,
+    "orders_open_interval_depth": ORDERS_OPEN_INTERVAL_DEPTH_SQL,
     "allen_interval_relations": ALLEN_INTERVAL_RELATIONS_SQL,
     "asof_join_last_click": ASOF_JOIN_LAST_CLICK_SQL,
     "asof_join_nearest": ASOF_JOIN_NEAREST_SQL,

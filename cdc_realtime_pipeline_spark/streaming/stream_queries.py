@@ -32,6 +32,7 @@ from cdc_realtime_pipeline_spark.session import (
 )
 from cdc_realtime_pipeline_spark.operators import curation as _curation_oracles
 from cdc_realtime_pipeline_spark.operators import dq as _dq_oracles
+from cdc_realtime_pipeline_spark.operators import inference as _inf_oracles
 from cdc_realtime_pipeline_spark.operators import timeseries as _ts_oracles
 from cdc_realtime_pipeline_spark.sources.cdc_file_source import write_cdc_json_files
 from cdc_realtime_pipeline_spark.streaming.anomaly_stateful import apply_anomaly_detector
@@ -1096,6 +1097,38 @@ def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_from_hourly(live.localCheckpoint())
 
 
+def stream_sprt_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT as a streaming monitor — the sequential test run
+    the way it is meant to be run: the stream maintains the
+    per-(type, hour) counts (complete-mode state, |types|×|hours|
+    rows regardless of volume — the cusum-alarm discipline) and the
+    boundary-crossing fold finalizes at the sink read via the SAME
+    ``sprt_from_hourly`` the batch operator uses. Over this finite
+    deterministic stream the output equals ``events_sprt_monitor``
+    exactly, so it shares that oracle — a fully oracle-gated stateful
+    streaming row.
+    """
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        sprt_from_hourly,
+    )
+
+    events_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "events"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    hourly_s = events_stream.groupBy(
+        F.col("event_type"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hb"),
+    ).agg(F.count("*").alias("n_t"))
+    live = _memory_sink(hourly_s, "complete")
+    # the fold joins its input against its own aggregates (totals,
+    # base) — localCheckpoint gives the bounded relation fresh
+    # attribute ids (the stream_cusum_alarm idiom)
+    return sprt_from_hourly(live.localCheckpoint())
+
+
 def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending top-K under streaming: per 1-hour event-time window,
     the 3 most frequent event_types with their counts and ranks — the
@@ -1644,6 +1677,7 @@ QUERIES = {
     "stream_ohlc_bars_5m": stream_ohlc_bars_5m,
     "stream_value_drift_gate": stream_value_drift_gate,
     "stream_cusum_alarm": stream_cusum_alarm,
+    "stream_sprt_alarm": stream_sprt_alarm,
     "stream_cdc_parse": stream_cdc_parse,
     "stream_dedup_counts": stream_dedup_counts,
     "stream_dedup_watermarked": stream_dedup_watermarked,
@@ -1678,6 +1712,7 @@ ORACLES = {
     # over the finite stream the live half == the batch query's late half
     "stream_value_drift_gate": _dq_oracles.VALUE_DISTRIBUTION_PSI_SQL,
     "stream_cusum_alarm": _ts_oracles.EVENTS_CUSUM_CHANGEPOINT_SQL,
+    "stream_sprt_alarm": _inf_oracles.EVENTS_SPRT_MONITOR_SQL,
     "stream_cdc_parse": CDC_ROUNDTRIP_SQL,
     "stream_dedup_counts": STREAM_DEDUP_COUNTS_SQL,
     "stream_dedup_watermarked": STREAM_DEDUP_COUNTS_SQL,

@@ -188,6 +188,8 @@ PROBE_QUERIES = [
     ("retrieval_ndcg_agreement", "two bounded rankers -> 20-row nDCG"),
     ("linkage_em_patterns", "pattern collapse -> 16-row EM iterations"),
     ("events_sprt_monitor", "hourly LLR walk -> boundary decisions"),
+    ("stream_sprt_alarm", "streaming hourly counts -> shared SPRT fold, E2E"),
+    ("orders_open_interval_depth", "interval deltas -> calendar cumsum"),
 ]
 
 TABLES = [
