@@ -187,6 +187,12 @@ SHOWCASE = [
     ("label_davies_bouldin", "broadcast centroid scan + K² pairwise ratios"),
     ("media_audio_energy", "mapInPandas cumsum framing, 1:1 rows out"),
     ("text_good_turing", "bigram count-of-counts → bounded GT table"),
+    ("quality_gate_fairness_audit", "gate output → DI/parity closed forms"),
+    ("events_diff_in_diff", "one scan → 2×2 moment cells → closed forms"),
+    ("retrieval_ndcg_agreement", "two bounded rankers → 20-row nDCG"),
+    ("linkage_em_patterns", "pattern collapse → 16-row unrolled EM"),
+    ("events_sprt_monitor", "hour-ordered LLR walk → boundary decisions"),
+    ("orders_open_interval_depth", "interval deltas → calendar cumsum"),
 ]
 
 
