@@ -1802,6 +1802,134 @@ FROM loss_side CROSS JOIN rank_side
 )
 
 
+_XC_MAX_LAG = 6  # cross-correlation lag search window (hours)
+
+
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between event types' hourly volumes —
+    the LEAD/LAG discovery next to `events_autocorr_lag1`'s memory
+    measure: for every ordered type pair (a → b), the Pearson
+    correlation of a's hourly count with b's count {L} hours later,
+    for lags 0..{M}, reporting lag-0 and the best lag (argmax r, ties
+    to the smallest lag). "Errors lead purchases by 2 hours" is an
+    alerting rule; this is the table that finds it.
+
+    Shape: one corpus scan to (type, hour) counts; the lag fan-out is
+    an explode of the {N}-lag array on the a-side followed by an
+    equi-join on the shifted hour — pairs × lags × hours rows, all
+    bounded by the time span, never the corpus. The correlation
+    closed form is the module's shared `_AC_R` fragment; argmax via
+    struct-min with the lag tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+    ).agg(F.count("*").cast("double").alias("n"))
+    a = hourly.select(
+        F.col("event_type").alias("type_a"),
+        "hr",
+        F.col("n").alias("a"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(_XC_MAX_LAG + 1)])
+        ).alias("lag"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hr").alias("hr_b"),
+        F.col("n").alias("b"),
+    )
+    m = (
+        a.join(b, a.hr + a.lag == b.hr_b)
+        .filter(F.col("type_a") != F.col("type_b"))
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.count("*").cast("double").alias("np"),
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+            F.sum(F.col("a") * F.col("b")).alias("sab"),
+            F.sum(F.col("a") * F.col("a")).alias("saa"),
+            F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        )
+    )
+    scored = m.select(
+        "type_a",
+        "type_b",
+        "lag",
+        F.col("np").cast("long").alias("n_points"),
+        F.expr(f"round({_AC_R} + 1e-9, 6) + 0.0").alias("r"),
+    )
+    return (
+        scored.groupBy("type_a", "type_b")
+        .agg(
+            F.max(F.when(F.col("lag") == 0, F.col("r"))).alias("r_lag0"),
+            F.min(
+                F.struct((-F.col("r")).alias("nr"), F.col("lag"))
+            ).alias("win"),
+            F.min("n_points").cast("long").alias("min_points"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "r_lag0",
+            F.col("win.lag").cast("long").alias("best_lag"),
+            (-F.col("win.nr")).alias("r_best"),
+            "min_points",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+events_cross_correlation.__doc__ = events_cross_correlation.__doc__.format(
+    L="k", M=_XC_MAX_LAG, N=_XC_MAX_LAG + 1
+)
+
+EVENTS_CROSS_CORRELATION_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY event_type, hr
+),
+lags AS (SELECT unnest(range(0, {_XC_MAX_LAG + 1})) AS lag),
+m AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         CAST(count(*) AS DOUBLE) AS np,
+         sum(a.n) AS sa, sum(b.n) AS sb, sum(a.n * b.n) AS sab,
+         sum(a.n * a.n) AS saa, sum(b.n * b.n) AS sbb
+  FROM hourly a
+  CROSS JOIN lags l
+  JOIN hourly b ON a.hr + l.lag = b.hr
+  WHERE a.event_type != b.event_type
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT type_a, type_b, lag, CAST(np AS BIGINT) AS n_points,
+         round({_AC_R} + 1e-9, 6) + 0.0 AS r
+  FROM m
+),
+best AS (
+  SELECT type_a, type_b, lag AS best_lag, r AS r_best
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY type_a, type_b
+                             ORDER BY r DESC, lag ASC) = 1
+),
+lag0 AS (
+  SELECT type_a, type_b, r AS r_lag0 FROM scored WHERE lag = 0
+),
+minp AS (
+  SELECT type_a, type_b, CAST(min(n_points) AS BIGINT) AS min_points
+  FROM scored GROUP BY 1, 2
+)
+SELECT b.type_a, b.type_b, l.r_lag0,
+       CAST(b.best_lag AS BIGINT) AS best_lag, b.r_best, m.min_points
+FROM best b
+JOIN lag0 l ON b.type_a = l.type_a AND b.type_b = l.type_b
+JOIN minp m ON b.type_a = m.type_a AND b.type_b = m.type_b
+ORDER BY b.type_a, b.type_b
+"""
+
+
 def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences — the causal-inference primitive the
     test shelf was missing (z/Welch/MW compare GROUPS, DiD compares
@@ -4523,6 +4651,7 @@ QUERIES = {
     "events_decision_stump": events_decision_stump,
     "events_diff_in_diff": events_diff_in_diff,
     "events_sprt_monitor": events_sprt_monitor,
+    "events_cross_correlation": events_cross_correlation,
     "value_conformal_interval": value_conformal_interval,
     "user_overdispersion_check": user_overdispersion_check,
     "customer_tercile_migration": customer_tercile_migration,
@@ -4563,6 +4692,7 @@ ORACLES = {
     "events_decision_stump": EVENTS_DECISION_STUMP_SQL,
     "events_diff_in_diff": EVENTS_DIFF_IN_DIFF_SQL,
     "events_sprt_monitor": EVENTS_SPRT_MONITOR_SQL,
+    "events_cross_correlation": EVENTS_CROSS_CORRELATION_SQL,
     "value_conformal_interval": VALUE_CONFORMAL_INTERVAL_SQL,
     "user_overdispersion_check": USER_OVERDISPERSION_CHECK_SQL,
     "customer_tercile_migration": CUSTOMER_TERCILE_MIGRATION_SQL,

@@ -998,6 +998,98 @@ ORDER BY p.doc_id
 """
 
 
+_BURST_TOP = 50  # report the most document-frequent words
+
+
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church & Gale 1995): content words CLUMP —
+    once a word appears in a document it tends to appear again — and
+    the clumping, not raw frequency, is what separates topical terms
+    from function words (it is also why the naive Poisson/unigram
+    independence assumption under-weights repeated terms). Per word
+    (the {T} highest-df): document frequency, total tf, mean tf among
+    containing docs, the Fano factor var(tf)/mean(tf) over containing
+    docs (≈1 Poisson-flat, ≫1 bursty), and Church's adaptation
+    probability P(tf ≥ 2 | tf ≥ 1) — all from exact integer (word,
+    doc) counts; the repetition companion to `user_overdispersion_
+    check`'s per-user VMR.
+
+    Shape: one pass over the memoized tokenized corpus to (word, doc)
+    tf; per-word moments are a vocab-keyed map-combinable aggregate;
+    the report is a bounded TakeOrdered (df desc, word asc).
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
+
+    tf = (
+        doc_words(spark, sf_dir)
+        .select("doc_id", F.explode("words").alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.sum(F.col("tf") * F.col("tf")).alias("stf2"),
+            F.count_if(F.col("tf") >= 2).cast("long").alias("n_repeat"),
+        )
+        .select(
+            "word",
+            "df",
+            "total_tf",
+            F.expr("round(total_tf / CAST(df AS DOUBLE) + 1e-9, 4) + 0.0")
+            .alias("mean_tf"),
+            F.expr(
+                "round(CASE WHEN df > 1 THEN"
+                " ((stf2 - total_tf * total_tf / CAST(df AS DOUBLE))"
+                "  / (df - 1)) / (total_tf / CAST(df AS DOUBLE))"
+                " ELSE 0.0 END + 1e-9, 4) + 0.0"
+            ).alias("fano"),
+            F.expr("round(n_repeat / CAST(df AS DOUBLE) + 1e-9, 4) + 0.0")
+            .alias("p_adapt"),
+        )
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(_BURST_TOP)
+    )
+
+
+text_word_burstiness.__doc__ = text_word_burstiness.__doc__.format(
+    T=_BURST_TOP
+)
+
+TEXT_WORD_BURSTINESS_SQL = f"""
+WITH tf AS (
+  SELECT word, doc_id, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split({_NORM_SQL.format(col='text')}, ' '))
+                 AS word
+        FROM documents)
+  WHERE length(word) > 0
+  GROUP BY word, doc_id
+),
+m AS (
+  SELECT word,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         sum(tf * tf) AS stf2,
+         CAST(count(CASE WHEN tf >= 2 THEN 1 END) AS BIGINT) AS n_repeat
+  FROM tf GROUP BY word
+)
+SELECT word, df, total_tf,
+       round(total_tf / CAST(df AS DOUBLE) + 1e-9, 4) + 0.0 AS mean_tf,
+       round(CASE WHEN df > 1 THEN
+               ((stf2 - total_tf * total_tf / CAST(df AS DOUBLE))
+                / (df - 1)) / (total_tf / CAST(df AS DOUBLE))
+             ELSE 0.0 END + 1e-9, 4) + 0.0 AS fano,
+       round(n_repeat / CAST(df AS DOUBLE) + 1e-9, 4) + 0.0 AS p_adapt
+FROM m
+ORDER BY df DESC, word ASC
+LIMIT {_BURST_TOP}
+"""
+
+
 _GT_MAX_R = 20  # report the head of the count-of-counts table
 
 
@@ -1623,6 +1715,7 @@ QUERIES = {
     "lang_nb_confusion": lang_nb_confusion,
     "text_good_turing": text_good_turing,
     "retrieval_ndcg_agreement": retrieval_ndcg_agreement,
+    "text_word_burstiness": text_word_burstiness,
     "docs_source_profile": docs_source_profile,
 }
 
@@ -1647,5 +1740,6 @@ ORACLES = {
     "lang_nb_confusion": LANG_NB_CONFUSION_SQL,
     "text_good_turing": TEXT_GOOD_TURING_SQL,
     "retrieval_ndcg_agreement": _ndcg_oracle_sql(),
+    "text_word_burstiness": TEXT_WORD_BURSTINESS_SQL,
     "docs_source_profile": DOCS_SOURCE_PROFILE_SQL,
 }

@@ -190,6 +190,8 @@ PROBE_QUERIES = [
     ("events_sprt_monitor", "hourly LLR walk -> boundary decisions"),
     ("stream_sprt_alarm", "streaming hourly counts -> shared SPRT fold, E2E"),
     ("orders_open_interval_depth", "interval deltas -> calendar cumsum"),
+    ("events_cross_correlation", "hourly counts x 7 lags -> pair moments"),
+    ("text_word_burstiness", "(word,doc) tf -> vocab-keyed Fano moments"),
 ]
 
 TABLES = [
