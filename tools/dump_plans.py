@@ -193,6 +193,8 @@ SHOWCASE = [
     ("linkage_em_patterns", "pattern collapse → 16-row unrolled EM"),
     ("events_sprt_monitor", "hour-ordered LLR walk → boundary decisions"),
     ("orders_open_interval_depth", "interval deltas → calendar cumsum"),
+    ("events_cross_correlation", "hourly counts × 7 lags → pair moments"),
+    ("text_word_burstiness", "(word, doc) tf → vocab-keyed Fano moments"),
 ]
 
 
