@@ -3168,6 +3168,174 @@ FROM m
 # --------------------------------------------------------------------------
 
 
+def customer_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality with the between/within decomposition Gini
+    cannot do (Theil is the additively decomposable index): customer
+    order value grouped by nation, T_total = T_between +
+    Σ_g w_g·T_within,g with w_g = (N_g/N)·(μ_g/μ) — the table that
+    answers "is revenue concentration a cross-market story or an
+    inside-market story?".
+
+    Exact-ratio float discipline: per-customer values collapse to
+    integer CENTS (2dp money is exact in cents), so every μ is a
+    ratio of exact integers and every ln argument x/μ =
+    x_cents·N/S_cents is an integer-derived double both engines
+    compute bit-identically; ln terms are rounded 8dp BEFORE their
+    map-combinable sums (the unigram-LM discipline), finals 6dp.
+
+    Shape: one order-fact shuffle to per-customer cents; nation
+    mapping is a broadcast dim; group stats are a bounded aggregate;
+    the term pass re-joins the customer relation to its bounded group
+    stats — no sort anywhere (contrast `customer_value_gini`'s exact
+    rank, which needs one).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("x_c")
+        )
+        .filter(F.col("x_c") > 0)
+        .join(cust, "o_custkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_custkey", F.col("n_name").alias("nation"), "x_c")
+    )
+    per = tracked_persist(per)
+    grp = per.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("x_c").alias("s_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+    )
+    within = (
+        per.join(F.broadcast(grp), "nation")
+        .select(
+            "nation",
+            F.expr(
+                "round((CAST(x_c AS DOUBLE) * n_g / s_g)"
+                " * ln(CAST(x_c AS DOUBLE) * n_g / s_g), 8)"
+            ).alias("term_g"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.expr("round(avg(term_g) + 1e-9, 6) + 0.0").alias("t_within")
+        )
+    )
+    total_terms = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "round((CAST(x_c AS DOUBLE) * n / s)"
+                " * ln(CAST(x_c AS DOUBLE) * n / s), 8)"
+            ).alias("term")
+        )
+        .agg(F.expr("round(avg(term) + 1e-9, 6) + 0.0").alias("t_total"))
+    )
+    between = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "round((CAST(s_g AS DOUBLE) / s)"
+                " * ln((CAST(s_g AS DOUBLE) / s) / (CAST(n_g AS DOUBLE) / n)),"
+                " 8)"
+            ).alias("bterm")
+        )
+        .agg(F.expr("round(sum(bterm) + 1e-9, 6) + 0.0").alias("t_between"))
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .join(within, "nation")
+        .crossJoin(F.broadcast(between))
+        .crossJoin(F.broadcast(total_terms))
+        .select(
+            "nation",
+            F.col("n_g").alias("n_customers"),
+            F.expr("round(s_g / (n_g * 100.0) + 1e-9, 2) + 0.0").alias(
+                "mean_value"
+            ),
+            "t_within",
+            F.expr(
+                "round((CAST(n_g AS DOUBLE) / n) * (CAST(s_g AS DOUBLE) / s)"
+                " / (CAST(n_g AS DOUBLE) / n) + 1e-9, 6) + 0.0"
+            ).alias("weight"),
+            F.expr(
+                "round((CAST(s_g AS DOUBLE) / s) * t_within + 1e-9, 6)"
+                " + 0.0"
+            ).alias("contribution"),
+            "t_between",
+            "t_total",
+        )
+        .orderBy("nation")
+    )
+
+
+CUSTOMER_THEIL_DECOMPOSITION_SQL = """
+WITH per AS (
+  SELECT o.o_custkey, n.n_name AS nation,
+         CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS x_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY o.o_custkey, n.n_name
+  HAVING CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) > 0
+),
+grp AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(x_c) AS BIGINT) AS s_g
+  FROM per GROUP BY nation
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s
+  FROM grp
+),
+within AS (
+  SELECT p.nation,
+         round(avg(round((CAST(p.x_c AS DOUBLE) * g.n_g / g.s_g)
+               * ln(CAST(p.x_c AS DOUBLE) * g.n_g / g.s_g), 8))
+               + 1e-9, 6) + 0.0 AS t_within
+  FROM per p JOIN grp g ON p.nation = g.nation
+  GROUP BY p.nation
+),
+total_terms AS (
+  SELECT round(avg(round((CAST(p.x_c AS DOUBLE) * t.n / t.s)
+               * ln(CAST(p.x_c AS DOUBLE) * t.n / t.s), 8))
+               + 1e-9, 6) + 0.0 AS t_total
+  FROM per p CROSS JOIN tot t
+),
+between_t AS (
+  SELECT round(sum(round((CAST(g.s_g AS DOUBLE) / t.s)
+               * ln((CAST(g.s_g AS DOUBLE) / t.s)
+                    / (CAST(g.n_g AS DOUBLE) / t.n)), 8)) + 1e-9, 6)
+           + 0.0 AS t_between
+  FROM grp g CROSS JOIN tot t
+)
+SELECT g.nation,
+       g.n_g AS n_customers,
+       round(g.s_g / (g.n_g * 100.0) + 1e-9, 2) + 0.0 AS mean_value,
+       w.t_within,
+       round((CAST(g.n_g AS DOUBLE) / t.n) * (CAST(g.s_g AS DOUBLE) / t.s)
+             / (CAST(g.n_g AS DOUBLE) / t.n) + 1e-9, 6) + 0.0 AS weight,
+       round((CAST(g.s_g AS DOUBLE) / t.s) * w.t_within + 1e-9, 6) + 0.0
+         AS contribution,
+       b.t_between,
+       tt.t_total
+FROM grp g
+CROSS JOIN tot t
+JOIN within w ON g.nation = w.nation
+CROSS JOIN between_t b
+CROSS JOIN total_terms tt
+ORDER BY g.nation
+"""
+
+
 def customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-customer total order value — the
     concentration scalar behind "do 20% of customers carry 80% of
@@ -4652,6 +4820,7 @@ QUERIES = {
     "events_diff_in_diff": events_diff_in_diff,
     "events_sprt_monitor": events_sprt_monitor,
     "events_cross_correlation": events_cross_correlation,
+    "customer_theil_decomposition": customer_theil_decomposition,
     "value_conformal_interval": value_conformal_interval,
     "user_overdispersion_check": user_overdispersion_check,
     "customer_tercile_migration": customer_tercile_migration,
@@ -4693,6 +4862,7 @@ ORACLES = {
     "events_diff_in_diff": EVENTS_DIFF_IN_DIFF_SQL,
     "events_sprt_monitor": EVENTS_SPRT_MONITOR_SQL,
     "events_cross_correlation": EVENTS_CROSS_CORRELATION_SQL,
+    "customer_theil_decomposition": CUSTOMER_THEIL_DECOMPOSITION_SQL,
     "value_conformal_interval": VALUE_CONFORMAL_INTERVAL_SQL,
     "user_overdispersion_check": USER_OVERDISPERSION_CHECK_SQL,
     "customer_tercile_migration": CUSTOMER_TERCILE_MIGRATION_SQL,

@@ -998,6 +998,115 @@ ORDER BY p.doc_id
 """
 
 
+_BP_N = 5  # boilerplate n-gram width (words)
+_BP_TOP = 3  # report the top grams per source
+
+
+def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detector — the curation pass that finds
+    the navigation bars, license footers and cookie banners a crawl
+    stamps on every page of a site (C4/RefinedWeb remove them by
+    exactly this signal): the {N}-word grams with the highest
+    DOCUMENT coverage within each source, flagged as boilerplate when
+    they cover ≥ half the source's docs (the integer comparison
+    2·df ≥ n_docs — no float threshold). The per-doc DISTINCT is the
+    point: a gram repeated 100× in one doc is repetition
+    (`text_repetition`); a gram appearing once in 100 docs of one
+    source is boilerplate.
+
+    Shape: grams are array HOFs over the memoized tokenized corpus
+    (no join to build them), one (source, gram) shuffle with map-side
+    combine after the per-doc distinct, and a per-source top-{T}
+    window over the grouped relation. Gram strings stay readable
+    here; a 100 TB run would md5 them into the shuffle (the
+    dedup-span discipline) and join back for the report.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
+
+    grams_expr = (
+        f"if(size(ws) >= {_BP_N},"
+        f" transform(sequence(1, size(ws) - {_BP_N - 1}),"
+        f" i -> concat_ws(' ', slice(ws, i, {_BP_N}))),"
+        f" array_repeat('', 0))"
+    )
+    docs = doc_words(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.filter("words", lambda w: F.length(w) > 0).alias("ws"),
+    )
+    doc_grams = (
+        docs.select(
+            "doc_id", "source", F.explode(F.expr(grams_expr)).alias("gram")
+        )
+        .distinct()
+    )
+    df = doc_grams.groupBy("source", "gram").agg(
+        F.count("*").alias("df")
+    )
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("df"), F.asc("gram")
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BP_TOP)
+        .join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("rk"),
+            "gram",
+            "df",
+            "n_docs",
+            (F.round(F.col("df") / F.col("n_docs") + 1e-9, 4) + 0.0).alias(
+                "coverage"
+            ),
+            (2 * F.col("df") >= F.col("n_docs")).cast("int").alias(
+                "is_boilerplate"
+            ),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+docs_boilerplate_ngrams.__doc__ = docs_boilerplate_ngrams.__doc__.format(
+    N=_BP_N, T=_BP_TOP
+)
+
+DOCS_BOILERPLATE_NGRAMS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         string_split({_NORM_SQL.format(col='text')}, ' ') AS ws
+  FROM documents
+),
+doc_grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(ws[CAST(i AS INT):CAST(i + {_BP_N - 1} AS INT)], ' ')
+           AS gram
+  FROM docs,
+       LATERAL (SELECT unnest(range(1, greatest(len(ws) - {_BP_N - 1}, 0)
+                                       + 1)) AS i) t
+),
+df AS (
+  SELECT source, gram, count(*) AS df FROM doc_grams GROUP BY source, gram
+),
+nd AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source),
+ranked AS (
+  SELECT source, gram, df,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY df DESC, gram ASC) AS rk
+  FROM df
+)
+SELECT r.source,
+       CAST(r.rk AS BIGINT) AS rk,
+       r.gram, r.df, nd.n_docs,
+       round(r.df / CAST(nd.n_docs AS DOUBLE) + 1e-9, 4) + 0.0 AS coverage,
+       CASE WHEN 2 * r.df >= nd.n_docs THEN 1 ELSE 0 END AS is_boilerplate
+FROM ranked r JOIN nd ON r.source = nd.source
+WHERE r.rk <= {_BP_TOP}
+ORDER BY r.source, r.rk
+"""
+
+
 _BURST_TOP = 50  # report the most document-frequent words
 
 
@@ -1716,6 +1825,7 @@ QUERIES = {
     "text_good_turing": text_good_turing,
     "retrieval_ndcg_agreement": retrieval_ndcg_agreement,
     "text_word_burstiness": text_word_burstiness,
+    "docs_boilerplate_ngrams": docs_boilerplate_ngrams,
     "docs_source_profile": docs_source_profile,
 }
 
@@ -1741,5 +1851,6 @@ ORACLES = {
     "text_good_turing": TEXT_GOOD_TURING_SQL,
     "retrieval_ndcg_agreement": _ndcg_oracle_sql(),
     "text_word_burstiness": TEXT_WORD_BURSTINESS_SQL,
+    "docs_boilerplate_ngrams": DOCS_BOILERPLATE_NGRAMS_SQL,
     "docs_source_profile": DOCS_SOURCE_PROFILE_SQL,
 }
