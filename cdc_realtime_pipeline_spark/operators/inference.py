@@ -3168,6 +3168,206 @@ FROM m
 # --------------------------------------------------------------------------
 
 
+def orders_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) two-sample survival test — the
+    significance companion to `orders_survival_km`'s curve: do
+    odd-keyed and even-keyed customers have the SAME
+    time-to-repeat-purchase distribution? Censoring makes every naive
+    comparison wrong (a t-test on observed gaps drops the churned);
+    the log-rank compares OBSERVED vs EXPECTED events inside each
+    event-time's risk set: E_1t = d_t·n_1t/n_t, hypergeometric
+    variance V_t, χ² = (Σ(d_1t − E_1t))²/ΣV_t.
+
+    The risk-set mechanics need a DENSE (time × arm) spine — an arm
+    with no event at t still sits in t's risk set — built as the
+    distinct-time relation crossJoined with the 2-row arm table
+    (BroadcastNestedLoop over 2 rows), then per-arm cumulative
+    windows. Everything after the per-customer span window is
+    calendar-bounded; per-t terms are exact-integer-derived, rounded
+    8dp before their sums.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    firsts = (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("o_orderdate"))).alias("d1"),
+            F.min(F.when(F.col("rk") == 2, F.col("o_orderdate"))).alias("d2"),
+        )
+    )
+    spans = firsts.crossJoin(F.broadcast(horizon)).select(
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+        F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+        .otherwise(F.datediff("h", "d1"))
+        .cast("long")
+        .alias("t"),
+        F.col("d2").isNotNull().cast("long").alias("is_event"),
+    )
+    days = spans.groupBy("t", "arm").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(1 - F.col("is_event")).alias("c"),
+    )
+    days = tracked_persist(days)
+    spine = (
+        days.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                days.select("arm").distinct()
+            )
+        )
+    )
+    dense = spine.join(days, ["t", "arm"], "left").select(
+        "t",
+        "arm",
+        F.coalesce(F.col("d"), F.lit(0)).alias("d"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    n_arm = dense.groupBy("arm").agg(
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("n_a")
+    )
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at_risk = (
+        dense.join(F.broadcast(n_arm), "arm")
+        .select(
+            "t",
+            "arm",
+            "d",
+            (
+                F.col("n_a")
+                - F.coalesce(
+                    F.sum(F.col("d") + F.col("c")).over(wcum), F.lit(0)
+                )
+            ).alias("n_at"),
+        )
+    )
+    per_t = at_risk.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("d"))).alias("d1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_at"))).alias("n1"),
+        F.sum("d").alias("dt"),
+        F.sum("n_at").alias("nt"),
+    )
+    terms = per_t.filter((F.col("dt") >= 1) & (F.col("nt") > 1)).select(
+        F.expr(
+            "round(d1 - dt * (CAST(n1 AS DOUBLE) / nt), 8)"
+        ).alias("ome"),
+        F.expr(
+            "round(dt * (CAST(n1 AS DOUBLE) / nt)"
+            " * (1.0D - CAST(n1 AS DOUBLE) / nt)"
+            " * (nt - dt) / (nt - 1.0D), 8)"
+        ).alias("v"),
+    )
+    arms = n_arm.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_a"))).alias("n_arm0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_a"))).alias("n_arm1"),
+    )
+    return (
+        terms.agg(
+            F.count("*").cast("long").alias("n_event_times"),
+            F.expr("round(sum(ome) + 1e-9, 4) + 0.0").alias("o_minus_e"),
+            F.expr("round(sum(v) + 1e-9, 4) + 0.0").alias("variance"),
+            F.expr(
+                "round(sum(ome) * sum(ome) / sum(v) + 1e-9, 4) + 0.0"
+            ).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(arms))
+        .select(
+            "n_arm0",
+            "n_arm1",
+            "n_event_times",
+            "o_minus_e",
+            "variance",
+            "chi2",
+        )
+    )
+
+
+ORDERS_LOGRANK_TEST_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk
+  FROM orders
+),
+horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+firsts AS (
+  SELECT o_custkey,
+         min(CASE WHEN rk = 1 THEN o_orderdate END) AS d1,
+         min(CASE WHEN rk = 2 THEN o_orderdate END) AS d2
+  FROM o WHERE rk <= 2 GROUP BY o_custkey
+),
+spans AS (
+  SELECT CAST(o_custkey % 2 AS INT) AS arm,
+         CAST(CASE WHEN d2 IS NOT NULL
+                   THEN date_diff('day', CAST(d1 AS DATE), CAST(d2 AS DATE))
+                   ELSE date_diff('day', CAST(d1 AS DATE), CAST(h AS DATE))
+              END AS BIGINT) AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM firsts CROSS JOIN horizon
+),
+days AS (
+  SELECT t, arm, CAST(sum(is_event) AS BIGINT) AS d,
+         CAST(sum(1 - is_event) AS BIGINT) AS c
+  FROM spans GROUP BY t, arm
+),
+spine AS (
+  SELECT ts.t, a.arm
+  FROM (SELECT DISTINCT t FROM days) ts
+  CROSS JOIN (SELECT DISTINCT arm FROM days) a
+),
+dense AS (
+  SELECT s.t, s.arm, coalesce(d.d, 0) AS d, coalesce(d.c, 0) AS c
+  FROM spine s LEFT JOIN days d ON s.t = d.t AND s.arm = d.arm
+),
+n_arm AS (
+  SELECT arm, CAST(sum(d + c) AS BIGINT) AS n_a FROM dense GROUP BY arm
+),
+at_risk AS (
+  SELECT dn.t, dn.arm, dn.d,
+         na.n_a - coalesce(sum(dn.d + dn.c) OVER (PARTITION BY dn.arm
+           ORDER BY dn.t ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS n_at
+  FROM dense dn JOIN n_arm na ON dn.arm = na.arm
+),
+per_t AS (
+  SELECT t,
+         sum(CASE WHEN arm = 1 THEN d END) AS d1,
+         sum(CASE WHEN arm = 1 THEN n_at END) AS n1,
+         sum(d) AS dt,
+         sum(n_at) AS nt
+  FROM at_risk GROUP BY t
+),
+terms AS (
+  SELECT round(d1 - dt * (CAST(n1 AS DOUBLE) / nt), 8) AS ome,
+         round(dt * (CAST(n1 AS DOUBLE) / nt)
+               * (1.0 - CAST(n1 AS DOUBLE) / nt)
+               * (nt - dt) / (nt - 1.0), 8) AS v
+  FROM per_t WHERE dt >= 1 AND nt > 1
+),
+arms AS (
+  SELECT max(CASE WHEN arm = 0 THEN n_a END) AS n_arm0,
+         max(CASE WHEN arm = 1 THEN n_a END) AS n_arm1
+  FROM n_arm
+)
+SELECT arms.n_arm0, arms.n_arm1,
+       CAST(count(*) AS BIGINT) AS n_event_times,
+       round(sum(ome) + 1e-9, 4) + 0.0 AS o_minus_e,
+       round(sum(v) + 1e-9, 4) + 0.0 AS variance,
+       round(sum(ome) * sum(ome) / sum(v) + 1e-9, 4) + 0.0 AS chi2
+FROM terms CROSS JOIN arms
+GROUP BY arms.n_arm0, arms.n_arm1
+"""
+
+
 def customer_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-T inequality with the between/within decomposition Gini
     cannot do (Theil is the additively decomposable index): customer
@@ -4821,6 +5021,7 @@ QUERIES = {
     "events_sprt_monitor": events_sprt_monitor,
     "events_cross_correlation": events_cross_correlation,
     "customer_theil_decomposition": customer_theil_decomposition,
+    "orders_logrank_test": orders_logrank_test,
     "value_conformal_interval": value_conformal_interval,
     "user_overdispersion_check": user_overdispersion_check,
     "customer_tercile_migration": customer_tercile_migration,
@@ -4863,6 +5064,7 @@ ORACLES = {
     "events_sprt_monitor": EVENTS_SPRT_MONITOR_SQL,
     "events_cross_correlation": EVENTS_CROSS_CORRELATION_SQL,
     "customer_theil_decomposition": CUSTOMER_THEIL_DECOMPOSITION_SQL,
+    "orders_logrank_test": ORDERS_LOGRANK_TEST_SQL,
     "value_conformal_interval": VALUE_CONFORMAL_INTERVAL_SQL,
     "user_overdispersion_check": USER_OVERDISPERSION_CHECK_SQL,
     "customer_tercile_migration": CUSTOMER_TERCILE_MIGRATION_SQL,

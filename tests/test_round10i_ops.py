@@ -52,3 +52,25 @@ def test_boilerplate_planted_positive(spark, sf_dir):
             assert 0.0 < r["coverage"] <= 1.0
             assert r["is_boilerplate"] == int(2 * r["df"] >= r["n_docs"])
             assert len(r["gram"].split(" ")) == 5
+
+
+def test_logrank_risk_set_identities(spark, sf_dir):
+    """Arm sizes partition the customer base, the statistic is
+    non-negative with positive variance, and O-E squared over V
+    reproduces chi2."""
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        orders_logrank_test,
+    )
+
+    r = orders_logrank_test(spark, sf_dir).collect()[0]
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert r["n_arm0"] + r["n_arm1"] == n_cust
+    assert r["variance"] > 0
+    assert r["chi2"] >= 0
+    assert abs(r["chi2"] - r["o_minus_e"] ** 2 / r["variance"]) < 1e-2
+    assert r["n_event_times"] >= 1

@@ -194,6 +194,7 @@ PROBE_QUERIES = [
     ("text_word_burstiness", "(word,doc) tf -> vocab-keyed Fano moments"),
     ("customer_theil_decomposition", "cents collapse -> group ln terms, no sort"),
     ("docs_boilerplate_ngrams", "per-doc distinct grams -> source coverage topk"),
+    ("orders_logrank_test", "span window -> dense time x arm risk sets"),
 ]
 
 TABLES = [
