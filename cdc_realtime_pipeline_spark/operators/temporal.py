@@ -460,26 +460,45 @@ def orders_open_interval_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     expand-per-day join; the unpartitioned cumulative window is fine
     because its input is calendar-sized, not corpus-sized.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
+    deltas = interval_deltas(load_table(spark, sf_dir, "orders")).groupBy(
+        "d"
+    ).agg(
+        F.sum("delta").cast("long").alias("net"),
+        F.count_if(F.col("delta") == 1).cast("long").alias("n_opened"),
+    )
+    return depth_from_daily(deltas)
+
+
+def interval_deltas(orders: DataFrame) -> DataFrame:
+    """(d, delta) sweep events for the open-interval analytic — a
+    stateless per-row projection (each order emits its +1 open and −1
+    close), shared by the batch operator and the streaming twin's
+    pre-aggregation."""
+    iv = orders.select(
         F.col("o_orderdate").cast("date").alias("open_d"),
         F.date_add(
             F.col("o_orderdate").cast("date"),
             (F.col("o_orderkey") % 30 + 1).cast("int"),
         ).alias("close_d"),
     )
-    deltas = (
-        orders.select(F.col("open_d").alias("d"), F.lit(1).alias("delta"))
-        .unionAll(
-            orders.select(
-                F.col("close_d").alias("d"), F.lit(-1).alias("delta")
+    return iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("open_d").alias("d"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.col("close_d").alias("d"), F.lit(-1).alias("delta")
+                ),
             )
-        )
-        .groupBy("d")
-        .agg(
-            F.sum("delta").cast("long").alias("net"),
-            F.count_if(F.col("delta") == 1).cast("long").alias("n_opened"),
-        )
-    )
+        ).alias("e")
+    ).select("e.d", "e.delta")
+
+
+def depth_from_daily(deltas: DataFrame) -> DataFrame:
+    """The sweep-line fold over a (d, net, n_opened) daily-delta
+    relation — factored so ``stream_open_interval_depth`` (which
+    maintains the daily deltas as complete-mode streaming state)
+    finalizes through the identical code path and shares the batch
+    oracle."""
     wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     daily = deltas.select(
         "d",

@@ -33,6 +33,7 @@ from cdc_realtime_pipeline_spark.session import (
 from cdc_realtime_pipeline_spark.operators import curation as _curation_oracles
 from cdc_realtime_pipeline_spark.operators import dq as _dq_oracles
 from cdc_realtime_pipeline_spark.operators import inference as _inf_oracles
+from cdc_realtime_pipeline_spark.operators import temporal as _tmp_oracles
 from cdc_realtime_pipeline_spark.operators import timeseries as _ts_oracles
 from cdc_realtime_pipeline_spark.sources.cdc_file_source import write_cdc_json_files
 from cdc_realtime_pipeline_spark.streaming.anomaly_stateful import apply_anomaly_detector
@@ -1129,6 +1130,35 @@ def stream_sprt_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sprt_from_hourly(live.localCheckpoint())
 
 
+def stream_open_interval_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sweep-line open-interval analytic under streaming: the
+    stream of ORDERS (not events — the second table to get a
+    streaming reader) projects each row to its +1/−1 sweep deltas
+    statelessly, maintains the per-DAY delta aggregate as
+    complete-mode state (|days| rows regardless of volume), and the
+    calendar cumulative fold runs at the sink read via the SAME
+    ``depth_from_daily`` as the batch operator — shared oracle, the
+    cusum/sprt pair discipline.
+    """
+    from cdc_realtime_pipeline_spark.operators.temporal import (
+        depth_from_daily,
+        interval_deltas,
+    )
+
+    orders_stream = convert_ns_timestamps(
+        spark.readStream.schema(raw_schema(spark, sf_dir, "orders"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    daily_s = interval_deltas(orders_stream).groupBy("d").agg(
+        F.sum("delta").cast("long").alias("net"),
+        F.count_if(F.col("delta") == 1).cast("long").alias("n_opened"),
+    )
+    live = _memory_sink(daily_s, "complete")
+    return depth_from_daily(live.localCheckpoint())
+
+
 def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending top-K under streaming: per 1-hour event-time window,
     the 3 most frequent event_types with their counts and ranks — the
@@ -1678,6 +1708,7 @@ QUERIES = {
     "stream_value_drift_gate": stream_value_drift_gate,
     "stream_cusum_alarm": stream_cusum_alarm,
     "stream_sprt_alarm": stream_sprt_alarm,
+    "stream_open_interval_depth": stream_open_interval_depth,
     "stream_cdc_parse": stream_cdc_parse,
     "stream_dedup_counts": stream_dedup_counts,
     "stream_dedup_watermarked": stream_dedup_watermarked,
@@ -1713,6 +1744,7 @@ ORACLES = {
     "stream_value_drift_gate": _dq_oracles.VALUE_DISTRIBUTION_PSI_SQL,
     "stream_cusum_alarm": _ts_oracles.EVENTS_CUSUM_CHANGEPOINT_SQL,
     "stream_sprt_alarm": _inf_oracles.EVENTS_SPRT_MONITOR_SQL,
+    "stream_open_interval_depth": _tmp_oracles.ORDERS_OPEN_INTERVAL_DEPTH_SQL,
     "stream_cdc_parse": CDC_ROUNDTRIP_SQL,
     "stream_dedup_counts": STREAM_DEDUP_COUNTS_SQL,
     "stream_dedup_watermarked": STREAM_DEDUP_COUNTS_SQL,

@@ -39,3 +39,23 @@ def test_interval_depth_conservation(spark, sf_dir):
         assert r["peak_day"].strftime("%Y-%m") == r["month"]
     months = [r["month"] for r in rows]
     assert months == sorted(months)
+
+
+def test_stream_interval_depth_equals_batch(spark, sf_dir):
+    """The streaming sweep-line table equals the batch operator's
+    over the same finite input — the shared-fold guarantee, on the
+    second streaming source table (orders)."""
+    from cdc_realtime_pipeline_spark.operators.temporal import (
+        orders_open_interval_depth,
+    )
+    from cdc_realtime_pipeline_spark.streaming.stream_queries import (
+        stream_open_interval_depth,
+    )
+
+    batch = {
+        tuple(r) for r in orders_open_interval_depth(spark, sf_dir).collect()
+    }
+    stream = {
+        tuple(r) for r in stream_open_interval_depth(spark, sf_dir).collect()
+    }
+    assert stream == batch

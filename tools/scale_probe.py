@@ -195,6 +195,7 @@ PROBE_QUERIES = [
     ("customer_theil_decomposition", "cents collapse -> group ln terms, no sort"),
     ("docs_boilerplate_ngrams", "per-doc distinct grams -> source coverage topk"),
     ("orders_logrank_test", "span window -> dense time x arm risk sets"),
+    ("stream_open_interval_depth", "streaming daily deltas -> shared sweep fold, E2E"),
 ]
 
 TABLES = [
