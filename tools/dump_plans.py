@@ -195,6 +195,9 @@ SHOWCASE = [
     ("orders_open_interval_depth", "interval deltas → calendar cumsum"),
     ("events_cross_correlation", "hourly counts × 7 lags → pair moments"),
     ("text_word_burstiness", "(word, doc) tf → vocab-keyed Fano moments"),
+    ("customer_theil_decomposition", "cents collapse → group ln terms, no sort"),
+    ("docs_boilerplate_ngrams", "per-doc distinct grams → source coverage top-K"),
+    ("orders_logrank_test", "span window → dense time × arm risk sets"),
 ]
 
 
