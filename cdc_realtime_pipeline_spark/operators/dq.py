@@ -1840,6 +1840,10 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus shuffle to the (class × type) counts (bounded
     by the QI×type domain, map-side combinable); the global type
     vector and the scalar G are broadcast 1-row/bounded joins.
+    Overflow note: the integer products are O(cnt·G) ≤ G², which
+    fits int64 through ~3×10⁹ rows; a 100 TB deployment (10¹²-row G)
+    promotes the band comparisons to decimal(38,0) — same algebra,
+    still exact — or divides both sides by gcd(k, G) first.
     """
     ev = load_table(spark, sf_dir, "events")
     dow = F.pmod(

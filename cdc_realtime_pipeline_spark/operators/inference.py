@@ -2125,8 +2125,13 @@ def sprt_from_hourly(hours: DataFrame) -> DataFrame:
             "event_type",
             "p0",
             F.expr(f"round(ln({_SPRT_LIFT}D), 8)").alias("llr_e"),
+            # least() guards the degenerate p0 > 1/lift case (a type
+            # holding >2/3 of all events): p1 is capped below 1 so the
+            # log stays finite; a no-op on these fixtures (max share
+            # ~0.25), identical both engines
             F.expr(
-                f"round(ln((1.0D - {_SPRT_LIFT}D * p0) / (1.0D - p0)), 8)"
+                f"round(ln((1.0D - least({_SPRT_LIFT}D * p0, 0.99D))"
+                f" / (1.0D - p0)), 8)"
             ).alias("llr_o"),
         )
     )
@@ -2220,7 +2225,8 @@ base AS (
 basellr AS (
   SELECT event_type, p0,
          round(ln({_SPRT_LIFT}), 8) AS llr_e,
-         round(ln((1.0 - {_SPRT_LIFT} * p0) / (1.0 - p0)), 8) AS llr_o
+         round(ln((1.0 - least({_SPRT_LIFT} * p0, 0.99)) / (1.0 - p0)), 8)
+           AS llr_o
   FROM base
 ),
 walk AS (
