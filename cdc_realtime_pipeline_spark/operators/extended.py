@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_realtime_pipeline_spark.session import load_table
+from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
 
 SESSION_GAP_MIN = 30
 
@@ -1905,6 +1905,120 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_markov_next_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction evaluated OUT OF TIME — the train/test
+    split `event_transition_matrix` never gets: transition counts fit
+    on the first half of the clock, argmax prediction scored on
+    second-half steps, per from-state accuracy against the
+    majority-next baseline. This is the minimal sequence-model
+    evaluation loop (fit → predict → temporal holdout) as one plan —
+    if the Markov view carries signal, acc beats the baseline where
+    transitions are genuinely state-dependent.
+
+    Both halves come from the SAME user-ordered window pass (a step
+    belongs to the half of its FIRST event); the fitted matrix and
+    the argmax (modal-label struct-min, type-asc ties) are
+    |types|²-bounded; the eval join is step-keyed on from_type
+    against the broadcast 6-row prediction table.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    mid = ev.agg(
+        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2.0)
+        .alias("mid")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .crossJoin(F.broadcast(mid))
+        .select(
+            F.col("event_type").alias("from_type"),
+            "next_type",
+            (F.unix_timestamp("ts") > F.col("mid")).alias("is_test"),
+        )
+    )
+    steps = tracked_persist(steps)
+    pred = (
+        steps.filter(~F.col("is_test"))
+        .groupBy("from_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy("from_type")
+        .agg(
+            F.min(
+                F.struct((-F.col("n")).alias("nn"), F.col("next_type"))
+            )
+            .getField("next_type")
+            .alias("pred_type"),
+            F.max("n").alias("n_modal"),
+            F.sum("n").alias("n_train"),
+        )
+    )
+    return (
+        steps.filter(F.col("is_test"))
+        .join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "pred_type")
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.count("*").alias("n_test"),
+            F.count_if(F.col("next_type") == F.col("pred_type"))
+            .cast("long")
+            .alias("n_correct"),
+            (
+                F.round(
+                    F.count_if(F.col("next_type") == F.col("pred_type"))
+                    / F.count("*").cast("double")
+                    + 1e-9,
+                    4,
+                )
+                + 0.0
+            ).alias("accuracy"),
+        )
+        .orderBy("from_type")
+    )
+
+
+EVENTS_MARKOV_NEXT_EVAL_SQL = """
+WITH mid AS (
+  SELECT (min(epoch(ts)) + max(epoch(ts))) / 2.0 AS mid FROM events
+),
+steps AS (
+  SELECT from_type, next_type, sec > mid.mid AS is_test
+  FROM (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type,
+           epoch(ts) AS sec
+    FROM events
+  ) s CROSS JOIN mid
+  WHERE next_type IS NOT NULL
+),
+counts AS (
+  SELECT from_type, next_type, count(*) AS n
+  FROM steps WHERE NOT is_test GROUP BY 1, 2
+),
+pred AS (
+  SELECT from_type, next_type AS pred_type, n AS n_modal,
+         sum(n) OVER (PARTITION BY from_type) AS n_train
+  FROM counts
+  QUALIFY row_number() OVER (PARTITION BY from_type
+                             ORDER BY n DESC, next_type ASC) = 1
+)
+SELECT s.from_type, p.pred_type,
+       CAST(max(p.n_train) AS BIGINT) AS n_train,
+       count(*) AS n_test,
+       CAST(count(CASE WHEN s.next_type = p.pred_type THEN 1 END) AS BIGINT)
+         AS n_correct,
+       round(count(CASE WHEN s.next_type = p.pred_type THEN 1 END)
+             / CAST(count(*) AS DOUBLE) + 1e-9, 4) + 0.0 AS accuracy
+FROM steps s JOIN pred p ON s.from_type = p.from_type
+WHERE s.is_test
+GROUP BY s.from_type, p.pred_type
+ORDER BY s.from_type
+"""
+
+
 EVENT_TRANSITION_MATRIX_SQL = """
 WITH steps AS (
   SELECT event_type AS from_type,
@@ -3341,6 +3455,7 @@ QUERIES = {
     "copurchase_pairs_topk": copurchase_pairs_topk,
     "customer_rfm_segments": customer_rfm_segments,
     "event_transition_matrix": event_transition_matrix,
+    "events_markov_next_eval": events_markov_next_eval,
     "udtf_chunk_documents": udtf_chunk_documents,
     "sessionize": sessionize,
     "higher_order_functions_conformance": higher_order_functions_conformance,
@@ -3422,6 +3537,7 @@ ORACLES = {
     "copurchase_pairs_topk": COPURCHASE_PAIRS_TOPK_SQL,
     "customer_rfm_segments": CUSTOMER_RFM_SEGMENTS_SQL,
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
+    "events_markov_next_eval": EVENTS_MARKOV_NEXT_EVAL_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,

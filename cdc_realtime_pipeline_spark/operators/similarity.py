@@ -3851,6 +3851,71 @@ FROM sil GROUP BY label ORDER BY label
 """
 
 
+def embeddings_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017) — the
+    geometry audit that tells an index planner how hard this corpus
+    actually is (ANN recall curves, IVF cell counts and PQ distortion
+    all degrade with INTRINSIC dimension, not the ambient 64): with
+    d1, d2 the first/second neighbor distances, μ = d2/d1 follows a
+    Pareto with shape = ID, so the MLE is N / Σ ln μ — one scalar
+    from the ratios alone, no density estimation.
+
+    Chained on ``embeddings_knn_graph``'s rank-1/rank-2 rows (the
+    approximate graph both engines build identically — the estimator
+    consumes whatever neighbor structure the index would actually
+    serve), with cosine distance 1 − cos; vectors with d1 = 0
+    (exact duplicates) or missing rank-2 are dropped and counted.
+    Per-vector ln terms are rounded 8dp before the sum; the output is
+    one bounded row.
+    """
+    g = embeddings_knn_graph(spark, sf_dir).filter(F.col("rank") <= 2)
+    per = g.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rank") == 1, 1.0 - F.col("cos"))).alias("d1"),
+        F.max(F.when(F.col("rank") == 2, 1.0 - F.col("cos"))).alias("d2"),
+    )
+    terms = per.select(
+        "vec_id",
+        F.when(
+            (F.col("d1") > 0) & F.col("d2").isNotNull(),
+            F.expr("round(ln(d2 / d1), 8)"),
+        ).alias("lnmu"),
+    )
+    return terms.agg(
+        F.count_if(F.col("lnmu").isNotNull()).cast("long").alias("n_used"),
+        F.count_if(F.col("lnmu").isNull()).cast("long").alias("n_dropped"),
+        F.expr(
+            "round(avg(lnmu) + 1e-9, 6) + 0.0"
+        ).alias("mean_ln_mu"),
+        F.expr(
+            "round(count_if(lnmu IS NOT NULL) / sum(lnmu) + 1e-9, 4) + 0.0"
+        ).alias("id_two_nn"),
+    )
+
+
+def _intrinsic_dim_oracle_sql() -> str:
+    # deferred: EMBEDDINGS_KNN_GRAPH_SQL is defined later in the module
+    return f"""
+WITH g AS ({EMBEDDINGS_KNN_GRAPH_SQL}),
+per AS (
+  SELECT vec_id,
+         max(CASE WHEN rank = 1 THEN 1.0 - cos END) AS d1,
+         max(CASE WHEN rank = 2 THEN 1.0 - cos END) AS d2
+  FROM g WHERE rank <= 2 GROUP BY vec_id
+),
+terms AS (
+  SELECT vec_id,
+         CASE WHEN d1 > 0 AND d2 IS NOT NULL
+              THEN round(ln(d2 / d1), 8) END AS lnmu
+  FROM per
+)
+SELECT CAST(count(lnmu) AS BIGINT) AS n_used,
+       CAST(count(*) - count(lnmu) AS BIGINT) AS n_dropped,
+       round(avg(lnmu) + 1e-9, 6) + 0.0 AS mean_ln_mu,
+       round(count(lnmu) / sum(lnmu) + 1e-9, 4) + 0.0 AS id_two_nn
+FROM terms
+"""  # noqa: intrinsic-dim oracle (deferred)
+
+
 def label_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Davies–Bouldin index per label — the third leg of the
     cluster-quality shelf (silhouette = per-point margin, ARI =
@@ -4621,6 +4686,7 @@ QUERIES = {
     "similarity_mmr_rerank": similarity_mmr_rerank,
     "label_silhouette_centroid": label_silhouette_centroid,
     "label_davies_bouldin": label_davies_bouldin,
+    "embeddings_intrinsic_dim": embeddings_intrinsic_dim,
     "kmeans_label_ari": kmeans_label_ari,
     "embeddings_anisotropy_audit": embeddings_anisotropy_audit,
     "label_knn_loo_eval": label_knn_loo_eval,
@@ -4668,6 +4734,7 @@ ORACLES = {
     "label_knn_loo_eval": LABEL_KNN_LOO_EVAL_SQL,
     "label_silhouette_centroid": LABEL_SILHOUETTE_CENTROID_SQL,
     "label_davies_bouldin": LABEL_DAVIES_BOULDIN_SQL,
+    "embeddings_intrinsic_dim": _intrinsic_dim_oracle_sql(),
     "kmeans_label_ari": KMEANS_LABEL_ARI_SQL,
     "embeddings_anisotropy_audit": EMBEDDINGS_ANISOTROPY_AUDIT_SQL,
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,

@@ -32,7 +32,7 @@ Rows dropped this round hold r4–r9 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-11 rotation queue — FIRST the forty-eight round-10 operators
+Round-11 rotation queue — FIRST the fifty round-10 operators
 (none driver-checked yet; all local-green at 3 SFs):
 `similarity_sq8_topk`, `similarity_sq8_rerank`,
 `similarity_ivf_cell_balance`, `embeddings_knn_graph`,
@@ -57,7 +57,8 @@ Round-11 rotation queue — FIRST the forty-eight round-10 operators
 `stream_sprt_alarm`, `orders_open_interval_depth`,
 `events_cross_correlation`, `text_word_burstiness`,
 `customer_theil_decomposition`, `docs_boilerplate_ngrams`,
-`orders_logrank_test`, `stream_open_interval_depth` — then
+`orders_logrank_test`, `stream_open_interval_depth`,
+`embeddings_intrinsic_dim`, `events_markov_next_eval` — then
 the remaining 25 r4-evidence entries
 (continue from `lang_confusion_matrix` in registry order), then the
 r5 pool, oldest evidence first per CORRECTNESS_r0*.json — plus any

@@ -196,6 +196,8 @@ PROBE_QUERIES = [
     ("docs_boilerplate_ngrams", "per-doc distinct grams -> source coverage topk"),
     ("orders_logrank_test", "span window -> dense time x arm risk sets"),
     ("stream_open_interval_depth", "streaming daily deltas -> shared sweep fold, E2E"),
+    ("embeddings_intrinsic_dim", "knn-graph rank-1/2 -> one MLE scalar"),
+    ("events_markov_next_eval", "half-split transition fit -> broadcast eval"),
 ]
 
 TABLES = [
