@@ -1767,8 +1767,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice") + 1e-9, 2).alias("monetary"),
-    )
+        # cent-exact: integer cents per order summed exactly — the
+        # per-customer total cannot drift across partial-sum orders
+        # (round-10 closing-gate flake); the dollars column derives
+        # from the cents, deterministically, for the ntile ordering
+        F.sum(F.round(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("m_cents"),
+    ).withColumn("monetary", F.round(F.col("m_cents") / 100, 2))
     maxd = orders.agg(F.max("o_orderdate").alias("max_date"))
     rfm = per_cust.crossJoin(F.broadcast(maxd)).withColumn(
         "recency_days", F.datediff("max_date", "last_order")
@@ -1785,7 +1791,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("monetary") + 1e-9, 2).alias("avg_monetary"),
+            # the mean in INTEGER-CENT half-up arithmetic: at ~4e6
+            # magnitude a double mean can land on an exact half-cent
+            # where Spark's BigDecimal(shortest-string) rounding and
+            # DuckDB's binary rounding disagree deterministically (and
+            # partial-sum noise swamps the 1e-9 nudge) — integer
+            # division (2·ΣC + n) div (2n) sidesteps floats entirely
+            (
+                F.expr("(2 * sum(m_cents) + count(*)) DIV (2 * count(*))")
+                / 100.0
+            ).alias("avg_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )
@@ -1796,12 +1811,14 @@ WITH per_cust AS (
   SELECT o_custkey,
          max(o_orderdate) AS last_order,
          count(*) AS frequency,
-         round(sum(o_totalprice) + 1e-9, 2) AS monetary
+         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS m_cents,
+         round(CAST(sum(round(o_totalprice * 100)) AS BIGINT) / 100, 2)
+           AS monetary
   FROM orders GROUP BY o_custkey
 ),
 maxd AS (SELECT max(o_orderdate) AS max_date FROM orders),
 rfm AS (
-  SELECT o_custkey, frequency, monetary,
+  SELECT o_custkey, frequency, monetary, m_cents,
          datediff('day', last_order, max_date) AS recency_days
   FROM per_cust CROSS JOIN maxd
 ),
@@ -1813,7 +1830,8 @@ scored AS (
   FROM rfm
 )
 SELECT r_score, f_score, m_score, count(*) AS n_customers,
-       round(avg(monetary) + 1e-9, 2) AS avg_monetary
+       ((2 * sum(m_cents) + count(*)) // (2 * count(*))) / 100.0
+         AS avg_monetary
 FROM scored GROUP BY r_score, f_score, m_score
 ORDER BY r_score, f_score, m_score
 """
@@ -3325,14 +3343,20 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last_order"),
             F.count("*").cast("long").alias("frequency"),
-            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("monetary"),
+            # cent-exact: integer cents summed exactly (the per-customer
+            # total cannot drift across partial-sum orders); the
+            # dollars grid key derives from the cents deterministically
+            F.sum(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("m_cents"),
         )
         .crossJoin(F.broadcast(maxd))
         .select(
             "o_custkey",
             F.datediff("dmax", "last_order").cast("long").alias("recency"),
             "frequency",
-            "monetary",
+            "m_cents",
+            F.round(F.col("m_cents") / 100, 2).alias("monetary"),
         )
     )
 
@@ -3360,7 +3384,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "recency",
             "frequency",
-            "monetary",
+            "m_cents",
             (
                 F.col("s_recency") * 100
                 + F.col("s_frequency") * 10
@@ -3376,7 +3400,16 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             F.round(F.avg("recency") + 1e-9, 2).alias("avg_recency_days"),
             F.round(F.avg("frequency") + 1e-9, 2).alias("avg_frequency"),
-            F.round(F.avg("monetary") + 1e-9, 2).alias("avg_monetary"),
+            # the mean in INTEGER-CENT half-up arithmetic: at ~4e6
+            # magnitude a double mean can land on an exact half-cent
+            # where Spark's BigDecimal(shortest-string) rounding and
+            # DuckDB's binary rounding disagree deterministically (and
+            # partial-sum noise swamps the 1e-9 nudge) — integer
+            # division (2·ΣC + n) div (2n) sidesteps floats entirely
+            (
+                F.expr("(2 * sum(m_cents) + count(*)) DIV (2 * count(*))")
+                / 100.0
+            ).alias("avg_monetary"),
         )
         .orderBy("rfm_code")
     )
@@ -3409,7 +3442,9 @@ WITH rfm AS (
               (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
            AS BIGINT) AS recency,
          count(*) AS frequency,
-         round(sum(o_totalprice) + 1e-9, 2) AS monetary
+         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS m_cents,
+         round(CAST(sum(round(o_totalprice * 100)) AS BIGINT) / 100, 2)
+           AS monetary
   FROM orders GROUP BY o_custkey
 ),
 per_v_recency AS (
@@ -3430,7 +3465,8 @@ scored AS (
 SELECT rfm_code, count(*) AS n_customers,
        round(avg(recency) + 1e-9, 2) AS avg_recency_days,
        round(avg(frequency) + 1e-9, 2) AS avg_frequency,
-       round(avg(monetary) + 1e-9, 2) AS avg_monetary
+       ((2 * sum(m_cents) + count(*)) // (2 * count(*))) / 100.0
+         AS avg_monetary
 FROM scored GROUP BY rfm_code ORDER BY rfm_code
 """
 

@@ -58,8 +58,12 @@ Round-11 rotation queue — FIRST the fifty round-10 operators
 `events_cross_correlation`, `text_word_burstiness`,
 `customer_theil_decomposition`, `docs_boilerplate_ngrams`,
 `orders_logrank_test`, `stream_open_interval_depth`,
-`embeddings_intrinsic_dim`, `events_markov_next_eval` — then
-the remaining 25 r4-evidence entries
+`embeddings_intrinsic_dim`, `events_markov_next_eval` — PLUS
+`customer_rfm_segments`, whose values changed this round (the
+monetary mean moved to integer-cent half-up arithmetic after the
+closing gate caught a run-to-run half-cent flip in its sibling
+`orders_rfm_segments`; both must re-earn driver rows on the new
+values) — then the remaining 25 r4-evidence entries
 (continue from `lang_confusion_matrix` in registry order), then the
 r5 pool, oldest evidence first per CORRECTNESS_r0*.json — plus any
 query whose values change.
