@@ -2926,6 +2926,129 @@ FROM p{_MARKOV_ITERS} ORDER BY event_type
 )
 
 
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain — the
+    information-theoretic "how predictable is the next event?" scalar
+    that closes the chain family (transition matrix = the dynamics,
+    stationary π = the long-run occupancy, H = −Σ_i π_i Σ_j P_ij
+    log₂P_ij = the bits/step those two jointly imply; `events_markov_
+    next_eval`'s accuracy is the operational face of the same
+    quantity — low H is exactly when argmax prediction can work).
+    Per state: π, the conditional next-step entropy H_i, and the
+    π-weighted contribution; the chain's rate rides as a constant
+    column.
+
+    Same construction discipline as `events_markov_stationary` (whose
+    12 unrolled power steps this re-derives verbatim): one corpus lag
+    window, then everything on the |types|²-row relation; per-cell
+    p·log₂p terms rounded 8dp before their bounded sums.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    row_tot = Window.partitionBy("from_type")
+    pmat = counts.select(
+        "from_type",
+        "to_type",
+        (F.col("n").cast("double") / F.sum("n").over(row_tot)).alias("p"),
+    ).localCheckpoint()
+    k = pmat.select("from_type").distinct().count()
+    pi = pmat.select("from_type").distinct().select(
+        F.col("from_type").alias("state"), F.lit(1.0 / k).alias("pi")
+    )
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            pmat.join(pi, pmat.from_type == pi.state)
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(F.round(F.sum(F.col("p") * F.col("pi")) + 1e-12, 8).alias("pi"))
+        )
+    hcond = pmat.groupBy(F.col("from_type").alias("state")).agg(
+        F.expr(
+            "round(-sum(round(p * log2(p), 8)) + 1e-9, 6) + 0.0"
+        ).alias("h_state")
+    )
+    per = (
+        pi.join(hcond, "state")
+        .select(
+            F.col("state").alias("event_type"),
+            F.expr("round(pi + 1e-9, 6) + 0.0").alias("stationary_p"),
+            "h_state",
+            F.expr("round(pi * h_state + 1e-9, 8) + 0.0").alias(
+                "contribution"
+            ),
+        )
+    )
+    rate = per.agg(
+        F.expr("round(sum(contribution) + 1e-9, 6) + 0.0").alias(
+            "entropy_rate_bits"
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(rate))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ENTROPY_RATE_SQL = (
+    """
+WITH steps AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+pmat AS (
+  SELECT from_type, to_type,
+         CAST(n AS DOUBLE)
+           / sum(n) OVER (PARTITION BY from_type) AS p
+  FROM counts
+),
+p0 AS (
+  SELECT from_type AS state,
+         1.0 / (SELECT CAST(count(DISTINCT from_type) AS DOUBLE) FROM pmat)
+           AS pi
+  FROM (SELECT DISTINCT from_type FROM pmat)
+),"""
+    + ",".join(
+        _markov_step_sql(f"p{i}", f"p{i + 1}") for i in range(_MARKOV_ITERS)
+    )
+    + f""",
+hcond AS (
+  SELECT from_type AS state,
+         round(-sum(round(p * log2(p), 8)) + 1e-9, 6) + 0.0 AS h_state
+  FROM pmat GROUP BY from_type
+),
+per AS (
+  SELECT p.state AS event_type,
+         round(p.pi + 1e-9, 6) + 0.0 AS stationary_p,
+         h.h_state,
+         round(p.pi * h.h_state + 1e-9, 8) + 0.0 AS contribution
+  FROM p{_MARKOV_ITERS} p JOIN hcond h ON p.state = h.state
+),
+rate AS (
+  SELECT round(sum(contribution) + 1e-9, 6) + 0.0 AS entropy_rate_bits
+  FROM per
+)
+SELECT per.*, rate.entropy_rate_bits
+FROM per CROSS JOIN rate
+ORDER BY event_type
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # DAU/WAU stickiness per week
 # --------------------------------------------------------------------------
@@ -3492,6 +3615,7 @@ QUERIES = {
     "customer_rfm_segments": customer_rfm_segments,
     "event_transition_matrix": event_transition_matrix,
     "events_markov_next_eval": events_markov_next_eval,
+    "events_entropy_rate": events_entropy_rate,
     "udtf_chunk_documents": udtf_chunk_documents,
     "sessionize": sessionize,
     "higher_order_functions_conformance": higher_order_functions_conformance,
@@ -3574,6 +3698,7 @@ ORACLES = {
     "customer_rfm_segments": CUSTOMER_RFM_SEGMENTS_SQL,
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
     "events_markov_next_eval": EVENTS_MARKOV_NEXT_EVAL_SQL,
+    "events_entropy_rate": EVENTS_ENTROPY_RATE_SQL,
     "sessionize": SESSIONIZE_SQL,
     "sessionize_native": SESSIONIZE_NATIVE_SQL,
     "value_quantiles": VALUE_QUANTILES_SQL,

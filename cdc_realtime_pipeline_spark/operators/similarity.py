@@ -3916,6 +3916,99 @@ FROM terms
 """  # noqa: intrinsic-dim oracle (deferred)
 
 
+def embeddings_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence hubness audit (Radovanović et al. 2010) — the
+    OTHER high-dimensional ANN pathology next to `embeddings_
+    intrinsic_dim`'s hardness scalar: in high intrinsic dimension a
+    few "hub" points appear in everyone's top-k lists while antihubs
+    appear in nobody's, silently biasing kNN classification,
+    recommendation and graph-ANN connectivity. Over the kNN graph's
+    neighbor lists: the k-occurrence count O(x) per node (ZERO for
+    never-referenced antihubs — the left join is the point), its
+    skewness (the standard hubness measure; ≈0 benign, ≫1 hubby),
+    the hub count O ≥ 2k and the antihub count O = 0.
+
+    All integer counts off the bounded graph relation; the skewness
+    moments are exact-integer-derived central sums rounded 4dp.
+    """
+    g = embeddings_knn_graph(spark, sf_dir)
+    g = tracked_persist(g)
+    nodes = g.select("vec_id").distinct()
+    occ = g.groupBy(F.col("nbr_id").alias("vec_id")).agg(
+        F.count("*").alias("o")
+    )
+    dense = nodes.join(occ, "vec_id", "left").select(
+        "vec_id", F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o")
+    )
+    m = dense.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("o").cast("long").alias("so"),
+        F.sum(F.col("o") * F.col("o")).alias("so2"),
+        F.sum(F.col("o") * F.col("o") * F.col("o")).alias("so3"),
+        F.max("o").alias("max_k_occurrence"),
+        F.count_if(F.col("o") == 0).cast("long").alias("n_antihubs"),
+        F.count_if(F.col("o") >= 2 * _KNN_GRAPH_K)
+        .cast("long")
+        .alias("n_hubs"),
+    )
+    # central moments from the raw integer sums: m2 = E[o²]−μ²,
+    # m3 = E[o³] − 3μE[o²] + 2μ³ — every term a ratio of exact ints
+    return m.select(
+        "n_nodes",
+        F.expr("round(so / CAST(n_nodes AS DOUBLE) + 1e-9, 4) + 0.0").alias(
+            "mean_k_occurrence"
+        ),
+        "max_k_occurrence",
+        "n_antihubs",
+        "n_hubs",
+        F.expr(
+            "round((so3 / CAST(n_nodes AS DOUBLE)"
+            " - 3.0D * (so / CAST(n_nodes AS DOUBLE))"
+            "   * (so2 / CAST(n_nodes AS DOUBLE))"
+            " + 2.0D * pow(so / CAST(n_nodes AS DOUBLE), 3))"
+            " / pow(so2 / CAST(n_nodes AS DOUBLE)"
+            "       - pow(so / CAST(n_nodes AS DOUBLE), 2), 1.5)"
+            " + 1e-9, 4) + 0.0"
+        ).alias("skewness"),
+    )
+
+
+def _hubness_oracle_sql() -> str:
+    # deferred: EMBEDDINGS_KNN_GRAPH_SQL is defined later in the module
+    return f"""
+WITH g AS ({EMBEDDINGS_KNN_GRAPH_SQL}),
+nodes AS (SELECT DISTINCT vec_id FROM g),
+occ AS (SELECT nbr_id AS vec_id, count(*) AS o FROM g GROUP BY nbr_id),
+dense AS (
+  SELECT n.vec_id, CAST(coalesce(o.o, 0) AS BIGINT) AS o
+  FROM nodes n LEFT JOIN occ o ON n.vec_id = o.vec_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(o) AS BIGINT) AS so,
+         sum(o * o) AS so2,
+         sum(o * o * o) AS so3,
+         CAST(max(o) AS BIGINT) AS max_k_occurrence,
+         CAST(count(CASE WHEN o = 0 THEN 1 END) AS BIGINT) AS n_antihubs,
+         CAST(count(CASE WHEN o >= 2 * {_KNN_GRAPH_K} THEN 1 END) AS BIGINT)
+           AS n_hubs
+  FROM dense
+)
+SELECT n_nodes,
+       round(so / CAST(n_nodes AS DOUBLE) + 1e-9, 4) + 0.0
+         AS mean_k_occurrence,
+       max_k_occurrence, n_antihubs, n_hubs,
+       round((so3 / CAST(n_nodes AS DOUBLE)
+              - 3.0 * (so / CAST(n_nodes AS DOUBLE))
+                * (so2 / CAST(n_nodes AS DOUBLE))
+              + 2.0 * pow(so / CAST(n_nodes AS DOUBLE), 3))
+             / pow(so2 / CAST(n_nodes AS DOUBLE)
+                   - pow(so / CAST(n_nodes AS DOUBLE), 2), 1.5)
+             + 1e-9, 4) + 0.0 AS skewness
+FROM m
+"""
+
+
 def label_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Davies–Bouldin index per label — the third leg of the
     cluster-quality shelf (silhouette = per-point margin, ARI =
@@ -4687,6 +4780,7 @@ QUERIES = {
     "label_silhouette_centroid": label_silhouette_centroid,
     "label_davies_bouldin": label_davies_bouldin,
     "embeddings_intrinsic_dim": embeddings_intrinsic_dim,
+    "embeddings_hubness_audit": embeddings_hubness_audit,
     "kmeans_label_ari": kmeans_label_ari,
     "embeddings_anisotropy_audit": embeddings_anisotropy_audit,
     "label_knn_loo_eval": label_knn_loo_eval,
@@ -4735,6 +4829,7 @@ ORACLES = {
     "label_silhouette_centroid": LABEL_SILHOUETTE_CENTROID_SQL,
     "label_davies_bouldin": LABEL_DAVIES_BOULDIN_SQL,
     "embeddings_intrinsic_dim": _intrinsic_dim_oracle_sql(),
+    "embeddings_hubness_audit": _hubness_oracle_sql(),
     "kmeans_label_ari": KMEANS_LABEL_ARI_SQL,
     "embeddings_anisotropy_audit": EMBEDDINGS_ANISOTROPY_AUDIT_SQL,
     "contrastive_hard_negatives": CONTRASTIVE_HARD_NEGATIVES_SQL,

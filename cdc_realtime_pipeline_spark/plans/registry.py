@@ -32,7 +32,7 @@ Rows dropped this round hold r4–r9 green evidence on unchanged code
 and stay under the local 3-SF harness (type-faithful hashing — local
 red predicts driver red on the typed-output class too).
 
-Round-11 rotation queue — FIRST the fifty round-10 operators
+Round-11 rotation queue — FIRST the fifty-two round-10 operators
 (none driver-checked yet; all local-green at 3 SFs):
 `similarity_sq8_topk`, `similarity_sq8_rerank`,
 `similarity_ivf_cell_balance`, `embeddings_knn_graph`,
@@ -58,7 +58,8 @@ Round-11 rotation queue — FIRST the fifty round-10 operators
 `events_cross_correlation`, `text_word_burstiness`,
 `customer_theil_decomposition`, `docs_boilerplate_ngrams`,
 `orders_logrank_test`, `stream_open_interval_depth`,
-`embeddings_intrinsic_dim`, `events_markov_next_eval` — PLUS
+`embeddings_intrinsic_dim`, `events_markov_next_eval`,
+`events_entropy_rate`, `embeddings_hubness_audit` — PLUS
 `customer_rfm_segments`, whose values changed this round (the
 monetary mean moved to integer-cent half-up arithmetic after the
 closing gate caught a run-to-run half-cent flip in its sibling

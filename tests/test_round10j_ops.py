@@ -56,3 +56,45 @@ def test_markov_eval_out_of_time(spark, sf_dir):
         assert 0 <= r["n_correct"] <= r["n_test"]
         assert abs(r["accuracy"] - r["n_correct"] / r["n_test"]) < 1e-3
         assert r["n_train"] >= 1
+
+
+def test_entropy_rate_bounds(spark, sf_dir):
+    """π sums to 1, per-state conditional entropies are bounded by
+    log2(k), the rate is the contribution sum, and it lies within
+    [0, max h_state]."""
+    import math
+
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        events_entropy_rate,
+    )
+
+    rows = events_entropy_rate(spark, sf_dir).collect()
+    assert rows
+    k = len(rows)
+    rate = rows[0]["entropy_rate_bits"]
+    assert abs(sum(r["stationary_p"] for r in rows) - 1.0) < 0.01
+    for r in rows:
+        assert 0.0 <= r["h_state"] <= math.log2(k) + 1e-6
+        assert r["entropy_rate_bits"] == rate
+    assert abs(rate - sum(r["contribution"] for r in rows)) < 1e-4
+    assert 0.0 <= rate <= max(r["h_state"] for r in rows) + 1e-6
+
+
+def test_hubness_accounting(spark, sf_dir):
+    """Occurrence mass conserves the graph's edge count, antihubs and
+    hubs are disjoint sub-populations, and the mean k-occurrence is
+    the edge count over the node count."""
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        embeddings_hubness_audit,
+        embeddings_knn_graph,
+    )
+
+    r = embeddings_hubness_audit(spark, sf_dir).collect()[0]
+    g = embeddings_knn_graph(spark, sf_dir)
+    n_edges = g.count()
+    n_nodes = g.select("vec_id").distinct().count()
+    assert r["n_nodes"] == n_nodes
+    assert abs(r["mean_k_occurrence"] - n_edges / n_nodes) < 1e-3
+    assert 0 <= r["n_antihubs"] < r["n_nodes"]
+    assert 0 <= r["n_hubs"] < r["n_nodes"]
+    assert r["max_k_occurrence"] >= 1

@@ -198,6 +198,8 @@ PROBE_QUERIES = [
     ("stream_open_interval_depth", "streaming daily deltas -> shared sweep fold, E2E"),
     ("embeddings_intrinsic_dim", "knn-graph rank-1/2 -> one MLE scalar"),
     ("events_markov_next_eval", "half-split transition fit -> broadcast eval"),
+    ("events_entropy_rate", "lag window -> types^2 chain + 12 power steps"),
+    ("embeddings_hubness_audit", "knn-graph occurrences -> skewness moments"),
 ]
 
 TABLES = [
