@@ -1306,6 +1306,9 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.filter(F.col("words"), lambda x: F.length(x) > 0)
     pairs = (
         docs.select(arr.alias("ws"))
+        # size guard: slice(ws, 1, -1) throws on a zero-token doc;
+        # size<2 docs contribute no bigrams either way (ADVICE r10)
+        .filter(F.size("ws") >= 2)
         .select(
             F.explode(
                 F.expr(
@@ -1877,7 +1880,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_uni = uni.agg(F.sum("cw").cast("double").alias("nu"))
     pairs = (
-        toks.select(
+        # size guard: slice(ws, 1, -1) throws on a zero-token doc;
+        # size<2 docs contribute no bigrams either way (ADVICE r10)
+        toks.filter(F.size("ws") >= 2)
+        .select(
             F.explode(
                 F.expr(
                     "zip_with(slice(ws, 1, size(ws) - 1),"

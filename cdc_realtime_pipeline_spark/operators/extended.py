@@ -1942,9 +1942,18 @@ def events_markov_next_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
+    # microsecond epoch on BOTH engines (unix_micros / epoch_us) so
+    # the train/test midpoint and the per-step comparison are computed
+    # on identical values — unix_timestamp truncates to seconds while
+    # the oracle's epoch() is fractional (ADVICE r10 flake class).
     mid = ev.agg(
-        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2.0)
-        .alias("mid")
+        (
+            (
+                F.min(F.expr("unix_micros(ts)"))
+                + F.max(F.expr("unix_micros(ts)"))
+            )
+            / 2.0
+        ).alias("mid")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = (
@@ -1954,7 +1963,7 @@ def events_markov_next_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_type").alias("from_type"),
             "next_type",
-            (F.unix_timestamp("ts") > F.col("mid")).alias("is_test"),
+            (F.expr("unix_micros(ts)") > F.col("mid")).alias("is_test"),
         )
     )
     steps = tracked_persist(steps)
@@ -1999,7 +2008,7 @@ def events_markov_next_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_MARKOV_NEXT_EVAL_SQL = """
 WITH mid AS (
-  SELECT (min(epoch(ts)) + max(epoch(ts))) / 2.0 AS mid FROM events
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0 AS mid FROM events
 ),
 steps AS (
   SELECT from_type, next_type, sec > mid.mid AS is_test
@@ -2007,7 +2016,7 @@ steps AS (
     SELECT event_type AS from_type,
            lead(event_type) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS next_type,
-           epoch(ts) AS sec
+           epoch_us(ts) AS sec
     FROM events
   ) s CROSS JOIN mid
   WHERE next_type IS NOT NULL

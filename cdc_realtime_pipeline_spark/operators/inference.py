@@ -1863,8 +1863,20 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("type_a", "type_b")
         .agg(
             F.max(F.when(F.col("lag") == 0, F.col("r"))).alias("r_lag0"),
+            # NULL r (zero-variance series) is pinned to LOSE the
+            # argmax in BOTH engines: here via coalesce(+inf) in the
+            # struct-min sort key, in the oracle via an explicit
+            # NULLS LAST — otherwise Spark's nulls-first struct order
+            # and DuckDB's nulls-last default would pick different
+            # winners on degenerate pairs (ADVICE r10). The raw r
+            # rides along so r_best stays NULL when every lag is
+            # degenerate.
             F.min(
-                F.struct((-F.col("r")).alias("nr"), F.col("lag"))
+                F.struct(
+                    F.coalesce(-F.col("r"), F.lit(float("inf"))).alias("nr"),
+                    F.col("lag"),
+                    F.col("r"),
+                )
             ).alias("win"),
             F.min("n_points").cast("long").alias("min_points"),
         )
@@ -1873,7 +1885,7 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_b",
             "r_lag0",
             F.col("win.lag").cast("long").alias("best_lag"),
-            (-F.col("win.nr")).alias("r_best"),
+            F.col("win.r").alias("r_best"),
             "min_points",
         )
         .orderBy("type_a", "type_b")
@@ -1909,10 +1921,13 @@ scored AS (
   FROM m
 ),
 best AS (
+  -- NULLS LAST pinned explicitly: NULL r (zero-variance) must LOSE
+  -- the argmax in both engines (the Spark side pins via
+  -- coalesce(+inf) in its struct-min key)
   SELECT type_a, type_b, lag AS best_lag, r AS r_best
   FROM scored
   QUALIFY row_number() OVER (PARTITION BY type_a, type_b
-                             ORDER BY r DESC, lag ASC) = 1
+                             ORDER BY r DESC NULLS LAST, lag ASC) = 1
 ),
 lag0 AS (
   SELECT type_a, type_b, r AS r_lag0 FROM scored WHERE lag = 0
@@ -1921,11 +1936,14 @@ minp AS (
   SELECT type_a, type_b, CAST(min(n_points) AS BIGINT) AS min_points
   FROM scored GROUP BY 1, 2
 )
+-- LEFT joins: a pair with no lag-0 hourly overlap must keep its row
+-- (NULL r_lag0) exactly as the Spark max(when(lag=0)) does, instead
+-- of being dropped by an inner join (ADVICE r10)
 SELECT b.type_a, b.type_b, l.r_lag0,
        CAST(b.best_lag AS BIGINT) AS best_lag, b.r_best, m.min_points
 FROM best b
-JOIN lag0 l ON b.type_a = l.type_a AND b.type_b = l.type_b
-JOIN minp m ON b.type_a = m.type_a AND b.type_b = m.type_b
+LEFT JOIN lag0 l ON b.type_a = l.type_a AND b.type_b = l.type_b
+LEFT JOIN minp m ON b.type_a = m.type_a AND b.type_b = m.type_b
 ORDER BY b.type_a, b.type_b
 """
 
@@ -1947,15 +1965,26 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines difference identical doubles.
     """
     ev = load_table(spark, sf_dir, "events")
+    # microsecond epoch on BOTH engines (Spark unix_micros / DuckDB
+    # epoch_us): unix_timestamp truncates to whole seconds while
+    # epoch() is fractional, so the two midpoints would differ by up
+    # to ~0.5 s and any event landing in that sliver would flip cells
+    # between engines (the ADVICE r10 flake class). The micros sum
+    # (~3.5e15) is exact in a double, so /2.0 is engine-identical.
     mid = ev.agg(
-        ((F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts"))) / 2.0)
-        .alias("mid")
+        (
+            (
+                F.min(F.expr("unix_micros(ts)"))
+                + F.max(F.expr("unix_micros(ts)"))
+            )
+            / 2.0
+        ).alias("mid")
     )
     cells = (
         ev.crossJoin(F.broadcast(mid))
         .select(
             (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
-            (F.unix_timestamp("ts") > F.col("mid")).cast("int").alias("post"),
+            (F.expr("unix_micros(ts)") > F.col("mid")).cast("int").alias("post"),
             "value",
         )
         .groupBy("treated", "post")
@@ -2012,7 +2041,7 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_DIFF_IN_DIFF_SQL = """
 WITH mid AS (
-  SELECT (min(epoch(ts)) + max(epoch(ts))) / 2.0 AS mid FROM events
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0 AS mid FROM events
 ),
 cells AS (
   SELECT treated, post, n,
@@ -2020,7 +2049,7 @@ cells AS (
          round((syy - sy * sy / n) / (n - 1) + 1e-9, 6) AS var
   FROM (
     SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
-           CASE WHEN epoch(ts) > mid.mid THEN 1 ELSE 0 END AS post,
+           CASE WHEN epoch_us(ts) > mid.mid THEN 1 ELSE 0 END AS post,
            count(*) AS n,
            sum(value) AS sy,
            sum(value * value) AS syy
@@ -2124,11 +2153,18 @@ def sprt_from_hourly(hours: DataFrame) -> DataFrame:
         .select(
             "event_type",
             "p0",
-            F.expr(f"round(ln({_SPRT_LIFT}D), 8)").alias("llr_e"),
-            # least() guards the degenerate p0 > 1/lift case (a type
-            # holding >2/3 of all events): p1 is capped below 1 so the
-            # log stays finite; a no-op on these fixtures (max share
-            # ~0.25), identical both engines
+            # BOTH increments derive from the SAME capped
+            # p1 = min(lift·p0, 0.99) — if only the non-event term
+            # used the cap the walk would mix two different p1 values
+            # in the degenerate p0 > 0.66 regime and stop being a
+            # valid likelihood ratio (ADVICE r10). The CASE form keeps
+            # the non-degenerate value EXACTLY ln(lift) (no p0/p0
+            # round-trip), so fixture values are unchanged; both
+            # engines evaluate the identical expression.
+            F.expr(
+                f"round(ln(CASE WHEN {_SPRT_LIFT}D * p0 > 0.99D"
+                f" THEN 0.99D / p0 ELSE {_SPRT_LIFT}D END), 8)"
+            ).alias("llr_e"),
             F.expr(
                 f"round(ln((1.0D - least({_SPRT_LIFT}D * p0, 0.99D))"
                 f" / (1.0D - p0)), 8)"
@@ -2224,7 +2260,8 @@ base AS (
 ),
 basellr AS (
   SELECT event_type, p0,
-         round(ln({_SPRT_LIFT}), 8) AS llr_e,
+         round(ln(CASE WHEN {_SPRT_LIFT} * p0 > 0.99
+                       THEN 0.99 / p0 ELSE {_SPRT_LIFT} END), 8) AS llr_e,
          round(ln((1.0 - least({_SPRT_LIFT} * p0, 0.99)) / (1.0 - p0)), 8)
            AS llr_o
   FROM base

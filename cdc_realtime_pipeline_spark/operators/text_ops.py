@@ -1229,6 +1229,12 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.filter(F.col("words"), lambda x: F.length(x) > 0)
     grams = (
         docs.select(arr.alias("ws"))
+        # guard BEFORE the slice: a zero-token doc (whitespace/punct
+        # only) makes slice(ws, 1, -1) throw on the negative length,
+        # while the oracle's range() just emits no grams (ADVICE r10).
+        # Values unchanged — size<2 docs contribute no bigrams either
+        # way.
+        .filter(F.size("ws") >= 2)
         .select(
             F.explode(
                 F.expr(

@@ -16,24 +16,26 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-10 window composition (VERDICT r9 #1 — after two consecutive
-fully green 50/50 windows):
-[E] the ten round-9 operators that landed after the r9 window was
-finalized take the front for their first driver look (binary-sign
-Hamming ANN pair, Gopher gate, PSI drift, the CUSUM batch+stream
-pair, MinHash estimate audit, Allen intervals, soft-dedup weights,
-LSH band sweep — all local-green at 3 SFs); [D] the staleness
-rotation fills the remaining 40 slots oldest-evidence-first per
-CORRECTNESS_r0*.json: all 20 remaining r3-evidence entries
-(continuing from `similarity_quantized_recall` in registry order,
-per the recorded r9 queue), then the first 20 of the 45-entry
-r4-evidence pool in registry order ([E]10 + [D]40 = 50).
-Rows dropped this round hold r4–r9 green evidence on unchanged code
-and stay under the local 3-SF harness (type-faithful hashing — local
-red predicts driver red on the typed-output class too).
+Round-11 window composition (VERDICT r10 #1 — after THREE
+consecutive fully green 50/50 windows): the first 50 of the recorded
+53-name rotation queue below, i.e. the fifty-two round-10 operators
+minus the last two, all taking their FIRST driver look. Every name
+was local-green at 3 SFs when queued and re-verified green after the
+round-11 ADVICE fixes (micros midpoints for diff-in-diff/markov-eval,
+SPRT capped-p1 llr_e, good-turing empty-doc guard, cross-correlation
+NULL/LEFT-JOIN pinning — value-identical on these fixtures except
+where noted at the definition sites).
 
-Round-11 rotation queue — FIRST the fifty-two round-10 operators
-(none driver-checked yet; all local-green at 3 SFs):
+Round-12 rotation queue — FIRST the 3-name round-11 overflow:
+`events_entropy_rate`, `embeddings_hubness_audit`,
+`customer_rfm_segments` (changed integer-cent values, must re-earn);
+then the remaining 25 r4-evidence entries (continue from
+`lang_confusion_matrix` in registry order), then the r5 pool, oldest
+evidence first per CORRECTNESS_r0*.json — plus any query whose
+values change in round 11 and any round-11 additions.
+
+Recorded round-11 queue (52 round-10 operators, then the changed-
+values re-earn):
 `similarity_sq8_topk`, `similarity_sq8_rerank`,
 `similarity_ivf_cell_balance`, `embeddings_knn_graph`,
 `dup_graph_label_propagation`, `salted_agg_conformance`,
@@ -60,14 +62,11 @@ Round-11 rotation queue — FIRST the fifty-two round-10 operators
 `orders_logrank_test`, `stream_open_interval_depth`,
 `embeddings_intrinsic_dim`, `events_markov_next_eval`,
 `events_entropy_rate`, `embeddings_hubness_audit` — PLUS
-`customer_rfm_segments`, whose values changed this round (the
+`customer_rfm_segments`, whose values changed in round 10 (the
 monetary mean moved to integer-cent half-up arithmetic after the
 closing gate caught a run-to-run half-cent flip in its sibling
 `orders_rfm_segments`; both must re-earn driver rows on the new
-values) — then the remaining 25 r4-evidence entries
-(continue from `lang_confusion_matrix` in registry order), then the
-r5 pool, oldest evidence first per CORRECTNESS_r0*.json — plus any
-query whose values change.
+values). The last three names are the round-12 overflow.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -126,64 +125,67 @@ _MODULES = [
 
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
+#
+# Round-11 window (VERDICT r10 #1): the first 50 of the 53-name
+# rotation queue recorded above — the fifty-two round-10 operators in
+# their recorded order (none driver-checked; all local-green at 3 SFs)
+# — so the whole window is first-driver-look. The 3-name overflow
+# (`events_entropy_rate`, `embeddings_hubness_audit`,
+# `customer_rfm_segments` with its changed integer-cent values) heads
+# the round-12 queue, followed by the r4-pool continuation from
+# `lang_confusion_matrix`. Rows dropped this round hold r4–r10 green
+# evidence on unchanged code and stay under the local 3-SF harness.
 _PRIORITY = [
-    # --- [E] first driver look: the ten round-9 operators added
-    # after the r9 window was finalized (VERDICT r9 #1) ---
-    "similarity_binary_sign_topk",
-    "similarity_binary_rerank",
-    "docs_gopher_quality_gate",
-    "docs_psi_drift",
-    "events_cusum_changepoint",
-    "stream_cusum_alarm",
-    "dedup_minhash_estimate_audit",
-    "allen_interval_relations",
-    "corpus_softdedup_weights",
-    "dedup_lsh_band_sweep",
-    # --- [D] staleness rotation: the 20 remaining r3-evidence
-    # entries, continuing from similarity_quantized_recall in
-    # registry order (oldest driver evidence first) ---
-    "similarity_quantized_recall",
-    "embedding_norm_outliers",
-    "dup_clusters_connected_components",
-    "label_balanced_sample",
-    "decontaminate_vs_benchmark",
-    "text_repetition",
-    "corpus_stratified_sample",
-    "text_unigram_lm_score",
-    "text_pii_scrub",
-    "corpus_curation_funnel",
-    "docs_ngram_novelty",
-    "orders_dq_profile",
-    "stream_window_agg_5m",
-    "stream_ohlc_bars_5m",
-    "stream_cdc_parse",
-    "stream_dedup_watermarked",
-    "stream_merged_trade_agg",
-    "stream_anomaly_rule_counts",
-    "stream_docs_quality_gate",
-    "stream_cdc_apply",
-    # --- [D] continued: the first 20 of the r4-evidence pool in
-    # registry order ---
-    "dash_rolling_7d_dau",
-    "window_agg_1h_rollup",
-    "tpch_q18_like",
-    "bloom_semijoin_reduction",
-    "higher_order_functions_conformance",
-    "timezone_conformance",
-    "variant_json_conformance",
-    "cep_funnel_sequence",
-    "attribution_last_touch",
-    "string_collation_conformance",
-    "regex_functions_conformance",
-    "correlated_subquery_conformance",
-    "lateral_join_topk_conformance",
-    "listagg_conformance",
-    "try_functions_conformance",
-    "timeseries_pattern_topk",
-    "trailing_10min_value",
-    "hourly_median_iqr",
-    "shingle_df_histogram",
-    "dup_cross_source_matrix",
+    "similarity_sq8_topk",
+    "similarity_sq8_rerank",
+    "similarity_ivf_cell_balance",
+    "embeddings_knn_graph",
+    "dup_graph_label_propagation",
+    "salted_agg_conformance",
+    "observed_metrics_conformance",
+    "corpus_domain_mixture_weights",
+    "corpus_quality_curriculum",
+    "corpus_tokenizer_fertility",
+    "text_hashed_ngram_features",
+    "orders_rfm_segments",
+    "events_benjamini_hochberg",
+    "user_time_decay_features",
+    "media_shard_manifest",
+    "referential_integrity_audit",
+    "asof_join_tolerance",
+    "l_diversity_audit",
+    "embeddings_centroid_drift",
+    "corpus_heaps_law_fit",
+    "watermark_delay_sweep",
+    "columnar_encoding_advisor",
+    "orders_duplicate_payment_audit",
+    "t_closeness_audit",
+    "dup_graph_modularity",
+    "user_logistic_roc_auc",
+    "text_winnowing_fingerprint",
+    "linkage_fellegi_sunter",
+    "lang_nb_confusion",
+    "stream_stream_full_outer",
+    "cdc_bitemporal_asof",
+    "events_decision_stump",
+    "label_davies_bouldin",
+    "media_audio_energy",
+    "text_good_turing",
+    "quality_gate_fairness_audit",
+    "events_diff_in_diff",
+    "retrieval_ndcg_agreement",
+    "linkage_em_patterns",
+    "events_sprt_monitor",
+    "stream_sprt_alarm",
+    "orders_open_interval_depth",
+    "events_cross_correlation",
+    "text_word_burstiness",
+    "customer_theil_decomposition",
+    "docs_boilerplate_ngrams",
+    "orders_logrank_test",
+    "stream_open_interval_depth",
+    "embeddings_intrinsic_dim",
+    "events_markov_next_eval",
 ]
 
 
