@@ -3100,7 +3100,15 @@ def similarity_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _opq_xr_sql() -> str:
     """CTE chain x → … → xr (all four candidate rotations, long form)
     — the SQL twin of ``_opq_rotations`` (power-iteration CTEs mirror
-    EMBEDDINGS_PCA_POWER_SQL's algebra verbatim)."""
+    EMBEDDINGS_PCA_POWER_SQL's algebra verbatim).
+
+    The hot CTEs (x, xr, and downstream bd_all/codes_all/lut_all/
+    adc_all) are pinned ``AS MATERIALIZED``: DuckDB inlines
+    single-referenced CTEs, so without the hint this deep chain
+    re-executes once per consumer and the opq_adc oracle read ~20 s
+    on 500 vectors (the r10 sweep-tax row); with it the same query
+    runs in ~1.5 s with bit-identical results. Values unchanged —
+    MATERIALIZED is purely an execution hint."""
     return f"""x AS (
   SELECT vec_id, i AS pos, list_extract(embedding::DOUBLE[], i) AS val
   FROM embeddings CROSS JOIN range(1, 65) r(i)
@@ -3130,7 +3138,7 @@ u AS (SELECT pos, lv - CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END AS uv
 uu AS (SELECT sum(uv * uv) AS uu FROM u),
 fh AS (SELECT x.vec_id, 2.0 * sum(x.val * u.uv) / (SELECT uu FROM uu) AS f
        FROM x JOIN u USING (pos) GROUP BY x.vec_id),
-xr AS (
+xr AS MATERIALIZED (
   SELECT CAST(0 AS BIGINT) AS cand, vec_id, pos, val AS xr
   FROM x
   UNION ALL
@@ -3161,7 +3169,7 @@ def _opq_sel_sql() -> str:
     SQL twin of ``_opq_bd_all``/``_opq_adc_all``/``_opq_sel``."""
     return f"""{_opq_xr_sql()},
 {_pq_cb_sql()},
-bd_all AS (
+bd_all AS MATERIALIZED (
   SELECT xr.cand, xr.vec_id,
          CAST((xr.pos - 1) // {_PQ_SUBDIM} AS BIGINT) AS sub, cb.code,
          round(sum((xr.xr - cb.c) * (xr.xr - cb.c)) + 1e-9, 8) AS d2
@@ -3176,7 +3184,7 @@ tot AS (
         FROM bd_all GROUP BY 1, 2, 3)
   GROUP BY cand
 ),
-codes_all AS (
+codes_all AS MATERIALIZED (
   SELECT cand, vec_id, sub, code FROM (
     SELECT cand, vec_id, sub, code,
            row_number() OVER (PARTITION BY cand, vec_id, sub
@@ -3184,11 +3192,11 @@ codes_all AS (
     FROM bd_all WHERE vec_id >= {N_QUERIES}
   ) WHERE rk = 1
 ),
-lut_all AS (
+lut_all AS MATERIALIZED (
   SELECT cand, vec_id AS query_id, sub, code, d2 AS qd2
   FROM bd_all WHERE vec_id < {N_QUERIES}
 ),
-adc_all AS (
+adc_all AS MATERIALIZED (
   SELECT c.cand, l.query_id, c.vec_id,
          round(sum(l.qd2) + 1e-9, 6) + 0.0 AS adc_dist
   FROM codes_all c
@@ -4662,7 +4670,7 @@ def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDINGS_CENTROID_DRIFT_SQL = """
 WITH emb AS (SELECT * FROM embeddings),
 mid AS (SELECT (min(vec_id) + max(vec_id)) / 2.0 AS mid FROM emb),
-x AS (
+x AS MATERIALIZED (
   SELECT label, vec_id <= (SELECT mid FROM mid) AS early,
          i - 1 AS dim, list_extract(embedding::DOUBLE[], i) AS val
   FROM emb CROSS JOIN range(1, 65) r(i)
