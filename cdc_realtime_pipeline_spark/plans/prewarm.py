@@ -38,13 +38,17 @@ def _slots():
         corpus_ops,
         dedup,
         similarity,
+        text_ops,
     )
 
     return {
         "neardup_docs": dedup.docs_with_dupes,
         "doc_words": dedup.doc_words,
+        "tfidf_weights": text_ops._tfidf_weights,
+        "tfidf_doc_norms": text_ops._tfidf_doc_norms,
         "neardup_shingles": dedup._shared_shingles,
         "neardup_candidates": dedup._verified_candidates,
+        "minhash_sigs16": dedup._minhash_sigs16,
         "neardup_cc_labels": corpus_ops._dup_component_labels,
         "lpa_labels": corpus_ops._lpa_labels,
         "pq_base_dists": lambda spark, sf_dir: similarity._pq_base_dists(
