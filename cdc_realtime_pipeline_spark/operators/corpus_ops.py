@@ -1577,8 +1577,13 @@ dup_graph_kcore.__doc__ = dup_graph_kcore.__doc__.format(
 
 
 def _kcore_pass_sql(prev: str, out: str, k: int) -> str:
+    # MATERIALIZED is load-bearing: each pass references the previous
+    # one TWICE (both join sides), so DuckDB's single-reference CTE
+    # inlining would expand the chain 2^P-fold — the oracle read 7.4 s
+    # at sf0.01 with inlined passes, 0.1 s materialized, identical
+    # results (round 11, the OPQ-chain finding applied graph-wide).
     return f"""
-{out} AS (
+{out} AS MATERIALIZED (
   SELECT e.u AS node, count(*) AS d
   FROM edges e
   JOIN {prev} a ON e.u = a.node
@@ -1589,7 +1594,9 @@ def _kcore_pass_sql(prev: str, out: str, k: int) -> str:
 
 
 def _kcore_unrolled_sql(k: int) -> str:
-    parts = [f"a{k}_0 AS (SELECT node, degree AS d FROM deg)"]
+    parts = [
+        f"a{k}_0 AS MATERIALIZED (SELECT node, degree AS d FROM deg)"
+    ]
     for i in range(1, _KCORE_ORACLE_PASSES + 1):
         parts.append(_kcore_pass_sql(f"a{k}_{i - 1}", f"a{k}_{i}", k))
     return ",".join(parts)

@@ -1,0 +1,153 @@
+"""Round-11 regression tests for the ADVICE r10 edge-case fixes.
+
+Each test pins a divergence class that the sf fixtures happen not to
+exercise (which is exactly why they need synthetic-fixture tests):
+zero-token documents crashing the bigram slice, and the SPRT llr_e
+cap staying consistent with llr_o in the degenerate p0 > 1/lift
+regime.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs_dir(spark, tmp_path_factory):
+    """A documents fixture containing the pathological rows the real
+    fixtures lack: a whitespace/punctuation-only doc (zero tokens
+    after normalization), a single-token doc (zero bigrams), and two
+    normal docs so the operators still have signal."""
+    out = str(tmp_path_factory.mktemp("degen_docs"))
+    rows = [
+        (0, "the stream window hash join runs fast", "en", "web", 38),
+        (1, "window hash join state store compaction", "en", "web", 40),
+        (2, "!!! ... ???", "en", "web", 11),  # zero tokens
+        (3, "compaction", "en", "web", 10),  # one token, no bigrams
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
+def _release_degen_memos():
+    # the degenerate dir shares memo slots with the real fixtures —
+    # drop them so later tests never read this tiny corpus
+    from cdc_realtime_pipeline_spark.session import release_memos
+
+    release_memos()
+
+
+def test_good_turing_survives_zero_token_doc(spark, degenerate_docs_dir):
+    """ADVICE r10: slice(ws, 1, size(ws)-1) threw on the negative
+    length for a zero-token doc while the oracle emitted no grams.
+    The guard must make the query run AND count only the bigrams of
+    the ≥2-token docs (doc 2 and 3 contribute nothing)."""
+    from cdc_realtime_pipeline_spark.operators.text_ops import text_good_turing
+
+    try:
+        rows = text_good_turing(spark, degenerate_docs_dir).collect()
+        # doc 0 has 7 tokens -> 6 bigrams, doc 1 has 6 -> 5; docs 2/3
+        # contribute nothing. "window hash" and "hash join" appear in
+        # both docs -> two r=2 types.
+        n_tokens = sum(r.r * r.n_r for r in rows)
+        assert n_tokens == 11
+        twice = [r for r in rows if r.r == 2]
+        assert twice and twice[0].n_r == 2
+    finally:
+        _release_degen_memos()
+
+
+def test_bigram_builders_survive_zero_token_doc(spark, degenerate_docs_dir):
+    """The same guard class in the curation bigram builders
+    (kneser-ney, PMI) — both must run on a corpus holding a
+    zero-token doc instead of throwing on the negative slice."""
+    from cdc_realtime_pipeline_spark.operators.curation import (
+        text_bigram_kneser_ney,
+        text_pmi_collocations,
+    )
+
+    try:
+        assert text_bigram_kneser_ney(spark, degenerate_docs_dir).count() > 0
+        # PMI applies a min-count floor; on 4 tiny docs it may emit 0
+        # rows — surviving the scan without throwing is the contract
+        text_pmi_collocations(spark, degenerate_docs_dir).collect()
+    finally:
+        _release_degen_memos()
+
+
+def test_sprt_llr_terms_share_capped_p1(spark):
+    """ADVICE r10: in the degenerate p0 > 1/lift regime both LLR
+    increments must derive from the SAME capped p1 = min(lift·p0,
+    0.99), or the walk is not a likelihood ratio. Feed the shared
+    fold an hourly relation where one type holds ~90% of events and
+    check llr_e == ln(0.99/p0) (capped) rather than ln(lift), while
+    the non-degenerate type keeps llr_e == ln(lift) exactly."""
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        _SPRT_LIFT,
+        _SPRT_TRAIN_H,
+        sprt_from_hourly,
+    )
+
+    rows = []
+    for hb in range(_SPRT_TRAIN_H + 3):
+        rows.append(("dominant", hb, 90))
+        rows.append(("minor", hb, 10))
+    hours = spark.createDataFrame(rows, "event_type string, hb long, n_t long")
+    out = {r.event_type: r for r in sprt_from_hourly(hours).collect()}
+    assert set(out) == {"dominant", "minor"}
+
+    # reproduce the engine's p0 derivation (8dp-rounded share)
+    p0_dom = round(90 / 100, 8)
+    p0_min = round(10 / 100, 8)
+    assert _SPRT_LIFT * p0_dom > 0.99  # the degenerate regime
+    llr_e_dom = round(math.log(0.99 / p0_dom), 8)
+    llr_e_min = round(math.log(_SPRT_LIFT), 8)
+    llr_o_dom = round(math.log((1.0 - 0.99) / (1.0 - p0_dom)), 8)
+    llr_o_min = round(
+        math.log((1.0 - _SPRT_LIFT * p0_min) / (1.0 - p0_min)), 8
+    )
+    # 3 post-train hours, constant counts -> final_llr = 3 * inc
+    exp_dom = round(3 * (90 * llr_e_dom + 10 * llr_o_dom) + 1e-9, 6)
+    exp_min = round(3 * (10 * llr_e_min + 90 * llr_o_min) + 1e-9, 6)
+    assert out["dominant"].final_llr == pytest.approx(exp_dom, abs=1e-6)
+    assert out["minor"].final_llr == pytest.approx(exp_min, abs=1e-6)
+
+
+def test_cross_correlation_null_r_loses_argmax(spark):
+    """ADVICE r10: a zero-variance hourly series yields NULL r; the
+    argmax must pick a non-NULL lag in both engines (Spark pins via
+    coalesce(+inf) in the struct-min key, the oracle via NULLS LAST).
+    Construct the scored relation shape directly and check the same
+    struct-min expression the operator uses."""
+    scored = spark.createDataFrame(
+        [
+            ("a", "b", 0, None),
+            ("a", "b", 1, 0.25),
+            ("a", "b", 2, 0.75),
+            ("c", "d", 0, None),  # every lag degenerate
+            ("c", "d", 1, None),
+        ],
+        "type_a string, type_b string, lag int, r double",
+    )
+    win = scored.groupBy("type_a", "type_b").agg(
+        F.min(
+            F.struct(
+                F.coalesce(-F.col("r"), F.lit(float("inf"))).alias("nr"),
+                F.col("lag"),
+                F.col("r"),
+            )
+        ).alias("win")
+    )
+    got = {
+        (r.type_a, r.type_b): (r.win.lag, r.win.r) for r in win.collect()
+    }
+    assert got[("a", "b")] == (2, 0.75)  # NULL r at lag 0 lost
+    assert got[("c", "d")] == (0, None)  # all-NULL: smallest lag, NULL r
