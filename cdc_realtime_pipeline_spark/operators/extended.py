@@ -2632,8 +2632,14 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_FUNNEL_DEPTH_SQL = """
 WITH e AS (
-  SELECT user_id, event_type, epoch(ts)::BIGINT AS t,
-         epoch(ts)::BIGINT * 10000000 + event_id AS tt
+  -- date_trunc BEFORE the cast (the repo-wide idiom): epoch() is
+  -- fractional and ::BIGINT ROUNDS in DuckDB while Spark's
+  -- cast(ts as long) FLOORS — 5122 sf0.01 events sit on the >=.5s
+  -- boundary, so the bare cast diverged on t/tt and matched only by
+  -- fixture luck (round-11 sweep of the ADVICE r10 flake class)
+  SELECT user_id, event_type,
+         epoch(date_trunc('second', ts))::BIGINT AS t,
+         epoch(date_trunc('second', ts))::BIGINT * 10000000 + event_id AS tt
   FROM events
 ),
 anchors AS (

@@ -4832,8 +4832,12 @@ def events_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical inputs). All ordered logic runs on the bounded
     event-type relation (window above an Aggregate).
     """
+    # microsecond epoch on BOTH engines (unix_micros / epoch_us) so
+    # midpoint and comparison use identical values — unix_timestamp
+    # truncates to seconds while the oracle's epoch() is fractional
+    # (the ADVICE r10 flake class, same fix as events_diff_in_diff)
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.unix_timestamp("ts").alias("sec")
+        "event_type", F.expr("unix_micros(ts)").alias("sec")
     )
     bounds = ev.agg(
         ((F.min("sec") + F.max("sec")) / 2.0).alias("mid")
@@ -4921,7 +4925,7 @@ def events_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_BENJAMINI_HOCHBERG_SQL = f"""
 WITH ev AS (
-  SELECT event_type, epoch(ts) AS sec FROM events
+  SELECT event_type, epoch_us(ts) AS sec FROM events
 ),
 halved AS (
   SELECT event_type,
