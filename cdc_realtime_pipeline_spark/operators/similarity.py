@@ -4100,8 +4100,17 @@ def label_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n_vecs").alias("n_vecs"),
             F.max("s_own").alias("s_own"),
+            # NULL r (d_ij rounding to exactly 0 — cosine-identical
+            # centroids at 8dp) pinned to LOSE in both engines:
+            # coalesce(+inf) here, NULLS LAST in the oracle (the
+            # events_cross_correlation discipline, round 11); r rides
+            # along so r_max stays NULL if every partner degenerates
             F.min(
-                F.struct((-F.col("r")).alias("nr"), F.col("other_label"))
+                F.struct(
+                    F.coalesce(-F.col("r"), F.lit(float("inf"))).alias("nr"),
+                    F.col("other_label"),
+                    F.col("r"),
+                )
             ).alias("win"),
         )
         .select(
@@ -4109,7 +4118,7 @@ def label_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
             "s_own",
             F.col("win.other_label").alias("worst_other"),
-            (-F.col("win.nr")).alias("r_max"),
+            F.col("win.r").alias("r_max"),
         )
         .orderBy("label")
     )
@@ -4158,7 +4167,7 @@ SELECT label, n_vecs, s_own,
        other_label AS worst_other, r AS r_max
 FROM ratios
 QUALIFY row_number() OVER (PARTITION BY label
-                           ORDER BY r DESC, other_label ASC) = 1
+                           ORDER BY r DESC NULLS LAST, other_label ASC) = 1
 ORDER BY label
 """
 
