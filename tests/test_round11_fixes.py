@@ -151,3 +151,56 @@ def test_cross_correlation_null_r_loses_argmax(spark):
     }
     assert got[("a", "b")] == (2, 0.75)  # NULL r at lag 0 lost
     assert got[("c", "d")] == (0, None)  # all-NULL: smallest lag, NULL r
+
+
+def test_tfidf_memo_matches_inline_definition(spark, sf_dir):
+    """The round-11 memo refactor claims ``_tfidf_weights`` /
+    ``_tfidf_doc_norms`` are bit-identical to the former inline
+    construction — pin that equivalence so a future edit to either
+    side cannot drift silently."""
+    from cdc_realtime_pipeline_spark.operators.dedup import doc_words
+    from cdc_realtime_pipeline_spark.operators.text_ops import (
+        _tfidf_doc_norms,
+        _tfidf_weights,
+    )
+
+    docs = doc_words(spark, sf_dir)
+    tokens = docs.select(
+        "doc_id", F.explode("words").alias("word")
+    ).filter(F.length("word") > 0)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = df_rel.crossJoin(F.broadcast(n_docs)).select(
+        "word", F.round(F.log(F.col("n_docs") / F.col("df")), 8).alias("idf")
+    )
+    inline_w = tf.join(idf, "word").select(
+        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("wt"), "idf"
+    )
+    memo_w = _tfidf_weights(spark, sf_dir)
+    assert memo_w.exceptAll(inline_w).count() == 0
+    assert inline_w.exceptAll(memo_w).count() == 0
+
+    inline_norms = inline_w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.round(F.col("wt") * F.col("wt"), 8))).alias("doc_norm")
+    )
+    memo_norms = _tfidf_doc_norms(spark, sf_dir)
+    assert memo_norms.exceptAll(inline_norms).count() == 0
+    assert inline_norms.exceptAll(memo_norms).count() == 0
+
+
+def test_minhash_sigs_memo_matches_inline_definition(spark, sf_dir):
+    """``_minhash_sigs16`` must equal
+    ``minhash_signatures(docs_with_dupes(...), 16)`` exactly — the
+    shared signature table the whole MinHash family now consumes."""
+    from cdc_realtime_pipeline_spark.operators.dedup import (
+        _minhash_sigs16,
+        docs_with_dupes,
+        minhash_signatures,
+    )
+
+    inline = minhash_signatures(docs_with_dupes(spark, sf_dir), 16)
+    memo = _minhash_sigs16(spark, sf_dir)
+    assert memo.columns == inline.columns
+    assert memo.exceptAll(inline).count() == 0
+    assert inline.exceptAll(memo).count() == 0
