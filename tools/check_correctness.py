@@ -86,6 +86,13 @@ _TIE_AUDITED = {
     "embeddings_pca_power.loading",
     "dp_noised_release.n_noised",
     "dp_noised_release.sum_noised",
+    # audited round 11 (warned only at sf0.001, where negative
+    # correlations/residuals appear): r is round(_AC_R + 1e-9, 6) + 0.0
+    # in scored on BOTH engines (r_best copies it through the pinned
+    # struct-min); resid is _r4(...) + 0.0 / round(...+1e-9, 4) + 0.0
+    "events_cross_correlation.r_best",
+    "events_cross_correlation.r_lag0",
+    "events_stl_decompose.resid",
 }
 
 
