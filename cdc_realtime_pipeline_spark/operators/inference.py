@@ -423,9 +423,17 @@ GROUP BY n_a, n_b, n_cells
 # --------------------------------------------------------------------------
 
 # Pearson r over (a=current, b=previous) pairs from shared moments
+# nullif on the denominator (round 11): a zero-variance series makes
+# sqrt(...) exactly 0.0 — the moments are integer-valued doubles, so
+# the cancellation is exact, never a tiny negative — and under Spark 4
+# ANSI (this session's default) a bare /0.0 RAISES DIVIDE_BY_ZERO
+# while DuckDB yields NULL (<=1.0) or Inf (>=1.1 ieee ops). nullif
+# pins r to NULL on BOTH engines regardless of version; the argmax
+# NULLS-LAST/coalesce(+inf) pins downstream then agree. Identical
+# syntax parses in both dialects.
 _AC_R = (
     "((np * sab - sa * sb) /"
-    " sqrt((np * saa - sa * sa) * (np * sbb - sb * sb)))"
+    " nullif(sqrt((np * saa - sa * sa) * (np * sbb - sb * sb)), 0.0))"
 )
 
 

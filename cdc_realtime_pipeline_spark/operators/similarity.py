@@ -4090,8 +4090,15 @@ def label_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
             "s_own",
             "other_label",
+            # nullif: d_ij rounding to exactly 0 (cosine-identical
+            # centroids at 8dp) must yield NULL r on BOTH engines —
+            # under Spark 4 ANSI a bare /0.0 raises DIVIDE_BY_ZERO,
+            # and DuckDB >=1.1 would yield +Inf (which would WIN the
+            # argmax). NULL then loses via the pinned struct-min /
+            # NULLS LAST (round 11)
             F.expr(
-                "round((s_own + s_other) / d_ij + 1e-9, 6) + 0.0"
+                "round((s_own + s_other) / nullif(d_ij, 0.0) + 1e-9, 6)"
+                " + 0.0"
             ).alias("r"),
         )
     )
@@ -4157,8 +4164,12 @@ pair_d AS (
   WHERE i.c_label != j.c_label
 ),
 ratios AS (
+  -- nullif mirrors the Spark side: NULL r on a zero centroid
+  -- distance in both engines, never Inf (DuckDB >=1.1) or a raise
+  -- (Spark ANSI)
   SELECT p.label, si.n_vecs, si.s_own, p.other_label,
-         round((si.s_own + sj.s_own) / p.d_ij + 1e-9, 6) + 0.0 AS r
+         round((si.s_own + sj.s_own) / nullif(p.d_ij, 0.0) + 1e-9, 6)
+           + 0.0 AS r
   FROM pair_d p
   JOIN scatter si ON p.label = si.label
   JOIN scatter sj ON p.other_label = sj.label

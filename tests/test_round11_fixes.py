@@ -204,3 +204,150 @@ def test_minhash_sigs_memo_matches_inline_definition(spark, sf_dir):
     assert memo.columns == inline.columns
     assert memo.exceptAll(inline).count() == 0
     assert inline.exceptAll(memo).count() == 0
+
+
+def _value_hash():
+    import sys
+
+    tools = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from check_correctness import value_hash
+
+    return value_hash
+
+
+def _duckdb_rows(sf_dir: str, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            # Spark writes test fixtures as part-file directories;
+            # the driver fixtures are flat files — glob either way
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
+            )
+    tbl = con.execute(sql).fetch_arrow_table()
+    cols = list(tbl.column_names)
+    rows = list(zip(*[c.to_pylist() for c in tbl.columns])) if tbl.num_rows else []
+    return rows, cols
+
+
+def test_cross_correlation_degenerate_pair_end_to_end(spark, tmp_path):
+    """Review finding (round 11): the NULL-r argmax pin must be
+    exercised through the REAL operator, not a fabricated relation —
+    under Spark 4 ANSI the unguarded division RAISED on a
+    zero-variance pair instead of producing the NULL the pin handles.
+    Fixture: types aa/bb live in exactly one hour (np=1 everywhere →
+    zero variance → NULL r on BOTH engines via the nullif guard);
+    cc/dd vary over 8 hours (non-null control). The Spark result and
+    the DuckDB oracle must agree hash-for-hash, NULLs included."""
+    import datetime
+
+    value_hash = _value_hash()
+    from cdc_realtime_pipeline_spark.operators.inference import (
+        EVENTS_CROSS_CORRELATION_SQL,
+        events_cross_correlation,
+    )
+
+    base = datetime.datetime(2026, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def add(t, hour, n):
+        nonlocal eid
+        for k in range(n):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(hours=hour, minutes=k % 50),
+                    eid % 7,
+                    t,
+                    float(10 + (eid % 5)),
+                    "{}",
+                )
+            )
+            eid += 1
+
+    add("aa", 0, 2)
+    add("bb", 0, 3)
+    for h in range(8):
+        add("cc", h, 2 + (h % 3))
+        add("dd", h, 1 + ((h * 2) % 4))
+    out = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+
+    sdf = events_cross_correlation(spark, out)
+    srows = sdf.collect()
+    # the aa-vs-* and bb-vs-* pairs are all zero-variance on the a
+    # side: rows kept, r NULL (previously: ANSI DIVIDE_BY_ZERO crash)
+    degen = [r for r in srows if r.type_a in ("aa", "bb")]
+    assert degen, "degenerate pairs must still produce rows"
+    assert all(r.r_best is None and r.r_lag0 is None for r in degen)
+    ctrl = [
+        r for r in srows if r.type_a == "cc" and r.type_b == "dd"
+    ]
+    assert ctrl and ctrl[0].r_best is not None
+
+    drows, dcols = _duckdb_rows(out, EVENTS_CROSS_CORRELATION_SQL)
+    assert len(srows) == len(drows)
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert value_hash([list(r) for r in srows], sdf.columns) == value_hash(
+        drows, dcols
+    )
+
+
+def test_davies_bouldin_identical_centroids_end_to_end(spark, tmp_path):
+    """Same review finding for label_davies_bouldin: two labels whose
+    vectors are IDENTICAL make d_ij exactly 0 — the nullif guard must
+    yield NULL r in both engines, the NULL must lose the worst-partner
+    argmax, and Spark-vs-oracle must agree hash-for-hash."""
+    value_hash = _value_hash()
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        LABEL_DAVIES_BOULDIN_SQL,
+        label_davies_bouldin,
+    )
+
+    dim = 8
+    rows = []
+    vid = 0
+    # labels 0 and 1: the SAME two vectors -> identical centroids
+    for label in (0, 1):
+        for v in ([1.0] * dim, [1.0] * (dim - 1) + [0.5]):
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    # label 2: orthogonal-ish control so a non-degenerate partner exists
+    for v in ([0.1] * (dim - 1) + [4.0], [0.2] * (dim - 1) + [3.0]):
+        rows.append((vid, [float(x) for x in v], 2))
+        vid += 1
+    out = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+    sdf = label_davies_bouldin(spark, out)
+    srows = sdf.collect()
+    by_label = {r.label: r for r in srows}
+    # labels 0/1 see each other at d_ij == 0 -> that partner's r is
+    # NULL and must LOSE to the non-degenerate label-2 partner
+    assert by_label[0].worst_other == 2 and by_label[0].r_max is not None
+    assert by_label[1].worst_other == 2 and by_label[1].r_max is not None
+
+    drows, dcols = _duckdb_rows(out, LABEL_DAVIES_BOULDIN_SQL)
+    assert len(srows) == len(drows)
+    assert value_hash([list(r) for r in srows], sdf.columns) == value_hash(
+        drows, dcols
+    )
