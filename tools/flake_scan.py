@@ -21,10 +21,8 @@ build surfaces as a hash mismatch in every consumer.
 
     python tools/flake_scan.py [sf_dir]
 
-Round-11 results: two-pass form at sf0.01 — 376 compared, 0 flakes,
-0 errors (663 s). The round's earlier single-generation form (one
-prewarm, per-query double-run) also read 0/376 at BOTH sf0.01 (814 s)
-and sf0.1 (1315 s).
+Round-11 results (two-pass form): sf0.01 — 376 compared, 0 flakes,
+0 errors (663 s); sf0.1 — 376 compared, 0 flakes, 0 errors (1099 s).
 """
 
 from __future__ import annotations
