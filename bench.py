@@ -377,6 +377,25 @@ def main() -> None:
     # r1-era host speed for the vs-r1 normalized ratio.
     CALIB_REF_SEC = 0.374
     calib_run = (calib_start + calib_end) / 2.0
+    # Recording precondition (VERDICT r11 #4): the calib pair must
+    # agree within ~30% of their mean for a run to stand as a round's
+    # official certified line — BENCH_r11 shipped on a hot window
+    # ([0.493, 0.255], ~2× disagreement) and read 13% above the same
+    # round's clean line. A disagreeing pair means host load SHIFTED
+    # mid-run, so neither raw nor normalized totals are comparable;
+    # rerun until the pair agrees before recording (BASELINE.md
+    # §recording protocol).
+    calib_spread_pct = round(
+        abs(calib_start - calib_end) / calib_run * 100.0, 1
+    )
+    calib_pair_ok = calib_spread_pct <= 30.0
+    if not calib_pair_ok:
+        print(
+            f"WARNING: calib pair [{calib_start}, {calib_end}] disagrees "
+            f"by {calib_spread_pct}% (>30%) — host load shifted mid-run; "
+            "rerun before recording this line as official",
+            file=sys.stderr,
+        )
     value_calib_normalized = round(total * CALIB_REF_SEC / calib_run, 3)
     ratio_vs_r1_raw = None
     ratio_vs_r1_calib_normalized = None
@@ -404,6 +423,10 @@ def main() -> None:
         # divide cross-round totals by the calib ratio before
         # reading deltas (host co-tenancy swings ±25-75%)
         "calib_sec": [calib_start, calib_end],
+        # recording precondition (VERDICT r11 #4): official per-round
+        # lines require calib_pair_ok — see BASELINE.md §recording
+        "calib_spread_pct": calib_spread_pct,
+        "calib_pair_ok": calib_pair_ok,
         # untimed once-per-corpus memo builds, priced separately so
         # per-query lines never embed first-consumer attribution
         "memo_prewarm_sec": memo_prewarm_sec,

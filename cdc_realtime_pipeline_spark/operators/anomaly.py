@@ -378,33 +378,39 @@ def alerts_rapid_trades_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        chunks = list(batches)
-        if not chunks:
-            return
-        # a key's rows can span Arrow batches within the partition —
-        # concatenate first (partition-bounded memory, same bound a
-        # grouped UDF has for its largest key)
-        pdf = pd.concat(chunks, ignore_index=True)
-        ts_ns = pdf["ts"].to_numpy("datetime64[ns]").astype(np.int64)
-        uids = pdf["user_id"].to_numpy()
-        ids = pdf["event_id"].to_numpy()
-        rows = []
+        # stream the Arrow chunks (VERDICT r11 #3): the walk only needs
+        # (prev_uid, win_start, cnt) carried across chunk boundaries —
+        # a key's rows spanning batches is fine because the partition
+        # is sorted and batches arrive in row order. Peak memory is one
+        # Arrow batch + this chunk's alert rows, not the whole hash
+        # partition (the old pd.concat bound was corpus/parallelism).
         prev_uid = None
         win_start = 0
         cnt = 0
-        for i in range(len(pdf)):
-            tms = int(ts_ns[i]) // 1_000_000  # ns → epoch ms
-            if uids[i] != prev_uid or tms > win_start + _RAPID_WINDOW_MS:
-                if uids[i] != prev_uid:
-                    prev_uid = uids[i]
-                win_start, cnt = tms, 1
-            else:
-                cnt += 1
-            if cnt == _RAPID_COUNT:
-                rows.append((uids[i], ids[i], float(cnt), pdf["ts"].iloc[i]))
-        yield pd.DataFrame(
-            rows, columns=["market", "trade_id", "value", "detected_at"]
-        )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ts_ns = pdf["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+            uids = pdf["user_id"].to_numpy()
+            ids = pdf["event_id"].to_numpy()
+            rows = []
+            for i in range(len(pdf)):
+                tms = int(ts_ns[i]) // 1_000_000  # ns → epoch ms
+                if uids[i] != prev_uid or tms > win_start + _RAPID_WINDOW_MS:
+                    if uids[i] != prev_uid:
+                        prev_uid = uids[i]
+                    win_start, cnt = tms, 1
+                else:
+                    cnt += 1
+                if cnt == _RAPID_COUNT:
+                    rows.append(
+                        (uids[i], ids[i], float(cnt), pdf["ts"].iloc[i])
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["market", "trade_id", "value", "detected_at"],
+                )
 
     res = part.mapInPandas(
         detect, "market bigint, trade_id bigint, value double, detected_at timestamp"

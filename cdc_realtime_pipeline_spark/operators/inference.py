@@ -4845,13 +4845,13 @@ def events_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncates to seconds while the oracle's epoch() is fractional
     # (the ADVICE r10 flake class, same fix as events_diff_in_diff)
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.expr("unix_micros(ts)").alias("sec")
+        "event_type", F.expr("unix_micros(ts)").alias("us")
     )
     bounds = ev.agg(
-        ((F.min("sec") + F.max("sec")) / 2.0).alias("mid")
+        ((F.min("us") + F.max("us")) / 2.0).alias("mid")
     )
     halved = ev.crossJoin(F.broadcast(bounds)).select(
-        "event_type", (F.col("sec") <= F.col("mid")).alias("first_half")
+        "event_type", (F.col("us") <= F.col("mid")).alias("first_half")
     )
     per_type = halved.groupBy("event_type").agg(
         F.count(F.when(F.col("first_half"), 1)).alias("n_first"),
@@ -4933,11 +4933,11 @@ def events_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_BENJAMINI_HOCHBERG_SQL = f"""
 WITH ev AS (
-  SELECT event_type, epoch_us(ts) AS sec FROM events
+  SELECT event_type, epoch_us(ts) AS us FROM events
 ),
 halved AS (
   SELECT event_type,
-         sec <= (SELECT (min(sec) + max(sec)) / 2.0 FROM ev) AS first_half
+         us <= (SELECT (min(us) + max(us)) / 2.0 FROM ev) AS first_half
   FROM ev
 ),
 per_type AS (

@@ -16,57 +16,32 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-11 window composition (VERDICT r10 #1 — after THREE
-consecutive fully green 50/50 windows): the first 50 of the recorded
-53-name rotation queue below, i.e. the fifty-two round-10 operators
-minus the last two, all taking their FIRST driver look. Every name
-was local-green at 3 SFs when queued and re-verified green after the
-round-11 ADVICE fixes (micros midpoints for diff-in-diff/markov-eval,
-SPRT capped-p1 llr_e, good-turing empty-doc guard, cross-correlation
-NULL/LEFT-JOIN pinning — value-identical on these fixtures except
-where noted at the definition sites).
+Round-12 window composition (VERDICT r11 #1 — after FOUR
+consecutive fully green 50/50 windows): the recorded round-12 queue
+drained in order. Slots 1-3 are the round-11 overflow —
+`events_entropy_rate` and `embeddings_hubness_audit` (never
+driver-checked) plus `customer_rfm_segments`, which must RE-EARN on
+its changed integer-cent values (its last driver row, r5, predates
+the round-10 half-up monetary-mean fix). Slots 4-28 are the 25
+oracle-gated r4-evidence entries from `lang_confusion_matrix`
+onward in registry order (their green rows date to
+CORRECTNESS_r04.json; oldest evidence in the registry). Slots 29-50
+are the first 22 of the r5-evidence pool in CORRECTNESS_r05.json
+order (`dedup_embeddings_semantic` … `contrastive_hard_negatives`).
+Every queued name was local-green at 3 SFs when queued; the only
+code touching a windowed name this round is value-preserving
+(verified hash-identical at 3 SFs before queueing).
 
-Round-12 rotation queue — FIRST the 3-name round-11 overflow:
-`events_entropy_rate`, `embeddings_hubness_audit`,
-`customer_rfm_segments` (changed integer-cent values, must re-earn);
-then the remaining 25 r4-evidence entries (continue from
-`lang_confusion_matrix` in registry order), then the r5 pool, oldest
-evidence first per CORRECTNESS_r0*.json — plus any query whose
-values change in round 11 and any round-11 additions.
-
-Recorded round-11 queue (52 round-10 operators, then the changed-
-values re-earn):
-`similarity_sq8_topk`, `similarity_sq8_rerank`,
-`similarity_ivf_cell_balance`, `embeddings_knn_graph`,
-`dup_graph_label_propagation`, `salted_agg_conformance`,
-`observed_metrics_conformance`, `corpus_domain_mixture_weights`,
-`corpus_quality_curriculum`, `corpus_tokenizer_fertility`,
-`text_hashed_ngram_features`, `orders_rfm_segments`,
-`events_benjamini_hochberg`, `user_time_decay_features`,
-`media_shard_manifest`, `referential_integrity_audit`,
-`asof_join_tolerance`, `l_diversity_audit`,
-`embeddings_centroid_drift`, `corpus_heaps_law_fit`,
-`watermark_delay_sweep`, `columnar_encoding_advisor`,
-`orders_duplicate_payment_audit`, `t_closeness_audit`,
-`dup_graph_modularity`, `user_logistic_roc_auc`,
-`text_winnowing_fingerprint`, `linkage_fellegi_sunter`,
-`lang_nb_confusion`, `stream_stream_full_outer`,
-`cdc_bitemporal_asof`, `events_decision_stump`,
-`label_davies_bouldin`, `media_audio_energy`,
-`text_good_turing`, `quality_gate_fairness_audit`,
-`events_diff_in_diff`, `retrieval_ndcg_agreement`,
-`linkage_em_patterns`, `events_sprt_monitor`,
-`stream_sprt_alarm`, `orders_open_interval_depth`,
-`events_cross_correlation`, `text_word_burstiness`,
-`customer_theil_decomposition`, `docs_boilerplate_ngrams`,
-`orders_logrank_test`, `stream_open_interval_depth`,
-`embeddings_intrinsic_dim`, `events_markov_next_eval`,
-`events_entropy_rate`, `embeddings_hubness_audit` — PLUS
-`customer_rfm_segments`, whose values changed in round 10 (the
-monetary mean moved to integer-cent half-up arithmetic after the
-closing gate caught a run-to-run half-cent flip in its sibling
-`orders_rfm_segments`; both must re-earn driver rows on the new
-values). The last three names are the round-12 overflow.
+Round-13 rotation queue — the remaining 24 r5-evidence names
+continuing from `nan_inf_conformance` in CORRECTNESS_r05.json
+order, then the r6 pool (49 names), oldest evidence first per
+CORRECTNESS_r0*.json — plus any query whose values change in
+round 12 and any round-12 additions. Rows-only names
+(`value_quantiles_approx` r3, `dedup_candidates_audit` r4,
+`stream_anomaly_alerts` r2, …) are not queued: the driver records
+only a weaker rows-only check for them, their oracle-gated twins
+rotate instead, and the local harness re-verifies their self-checks
+at 3 SFs every round.
 
 Names present in QUERIES but not ORACLES are intentionally weaker
 rows-only checks (approximate or dialect-pathological operators —
@@ -126,66 +101,64 @@ _MODULES = [
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
 #
-# Round-11 window (VERDICT r10 #1): the first 50 of the 53-name
-# rotation queue recorded above — the fifty-two round-10 operators in
-# their recorded order (none driver-checked; all local-green at 3 SFs)
-# — so the whole window is first-driver-look. The 3-name overflow
-# (`events_entropy_rate`, `embeddings_hubness_audit`,
-# `customer_rfm_segments` with its changed integer-cent values) heads
-# the round-12 queue, followed by the r4-pool continuation from
-# `lang_confusion_matrix`. Rows dropped this round hold r4–r10 green
-# evidence on unchanged code and stay under the local 3-SF harness.
+# Round-12 window (VERDICT r11 #1): the 3-name round-11 overflow
+# (two first-looks + the `customer_rfm_segments` changed-values
+# re-earn), then the 25 oracle-gated r4-evidence names from
+# `lang_confusion_matrix` in registry order, then the first 22 of
+# the r5-evidence pool in CORRECTNESS_r05.json order. Rows dropped
+# this round hold r8–r11 green evidence on unchanged code and stay
+# under the local 3-SF harness; the r5 remainder heads round 13.
 _PRIORITY = [
-    "similarity_sq8_topk",
-    "similarity_sq8_rerank",
-    "similarity_ivf_cell_balance",
-    "embeddings_knn_graph",
-    "dup_graph_label_propagation",
-    "salted_agg_conformance",
-    "observed_metrics_conformance",
-    "corpus_domain_mixture_weights",
-    "corpus_quality_curriculum",
-    "corpus_tokenizer_fertility",
-    "text_hashed_ngram_features",
-    "orders_rfm_segments",
-    "events_benjamini_hochberg",
-    "user_time_decay_features",
-    "media_shard_manifest",
-    "referential_integrity_audit",
-    "asof_join_tolerance",
-    "l_diversity_audit",
-    "embeddings_centroid_drift",
-    "corpus_heaps_law_fit",
-    "watermark_delay_sweep",
-    "columnar_encoding_advisor",
-    "orders_duplicate_payment_audit",
-    "t_closeness_audit",
-    "dup_graph_modularity",
-    "user_logistic_roc_auc",
-    "text_winnowing_fingerprint",
-    "linkage_fellegi_sunter",
-    "lang_nb_confusion",
-    "stream_stream_full_outer",
-    "cdc_bitemporal_asof",
-    "events_decision_stump",
-    "label_davies_bouldin",
-    "media_audio_energy",
-    "text_good_turing",
-    "quality_gate_fairness_audit",
-    "events_diff_in_diff",
-    "retrieval_ndcg_agreement",
-    "linkage_em_patterns",
-    "events_sprt_monitor",
-    "stream_sprt_alarm",
-    "orders_open_interval_depth",
-    "events_cross_correlation",
-    "text_word_burstiness",
-    "customer_theil_decomposition",
-    "docs_boilerplate_ngrams",
-    "orders_logrank_test",
-    "stream_open_interval_depth",
-    "embeddings_intrinsic_dim",
-    "events_markov_next_eval",
+    "events_entropy_rate",
+    "embeddings_hubness_audit",
+    "customer_rfm_segments",
+    "lang_confusion_matrix",
+    "text_tfidf_topk",
+    "text_bm25_topk",
+    "embeddings_kmeans_assign",
+    "dup_graph_pagerank",
+    "split_leakage_audit",
+    "corpus_oov_rate",
+    "chunk_dedup_stats",
+    "corpus_weighted_reservoir",
+    "corpus_quality_weighted_sample",
+    "corpus_mixture_weights",
+    "docs_chunked",
+    "heavy_hitters_mg",
+    "zorder_layout_stats",
+    "key_skew_profile",
+    "daily_users_bitmap_rollup",
+    "value_mad_outliers",
+    "value_winsorized_stats",
+    "value_distribution_psi",
+    "events_schema_drift",
+    "value_equidepth_histogram",
+    "stream_topk_per_window",
+    "stream_value_drift_gate",
+    "stream_stream_left_outer",
+    "stream_decontaminate_gate",
+    "dedup_embeddings_semantic",
+    "dup_graph_triangles",
+    "tpch_q21_like",
+    "bitwise_functions_conformance",
+    "unpivot_conformance",
+    "corpus_perplexity_buckets",
+    "media_dedup_exact",
+    "tpch_q7_like",
+    "tpch_q9_like",
+    "tpch_q10_like",
+    "tpch_q13_like",
+    "tpch_q15_like",
+    "tpch_q16_like",
+    "tpch_q20_like",
+    "tpch_q22_like",
+    "corpus_dsir_importance",
+    "embeddings_jl_projection",
+    "custom_agg_trimmed_mean",
+    "udtf_chunk_documents",
+    "audience_overlap_bitmap",
+    "dedup_span_stats",
+    "contrastive_hard_negatives",
 ]
 
 

@@ -149,7 +149,7 @@ def main() -> int:
         per_slot = prewarm_memos(spark, sf_dir)
         print(
             f"# memo_prewarm_sec total={time.time() - t0:.1f} "
-            + " ".join(f"{k}={v}" for k, v in per_slot.items())
+            + " ".join(f"{k}={v:.1f}" for k, v in per_slot.items())
         )
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():

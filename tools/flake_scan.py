@@ -71,17 +71,29 @@ def main() -> int:
     release_memos()
     h2 = one_pass("pass2")
 
-    n = flakes = errs = 0
+    n = flakes = 0
+    excluded: list[str] = []
     for name in qs:
         if h1[name] is None or h2[name] is None:
-            errs += 1
+            # ADVICE r11: name the excluded queries (and which pass
+            # errored) so an error-in-one-pass flake is distinguishable
+            # from a plain fixture/setup error in the summary.
+            which = (
+                "both passes" if h1[name] is None and h2[name] is None
+                else ("pass1" if h1[name] is None else "pass2")
+            )
+            excluded.append(f"{name} ({which})")
             continue
         n += 1
         if h1[name] != h2[name]:
             flakes += 1
             print(f"FLAKE {name}: {h1[name]} != {h2[name]}")
-    print(f"done: {n} compared, {flakes} flakes, {errs} errors "
+    if excluded:
+        print("excluded from flake comparison (errored): "
+              + ", ".join(excluded))
+    print(f"done: {n} compared, {flakes} flakes, {len(excluded)} errors "
           f"in {time.time() - t0:.0f}s")
+    errs = len(excluded)
     return 1 if flakes or errs else 0
 
 

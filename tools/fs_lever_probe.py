@@ -1,0 +1,116 @@
+"""Measure the `linkage_fellegi_sunter` MAX_SHINGLE_DF lever
+(VERDICT r11 next-round #2) instead of citing it.
+
+For each candidate df-cap (16 = the shipped default, 8, 4):
+
+  * RECALL — the verified J ≥ 0.6 pair set of `dedup_docs_jaccard`
+    at the probe's m1 (= sf0.1) fixture vs the cap-16 truth set
+    (cap 16 is the oracle-exact operating point: every green gate
+    run differentially proves it equals DuckDB's all-pairs answer).
+  * CANDIDATE MASS — the verified-candidate count (the memoized
+    candidates-then-verify table linkage consumes), i.e. the cost
+    the cap actually controls.
+  * α — the 1×/3×/10× scale exponent of `linkage_fellegi_sunter`
+    on the scale_probe fixture variants, same methodology as
+    tools/scale_probe.py (cold memos inside every timed point,
+    one untimed seam warm-up first).
+
+Prints one JSON line per cap plus a markdown table for SCALING.md.
+
+Usage: python3 tools/fs_lever_probe.py [--caps 16,8,4] [--multipliers 1,3,10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--caps", default="16,8,4")
+    ap.add_argument("--multipliers", default="1,3,10")
+    args = ap.parse_args()
+    caps = [int(c) for c in args.caps.split(",")]
+    ms = [int(m) for m in args.multipliers.split(",")]
+
+    from scale_probe import _build
+
+    from cdc_realtime_pipeline_spark.operators import dedup
+    from cdc_realtime_pipeline_spark.session import (
+        get_spark,
+        release_caches,
+        release_memos,
+    )
+
+    spark = get_spark("fs_lever_probe")
+    dirs = {m: _build(spark, m) for m in ms}
+
+    # untimed seam warm-up (scale_probe discipline): JVM codegen +
+    # Python-worker/Arrow cold start must not land in the first point
+    spark.read.parquet(os.path.join(dirs[ms[0]], "lineitem.parquet")).groupBy(
+        "l_returnflag"
+    ).count().write.mode("overwrite").format("noop").save()
+    spark.range(100000).mapInPandas(lambda it: it, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    default_cap = dedup.MAX_SHINGLE_DF
+    truth: set[tuple[int, int]] | None = None
+    rows = []
+    try:
+        for cap in caps:
+            dedup.MAX_SHINGLE_DF = cap
+            release_memos()
+            release_caches()
+            pairs = {
+                (r.doc_a, r.doc_b)
+                for r in dedup.dedup_docs_jaccard(spark, dirs[1]).collect()
+            }
+            n_cand = dedup._verified_candidates(spark, dirs[1]).count()
+            if truth is None:  # first cap listed is the truth set
+                truth = pairs
+            recall = len(pairs & truth) / len(truth) if truth else 1.0
+            times: dict[int, float] = {}
+            for m in ms:
+                release_memos()
+                release_caches()
+                t0 = time.time()
+                dedup.QUERIES["linkage_fellegi_sunter"](
+                    spark, dirs[m]
+                ).write.mode("overwrite").format("noop").save()
+                times[m] = round(time.time() - t0, 2)
+                release_caches()
+            lo, hi = min(ms), max(ms)
+            alpha = round(math.log(times[hi] / times[lo]) / math.log(hi / lo), 2)
+            row = {
+                "cap": cap,
+                "true_pairs": len(truth),
+                "recall_vs_cap16": round(recall, 6),
+                "verified_candidates_m1": n_cand,
+                "times_sec": times,
+                "alpha": alpha,
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    finally:
+        dedup.MAX_SHINGLE_DF = default_cap
+        release_memos()
+
+    print("\n| cap | recall@J>=0.6 | verified candidates (m1) | "
+          + " / ".join(f"{m}x" for m in ms) + " | alpha |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        t = " / ".join(f"{r['times_sec'][m]}" for m in ms)
+        print(f"| {r['cap']} | {r['recall_vs_cap16']} | "
+              f"{r['verified_candidates_m1']} | {t} | {r['alpha']} |")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
