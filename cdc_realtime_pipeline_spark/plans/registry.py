@@ -28,9 +28,12 @@ onward in registry order (their green rows date to
 CORRECTNESS_r04.json; oldest evidence in the registry). Slots 29-50
 are the first 22 of the r5-evidence pool in CORRECTNESS_r05.json
 order (`dedup_embeddings_semantic` … `contrastive_hard_negatives`).
-Every queued name was local-green at 3 SFs when queued; the only
-code touching a windowed name this round is value-preserving
-(verified hash-identical at 3 SFs before queueing).
+Every queued name was local-green at 3 SFs when queued; no round-12
+code change touches a windowed name's values (the round's operator
+edits — the rapid-trades chunk-streaming walk and the cosine LSH
+geometry parameterization — are value-preserving by construction,
+derive the historical defaults at every test SF, and were re-proven
+oracle-green after the edit).
 
 Round-13 rotation queue — the remaining 24 r5-evidence names
 continuing from `nan_inf_conformance` in CORRECTNESS_r05.json
