@@ -214,6 +214,16 @@ def release_memos() -> int:
             n += 1
         except Exception:
             pass
+    # the cached embeddings count rides the same static-fixture
+    # assumption as the memos — a tool that rewrites a fixture dir
+    # mid-session (scale_probe._build) must not serve a stale count
+    # into the derived LSH geometry
+    try:
+        from cdc_realtime_pipeline_spark.operators import similarity
+
+        similarity._EMB_COUNT_CACHE.clear()
+    except Exception:
+        pass
     return n
 
 
