@@ -200,6 +200,13 @@ PROBE_QUERIES = [
     ("events_markov_next_eval", "half-split transition fit -> broadcast eval"),
     ("events_entropy_rate", "lag window -> types^2 chain + 12 power steps"),
     ("embeddings_hubness_audit", "knn-graph occurrences -> skewness moments"),
+    # round-12 second wave: the heaviest official-bench rows that had
+    # no measured row yet (judge reads the bench line against SCALING)
+    ("cdc_scd2_history", "change-log window -> validity intervals + current flag"),
+    ("cdc_diff_snapshots", "two snapshot scans -> full-outer key diff"),
+    ("dedup_embeddings_cosine", "derived-geometry sign-LSH bands + exact verify"),
+    ("similarity_recall_report_full", "5 ANN variants vs brute-force truth, memoized"),
+    ("stream_stream_left_outer", "watermarked left-outer join, availableNow E2E"),
 ]
 
 TABLES = [
