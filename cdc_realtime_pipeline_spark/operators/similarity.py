@@ -25,7 +25,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_realtime_pipeline_spark.session import load_table, memo_persist, tracked_persist
+from cdc_realtime_pipeline_spark.session import (
+    load_table,
+    memo_persist,
+    register_session_cache,
+    tracked_persist,
+)
 
 TOP_K = 5
 N_QUERIES = 3  # vec_id < 3 are the query vectors
@@ -449,8 +454,11 @@ _LSH_TARGET_BUCKET = 256  # expected unrelated-pair band-bucket size cap
 
 # corpus count per sf_dir, cached for the session — a parquet count()
 # is metadata-only (no row materialization) but still a job, so pay it
-# once per fixture, not once per dedup_embeddings_cosine call
-_EMB_COUNT_CACHE: dict[str, int] = {}
+# once per fixture, not once per dedup_embeddings_cosine call;
+# registered so release_memos() clears it with the other
+# static-fixture state (a fixture-rewriting tool must not serve a
+# stale count into the derived geometry)
+_EMB_COUNT_CACHE: dict[str, int] = register_session_cache({})
 
 
 def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
@@ -475,6 +483,7 @@ def lsh_band_geometry(
     tau: float = 0.95,
     miss_target: float = _LSH_MISS_TARGET,
     target_bucket: int = _LSH_TARGET_BUCKET,
+    bits: int | None = None,
 ) -> tuple[int, int]:
     """Derive the (bits_per_band, n_bands) LSH geometry from corpus
     size — the 100 TB lever of ``dedup_embeddings_cosine`` as a
@@ -491,12 +500,23 @@ def lsh_band_geometry(
     geometry — miss(0.95) ≈ 1.4e-4 — so fixture results are unchanged;
     at n = 10⁹ it derives (22, 88): buckets hold and the recall bound
     still applies at τ itself, not just at the planted c≈0.999 pairs.
+
+    ``bits`` overrides the bucket-driven bit width while KEEPING the
+    band count derived — bands must always be computed from the
+    EFFECTIVE bits, or a caller pinning a wider band (fewer per-band
+    collisions) would silently pair it with a band count derived for
+    narrower bands and lose the miss(τ) guarantee (round-12 review).
     """
     p = math.acos(min(max(tau, -1.0), 1.0)) / math.pi
-    bits = 8
-    if n_vectors > target_bucket:
-        bits = min(32, max(8, math.ceil(math.log2(n_vectors / target_bucket))))
-    q = (1.0 - p) ** bits
+    if bits is None:
+        bits = 8
+        if n_vectors > target_bucket:
+            bits = min(32, max(8, math.ceil(math.log2(n_vectors / target_bucket))))
+    # clamp q away from {0, 1}: τ→1 drives q→1 (log(0) below would
+    # raise), τ→-1 drives q→0 (log(1)=0 would divide by zero); at the
+    # clamped extremes the formula degrades to a huge-but-finite band
+    # count instead of crashing
+    q = min(max((1.0 - p) ** bits, 1e-12), 1.0 - 1e-12)
     bands = max(4, math.ceil(math.log(miss_target) / math.log(1.0 - q)))
     return bits, bands
 
@@ -539,6 +559,12 @@ def dedup_embeddings_cosine(
     every (a < b) pair — O(n²), for audits and small corpora only;
     the oracle SQL is exactly this form, so the default banded path is
     continually differentially tested against it at the gate.
+
+    NOTE (round-12 review): deriving the default geometry runs ONE
+    parquet-metadata count() job at plan-BUILD time (first call per
+    fixture per session; cached thereafter, prewarmed untimed by the
+    ``emb_count`` slot). Explain-only consumers pay that one job; pass
+    explicit (bits, bands) to keep plan construction fully lazy.
     """
     tau = 0.95
     base = load_table(spark, sf_dir, "embeddings").select(
@@ -563,15 +589,20 @@ def dedup_embeddings_cosine(
         cand = ea.join(eb, F.col("vec_a") < F.col("vec_b"))
     else:
         if bits is None or bands is None:
-            d_bits, d_bands = lsh_band_geometry(_corpus_count(spark, sf_dir), tau)
-            bits = bits if bits is not None else d_bits
+            # bands are derived from the EFFECTIVE bits (a caller
+            # pinning only `bits` still keeps the miss(τ) bound);
+            # a caller pinning `bands` owns the recall trade
+            d_bits, d_bands = lsh_band_geometry(
+                _corpus_count(spark, sf_dir), tau, bits=bits
+            )
+            bits = d_bits
             bands = bands if bands is not None else d_bands
         planes = _hyperplanes(bits * bands, 64)
         sig_kernel = banded_signatures_udf(planes, bands)
-        bands = emb.select(
+        band_rows = emb.select(
             "vec_id", F.posexplode(sig_kernel(F.col("embedding"))).alias("band", "sig")
         )
-        x, y = bands.alias("x"), bands.alias("y")
+        x, y = band_rows.alias("x"), band_rows.alias("y")
         cand = (
             x.join(
                 y,

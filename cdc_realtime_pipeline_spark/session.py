@@ -176,6 +176,22 @@ def release_caches() -> int:
 # a new session or a different fixture dir releases and rebuilds.
 _MEMOIZED: dict[str, tuple[int, str, object]] = {}
 
+# Scalar/side caches that ride the same static-fixture assumption as
+# the memos (e.g. similarity's embeddings-count cache feeding the
+# derived LSH geometry). Operator modules REGISTER their cache dicts
+# here at import time so release_memos() clears them without the
+# session layer importing operator modules (round-12 review: the
+# dependency must point operator → session, not the reverse).
+_SESSION_CACHES: list[dict] = []
+
+
+def register_session_cache(cache: dict) -> dict:
+    """Register a module-level cache dict to be cleared by
+    ``release_memos()``. Returns the dict so it can be used inline:
+    ``_MY_CACHE = register_session_cache({})``."""
+    _SESSION_CACHES.append(cache)
+    return cache
+
 
 def memo_persist(slot: str, spark, sf_dir: str, build):
     """Return the memoized persisted DataFrame for ``slot`` at
@@ -214,16 +230,12 @@ def release_memos() -> int:
             n += 1
         except Exception:
             pass
-    # the cached embeddings count rides the same static-fixture
-    # assumption as the memos — a tool that rewrites a fixture dir
-    # mid-session (scale_probe._build) must not serve a stale count
-    # into the derived LSH geometry
-    try:
-        from cdc_realtime_pipeline_spark.operators import similarity
-
-        similarity._EMB_COUNT_CACHE.clear()
-    except Exception:
-        pass
+    # registered scalar caches ride the same static-fixture assumption
+    # as the memos — a tool that rewrites a fixture dir mid-session
+    # (scale_probe._build) must not serve stale values (e.g. a stale
+    # embeddings count into the derived LSH geometry)
+    for cache in _SESSION_CACHES:
+        cache.clear()
     return n
 
 

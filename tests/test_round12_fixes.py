@@ -157,3 +157,66 @@ def test_banded_cosine_non_default_geometry_matches_exact(spark, sf_dir):
     exact = key(dedup_embeddings_cosine(spark, sf_dir, exact=True))
     assert banded == exact
     assert len(exact) > 0  # planted near-dups keep the check non-vacuous
+
+
+def test_lsh_band_geometry_bits_override_keeps_miss_bound():
+    """Round-12 review fix: a caller pinning only `bits` must get a
+    band count derived from the EFFECTIVE bits — pairing caller bits
+    with bands derived for the default width silently loses the
+    miss(tau) guarantee."""
+    import math
+
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        _LSH_MISS_TARGET,
+        lsh_band_geometry,
+    )
+
+    tau = 0.95
+    p = math.acos(tau) / math.pi
+    for forced_bits in (10, 16, 24):
+        bits, bands = lsh_band_geometry(65536, tau, bits=forced_bits)
+        assert bits == forced_bits
+        q = (1.0 - p) ** bits
+        assert (1.0 - q) ** bands <= _LSH_MISS_TARGET
+
+
+def test_lsh_band_geometry_tau_endpoints_do_not_crash():
+    """tau at the clamped endpoints must degrade gracefully (finite
+    geometry), not raise log(0)/division-by-zero."""
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        lsh_band_geometry,
+    )
+
+    for tau in (1.0, -1.0, 1.5, -2.0):
+        bits, bands = lsh_band_geometry(65536, tau)
+        assert bits >= 8 and bands >= 4
+
+
+def test_banded_cosine_bits_only_override_matches_exact(spark, sf_dir):
+    """End-to-end: pinning only `bits` (bands derived from it) must
+    still reproduce the exact path's pair set."""
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        dedup_embeddings_cosine,
+    )
+
+    def key(df):
+        return sorted((r.vec_a, r.vec_b, r.cos) for r in df.collect())
+
+    assert key(dedup_embeddings_cosine(spark, sf_dir, bits=10)) == key(
+        dedup_embeddings_cosine(spark, sf_dir, exact=True)
+    )
+
+
+def test_release_memos_clears_registered_session_caches():
+    """The embeddings-count cache is registered with the session layer
+    (not hard-coded there): release_memos() must clear it so
+    fixture-rewriting tools can't serve a stale count into the
+    derived geometry."""
+    from cdc_realtime_pipeline_spark.operators.similarity import (
+        _EMB_COUNT_CACHE,
+    )
+    from cdc_realtime_pipeline_spark.session import release_memos
+
+    _EMB_COUNT_CACHE["/tmp/fake_dir"] = 12345
+    release_memos()
+    assert "/tmp/fake_dir" not in _EMB_COUNT_CACHE

@@ -63,6 +63,8 @@ def main() -> None:
 
     default_cap = dedup.MAX_SHINGLE_DF
     truth: set[tuple[int, int]] | None = None
+    truth_cap = caps[0]  # first cap listed is the truth set — name it
+    m_base = ms[0]  # recall/candidate-mass measured at the base volume
     rows = []
     try:
         for cap in caps:
@@ -71,10 +73,10 @@ def main() -> None:
             release_caches()
             pairs = {
                 (r.doc_a, r.doc_b)
-                for r in dedup.dedup_docs_jaccard(spark, dirs[1]).collect()
+                for r in dedup.dedup_docs_jaccard(spark, dirs[m_base]).collect()
             }
-            n_cand = dedup._verified_candidates(spark, dirs[1]).count()
-            if truth is None:  # first cap listed is the truth set
+            n_cand = dedup._verified_candidates(spark, dirs[m_base]).count()
+            if truth is None:
                 truth = pairs
             recall = len(pairs & truth) / len(truth) if truth else 1.0
             times: dict[int, float] = {}
@@ -92,8 +94,8 @@ def main() -> None:
             row = {
                 "cap": cap,
                 "true_pairs": len(truth),
-                "recall_vs_cap16": round(recall, 6),
-                "verified_candidates_m1": n_cand,
+                f"recall_vs_cap{truth_cap}": round(recall, 6),
+                f"verified_candidates_m{m_base}": n_cand,
                 "times_sec": times,
                 "alpha": alpha,
             }
@@ -103,13 +105,13 @@ def main() -> None:
         dedup.MAX_SHINGLE_DF = default_cap
         release_memos()
 
-    print("\n| cap | recall@J>=0.6 | verified candidates (m1) | "
+    print(f"\n| cap | recall@J>=0.6 (vs cap {truth_cap}) | verified candidates (m{m_base}) | "
           + " / ".join(f"{m}x" for m in ms) + " | alpha |")
     print("|---|---|---|---|---|")
     for r in rows:
         t = " / ".join(f"{r['times_sec'][m]}" for m in ms)
-        print(f"| {r['cap']} | {r['recall_vs_cap16']} | "
-              f"{r['verified_candidates_m1']} | {t} | {r['alpha']} |")
+        print(f"| {r['cap']} | {r[f'recall_vs_cap{truth_cap}']} | "
+              f"{r[f'verified_candidates_m{m_base}']} | {t} | {r['alpha']} |")
 
 
 if __name__ == "__main__":
