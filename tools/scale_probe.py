@@ -207,6 +207,12 @@ PROBE_QUERIES = [
     ("dedup_embeddings_cosine", "derived-geometry sign-LSH bands + exact verify"),
     ("similarity_recall_report_full", "5 ANN variants vs brute-force truth, memoized"),
     ("stream_stream_left_outer", "watermarked left-outer join, availableNow E2E"),
+    # round-12 third wave: next-heaviest official-bench rows without rows
+    ("pit_join_versions", "point-in-time version join, union-carry asof"),
+    ("cdc_apply_changes", "change-log latest-version apply-at-read"),
+    ("cdc_op_filtered_counts", "op-type filtered scan -> keyed counts"),
+    ("stream_cep_funnel", "3-stage CEP pattern over keyed stream, E2E"),
+    ("stream_dedup_counts", "streaming dropDuplicates within watermark, E2E"),
 ]
 
 TABLES = [
