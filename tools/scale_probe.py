@@ -213,6 +213,9 @@ PROBE_QUERIES = [
     ("cdc_op_filtered_counts", "op-type filtered scan -> keyed counts"),
     ("stream_cep_funnel", "3-stage CEP pattern over keyed stream, E2E"),
     ("stream_dedup_counts", "streaming dropDuplicates within watermark, E2E"),
+    ("stream_anomaly_alerts", "4-rule keyed state kernel over stream, E2E"),
+    ("stream_stream_join", "watermarked inner stream-stream join, E2E"),
+    ("dedup_candidates_audit", "memoized banded candidates -> mass audit"),
 ]
 
 TABLES = [
