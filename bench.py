@@ -349,6 +349,17 @@ def main() -> None:
         timings["stream_cdc_fanout_e2e"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Stream/batch subtotal split (VERDICT r12 #4): streaming rows are
+    # availableNow-trigger-latency-bound and track host scheduler noise
+    # much harder than batch rows — round 12's run 2 was calib-ok yet
+    # carried a +31% stream subtotal from a co-tenant burst. Emitting
+    # the split makes that adjudication mechanical: a stream-subtotal
+    # inflation with a flat batch subtotal is host noise, not a code
+    # regression (see BASELINE.md §recording protocol).
+    stream_subtotal = round(
+        sum(t for n, t in timings.items() if n.startswith("stream_")), 3
+    )
+    batch_subtotal = round(total - stream_subtotal, 3)
 
     # Regression table vs the stored round-1 baseline (BENCH_r01.json):
     # per-query delta in seconds (negative = faster than baseline), so
@@ -427,6 +438,11 @@ def main() -> None:
         # lines require calib_pair_ok — see BASELINE.md §recording
         "calib_spread_pct": calib_spread_pct,
         "calib_pair_ok": calib_pair_ok,
+        # stream vs batch split — the second, necessary sanity read
+        # beyond the calib pair (VERDICT r12 #4): stream-subtotal
+        # inflation with flat batch = co-tenant trigger latency
+        "batch_subtotal_sec": batch_subtotal,
+        "stream_subtotal_sec": stream_subtotal,
         # untimed once-per-corpus memo builds, priced separately so
         # per-query lines never embed first-consumer attribution
         "memo_prewarm_sec": memo_prewarm_sec,

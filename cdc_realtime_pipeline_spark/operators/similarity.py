@@ -451,6 +451,14 @@ def banded_signatures_udf(planes: list[list[float]], n_bands: int):
 
 _LSH_MISS_TARGET = 1.5e-4  # max miss probability at the decision threshold
 _LSH_TARGET_BUCKET = 256  # expected unrelated-pair band-bucket size cap
+# ceiling on the DERIVED band count (ADVICE r12): at the clamped τ
+# lower bound the closed form yields ~6e12 bands — finite but
+# unusable (_hyperplanes would allocate trillions of planes). 4096
+# bands × 32 bits = 131k planes ≈ 64 MB of float64 at dim 64: the
+# largest geometry that is still cheap to broadcast. Beyond the cap
+# the miss(τ) bound no longer holds; τ that low is outside the
+# banded-LSH regime (use exact=True or a lower-τ family like MinHash).
+_LSH_MAX_BANDS = 4096
 
 # corpus count per sf_dir, cached for the session — a parquet count()
 # is metadata-only (no row materialization) but still a job, so pay it
@@ -506,19 +514,34 @@ def lsh_band_geometry(
     EFFECTIVE bits, or a caller pinning a wider band (fewer per-band
     collisions) would silently pair it with a band count derived for
     narrower bands and lose the miss(τ) guarantee (round-12 review).
+    A non-positive ``bits`` override raises: bits=0 would produce
+    zero-width signatures where every vector collides — a silent
+    O(n²) all-pairs join (ADVICE r12). ``n_vectors`` is consulted
+    ONLY when ``bits`` is unset, so bits-only callers may pass 0 to
+    skip the corpus count entirely and stay lazy.
+
+    The derived band count is capped at ``_LSH_MAX_BANDS``: past the
+    cap (τ far below the regime the signatures can separate) the
+    geometry degrades — miss(τ) exceeds ``miss_target`` — instead of
+    allocating an astronomically large plane matrix (ADVICE r12).
     """
     p = math.acos(min(max(tau, -1.0), 1.0)) / math.pi
     if bits is None:
         bits = 8
         if n_vectors > target_bucket:
             bits = min(32, max(8, math.ceil(math.log2(n_vectors / target_bucket))))
+    elif bits < 1:
+        raise ValueError(
+            f"bits override must be >= 1, got {bits}: zero-width band "
+            "signatures collide universally (silent all-pairs join)"
+        )
     # clamp q away from {0, 1}: τ→1 drives q→1 (log(0) below would
     # raise), τ→-1 drives q→0 (log(1)=0 would divide by zero); at the
-    # clamped extremes the formula degrades to a huge-but-finite band
-    # count instead of crashing
+    # clamped extremes the formula degrades to the _LSH_MAX_BANDS cap
+    # instead of crashing
     q = min(max((1.0 - p) ** bits, 1e-12), 1.0 - 1e-12)
     bands = max(4, math.ceil(math.log(miss_target) / math.log(1.0 - q)))
-    return bits, bands
+    return bits, min(bands, _LSH_MAX_BANDS)
 
 
 def dedup_embeddings_cosine(
@@ -563,8 +586,10 @@ def dedup_embeddings_cosine(
     NOTE (round-12 review): deriving the default geometry runs ONE
     parquet-metadata count() job at plan-BUILD time (first call per
     fixture per session; cached thereafter, prewarmed untimed by the
-    ``emb_count`` slot). Explain-only consumers pay that one job; pass
-    explicit (bits, bands) to keep plan construction fully lazy.
+    ``emb_count`` slot). Explain-only consumers pay that one job; any
+    explicit ``bits`` (bands may stay derived) keeps plan
+    construction fully lazy — the count is skipped whenever bits is
+    pinned (ADVICE r12).
     """
     tau = 0.95
     base = load_table(spark, sf_dir, "embeddings").select(
@@ -591,10 +616,11 @@ def dedup_embeddings_cosine(
         if bits is None or bands is None:
             # bands are derived from the EFFECTIVE bits (a caller
             # pinning only `bits` still keeps the miss(τ) bound);
-            # a caller pinning `bands` owns the recall trade
-            d_bits, d_bands = lsh_band_geometry(
-                _corpus_count(spark, sf_dir), tau, bits=bits
-            )
+            # a caller pinning `bands` owns the recall trade. The
+            # corpus count() job runs ONLY when bits must be derived
+            # from it — bits-only callers stay fully lazy (ADVICE r12)
+            n = _corpus_count(spark, sf_dir) if bits is None else 0
+            d_bits, d_bands = lsh_band_geometry(n, tau, bits=bits)
             bits = d_bits
             bands = bands if bands is not None else d_bands
         planes = _hyperplanes(bits * bands, 64)

@@ -16,30 +16,39 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-12 window composition (VERDICT r11 #1 — after FOUR
-consecutive fully green 50/50 windows): the recorded round-12 queue
-drained in order. Slots 1-3 are the round-11 overflow —
-`events_entropy_rate` and `embeddings_hubness_audit` (never
-driver-checked) plus `customer_rfm_segments`, which must RE-EARN on
-its changed integer-cent values (its last driver row, r5, predates
-the round-10 half-up monetary-mean fix). Slots 4-28 are the 25
-oracle-gated r4-evidence entries from `lang_confusion_matrix`
-onward in registry order (their green rows date to
-CORRECTNESS_r04.json; oldest evidence in the registry). Slots 29-50
-are the first 22 of the r5-evidence pool in CORRECTNESS_r05.json
-order (`dedup_embeddings_semantic` … `contrastive_hard_negatives`).
-Every queued name was local-green at 3 SFs when queued; no round-12
-code change touches a windowed name's values (the round's operator
-edits — the rapid-trades chunk-streaming walk and the cosine LSH
-geometry parameterization — are value-preserving by construction,
-derive the historical defaults at every test SF, and were re-proven
+Round-13 window composition (VERDICT r12 #1 — after FIVE
+consecutive fully green 50/50 windows): oldest driver evidence
+first. Slots 1-24 are every oracle-gated name whose latest driver
+row is CORRECTNESS_r05.json, from `nan_inf_conformance` onward in
+r5 order (`customer_rfm_segments` and the 22 r5 names that
+re-earned in the r12 window are excluded — their latest evidence is
+now r12). Slots 25-50 are the first 26 of the r6-evidence pool in
+CORRECTNESS_r06.json order (`decimal_arithmetic_conformance` …
+`events_seasonal_backtest`); `recursive_cte_conformance` appears in
+both pools and keeps its r6 slot. Every queued name was local-green
+at 3 SFs when queued; no round-13 code change touches a windowed
+name's values (the round's operator edits — the derived MinHash
+backstop geometry and the cosine-LSH override hardening — derive
+the historical defaults at every test SF and were re-proven
 oracle-green after the edit).
 
-Round-13 rotation queue — the remaining 24 r5-evidence names
-continuing from `nan_inf_conformance` in CORRECTNESS_r05.json
-order, then the r6 pool (49 names), oldest evidence first per
+Round-14 rotation queue — the 23 r6-evidence names that did not
+fit this window, in CORRECTNESS_r06.json order
+(`corpus_vocab_coverage_curve`, `orders_cohort_ltv_curve`,
+`dup_graph_common_neighbors`, `text_rake_keywords`,
+`embeddings_pq_assign`, `value_mannwhitney_grid`,
+`value_spearman_banded`, `events_bootstrap_ci`,
+`events_countmin_audit`, `events_periodogram`,
+`value_hampel_filter`, `bucketed_join_colocated`,
+`events_holt_linear`, `dup_graph_kcore`, `events_anova_oneway`,
+`dynamic_partition_pruning_join`, `text_bigram_kneser_ney`,
+`orders_survival_km`, `customer_value_gini`, `label_knn_loo_eval`,
+`dash_total_trades`, `dash_volume_last_day`,
+`dash_avg_latency_last_day`; `lang_source_chisq` is excluded — its
+evidence advanced past r6), then the r7 pool, oldest evidence first
+per
 CORRECTNESS_r0*.json — plus any query whose values change in
-round 12 and any round-12 additions. Rows-only names
+round 13 and any round-13 additions. Rows-only names
 (`value_quantiles_approx` r3, `dedup_candidates_audit` r4,
 `stream_anomaly_alerts` r2, …) are not queued: the driver records
 only a weaker rows-only check for them, their oracle-gated twins
@@ -104,64 +113,70 @@ _MODULES = [
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
 #
-# Round-12 window (VERDICT r11 #1): the 3-name round-11 overflow
-# (two first-looks + the `customer_rfm_segments` changed-values
-# re-earn), then the 25 oracle-gated r4-evidence names from
-# `lang_confusion_matrix` in registry order, then the first 22 of
-# the r5-evidence pool in CORRECTNESS_r05.json order. Rows dropped
-# this round hold r8–r11 green evidence on unchanged code and stay
-# under the local 3-SF harness; the r5 remainder heads round 13.
+# Round-13 window (VERDICT r12 #1): oldest driver evidence first.
+# Slots 1-24 are the remaining r5-evidence names — every oracle-gated
+# name whose latest driver row is CORRECTNESS_r05.json, from
+# `nan_inf_conformance` onward in r5 order (`customer_rfm_segments`
+# and the 22 names that re-earned in the r12 window are excluded:
+# their latest evidence is now r12). Slots 25-50 are the first 26 of
+# the r6-evidence pool in CORRECTNESS_r06.json order, skipping names
+# with later evidence (`recursive_cte_conformance` keeps its r6 slot —
+# its r5 row is superseded but it was re-checked in r6 and not since).
+# The 23 r6 names that don't fit head the round-14 queue:
+# `corpus_vocab_coverage_curve` … `dash_avg_latency_last_day`.
+# Rows dropped this round hold r8-r12 green evidence on unchanged
+# code and stay under the local 3-SF harness.
 _PRIORITY = [
-    "events_entropy_rate",
-    "embeddings_hubness_audit",
-    "customer_rfm_segments",
-    "lang_confusion_matrix",
-    "text_tfidf_topk",
-    "text_bm25_topk",
-    "embeddings_kmeans_assign",
-    "dup_graph_pagerank",
-    "split_leakage_audit",
-    "corpus_oov_rate",
-    "chunk_dedup_stats",
-    "corpus_weighted_reservoir",
-    "corpus_quality_weighted_sample",
-    "corpus_mixture_weights",
-    "docs_chunked",
-    "heavy_hitters_mg",
-    "zorder_layout_stats",
-    "key_skew_profile",
-    "daily_users_bitmap_rollup",
-    "value_mad_outliers",
-    "value_winsorized_stats",
-    "value_distribution_psi",
-    "events_schema_drift",
-    "value_equidepth_histogram",
-    "stream_topk_per_window",
-    "stream_value_drift_gate",
-    "stream_stream_left_outer",
-    "stream_decontaminate_gate",
-    "dedup_embeddings_semantic",
-    "dup_graph_triangles",
-    "tpch_q21_like",
-    "bitwise_functions_conformance",
-    "unpivot_conformance",
-    "corpus_perplexity_buckets",
-    "media_dedup_exact",
-    "tpch_q7_like",
-    "tpch_q9_like",
-    "tpch_q10_like",
-    "tpch_q13_like",
-    "tpch_q15_like",
-    "tpch_q16_like",
-    "tpch_q20_like",
-    "tpch_q22_like",
-    "corpus_dsir_importance",
-    "embeddings_jl_projection",
-    "custom_agg_trimmed_mean",
-    "udtf_chunk_documents",
-    "audience_overlap_bitmap",
-    "dedup_span_stats",
-    "contrastive_hard_negatives",
+    "nan_inf_conformance",
+    "stream_daily_users_bitmap",
+    "cdc_diff_snapshots",
+    "copurchase_pairs_topk",
+    "event_transition_matrix",
+    "stats_functions",
+    "embedding_label_stats",
+    "label_centroids",
+    "scalar_functions",
+    "tpch_q8_like",
+    "tpch_q11_like",
+    "grouping_sets_conformance",
+    "interval_datetime_conformance",
+    "map_functions_conformance",
+    "embeddings_dim_stats",
+    "corpus_token_budget_pack",
+    "dedup_cluster_canonical",
+    "media_phash_near_dup",
+    "similarity_range_search",
+    "text_char_ngram_entropy",
+    "stream_cdc_scd2",
+    "asof_join_nearest",
+    "dq_rule_engine",
+    "embeddings_pca_power",
+    "decimal_arithmetic_conformance",
+    "tokenizer_bpe_pair_counts",
+    "recursive_cte_conformance",
+    "regr_aggregates_conformance",
+    "pareto_frontier_customers",
+    "stream_cep_funnel",
+    "dp_noised_release",
+    "k_anonymity_audit",
+    "window_funnel_depth",
+    "corpus_zipf_fit",
+    "value_benford_digits",
+    "cdc_python_datasource_roundtrip",
+    "stream_cdc_python_datasource",
+    "cdc_python_datasource_write_roundtrip",
+    "events_ols_two_factor",
+    "source_welch_ttest",
+    "mi_event_value_bands",
+    "value_ks_grid",
+    "events_autocorr_lag1",
+    "market_basket_rules",
+    "stream_window_chain",
+    "group_by_all_conformance",
+    "similarity_mmr_rerank",
+    "tokenizer_bpe_train_merges",
+    "value_cusum_drift",
+    "events_seasonal_backtest",
 ]
 
 

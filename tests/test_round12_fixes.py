@@ -181,15 +181,18 @@ def test_lsh_band_geometry_bits_override_keeps_miss_bound():
 
 
 def test_lsh_band_geometry_tau_endpoints_do_not_crash():
-    """tau at the clamped endpoints must degrade gracefully (finite
-    geometry), not raise log(0)/division-by-zero."""
+    """tau at the clamped endpoints must degrade gracefully (finite,
+    PRACTICAL geometry — round 13 caps the derived band count at
+    _LSH_MAX_BANDS, ADVICE r12), not raise log(0)/division-by-zero
+    and not return an astronomically large band count."""
     from cdc_realtime_pipeline_spark.operators.similarity import (
+        _LSH_MAX_BANDS,
         lsh_band_geometry,
     )
 
     for tau in (1.0, -1.0, 1.5, -2.0):
         bits, bands = lsh_band_geometry(65536, tau)
-        assert bits >= 8 and bands >= 4
+        assert bits >= 8 and 4 <= bands <= _LSH_MAX_BANDS
 
 
 def test_banded_cosine_bits_only_override_matches_exact(spark, sf_dir):

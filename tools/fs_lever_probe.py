@@ -7,6 +7,13 @@ For each candidate df-cap (16 = the shipped default, 8, 4):
     at the probe's m1 (= sf0.1) fixture vs the cap-16 truth set
     (cap 16 is the oracle-exact operating point: every green gate
     run differentially proves it equals DuckDB's all-pairs answer).
+  * CONTAINMENT RECALL (round 13, VERDICT r12 #3) — the
+    `dedup_docs_containment` pair set (C ≥ 0.9; these are the sub-τ
+    consumers whose symmetric Jaccard sits at ~0.2-0.5, BELOW the
+    MinHash backstop's τ=0.6 design point) vs the cap-16 truth set,
+    completing the round-12 table's one asserted cell. The probe
+    also reports the min/median symmetric Jaccard of the truth
+    containment pairs to show they really live in the sub-τ band.
   * CANDIDATE MASS — the verified-candidate count (the memoized
     candidates-then-verify table linkage consumes), i.e. the cost
     the cap actually controls.
@@ -63,6 +70,8 @@ def main() -> None:
 
     default_cap = dedup.MAX_SHINGLE_DF
     truth: set[tuple[int, int]] | None = None
+    c_truth: set[tuple[int, int]] | None = None
+    c_truth_j: list[float] = []
     truth_cap = caps[0]  # first cap listed is the truth set — name it
     m_base = ms[0]  # recall/candidate-mass measured at the base volume
     rows = []
@@ -75,10 +84,32 @@ def main() -> None:
                 (r.doc_a, r.doc_b)
                 for r in dedup.dedup_docs_jaccard(spark, dirs[m_base]).collect()
             }
+            # containment consumes the same memoized candidate table,
+            # so this leg re-times nothing — it reads the cap's effect
+            # on the sub-τ (J ≈ 0.2-0.5) pair family (VERDICT r12 #3)
+            cpairs = {
+                (r.doc_a, r.doc_b)
+                for r in dedup.dedup_docs_containment(
+                    spark, dirs[m_base]
+                ).collect()
+            }
             n_cand = dedup._verified_candidates(spark, dirs[m_base]).count()
             if truth is None:
                 truth = pairs
+                c_truth = cpairs
+                # symmetric Jaccard of the truth containment pairs —
+                # proves the containment family really sits below τ
+                ver = dedup._verified_candidates(spark, dirs[m_base])
+                jmap = {
+                    (r.doc_a, r.doc_b): r.inter / (r.sz_a + r.sz_b - r.inter)
+                    for r in ver.collect()
+                    if (r.doc_a, r.doc_b) in cpairs
+                }
+                c_truth_j = sorted(jmap.values())
             recall = len(pairs & truth) / len(truth) if truth else 1.0
+            c_recall = (
+                len(cpairs & c_truth) / len(c_truth) if c_truth else 1.0
+            )
             times: dict[int, float] = {}
             for m in ms:
                 release_memos()
@@ -90,11 +121,18 @@ def main() -> None:
                 times[m] = round(time.time() - t0, 2)
                 release_caches()
             lo, hi = min(ms), max(ms)
-            alpha = round(math.log(times[hi] / times[lo]) / math.log(hi / lo), 2)
+            # recall-only runs (--multipliers 1) skip the scale exponent
+            alpha = (
+                round(math.log(times[hi] / times[lo]) / math.log(hi / lo), 2)
+                if hi > lo
+                else None
+            )
             row = {
                 "cap": cap,
                 "true_pairs": len(truth),
                 f"recall_vs_cap{truth_cap}": round(recall, 6),
+                "containment_true_pairs": len(c_truth),
+                f"containment_recall_vs_cap{truth_cap}": round(c_recall, 6),
                 f"verified_candidates_m{m_base}": n_cand,
                 "times_sec": times,
                 "alpha": alpha,
@@ -105,12 +143,21 @@ def main() -> None:
         dedup.MAX_SHINGLE_DF = default_cap
         release_memos()
 
-    print(f"\n| cap | recall@J>=0.6 (vs cap {truth_cap}) | verified candidates (m{m_base}) | "
+    if c_truth_j:
+        med = c_truth_j[len(c_truth_j) // 2]
+        print(
+            f"\ncontainment truth-pair symmetric Jaccard: min {c_truth_j[0]:.3f}, "
+            f"median {med:.3f}, max {c_truth_j[-1]:.3f} "
+            f"(n={len(c_truth_j)}) — the sub-τ band the cap must not starve"
+        )
+    print(f"\n| cap | recall@J>=0.6 (vs cap {truth_cap}) | containment recall@C>=0.9 | "
+          f"verified candidates (m{m_base}) | "
           + " / ".join(f"{m}x" for m in ms) + " | alpha |")
-    print("|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|")
     for r in rows:
         t = " / ".join(f"{r['times_sec'][m]}" for m in ms)
         print(f"| {r['cap']} | {r[f'recall_vs_cap{truth_cap}']} | "
+              f"{r[f'containment_recall_vs_cap{truth_cap}']} | "
               f"{r[f'verified_candidates_m{m_base}']} | {t} | {r['alpha']} |")
 
 
