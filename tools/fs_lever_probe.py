@@ -24,7 +24,18 @@ For each candidate df-cap (16 = the shipped default, 8, 4):
 
 Prints one JSON line per cap plus a markdown table for SCALING.md.
 
-Usage: python3 tools/fs_lever_probe.py [--caps 16,8,4] [--multipliers 1,3,10]
+`--containment-band f` (e.g. 0.25) adds an ENGINEERED sub-τ leg: the
+fixture's own containment pairs turn out to be supra-τ (its planted
+copies keep 400 of ~500 chars → symmetric J ≈ 0.7-1.0, measured min
+0.694), so this leg builds a probe-only corpus whose excerpts keep
+only fraction f of each source doc (J ≈ f at containment ≈ 1) and
+measures, per cap, the recall of the df-capped + band-backstop
+candidate generator against the UNCAPPED exact candidate join — with
+a rare-path vs band-path provenance decomposition, so the shipped
+default's sub-τ story is measured, not asserted (VERDICT r12 #3).
+
+Usage: python3 tools/fs_lever_probe.py [--caps 16,8,4]
+       [--multipliers 1,3,10] [--containment-band 0.25]
 """
 
 from __future__ import annotations
@@ -39,13 +50,136 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def containment_band_leg(spark, src_dir: str, frac: float, caps: list[int]) -> None:
+    """Measured sub-τ containment recall (VERDICT r12 #3).
+
+    Builds a probe-only corpus: base documents ∪ excerpts keeping the
+    first ``frac`` of every 3rd doc's characters (symmetric Jaccard of
+    a (source, excerpt) pair ≈ frac; containment ≈ 1, i.e. exactly the
+    band below the backstop's τ = 0.6 design point). Truth = the
+    UNCAPPED exact shingle join's containment pairs (C ≥ 0.9,
+    inter ≥ 5 — any such pair shares ≥ 5 shingles, so the uncapped
+    equi-join with min_rare_shared=1 is exhaustive, no LSH involved).
+    Per cap, the SHIPPED generator (df-capped rare path ∪ MinHash band
+    backstop, provenance-tagged) is scored against that truth, with
+    the rare/band decomposition showing which generator carries the
+    sub-τ family.
+    """
+    from pyspark.sql import functions as F
+
+    from cdc_realtime_pipeline_spark.operators import dedup
+    from cdc_realtime_pipeline_spark.session import (
+        load_table,
+        release_caches,
+        tracked_persist,
+    )
+
+    docs = load_table(spark, src_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.expr(
+            f"substring(text, 1, cast(length(text) * {frac} as int))"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = tracked_persist(dedup._word_shingles(corpus))
+    contain = F.round(
+        F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")) + 1e-9, 4
+    )
+
+    def contain_pairs(ver):
+        return ver.filter(F.col("inter") >= 5).withColumn(
+            "containment", contain
+        ).filter(F.col("containment") >= 0.9)
+
+    # exhaustive truth: uncapped join, no rare-shared bar, bands moot
+    truth_ver = contain_pairs(
+        dedup._shingle_candidates(sh, max_df=1 << 30, min_rare_shared=1)
+    ).withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+        ),
+    )
+    truth_rows = truth_ver.select("doc_a", "doc_b", "jaccard").collect()
+    release_caches()
+    sh = tracked_persist(dedup._word_shingles(corpus))
+    truth = {(r.doc_a, r.doc_b) for r in truth_rows}
+    js = sorted(r.jaccard for r in truth_rows)
+    print(
+        f"engineered containment band (frac={frac}): {len(truth)} truth "
+        f"pairs, symmetric Jaccard min {js[0]:.3f} / median "
+        f"{js[len(js) // 2]:.3f} / max {js[-1]:.3f}",
+        flush=True,
+    )
+
+    rows = []
+    for cap in caps:
+        found = {
+            (r.doc_a, r.doc_b): (r.from_rare, r.from_band)
+            for r in contain_pairs(
+                dedup._shingle_candidates(sh, max_df=cap, provenance=True)
+            ).collect()
+        }
+        release_caches()
+        sh = tracked_persist(dedup._word_shingles(corpus))
+        hit = truth & set(found)
+        row = {
+            "frac": frac,
+            "cap": cap,
+            "truth_pairs": len(truth),
+            "recall": round(len(hit) / len(truth), 6) if truth else 1.0,
+            "rare_only": sum(
+                1 for p in hit if found[p][0] and not found[p][1]
+            ),
+            "band_only": sum(
+                1 for p in hit if found[p][1] and not found[p][0]
+            ),
+            "both": sum(1 for p in hit if found[p][0] and found[p][1]),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    release_caches()
+
+    print(
+        f"\n| cap | recall@C>=0.9 (J≈{frac} band) | rare-only | band-only | both |"
+    )
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['cap']} | {r['recall']} | {r['rare_only']} | "
+            f"{r['band_only']} | {r['both']} |"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--caps", default="16,8,4")
     ap.add_argument("--multipliers", default="1,3,10")
+    ap.add_argument(
+        "--containment-band",
+        type=float,
+        default=None,
+        help="run ONLY the engineered sub-τ containment recall leg at "
+        "this excerpt fraction (e.g. 0.25)",
+    )
     args = ap.parse_args()
     caps = [int(c) for c in args.caps.split(",")]
     ms = [int(m) for m in args.multipliers.split(",")]
+
+    if args.containment_band is not None:
+        from cdc_realtime_pipeline_spark.session import get_spark
+
+        spark = get_spark("fs_lever_probe_containment")
+        containment_band_leg(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            args.containment_band,
+            caps,
+        )
+        return
 
     from scale_probe import _build
 
