@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_realtime_pipeline_spark.operators.lsh_common import derive_bands
 from cdc_realtime_pipeline_spark.session import (
     load_table,
     memo_persist,
@@ -535,13 +536,9 @@ def lsh_band_geometry(
             f"bits override must be >= 1, got {bits}: zero-width band "
             "signatures collide universally (silent all-pairs join)"
         )
-    # clamp q away from {0, 1}: τ→1 drives q→1 (log(0) below would
-    # raise), τ→-1 drives q→0 (log(1)=0 would divide by zero); at the
-    # clamped extremes the formula degrades to the _LSH_MAX_BANDS cap
-    # instead of crashing
-    q = min(max((1.0 - p) ** bits, 1e-12), 1.0 - 1e-12)
-    bands = max(4, math.ceil(math.log(miss_target) / math.log(1.0 - q)))
-    return bits, min(bands, _LSH_MAX_BANDS)
+    # derive_bands clamps q away from {0, 1} (τ endpoints degrade to
+    # the _LSH_MAX_BANDS cap instead of crashing) and applies the cap
+    return bits, derive_bands((1.0 - p) ** bits, miss_target, _LSH_MAX_BANDS)
 
 
 def dedup_embeddings_cosine(

@@ -85,14 +85,8 @@ def containment_band_leg(spark, src_dir: str, frac: float, caps: list[int]) -> N
         spark.sparkContext.defaultParallelism
     )
     sh = tracked_persist(dedup._word_shingles(corpus))
-    contain = F.round(
-        F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")) + 1e-9, 4
-    )
-
-    def contain_pairs(ver):
-        return ver.filter(F.col("inter") >= 5).withColumn(
-            "containment", contain
-        ).filter(F.col("containment") >= 0.9)
+    # the SHIPPED containment decision, imported — never re-inlined
+    contain_pairs = dedup.containment_filter
 
     # exhaustive truth: uncapped join, no rare-shared bar, bands moot
     truth_ver = contain_pairs(
@@ -107,6 +101,15 @@ def containment_band_leg(spark, src_dir: str, frac: float, caps: list[int]) -> N
     release_caches()
     sh = tracked_persist(dedup._word_shingles(corpus))
     truth = {(r.doc_a, r.doc_b) for r in truth_rows}
+    if not truth:
+        print(
+            f"engineered containment band (frac={frac}): EMPTY truth set — "
+            f"excerpts too short to clear the inter >= "
+            f"{dedup.CONTAINMENT_MIN_INTER} floor; raise frac",
+            flush=True,
+        )
+        release_caches()
+        return
     js = sorted(r.jaccard for r in truth_rows)
     print(
         f"engineered containment band (frac={frac}): {len(truth)} truth "
@@ -290,9 +293,10 @@ def main() -> None:
     print("|---|---|---|---|---|---|")
     for r in rows:
         t = " / ".join(f"{r['times_sec'][m]}" for m in ms)
+        alpha_cell = "-" if r["alpha"] is None else r["alpha"]
         print(f"| {r['cap']} | {r[f'recall_vs_cap{truth_cap}']} | "
               f"{r[f'containment_recall_vs_cap{truth_cap}']} | "
-              f"{r[f'verified_candidates_m{m_base}']} | {t} | {r['alpha']} |")
+              f"{r[f'verified_candidates_m{m_base}']} | {t} | {alpha_cell} |")
 
 
 if __name__ == "__main__":
