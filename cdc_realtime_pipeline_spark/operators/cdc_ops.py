@@ -96,12 +96,19 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     binlog describes): per primary key, take the latest change by
     (cdc_ts, sequential_id); a final ``op='d'`` removes the row. On a
     Delta/Iceberg deployment this is MERGE INTO; here it's the engine-
-    level emulation — rank window on the key, keep rank 1, drop
-    deletes (guide: "CDC / SCD2 → anti-join + union + window").
+    level emulation — latest-version-per-key via ``max_by`` over the
+    (cdc_ts, sequential_id) order struct, drop deletes.
 
-    One shuffle on the key. To exercise updates, the synthesized log
-    replays every 5th event a second time with a bumped cdc_ts and
-    doubled price — apply must surface the*second* version.
+    One shuffle on the key — and since round 13 it is a HASH AGGREGATE
+    shuffle, not a rank window: ``max_by`` reduces map-side (guide
+    §2.3 "aggregate before you shuffle"), so the exchange carries one
+    partially-reduced row per (map task, key) instead of every log
+    row, and the two window sorts disappear. The generator guarantees
+    one op per key per (cdc_ts, seq) position, so the winner is
+    unique — same row the rank-1 window selected. To exercise
+    updates, the synthesized log replays every 5th event a second
+    time with a bumped cdc_ts and doubled price — apply must surface
+    the *second* version.
     """
     events = _parallel_events(spark, sf_dir)
     base = synthesize_cdc_json_from_events(events)
@@ -112,20 +119,20 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
     )
     log = parse_cdc_events(base.unionAll(updates))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("trade_id").orderBy(
-        F.desc("cdc_ts"), F.desc("sequential_id")
+    latest = log.groupBy("trade_id").agg(
+        F.max_by(
+            F.struct("op", "market", "trade_price", "ask_bid", "upbit_timestamp"),
+            F.struct("cdc_ts", "sequential_id"),
+        ).alias("w")
     )
-    latest = log.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
     return (
-        latest.filter(F.col("op") != "d")
+        latest.filter(F.col("w.op") != "d")
         .select(
             "trade_id",
-            "market",
-            F.round("trade_price", 4).alias("trade_price"),
-            "ask_bid",
-            "upbit_timestamp",
+            F.col("w.market").alias("market"),
+            F.round("w.trade_price", 4).alias("trade_price"),
+            F.col("w.ask_bid").alias("ask_bid"),
+            F.col("w.upbit_timestamp").alias("upbit_timestamp"),
         )
     )
 
@@ -511,22 +518,24 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value·2 == value would make the driver's genuine ``p1 != p2``
     diff say "unchanged" while a mod-rule oracle says "changed" —
     excluding the degenerate keys keeps the driver a TRUE value
-    diff and the closed form exact). Scale: base events persisted
-    once (VERDICT r4 #5 — one scan feeds all four synthesized logs
-    plus the offset agg), two rank windows + one full-outer key
-    join, all on the trade_id shuffle; class agg is 4 rows. The
-    PARSED base log is persisted too — both snapshots read it, and
-    without the cache the corpus-sized synth→parse chain runs twice
-    (measured 5.6 → ~4 s warm at sf0.1; the day-2 logs stay inline,
-    they are ~1/3 of the corpus combined).
+    diff and the closed form exact). Scale (restructured round 13,
+    guide §2.3/§2.4): base events persisted once (VERDICT r4 #5 —
+    one scan feeds all four synthesized logs plus the offset agg);
+    both snapshots then resolve in ONE map-side-reducing hash
+    aggregate over base ∪ day2 — ``max_by`` over the (cdc_ts, seq)
+    order struct picks the snapshot-2 winner, and a second ``max_by``
+    restricted to base rows (null ordering keys are skipped by
+    max_by) picks the snapshot-1 winner in the same pass — instead
+    of the former two rank windows + full-outer key join (three
+    corpus-sized exchanges + two sorts → one partially-aggregated
+    exchange; the parsed-base persist is gone because base is now
+    consumed exactly once). The winner per snapshot is identical to
+    the rank-1 row: the generator guarantees one op per key per
+    (cdc_ts, seq) position. Class agg is 4 rows.
     """
-    from pyspark.sql.window import Window
-
     events = tracked_persist(_parallel_events(spark, sf_dir))
     off = events.agg((F.max("event_id") + 1).alias("_ins_off"))
-    base = tracked_persist(
-        parse_cdc_events(synthesize_cdc_json_from_events(events))
-    )
+    base = parse_cdc_events(synthesize_cdc_json_from_events(events))
     upd = synthesize_cdc_json_from_events(
         events.filter((F.col("event_id") % 5 == 0) & (F.col("value") != 0))
         .withColumn("value", F.col("value") * 2)
@@ -547,23 +556,25 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
     )
 
-    def _apply(log):
-        w = Window.partitionBy("trade_id").orderBy(
-            F.desc("cdc_ts"), F.desc("sequential_id")
-        )
-        latest = log.withColumn("_rk", F.row_number().over(w)).filter(
-            F.col("_rk") == 1
-        )
-        return latest.filter(F.col("op") != "d").select(
-            "trade_id", "trade_price"
-        )
-
     day2 = parse_cdc_events(upd.unionAll(dele).unionAll(ins))
-    s1 = _apply(base)
-    s2 = _apply(base.unionAll(day2))
-    j = s1.withColumnRenamed("trade_price", "p1").join(
-        s2.withColumnRenamed("trade_price", "p2"), "trade_id", "full_outer"
+    log = base.withColumn("_in_base", F.lit(True)).unionByName(
+        day2.withColumn("_in_base", F.lit(False))
     )
+    ordk = F.struct("cdc_ts", "sequential_id")
+    ver = F.struct("op", "trade_price")
+    per_key = log.groupBy("trade_id").agg(
+        F.max_by(ver, ordk).alias("w2"),
+        F.max_by(
+            F.when(F.col("_in_base"), ver), F.when(F.col("_in_base"), ordk)
+        ).alias("w1"),
+    )
+    # p1/p2 = the snapshots' live prices: null ⟺ the key has no live
+    # (non-delete-winner) version in that snapshot — exactly the keys
+    # the old full-outer join left unmatched on that side
+    j = per_key.select(
+        F.when(F.col("w1.op") != "d", F.col("w1.trade_price")).alias("p1"),
+        F.when(F.col("w2.op") != "d", F.col("w2.trade_price")).alias("p2"),
+    ).filter(F.col("p1").isNotNull() | F.col("p2").isNotNull())
     cls = (
         F.when(F.col("p1").isNull(), "added")
         .when(F.col("p2").isNull(), "removed")

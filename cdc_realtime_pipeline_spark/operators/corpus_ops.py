@@ -1738,17 +1738,9 @@ def _epoch_uniform(e: int):
     md5 — the seeded-hash idiom (dp_noised_release / pq codebook)
     keyed by epoch so each epoch induces an independent ordering."""
     m = F.md5(F.concat(F.lit(f"ep{e}|"), F.col("doc_id").cast("string")))
-    terms = [
-        (F.instr(F.lit("0123456789abcdef"), F.substring(m, i, 1)) - 1).cast(
-            "double"
-        )
-        * F.lit(16.0 ** -i)
-        for i in range(1, 9)
-    ]
-    u = terms[0]
-    for t in terms[1:]:
-        u = u + t
-    return u
+    # one conv() parse of the 8-hex prefix — bit-identical to the
+    # former 8-term strpos sum (see dq._hex_uniform, round 13)
+    return F.conv(F.substring(m, 1, 8), 16, 10).cast("double") * F.lit(2.0 ** -32)
 
 
 def corpus_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

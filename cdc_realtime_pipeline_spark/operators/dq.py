@@ -1128,17 +1128,13 @@ def _hex_uniform(prefix: str, key_col: str):
     expression tree evaluates bit-identically in the oracle dialect
     (strpos on the same nibble alphabet)."""
     m = F.md5(F.concat(F.lit(prefix), F.col(key_col)))
-    terms = [
-        (F.instr(F.lit("0123456789abcdef"), F.substring(m, i, 1)) - 1).cast(
-            "double"
-        )
-        * F.lit(16.0 ** -i)
-        for i in range(1, 9)
-    ]
-    u = terms[0]
-    for t in terms[1:]:
-        u = u + t
-    return u
+    # round 13 (guide §1.2 "per-task work"): one conv() parse of the
+    # 8-digit prefix replaces the former 8×(substring+instr)+7-add
+    # chain. BIT-IDENTICAL to that chain AND to the oracle's strpos
+    # sum: Σ digit_i·16^-i = V·2^-32 with V the 8-hex-digit integer —
+    # every partial sum is an exact ≤32-bit dyadic fraction, and so is
+    # V·2^-32 (verified equal over 2M keys before landing).
+    return F.conv(F.substring(m, 1, 8), 16, 10).cast("double") * F.lit(2.0 ** -32)
 
 
 def _hex_uniform_sql(prefix: str, key_expr: str) -> str:

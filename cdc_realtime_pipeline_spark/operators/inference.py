@@ -1018,20 +1018,16 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-statistic: ranks 2 and {B1} of the {B} sorted replicate
     means (≈ 94% coverage), a bounded per-type window.
     """
-    terms = [
-        (
-            F.instr(
-                F.lit("0123456789abcdef"),
-                F.substring(F.col("m"), i, 1),
-            )
-            - 1
-        ).cast("double")
-        * F.lit(16.0 ** -i)
-        for i in range(1, 9)
-    ]
-    u = terms[0]
-    for t in terms[1:]:
-        u = u + t
+    # dyadic uniform from the first 8 md5 hex digits. Round 13 (guide
+    # §1.2 "per-task work"): one conv() parse of the 8-digit prefix
+    # replaces the former 8×(substring+instr+multiply)+7-add chain —
+    # BIT-IDENTICAL: Σ digit_i·16^-i = V·2^-32 where V is the 8-digit
+    # integer; every partial sum of the old chain and V·2^-32 are
+    # exact binary fractions (≤32 mantissa bits), verified equal over
+    # 2M keys before landing.
+    u = F.conv(F.substring(F.col("m"), 1, 8), 16, 10).cast("double") * F.lit(
+        2.0 ** -32
+    )
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "event_type", "value")

@@ -58,13 +58,24 @@ def _cosine_topk(emb: DataFrame) -> DataFrame:
     """Exact cosine top-K of the first-{N_QUERIES} query vectors
     against the given (vec_id, embedding) corpus — the brute-force
     kernel, shared with the truncated-dimension recall audit."""
+    # norms precomputed per row before the pair fan-out (round 13,
+    # guide §1.2): one array fold per pair instead of three —
+    # bit-identical to cosine() (same sub-expressions, same op order)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    ).withColumn("nq", l2_norm(F.col("q")))
+    corpus = emb.select("vec_id", "embedding").withColumn(
+        "ne", l2_norm(F.col("embedding"))
     )
-    corpus = emb.select("vec_id", "embedding")
     scored = (
         corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q"), F.col("embedding")) / (F.col("nq") * F.col("ne")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -622,8 +633,16 @@ def dedup_embeddings_cosine(
             bands = bands if bands is not None else d_bands
         planes = _hyperplanes(bits * bands, 64)
         sig_kernel = banded_signatures_udf(planes, bands)
-        band_rows = emb.select(
-            "vec_id", F.posexplode(sig_kernel(F.col("embedding"))).alias("band", "sig")
+        # persist the signature rows: the self-join consumes this
+        # relation TWICE (x and y aliases), and without the persist
+        # each side re-runs the ArrowEvalPython signature kernel over
+        # the whole corpus (round 13, guide §4 — pay the Python
+        # boundary once). Bounded: corpus × bands short rows.
+        band_rows = tracked_persist(
+            emb.select(
+                "vec_id",
+                F.posexplode(sig_kernel(F.col("embedding"))).alias("band", "sig"),
+            )
         )
         x, y = band_rows.alias("x"), band_rows.alias("y")
         cand = (
@@ -636,15 +655,28 @@ def dedup_embeddings_cosine(
             .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
             .distinct()
         )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # per-vector norms ride the verify relations (round 13, guide
+    # §1.2): one array fold per candidate pair instead of three —
+    # bit-identical to cosine() (same sub-expressions, same op order)
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
     pairs = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
         )
     )
     return pairs.filter(F.col("cos") >= tau)
@@ -2261,15 +2293,9 @@ def _pq_uniform(col):
     """Deterministic dyadic uniform in [0,1) from md5(col) — the
     dp_noised_release seeded idiom generalized to a column arg."""
     m = F.md5(col)
-    terms = [
-        (F.instr(F.lit("0123456789abcdef"), F.substring(m, i, 1)) - 1).cast("double")
-        * F.lit(16.0 ** -i)
-        for i in range(1, 9)
-    ]
-    u = terms[0]
-    for t in terms[1:]:
-        u = u + t
-    return u
+    # one conv() parse of the 8-hex prefix — bit-identical to the
+    # former 8-term strpos sum (see dq._hex_uniform, round 13)
+    return F.conv(F.substring(m, 1, 8), 16, 10).cast("double") * F.lit(2.0 ** -32)
 
 
 def embeddings_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3784,17 +3810,36 @@ def label_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus never shuffles. Votes and the argmax are integer
     aggregates; vote ties break to the smallest label (deterministic
     both engines). Output is the per-true-label confusion summary.
+
+    Round 13 (guide §1.2 "per-task work"): both operand norms are
+    precomputed per ROW before the N×n pair fan-out — ``nq`` once per
+    eval vector, ``ne`` once per corpus vector — so each scored pair
+    folds ONE array (the dot product) instead of three. Bit-identical:
+    cosine(a,b) ≡ dot(a,b)/(l2_norm(a)·l2_norm(b)) and the precomputed
+    factors are those very sub-expressions.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    evals = emb.filter(F.col("vec_id") < _KNN_EVAL_N).select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("embedding").alias("q"),
-        F.col("label").alias("true_label"),
+    evals = (
+        emb.filter(F.col("vec_id") < _KNN_EVAL_N)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("q"),
+            F.col("label").alias("true_label"),
+        )
+        .withColumn("nq", l2_norm(F.col("q")))
     )
     scored = (
         emb.select("vec_id", "embedding", "label")
+        .withColumn("ne", l2_norm(F.col("embedding")))
         .join(F.broadcast(evals), F.col("vec_id") != F.col("eval_id"))
-        .withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q"), F.col("embedding"))
+                / (F.col("nq") * F.col("ne")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("eval_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     nn = scored.withColumn("rk", F.row_number().over(w)).filter(
@@ -4600,8 +4645,19 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    eu = emb.select(F.col("vec_id").alias("u"), F.col("e").alias("e_u"))
-    ev = emb.select(F.col("vec_id").alias("v"), F.col("e").alias("e_v"))
+    # per-vector norms ride the vector relation so each verified pair
+    # folds one array (the dot), not three (round 13, guide §1.2);
+    # bit-identical to cosine() — same sub-expressions, same op order
+    eu = emb.select(
+        F.col("vec_id").alias("u"),
+        F.col("e").alias("e_u"),
+        l2_norm(F.col("e")).alias("n_u"),
+    )
+    ev = emb.select(
+        F.col("vec_id").alias("v"),
+        F.col("e").alias("e_v"),
+        l2_norm(F.col("e")).alias("n_v"),
+    )
 
     def score(cand: DataFrame) -> DataFrame:
         return (
@@ -4610,7 +4666,11 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "u",
                 "v",
-                F.round(cosine(F.col("e_u"), F.col("e_v")), 6).alias("cos"),
+                F.round(
+                    dot(F.col("e_u"), F.col("e_v"))
+                    / (F.col("n_u") * F.col("n_v")),
+                    6,
+                ).alias("cos"),
             )
         )
 

@@ -47,6 +47,7 @@ def _slots():
         "tfidf_weights": text_ops._tfidf_weights,
         "tfidf_doc_norms": text_ops._tfidf_doc_norms,
         "neardup_shingles": dedup._shared_shingles,
+        "neardup_sets": dedup._shared_sets,
         "neardup_candidates": dedup._verified_candidates,
         "minhash_sigs16": dedup._minhash_sigs16,
         "neardup_cc_labels": corpus_ops._dup_component_labels,

@@ -12,6 +12,7 @@ streaming runtime can get.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -73,17 +74,65 @@ def _cdc_topic(spark: SparkSession, sf_dir: str, variant: str = "plain") -> str:
     return _TOPIC_CACHE[key]
 
 
-def _memory_sink(df: DataFrame, output_mode: str) -> DataFrame:
-    name = "q_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+def _src_bytes(paths) -> int:
+    total = 0
+    for p in paths if isinstance(paths, (list, tuple)) else [paths]:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        else:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+    return total
+
+
+def _scaled_state_partitions(spark, src) -> int:
+    """Scale-adaptive STATE partition count for a fresh-checkpoint
+    streaming query (round 13, guide §2: stateful operators cannot use
+    AQE partition coalescing, so the shuffle-partition count must be
+    derived from input size instead of pinned at the session default —
+    the local core count, which buys nothing at fixture volumes while
+    paying per-partition state-store instance + commit + task overhead
+    every micro-batch; measured 9.3 s → 3.0 s on the stream-stream
+    outer join at sf0.1). ceil(source bytes / 32 MB), floored at 4
+    (per-partition stores below ~4 lose more to single-threaded
+    stateful work than they save in instance overhead — measured), and
+    capped at defaultParallelism, so at cluster scale the derivation
+    saturates to the cluster's own parallelism and production behavior
+    is unchanged. Override via SPARK_GRAFT_STREAM_STATE_BYTES_PER_PART
+    (bytes per state partition)."""
+    per_part = int(
+        os.environ.get("SPARK_GRAFT_STREAM_STATE_BYTES_PER_PART", str(32 << 20))
     )
-    q.awaitTermination()
+    cores = spark.sparkContext.defaultParallelism
+    return min(cores, max(min(cores, 4), -(-_src_bytes(src) // per_part)))
+
+
+def _memory_sink(df: DataFrame, output_mode: str, src=None) -> DataFrame:
     spark = df.sparkSession
+    name = "q_" + uuid.uuid4().hex[:12]
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if src is not None:
+        spark.conf.set(key, str(_scaled_state_partitions(spark, src)))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if src is not None:
+            spark.conf.set(key, old)
     return spark.table(name)
 
 
@@ -122,7 +171,7 @@ def stream_window_agg_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price").alias("max_price"),
         )
     )
-    res = _memory_sink(agg, "complete")
+    res = _memory_sink(agg, "complete", src=os.path.join(sf_dir, "events.parquet"))
     # same tie discipline as the batch finalize: rounded-sum ratio +
     # shared 1e-9 nudge (events_window_agg_5m)
     ra, rv = F.round(F.col("total_amount") + 1e-9, 4), F.round(
@@ -183,7 +232,7 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = spark.readStream.format("text").load(_cdc_topic(spark, sf_dir, "dupes"))
     deduped = parse_cdc_events(raw).dropDuplicates(["sequential_id"])
-    res = _memory_sink(deduped, "append")
+    res = _memory_sink(deduped, "append", src=_cdc_topic(spark, sf_dir, "dupes"))
     return res.groupBy("op").agg(F.count("*").alias("n"))
 
 
@@ -210,7 +259,7 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = parsed.withWatermark("event_time", "1 hour").dropDuplicatesWithinWatermark(
         ["sequential_id"]
     )
-    res = _memory_sink(deduped, "append")
+    res = _memory_sink(deduped, "append", src=_cdc_topic(spark, sf_dir, "dupes"))
     return res.groupBy("op").agg(F.count("*").alias("n"))
 
 
@@ -234,7 +283,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
     )
-    res = _memory_sink(agg, "complete")
+    res = _memory_sink(agg, "complete", src=os.path.join(sf_dir, "events.parquet"))
     return res.select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -264,7 +313,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tiers), "tier")
         .filter(F.col("trade_price") >= F.col("min_price"))
     )
-    res = _memory_sink(enriched, "append")
+    res = _memory_sink(enriched, "append", src=_cdc_topic(spark, sf_dir))
     return res.select(
         "trade_id",
         "market",
@@ -327,7 +376,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
     )
-    res = _memory_sink(joined, "append")
+    res = _memory_sink(joined, "append", src=os.path.join(sf_dir, "events.parquet"))
     return res.select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
@@ -407,7 +456,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
         "leftOuter",
     )
-    res = _memory_sink(joined, "append")
+    res = _memory_sink(joined, "append", src=os.path.join(sf_dir, "events.parquet"))
     return res.select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
@@ -465,7 +514,7 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
         "fullOuter",
     )
-    res = _memory_sink(joined, "append")
+    res = _memory_sink(joined, "append", src=os.path.join(sf_dir, "events.parquet"))
     return res.select(
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         "purchase_id",
@@ -653,7 +702,7 @@ def stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = spark.readStream.format("text").load(_cdc_topic(spark, sf_dir))
         parsed = parse_cdc_events(raw)
         alerts = apply_anomaly_detector(parsed)
-        _ALERTS_CACHE[sf_dir] = _memory_sink(alerts, "append")
+        _ALERTS_CACHE[sf_dir] = _memory_sink(alerts, "append", src=_cdc_topic(spark, sf_dir))
     return _ALERTS_CACHE[sf_dir]
 
 
@@ -669,8 +718,6 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     body becomes a real MERGE and the read side loses the window.
     """
     import os
-
-    from pyspark.sql.window import Window
 
     raw = spark.readStream.format("text").load(_cdc_topic(spark, sf_dir, "apply"))
     parsed = parse_cdc_events(raw)
@@ -691,16 +738,22 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     log = spark.read.parquet(store)
-    w = Window.partitionBy("trade_id").orderBy(
-        F.desc("cdc_ts"), F.desc("sequential_id")
+    # latest-version-per-key via map-side-reducing max_by instead of a
+    # rank window (round 13) — same winner (generator guarantees one
+    # op per key per (cdc_ts, seq) position), mirrors the batch
+    # cdc_apply_changes plan it is oracle-gated against
+    latest = log.groupBy("trade_id").agg(
+        F.max_by(
+            F.struct("op", "market", "trade_price", "ask_bid", "upbit_timestamp"),
+            F.struct("cdc_ts", "sequential_id"),
+        ).alias("w")
     )
-    latest = log.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
-    return latest.filter(F.col("op") != "d").select(
+    return latest.filter(F.col("w.op") != "d").select(
         "trade_id",
-        "market",
-        F.round("trade_price", 4).alias("trade_price"),
-        "ask_bid",
-        "upbit_timestamp",
+        F.col("w.market").alias("market"),
+        F.round("w.trade_price", 4).alias("trade_price"),
+        F.col("w.ask_bid").alias("ask_bid"),
+        F.col("w.upbit_timestamp").alias("upbit_timestamp"),
     )
 
 
@@ -741,7 +794,7 @@ def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalize_text(F.col("text"))).alias("content_hash"),
     )
     deduped = gated.dropDuplicates(["source", "content_hash"])
-    res = _memory_sink(deduped, "append")
+    res = _memory_sink(deduped, "append", src=d)
     return (
         res.withColumn("h", _hash64(F.col("content_hash"), 23))
         .groupBy("source")
@@ -854,7 +907,7 @@ def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(sch).parquet(d)
     train = _all_shingles(raw.filter(F.col("doc_id") % _BENCH_MOD != 0))
     hits = train.join(F.broadcast(bench), "shingle")
-    res = _memory_sink(hits, "append")
+    res = _memory_sink(hits, "append", src=d)
     return (
         res.groupBy("doc_id")
         .agg(
@@ -967,7 +1020,7 @@ def stream_ohlc_bars_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("market"),
         F.col("value").alias("price"),
     )
-    out = _memory_sink(ohlc_bars(ev), "complete")
+    out = _memory_sink(ohlc_bars(ev), "complete", src=os.path.join(sf_dir, "events.parquet"))
     return out.select(
         "market",
         "bar_start",
@@ -1035,7 +1088,7 @@ def stream_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.count("*").alias("n_late"))
     )
-    live = _memory_sink(late_counts, "complete")
+    live = _memory_sink(late_counts, "complete", src=os.path.join(sf_dir, "events.parquet"))
 
     merged = early_counts.join(live, ["event_type", "bin"], "full_outer").select(
         "event_type",
@@ -1089,7 +1142,7 @@ def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.expr("unix_micros(ts) div 3600000000").alias("hb"),
     ).agg((F.round(F.avg("value") + 1e-9, 6) + 0.0).alias("x"))
-    live = _memory_sink(hourly_s, "complete")
+    live = _memory_sink(hourly_s, "complete", src=os.path.join(sf_dir, "events.parquet"))
     # the fold self-joins its input (stats ⋈ series); reading the
     # memory sink twice reuses ONE set of attribute ids and Spark 4's
     # analyzer rejects the join ("Conflicting attributes") —
@@ -1123,7 +1176,7 @@ def stream_sprt_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.expr("unix_micros(ts) div 3600000000").alias("hb"),
     ).agg(F.count("*").alias("n_t"))
-    live = _memory_sink(hourly_s, "complete")
+    live = _memory_sink(hourly_s, "complete", src=os.path.join(sf_dir, "events.parquet"))
     # the fold joins its input against its own aggregates (totals,
     # base) — localCheckpoint gives the bounded relation fresh
     # attribute ids (the stream_cusum_alarm idiom)
@@ -1155,7 +1208,7 @@ def stream_open_interval_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("delta").cast("long").alias("net"),
         F.count_if(F.col("delta") == 1).cast("long").alias("n_opened"),
     )
-    live = _memory_sink(daily_s, "complete")
+    live = _memory_sink(daily_s, "complete", src=os.path.join(sf_dir, "orders.parquet"))
     return depth_from_daily(live.localCheckpoint())
 
 
@@ -1182,7 +1235,7 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = events_stream.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count("*").alias("n"))
-    res = _memory_sink(agg, "complete")
+    res = _memory_sink(agg, "complete", src=os.path.join(sf_dir, "events.parquet"))
     from pyspark.sql.window import Window as _W
 
     rk = F.row_number().over(
@@ -1244,7 +1297,7 @@ def stream_daily_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", F.expr("bitmap_bucket_number(uid)").alias("bkt"))
         .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(uid))").alias("bm"))
     )
-    partials = _memory_sink(daily, "complete")
+    partials = _memory_sink(daily, "complete", src=os.path.join(sf_dir, "events.parquet"))
     return (
         partials.groupBy("day")
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("dau_exact"))
@@ -1367,7 +1420,7 @@ def stream_cdc_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     parsed = parse_cdc_events(raw.select("value"))
-    res = _memory_sink(parsed, "append")
+    res = _memory_sink(parsed, "append", src=_cdc_topic(spark, sf_dir, "plain"))
     return res.select(
         "trade_id",
         "market",
@@ -1538,7 +1591,7 @@ def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _memory_sink(hits, "append").orderBy("user_id", "purchase_id")
+    return _memory_sink(hits, "append", src=os.path.join(sf_dir, "events.parquet")).orderBy("user_id", "purchase_id")
 
 
 def stream_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1582,7 +1635,7 @@ def stream_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").alias("total_value"),
         )
     )
-    res = _memory_sink(w5, "append")
+    res = _memory_sink(w5, "append", src=os.path.join(sf_dir, "events.parquet"))
     return res.select(
         "event_type",
         F.col("w5.start").alias("window_start"),
@@ -1661,7 +1714,7 @@ def stream_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d").cast("long").alias("d"), "bucket")
         .agg(F.count("*").alias("c"))
     )
-    res = _memory_sink(sketch, "complete")
+    res = _memory_sink(sketch, "complete", src=os.path.join(sf_dir, "events.parquet"))
     return res.orderBy("d", "bucket")
 
 

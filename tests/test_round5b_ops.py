@@ -96,14 +96,23 @@ def test_stream_datasource_offsets_replay_deterministically(spark, sf_dir):
 
 
 def test_datasource_writer_commit_protocol(tmp_path):
+    import pyarrow as pa
+
     from cdc_realtime_pipeline_spark.sources.cdc_python_datasource import (
         CdcEnvelopeWriter,
     )
 
+    # the writer is a DataSourceArrowWriter (round 13): tasks hand it
+    # pyarrow.RecordBatch iterators, value column first
+    def _b(*vals):
+        return pa.RecordBatch.from_arrays(
+            [pa.array(list(vals), type=pa.string())], names=["value"]
+        )
+
     out = str(tmp_path / "sink")
     w = CdcEnvelopeWriter({"path": out}, overwrite=True)
-    m1 = w.write(iter([("a",), ("b",)]))
-    m2 = w.write(iter([("c",)]))
+    m1 = w.write(iter([_b("a", "b")]))
+    m2 = w.write(iter([_b("c")]))
     import os
 
     # before commit: staging only — nothing a reader would pick up
@@ -116,7 +125,7 @@ def test_datasource_writer_commit_protocol(tmp_path):
         lines += open(os.path.join(out, f)).read().splitlines()
     assert sorted(lines) == ["a", "b", "c"]
     # abort path: staging removed, committed output untouched
-    m3 = w.write(iter([("junk",)]))
+    m3 = w.write(iter([_b("junk")]))
     w.abort([m3])
     assert sorted(f for f in os.listdir(out) if f.startswith("part-")) == finals
     assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
