@@ -1412,9 +1412,12 @@ def events_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which finds WHO is heavy; CMS answers arbitrary point queries,
     including keys never kept in the MG summary).
 
-    The whole sketch build is one {D}-way fan-out collapsed by a
-    map-side-combinable count into a {D}·{W}-row relation — at 100 TB
-    the shuffle carries 1024 integers. Hashing is the repo's md5
+    The sketch builds on the per-user count relation (one map-side-
+    combinable hash agg over the corpus), then fans {D}× over DISTINCT
+    users only — the md5 work is {D}·n_users, not {D}·n_events, and the
+    (d, bucket) re-agg sums the per-user counts into the same
+    {D}·{W}-row relation — at 100 TB the shuffle carries 1024 integers
+    and the corpus is scanned once. Hashing is the repo's md5
     dyadic-uniform idiom: bucket = floor(u·{W}) is EXACTLY the first
     two hex nibbles (dyadic rationals are exact in double), so both
     engines bucket bit-identically. The audit joins the exact top-{T}
@@ -1423,7 +1426,16 @@ def events_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest; the oracle pins the exact estimates.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    fan = ev.withColumn(
+    # round 13 (guide §2.3 "aggregate before you shuffle" / §1.2): the
+    # CMS bucket is a pure function of (d, user_id), so collapse events
+    # to per-user counts FIRST (one map-side-combinable hash agg), then
+    # fan out and hash over the DISTINCT-user relation — D·n_users md5
+    # evaluations instead of D·n_events, and the explode no longer
+    # multiplies the corpus. sum(per-user count) per (d, bucket) is
+    # definitionally the former count(*) per (d, bucket); the exact
+    # top-{T} reads the same per-user relation instead of re-scanning.
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    fan = per_user.withColumn(
         "d", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))
     ).withColumn(
         "hkey",
@@ -1440,14 +1452,9 @@ def events_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(_hex_uniform("", "hkey") * _CMS_W).cast("long"),
         )
         .groupBy("d", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("exact_cnt").alias("c"))
     )
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), "user_id")
-        .limit(_CMS_TOP)
-    )
+    top = per_user.orderBy(F.desc("exact_cnt"), "user_id").limit(_CMS_TOP)
     probes = (
         top.withColumn(
             "d", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))

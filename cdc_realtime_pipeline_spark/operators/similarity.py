@@ -4108,8 +4108,9 @@ def embeddings_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integer counts off the bounded graph relation; the skewness
     moments are exact-integer-derived central sums rounded 4dp.
     """
+    # the graph is session-memoized (round 13) — do NOT tracked_persist
+    # it here, or release_caches() would evict the shared memo
     g = embeddings_knn_graph(spark, sf_dir)
-    g = tracked_persist(g)
     nodes = g.select("vec_id").distinct()
     occ = g.groupBy(F.col("nbr_id").alias("vec_id")).agg(
         F.count("*").alias("o")
@@ -4609,7 +4610,20 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped all-candidates form read α≈2 and was replaced by this
     one). Recall floor vs exact is pinned in tests, not the oracle
     (approximation is the contract; determinism is what's gated).
+
+    Session-memoized since round 13 (`knn_graph` slot, prewarm-
+    priced): three registry consumers build this graph — the graph
+    query itself, `embeddings_intrinsic_dim` and
+    `embeddings_hubness_audit` — so the banded candidate build +
+    NN-descent round runs once per (session, sf_dir) instead of once
+    per consumer (the `neardup_candidates` discipline).
     """
+    return memo_persist(
+        "knn_graph", spark, sf_dir, lambda: _knn_graph_build(spark, sf_dir)
+    )
+
+
+def _knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = _sign_words(spark, sf_dir)
     band_cols = [
         (F.expr(f"w1 div {256 ** i}") % 256).alias(f"b{i}") for i in range(4)

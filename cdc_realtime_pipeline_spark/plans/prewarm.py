@@ -59,6 +59,7 @@ def _slots():
         "opq_bd_all": similarity._opq_bd_all,
         "opq_adc_all": similarity._opq_adc_all,
         "sem_labels": similarity._sem_cluster_labels,
+        "knn_graph": similarity.embeddings_knn_graph,
         # not a memo_persist slot: a cached scalar (embeddings count)
         # that seeds dedup_embeddings_cosine's derived LSH geometry —
         # priced untimed here for the same first-consumer reason
