@@ -2709,7 +2709,12 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not spark.catalog.tableExists(t_orders):
         _clear_stale(t_orders)
         (
+            # round 13 (guide §2.3 project-before-write / §6): the
+            # rollup reads only (o_orderkey, o_orderpriority), so the
+            # bucketed table stores only those — same bucketed-join
+            # plan, ~1/5 the write+scan bytes
             load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
             .write.bucketBy(_BKT_N, "o_orderkey")
             .sortBy("o_orderkey")
             .mode("overwrite")
