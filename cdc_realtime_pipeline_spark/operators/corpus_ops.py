@@ -1537,8 +1537,17 @@ def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def peel(k: int) -> DataFrame:
-        alive = deg0.select("doc_id", F.col("degree").alias("d"))
+    def peel(k: int, start: DataFrame) -> DataFrame:
+        # Matula–Beck peeling converges to the k-core from ANY superset
+        # of it (the k-core is the unique maximal subgraph of induced
+        # degree ≥ k), so seeding with a smaller superset only removes
+        # passes, never changes the fixpoint. Two seeds ride that
+        # (round 13, guide §2.3 — shrink the iterated relation):
+        # filter(d ≥ k) drops never-qualifying nodes before the first
+        # induced-degree pass, and peel(3) starts from the 2-core
+        # fixpoint (3-core ⊆ 2-core) instead of re-peeling the full
+        # degree relation. Pinned by the pure-Python re-peel pytest.
+        alive = start.select("doc_id", "d").filter(F.col("d") >= k)
         prev_n = -1
         n = alive.count()
         while n != prev_n:
@@ -1556,8 +1565,8 @@ def dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = alive.count()
         return alive
 
-    core2 = peel(2)
-    core3 = peel(3).select("doc_id", F.lit(1).alias("flag3"))
+    core2 = peel(2, deg0.select("doc_id", F.col("degree").alias("d")))
+    core3 = peel(3, core2).select("doc_id", F.lit(1).alias("flag3"))
     return (
         core2.join(deg0, "doc_id")
         .join(core3, "doc_id", "left")

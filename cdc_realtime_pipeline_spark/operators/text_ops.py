@@ -1427,15 +1427,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pid", "pos", "token")
     )
     members = tracked_persist(members)
-    plen = members.groupBy("doc_id", "pid").agg(
-        F.count("*").alias("plen"),
-        F.expr(
-            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, token))),"
-            " x -> x.token))"
-        ).alias("phrase"),
-    )
+    # word stats need only the phrase LENGTH, so the expensive phrase
+    # string is not built here; the (doc_id, pid)-keyed length
+    # aggregate feeds the token join
+    plen = members.groupBy("doc_id", "pid").agg(F.count("*").alias("plen"))
     word_stats = (
-        members.join(plen.select("doc_id", "pid", "plen"), ["doc_id", "pid"])
+        members.join(plen, ["doc_id", "pid"])
         .groupBy("token")
         .agg(
             F.count("*").cast("long").alias("freq"),
@@ -1443,14 +1440,23 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("wscore", F.col("deg") / F.col("freq"))
     )
-    phrase_scores = (
+    # ONE (doc_id, pid) aggregate builds length, phrase text AND score
+    # together (round 13, guide §2.4 — the former plen/phrase_scores
+    # pair shuffled the same keys twice and joined the results back)
+    phrases = (
         members.join(F.broadcast(word_stats.select("token", "wscore")), "token")
         .groupBy("doc_id", "pid")
-        .agg(F.round(F.sum("wscore") + 1e-9, 4).alias("score"))
+        .agg(
+            F.count("*").alias("plen"),
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list(struct(pos, token))),"
+                " x -> x.token))"
+            ).alias("phrase"),
+            F.round(F.sum("wscore") + 1e-9, 4).alias("score"),
+        )
     )
     ranked = (
-        plen.join(phrase_scores, ["doc_id", "pid"])
-        .filter(F.col("plen") <= RAKE_MAX_PHRASE)
+        phrases.filter(F.col("plen") <= RAKE_MAX_PHRASE)
         .groupBy("phrase")
         .agg(
             F.count("*").cast("long").alias("n_occurrences"),

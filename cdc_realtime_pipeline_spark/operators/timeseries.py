@@ -294,8 +294,20 @@ def resample_locf(
             "bucket"
         ),
     )
-    per_bucket = ticks.groupBy(key_col, "bucket").agg(
-        _r4(F.avg("price")).alias("price_obs")
+    # persist the bucket-level aggregate (round 13, guide §5): it is
+    # consumed TWICE — the grid bounds aggregate and the grid⋈obs join
+    # — and without the persist each consumer re-ran the full tick
+    # scan + partial aggregation (the two subtrees differ past the agg,
+    # so ReuseExchange cannot dedup them). The relation is |keys ×
+    # buckets| rows, orders of magnitude under the tick count. The
+    # join side broadcasts and the LOCF window reuses the grid's
+    # key partitioning, both as before (plan pinned in plans/r13).
+    from cdc_realtime_pipeline_spark.session import tracked_persist
+
+    per_bucket = tracked_persist(
+        ticks.groupBy(key_col, "bucket").agg(
+            _r4(F.avg("price")).alias("price_obs")
+        )
     )
     grid = (
         per_bucket.groupBy(key_col)
@@ -930,23 +942,96 @@ def value_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-count-sized. Zero-MAD windows (≥ half the frame identical)
     cannot flag and are reported separately, not silently dropped.
 
-    Scale: one per-key ordered window — the canonical per-key
-    time-series sort, linear per partition; for a single pathological
-    hot key, slice the partition key by calendar day with a ±{H}-tick
-    overlap (the gap_fill_locf posture) — the frame is local, so
-    day-boundary frames are the only rows a slice must overlap.
+    Scale: the frame is LOCAL (±{H} ROWS), so the per-key stream is
+    sliced into dense-sequence chunks with a ±{H}-row overlap and the
+    window runs per (key, chunk) — round 13: with 5 event types the
+    unsliced window ran the corpus sort and the per-tick array math on
+    5 cores. Slicing keys a two-phase dense sequence (bucket counts →
+    offsets → within-bucket row_number), overlap rows feed neighbor
+    frames but never score, and chunk size derives from the key's tick
+    count and the session parallelism — the same answer at any scale,
+    pinned by the no-slice differential pytest.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-_HAMPEL_HALF, _HAMPEL_HALF)
-    )
-    framed = ev.select(
+    H = _HAMPEL_HALF
+    # --- sliced frame assembly (round 13, guide §2.5): the natural
+    # window partitions by event_type — 5 keys, so the corpus-sized
+    # sort AND the per-row frame math (two 21-element array sorts per
+    # tick) ran on 5 of 32 cores. This is the docstring's own at-scale
+    # posture, implemented: ticks get a dense per-type sequence in two
+    # phases (per-(type, hour) counts → cumulative offsets over the
+    # BUCKET-sized relation → within-bucket row_number + offset), are
+    # chunked by `seq DIV csz`, and rows within ±H of a chunk boundary
+    # are copied to the neighbor chunk — seq is dense, so every owned
+    # row sees exactly its global ±H ROWS frame inside its own chunk.
+    # Copies feed frames but are dropped before scoring. Chunk size is
+    # derived per type from the type's tick count and the session
+    # parallelism (scale-adaptive; floor 2H+1 keeps overlap disjoint).
+    epoch = (F.unix_micros("ts") / 1_000_000).cast("long")
+    tb = ev.select(
         "event_type",
         "value",
-        F.sort_array(F.collect_list("value").over(w)).alias("arr"),
+        "ts",
+        "event_id",
+        (epoch - epoch % 3600).alias("tsb"),
     )
+    cnt = tb.groupBy("event_type", "tsb").agg(F.count("*").alias("n_b"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("tsb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnt.select(
+        "event_type",
+        "tsb",
+        F.coalesce(F.sum("n_b").over(wb), F.lit(0)).alias("base"),
+    )
+    k_chunks = max(1, spark.sparkContext.defaultParallelism)
+    csize = (
+        cnt.groupBy("event_type")
+        .agg(F.sum("n_b").alias("n_t"))
+        .select(
+            "event_type",
+            F.greatest(
+                F.lit(2 * H + 1),
+                F.ceil(F.col("n_t") / k_chunks).cast("long"),
+            ).alias("csz"),
+        )
+    )
+    wrn = Window.partitionBy("event_type", "tsb").orderBy("ts", "event_id")
+    seqd = (
+        tb.join(F.broadcast(offs), ["event_type", "tsb"])
+        .join(F.broadcast(csize), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "csz",
+            (F.col("base") + F.row_number().over(wrn) - 1).alias("seq"),
+        )
+    )
+    assign = F.expr(
+        f"""filter(array(
+          struct(seq DIV csz AS chunk, 1 AS own),
+          CASE WHEN seq % csz < {H} AND seq DIV csz > 0
+               THEN struct(seq DIV csz - 1 AS chunk, 0 AS own) END,
+          CASE WHEN seq % csz >= csz - {H}
+               THEN struct(seq DIV csz + 1 AS chunk, 0 AS own) END
+        ), x -> x IS NOT NULL)"""
+    )
+    sliced = seqd.select(
+        "event_type", "value", "seq", F.explode(assign).alias("a")
+    ).select("event_type", "value", "seq", "a.chunk", "a.own")
+    w = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("seq")
+        .rowsBetween(-H, H)
+    )
+    framed = sliced.select(
+        "event_type",
+        "value",
+        "own",
+        F.sort_array(F.collect_list("value").over(w)).alias("arr"),
+    ).filter(F.col("own") == 1)
     scored = (
         framed.withColumn(
             "med", F.expr(_median_expr("arr", "element_at", "size"))

@@ -37,11 +37,14 @@ def _slots():
     from cdc_realtime_pipeline_spark.operators import (
         corpus_ops,
         dedup,
+        extended,
         similarity,
         text_ops,
     )
 
     return {
+        "basket_items": extended._basket_items,
+        "basket_pairs": extended._basket_pair_counts,
         "neardup_docs": dedup.docs_with_dupes,
         "doc_words": dedup.doc_words,
         "tfidf_weights": text_ops._tfidf_weights,

@@ -13,10 +13,15 @@ Kafka message contract:
 
     value STRING, source_file STRING, partition INT, offset LONG
 
-one InputPartition per topic file (≙ Kafka partition — per-file line
-order IS the per-partition order, so `offset` is the within-partition
+`partition` ≙ topic file index ≙ Kafka partition (per-file line order
+IS the per-partition order, so `offset` is the within-partition
 sequence number exactly as Kafka numbers it), and every downstream
-semantic (parse, dedup, window agg) runs unchanged on `value`.
+semantic (parse, dedup, window agg) runs unchanged on `value`. Task
+granularity is finer than the partition id where it pays: files past
+the derived split size are cut at newline boundaries into byte-range
+InputPartitions carrying their prefix line count (round 13, guide §2 —
+a 4-file fixture topic otherwise parses on 4 of 32 cores), without
+touching the (partition, offset) contract.
 
 Read-path rows cross the Python worker boundary (the API's nature) —
 that is why the JVM text source stays the default transport and this
@@ -72,6 +77,57 @@ class CdcEnvelopeDataSource(DataSource):
         return CdcEnvelopeWriter(self.options, overwrite)
 
 
+# Byte-range split sizing for the batch reader (round 13, guide §2/§6):
+# one InputPartition per topic file caps scan+parse parallelism at the
+# file count (a 4-file fixture topic parses on 4 of 32 cores). Files
+# larger than the derived split size are cut at newline boundaries into
+# byte-range splits — same (partition=file idx, offset=line#) contract,
+# computed from per-split prefix line counts. The floor keeps tiny
+# fixture topics on the one-partition-per-file fast path (and the
+# pre-split pytest contract pins); the cap bounds per-task read buffers.
+_MIN_SPLIT_BYTES = 1 << 20
+_MAX_SPLIT_BYTES = 64 << 20
+
+
+def _target_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def _file_splits(data: bytes, split_bytes: int):
+    """Cut ``data`` (one topic file) at the first newline at/after each
+    ``split_bytes`` mark. Yields (byte_start, byte_end, line_start)
+    where line_start is the number of non-empty lines before the split
+    — the within-file Kafka offset of the split's first line."""
+    size = len(data)
+    cuts = [0]
+    pos = split_bytes
+    while pos < size:
+        nl = data.find(b"\n", pos)
+        if nl == -1:
+            break
+        cuts.append(nl + 1)
+        pos = nl + 1 + split_bytes
+    cuts.append(size)
+    # the topic format never writes blank lines (write_cdc_json_files /
+    # CdcEnvelopeWriter emit "\n"-joined non-empty JSON), so the prefix
+    # count is the newline count; the split() fallback stays exact if a
+    # foreign file ever violates that
+    blank_free = not data.startswith(b"\n") and data.count(b"\n\n") == 0
+    out, line_off = [], 0
+    for a, b in zip(cuts, cuts[1:]):
+        if a >= b:
+            continue
+        if blank_free:
+            n = data.count(b"\n", a, b)
+            if b == size and not data.endswith(b"\n") and size > 0:
+                n += 1
+        else:
+            n = sum(1 for ln in data[a:b].split(b"\n") if ln)
+        out.append((a, b, line_off))
+        line_off += n
+    return out
+
+
 class CdcEnvelopeReader(DataSourceReader):
     def __init__(self, options) -> None:
         path = options.get("path")
@@ -79,6 +135,14 @@ class CdcEnvelopeReader(DataSourceReader):
             raise ValueError("cdc_envelope requires option 'path'")
         self._path = path
         self._partition_pred = None  # (op, value) pruning on `partition`
+        # 0/unset → derive from topic size and target parallelism;
+        # negative → disable splitting (legacy one-partition-per-file)
+        self._split_bytes = int(
+            options.get(
+                "split_bytes",
+                os.environ.get("SPARK_GRAFT_PYDS_SPLIT_BYTES", "0"),
+            )
+        )
 
     def pushFilters(self, filters):
         """Spark-4.1 filter pushdown (SPARK-48788 family): the payload
@@ -112,15 +176,18 @@ class CdcEnvelopeReader(DataSourceReader):
         return remaining
 
     def partitions(self):
-        # one split per topic file, deterministic order — the split
-        # index IS the "Kafka partition" id; a pushed predicate on
-        # `partition` prunes files HERE, before any read
+        # the file index IS the "Kafka partition" id; a pushed predicate
+        # on `partition` prunes files HERE, before any read. Files past
+        # the derived split size additionally cut into byte-range
+        # sub-splits (round 13): `partition` stays the file index and
+        # `offset` the within-FILE line number, so the Kafka contract is
+        # unchanged — only the task granularity moves.
         files = sorted(
             f
             for f in os.listdir(self._path)
             if f.startswith("part-") and not f.endswith(".crc")
         )
-        splits = list(enumerate(files))
+        keep_files = list(enumerate(files))
         if self._partition_pred is not None:
             op, v = self._partition_pred
             keep = {
@@ -128,36 +195,61 @@ class CdcEnvelopeReader(DataSourceReader):
                 ">": lambda i: i > v,
                 "<": lambda i: i < v,
             }[op]
-            splits = [(i, f) for i, f in splits if keep(i)]
-        return [
-            InputPartition((i, os.path.join(self._path, f))) for i, f in splits
-        ]
+            keep_files = [(i, f) for i, f in keep_files if keep(i)]
+        paths = [(i, os.path.join(self._path, f)) for i, f in keep_files]
+        if self._split_bytes < 0:
+            return [InputPartition((i, p, None, None, 0)) for i, p in paths]
+        sizes = {p: os.path.getsize(p) for _, p in paths}
+        split_bytes = self._split_bytes or min(
+            _MAX_SPLIT_BYTES,
+            max(
+                _MIN_SPLIT_BYTES,
+                -(-sum(sizes.values()) // _target_parallelism()),
+            ),
+        )
+        parts = []
+        for i, p in paths:
+            if sizes[p] <= split_bytes:
+                # whole file, no driver-side scan needed
+                parts.append(InputPartition((i, p, None, None, 0)))
+                continue
+            with open(p, "rb") as fh:
+                data = fh.read()
+            parts.extend(
+                InputPartition((i, p, a, b, line_start))
+                for a, b, line_start in _file_splits(data, split_bytes)
+            )
+        return parts
 
     def read(self, partition):
         # Arrow batches instead of per-row tuples (round 13, guide §4):
         # the Python DataSource API accepts pyarrow.RecordBatch yields,
         # which crosses the worker boundary columnar instead of
         # pickling every row — measured ~2× on the batch roundtrip.
-        # Chunked so one topic file never materializes as one giant
-        # batch (bounds worker memory, keeps batches stream-friendly).
+        # Chunked so one split never materializes as one giant batch
+        # (bounds worker memory, keeps batches stream-friendly).
         import pyarrow as pa
 
-        idx, fpath = partition.value
+        idx, fpath, byte_start, byte_end, line_start = partition.value
         fname = os.path.basename(fpath)
         chunk = 20_000
-        with open(fpath, encoding="utf-8") as fh:
-            offset = 0
-            lines: list[str] = []
-            for line in fh:
-                line = line.rstrip("\n")
-                if line:
-                    lines.append(line)
-                    if len(lines) >= chunk:
-                        yield self._batch(pa, lines, fname, idx, offset)
-                        offset += len(lines)
-                        lines = []
-            if lines:
-                yield self._batch(pa, lines, fname, idx, offset)
+        with open(fpath, "rb") as fh:
+            if byte_start:
+                fh.seek(byte_start)
+            blob = fh.read(
+                None if byte_end is None else byte_end - (byte_start or 0)
+            )
+        offset = line_start
+        lines: list[str] = []
+        for line in blob.decode("utf-8").split("\n"):
+            if line:
+                lines.append(line)
+                if len(lines) >= chunk:
+                    yield self._batch(pa, lines, fname, idx, offset)
+                    offset += len(lines)
+                    lines = []
+        if lines:
+            yield self._batch(pa, lines, fname, idx, offset)
 
     @staticmethod
     def _batch(pa, lines, fname, idx, offset):
