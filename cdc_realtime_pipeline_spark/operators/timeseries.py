@@ -31,6 +31,8 @@ Fixture mapping per FIXTURES.md §B: market ≙ user_id, price ≙ value.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -942,18 +944,38 @@ def value_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-count-sized. Zero-MAD windows (≥ half the frame identical)
     cannot flag and are reported separately, not silently dropped.
 
-    Scale: the frame is LOCAL (±{H} ROWS), so the per-key stream is
-    sliced into dense-sequence chunks with a ±{H}-row overlap and the
-    window runs per (key, chunk) — round 13: with 5 event types the
-    unsliced window ran the corpus sort and the per-tick array math on
-    5 cores. Slicing keys a two-phase dense sequence (bucket counts →
+    Scale: the frame is LOCAL (±{H} ROWS), so past a per-key volume
+    threshold the per-key stream is sliced into dense-sequence chunks
+    with a ±{H}-row overlap and the window runs per (key, chunk) —
+    round 13: with 5 event types the unsliced window runs the corpus
+    sort and the per-tick array math on 5 cores, which cannot survive
+    100 TB. Slicing keys a two-phase dense sequence (bucket counts →
     offsets → within-bucket row_number), overlap rows feed neighbor
     frames but never score, and chunk size derives from the key's tick
     count and the session parallelism — the same answer at any scale,
-    pinned by the no-slice differential pytest.
+    pinned by the forced-slice differential pytest. Below the
+    threshold (``SPARK_GRAFT_HAMPEL_SLICE_ROWS``, default 1M rows —
+    fixture volumes, where the two extra sequence-assembly passes cost
+    more than 5-way parallelism loses; measured +0.5 s at sf0.1) the
+    direct per-key window runs instead.
     """
     ev = load_table(spark, sf_dir, "events")
     H = _HAMPEL_HALF
+    slice_rows = int(
+        os.environ.get("SPARK_GRAFT_HAMPEL_SLICE_ROWS", str(1_000_000))
+    )
+    if _parquet_rows(sf_dir, "events") < slice_rows:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-H, H)
+        )
+        framed = ev.select(
+            "event_type",
+            "value",
+            F.sort_array(F.collect_list("value").over(w)).alias("arr"),
+        )
+        return _hampel_score(framed)
     # --- sliced frame assembly (round 13, guide §2.5): the natural
     # window partitions by event_type — 5 keys, so the corpus-sized
     # sort AND the per-row frame math (two 21-element array sorts per
@@ -1029,9 +1051,16 @@ def value_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed = sliced.select(
         "event_type",
         "value",
-        "own",
         F.sort_array(F.collect_list("value").over(w)).alias("arr"),
+        "own",
     ).filter(F.col("own") == 1)
+    return _hampel_score(framed)
+
+
+def _hampel_score(framed: DataFrame) -> DataFrame:
+    """Median/MAD scoring + per-type rollup over a (event_type, value,
+    arr) frame relation — shared by the direct and the sliced frame
+    assemblies (both produce identical frames; round 13)."""
     scored = (
         framed.withColumn(
             "med", F.expr(_median_expr("arr", "element_at", "size"))
@@ -1065,6 +1094,21 @@ def value_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _parquet_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — a driver-side file
+    read, no Spark job (feeds the hampel slice-threshold gate)."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            pq.read_metadata(os.path.join(p, f)).num_rows
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(p).num_rows
 
 
 value_hampel_filter.__doc__ = value_hampel_filter.__doc__.format(

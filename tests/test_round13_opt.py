@@ -138,10 +138,13 @@ def test_kcore_peel3_seeded_from_core2_fixpoint(spark, sf_dir):
     assert in3 == py_core(3)
 
 
-def test_hampel_sliced_frames_match_unsliced(spark, sf_dir):
+def test_hampel_sliced_frames_match_unsliced(spark, sf_dir, monkeypatch):
     """The sliced (round-13) hampel implementation must reproduce the
     direct single-window-per-type form exactly — frames are local, so
-    chunking with ±H overlap is pure parallelism."""
+    chunking with ±H overlap is pure parallelism. The slice path is
+    volume-gated off at fixture scale, so force it on here; the direct
+    form it must equal is the oracle-gated production path."""
+    monkeypatch.setenv("SPARK_GRAFT_HAMPEL_SLICE_ROWS", "0")
     from pyspark.sql import Window
 
     from cdc_realtime_pipeline_spark.operators.timeseries import (
