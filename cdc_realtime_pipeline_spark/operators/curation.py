@@ -809,9 +809,9 @@ def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
     rate) — the curve a curation reviewer reads to confirm the
     sampler's slope.
     """
-    from cdc_realtime_pipeline_spark.operators.text_ops import text_quality
+    from cdc_realtime_pipeline_spark.operators.text_ops import _quality_scores
 
-    q = text_quality(spark, sf_dir).select("doc_id", "quality")
+    q = _quality_scores(spark, sf_dir)  # session memo (round 13, guide §5)
     rate = F.least(F.greatest(F.col("quality"), F.lit(0.1)), F.lit(1.0))
     h = F.pmod(_hash64(F.col("doc_id").cast("string"), 41), F.lit(10000))
     kept = (h < F.floor(rate * 10000 + F.lit(0.5))).cast("long")
@@ -988,10 +988,10 @@ def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classical distributed-reservoir merge. w is floored at 0.05 so
     1/w stays bounded.
     """
-    from cdc_realtime_pipeline_spark.operators.text_ops import text_quality
+    from cdc_realtime_pipeline_spark.operators.text_ops import _quality_scores
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    q = text_quality(spark, sf_dir).select("doc_id", "quality")
+    q = _quality_scores(spark, sf_dir)  # session memo (round 13, guide §5)
     u = (F.pmod(_hash64(F.col("doc_id").cast("string"), 53), F.lit(10000)) + 0.5) / 10000
     w = F.greatest(F.col("quality"), F.lit(0.05))
     scored = docs.join(q, "doc_id").select(
@@ -1198,12 +1198,12 @@ def corpus_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality that still fit the budget).
     """
     from cdc_realtime_pipeline_spark.functions import text as TX
-    from cdc_realtime_pipeline_spark.operators.text_ops import text_quality
+    from cdc_realtime_pipeline_spark.operators.text_ops import _quality_scores
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", TX.ws_token_count(F.col("text")).alias("n_tokens")
     )
-    q = text_quality(spark, sf_dir).select("doc_id", "quality")
+    q = _quality_scores(spark, sf_dir)  # session memo (round 13, guide §5)
     j = docs.join(q, "doc_id")
     w_cum = (
         Window.partitionBy("source")

@@ -1932,17 +1932,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     same aggregate (window sum over the tiny matrix), so no second
     pass over the data.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
-        F.col("next_type").isNotNull()
-    )
-    counts = steps.groupBy(
-        F.col("event_type").alias("from_type"),
-        F.col("next_type").alias("to_type"),
-    ).agg(F.count("*").alias("n"))
+    counts = _journey_counts(spark, sf_dir)
     row_tot = Window.partitionBy("from_type")
     return (
         counts.withColumn(
@@ -1955,6 +1945,31 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def _journey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo: (from_type, to_type, n) user-journey transition
+    counts — the corpus-scale per-user lag window + |types|² aggregate
+    that `event_transition_matrix`, `events_markov_stationary` and
+    `events_entropy_rate` each re-ran privately (round 13, guide §5:
+    the tfidf_weights discipline). Everything downstream of this memo
+    operates on the ≤ |types|²-row relation."""
+    from cdc_realtime_pipeline_spark.session import memo_persist
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        steps = ev.withColumn(
+            "next_type", F.lead("event_type").over(w)
+        ).filter(F.col("next_type").isNotNull())
+        return steps.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        ).agg(F.count("*").alias("n"))
+
+    return memo_persist("journey_counts", spark, sf_dir, build)
 
 
 def events_markov_next_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2915,17 +2930,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is a constant, not data-dependent). π is rounded 8dp each
     step on both engines so float drift cannot compound.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
-        F.col("next_type").isNotNull()
-    )
-    counts = steps.groupBy(
-        F.col("event_type").alias("from_type"),
-        F.col("next_type").alias("to_type"),
-    ).agg(F.count("*").alias("n"))
+    counts = _journey_counts(spark, sf_dir)  # session memo (round 13)
     row_tot = Window.partitionBy("from_type")
     pmat = counts.select(
         "from_type",
@@ -3016,17 +3021,7 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, then everything on the |types|²-row relation; per-cell
     p·log₂p terms rounded 8dp before their bounded sums.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
-        F.col("next_type").isNotNull()
-    )
-    counts = steps.groupBy(
-        F.col("event_type").alias("from_type"),
-        F.col("next_type").alias("to_type"),
-    ).agg(F.count("*").alias("n"))
+    counts = _journey_counts(spark, sf_dir)  # session memo (round 13)
     row_tot = Window.partitionBy("from_type")
     pmat = counts.select(
         "from_type",

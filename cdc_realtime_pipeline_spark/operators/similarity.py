@@ -616,6 +616,14 @@ def dedup_embeddings_cosine(
         ).alias("embedding"),
     )
     emb = base.unionByName(near)
+    # one persisted (vec_id, embedding, norm) relation feeds the
+    # signature kernel AND both verify sides (round 13, guide §5):
+    # without it the base∪planted union re-ran its parquet scan +
+    # double-cast + norm fold once per reference (8 scan nodes in the
+    # pre-change plan — va and vb each rebuilt the union privately)
+    emb = tracked_persist(
+        emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("n_v"))
+    )
     if exact:
         ea = emb.select(F.col("vec_id").alias("vec_a"))
         eb = emb.select(F.col("vec_id").alias("vec_b"))
@@ -657,16 +665,17 @@ def dedup_embeddings_cosine(
         )
     # per-vector norms ride the verify relations (round 13, guide
     # §1.2): one array fold per candidate pair instead of three —
-    # bit-identical to cosine() (same sub-expressions, same op order)
+    # bit-identical to cosine() (same sub-expressions, same op order);
+    # both sides read the persisted normed relation
     va = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
+        F.col("n_v").alias("na"),
     )
     vb = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"),
+        F.col("n_v").alias("nb"),
     )
     pairs = (
         cand.join(va, "vec_a")

@@ -81,6 +81,26 @@ FROM feat2 ORDER BY doc_id
 """
 
 
+def _quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo: (doc_id, quality) — the composite quality score
+    shared by the curation consumers (weighted sample, weighted
+    reservoir, token-budget pack), each of which previously re-ran the
+    full per-doc tokenize/distinct/punct expression chain (round 13,
+    guide §5). Built unordered (consumers aggregate); the
+    ``text_quality`` query itself keeps its full-featured ordered
+    output and shares the same ``TX.quality_score`` expression."""
+    from cdc_realtime_pipeline_spark.session import memo_persist
+
+    return memo_persist(
+        "quality_scores",
+        spark,
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id", TX.quality_score(F.col("text")).alias("quality")
+        ),
+    )
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted language vs labeled language per document."""
     docs = load_table(spark, sf_dir, "documents")

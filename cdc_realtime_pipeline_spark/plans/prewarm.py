@@ -45,10 +45,12 @@ def _slots():
     return {
         "basket_items": extended._basket_items,
         "basket_pairs": extended._basket_pair_counts,
+        "journey_counts": extended._journey_counts,
         "neardup_docs": dedup.docs_with_dupes,
         "doc_words": dedup.doc_words,
         "tfidf_weights": text_ops._tfidf_weights,
         "tfidf_doc_norms": text_ops._tfidf_doc_norms,
+        "quality_scores": text_ops._quality_scores,
         "neardup_shingles": dedup._shared_shingles,
         "neardup_sets": dedup._shared_sets,
         "neardup_candidates": dedup._verified_candidates,
