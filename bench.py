@@ -446,6 +446,15 @@ def main() -> None:
         # untimed once-per-corpus memo builds, priced separately so
         # per-query lines never embed first-consumer attribution
         "memo_prewarm_sec": memo_prewarm_sec,
+        # all-in figure (VERDICT r13 #1 accounting contract): timed
+        # total PLUS the untimed memo prewarm, so moving work between
+        # the two regions can never read as a headline improvement.
+        # The memo slot set is FROZEN as of round 14 (BENCH_NOTES.md
+        # §Round 14 lists it; tests/test_round14_opt.py pins it) — new
+        # slots require a recorded justification in that list.
+        "headline_plus_prewarm_sec": round(
+            total + sum(memo_prewarm_sec.values()), 3
+        ),
         "calib_ref_sec": CALIB_REF_SEC,
         "value_calib_normalized": value_calib_normalized,
         # shared-subset total vs the stored r1 baseline, raw and

@@ -4063,7 +4063,7 @@ def embeddings_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-vector ln terms are rounded 8dp before the sum; the output is
     one bounded row.
     """
-    g = embeddings_knn_graph(spark, sf_dir).filter(F.col("rank") <= 2)
+    g = _knn_graph_memo(spark, sf_dir).filter(F.col("rank") <= 2)
     per = g.groupBy("vec_id").agg(
         F.max(F.when(F.col("rank") == 1, 1.0 - F.col("cos"))).alias("d1"),
         F.max(F.when(F.col("rank") == 2, 1.0 - F.col("cos"))).alias("d2"),
@@ -4128,7 +4128,7 @@ def embeddings_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # the graph is session-memoized (round 13) — do NOT tracked_persist
     # it here, or release_caches() would evict the shared memo
-    g = embeddings_knn_graph(spark, sf_dir)
+    g = _knn_graph_memo(spark, sf_dir)
     nodes = g.select("vec_id").distinct()
     occ = g.groupBy(F.col("nbr_id").alias("vec_id")).agg(
         F.count("*").alias("o")
@@ -4629,13 +4629,23 @@ def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     one). Recall floor vs exact is pinned in tests, not the oracle
     (approximation is the contract; determinism is what's gated).
 
-    Session-memoized since round 13 (`knn_graph` slot, prewarm-
-    priced): three registry consumers build this graph — the graph
-    query itself, `embeddings_intrinsic_dim` and
-    `embeddings_hubness_audit` — so the banded candidate build +
-    NN-descent round runs once per (session, sf_dir) instead of once
-    per consumer (the `neardup_candidates` discipline).
+    Memo pricing (round 14, VERDICT r13 #1): the PUBLIC query builds
+    the graph fresh on every invocation, so its own timed bench row
+    prices the full build — round 13 had made this entry a
+    ``memo_persist`` read, which let the row price a cache hit of
+    work done in the untimed prewarm. The session memo (`knn_graph`
+    slot) remains for the two downstream consumers
+    (`embeddings_intrinsic_dim`, `embeddings_hubness_audit`) via
+    ``_knn_graph_memo`` — the work-dedup across consumers is real;
+    only the builder row's attribution changed.
     """
+    return _knn_graph_build(spark, sf_dir)
+
+
+def _knn_graph_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized graph for downstream consumers (the
+    `neardup_candidates` discipline); the public query deliberately
+    does NOT read this — see embeddings_knn_graph's pricing note."""
     return memo_persist(
         "knn_graph", spark, sf_dir, lambda: _knn_graph_build(spark, sf_dir)
     )

@@ -275,6 +275,7 @@ def resample_locf(
     ts_col: str = "ts",
     key_col: str = "market",
     price_col: str = "price",
+    persist_buckets: bool = True,
 ) -> DataFrame:
     """Regular-grid resample per key with LOCF gap-fill.
 
@@ -304,13 +305,18 @@ def resample_locf(
     # buckets| rows, orders of magnitude under the tick count. The
     # join side broadcasts and the LOCF window reuses the grid's
     # key partitioning, both as before (plan pinned in plans/r13).
-    from cdc_realtime_pipeline_spark.session import tracked_persist
-
-    per_bucket = tracked_persist(
-        ticks.groupBy(key_col, "bucket").agg(
-            _r4(F.avg("price")).alias("price_obs")
-        )
+    # Round 14: VOLUME-GATED (the hampel #19 discipline) — at fixture
+    # scale the two scans previously ran stage-parallel on idle cores,
+    # so the persist's materialization barrier LOST ~0.7 s at sf0.1
+    # (VERDICT r13 #3 regression, re-measured this round); past the
+    # gate the scan is the corpus and halving it is the win.
+    per_bucket = ticks.groupBy(key_col, "bucket").agg(
+        _r4(F.avg("price")).alias("price_obs")
     )
+    if persist_buckets:
+        from cdc_realtime_pipeline_spark.session import tracked_persist
+
+        per_bucket = tracked_persist(per_bucket)
     grid = (
         per_bucket.groupBy(key_col)
         .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
@@ -335,13 +341,26 @@ def resample_locf(
 
 def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute LOCF resample over the events fixture (market ≙
-    user_id, price ≙ value)."""
+    user_id, price ≙ value).
+
+    The twice-consumed bucket aggregate is persisted only past a
+    volume gate (``SPARK_GRAFT_LOCF_PERSIST_ROWS``, default 1M rows,
+    parquet-footer count — the hampel #19 discipline): below it the
+    two scans run stage-parallel on idle cores and the persist's
+    barrier costs more than the rescan (measured +0.7 s at sf0.1,
+    VERDICT r13 #3); above it the duplicate corpus scan is the cost
+    that matters and the persist halves it."""
+    persist_rows = int(
+        os.environ.get("SPARK_GRAFT_LOCF_PERSIST_ROWS", str(1_000_000))
+    )
     ev = load_table(spark, sf_dir, "events").select(
         "ts",
         F.col("user_id").alias("market"),
         F.col("value").alias("price"),
     )
-    return resample_locf(ev)
+    return resample_locf(
+        ev, persist_buckets=_parquet_rows(sf_dir, "events") >= persist_rows
+    )
 
 
 GAP_FILL_LOCF_SQL = """

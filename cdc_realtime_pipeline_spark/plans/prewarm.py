@@ -17,6 +17,15 @@ The slot list is maintained by hand next to the memo owners; a test
 (tests/test_plans.py) asserts it covers every ``memo_persist`` slot in
 the package so a new memo cannot silently re-introduce first-consumer
 attribution.
+
+FROZEN as of round 14 (VERDICT r13 #1 accounting contract): the slot
+set below is the cross-round comparison basis. Adding a slot moves
+work from the timed region into the untimed prewarm, which inflates
+the headline without removing work — any addition therefore requires
+a recorded justification in BENCH_NOTES.md §Round 14 and fails
+tests/test_round14_opt.py until the frozen list there is updated in
+the same change. bench.py emits ``headline_plus_prewarm_sec`` so the
+all-in figure travels on every line.
 """
 
 from __future__ import annotations
@@ -64,7 +73,11 @@ def _slots():
         "opq_bd_all": similarity._opq_bd_all,
         "opq_adc_all": similarity._opq_adc_all,
         "sem_labels": similarity._sem_cluster_labels,
-        "knn_graph": similarity.embeddings_knn_graph,
+        # the memoized accessor, NOT the public query: since round 14
+        # the public embeddings_knn_graph builds fresh so its timed row
+        # prices its own build (VERDICT r13 #1); this slot prewarms the
+        # shared graph for intrinsic_dim/hubness_audit only
+        "knn_graph": similarity._knn_graph_memo,
         # not a memo_persist slot: a cached scalar (embeddings count)
         # that seeds dedup_embeddings_cosine's derived LSH geometry —
         # priced untimed here for the same first-consumer reason

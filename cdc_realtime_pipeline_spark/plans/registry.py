@@ -16,40 +16,25 @@ rows in round 1) follow in module order; the local harness
 (tools/check_correctness.py) still verifies all of them every round,
 at sf0.01 AND (per-round ritual) sf0.1 + sf0.001.
 
-Round-13 window composition (VERDICT r12 #1 — after FIVE
-consecutive fully green 50/50 windows): oldest driver evidence
-first. Slots 1-24 are every oracle-gated name whose latest driver
-row is CORRECTNESS_r05.json, from `nan_inf_conformance` onward in
-r5 order (`customer_rfm_segments` and the 22 r5 names that
-re-earned in the r12 window are excluded — their latest evidence is
-now r12). Slots 25-50 are the first 26 of the r6-evidence pool in
-CORRECTNESS_r06.json order (`decimal_arithmetic_conformance` …
-`events_seasonal_backtest`); `recursive_cte_conformance` appears in
-both pools and keeps its r6 slot. Every queued name was local-green
-at 3 SFs when queued; no round-13 code change touches a windowed
-name's values (the round's operator edits — the derived MinHash
-backstop geometry and the cosine-LSH override hardening — derive
-the historical defaults at every test SF and were re-proven
-oracle-green after the edit).
+Round-14 window composition (VERDICT r13 #8 — drain the recorded
+rotation queue): oldest driver evidence first. Slots 1-23 are the
+round-13-recorded queue — the 23 r6-evidence names that did not fit
+the r13 window, in CORRECTNESS_r06.json order
+(`corpus_vocab_coverage_curve` … `dash_avg_latency_last_day`).
+Slots 24-50 are the first 27 of the r7-evidence pool — every
+oracle-gated name whose latest full (hash-match) driver row is
+CORRECTNESS_r07.json, in r7 order, recomputed against every
+CORRECTNESS_r*.json before rotation (`lang_source_chisq` lands in
+the pool tail and queues for r15). No round-13/14 change touches a
+windowed name's values — round 14 is an optimization round
+(plan/pricing changes only), and the local 3-SF full-registry
+oracle gate re-proves every name before the round closes.
 
-Round-14 rotation queue — the 23 r6-evidence names that did not
-fit this window, in CORRECTNESS_r06.json order
-(`corpus_vocab_coverage_curve`, `orders_cohort_ltv_curve`,
-`dup_graph_common_neighbors`, `text_rake_keywords`,
-`embeddings_pq_assign`, `value_mannwhitney_grid`,
-`value_spearman_banded`, `events_bootstrap_ci`,
-`events_countmin_audit`, `events_periodogram`,
-`value_hampel_filter`, `bucketed_join_colocated`,
-`events_holt_linear`, `dup_graph_kcore`, `events_anova_oneway`,
-`dynamic_partition_pruning_join`, `text_bigram_kneser_ney`,
-`orders_survival_km`, `customer_value_gini`, `label_knn_loo_eval`,
-`dash_total_trades`, `dash_volume_last_day`,
-`dash_avg_latency_last_day`; `lang_source_chisq` is excluded — its
-evidence advanced past r6), then the r7 pool, oldest evidence first
-per
-CORRECTNESS_r0*.json — plus any query whose values change in
-round 13 and any round-13 additions. Rows-only names
-(`value_quantiles_approx` r3, `dedup_candidates_audit` r4,
+Round-15 rotation queue — the 21 remaining r7-evidence names in r7
+order (listed at _PRIORITY below), then the r8 pool, oldest
+evidence first per CORRECTNESS_r0*.json — plus any query whose
+values change in round 14 and any round-14 additions. Rows-only
+names (`value_quantiles_approx` r3, `dedup_candidates_audit` r4,
 `stream_anomaly_alerts` r2, …) are not queued: the driver records
 only a weaker rows-only check for them, their oracle-gated twins
 rotate instead, and the local harness re-verifies their self-checks
@@ -113,70 +98,83 @@ _MODULES = [
 # The 50 names the driver is guaranteed to check, in order. See the
 # module docstring for this round's composition rationale.
 #
-# Round-13 window (VERDICT r12 #1): oldest driver evidence first.
-# Slots 1-24 are the remaining r5-evidence names — every oracle-gated
-# name whose latest driver row is CORRECTNESS_r05.json, from
-# `nan_inf_conformance` onward in r5 order (`customer_rfm_segments`
-# and the 22 names that re-earned in the r12 window are excluded:
-# their latest evidence is now r12). Slots 25-50 are the first 26 of
-# the r6-evidence pool in CORRECTNESS_r06.json order, skipping names
-# with later evidence (`recursive_cte_conformance` keeps its r6 slot —
-# its r5 row is superseded but it was re-checked in r6 and not since).
-# The 23 r6 names that don't fit head the round-14 queue:
-# `corpus_vocab_coverage_curve` … `dash_avg_latency_last_day`.
-# Rows dropped this round hold r8-r12 green evidence on unchanged
-# code and stay under the local 3-SF harness.
+# Round-14 window (VERDICT r13 #8 — drain the rotation queue as
+# planned): oldest driver evidence first. Slots 1-23 are the r14
+# queue recorded in round 13 — the 23 r6-evidence names that did not
+# fit the r13 window, in CORRECTNESS_r06.json order
+# (`corpus_vocab_coverage_curve` … `dash_avg_latency_last_day`).
+# Slots 24-50 are the first 27 of the r7-evidence pool — every
+# oracle-gated name whose LATEST full (hash-match) driver row is
+# CORRECTNESS_r07.json, in r7 order, none superseded by r8-r13
+# evidence (recomputed against all CORRECTNESS_r*.json before
+# rotation). No round-13/14 change touches any windowed name's
+# values (round 14 is plan/pricing-only; the full local 3-SF oracle
+# gate re-proves the registry before the round closes).
+#
+# Round-15 rotation queue: the 21 remaining r7-evidence names in r7
+# order — `dash_bid_ask_ranking`, `region_revenue`,
+# `revenue_top_orders`, `tpch_q6`, `alerts_large_trade`,
+# `alerts_rapid_trades`, `tpch_q1`, `tpch_q12_like`, `tpch_q14_like`,
+# `sessionize`, `window_rank_functions`, `value_quantiles`,
+# `sessionize_native`, `window_agg_5m_salted`, `dash_recent_alerts`,
+# `dash_live_trades`, `dash_pipeline_liveness`,
+# `similarity_pq_adc_topk`, `events_stl_decompose`,
+# `hourly_value_fdr_bh`, `lang_source_chisq` — then the r8 pool,
+# oldest evidence first. Rows dropped this round hold r13 green
+# evidence on unchanged code and stay under the local 3-SF harness.
 _PRIORITY = [
-    "nan_inf_conformance",
-    "stream_daily_users_bitmap",
-    "cdc_diff_snapshots",
-    "copurchase_pairs_topk",
-    "event_transition_matrix",
-    "stats_functions",
-    "embedding_label_stats",
-    "label_centroids",
-    "scalar_functions",
-    "tpch_q8_like",
-    "tpch_q11_like",
-    "grouping_sets_conformance",
-    "interval_datetime_conformance",
-    "map_functions_conformance",
-    "embeddings_dim_stats",
-    "corpus_token_budget_pack",
-    "dedup_cluster_canonical",
-    "media_phash_near_dup",
-    "similarity_range_search",
-    "text_char_ngram_entropy",
-    "stream_cdc_scd2",
-    "asof_join_nearest",
-    "dq_rule_engine",
-    "embeddings_pca_power",
-    "decimal_arithmetic_conformance",
-    "tokenizer_bpe_pair_counts",
-    "recursive_cte_conformance",
-    "regr_aggregates_conformance",
-    "pareto_frontier_customers",
-    "stream_cep_funnel",
-    "dp_noised_release",
-    "k_anonymity_audit",
-    "window_funnel_depth",
-    "corpus_zipf_fit",
-    "value_benford_digits",
-    "cdc_python_datasource_roundtrip",
-    "stream_cdc_python_datasource",
-    "cdc_python_datasource_write_roundtrip",
-    "events_ols_two_factor",
-    "source_welch_ttest",
-    "mi_event_value_bands",
-    "value_ks_grid",
-    "events_autocorr_lag1",
-    "market_basket_rules",
-    "stream_window_chain",
-    "group_by_all_conformance",
-    "similarity_mmr_rerank",
-    "tokenizer_bpe_train_merges",
-    "value_cusum_drift",
-    "events_seasonal_backtest",
+    # r6-evidence queue (recorded round 13)
+    "corpus_vocab_coverage_curve",
+    "orders_cohort_ltv_curve",
+    "dup_graph_common_neighbors",
+    "text_rake_keywords",
+    "embeddings_pq_assign",
+    "value_mannwhitney_grid",
+    "value_spearman_banded",
+    "events_bootstrap_ci",
+    "events_countmin_audit",
+    "events_periodogram",
+    "value_hampel_filter",
+    "bucketed_join_colocated",
+    "events_holt_linear",
+    "dup_graph_kcore",
+    "events_anova_oneway",
+    "dynamic_partition_pruning_join",
+    "text_bigram_kneser_ney",
+    "orders_survival_km",
+    "customer_value_gini",
+    "label_knn_loo_eval",
+    "dash_total_trades",
+    "dash_volume_last_day",
+    "dash_avg_latency_last_day",
+    # r7-evidence pool head (CORRECTNESS_r07.json order)
+    "events_markov_stationary",
+    "value_hill_tail_index",
+    "stream_countmin_sketch",
+    "source_stylometry_delta",
+    "label_silhouette_centroid",
+    "parts_abc_classification",
+    "dup_graph_assortativity",
+    "lineitem_weighted_median",
+    "events_two_proportion_ztest",
+    "user_poisson_regression",
+    "user_logistic_regression",
+    "value_conformal_interval",
+    "text_pmi_collocations",
+    "user_overdispersion_check",
+    "customer_tercile_migration",
+    "lang_id_cohens_kappa",
+    "kmeans_label_ari",
+    "text_readability_flesch",
+    "events_dau_wau_stickiness",
+    "customer_lorenz_curve",
+    "embeddings_anisotropy_audit",
+    "text_mtld_diversity",
+    "dash_distinct_users",
+    "dash_latency_per_minute",
+    "date_functions",
+    "top_parts_per_supplier",
+    "ema_per_key",
 ]
 
 

@@ -379,6 +379,29 @@ class CdcEnvelopeWriter(DataSourceArrowWriter):
                 pass
 
 
+_REGISTER_LOCK = None  # created lazily to keep module import light
+_REGISTERED_SESSIONS: dict = {}
+
+
 def register(spark) -> None:
-    """Idempotent registration of the format name."""
-    spark.dataSource.register(CdcEnvelopeDataSource)
+    """Idempotent, once-per-session registration of the format name.
+
+    Registration pickles the DataSource class across py4j and swaps the
+    session's lookup entry; doing that concurrently with another
+    thread's ``lookupDataSource`` (the repo-wide plan sweep builds
+    queries from a thread pool — round 14) intermittently fails the
+    in-flight ``save()``. A per-session flag plus a lock makes repeat
+    calls free and first calls race-safe."""
+    global _REGISTER_LOCK
+    if _REGISTER_LOCK is None:
+        import threading
+
+        _REGISTER_LOCK = threading.Lock()
+    sid = id(spark)
+    if _REGISTERED_SESSIONS.get(sid):
+        return
+    with _REGISTER_LOCK:
+        if _REGISTERED_SESSIONS.get(sid):
+            return
+        spark.dataSource.register(CdcEnvelopeDataSource)
+        _REGISTERED_SESSIONS[sid] = True

@@ -40,6 +40,7 @@ def bucketed(spark, sf_dir):
     return "bktdb.lineitem_b", "bktdb.orders_b"
 
 
+@pytest.mark.slow
 def test_bucketed_join_avoids_shuffle(spark, bucketed):
     li_t, o_t = bucketed
     joined = (

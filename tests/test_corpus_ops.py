@@ -4,9 +4,12 @@ input, not just hash-equality on the fixture."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_connected_components_invariants(spark, sf_dir):
     from cdc_realtime_pipeline_spark.operators.corpus_ops import (
         dup_clusters_connected_components,

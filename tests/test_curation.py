@@ -4,6 +4,8 @@ that must hold on any corpus, not just this fixture)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc_realtime_pipeline_spark.operators.curation import (
@@ -59,6 +61,7 @@ def test_unigram_lm_scores_are_positive_and_total(spark, sf_dir):
         assert r["avg_neg_logp"] > 0.0
 
 
+@pytest.mark.slow
 def test_funnel_is_monotone_and_anchored(spark, sf_dir):
     from cdc_realtime_pipeline_spark.operators.curation import corpus_curation_funnel
 
@@ -107,6 +110,7 @@ def test_all_shingles_edge_cases(spark):
     assert all(s for docs_ in by_doc.values() for s in docs_)  # none empty
 
 
+@pytest.mark.slow
 def test_dsir_scores_rank_target_like_docs_higher(spark, sf_dir):
     """The importance weight is a log-likelihood ratio target/raw:
     docs with a higher fraction of target-domain tokens must score

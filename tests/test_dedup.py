@@ -5,6 +5,8 @@ rows-only MinHash/SimHash driver checks).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc_realtime_pipeline_spark.operators.dedup import (
@@ -149,6 +151,7 @@ def _uncapped_jaccard_truth(spark, sf_dir, tau=0.6):
     )
 
 
+@pytest.mark.slow
 def test_capped_candidates_match_uncapped_ground_truth(spark, sf_dir):
     """The candidate stage must not lose any true pair: the
     capped+verified Jaccard result equals brute-force exact Jaccard
@@ -160,6 +163,7 @@ def test_capped_candidates_match_uncapped_ground_truth(spark, sf_dir):
     assert truth.exceptAll(got).count() == 0
 
 
+@pytest.mark.slow
 def test_minhash_backstop_survives_crippled_caps(spark, sf_dir, monkeypatch):
     """Forced degradation: cripple the df-capped rare-shingle path
     entirely (df cap 2, rare-shared bar unreachable) — the MinHash band
@@ -178,6 +182,7 @@ def test_minhash_backstop_survives_crippled_caps(spark, sf_dir, monkeypatch):
     assert truth.exceptAll(got).count() == 0
 
 
+@pytest.mark.slow
 def test_lsh_cosine_dedup_matches_all_pairs(spark, sf_dir):
     """Banded-LSH candidates must recover every cosine ≥ τ pair the
     all-pairs half-matrix finds (planted near-identical dups collide

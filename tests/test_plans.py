@@ -243,6 +243,55 @@ def _unbounded_global_windows(df) -> int:
         "OneRowRelation",
         "Range",
     }
+    # One toJSON() round trip serializes the whole optimized tree
+    # (flat preorder array of plan nodes with "num-children"), replacing
+    # the former node-by-node py4j walk — same traversal, same bounding
+    # rule, ~50× fewer JVM round trips (round 14: the repo-wide sweep
+    # must fit the driver's pytest window). Falls back to the original
+    # py4j walk for any plan toJSON cannot serialize.
+    import json
+
+    try:
+        arr = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    except Exception:  # noqa: BLE001 - unserializable node: walk via py4j
+        return _unbounded_global_windows_py4j(df, bounding)
+
+    def simple(cls: str) -> str:
+        return cls.rsplit(".", 1)[-1]
+
+    def parse(i: int):
+        kids = []
+        j = i + 1
+        for _ in range(arr[i]["num-children"]):
+            k, j = parse(j)
+            kids.append(k)
+        return (i, kids), j
+
+    root, end = parse(0)
+    assert end == len(arr), f"preorder parse consumed {end} of {len(arr)}"
+    n_bad = 0
+    stack = [root]
+    while stack:
+        i, kids = stack.pop()
+        node = arr[i]
+        if simple(node["class"]) == "Window" and not node.get("partitionSpec"):
+            sub = list(kids)
+            bounded = False
+            while sub:
+                ci, ckids = sub.pop()
+                if simple(arr[ci]["class"]) in bounding:
+                    bounded = True
+                    break
+                sub.extend(ckids)
+            if not bounded:
+                n_bad += 1
+        stack.extend(kids)
+    return n_bad
+
+
+def _unbounded_global_windows_py4j(df, bounding) -> int:
+    """Original node-by-node py4j traversal — kept as the fallback for
+    plans whose toJSON serialization throws."""
     n_bad = 0
     stack = [df._jdf.queryExecution().optimizedPlan()]
     while stack:
@@ -300,8 +349,7 @@ def test_repo_wide_no_cartesian_no_rowwise_python(spark):
     cold; warm memos hide the subtree behind InMemoryRelation, so
     they stay allowlisted for determinism).
     """
-    import io
-    from contextlib import redirect_stdout
+    from concurrent.futures import ThreadPoolExecutor
 
     sf001 = "/root/testdata/sf0.001"
     allow_python = {"udtf_chunk_documents", "alerts_rapid_trades_reset"}
@@ -312,27 +360,51 @@ def test_repo_wide_no_cartesian_no_rowwise_python(spark):
         "embeddings_kmeans_train",
         "dedup_embeddings_semantic",
     }
-    bad = []
-    for name, fn in all_queries().items():
-        if name.startswith("stream_"):
-            continue
+
+    # Thread-parallel sweep (round 14): builds and plan compilation run
+    # JVM-side and py4j releases the GIL on socket reads, so 8 driver
+    # threads overlap the ~350 per-query analysis passes (guide §2.6 —
+    # the sweep must fit the driver's pytest window). Builds are
+    # independent: per-query temp-view names are disjoint, memo races
+    # are benign last-write-wins on identical results.
+    def check(item):
+        name, fn = item
+        out = []
         try:
+            # py4j worker threads start with no JVM active session, and
+            # the Python-datasource lookup path consults the
+            # getActiveSession thread-local — pin it per worker
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
             df = fn(spark, sf001)
         except Exception as e:  # noqa: BLE001 - collect and report below
-            bad.append((name, f"build error: {e}"))
-            continue
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
+            return [(name, f"build error: {e}")]
+        # the same formatted-explain string df.explain("formatted")
+        # prints, fetched without stdout redirection (print capture is
+        # process-global — racy under the thread pool)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
         if "CartesianProduct" in plan:
-            bad.append((name, "CartesianProduct"))
+            out.append((name, "CartesianProduct"))
         if "BatchEvalPython" in plan and name not in allow_python:
-            bad.append((name, "row-at-a-time BatchEvalPython"))
+            out.append((name, "row-at-a-time BatchEvalPython"))
         if name not in allow_global_window:
             n = _unbounded_global_windows(df)
             if n:
-                bad.append((name, f"{n} unbounded global Window(s)"))
+                out.append((name, f"{n} unbounded global Window(s)"))
+        return out
+
+    items = [
+        (name, fn)
+        for name, fn in all_queries().items()
+        if not name.startswith("stream_")
+    ]
+    bad = []
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for found in pool.map(check, items):
+            bad.extend(found)
     assert not bad, bad
 
 

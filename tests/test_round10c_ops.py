@@ -3,11 +3,14 @@ decision stump, Davies-Bouldin."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_full_outer_supersets_left_and_inner(spark, sf_dir):
     """Full outer = inner matches + the left-outer null leg + a
     non-empty right-outer null leg (clicks with no purchase), with

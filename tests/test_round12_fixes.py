@@ -74,6 +74,7 @@ def _rapid_alerts(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_rapid_trades_reset_streams_across_arrow_chunks(
     spark, rapid_events_dir
 ):

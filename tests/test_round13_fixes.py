@@ -165,6 +165,7 @@ def _exact_jaccard_pairs(spark, sf_dir, tau):
     return out
 
 
+@pytest.mark.slow
 def test_nondefault_minhash_geometry_matches_exact_jaccard(spark, sf_dir):
     """End-to-end differential (VERDICT r12 #2): the candidates-then-
     verify pair set at a NON-default backstop geometry — both an

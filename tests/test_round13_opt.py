@@ -5,6 +5,8 @@ pin the internals the optimizations touched)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -66,6 +68,7 @@ def test_datasource_split_reader_still_prunes_pushed_partitions(tmp_path):
     assert parts and {p.value[0] for p in parts} == {1}
 
 
+@pytest.mark.slow
 def test_datasource_split_read_matches_default_through_spark(
     spark, tmp_path
 ):

@@ -14,6 +14,8 @@ scenario ends with a far-future "flush" event.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import os
 import tempfile
@@ -64,6 +66,7 @@ def _run_windowed(spark, src_dir):
     }
 
 
+@pytest.mark.slow
 def test_late_row_after_window_finalized_is_dropped(spark):
     # Spark's watermark guarantee is one-directional: a window is
     # emitted exactly once when the watermark passes its end, and a
@@ -87,6 +90,7 @@ def test_late_row_after_window_finalized_is_dropped(spark):
     assert out[(30, "m")] == 1
 
 
+@pytest.mark.slow
 def test_on_time_rows_across_batches_merge_into_windows(spark):
     d = _write_batches(
         spark,
